@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling protocol, BASELINE.md).
+
+Default: runs the headline queries on ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+``--scaling``: runs the identical Leiden-superstep job at local[8] and
+local[32] (fresh JVM each, via subprocess) on the identical synthetic
+transcript graph and reports edges/sec/superstep at both plus
+``scaling_efficiency = (thr_32 / thr_8) / 4`` into BENCH/BASELINE.md —
+the sandbox stand-in for the N vs 4N executor criterion.
+
+All diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def build_transcript_graph(spark, sf: float, seed=42):
+    """sf-scaled synthetic transcript graph (FIXTURES.md §1)."""
+    from pyspark.sql import functions as F
+
+    from leidenalg_spark.operators.edges import transcripts_to_edges
+    from leidenalg_spark.sources.transcripts import synthetic_transcripts
+
+    n_convs = max(200, int(200_000 * sf))
+    t = synthetic_transcripts(spark, n_convs=n_convs, max_turns=20, seed=seed)
+    edges = transcripts_to_edges(t).persist()
+    m = edges.count()
+    return edges, m
+
+
+def run_queries(spark, sf_dir: str) -> dict:
+    """Headline per-query wall-clock seconds."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    sf = sf_of(sf_dir)
+    out = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 3)
+        log(f"  {name}: {out[name]}s")
+
+    edges, m_edges = build_transcript_graph(spark, sf)
+    log(f"transcript graph: {m_edges} edges")
+
+    from leidenalg_spark.operators import kernels as K
+    from leidenalg_spark.operators.leiden import leiden
+
+    def leiden_supersteps():
+        res = leiden(
+            spark, edges, method="modularity", n_iterations=1, seed=1,
+            local_threshold=0, max_supersteps=5,
+        )
+        sup = [m for m in res.metrics if m.get("name") == "leiden_superstep"]
+        if sup:
+            eps = sum(s["edges_per_sec"] for s in sup) / len(sup)
+            out["leiden_superstep_edges_per_sec"] = round(eps, 1)
+
+    timed("leiden_supersteps_transcripts", leiden_supersteps)
+    timed("pagerank_transcripts", lambda: K.pagerank(spark, edges, directed=False, max_iter=10, tol=0.0).count())
+    timed("connected_components_transcripts", lambda: K.connected_components(spark, edges).count())
+    timed("triangle_count_transcripts", lambda: K.triangle_count(spark, edges).collect())
+
+    qs = entrymod.queries()
+    for name in [
+        "edge_derivation", "degrees", "quality_modularity", "quality_cpm",
+        "quality_significance", "quality_surprise", "dedup_exact",
+        "neardup_jaccard", "minhash_signature", "cosine_topk",
+        "leiden_communities", "token_count", "doc_quality",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    edges.unpersist()
+    return out
+
+
+def superstep_throughput_job(cores: int, sf: float, supersteps=4, seed=1) -> dict:
+    """The scaling-protocol unit: identical input, identical code, one
+    parallelism level; reports mean edges/sec/superstep."""
+    from leidenalg_spark.operators.leiden import leiden
+    from leidenalg_spark.session import get_spark
+
+    spark = get_spark(app=f"leiden-scaling-{cores}", cores=cores, shuffle_partitions=2 * cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    edges, m = build_transcript_graph(spark, sf)
+    t0 = time.time()
+    res = leiden(spark, edges, method="modularity", n_iterations=1, seed=seed,
+                 local_threshold=0, max_supersteps=supersteps)
+    wall = time.time() - t0
+    sup = [x for x in res.metrics if x.get("name") == "leiden_superstep"]
+    eps = sum(s["edges_per_sec"] for s in sup) / max(len(sup), 1)
+    spark.stop()
+    return {"cores": cores, "edges": m, "supersteps": len(sup),
+            "edges_per_sec": round(eps, 1), "wall_secs": round(wall, 2)}
+
+
+def run_scaling(sf: float) -> dict:
+    results = {}
+    for cores in (8, 32):
+        cmd = [sys.executable, __file__, "--subjob", str(cores), "--sf", str(sf)]
+        log(f"scaling run local[{cores}] ...")
+        p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+        if p.returncode != 0:
+            log(p.stderr[-2000:])
+            raise RuntimeError(f"scaling subjob {cores} failed")
+        results[cores] = json.loads(p.stdout.strip().splitlines()[-1])
+        log(f"  local[{cores}]: {results[cores]}")
+    thr8, thr32 = results[8]["edges_per_sec"], results[32]["edges_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    summary = {
+        "throughput_local8_edges_per_sec": thr8,
+        "throughput_local32_edges_per_sec": thr32,
+        "speedup_8_to_32": round(thr32 / thr8, 3),
+        "scaling_efficiency": round(eff, 3),
+        "runs": results,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("# BENCH/BASELINE — superstep throughput & scaling protocol\n\n")
+        f.write("Identical job (distributed Leiden local-move supersteps on the\n")
+        f.write(f"sf={sf} synthetic transcript graph, {results[8]['edges']} edges, seed fixed)\n")
+        f.write("at two parallelism levels (sandbox stand-in for N vs 4N executors,\n")
+        f.write("see BASELINE.md):\n\n")
+        f.write("| config | edges/sec/superstep | supersteps | wall secs |\n|---|---|---|---|\n")
+        for c in (8, 32):
+            r = results[c]
+            f.write(f"| local[{c}] | {r['edges_per_sec']} | {r['supersteps']} | {r['wall_secs']} |\n")
+        f.write(f"\n- speedup 8→32 cores: **{summary['speedup_8_to_32']}×**\n")
+        f.write(f"- scaling efficiency ((thr32/thr8)/4): **{summary['scaling_efficiency']}** (target ≥ 0.8)\n")
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--subjob", type=int, default=None)
+    ap.add_argument("--sf", type=float, default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = args.sf if args.sf is not None else sf_of(sf_dir)
+
+    if args.subjob:
+        print(json.dumps(superstep_throughput_job(args.subjob, sf)))
+        return
+
+    if args.scaling:
+        print(json.dumps(run_scaling(sf)))
+        return
+
+    from leidenalg_spark.session import get_spark
+
+    spark = get_spark(app="leidenalg-bench", cores=cpus, shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    queries = run_queries(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cores": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Deduplication operators for training-data pipelines (prescribed
+first-class ops): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+- exact dedup is one hash-groupBy (map-side partial agg);
+- n-gram Jaccard materialises (doc, shingle) pairs and self-joins on the
+  shingle — quadratic only within a shingle bucket; frequent-shingle
+  capping (``max_shingle_freq``) bounds the worst bucket, the standard
+  guard against the `the-quick-brown-fox` hub shingle;
+- MinHash+LSH reduces candidate generation to equality joins on band
+  signatures — linear shuffle, no quadratic blow-up; verification of
+  candidates re-computes exact Jaccard only on the survivors;
+- SimHash is a 64-bit signature via one Arrow-vectorised pandas UDF
+  (the only non-JVM step in this module), bucketed by rotation for
+  Hamming-distance candidates.
+
+Portability: shingles are plain strings and hashes are md5, so every
+SQL-expressible operator here has an exact DuckDB twin for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import tokens_col
+
+
+# ------------------------------------------------------------------ exact
+def dedup_exact(docs: DataFrame, col="text") -> DataFrame:
+    """Exact dedup on normalised text: keep the smallest doc_id per
+    fingerprint.  Returns (doc_id, fingerprint, group_size, is_kept)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    with_fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    grp = with_fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        with_fp.join(grp, "fingerprint")
+        .select(
+            "doc_id",
+            "fingerprint",
+            "group_size",
+            (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+        )
+    )
+
+
+# ------------------------------------------------------------- shingling
+def shingles(docs: DataFrame, n=3, col="text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = tokens_col(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n=3, threshold=0.8, col="text", max_shingle_freq: int | None = None
+) -> DataFrame:
+    """All doc pairs (a < b) with word-n-gram Jaccard >= threshold.
+
+    Exact (no hashing) — the correctness baseline the approximate
+    methods are validated against.
+    """
+    sh = shingles(docs, n, col)
+    if max_shingle_freq:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        sh = sh.join(freq.where(F.col("f") <= max_shingle_freq), "shingle").select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- MinHash
+def minhash_signatures(docs: DataFrame, n=3, num_hashes=32, col="text") -> DataFrame:
+    """MinHash signature per doc: for hash function i, the lexicographic
+    minimum of ``md5(i || ':' || shingle)`` over the doc's shingles —
+    a valid min-wise hash family, portable to plain SQL.
+
+    Returns (doc_id, sig: array<string> of length num_hashes).
+    """
+    sh = shingles(docs, n, col)
+    hashed = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("i"), F.md5(F.format_string("%d:%s", F.lit(i), F.col("shingle"))).alias("h")) for i in range(num_hashes)])
+        ).alias("ih"),
+    ).select("doc_id", F.col("ih.i").alias("i"), F.col("ih.h").alias("h"))
+    mins = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    return mins.groupBy("doc_id").agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s")).select(
+        "doc_id", F.transform("s", lambda x: x["mh"]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(signatures: DataFrame, bands=8) -> DataFrame:
+    """Band the signatures and equality-join: docs sharing any band
+    signature become candidate pairs (a < b).  rows = num_hashes/bands
+    per band; collision probability follows the classic S-curve."""
+    sig_len_row = signatures.select(F.size("sig").alias("l")).first()
+    rows = max(1, int(sig_len_row["l"]) // bands)
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bd).alias("band"),
+                    F.md5(F.concat_ws("|", F.slice("sig", bd * rows + 1, rows))).alias("key"),
+                )
+                for bd in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col("doc_id").alias("a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("b"), "band", "key")
+    return a.join(b, ["band", "key"]).where(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+
+def minhash_dedup_pairs(docs: DataFrame, n=3, num_hashes=32, bands=8, threshold=0.8, col="text") -> DataFrame:
+    """MinHash-LSH near-dup pipeline: shingle → minhash → band →
+    bucket-join → verify survivors with exact Jaccard."""
+    sigs = minhash_signatures(docs, n, num_hashes, col)
+    cand = minhash_lsh_candidates(sigs, bands)
+    sh = shingles(docs, n, col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(a, "a").join(b, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- SimHash
+def simhash(docs: DataFrame, col="text", bits=64) -> DataFrame:
+    """64-bit SimHash per doc via ``mapInPandas`` (Arrow batches; the
+    per-batch body is NumPy bit arithmetic, never per-row plan logic).
+    Returns (doc_id, simhash:long)."""
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(bits, dtype=np.uint64)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, t in enumerate(pdf[col].fillna("")):
+                toks = t.lower().split()
+                if not toks:
+                    continue
+                hs = np.array(
+                    [int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") for tok in toks],
+                    dtype=np.uint64,
+                )
+                # bit matrix (n_tokens x bits) -> per-bit majority vote
+                bitmat = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                votes = (2 * bitmat - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for b in np.flatnonzero(votes > 0):
+                    sig |= np.uint64(1) << np.uint64(b)
+                out[i] = np.int64(sig.astype(np.int64))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return docs.select("doc_id", col).mapInPandas(gen, schema="doc_id long, simhash long")
+
+
+def simhash_candidates(sim: DataFrame, band_bits=16) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any of the 64/band_bits
+    bands of their SimHash (standard Hamming-LSH)."""
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sim.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for i in range(nbands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a = banded.select(F.col("doc_id").alias("a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("b"), "band", "key")
+    return a.join(b, ["band", "key"]).where(F.col("a") < F.col("b")).select("a", "b").distinct()

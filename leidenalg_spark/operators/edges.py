@@ -1,0 +1,156 @@
+"""Edge-table derivation and canonicalisation (SURVEY.md §2.1 S6, §2.2).
+
+The reference consumes an in-memory igraph; our upstream is a transcripts
+(or events) table, from which we derive the reply/tool-interaction graph:
+
+- vertices = conversation participants (``{conv_id}:{role}``) and tools
+  (``tool:{name}`` — global hub vertices, the deterministic skew case)
+- edges    = consecutive-turn links within a conversation (window lag —
+  partitioned by ``conv_id``, so the sort is per-conversation and fully
+  parallel; no global ordering anywhere) plus assistant→tool call links
+- weight   = number of interactions after ``groupBy(src, dst)``
+
+Scale notes (100 TB design):
+- the only shuffles are the window by ``conv_id`` (narrow keys, high
+  cardinality, no skew) and the final ``groupBy(src, dst)`` (AQE skew
+  split handles tool hubs);
+- vertex ids are ``xxhash64`` of the vertex name: deterministic,
+  shuffle-free, computed inline at scan time.  ``assert_no_id_collisions``
+  offers a cheap one-pass audit (count distinct names vs ids) for
+  pipelines that require it; dense 0..n-1 ids (needed only by the
+  local coarse kernel) are assigned after aggregation when the vertex
+  set is already small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOOL_PREFIX = "tool:"
+
+
+def actor_expr():
+    """Vertex name of a transcript turn."""
+    return F.when(
+        F.col("role") == "tool", F.concat(F.lit(TOOL_PREFIX), F.coalesce(F.col("tool"), F.lit("unknown")))
+    ).otherwise(F.concat(F.col("conv_id"), F.lit(":"), F.col("role")))
+
+
+def derive_named_edges(transcripts: DataFrame, drop_self_loops: bool = True) -> DataFrame:
+    """transcripts → named edge list (src_name, dst_name, weight).
+
+    Consecutive-turn links via ``lag`` over (conv_id, turn_idx) — the
+    as-of/consecutive-row join of SURVEY.md §2.6 — plus assistant→tool
+    links for assistant turns that carry a tool.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.withColumn("actor", actor_expr()).withColumn("prev_actor", F.lag("actor").over(w))
+    turn_edges = t.where(F.col("prev_actor").isNotNull()).select(
+        F.col("prev_actor").alias("src_name"), F.col("actor").alias("dst_name")
+    )
+    tool_edges = t.where((F.col("role") == "assistant") & F.col("tool").isNotNull()).select(
+        F.col("actor").alias("src_name"),
+        F.concat(F.lit(TOOL_PREFIX), F.col("tool")).alias("dst_name"),
+    )
+    e = turn_edges.unionByName(tool_edges)
+    if drop_self_loops:
+        e = e.where(F.col("src_name") != F.col("dst_name"))
+    return e.groupBy("src_name", "dst_name").agg(F.count(F.lit(1)).cast("double").alias("weight"))
+
+
+def canonicalize_undirected(edges: DataFrame, src="src", dst="dst") -> DataFrame:
+    """Fold an undirected edge list so ``src <= dst`` and re-aggregate
+    (one shuffle on the canonical pair; weights of both orientations sum)."""
+    lo = F.least(F.col(src), F.col(dst))
+    hi = F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.select(lo.alias(src), hi.alias(dst), "weight")
+        .groupBy(src, dst)
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def with_hash_ids(named_edges: DataFrame) -> DataFrame:
+    """Attach deterministic 64-bit vertex ids (no shuffle, no id table)."""
+    return named_edges.select(
+        F.xxhash64("src_name").alias("src"),
+        F.xxhash64("dst_name").alias("dst"),
+        "weight",
+        "src_name",
+        "dst_name",
+    )
+
+
+def vertex_table(named_edges: DataFrame) -> DataFrame:
+    """Distinct (id, name) vertex table from a named edge list."""
+    v = named_edges.select(F.col("src_name").alias("name")).unionByName(
+        named_edges.select(F.col("dst_name").alias("name"))
+    )
+    return v.distinct().select(F.xxhash64("name").alias("id"), "name")
+
+
+def assert_no_id_collisions(vertices: DataFrame) -> None:
+    row = vertices.agg(
+        F.countDistinct("name").alias("names"), F.countDistinct("id").alias("ids")
+    ).first()
+    if row["names"] != row["ids"]:
+        raise RuntimeError(f"vertex id hash collision: {row['names']} names vs {row['ids']} ids")
+
+
+def transcripts_to_edges(transcripts: DataFrame, undirected: bool = True, drop_self_loops: bool = True) -> DataFrame:
+    """Full derivation: transcripts → (src, dst, weight) with hashed ids."""
+    e = with_hash_ids(derive_named_edges(transcripts, drop_self_loops)).select("src", "dst", "weight")
+    if undirected:
+        e = canonicalize_undirected(e)
+    return e
+
+
+def events_to_type_transition_edges(events: DataFrame) -> DataFrame:
+    """Driver-testdata variant (FIXTURES.md §3): consecutive events per
+    user (ordered by ts, event_id as tiebreak) → edges between event
+    types; weight = transition count.  Same window-lag operator as the
+    transcript derivation, different source columns."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        t.where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src_name"), F.col("event_type").alias("dst_name"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def events_to_bipartite_edges(events: DataFrame) -> DataFrame:
+    """user × event_type interaction graph: vertices are users
+    (``u:{id}``) and event types (``t:{name}`` — hub vertices), edge
+    weight = number of events."""
+    return (
+        events.groupBy(
+            F.format_string("u:%d", F.col("user_id")).alias("src_name"),
+            F.concat(F.lit("t:"), F.col("event_type")).alias("dst_name"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def degrees(edges: DataFrame, directed: bool = False) -> DataFrame:
+    """Per-vertex degree and strength (unweighted count / weighted sum).
+
+    Undirected convention: self-loops count twice (LocalGraph docstring).
+    One union + one aggregation; partial aggregation (map-side combine)
+    makes this a single light shuffle.
+    """
+    if directed:
+        out = edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_degree"), F.sum("weight").alias("out_strength")
+        )
+        inn = edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("in_degree"), F.sum("weight").alias("in_strength")
+        )
+        return out.join(inn, "id", "full").na.fill(0)
+    ends = edges.select(F.col("src").alias("id"), "weight").unionByName(
+        edges.select(F.col("dst").alias("id"), "weight")
+    )
+    return ends.groupBy("id").agg(
+        F.count(F.lit(1)).alias("degree"), F.sum("weight").alias("strength")
+    )

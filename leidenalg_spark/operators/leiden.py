@@ -1,0 +1,363 @@
+"""Distributed Leiden community detection (SURVEY.md §2.5, §3.1, §4.3).
+
+Architecture — gather-scatter supersteps + hybrid coarse solve:
+
+1. **Distributed local-move supersteps** on the full edge table: one
+   join-aggregate gathers, for every vertex, its edge weight towards every
+   neighbouring community (reference ``weight_to_comm``, the hot P8
+   gather); the closed-form ΔQ of every candidate move is evaluated as
+   pure column arithmetic against frozen per-community aggregates; a
+   deterministic half (``xxhash64(v, step, seed)`` parity) of the winning
+   moves commits per superstep — the standard guard against move/counter-
+   move oscillation in batched Louvain/Leiden (SURVEY.md §4.3).
+2. **Distributed refinement**: connected components *within* each
+   community (γ-connectivity — Leiden's core guarantee: communities are
+   internally connected).  The aggregate graph is built over the refined
+   partition, seeded with the parent communities (advanced.rst:100-123
+   step 5).
+3. **Coarse solve**: after one aggregation the graph shrinks
+   geometrically; once below ``local_threshold`` edges it is pulled to the
+   driver and finished by :mod:`leidenalg_spark.localcore` — the exact
+   reference semantics (refinement, empty communities, constraints,
+   n_iterations<0) at zero distributed cost.  Small inputs skip straight
+   to the local core, reproducing leidenalg behaviour end-to-end.
+
+Every superstep checkpoints membership + metrics (north rule) through
+:class:`CheckpointManager`, which also truncates the iterative lineage.
+
+Scale notes: the gather shuffles edges once per superstep on ``dst`` then
+``(src, comm)`` — both partial-aggregated; comm_stats is tiny after the
+first supersteps (broadcast side of the candidate join); AQE splits the
+tool-hub skew.  No per-row Python anywhere: the only Python is the
+driver loop and the coarse NumPy solve.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..localcore import LocalGraph, LocalPartition, OptimiserOpts, QualitySpec, optimise_partition
+from ..functions.quality import quality as df_quality
+from .checkpoint import CheckpointManager
+
+EPSQ = 1e-10
+
+
+@dataclass
+class LeidenResult:
+    membership: DataFrame  # (id, comm)
+    quality: float
+    method: str
+    gamma: float
+    supersteps: int = 0
+    levels: int = 0
+    metrics: list = field(default_factory=list)
+
+
+# ------------------------------------------------------------------ ΔQ SQL
+def _pairs_col(n, directed, csl):
+    p = n * n / 2.0 if csl else n * (n - F.lit(1.0)) / 2.0
+    return p * 2.0 if directed else p
+
+
+def _contrib(method, gamma, directed, W, p_global, csl, w, ko, ki, n):
+    """Per-community contribution — the Spark twin of
+    localcore.quality.QualitySpec.comm_contrib (kept in lock-step)."""
+    if method == "modularity":
+        base = (ko * ki) if directed else (ko * ko) / 4.0
+        return w / W - base / (W * W)
+    if method == "rbconfiguration":
+        base = (ko * ki) if directed else (ko * ko) / 4.0
+        return w - gamma * base / W
+    if method == "rber":
+        return w - gamma * p_global * _pairs_col(n, directed, csl)
+    if method == "cpm":
+        return w - gamma * _pairs_col(n, directed, csl)
+    if method == "significance":
+        pairs_c = _pairs_col(n, directed, csl)
+        dens = F.least(w / pairs_c, F.lit(1.0))
+        term = lambda x, y: F.when(x == 0, 0.0).otherwise(x * F.log(x / y))
+        kl = term(dens, F.lit(p_global)) + term(1.0 - dens, F.lit(1.0 - p_global))
+        return F.when(pairs_c > 0, pairs_c * kl).otherwise(F.lit(0.0))
+    raise ValueError(method)
+
+
+def _superstep_moves(edges_sym, membership, comm_stats, vstats, spec, directed, W, p_global, n_tot, step, seed):
+    """One distributed local-move superstep → winning moves (id, new_comm).
+
+    ΔQ is computed against frozen stats: exact for a single move, a
+    (provably convergent in practice) approximation for a committed batch;
+    the alternating parity keeps batches conflict-sparse.
+    """
+    m_dst = membership.select(F.col("id").alias("dst"), F.col("comm").alias("cand"))
+    gather = (
+        edges_sym.join(m_dst, "dst")
+        .groupBy(F.col("src").alias("id"), "cand")
+        .agg(F.sum("weight").alias("w_vc"))
+    )
+    g = gather.join(membership, "id")  # adds current comm ("comm")
+    w_self = g.where(F.col("cand") == F.col("comm")).select("id", F.col("w_vc").alias("w_va"))
+    cands = g.where(F.col("cand") != F.col("comm")).join(w_self, "id", "left").na.fill({"w_va": 0.0})
+
+    sa = comm_stats.select(
+        F.col("comm"), F.col("K_out").alias("Ka_out"), F.col("K_in").alias("Ka_in"),
+        F.col("n_size").alias("na"), F.col("w_in").alias("wa"),
+    )
+    sb = comm_stats.select(
+        F.col("comm").alias("cand"), F.col("K_out").alias("Kb_out"), F.col("K_in").alias("Kb_in"),
+        F.col("n_size").alias("nb"), F.col("w_in").alias("wb"),
+    )
+    x = cands.join(sa, "comm").join(sb, "cand").join(vstats, "id")
+
+    method, gamma, csl = spec.method, spec.gamma, spec.correct_self_loops
+    rm = F.col("w_va") + F.col("loop")
+    add = F.col("w_vc") + F.col("loop")
+    args = dict(directed=directed, W=W, p_global=p_global, csl=csl)
+    if method == "surprise":
+        # global-sum formulation with frozen totals folded into constants
+        # is not separable per-row; use the CPM-gradient surrogate for the
+        # distributed phase (same argmax direction), exact local finish.
+        method_eff, gamma_eff = "cpm", 0.0
+    else:
+        method_eff, gamma_eff = method, gamma
+    ga_old = _contrib(method_eff, gamma_eff, w=F.col("wa"), ko=F.col("Ka_out"), ki=F.col("Ka_in"), n=F.col("na"), **args)
+    ga_new = _contrib(
+        method_eff, gamma_eff,
+        w=F.col("wa") - rm, ko=F.col("Ka_out") - F.col("k_out"),
+        ki=F.col("Ka_in") - F.col("k_in"), n=F.col("na") - F.col("node_size"), **args,
+    )
+    gb_old = _contrib(method_eff, gamma_eff, w=F.col("wb"), ko=F.col("Kb_out"), ki=F.col("Kb_in"), n=F.col("nb"), **args)
+    gb_new = _contrib(
+        method_eff, gamma_eff,
+        w=F.col("wb") + add, ko=F.col("Kb_out") + F.col("k_out"),
+        ki=F.col("Kb_in") + F.col("k_in"), n=F.col("nb") + F.col("node_size"), **args,
+    )
+    dq = (ga_new - ga_old) + (gb_new - gb_old)
+
+    winners = (
+        x.withColumn("dq", dq)
+        .where(F.col("dq") > EPSQ)
+        .groupBy("id")
+        .agg(F.max_by(F.struct(F.col("cand"), F.col("dq")), F.struct(F.col("dq"), -F.col("cand"))).alias("best"))
+        .select("id", F.col("best.cand").alias("new_comm"), F.col("best.dq").alias("dq"))
+    )
+    gated = winners.where(F.pmod(F.xxhash64("id", F.lit(step), F.lit(seed)), F.lit(2)) == step % 2)
+    return winners, gated
+
+
+def _refine_by_components(spark, edges, membership, ckpt):
+    """Distributed refinement: split every community into its connected
+    components (γ-connectivity).  Returns refined membership
+    (id, refined_comm:string-free long pair hash) and the parent mapping."""
+    from .kernels import connected_components
+
+    m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("comm_src"))
+    m_dst = membership.select(F.col("id").alias("dst"), F.col("comm").alias("comm_dst"))
+    intra = (
+        edges.join(m_src, "src").join(m_dst, "dst")
+        .where(F.col("comm_src") == F.col("comm_dst"))
+        .select("src", "dst")
+    )
+    comp = connected_components(spark, intra.withColumn("weight", F.lit(1.0)), ckpt=ckpt)
+    refined = membership.join(comp, "id", "left").select(
+        "id", "comm", F.coalesce("component", F.col("id")).alias("component")
+    )
+    # refined community id: hash of (comm, component) — deterministic
+    return refined.select(
+        "id",
+        "comm",
+        F.xxhash64(F.col("comm"), F.col("component")).alias("refined"),
+    )
+
+
+def leiden(
+    spark,
+    edges: DataFrame,
+    method: str = "modularity",
+    gamma: float = 1.0,
+    n_iterations: int = 2,
+    seed: int = 0,
+    directed: bool = False,
+    local_threshold: int = 500_000,
+    max_supersteps: int = 30,
+    ckpt: CheckpointManager | None = None,
+    correct_self_loops: bool = False,
+    opts: OptimiserOpts | None = None,
+) -> LeidenResult:
+    """Flagship API (reference ``find_partition``, functions.py:21-93) on a
+    Spark edge table (src:long, dst:long, weight:double).
+    """
+    ckpt = ckpt or CheckpointManager(spark)
+    spec = QualitySpec(method, gamma=gamma, correct_self_loops=correct_self_loops)
+    edges = edges.persist()
+    ecount = edges.count()
+
+    if ecount <= local_threshold:
+        membership = _local_solve_df(spark, edges, spec, n_iterations, seed, directed, opts)
+        q = df_quality(edges, membership, method, gamma, directed, correct_self_loops=correct_self_loops)
+        edges.unpersist()
+        return LeidenResult(membership, q, method, gamma, supersteps=0, levels=1, metrics=ckpt.metrics)
+
+    # ----------------------------------------------------- distributed path
+    sym = edges.where(F.col("src") != F.col("dst"))
+    edges_sym = sym if directed else sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    edges_sym = edges_sym.persist()
+
+    # static vertex stats: strengths, loops, sizes
+    from ..functions.quality import vertex_strengths
+
+    loops = (
+        edges.where(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("weight").alias("loop"))
+    )
+    vstats = (
+        vertex_strengths(edges, directed)
+        .join(loops, "id", "left")
+        .na.fill({"loop": 0.0})
+        .withColumn("node_size", F.lit(1.0))
+        .persist()
+    )
+    W = float(edges.agg(F.sum("weight")).first()[0] or 0.0)
+    n_tot = float(vstats.count())
+    from ..localcore.quality import possible_pairs
+
+    pairs_tot = float(possible_pairs(n_tot, directed, correct_self_loops))
+    p_global = W / pairs_tot if pairs_tot > 0 else 0.0
+
+    membership = vstats.select("id", F.col("id").alias("comm"))
+    membership = ckpt.save(membership, "membership", 0)
+    total_steps = 0
+    for it in range(max(n_iterations, 1)):
+        for step in range(1, max_supersteps + 1):
+            t0 = time.time()
+            comm_stats = (
+                membership.join(vstats, "id")
+                .groupBy("comm")
+                .agg(
+                    F.sum("k_out").alias("K_out"),
+                    F.sum("k_in").alias("K_in"),
+                    F.sum("node_size").alias("n_size"),
+                )
+            )
+            m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("cs"))
+            m_dst = membership.select(F.col("id").alias("dst"), F.col("comm").alias("cd"))
+            w_in = (
+                edges.join(m_src, "src").join(m_dst, "dst")
+                .where(F.col("cs") == F.col("cd"))
+                .groupBy(F.col("cs").alias("comm"))
+                .agg(F.sum("weight").alias("w_in"))
+            )
+            comm_stats = comm_stats.join(w_in, "comm", "left").na.fill({"w_in": 0.0})
+            winners, gated = _superstep_moves(
+                edges_sym, membership, comm_stats, vstats, spec, directed, W, p_global, n_tot, step, seed
+            )
+            gated = gated.persist()
+            n_moves = gated.count()
+            n_improving = winners.count()
+            new_membership = (
+                membership.join(gated.select("id", "new_comm"), "id", "left")
+                .select("id", F.coalesce("new_comm", "comm").alias("comm"))
+            )
+            membership = ckpt.save(new_membership, "membership", total_steps + step)
+            gated.unpersist()
+            dt = time.time() - t0
+            ckpt.log(
+                name="leiden_superstep", iteration=it, step=total_steps + step,
+                moves=int(n_moves), improving=int(n_improving),
+                secs=round(dt, 4), edges_per_sec=round(ecount / max(dt, 1e-9), 1),
+            )
+            if n_improving == 0:
+                break
+        total_steps += step
+        # refinement + aggregate + local coarse finish
+        refined = _refine_by_components(spark, sym, membership, ckpt).persist()
+        membership = _coarse_finish(
+            spark, edges, refined, spec, directed, seed, opts, local_threshold, ckpt, total_steps
+        )
+        membership = ckpt.save(membership, "membership", total_steps * 1000 + 999 + it)
+        refined.unpersist()
+
+    q = df_quality(edges, membership, method, gamma, directed, correct_self_loops=correct_self_loops)
+    edges_sym.unpersist()
+    vstats.unpersist()
+    edges.unpersist()
+    return LeidenResult(membership, q, method, gamma, supersteps=total_steps, levels=2, metrics=ckpt.metrics)
+
+
+# ----------------------------------------------------------------- helpers
+def _local_solve_df(spark, edges, spec, n_iterations, seed, directed, opts, initial=None):
+    """Pull a (small) edge table to the driver, run the exact local core,
+    return a membership DataFrame (id, comm)."""
+    pdf = edges.toPandas()
+    ids = np.unique(np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    src = pdf["src"].map(idx).to_numpy(dtype=np.int64)
+    dst = pdf["dst"].map(idx).to_numpy(dtype=np.int64)
+    g = LocalGraph(len(ids), src, dst, pdf["weight"].to_numpy(dtype=np.float64), directed=directed)
+    init = None
+    if initial is not None:
+        init = np.array([initial[int(v)] for v in ids], dtype=np.int64)
+    P = LocalPartition([(g, spec)], membership=init)
+    o = opts or OptimiserOpts(seed=seed)
+    o.seed = seed
+    optimise_partition(P, n_iterations=n_iterations, opts=o)
+    import pandas as pd
+
+    out = pd.DataFrame({"id": ids.astype(np.int64), "comm": P.membership.astype(np.int64)})
+    return spark.createDataFrame(out)
+
+
+def _coarse_finish(spark, edges, refined, spec, directed, seed, opts, local_threshold, ckpt, step):
+    """Aggregate by the refined partition and finish on the driver.
+
+    Coarse vertices = refined communities, node_size = vertex counts,
+    initial coarse membership = parent community labels — then exact
+    local-core Leiden, projected back down (T3 + T4, SURVEY.md §2.2).
+    """
+    r_src = refined.select(F.col("id").alias("src"), F.col("refined").alias("r_src"))
+    r_dst = refined.select(F.col("id").alias("dst"), F.col("refined").alias("r_dst"))
+    coarse_edges = (
+        edges.join(r_src, "src").join(r_dst, "dst")
+        .groupBy("r_src", "r_dst")
+        .agg(F.sum("weight").alias("weight"))
+        .select(F.col("r_src").alias("src"), F.col("r_dst").alias("dst"), "weight")
+    )
+    coarse_nodes = refined.groupBy("refined").agg(
+        F.count(F.lit(1)).alias("node_size"), F.first("comm").alias("parent")
+    )
+    ce = coarse_edges.toPandas()
+    cn = coarse_nodes.toPandas()
+    ckpt.log(name="leiden_aggregate", step=step, coarse_vertices=len(cn), coarse_edges=len(ce))
+    ids = cn["refined"].to_numpy(dtype=np.int64)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    src = ce["src"].map(idx).to_numpy(dtype=np.int64)
+    dst = ce["dst"].map(idx).to_numpy(dtype=np.int64)
+    if not directed:
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        src, dst = lo, hi
+    g = LocalGraph(
+        len(ids), src, dst, ce["weight"].to_numpy(dtype=np.float64),
+        node_size=cn["node_size"].to_numpy(dtype=np.float64), directed=directed,
+    )
+    parents = cn["parent"].to_numpy()
+    _, parent_dense = np.unique(parents, return_inverse=True)
+    P = LocalPartition([(g, spec)], membership=parent_dense.astype(np.int64))
+    o = opts or OptimiserOpts(seed=seed)
+    optimise_partition(P, n_iterations=2, opts=o)
+    import pandas as pd
+
+    coarse_memb = spark.createDataFrame(
+        pd.DataFrame({"refined": ids.astype(np.int64), "new_comm": P.membership.astype(np.int64)})
+    )
+    return (
+        refined.join(coarse_memb, "refined")
+        .select("id", F.col("new_comm").alias("comm"))
+    )

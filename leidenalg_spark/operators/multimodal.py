@@ -1,0 +1,122 @@
+"""Multimodal column plumbing (prescribed first-class op).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The Spark-side machinery — schema, batch shape, ``mapInPandas``
+signatures, partitioning — is real and tested; the actual codec step is
+STUBBED (this container ships no image/audio libraries): by default a
+deterministic fake featureizer runs, and ``decode_real=True`` raises
+``NotImplementedError`` at the exact point a PIL/ffmpeg call would go.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("checksum", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def synthetic_media(spark, n=200, seed=42) -> DataFrame:
+    """Deterministic fake media table: payload bytes derived from the id
+    (stands in for real blobs; sizes vary to exercise batch shaping)."""
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(
+            F.repeat(F.hex(F.xxhash64("id", F.lit(seed + 1))), (F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(64)) + 1).cast("int")),
+            "utf-8",
+        ).alias("payload"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 3)), F.lit(1920)) + 16).alias("width"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 4)), F.lit(1080)) + 16).alias("height"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 5)), F.lit(60000)) + 100).alias("duration_ms"),
+    )
+    return df
+
+
+def _decode_stub(payload: bytes, media_type: str, decode_real: bool) -> np.ndarray:
+    if decode_real:
+        # the real implementation would call PIL / soundfile / pyav here
+        raise NotImplementedError(
+            "real media decode requires image/audio libraries not present "
+            "in this environment; use decode_real=False for the "
+            "deterministic fake featureizer"
+        )
+    # deterministic fake feature: 8 moments of the byte distribution
+    arr = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float64)
+    return np.array(
+        [
+            arr.mean(),
+            arr.std(),
+            arr.min(),
+            arr.max(),
+            float(len(arr)),
+            float(arr.sum() % 997),
+            float((arr[::2].sum() if len(arr) else 0) % 991),
+            float((arr[1::2].sum() if len(arr) > 1 else 0) % 983),
+        ],
+        dtype=np.float32,
+    )
+
+
+def extract_features(media: DataFrame, decode_real: bool = False, batch_size: int = 256) -> DataFrame:
+    """Decode/feature-extract via ``mapInPandas`` — Arrow batches in,
+    Arrow batches out; the per-batch loop is NumPy over byte buffers,
+    never per-row Python object churn in the plan itself."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_stub(p, t, decode_real) for p, t in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "checksum": [int(np.frombuffer(p or b"\x00", dtype=np.uint8).sum()) for p in pdf["payload"]],
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per planned frame timestamp
+    (the decode itself is the stubbed step).  Pure JVM explode."""
+    vids = media.where(F.col("media_type") == "video")
+    ts = F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+    return vids.select("media_id", F.explode(ts).alias("frame_ms"))

@@ -1,0 +1,165 @@
+"""Edge derivation (transcripts + events) and graph-kernel tests, with
+pandas/NumPy re-derivations as independent oracles (SURVEY.md §5.3)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from leidenalg_spark.operators import edges as E
+from leidenalg_spark.operators import kernels as K
+from leidenalg_spark.sources import fixtures as fx
+from leidenalg_spark.sources.transcripts import synthetic_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return synthetic_transcripts(spark, n_convs=50, max_turns=12, seed=42).persist()
+
+
+def test_transcripts_schema_and_determinism(spark, transcripts):
+    assert [f.name for f in transcripts.schema.fields] == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    t2 = synthetic_transcripts(spark, n_convs=50, max_turns=12, seed=42)
+    a = transcripts.orderBy("conv_id", "turn_idx").toPandas()
+    b = t2.orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    # per-turn text equality under stable (conv_id, turn_idx) ordering —
+    # the BASELINE.json input-hint invariant (round-trip through parquet)
+    assert a.duplicated(subset=["conv_id", "turn_idx"]).sum() == 0
+
+
+def test_derive_edges_matches_pandas(spark, transcripts):
+    got = E.derive_named_edges(transcripts).orderBy("src_name", "dst_name").toPandas()
+    t = transcripts.orderBy("conv_id", "turn_idx").toPandas()
+    actor = np.where(
+        t["role"] == "tool", "tool:" + t["tool"].fillna("unknown"), t["conv_id"] + ":" + t["role"]
+    )
+    t = t.assign(actor=actor)
+    rows = []
+    for _, grp in t.groupby("conv_id", sort=False):
+        acts = grp.sort_values("turn_idx")["actor"].tolist()
+        tools = grp.sort_values("turn_idx")
+        rows += [(a, b) for a, b in zip(acts, acts[1:]) if a != b]
+        for _, r in tools.iterrows():
+            if r["role"] == "assistant" and pd.notna(r["tool"]):
+                rows.append((r["actor"], "tool:" + r["tool"]))
+    exp = (
+        pd.DataFrame(rows, columns=["src_name", "dst_name"])
+        .groupby(["src_name", "dst_name"], as_index=False)
+        .size()
+        .rename(columns={"size": "weight"})
+    )
+    exp["weight"] = exp["weight"].astype(float)
+    merged = got.merge(exp, on=["src_name", "dst_name"], suffixes=("_got", "_exp"), how="outer")
+    assert merged["weight_got"].isna().sum() == 0
+    assert merged["weight_exp"].isna().sum() == 0
+    assert (merged["weight_got"] == merged["weight_exp"]).all()
+
+
+def test_canonicalize_and_ids(spark, transcripts):
+    named = E.derive_named_edges(transcripts)
+    verts = E.vertex_table(named)
+    E.assert_no_id_collisions(verts)
+    e = E.transcripts_to_edges(transcripts)
+    pdf = e.toPandas()
+    assert (pdf["src"] <= pdf["dst"]).all()
+    # canonical fold preserves total weight
+    assert pdf["weight"].sum() == named.agg(F.sum("weight")).first()[0]
+
+
+def _fixture_edges(spark, fix):
+    n, s, d, w = fix[:4]
+    if w is None:
+        w = np.ones(len(s))
+    return n, spark.createDataFrame(
+        pd.DataFrame({"src": s.astype("int64"), "dst": d.astype("int64"), "weight": w.astype("float64")})
+    )
+
+
+def test_connected_components_forest(spark):
+    n, e = _fixture_edges(spark, fx.forest(10, 10, 3))
+    comp = K.connected_components(spark, e).toPandas().sort_values("id")
+    expected = (np.arange(100) // 10) * 10  # min vertex of each tree
+    assert (comp["component"].to_numpy() == expected).all()
+
+
+def test_connected_components_path_and_isolated(spark):
+    # long path exercises the O(log n) star-contraction rounds
+    src = np.arange(0, 199, dtype="int64")
+    e = spark.createDataFrame(pd.DataFrame({"src": src, "dst": src + 1, "weight": 1.0}))
+    comp = K.connected_components(spark, e).toPandas()
+    assert (comp["component"] == 0).all()
+
+
+def test_pagerank_star(spark):
+    # undirected star: centre rank highest; ranks sum to 1
+    leaves = np.arange(1, 21, dtype="int64")
+    e = spark.createDataFrame(pd.DataFrame({"src": np.zeros(20, dtype="int64"), "dst": leaves, "weight": 1.0}))
+    pr = K.pagerank(spark, e, directed=False, max_iter=30, tol=1e-10).toPandas().sort_values("id")
+    assert np.isclose(pr["rank"].sum(), 1.0, atol=1e-6)
+    centre = pr.loc[pr["id"] == 0, "rank"].iloc[0]
+    assert centre > pr.loc[pr["id"] != 0, "rank"].max() * 3
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    fix = fx.erdos_renyi(60, 0.08, directed=True, seed=3)
+    n, e = _fixture_edges(spark, fix)
+    pr = K.pagerank(spark, e, directed=True, max_iter=60, tol=1e-12).toPandas().sort_values("id")
+    # dense NumPy power iteration with identical dangling handling
+    n_all, s, d, w = fix[0], fix[1], fix[2], np.ones(len(fix[1]))
+    ids = np.unique(np.concatenate([s, d]))
+    A = np.zeros((n_all, n_all))
+    for a, b, ww in zip(s, d, w):
+        A[a, b] += ww
+    out = A.sum(axis=1)
+    r = np.full(n_all, 1.0 / n_all)
+    present = np.zeros(n_all, dtype=bool)
+    present[ids] = True
+    r[~present] = 0.0
+    r[present] = 1.0 / present.sum()
+    for _ in range(60):
+        dangling = r[present & (out == 0)].sum()
+        contrib = np.zeros(n_all)
+        nz = out > 0
+        contrib[present] = (A[nz].T @ (r[nz] / out[nz]))[present]
+        r_new = np.where(present, 0.15 / present.sum() + 0.85 * (contrib + dangling / present.sum()), 0.0)
+        if np.abs(r_new - r).sum() < 1e-13:
+            r = r_new
+            break
+        r = r_new
+    got = np.zeros(n_all)
+    got[pr["id"].to_numpy()] = pr["rank"].to_numpy()
+    assert np.allclose(got[present], r[present], atol=1e-6)
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4 has 4 triangles
+    _, e = _fixture_edges(spark, fx.full(4))
+    assert K.triangle_count(spark, e).first()["n_triangles"] == 4
+    # K5 has 10
+    _, e5 = _fixture_edges(spark, fx.full(5))
+    assert K.triangle_count(spark, e5).first()["n_triangles"] == 10
+    # trees have none
+    _, et = _fixture_edges(spark, fx.tree(40, 3))
+    assert K.triangle_count(spark, et).first()["n_triangles"] == 0
+
+
+def test_triangles_per_vertex_k4(spark):
+    _, e = _fixture_edges(spark, fx.full(4))
+    pv = K.triangles_per_vertex(spark, e).toPandas()
+    assert (pv["n_triangles"] == 3).all()  # each vertex of K4 is in 3 triangles
+
+
+def test_label_propagation_two_cliques(spark):
+    # two K10 cliques joined by one edge → two labels
+    n1, f1 = 10, fx.full(10)
+    s2 = f1[1] + 10
+    d2 = f1[2] + 10
+    s = np.concatenate([f1[1], s2, [0]])
+    d = np.concatenate([f1[2], d2, [10]])
+    e = spark.createDataFrame(pd.DataFrame({"src": s.astype("int64"), "dst": d.astype("int64"), "weight": 1.0}))
+    labels = K.label_propagation(spark, e, max_iter=15).toPandas().sort_values("id")
+    l = labels["label"].to_numpy()
+    assert len(set(l[:10])) == 1
+    assert len(set(l[10:])) == 1
+    assert l[0] != l[10]

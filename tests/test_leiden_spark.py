@@ -1,0 +1,87 @@
+"""Distributed Leiden operator tests: local-path parity (exact reference
+semantics) and forced-distributed-path structural correctness."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from leidenalg_spark.functions.quality import quality as df_quality
+from leidenalg_spark.localcore import LocalPartition, QualitySpec, find_partition_local
+from leidenalg_spark.operators.leiden import leiden
+from leidenalg_spark.sources import fixtures as fx
+
+
+def _fixture_edges(spark, fix):
+    n, s, d, w = fix[:4]
+    if w is None:
+        w = np.ones(len(s))
+    return n, spark.createDataFrame(
+        pd.DataFrame({"src": s.astype("int64"), "dst": d.astype("int64"), "weight": w.astype("float64")})
+    )
+
+
+def test_leiden_local_path_components(spark):
+    n, e = _fixture_edges(spark, fx.forest(10, 10, 3))
+    res = leiden(spark, e, method="cpm", gamma=0.0)
+    memb = res.membership.toPandas().sort_values("id")["comm"].to_numpy()
+    # CPM gamma=0 ==> connected components (tests/test_Optimiser.py:96-103)
+    sizes = sorted(np.bincount(memb[memb >= 0]).tolist(), reverse=True)
+    sizes = [s for s in sizes if s > 0]
+    assert sizes == 10 * [10]
+
+
+def test_leiden_local_path_matches_localcore(spark):
+    fix = fx.zachary()
+    n, e = _fixture_edges(spark, fix)
+    res = leiden(spark, e, method="modularity", n_iterations=-1, seed=1)
+    g = fx.to_local_graph(fix)
+    P = find_partition_local(g, "modularity", n_iterations=-1, seed=1)
+    got = res.membership.toPandas().sort_values("id")["comm"].to_numpy()
+    # identical membership (same seed, same code path)
+    assert (got == P.membership).all()
+    assert np.isclose(res.quality, P.quality(), rtol=1e-6)
+    assert res.quality > 0.41  # karate optimum ~ 0.4198
+
+
+def test_leiden_distributed_path_two_cliques(spark):
+    # force the distributed superstep path with local_threshold=0
+    f1 = fx.full(12)
+    s = np.concatenate([f1[1], f1[1] + 12, [0]])
+    d = np.concatenate([f1[2], f1[2] + 12, [12]])
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": s.astype("int64"), "dst": d.astype("int64"), "weight": 1.0})
+    )
+    res = leiden(spark, e, method="modularity", local_threshold=0, n_iterations=1, seed=3, max_supersteps=10)
+    memb = res.membership.toPandas().sort_values("id")["comm"].to_numpy()
+    assert len(set(memb[:12])) == 1
+    assert len(set(memb[12:])) == 1
+    assert memb[0] != memb[12]
+    assert res.supersteps > 0
+
+
+def test_leiden_distributed_path_quality_not_worse_than_singletons(spark):
+    fix = fx.erdos_renyi(150, 0.06, seed=9)
+    n, e = _fixture_edges(spark, fix)
+    res = leiden(spark, e, method="modularity", local_threshold=0, n_iterations=1, seed=5, max_supersteps=12)
+    # vs singleton partition quality (0 for modularity)
+    assert res.quality > 0.0
+    # and close to the pure-local result on the same graph
+    g = fx.to_local_graph(fix)
+    P = find_partition_local(g, "modularity", n_iterations=-1, seed=5)
+    assert res.quality >= 0.9 * P.quality()
+
+
+def test_leiden_checkpoint_resume_artifacts(spark, tmp_path):
+    from leidenalg_spark.operators.checkpoint import CheckpointManager
+
+    fix = fx.erdos_renyi(80, 0.08, seed=2)
+    n, e = _fixture_edges(spark, fix)
+    ckpt = CheckpointManager(spark, str(tmp_path))
+    res = leiden(spark, e, method="cpm", gamma=0.1, local_threshold=0, n_iterations=1, seed=7, ckpt=ckpt, max_supersteps=6)
+    latest = ckpt.latest_step("membership")
+    assert latest is not None and latest > 0
+    reloaded = ckpt.load("membership", latest).toPandas().sort_values("id")
+    final = res.membership.toPandas().sort_values("id")
+    assert (reloaded["comm"].to_numpy() == final["comm"].to_numpy()).all()
+    assert (tmp_path / "metrics.jsonl").exists()

@@ -1,0 +1,82 @@
+"""Multiplex/temporal/bipartite + resolution-profile parity tests
+(reference: tests/test_VertexPartition.py:200-209,
+tests/test_Optimiser.py:177-185, doc/source/multiplex.rst)."""
+
+import numpy as np
+
+from leidenalg_spark.localcore import OptimiserOpts, QualitySpec, LocalPartition, optimise_partition
+from leidenalg_spark.operators.multiplex import (
+    cpm_bipartite_layers,
+    find_partition_multiplex_local,
+    find_partition_temporal_local,
+    time_slices_to_layers_local,
+)
+from leidenalg_spark.plans.profile import resolution_profile
+from leidenalg_spark.sources import fixtures as fx
+
+
+def test_cpm_bipartite_collapses_to_one_community():
+    # reference test_Bipartite: gamma01=0.2 on the 8-vertex example -> 1 comm
+    n, s, d, w, types = fx.bipartite_8()
+    g = fx.to_local_graph((n, s, d, w))
+    layers, lw = cpm_bipartite_layers(g, types, resolution_parameter_01=0.2)
+    P, _ = find_partition_multiplex_local(layers, layer_weights=lw, seed=4)
+    assert len(P.nonempty_comms()) == 1
+
+
+def test_bipartite_quality_formula():
+    # Q = sum_c [e_c - g01*2*n0*n1 - g0*n0^2 - g1*n1^2] (binom variant for
+    # undirected): single-community check against hand computation
+    n, s, d, w, types = fx.bipartite_8()
+    g = fx.to_local_graph((n, s, d, w))
+    layers, lw = cpm_bipartite_layers(g, types, resolution_parameter_01=0.25)
+    P = LocalPartition(layers, layer_weights=lw, membership=np.zeros(8, dtype=int))
+    # binom variant of the docstring formula with g0=g1=0:
+    # Q = e_c - g01*(binom(8,2) - binom(4,2) - binom(4,2)) = 10 - .25*16 = 6
+    expected = 10 - 0.25 * (28 - 6 - 6)
+    assert np.isclose(P.quality(), expected)
+
+
+def test_temporal_slices_alignment():
+    # three identical two-clique graphs; strong interslice coupling aligns
+    # the slice partitions
+    def two_cliques():
+        f = fx.full(6)
+        s = np.concatenate([f[1], f[1] + 6])
+        d = np.concatenate([f[2], f[2] + 6])
+        return fx.to_local_graph((12, s, d, None))
+
+    slices = [two_cliques() for _ in range(3)]
+    memb, diff, P = find_partition_temporal_local(
+        slices, method="cpm", gamma=0.4, interslice_weight=5.0, seed=2
+    )
+    assert len(memb) == 3 and all(len(m) == 12 for m in memb)
+    for t in range(3):
+        assert len(set(memb[t][:6])) == 1
+        assert len(set(memb[t][6:])) == 1
+        assert memb[t][0] != memb[t][6]
+    # alignment across slices (the whole point of the coupling layer)
+    assert memb[0].tolist() == memb[1].tolist() == memb[2].tolist()
+
+
+def test_slices_to_layers_node_size_masks():
+    slices = [fx.to_local_graph(fx.lattice(10, 2)) for _ in range(3)]
+    layers, slice_of, local_id = time_slices_to_layers_local(slices, 0.5)
+    assert len(layers) == 4  # 3 slices + interslice
+    for t in range(3):
+        assert layers[t].node_size.sum() == 10
+    assert layers[-1].node_size.sum() == 0  # interslice layer all zero
+    assert layers[-1].ecount == 20  # 10 couplings x 2 transitions
+
+
+def test_resolution_profile_zachary():
+    # reference test_resolution_profile: CPM on Zachary over (0, 1):
+    # gamma->0 one community, gamma->1 all singletons
+    g = fx.to_local_graph(fx.zachary())
+    profile = resolution_profile(g, "cpm", (0.0, 1.0), seed=1)
+    assert profile[0].sizes() == [34]
+    assert profile[-1].sizes() == [1] * 34
+    assert len(profile) > 3  # bisection actually probed interior points
+    # bisect values non-increasing in gamma
+    bv = [p.bisect_value for p in profile]
+    assert all(bv[i] >= bv[i + 1] - 1e-9 for i in range(len(bv) - 1))

@@ -1,0 +1,133 @@
+"""Training-data pipeline operators: dedup (exact/jaccard/minhash/simhash),
+similarity search, multimodal plumbing — planted-duplicate correctness."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from leidenalg_spark.operators import dedup as D
+from leidenalg_spark.operators import similarity as S
+from leidenalg_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different sentence about spark partitions and shuffles",
+        "numbers one two three four five six seven eight nine ten",
+        "der schnelle braune fuchs springt heute nacht",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+    rows.append((10, base[0]))  # exact duplicate of doc 0
+    rows.append((11, base[0].replace("tonight", "today")))  # near-dup of doc 0
+    rows.append((12, base[2]))  # exact duplicate of doc 2
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).persist()
+
+
+def test_dedup_exact_planted(spark, docs):
+    out = D.dedup_exact(docs).toPandas().set_index("doc_id")
+    assert bool(out.loc[0, "is_kept"]) and not bool(out.loc[10, "is_kept"])
+    assert bool(out.loc[2, "is_kept"]) and not bool(out.loc[12, "is_kept"])
+    assert out.loc[0, "group_size"] == 2 and out.loc[10, "group_size"] == 2
+    assert bool(out.loc[11, "is_kept"])  # near-dup is NOT an exact dup
+
+
+def test_ngram_jaccard_finds_neardup(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 10) in got  # exact dup -> jaccard 1.0
+    assert (0, 11) in got  # near dup above 0.5
+    assert (2, 12) in got
+    assert not any({1, 3} & set(p) for p in got)  # unrelated docs absent
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, docs):
+    exact = D.ngram_jaccard_pairs(docs, n=3, threshold=0.6).toPandas()
+    lsh = D.minhash_dedup_pairs(docs, n=3, num_hashes=32, bands=16, threshold=0.6).toPandas()
+    e = {(int(a), int(b)) for a, b in zip(exact["a"], exact["b"])}
+    l = {(int(a), int(b)) for a, b in zip(lsh["a"], lsh["b"])}
+    # LSH candidates are verified with exact jaccard -> subset; with 16
+    # bands of 2 rows recall at j>=0.6 is ~1 on this tiny corpus
+    assert l == e
+    # and the jaccard values agree where present
+    m = exact.merge(lsh, on=["a", "b"], suffixes=("_e", "_l"))
+    assert np.allclose(m["jaccard_e"], m["jaccard_l"])
+
+
+def test_simhash_deterministic_and_discriminative(spark, docs):
+    sh = D.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert sh.loc[0] == sh.loc[10]  # identical docs -> identical signature
+    ham = bin(np.uint64(sh.loc[0]) ^ np.uint64(sh.loc[11])).count("1")
+    ham_far = bin(np.uint64(sh.loc[0]) ^ np.uint64(sh.loc[1])).count("1")
+    assert ham < ham_far  # near-dup closer than unrelated doc
+    cands = D.simhash_candidates(D.simhash(docs), band_bits=16).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(cands["a"], cands["b"])}
+    assert (0, 10) in got
+
+
+def test_embedding_knn_and_lsh_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = S.cosine_topk(emb, q, k=10).toPandas()
+    assert set(exact["query_id"]) == set(range(5))
+    assert (exact.groupby("query_id").size() == 10).all()
+    # ranks ordered by descending cosine
+    for _, grp in exact.groupby("query_id"):
+        cs = grp.sort_values("rank")["cos_sim"].to_numpy()
+        assert (np.diff(cs) <= 1e-9).all()
+    approx = S.lsh_cosine_topk(emb, q, k=10, n_planes=4, seed=1).toPandas()
+    # approximate scores must agree with the exact cosine wherever a pair
+    # appears in both result sets, and each query finds its own bucket
+    both = exact.merge(approx, on=["query_id", "neighbor_id"], suffixes=("_e", "_a"))
+    assert len(both) >= 1
+    assert np.allclose(both["cos_sim_e"], both["cos_sim_a"], atol=1e-6)
+    top1 = exact[exact["rank"] == 1][["query_id", "neighbor_id"]]
+    hit = top1.merge(approx, on=["query_id", "neighbor_id"], how="inner")
+    assert len(hit) >= 1  # probabilistic but stable for the fixed seed
+
+
+def test_embedding_neardup_pairs(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant a duplicate vector
+    dup = emb.where(F.col("vec_id") == 0).select(
+        F.lit(9999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    pairs = S.embedding_neardup_pairs(emb.unionByName(dup), threshold=0.999).toPandas()
+    assert ((pairs["a"] == 0) & (pairs["b"] == 9999)).any()
+
+
+def test_ivf_assignment_partitions_space(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cells = S.ivf_assign(emb, n_cells=8, seed=3).groupBy("cell").count().toPandas()
+    assert cells["count"].sum() == emb.count()
+    assert len(cells) > 1  # vectors actually spread over cells
+
+
+def test_multimodal_features_and_stub(spark):
+    media = M.synthetic_media(spark, 60)
+    feats = M.extract_features(media).toPandas()
+    assert len(feats) == 60
+    assert set(feats["media_type"]) <= {"image", "audio", "video"}
+    assert (feats["n_bytes"] > 0).all()
+    assert feats["feature"].map(len).eq(8).all()
+    # deterministic: same input -> same checksums
+    feats2 = M.extract_features(M.synthetic_media(spark, 60)).toPandas()
+    pd.testing.assert_series_equal(
+        feats.sort_values("media_id")["checksum"].reset_index(drop=True),
+        feats2.sort_values("media_id")["checksum"].reset_index(drop=True),
+    )
+    # the real-decode path is an explicit stub
+    with pytest.raises(Exception):
+        M.extract_features(media, decode_real=True).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = M.synthetic_media(spark, 40)
+    plan = M.frame_sample_plan(media, every_ms=500).toPandas()
+    vids = media.where(F.col("media_type") == "video").toPandas()
+    expected = int((vids["duration_ms"] // 500 + 1).sum())
+    assert len(plan) == expected
