@@ -57,6 +57,25 @@ class CheckpointManager:
                 f.write(json.dumps(rec) + "\n")
 
     # ------------------------------------------------------------------
+    def save_state(self, state: dict) -> None:
+        """Atomic driver-loop state (iteration/step/phase) for resume."""
+        if not self.path:
+            return
+        tmp = os.path.join(self.path, "state.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, os.path.join(self.path, "state.json"))
+
+    def load_state(self) -> dict | None:
+        if not self.path:
+            return None
+        p = os.path.join(self.path, "state.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------------
     def latest_step(self, name: str) -> int | None:
         """Largest complete step on disk, for resume-from-checkpoint."""
         if not self.path:

@@ -119,10 +119,11 @@ def _superstep_moves(edges_sym, membership, comm_stats, vstats, spec, directed, 
     add = F.col("w_vc") + F.col("loop")
     args = dict(directed=directed, W=W, p_global=p_global, csl=csl)
     if method == "surprise":
-        # global-sum formulation with frozen totals folded into constants
-        # is not separable per-row; use the CPM-gradient surrogate for the
-        # distributed phase (same argmax direction), exact local finish.
-        method_eff, gamma_eff = "cpm", 0.0
+        # the global-KL objective is not separable per-row against frozen
+        # totals; the distributed phase uses the RBER(gamma=1) gradient —
+        # "join groups denser than the global density", the same local
+        # argmax direction as Surprise — and the coarse finish is exact.
+        method_eff, gamma_eff = "rber", 1.0
     else:
         method_eff, gamma_eff = method, gamma
     ga_old = _contrib(method_eff, gamma_eff, w=F.col("wa"), ko=F.col("Ka_out"), ki=F.col("Ka_in"), n=F.col("na"), **args)
@@ -145,9 +146,11 @@ def _superstep_moves(edges_sym, membership, comm_stats, vstats, spec, directed, 
         .groupBy("id")
         .agg(F.max_by(F.struct(F.col("cand"), F.col("dq")), F.struct(F.col("dq"), -F.col("cand"))).alias("best"))
         .select("id", F.col("best.cand").alias("new_comm"), F.col("best.dq").alias("dq"))
+        .withColumn(
+            "gated", F.pmod(F.xxhash64("id", F.lit(step), F.lit(seed)), F.lit(2)) == step % 2
+        )
     )
-    gated = winners.where(F.pmod(F.xxhash64("id", F.lit(step), F.lit(seed)), F.lit(2)) == step % 2)
-    return winners, gated
+    return winners
 
 
 def _refine_by_components(spark, edges, membership, ckpt):
@@ -188,6 +191,7 @@ def leiden(
     ckpt: CheckpointManager | None = None,
     correct_self_loops: bool = False,
     opts: OptimiserOpts | None = None,
+    resume: bool = False,
 ) -> LeidenResult:
     """Flagship API (reference ``find_partition``, functions.py:21-93) on a
     Spark edge table (src:long, dst:long, weight:double).
@@ -232,11 +236,27 @@ def leiden(
     pairs_tot = float(possible_pairs(n_tot, directed, correct_self_loops))
     p_global = W / pairs_tot if pairs_tot > 0 else 0.0
 
-    membership = vstats.select("id", F.col("id").alias("comm"))
-    membership = ckpt.save(membership, "membership", 0)
-    total_steps = 0
-    for it in range(max(n_iterations, 1)):
-        for step in range(1, max_supersteps + 1):
+    # ---- resume support (north rule): the driver loop position is
+    # persisted alongside every membership checkpoint; a restarted run
+    # reloads the latest membership and re-enters the loop at the exact
+    # (iteration, step), reproducing the uninterrupted run bit-for-bit
+    # (the parity gate is keyed on the absolute checkpoint index).
+    state = ckpt.load_state() if resume else None
+    if state is not None and ckpt.latest_step("membership") is not None:
+        ckpt_idx = min(state["ckpt_idx"], ckpt.latest_step("membership"))
+        membership = ckpt.load("membership", ckpt_idx)
+        it0, step0, total_steps = state["iteration"], state["step"], state["total_steps"]
+    else:
+        membership = vstats.select("id", F.col("id").alias("comm"))
+        ckpt_idx = 0
+        membership = ckpt.save(membership, "membership", ckpt_idx)
+        it0, step0, total_steps = 0, 0, 0
+        ckpt.save_state({"iteration": 0, "step": 0, "ckpt_idx": 0, "total_steps": 0})
+
+    for it in range(it0, max(n_iterations, 1)):
+        step = step0 if it == it0 else 0
+        while step < max_supersteps:
+            step += 1
             t0 = time.time()
             comm_stats = (
                 membership.join(vstats, "id")
@@ -247,27 +267,40 @@ def leiden(
                     F.sum("node_size").alias("n_size"),
                 )
             )
-            m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("cs"))
-            m_dst = membership.select(F.col("id").alias("dst"), F.col("comm").alias("cd"))
-            w_in = (
-                edges.join(m_src, "src").join(m_dst, "dst")
-                .where(F.col("cs") == F.col("cd"))
-                .groupBy(F.col("cs").alias("comm"))
-                .agg(F.sum("weight").alias("w_in"))
-            )
-            comm_stats = comm_stats.join(w_in, "comm", "left").na.fill({"w_in": 0.0})
-            winners, gated = _superstep_moves(
-                edges_sym, membership, comm_stats, vstats, spec, directed, W, p_global, n_tot, step, seed
-            )
-            gated = gated.persist()
-            n_moves = gated.count()
-            n_improving = winners.count()
+            if spec.method == "significance":
+                # only the KL objective needs per-community internal weight
+                # in its dQ; for the linear family the w terms cancel
+                m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("cs"))
+                m_dst = membership.select(F.col("id").alias("dst"), F.col("comm").alias("cd"))
+                w_in = (
+                    edges.join(m_src, "src").join(m_dst, "dst")
+                    .where(F.col("cs") == F.col("cd"))
+                    .groupBy(F.col("cs").alias("comm"))
+                    .agg(F.sum("weight").alias("w_in"))
+                )
+                comm_stats = comm_stats.join(w_in, "comm", "left").na.fill({"w_in": 0.0})
+            else:
+                comm_stats = comm_stats.withColumn("w_in", F.lit(0.0))
+            winners = _superstep_moves(
+                edges_sym, membership, comm_stats, vstats, spec, directed, W, p_global,
+                n_tot, ckpt_idx + 1, seed,
+            ).persist()
+            counts = winners.agg(
+                F.count(F.lit(1)).alias("improving"),
+                F.count(F.when(F.col("gated"), 1)).alias("moves"),
+            ).first()
+            n_improving, n_moves = int(counts["improving"]), int(counts["moves"])
             new_membership = (
-                membership.join(gated.select("id", "new_comm"), "id", "left")
-                .select("id", F.coalesce("new_comm", "comm").alias("comm"))
+                membership.join(
+                    winners.where("gated").select("id", "new_comm"), "id", "left"
+                ).select("id", F.coalesce("new_comm", "comm").alias("comm"))
             )
-            membership = ckpt.save(new_membership, "membership", total_steps + step)
-            gated.unpersist()
+            ckpt_idx += 1
+            membership = ckpt.save(new_membership, "membership", ckpt_idx)
+            ckpt.save_state(
+                {"iteration": it, "step": step, "ckpt_idx": ckpt_idx, "total_steps": total_steps}
+            )
+            winners.unpersist()
             dt = time.time() - t0
             ckpt.log(
                 name="leiden_superstep", iteration=it, step=total_steps + step,
@@ -282,7 +315,11 @@ def leiden(
         membership = _coarse_finish(
             spark, edges, refined, spec, directed, seed, opts, local_threshold, ckpt, total_steps
         )
-        membership = ckpt.save(membership, "membership", total_steps * 1000 + 999 + it)
+        ckpt_idx += 1
+        membership = ckpt.save(membership, "membership", ckpt_idx)
+        ckpt.save_state(
+            {"iteration": it + 1, "step": 0, "ckpt_idx": ckpt_idx, "total_steps": total_steps}
+        )
         refined.unpersist()
 
     q = df_quality(edges, membership, method, gamma, directed, correct_self_loops=correct_self_loops)
