@@ -87,22 +87,32 @@ def _contrib(method, gamma, directed, W, p_global, csl, w, ko, ki, n):
     raise ValueError(method)
 
 
-def _superstep_moves(edges_sym, membership, comm_stats, vstats, spec, directed, W, p_global, n_tot, step, seed):
+def _superstep_moves(edges_sym, mstats, comm_stats, spec, directed, W, p_global, n_tot, step, seed):
     """One distributed local-move superstep → winning moves (id, new_comm).
 
     ΔQ is computed against frozen stats: exact for a single move, a
     (provably convergent in practice) approximation for a committed batch;
     the alternating parity keeps batches conflict-sparse.
+
+    ``mstats`` = membership ⋈ vertex stats (id, comm, k_out, k_in, loop,
+    node_size) — one table so the gather output needs a single vertex-side
+    join; v's weight to its *own* community comes from a window over the
+    same id-partitioning the arg-max reuses (no extra shuffle).
     """
-    m_dst = membership.select(F.col("id").alias("dst"), F.col("comm").alias("cand"))
+    from pyspark.sql import Window
+
+    m_dst = mstats.select(F.col("id").alias("dst"), F.col("comm").alias("cand"))
     gather = (
         edges_sym.join(m_dst, "dst")
         .groupBy(F.col("src").alias("id"), "cand")
         .agg(F.sum("weight").alias("w_vc"))
     )
-    g = gather.join(membership, "id")  # adds current comm ("comm")
-    w_self = g.where(F.col("cand") == F.col("comm")).select("id", F.col("w_vc").alias("w_va"))
-    cands = g.where(F.col("cand") != F.col("comm")).join(w_self, "id", "left").na.fill({"w_va": 0.0})
+    g = gather.join(mstats, "id")
+    w_id = Window.partitionBy("id")
+    g = g.withColumn(
+        "w_va", F.coalesce(F.max(F.when(F.col("cand") == F.col("comm"), F.col("w_vc"))).over(w_id), F.lit(0.0))
+    )
+    cands = g.where(F.col("cand") != F.col("comm"))
 
     sa = comm_stats.select(
         F.col("comm"), F.col("K_out").alias("Ka_out"), F.col("K_in").alias("Ka_in"),
@@ -112,7 +122,7 @@ def _superstep_moves(edges_sym, membership, comm_stats, vstats, spec, directed, 
         F.col("comm").alias("cand"), F.col("K_out").alias("Kb_out"), F.col("K_in").alias("Kb_in"),
         F.col("n_size").alias("nb"), F.col("w_in").alias("wb"),
     )
-    x = cands.join(sa, "comm").join(sb, "cand").join(vstats, "id")
+    x = cands.join(sa, "comm").join(sb, "cand")
 
     method, gamma, csl = spec.method, spec.gamma, spec.correct_self_loops
     rm = F.col("w_va") + F.col("loop")
@@ -144,10 +154,21 @@ def _superstep_moves(edges_sym, membership, comm_stats, vstats, spec, directed, 
         x.withColumn("dq", dq)
         .where(F.col("dq") > EPSQ)
         .groupBy("id")
-        .agg(F.max_by(F.struct(F.col("cand"), F.col("dq")), F.struct(F.col("dq"), -F.col("cand"))).alias("best"))
-        .select("id", F.col("best.cand").alias("new_comm"), F.col("best.dq").alias("dq"))
+        .agg(
+            F.max_by(F.struct(F.col("cand"), F.col("dq")), F.struct(F.col("dq"), -F.col("cand"))).alias("best"),
+            F.first("comm").alias("comm"),
+        )
+        .select("id", "comm", F.col("best.cand").alias("new_comm"), F.col("best.dq").alias("dq"))
+        # direction gate: even steps move only towards larger community
+        # ids, odd steps towards smaller — makes simultaneous swap /
+        # counter-moves between two communities impossible (a pair of
+        # vertices can never trade places in one superstep), unlike a
+        # random half-gate which lets same-parity pairs oscillate
         .withColumn(
-            "gated", F.pmod(F.xxhash64("id", F.lit(step), F.lit(seed)), F.lit(2)) == step % 2
+            "gated",
+            F.when(F.lit(step % 2 == 0), F.col("new_comm") > F.col("comm")).otherwise(
+                F.col("new_comm") < F.col("comm")
+            ),
         )
     )
     return winners
@@ -192,6 +213,7 @@ def leiden(
     correct_self_loops: bool = False,
     opts: OptimiserOpts | None = None,
     resume: bool = False,
+    finish: bool = True,
 ) -> LeidenResult:
     """Flagship API (reference ``find_partition``, functions.py:21-93) on a
     Spark edge table (src:long, dst:long, weight:double).
@@ -212,7 +234,14 @@ def leiden(
     edges_sym = sym if directed else sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
-    edges_sym = edges_sym.persist()
+    # pre-partition the big side of the per-superstep gather join by its
+    # join key: the cached HashPartitioning(dst) is recognised by
+    # EnsureRequirements, so each superstep shuffles only the (small)
+    # membership side — the edge table moves over the network once per
+    # *level*, not once per superstep
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_sym = edges_sym.repartition(n_shuffle, "dst").persist()
+    edges_sym.count()  # materialise outside the measured superstep loop
 
     # static vertex stats: strengths, loops, sizes
     from ..functions.quality import vertex_strengths
@@ -227,6 +256,7 @@ def leiden(
         .join(loops, "id", "left")
         .na.fill({"loop": 0.0})
         .withColumn("node_size", F.lit(1.0))
+        .repartition(n_shuffle, "id")  # co-partitioned with membership
         .persist()
     )
     W = float(edges.agg(F.sum("weight")).first()[0] or 0.0)
@@ -258,14 +288,11 @@ def leiden(
         while step < max_supersteps:
             step += 1
             t0 = time.time()
-            comm_stats = (
-                membership.join(vstats, "id")
-                .groupBy("comm")
-                .agg(
-                    F.sum("k_out").alias("K_out"),
-                    F.sum("k_in").alias("K_in"),
-                    F.sum("node_size").alias("n_size"),
-                )
+            mstats = membership.join(vstats, "id").persist()
+            comm_stats = mstats.groupBy("comm").agg(
+                F.sum("k_out").alias("K_out"),
+                F.sum("k_in").alias("K_in"),
+                F.sum("node_size").alias("n_size"),
             )
             if spec.method == "significance":
                 # only the KL objective needs per-community internal weight
@@ -282,7 +309,7 @@ def leiden(
             else:
                 comm_stats = comm_stats.withColumn("w_in", F.lit(0.0))
             winners = _superstep_moves(
-                edges_sym, membership, comm_stats, vstats, spec, directed, W, p_global,
+                edges_sym, mstats, comm_stats, spec, directed, W, p_global,
                 n_tot, ckpt_idx + 1, seed,
             ).persist()
             counts = winners.agg(
@@ -301,6 +328,7 @@ def leiden(
                 {"iteration": it, "step": step, "ckpt_idx": ckpt_idx, "total_steps": total_steps}
             )
             winners.unpersist()
+            mstats.unpersist()
             dt = time.time() - t0
             ckpt.log(
                 name="leiden_superstep", iteration=it, step=total_steps + step,
@@ -310,6 +338,9 @@ def leiden(
             if n_improving == 0:
                 break
         total_steps += step
+        if not finish:
+            # throughput-measurement mode: stop after the move phase
+            break
         # refinement + aggregate + local coarse finish
         refined = _refine_by_components(spark, sym, membership, ckpt).persist()
         membership = _coarse_finish(
@@ -370,6 +401,13 @@ def _coarse_finish(spark, edges, refined, spec, directed, seed, opts, local_thre
     coarse_nodes = refined.groupBy("refined").agg(
         F.count(F.lit(1)).alias("node_size"), F.first("comm").alias("parent")
     )
+    n_coarse_edges = coarse_edges.count()
+    if n_coarse_edges > max(local_threshold, 5_000_000):
+        # geometric shrink hasn't gone far enough for a driver collect;
+        # log and keep the move-phase membership (a further distributed
+        # level is the scale path — tracked for the next round)
+        ckpt.log(name="leiden_aggregate_skipped", step=step, coarse_edges=int(n_coarse_edges))
+        return refined.select("id", "comm")
     ce = coarse_edges.toPandas()
     cn = coarse_nodes.toPandas()
     ckpt.log(name="leiden_aggregate", step=step, coarse_vertices=len(cn), coarse_edges=len(ce))

@@ -16,6 +16,11 @@ from pyspark.sql import SparkSession
 
 def get_spark(app="leidenalg-spark", cores=None, shuffle_partitions=None, extra=None):
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    try:
+        mem = f"{max(8, 2 * int(cores))}g"  # ~2 GB per core, like real executors
+    except (TypeError, ValueError):
+        mem = "16g"
+    local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -24,10 +29,14 @@ def get_spark(app="leidenalg-spark", cores=None, shuffle_partitions=None, extra=
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_partitions(cores)))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", mem))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        # shuffle files on tmpfs: a fixed-bandwidth spinning /tmp serialises
+        # shuffles and destroys core scaling on a single box
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,0 +1,103 @@
+"""Structured-Streaming ingestion for the transcript pipeline.
+
+The reference is batch-only (SURVEY.md §2.6: streaming absent); at
+10^12-turn scale, however, transcripts arrive continuously, so the engine
+adds an incremental edge-derivation path: ``readStream`` over the
+transcript table's directory → the same actor/consecutive-turn logic →
+watermarked aggregation of edge weights → append/update sink.  Downstream
+graph jobs then run on the *accumulated* edge table — communities are
+recomputed per checkpointed batch, not per event (iterative global
+algorithms are not expressible as a single continuous query).
+
+The window-lag of the batch derivation is replaced by a stateful
+self-join: turn k of a conversation joins turn k+1 within a watermark
+horizon — the streaming-legal formulation of "consecutive rows".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.edges import TOOL_PREFIX, actor_expr
+
+
+def read_transcript_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    if schema is None:
+        schema = (
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        )
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def streaming_edges(transcripts: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Consecutive-turn + tool edges from a streaming transcript source.
+
+    Stream-stream self-join on (conv_id, turn_idx == turn_idx+1) with a
+    watermark bound on both sides; weights accumulate in an aggregation
+    (update mode).  At scale the join state is bounded by the watermark —
+    conversations are temporally local, so state stays small.
+    """
+    t = transcripts.withColumn("actor", actor_expr()).withWatermark("ts", watermark)
+    prev = t.select(
+        F.col("conv_id").alias("p_conv"),
+        (F.col("turn_idx") + 1).alias("p_next"),
+        F.col("actor").alias("src_name"),
+        F.col("ts").alias("p_ts"),
+    )
+    cur = t.select(
+        F.col("conv_id").alias("c_conv"),
+        F.col("turn_idx").alias("c_idx"),
+        F.col("actor").alias("dst_name"),
+        F.col("ts").alias("c_ts"),
+    )
+    turn_edges = prev.join(
+        cur,
+        (F.col("p_conv") == F.col("c_conv"))
+        & (F.col("p_next") == F.col("c_idx"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("interval 1 hour")),
+    ).select("src_name", "dst_name")
+    tool_edges = t.where((F.col("role") == "assistant") & F.col("tool").isNotNull()).select(
+        F.col("actor").alias("src_name"),
+        F.concat(F.lit(TOOL_PREFIX), F.col("tool")).alias("dst_name"),
+    )
+    return turn_edges.unionByName(tool_edges).where(F.col("src_name") != F.col("dst_name"))
+
+
+def run_incremental(spark: SparkSession, in_path: str, checkpoint: str, out_path: str):
+    """Incremental accumulation via ``foreachBatch`` merge — the
+    production pattern for "streaming join feeds an ever-growing
+    aggregate": the stream emits raw edge events (append-mode
+    stream-stream join; a post-join aggregation would be held back by the
+    watermark forever on historical data), and each micro-batch MERGEs
+    its per-pair counts into the accumulated edge table (here parquet;
+    Iceberg MERGE INTO in production).  availableNow processes the
+    backlog exactly once per checkpoint."""
+    import os
+
+    edge_events = streaming_edges(read_transcript_stream(spark, in_path))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        inc = batch_df.groupBy("src_name", "dst_name").agg(
+            F.count(F.lit(1)).cast("double").alias("weight")
+        )
+        if os.path.exists(out_path):
+            old = batch_df.sparkSession.read.parquet(out_path)
+            inc = (
+                old.unionByName(inc)
+                .groupBy("src_name", "dst_name")
+                .agg(F.sum("weight").alias("weight"))
+            )
+        inc.write.mode("overwrite").parquet(out_path + ".tmp")
+        merged = batch_df.sparkSession.read.parquet(out_path + ".tmp")
+        merged.write.mode("overwrite").parquet(out_path)
+
+    q = (
+        edge_events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

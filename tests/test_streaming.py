@@ -1,0 +1,53 @@
+"""Structured-Streaming incremental edge derivation: the streaming result
+must equal the batch derivation on the same input."""
+
+from leidenalg_spark.operators.edges import derive_named_edges
+from leidenalg_spark.sources.transcripts import synthetic_transcripts
+from leidenalg_spark.streaming.incremental import run_incremental
+
+
+def test_streaming_edges_match_batch(spark, tmp_path):
+    t = synthetic_transcripts(spark, n_convs=30, max_turns=10, seed=42)
+    in_dir = str(tmp_path / "in")
+    t.write.parquet(in_dir)
+
+    out = str(tmp_path / "edges_acc")
+    run_incremental(spark, in_dir, str(tmp_path / "ckpt"), out)
+    got = spark.read.parquet(out).toPandas()
+    exp = derive_named_edges(spark.read.parquet(in_dir)).toPandas()
+
+    key = ["src_name", "dst_name"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e)
+    merged = g.merge(e, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(e)
+    assert (merged["weight_s"] == merged["weight_b"]).all()
+
+
+def test_streaming_second_batch_accumulates(spark, tmp_path):
+    # batch 1: conversations 0..19; batch 2: 20..39 arrive later;
+    # accumulated edge table must equal the batch derivation on the union
+    t_all = synthetic_transcripts(spark, n_convs=40, max_turns=8, seed=7).persist()
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "edges_acc")
+    ckpt = str(tmp_path / "ckpt")
+
+    t_all.where("conv_id < 'conv_00000020'").write.mode("append").parquet(in_dir)
+    run_incremental(spark, in_dir, ckpt, out)
+    n_first = len(spark.read.parquet(out).toPandas())
+
+    t_all.where("conv_id >= 'conv_00000020'").write.mode("append").parquet(in_dir)
+    run_incremental(spark, in_dir, ckpt, out)
+
+    got = spark.read.parquet(out).toPandas().sort_values(["src_name", "dst_name"]).reset_index(drop=True)
+    exp = (
+        derive_named_edges(spark.read.parquet(in_dir))
+        .toPandas()
+        .sort_values(["src_name", "dst_name"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > n_first  # second batch actually added edges
+    assert len(got) == len(exp)
+    m = got.merge(exp, on=["src_name", "dst_name"], suffixes=("_s", "_b"))
+    assert (m["weight_s"] == m["weight_b"]).all()
