@@ -87,66 +87,121 @@ def _contrib(method, gamma, directed, W, p_global, csl, w, ko, ki, n):
     raise ValueError(method)
 
 
-def _superstep_moves(edges_sym, mstats, comm_stats, spec, directed, W, p_global, n_tot, step, seed):
+def _method_eff(spec):
+    """Effective (method, gamma) of the distributed move phase.
+
+    Surprise's global-KL objective is not separable per-row against frozen
+    totals; the distributed phase uses the RBER(gamma=1) gradient — "join
+    groups denser than the global density", the same local argmax direction
+    as Surprise — and the coarse finish is exact.
+    """
+    if spec.method == "surprise":
+        return "rber", 1.0
+    return spec.method, spec.gamma
+
+
+def _stat_needs(method_eff, directed):
+    """Which per-community aggregates the method's ΔQ actually reads.
+
+    The ``w`` (internal weight) terms cancel in the ΔQ difference for every
+    linear method, so only Significance carries them; pruning keeps the
+    per-superstep edge shuffle rows narrow.
+    """
+    if method_eff in ("modularity", "rbconfiguration"):
+        return {"K_out", "K_in"} if directed else {"K_out"}
+    if method_eff in ("rber", "cpm"):
+        return {"n"}
+    if method_eff == "significance":
+        return {"n", "w"}
+    raise ValueError(method_eff)
+
+
+def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed, n_shuffle):
     """One distributed local-move superstep → winning moves (id, new_comm).
 
     ΔQ is computed against frozen stats: exact for a single move, a
     (provably convergent in practice) approximation for a committed batch;
     the alternating parity keeps batches conflict-sparse.
 
-    ``mstats`` = membership ⋈ vertex stats (id, comm, k_out, k_in, loop,
-    node_size) — one table so the gather output needs a single vertex-side
-    join; v's weight to its *own* community comes from a window over the
-    same id-partitioning the arg-max reuses (no extra shuffle).
+    ``aug`` = membership ⋈ vertex stats ⋈ own-community aggregates
+    (id, comm, k_out, k_in, loop, node_size, Ka_*/na/wa as the method
+    needs) — one hash(id)-partitioned, sorted, cached table, so the whole
+    superstep is a single edge-proportional exchange: candidate-community
+    stats ride through the gather join (constant per candidate, recovered
+    with ``first()``), the vertex side merge-joins co-partitioned, v's
+    weight to its *own* community comes from a window over the same
+    id-partitioning the arg-max reuses, and no per-superstep broadcast is
+    built (a driver-serial cost that caps cluster-size scaling).
     """
     from pyspark.sql import Window
 
-    m_dst = mstats.select(F.col("id").alias("dst"), F.col("comm").alias("cand"))
+    method_eff, gamma_eff = _method_eff(spec)
+    needs = _stat_needs(method_eff, directed)
+    zero = F.lit(0.0)
+    b_cols = []  # (gather output name, aug source column)
+    if "K_out" in needs:
+        b_cols.append(("Kb_out", "Ka_out"))
+    if "K_in" in needs:
+        b_cols.append(("Kb_in", "Ka_in"))
+    if "n" in needs:
+        b_cols.append(("nb", "na"))
+    if "w" in needs:
+        b_cols.append(("wb", "wa"))
+
+    # gather join: edges_sym is cached hash(dst)-partitioned and sorted, and
+    # m_dst inherits hash(id→dst) partitioning + ordering from the aug
+    # cache, so the merge join below is a zero-exchange zipper on both sides
+    m_dst = aug.select(
+        F.col("id").alias("dst"), F.col("comm").alias("cand"),
+        *[F.col(src).alias(dst_name) for dst_name, src in b_cols],
+    ).hint("merge")
+    joined = edges_sym.join(m_dst, "dst")
+    # ONE edge-proportional exchange per superstep: repartition the gathered
+    # rows by vertex; hash(src) satisfies the groupBy(src, cand) clustering,
+    # and every downstream op (aug join, own-community window, per-vertex
+    # arg-max, winner→membership update) reuses the same hash(id) layout
     gather = (
-        edges_sym.join(m_dst, "dst")
+        joined.repartition(n_shuffle, "src")
         .groupBy(F.col("src").alias("id"), "cand")
-        .agg(F.sum("weight").alias("w_vc"))
+        .agg(
+            F.sum("weight").alias("w_vc"),
+            *[F.first(name).alias(name) for name, _ in b_cols],
+        )
     )
-    g = gather.join(mstats, "id")
+    g = gather.join(aug.hint("merge"), "id")
     w_id = Window.partitionBy("id")
     g = g.withColumn(
         "w_va", F.coalesce(F.max(F.when(F.col("cand") == F.col("comm"), F.col("w_vc"))).over(w_id), F.lit(0.0))
     )
-    cands = g.where(F.col("cand") != F.col("comm"))
+    x = g.where(F.col("cand") != F.col("comm"))
 
-    sa = comm_stats.select(
-        F.col("comm"), F.col("K_out").alias("Ka_out"), F.col("K_in").alias("Ka_in"),
-        F.col("n_size").alias("na"), F.col("w_in").alias("wa"),
-    )
-    sb = comm_stats.select(
-        F.col("comm").alias("cand"), F.col("K_out").alias("Kb_out"), F.col("K_in").alias("Kb_in"),
-        F.col("n_size").alias("nb"), F.col("w_in").alias("wb"),
-    )
-    x = cands.join(sa, "comm").join(sb, "cand")
+    present = {"Ka_out": "K_out", "Kb_out": "K_out", "Ka_in": "K_in", "Kb_in": "K_in",
+               "na": "n", "nb": "n", "wa": "w", "wb": "w"}
 
-    method, gamma, csl = spec.method, spec.gamma, spec.correct_self_loops
+    def col_of(name):
+        return F.col(name) if present[name] in needs else zero
+
+    csl = spec.correct_self_loops
     rm = F.col("w_va") + F.col("loop")
     add = F.col("w_vc") + F.col("loop")
     args = dict(directed=directed, W=W, p_global=p_global, csl=csl)
-    if method == "surprise":
-        # the global-KL objective is not separable per-row against frozen
-        # totals; the distributed phase uses the RBER(gamma=1) gradient —
-        # "join groups denser than the global density", the same local
-        # argmax direction as Surprise — and the coarse finish is exact.
-        method_eff, gamma_eff = "rber", 1.0
-    else:
-        method_eff, gamma_eff = method, gamma
-    ga_old = _contrib(method_eff, gamma_eff, w=F.col("wa"), ko=F.col("Ka_out"), ki=F.col("Ka_in"), n=F.col("na"), **args)
+    ka_out, ka_in, na, wa = col_of("Ka_out"), col_of("Ka_in"), col_of("na"), col_of("wa")
+    kb_out, kb_in, nb, wb = col_of("Kb_out"), col_of("Kb_in"), col_of("nb"), col_of("wb")
+    if not directed:
+        # undirected strengths are symmetric; K_in mirrors K_out so the
+        # directed formulas stay valid without shipping a second column
+        ka_in, kb_in = ka_out, kb_out
+    ga_old = _contrib(method_eff, gamma_eff, w=wa, ko=ka_out, ki=ka_in, n=na, **args)
     ga_new = _contrib(
         method_eff, gamma_eff,
-        w=F.col("wa") - rm, ko=F.col("Ka_out") - F.col("k_out"),
-        ki=F.col("Ka_in") - F.col("k_in"), n=F.col("na") - F.col("node_size"), **args,
+        w=wa - rm, ko=ka_out - F.col("k_out"),
+        ki=ka_in - F.col("k_in"), n=na - F.col("node_size"), **args,
     )
-    gb_old = _contrib(method_eff, gamma_eff, w=F.col("wb"), ko=F.col("Kb_out"), ki=F.col("Kb_in"), n=F.col("nb"), **args)
+    gb_old = _contrib(method_eff, gamma_eff, w=wb, ko=kb_out, ki=kb_in, n=nb, **args)
     gb_new = _contrib(
         method_eff, gamma_eff,
-        w=F.col("wb") + add, ko=F.col("Kb_out") + F.col("k_out"),
-        ki=F.col("Kb_in") + F.col("k_in"), n=F.col("nb") + F.col("node_size"), **args,
+        w=wb + add, ko=kb_out + F.col("k_out"),
+        ki=kb_in + F.col("k_in"), n=nb + F.col("node_size"), **args,
     )
     dq = (ga_new - ga_old) + (gb_new - gb_old)
 
@@ -240,7 +295,7 @@ def leiden(
     # membership side — the edge table moves over the network once per
     # *level*, not once per superstep
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges_sym = edges_sym.repartition(n_shuffle, "dst").persist()
+    edges_sym = edges_sym.repartition(n_shuffle, "dst").sortWithinPartitions("dst").persist()
     edges_sym.count()  # materialise outside the measured superstep loop
 
     # static vertex stats: strengths, loops, sizes
@@ -288,13 +343,23 @@ def leiden(
         while step < max_supersteps:
             step += 1
             t0 = time.time()
-            mstats = membership.join(vstats, "id").persist()
-            comm_stats = mstats.groupBy("comm").agg(
-                F.sum("k_out").alias("K_out"),
-                F.sum("k_in").alias("K_in"),
-                F.sum("node_size").alias("n_size"),
-            )
-            if spec.method == "significance":
+            # augmented vertex table: membership ⋈ static vertex stats, plus
+            # the own-community aggregates the method needs.  cstats is a
+            # pruned (comm, 1-3 doubles) table built with map-side partial
+            # aggregation, attached by merge join and restored to the
+            # hash(id)-sorted layout every downstream superstep op reuses.
+            method_eff, _geff = _method_eff(spec)
+            needs = _stat_needs(method_eff, directed)
+            mstats = membership.join(vstats.hint("merge"), "id")
+            agg_cols = []
+            if "K_out" in needs:
+                agg_cols.append(F.sum("k_out").alias("Ka_out"))
+            if "K_in" in needs:
+                agg_cols.append(F.sum("k_in").alias("Ka_in"))
+            if "n" in needs:
+                agg_cols.append(F.sum("node_size").alias("na"))
+            cstats = mstats.groupBy("comm").agg(*agg_cols) if agg_cols else None
+            if "w" in needs:
                 # only the KL objective needs per-community internal weight
                 # in its dQ; for the linear family the w terms cancel
                 m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("cs"))
@@ -303,32 +368,41 @@ def leiden(
                     edges.join(m_src, "src").join(m_dst, "dst")
                     .where(F.col("cs") == F.col("cd"))
                     .groupBy(F.col("cs").alias("comm"))
-                    .agg(F.sum("weight").alias("w_in"))
+                    .agg(F.sum("weight").alias("wa"))
                 )
-                comm_stats = comm_stats.join(w_in, "comm", "left").na.fill({"w_in": 0.0})
-            else:
-                comm_stats = comm_stats.withColumn("w_in", F.lit(0.0))
+                cstats = cstats.join(w_in, "comm", "left").na.fill({"wa": 0.0})
+            # merge join by comm: n-row shuffle, fully parallel, AQE splits
+            # hub-community skew; a broadcast here would serially build an
+            # n_comm-row table on the driver every superstep (first-level
+            # n_comm = n vertices), capping cluster-size scaling
+            aug = (
+                mstats.join(cstats.hint("merge"), "comm")
+                .repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
+            )
             winners = _superstep_moves(
-                edges_sym, mstats, comm_stats, spec, directed, W, p_global,
-                n_tot, ckpt_idx + 1, seed,
+                edges_sym, aug, spec, directed, W, p_global,
+                n_tot, ckpt_idx + 1, seed, n_shuffle,
             ).persist()
-            counts = winners.agg(
-                F.count(F.lit(1)).alias("improving"),
-                F.count(F.when(F.col("gated"), 1)).alias("moves"),
-            ).first()
-            n_improving, n_moves = int(counts["improving"]), int(counts["moves"])
             new_membership = (
                 membership.join(
                     winners.where("gated").select("id", "new_comm"), "id", "left"
                 ).select("id", F.coalesce("new_comm", "comm").alias("comm"))
             )
+            # one heavy action per superstep: the checkpoint materialises the
+            # whole move pipeline (winners persists as a side effect); the
+            # convergence counts then read the cached winners only
             ckpt_idx += 1
             membership = ckpt.save(new_membership, "membership", ckpt_idx)
+            counts = winners.agg(
+                F.count(F.lit(1)).alias("improving"),
+                F.count(F.when(F.col("gated"), 1)).alias("moves"),
+            ).first()
+            n_improving, n_moves = int(counts["improving"]), int(counts["moves"])
             ckpt.save_state(
                 {"iteration": it, "step": step, "ckpt_idx": ckpt_idx, "total_steps": total_steps}
             )
             winners.unpersist()
-            mstats.unpersist()
+            aug.unpersist()
             dt = time.time() - t0
             ckpt.log(
                 name="leiden_superstep", iteration=it, step=total_steps + step,
