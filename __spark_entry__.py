@@ -47,6 +47,28 @@ def _bipartite_ids(spark, sf_dir):
     )
 
 
+def _bipartite_ids_det(spark, sf_dir):
+    """Bipartite edges with a DuckDB-reproducible id space: users get
+    ``2*user_id`` (even), event types get odd lexicographic ranks —
+    so the iterative-kernel oracles (pagerank / cc / lpa) can rebuild
+    the identical graph, labels included, in plain SQL."""
+    from pyspark.sql import Window
+
+    named = _bipartite_named(spark, sf_dir)
+    tids = (
+        named.select("dst_name").distinct()
+        .withColumn("tid", 2 * F.row_number().over(Window.orderBy("dst_name")) + 1)
+    )
+    return (
+        named.join(tids, "dst_name")
+        .select(
+            (2 * F.expr("CAST(substr(src_name, 3) AS BIGINT)")).alias("src"),
+            F.col("tid").cast("long").alias("dst"),
+            "weight",
+        )
+    )
+
+
 def _bipartite_membership(spark, sf_dir):
     """Deterministic membership over the bipartite graph, reproducible in
     SQL: users → user_id % 8, event types → length(name) % 8."""
@@ -149,15 +171,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.membership.groupBy("comm").agg(F.count(F.lit(1)).alias("size"))
 
     def q_pagerank(spark, sf):
-        pr = K.pagerank(spark, _bipartite_ids(spark, sf), directed=False, max_iter=15)
-        return pr.orderBy(F.desc("rank")).limit(20).select("id", F.round("rank", 6).alias("rank"))
+        # fixed 8 iterations (tol=0) on the deterministic-id graph so the
+        # unrolled-CTE DuckDB oracle reproduces ranks bit-for-round
+        pr = K.pagerank(spark, _bipartite_ids_det(spark, sf), directed=False, max_iter=8, tol=0.0)
+        pr = pr.select("id", F.round("rank", 6).alias("rank"))
+        return pr.orderBy(F.desc("rank"), F.asc("id")).limit(20)
 
     def q_connected_components(spark, sf):
-        cc = K.connected_components(spark, _bipartite_ids(spark, sf))
+        cc = K.connected_components(spark, _bipartite_ids_det(spark, sf))
         return cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
 
     def q_label_propagation(spark, sf):
-        lp = K.label_propagation(spark, _bipartite_ids(spark, sf), max_iter=8)
+        lp = K.label_propagation(
+            spark, _bipartite_ids_det(spark, sf), max_iter=8,
+            gate="id_parity", early_stop=False,
+        )
         return lp.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
 
     def q_simhash(spark, sf):
@@ -410,4 +438,92 @@ SELECT query_id, neighbor_id, ROUND(cs, 6) AS cos_sim, rank FROM (
     }
     for name, tail in quality_tail.items():
         sqls[name] = _QUALITY_PRELUDE + tail
+    sqls.update(_kernel_oracles())
     return sqls
+
+
+# deterministic-id bipartite graph (mirrors _bipartite_ids_det exactly):
+# users = 2*user_id (even), event types = odd lexicographic ranks
+_DET_PRELUDE = """
+named AS (
+  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src_name, 't:' || event_type AS dst_name,
+         CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM events GROUP BY 1, 2
+),
+tids AS (
+  SELECT dst_name, 2 * ROW_NUMBER() OVER (ORDER BY dst_name) + 1 AS tid
+  FROM (SELECT DISTINCT dst_name FROM named)
+),
+edges AS (
+  SELECT 2 * CAST(substr(src_name, 3) AS BIGINT) AS src, tid AS dst, weight
+  FROM named JOIN tids USING (dst_name)
+),
+sym AS (SELECT src, dst, weight FROM edges
+        UNION ALL SELECT dst, src, weight FROM edges),
+verts AS (SELECT DISTINCT src AS id FROM sym)
+"""
+
+
+def _kernel_oracles() -> dict[str, str]:
+    """DuckDB twins of the iterative kernels, iterations unrolled as CTE
+    chains — same graph, same ids, same tie-breaks as the Spark queries."""
+    # ---- pagerank: 8 damped iterations, no dangling mass (symmetrised)
+    pr = ["r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"]
+    for k in range(1, 9):
+        pr.append(f"""r{k} AS (
+  SELECT v.id, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(t.c, 0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT l.dst AS id, SUM(l.share * r.rank) AS c
+    FROM links l JOIN r{k - 1} r ON r.id = l.src GROUP BY l.dst
+  ) t ON t.id = v.id
+)""")
+    pagerank_sql = (
+        "WITH " + _DET_PRELUDE + """,
+outw AS (SELECT src, SUM(weight) AS w FROM sym GROUP BY src),
+links AS (SELECT s.src, s.dst, s.weight / o.w AS share FROM sym s JOIN outw o ON s.src = o.src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+""" + ",\n".join(pr) + """
+SELECT id, ROUND(rank, 6) AS rank FROM r8
+ORDER BY ROUND(rank, 6) DESC, id LIMIT 20
+"""
+    )
+
+    # ---- label propagation: 8 synchronous rounds, (id+step)%2 gate,
+    # argmax by (weight desc, label asc) — counts are integral so the
+    # weight comparison is exact in floating point
+    lp = ["l0 AS (SELECT id, id AS label FROM verts)"]
+    for k in range(1, 9):
+        lp.append(f"""b{k} AS (
+  SELECT id, nbr AS new_label FROM (
+    SELECT s.src AS id, l.label AS nbr,
+           ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY SUM(s.weight) DESC, l.label ASC) AS rn
+    FROM sym s JOIN l{k - 1} l ON l.id = s.dst
+    GROUP BY s.src, l.label
+  ) WHERE rn = 1
+),
+l{k} AS (
+  SELECT l.id,
+         CASE WHEN b.new_label IS NOT NULL AND (l.id + {k}) % 2 = 0
+              THEN b.new_label ELSE l.label END AS label
+  FROM l{k - 1} l LEFT JOIN b{k} b ON b.id = l.id
+)""")
+    lpa_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(lp)
+        + "\nSELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM l8 GROUP BY label\n"
+    )
+
+    # ---- connected components: reachability closure, component = min id
+    cc_sql = (
+        "WITH RECURSIVE " + _DET_PRELUDE + """,
+reach(id, lbl) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+FROM (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+GROUP BY component
+"""
+    )
+    return {"pagerank": pagerank_sql, "label_propagation": lpa_sql,
+            "connected_components": cc_sql}

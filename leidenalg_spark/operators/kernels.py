@@ -59,10 +59,15 @@ def pagerank(
     links.count()
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     has_out = out_w.select(F.col("src").alias("id"))
+    dangling_verts = verts.join(has_out, "id", "left_anti").persist()
+    any_dangling = dangling_verts.limit(1).count() > 0
     for step in range(max_iter):
+        # the dangling-mass action only runs when dangling vertices exist
+        # at all (never, for symmetrised/undirected graphs) — one less
+        # serial driver round-trip per superstep
         dangling = (
-            ranks.join(has_out, "id", "left_anti").agg(F.sum("rank")).first()[0] or 0.0
-        )
+            dangling_verts.join(ranks, "id").agg(F.sum("rank")).first()[0] or 0.0
+        ) if any_dangling else 0.0
         contribs = (
             links.join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -80,18 +85,22 @@ def pagerank(
             )
         )
         new_ranks = ckpt.save(new_ranks, "pagerank_ranks", step)
-        delta = (
-            new_ranks.withColumnRenamed("rank", "nr")
-            .join(ranks, "id")
-            .agg(F.sum(F.abs(F.col("nr") - F.col("rank"))))
-            .first()[0]
-        )
+        if tol > 0.0:
+            delta = (
+                new_ranks.withColumnRenamed("rank", "nr")
+                .join(ranks, "id")
+                .agg(F.sum(F.abs(F.col("nr") - F.col("rank"))))
+                .first()[0]
+            )
+        else:
+            delta = None  # tol=0 → fixed iteration count, skip the action
         ranks = new_ranks
         ckpt.log(name="pagerank", step=step, l1_delta=float(delta or 0.0))
         if delta is not None and delta < tol:
             break
     verts.unpersist()
     links.unpersist()
+    dangling_verts.unpersist()
     return ranks
 
 
@@ -165,14 +174,20 @@ def label_propagation(
     max_iter: int = 10,
     ckpt: CheckpointManager | None = None,
     seed: int = 0,
+    gate: str = "hash",
+    early_stop: bool = True,
 ) -> DataFrame:
     """Weighted synchronous label propagation; returns (id, label).
 
     Each superstep: gather neighbour labels (weight-summed), adopt the
-    arg-max (ties → smallest label).  Only vertices whose
-    ``xxhash64(id, step, seed)`` is even update in a given superstep —
-    the standard half-update that prevents oscillation on bipartite-ish
-    structures while staying fully deterministic.
+    arg-max (ties → smallest label).  Only half the vertices update per
+    superstep — the standard guard against bipartite label oscillation:
+    ``gate='hash'`` uses ``xxhash64(id, step, seed)`` parity (uncorrelated
+    with structure); ``gate='id_parity'`` uses ``(id + step) % 2`` —
+    fully reproducible in plain SQL, which the DuckDB oracle harness
+    needs.  ``early_stop=False`` runs exactly ``max_iter`` supersteps
+    (oracle comparability: a zero-change half-round is not a fixpoint
+    proof, since the other parity class may still move).
     """
     ckpt = ckpt or CheckpointManager(spark)
     sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")).persist()
@@ -188,23 +203,26 @@ def label_propagation(
             .groupBy("id")
             .agg(F.max_by("nbr_label", F.struct(F.col("w"), -F.col("nbr_label"))).alias("new_label"))
         )
+        if gate == "id_parity":
+            open_gate = F.pmod(F.col("id") + F.lit(step), F.lit(2)) == 0
+        else:
+            open_gate = F.pmod(F.xxhash64("id", F.lit(step), F.lit(seed)), F.lit(2)) == 0
         upd = labels.join(best, "id", "left").select(
             "id",
-            F.when(
-                F.col("new_label").isNotNull()
-                & (F.pmod(F.xxhash64("id", F.lit(step), F.lit(seed)), F.lit(2)) == 0),
-                F.col("new_label"),
-            )
+            F.when(F.col("new_label").isNotNull() & open_gate, F.col("new_label"))
             .otherwise(F.col("label"))
             .alias("label"),
         )
         new_labels = ckpt.save(upd, "lpa_labels", step)
-        changed = (
-            new_labels.withColumnRenamed("label", "nl")
-            .join(labels, "id")
-            .where(F.col("nl") != F.col("label"))
-            .count()
-        )
+        if early_stop:
+            changed = (
+                new_labels.withColumnRenamed("label", "nl")
+                .join(labels, "id")
+                .where(F.col("nl") != F.col("label"))
+                .count()
+            )
+        else:
+            changed = -1
         labels = new_labels
         ckpt.log(name="lpa", step=step, changed=int(changed))
         if changed == 0:
