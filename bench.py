@@ -108,7 +108,12 @@ def superstep_throughput_job(cores: int, sf: float, supersteps=6, seed=1) -> dic
     from leidenalg_spark.operators.leiden import leiden
     from leidenalg_spark.session import get_spark
 
-    spark = get_spark(app=f"leiden-scaling-{cores}", cores=cores, shuffle_partitions=2 * cores)
+    # fixed partition count at BOTH parallelism levels — the identical
+    # physical plan, only the core count differs; 128 partitions also keep
+    # the hub vertex's gather partition (tool_0, deg ~12% of tool edges)
+    # well below one core's share of work, so the skewed task packs behind
+    # the balanced ones instead of serialising the stage
+    spark = get_spark(app=f"leiden-scaling-{cores}", cores=cores, shuffle_partitions=128)
     spark.sparkContext.setLogLevel("ERROR")
     edges, m = build_transcript_graph(spark, sf)
     t0 = time.time()

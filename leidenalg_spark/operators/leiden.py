@@ -229,6 +229,148 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     return winners
 
 
+def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed, n_shuffle, k):
+    """Skew-proof variant of :func:`_superstep_moves` (hub-vertex salting).
+
+    A tool vertex can have degree ~|conversations| (10^9 at north-rule
+    scale); any layout that colocates one vertex's gather rows in one task
+    serialises on it.  This path never does:
+
+    - the edge cache is partitioned by ``(dst, salt1=h(src)%k)`` and the
+      membership side is replicated k× — the gather zipper spreads a hub's
+      in-edges over k tasks;
+    - the gathered rows exchange ONCE by ``(src, salt3=h(cand)%k)``;
+      grouping by ``(src, salt3, cand)`` equals grouping by ``(src, cand)``
+      exactly (salt3 is a function of cand) while a hub's candidate groups
+      land on k partitions;
+    - the per-vertex arg-max runs two-level: partial per ``(id, salt3)``
+      (no exchange), final over ≤k rows per vertex (tiny exchange).
+
+    The arg-max key is the candidate-side ΔQ term only: the source-side
+    term — including v's weight to its own community — is constant across
+    a vertex's candidates, so it cannot change the arg-max and is applied
+    afterwards on the n-row winners table, where the exact dq > 0
+    threshold and the direction gate run as in the fast path.  v's static
+    stats ride the edge cache; candidate-community aggregates ride the
+    gather; v's own-community row is recovered from the same gathered
+    table (``cand == comm``) at no extra scan.
+    """
+    method_eff, gamma_eff = _method_eff(spec)
+    needs = _stat_needs(method_eff, directed)
+    zero = F.lit(0.0)
+    b_cols = []
+    if "K_out" in needs:
+        b_cols.append(("Kb_out", "Ka_out"))
+    if "K_in" in needs:
+        b_cols.append(("Kb_in", "Ka_in"))
+    if "n" in needs:
+        b_cols.append(("nb", "na"))
+    if "w" in needs:
+        b_cols.append(("wb", "wa"))
+    salts = F.array(*[F.lit(i) for i in range(k)])
+
+    # membership side replicated k× to meet the salted edge layout
+    m_dst_k = (
+        aug.select(
+            F.col("id").alias("dst"), F.col("comm").alias("cand"),
+            *[F.col(src).alias(name) for name, src in b_cols],
+        )
+        .withColumn("salt1", F.explode(salts))
+        .repartition(n_shuffle, "dst", "salt1")
+        .sortWithinPartitions("dst", "salt1")
+        .hint("merge")
+    )
+    joined = edges_sym.join(m_dst_k, ["dst", "salt1"])
+    # rider pruning: node_size is constant 1.0 in the distributed level and
+    # undirected strengths are symmetric — ship only what ΔQ reads
+    statics = ["vk_out", "vloop"] if not directed else ["vk_out", "vk_in", "vloop"]
+    gather = (
+        joined.withColumn("salt3", F.pmod(F.xxhash64("cand"), F.lit(k)))
+        .repartition(n_shuffle, "src", "salt3")
+        .groupBy(F.col("src").alias("id"), "salt3", "cand")
+        .agg(
+            F.sum("weight").alias("w_vc"),
+            *[F.first(c).alias(c) for c in statics],
+            *[F.first(name).alias(name) for name, _ in b_cols],
+        )
+    )
+    # comm(v) via the k×-replicated membership (co-partitioned on salt3)
+    m_src_k = (
+        aug.select("id", "comm").withColumn("salt3", F.explode(salts))
+        .repartition(n_shuffle, "id", "salt3")
+        .sortWithinPartitions("id", "salt3")
+        .hint("merge")
+    )
+    # persisted: the winners branch and the own-community (w_va) branch
+    # both read it — without the cache the whole gather would run twice
+    g = gather.join(m_src_k, ["id", "salt3"]).persist()
+    w_va_tbl = g.where(F.col("cand") == F.col("comm")).select("id", F.col("w_vc").alias("w_va"))
+    cands = g.where(F.col("cand") != F.col("comm"))
+
+    present = {"Kb_out": "K_out", "Kb_in": "K_in", "nb": "n", "wb": "w"}
+
+    def bcol(name):
+        return F.col(name) if present[name] in needs else zero
+
+    csl = spec.correct_self_loops
+    args = dict(directed=directed, W=W, p_global=p_global, csl=csl)
+    kb_out, kb_in, nb, wb = bcol("Kb_out"), bcol("Kb_in"), bcol("nb"), bcol("wb")
+    if not directed:
+        kb_in = kb_out
+    add = F.col("w_vc") + F.col("vloop")
+    vk_in = F.col("vk_in") if directed else F.col("vk_out")
+    gb_old = _contrib(method_eff, gamma_eff, w=wb, ko=kb_out, ki=kb_in, n=nb, **args)
+    gb_new = _contrib(
+        method_eff, gamma_eff,
+        w=wb + add, ko=kb_out + F.col("vk_out"),
+        ki=kb_in + vk_in, n=nb + F.lit(1.0), **args,
+    )
+    scored = cands.withColumn("gb", gb_new - gb_old)
+
+    pick = F.max_by(F.struct(F.col("cand"), F.col("gb")), F.struct(F.col("gb"), -F.col("cand")))
+    partial = scored.groupBy("id", "salt3").agg(pick.alias("best"))
+    best = (
+        partial.select("id", F.col("best.cand").alias("cand"), F.col("best.gb").alias("gb"))
+        .groupBy("id")
+        .agg(pick.alias("best"))
+        .select("id", F.col("best.cand").alias("new_comm"), F.col("best.gb").alias("gb"))
+    )
+
+    # n-row winners stage: exact source-side term, threshold, gate
+    apresent = {"Ka_out": "K_out", "Ka_in": "K_in", "na": "n", "wa": "w"}
+
+    def acol(name):
+        return F.col(name) if apresent[name] in needs else zero
+
+    w = (
+        best.join(aug.hint("merge"), "id")
+        .join(w_va_tbl, "id", "left")
+        .na.fill({"w_va": 0.0})
+    )
+    ka_out, ka_in, na, wa = acol("Ka_out"), acol("Ka_in"), acol("na"), acol("wa")
+    if not directed:
+        ka_in = ka_out
+    rm = F.col("w_va") + F.col("loop")
+    ga_old = _contrib(method_eff, gamma_eff, w=wa, ko=ka_out, ki=ka_in, n=na, **args)
+    ga_new = _contrib(
+        method_eff, gamma_eff,
+        w=wa - rm, ko=ka_out - F.col("k_out"),
+        ki=ka_in - F.col("k_in"), n=na - F.col("node_size"), **args,
+    )
+    winners = (
+        w.withColumn("dq", F.col("gb") + (ga_new - ga_old))
+        .where(F.col("dq") > EPSQ)
+        .select("id", "comm", "new_comm", "dq")
+        .withColumn(
+            "gated",
+            F.when(F.lit(step % 2 == 0), F.col("new_comm") > F.col("comm")).otherwise(
+                F.col("new_comm") < F.col("comm")
+            ),
+        )
+    )
+    return winners, g
+
+
 def _refine_by_components(spark, edges, membership, ckpt):
     """Distributed refinement: split every community into its connected
     components (γ-connectivity).  Returns refined membership
@@ -269,9 +411,15 @@ def leiden(
     opts: OptimiserOpts | None = None,
     resume: bool = False,
     finish: bool = True,
+    hub_salt: int = 0,
 ) -> LeidenResult:
     """Flagship API (reference ``find_partition``, functions.py:21-93) on a
     Spark edge table (src:long, dst:long, weight:double).
+
+    ``hub_salt=k`` (k > 1) switches the move phase to the salted superstep
+    (:func:`_superstep_moves_salted`): no single task ever holds one
+    vertex's full gather — required when hub degrees (tool vertices) are
+    large enough that a per-vertex partition skews a stage.
     """
     ckpt = ckpt or CheckpointManager(spark)
     spec = QualitySpec(method, gamma=gamma, correct_self_loops=correct_self_loops)
@@ -295,8 +443,6 @@ def leiden(
     # membership side — the edge table moves over the network once per
     # *level*, not once per superstep
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges_sym = edges_sym.repartition(n_shuffle, "dst").sortWithinPartitions("dst").persist()
-    edges_sym.count()  # materialise outside the measured superstep loop
 
     # static vertex stats: strengths, loops, sizes
     from ..functions.quality import vertex_strengths
@@ -314,6 +460,24 @@ def leiden(
         .repartition(n_shuffle, "id")  # co-partitioned with membership
         .persist()
     )
+    if hub_salt > 1:
+        # salted layout: hub in-edges spread over k sub-partitions, and
+        # v's static stats ride the cache so the salted gather never
+        # joins the vertex table on an unsalted key
+        static_cols = [F.col("k_out").alias("vk_out"), F.col("loop").alias("vloop")]
+        if directed:
+            static_cols.insert(1, F.col("k_in").alias("vk_in"))
+        vsrc = vstats.select(F.col("id").alias("src"), *static_cols)
+        edges_sym = (
+            edges_sym.join(vsrc, "src")
+            .withColumn("salt1", F.pmod(F.xxhash64("src"), F.lit(hub_salt)))
+            .repartition(n_shuffle, "dst", "salt1")
+            .sortWithinPartitions("dst", "salt1")
+            .persist()
+        )
+    else:
+        edges_sym = edges_sym.repartition(n_shuffle, "dst").sortWithinPartitions("dst").persist()
+    edges_sym.count()  # materialise outside the measured superstep loop
     W = float(edges.agg(F.sum("weight")).first()[0] or 0.0)
     n_tot = float(vstats.count())
     from ..localcore.quality import possible_pairs
@@ -379,10 +543,18 @@ def leiden(
                 mstats.join(cstats.hint("merge"), "comm")
                 .repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
             )
-            winners = _superstep_moves(
-                edges_sym, aug, spec, directed, W, p_global,
-                n_tot, ckpt_idx + 1, seed, n_shuffle,
-            ).persist()
+            scratch = None
+            if hub_salt > 1:
+                winners, scratch = _superstep_moves_salted(
+                    edges_sym, aug, spec, directed, W, p_global,
+                    n_tot, ckpt_idx + 1, seed, n_shuffle, hub_salt,
+                )
+                winners = winners.persist()
+            else:
+                winners = _superstep_moves(
+                    edges_sym, aug, spec, directed, W, p_global,
+                    n_tot, ckpt_idx + 1, seed, n_shuffle,
+                ).persist()
             new_membership = (
                 membership.join(
                     winners.where("gated").select("id", "new_comm"), "id", "left"
@@ -403,6 +575,8 @@ def leiden(
             )
             winners.unpersist()
             aug.unpersist()
+            if scratch is not None:
+                scratch.unpersist()
             dt = time.time() - t0
             ckpt.log(
                 name="leiden_superstep", iteration=it, step=total_steps + step,

@@ -85,3 +85,37 @@ def test_leiden_checkpoint_resume_artifacts(spark, tmp_path):
     final = res.membership.toPandas().sort_values("id")
     assert (reloaded["comm"].to_numpy() == final["comm"].to_numpy()).all()
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_leiden_salted_matches_unsalted(spark):
+    """hub_salt path: identical winners semantics as the fast path —
+    converged quality equal on a hubby graph (star + cliques)."""
+    f1 = fx.full(10)
+    # two 10-cliques plus a hub vertex 20 connected to everything
+    s = np.concatenate([f1[1], f1[1] + 10, np.full(20, 20)])
+    d = np.concatenate([f1[2], f1[2] + 10, np.arange(20)])
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": s.astype("int64"), "dst": d.astype("int64"), "weight": 1.0})
+    )
+    plain = leiden(spark, e, method="modularity", local_threshold=0,
+                   n_iterations=1, seed=3, max_supersteps=8)
+    salted = leiden(spark, e, method="modularity", local_threshold=0,
+                    n_iterations=1, seed=3, max_supersteps=8, hub_salt=4)
+    assert np.isclose(plain.quality, salted.quality, atol=1e-9), (plain.quality, salted.quality)
+    mp = plain.membership.toPandas().sort_values("id")["comm"].to_numpy()
+    ms = salted.membership.toPandas().sort_values("id")["comm"].to_numpy()
+    # same partition up to label permutation
+    import pandas as _pd
+
+    assert _pd.Series(mp).groupby(ms).nunique().max() == 1
+    assert _pd.Series(ms).groupby(mp).nunique().max() == 1
+
+
+def test_leiden_salted_cpm(spark):
+    fix = fx.erdos_renyi(120, 0.07, seed=4)
+    n, e = _fixture_edges(spark, fix)
+    plain = leiden(spark, e, method="cpm", gamma=0.1, local_threshold=0,
+                   n_iterations=1, seed=5, max_supersteps=10)
+    salted = leiden(spark, e, method="cpm", gamma=0.1, local_threshold=0,
+                    n_iterations=1, seed=5, max_supersteps=10, hub_salt=3)
+    assert np.isclose(plain.quality, salted.quality, rtol=1e-6), (plain.quality, salted.quality)
