@@ -46,6 +46,9 @@ from ..functions.quality import quality as df_quality
 from .checkpoint import CheckpointManager
 
 EPSQ = 1e-10
+# community-stats tables at or below this row count broadcast (~tens of MB);
+# above it they merge-join — see the adaptive attach in the superstep loop
+_BCAST_COMMS = 5_000_000
 
 
 @dataclass
@@ -535,14 +538,24 @@ def leiden(
                     .agg(F.sum("weight").alias("wa"))
                 )
                 cstats = cstats.join(w_in, "comm", "left").na.fill({"wa": 0.0})
-            # merge join by comm: n-row shuffle, fully parallel, AQE splits
-            # hub-community skew; a broadcast here would serially build an
-            # n_comm-row table on the driver every superstep (first-level
-            # n_comm = n vertices), capping cluster-size scaling
-            aug = (
-                mstats.join(cstats.hint("merge"), "comm")
-                .repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
-            )
+            # adaptive stats attach.  Early supersteps: many communities,
+            # none big → the comm-keyed merge join has no skew.  Late
+            # supersteps: one community can hold a large fraction of all
+            # vertices (the tool hub), and a comm-keyed sort would put its
+            # members in ONE task — but by then n_comm has collapsed, so
+            # the stats table broadcasts: a map-side probe with zero
+            # shuffle and zero skew that also keeps mstats' hash(id)
+            # layout (no repartition/sort).  The crossover tracks the
+            # community count, which only shrinks as merges proceed.
+            cstats = cstats.persist()
+            n_comm = cstats.count()
+            if n_comm <= _BCAST_COMMS:
+                aug = mstats.join(F.broadcast(cstats), "comm").persist()
+            else:
+                aug = (
+                    mstats.join(cstats.hint("merge"), "comm")
+                    .repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
+                )
             scratch = None
             if hub_salt > 1:
                 winners, scratch = _superstep_moves_salted(
@@ -575,6 +588,7 @@ def leiden(
             )
             winners.unpersist()
             aug.unpersist()
+            cstats.unpersist()
             if scratch is not None:
                 scratch.unpersist()
             dt = time.time() - t0

@@ -161,3 +161,376 @@ def slices_to_layers_df(slices: DataFrame) -> DataFrame:
         F.lit(1.0).alias("weight"),
     )
     return intra.unionByName(inter)
+
+
+# ------------------------------------------- distributed multiplex Leiden
+def _to_layer_array(map_col, L, fill):
+    """map<int,double> → dense array[0..L-1] with ``fill`` for absent layers."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(L - 1)),
+        lambda i: F.coalesce(F.element_at(map_col, i.cast("int")), F.lit(float(fill))),
+    )
+
+
+def _entries(key_col, val_col):
+    return F.map_from_entries(F.collect_list(F.struct(F.col(key_col).cast("int"), F.col(val_col))))
+
+
+def quality_multiplex(edges, membership, specs, layer_weights=None, node_sizes=None, directed=False):
+    """Σ_k λ_k Q_k over one shared membership (reference Optimiser.py:389-399)."""
+    from ..functions.quality import quality as df_quality
+
+    lw = layer_weights or [1.0] * len(specs)
+    total = 0.0
+    for k, spec in enumerate(specs):
+        e_k = edges.where(F.col("layer") == k).select("src", "dst", "weight")
+        ns_k = None
+        if node_sizes is not None:
+            ns_k = node_sizes.where(F.col("layer") == k).select("id", "node_size")
+        total += lw[k] * df_quality(
+            e_k, membership, spec.method, spec.gamma, directed,
+            node_sizes=ns_k, correct_self_loops=spec.correct_self_loops,
+        )
+    return total
+
+
+def leiden_multiplex(
+    spark,
+    edges: DataFrame,
+    specs,
+    layer_weights=None,
+    node_sizes: DataFrame | None = None,
+    n_iterations: int = 1,
+    seed: int = 0,
+    local_threshold: int = 500_000,
+    max_supersteps: int = 30,
+    ckpt=None,
+    finish: bool = True,
+):
+    """Distributed multiplex Leiden (O3/O14 at scale): one shared membership
+    over L layers, ``edges`` = (src, dst, weight, layer:int 0..L-1),
+    undirected, linear quality family per layer (modularity /
+    rbconfiguration / rber / cpm — Significance/Surprise multiplex runs on
+    the exact local core).
+
+    Executes the same single-exchange superstep as
+    :func:`..leiden._superstep_moves` with per-layer statistics packed into
+    dense arrays that ride the joins: the λ-weighted edge-weight term
+    collapses to one scalar per edge row *before* aggregation
+    (``wpart = weight·λ_k·coef_k``), and the structural ΔQ penalty
+    evaluates as a JVM-side ``aggregate`` over the layer arrays —
+
+        dq(v: a→b) = (w_add − w_own)
+                     − Σ_k [ kcoef_k·2·kv_k·(kv_k + Kb_k − Ka_k)
+                           + ncoef_k·s_k·(s_k + nb_k − na_k) ]
+
+    (the K² and binomial deltas in closed form; self-loop terms cancel in
+    the difference).  Refinement = connected components within communities
+    on the positive-λ union graph; the coarse level finishes on the exact
+    local multiplex core seeded with the parent communities.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..localcore import LocalGraph, LocalPartition, OptimiserOpts, QualitySpec, optimise_partition
+    from .checkpoint import CheckpointManager
+    from .leiden import EPSQ, _refine_by_components
+
+    L = len(specs)
+    lw = [float(x) for x in (layer_weights or [1.0] * L)]
+    linear = {"modularity", "rbconfiguration", "rber", "cpm"}
+
+    def _local_solve(edges_df, ns_df, initial=None):
+        epdf = edges_df.toPandas()
+        # single evaluation of the node-size table (its lineage may contain
+        # non-reevaluable steps), and explicit int64 so large hashed ids
+        # never round-trip through float64 (precision loss above 2^53)
+        nspdf = ns_df.toPandas() if ns_df is not None else None
+        ids = np.unique(np.concatenate([
+            epdf["src"].to_numpy(dtype=np.int64), epdf["dst"].to_numpy(dtype=np.int64),
+        ]))
+        if nspdf is not None:
+            ids = np.unique(np.concatenate([ids, nspdf["id"].to_numpy(dtype=np.int64)]))
+        idx = {int(v): i for i, v in enumerate(ids)}
+        ns_mat = np.ones((L, len(ids)))
+        if nspdf is not None:
+            # column-wise extraction: iterrows would upcast the row to
+            # float64 and corrupt 62-bit hashed ids
+            ns_mat = np.zeros((L, len(ids)))
+            lay = nspdf["layer"].to_numpy(dtype=np.int64)
+            nid = nspdf["id"].to_numpy(dtype=np.int64)
+            nsv = nspdf["node_size"].to_numpy(dtype=np.float64)
+            for j in range(len(nid)):
+                ns_mat[lay[j], idx[int(nid[j])]] = nsv[j]
+        layers = []
+        for k in range(L):
+            sel = epdf[epdf["layer"] == k]
+            g = LocalGraph(
+                len(ids),
+                sel["src"].map(idx).to_numpy(dtype=np.int64),
+                sel["dst"].map(idx).to_numpy(dtype=np.int64),
+                sel["weight"].to_numpy(dtype=np.float64),
+                node_size=ns_mat[k], directed=False,
+            )
+            layers.append((g, specs[k]))
+        init = None
+        if initial is not None:
+            init = np.array([initial[int(v)] for v in ids], dtype=np.int64)
+        P = LocalPartition(layers, layer_weights=lw, membership=init)
+        optimise_partition(P, n_iterations=n_iterations, opts=OptimiserOpts(seed=seed))
+        out = pd.DataFrame({"id": ids.astype(np.int64), "comm": P.membership.astype(np.int64)})
+        return spark.createDataFrame(out)
+
+    ckpt = ckpt or CheckpointManager(spark)
+    edges = edges.persist()
+    ecount = edges.count()
+    if ecount <= local_threshold or any(s.method not in linear for s in specs):
+        membership = _local_solve(edges, node_sizes)
+        q = quality_multiplex(edges, membership, specs, lw, node_sizes)
+        edges.unpersist()
+        from .leiden import LeidenResult
+
+        return LeidenResult(membership, q, "multiplex", 0.0, supersteps=0, levels=1, metrics=ckpt.metrics)
+
+    # ------------------------------------------------------- level setup
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # per-layer totals
+    Wk = {int(r["layer"]): float(r["W"]) for r in edges.groupBy("layer").agg(F.sum("weight").alias("W")).collect()}
+    sym = edges.where(F.col("src") != F.col("dst"))
+    sym = sym.unionByName(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight", "layer"))
+    # per-layer strengths (long form; static per level)
+    vlong = sym.groupBy(F.col("src").alias("id"), "layer").agg(F.sum("weight").alias("k"))
+    loops = (
+        edges.where(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("id"), "layer")
+        .agg((2.0 * F.sum("weight")).alias("lk"))
+    )
+    vlong = (
+        vlong.join(loops, ["id", "layer"], "outer")
+        .na.fill({"k": 0.0, "lk": 0.0})
+        .select("id", "layer", (F.col("k") + F.col("lk")).alias("k"))
+        .persist()
+    )
+    verts = vlong.select("id").distinct()
+    if node_sizes is not None:
+        verts = verts.unionByName(node_sizes.select("id")).distinct()
+        n_k = {
+            int(r["layer"]): float(r["n"])
+            for r in node_sizes.groupBy("layer").agg(F.sum("node_size").alias("n")).collect()
+        }
+        n_count = None
+    else:
+        n_count = verts.count()
+        n_k = {k: float(n_count) for k in range(L)}
+
+    # λ-weighted coefficient arrays (driver-side scalars)
+    wcoef, kcoef, ncoef = [], [], []
+    for k, spec in enumerate(specs):
+        W = Wk.get(k, 0.0)
+        m = spec.method
+        pairs = n_k.get(k, 0.0) * (n_k.get(k, 0.0) - 1.0) / 2.0
+        p_k = (W / pairs) if pairs > 0 else 0.0
+        wcoef.append(lw[k] * ((1.0 / W) if (m == "modularity" and W > 0) else (0.0 if m == "modularity" else 1.0)))
+        kcoef.append(
+            lw[k] * ((1.0 / (4.0 * W * W)) if (m == "modularity" and W > 0)
+                     else (spec.gamma / (4.0 * W) if (m == "rbconfiguration" and W > 0) else 0.0))
+        )
+        ncoef.append(lw[k] * (spec.gamma if m == "cpm" else (spec.gamma * p_k if m == "rber" else 0.0)))
+    wc_arr = F.array(*[F.lit(float(x)) for x in wcoef])
+    kc_arr = [float(x) for x in kcoef]
+    nc_arr = [float(x) for x in ncoef]
+
+    # edge cache: only (src, dst, wpart) — the λ-weighted weight term
+    edges_w = (
+        sym.withColumn("wpart", F.col("weight") * F.element_at(wc_arr, F.col("layer").cast("int") + 1))
+        .groupBy("src", "dst").agg(F.sum("wpart").alias("wpart"))
+        .repartition(n_shuffle, "dst").sortWithinPartitions("dst").persist()
+    )
+    edges_w.count()
+
+    # static per-vertex arrays
+    karr = vlong.groupBy("id").agg(_entries("layer", "k").alias("km")).select(
+        "id", _to_layer_array(F.col("km"), L, 0.0).alias("kv")
+    )
+    if node_sizes is not None:
+        nsarr = node_sizes.groupBy("id").agg(_entries("layer", "node_size").alias("nm")).select(
+            "id", _to_layer_array(F.col("nm"), L, 0.0).alias("ns")
+        )
+        varr = verts.join(karr, "id", "left").join(nsarr, "id", "left")
+        varr = varr.withColumn("kv", F.coalesce("kv", F.array_repeat(F.lit(0.0), L)))
+        varr = varr.withColumn("ns", F.coalesce("ns", F.array_repeat(F.lit(0.0), L)))
+    else:
+        varr = verts.join(karr, "id", "left").select(
+            "id",
+            F.coalesce("kv", F.array_repeat(F.lit(0.0), L)).alias("kv"),
+            F.array_repeat(F.lit(1.0), L).alias("ns"),
+        )
+    varr = varr.repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
+
+    membership = varr.select("id", F.col("id").alias("comm"))
+    step_idx = 0
+    membership = ckpt.save(membership, "mx_membership", step_idx)
+    import time as _time
+
+    for step in range(1, max_supersteps + 1):
+        t0 = _time.time()
+        # per-(comm, layer) aggregates, long → arrays
+        mlong = membership.join(vlong, "id")
+        ca = mlong.groupBy("comm", "layer").agg(F.sum("k").alias("Ka"))
+        if node_sizes is not None:
+            nlong = membership.join(node_sizes, "id")
+            na = nlong.groupBy("comm", "layer").agg(F.sum("node_size").alias("na"))
+            cl = ca.join(na, ["comm", "layer"], "outer").na.fill({"Ka": 0.0, "na": 0.0})
+            carr = cl.groupBy("comm").agg(
+                _entries("layer", "Ka").alias("kam"), _entries("layer", "na").alias("nam")
+            ).select(
+                "comm",
+                _to_layer_array(F.col("kam"), L, 0.0).alias("Ka"),
+                _to_layer_array(F.col("nam"), L, 0.0).alias("na"),
+            )
+        else:
+            csize = membership.groupBy("comm").agg(F.count(F.lit(1)).cast("double").alias("sz"))
+            carr = ca.groupBy("comm").agg(_entries("layer", "Ka").alias("kam")).select(
+                "comm", _to_layer_array(F.col("kam"), L, 0.0).alias("Ka")
+            ).join(csize, "comm").withColumn("na", F.array_repeat(F.col("sz"), L)).drop("sz")
+        # adaptive stats attach (see leiden.py): merge join while there are
+        # many (small) communities, broadcast once the comm table collapses
+        # — which is exactly when hub-community join skew would appear
+        from .leiden import _BCAST_COMMS
+
+        carr = carr.persist()
+        n_comm = carr.count()
+        mv = membership.join(varr.hint("merge"), "id")
+        if n_comm <= _BCAST_COMMS:
+            aug = mv.join(F.broadcast(carr), "comm").persist()
+        else:
+            aug = (
+                mv.join(carr.hint("merge"), "comm")
+                .repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
+            )
+        m_dst = aug.select(
+            F.col("id").alias("dst"), F.col("comm").alias("cand"),
+            F.col("Ka").alias("Kb"), F.col("na").alias("nb"),
+        ).hint("merge")
+        gather = (
+            edges_w.join(m_dst, "dst")
+            .repartition(n_shuffle, "src")
+            .groupBy(F.col("src").alias("id"), "cand")
+            .agg(F.sum("wpart").alias("wadd"), F.first("Kb").alias("Kb"), F.first("nb").alias("nb"))
+        )
+        from pyspark.sql import Window
+
+        g = gather.join(aug.hint("merge"), "id")
+        w_id = Window.partitionBy("id")
+        g = g.withColumn(
+            "w_va",
+            F.coalesce(F.max(F.when(F.col("cand") == F.col("comm"), F.col("wadd"))).over(w_id), F.lit(0.0)),
+        )
+        kc_lit = F.array(*[F.lit(x) for x in kc_arr])
+        nc_lit = F.array(*[F.lit(x) for x in nc_arr])
+        idxs = F.sequence(F.lit(1), F.lit(L))
+
+        def _pen(i):
+            kv_i = F.element_at(F.col("kv"), i)
+            s_i = F.element_at(F.col("ns"), i)
+            return (
+                F.element_at(kc_lit, i) * 2.0 * kv_i
+                * (kv_i + F.element_at(F.col("Kb"), i) - F.element_at(F.col("Ka"), i))
+                + F.element_at(nc_lit, i) * s_i
+                * (s_i + F.element_at(F.col("nb"), i) - F.element_at(F.col("na"), i))
+            )
+
+        pen = F.aggregate(idxs, F.lit(0.0), lambda acc, i: acc + _pen(i))
+        cands = g.where(F.col("cand") != F.col("comm")).withColumn(
+            "dq", (F.col("wadd") - F.col("w_va")) - pen
+        )
+        winners = (
+            cands.where(F.col("dq") > EPSQ)
+            .groupBy("id")
+            .agg(
+                F.max_by(F.struct(F.col("cand"), F.col("dq")), F.struct(F.col("dq"), -F.col("cand"))).alias("best"),
+                F.first("comm").alias("comm"),
+            )
+            .select("id", "comm", F.col("best.cand").alias("new_comm"))
+            .withColumn(
+                "gated",
+                F.when(F.lit(step % 2 == 0), F.col("new_comm") > F.col("comm")).otherwise(
+                    F.col("new_comm") < F.col("comm")
+                ),
+            )
+            .persist()
+        )
+        new_membership = membership.join(
+            winners.where("gated").select("id", "new_comm"), "id", "left"
+        ).select("id", F.coalesce("new_comm", "comm").alias("comm"))
+        step_idx += 1
+        membership = ckpt.save(new_membership, "mx_membership", step_idx)
+        counts = winners.agg(
+            F.count(F.lit(1)).alias("improving"),
+            F.count(F.when(F.col("gated"), 1)).alias("moves"),
+        ).first()
+        winners.unpersist()
+        aug.unpersist()
+        carr.unpersist()
+        ckpt.log(
+            name="leiden_mx_superstep", step=step, moves=int(counts["moves"]),
+            improving=int(counts["improving"]), secs=round(_time.time() - t0, 4),
+            edges_per_sec=round(ecount / max(_time.time() - t0, 1e-9), 1),
+        )
+        if counts["improving"] == 0:
+            break
+
+    if finish:
+        pos_layers = [k for k in range(L) if lw[k] > 0]
+        intra_src = edges.where(F.col("layer").isin(pos_layers)).select("src", "dst", "weight")
+        refined = _refine_by_components(spark, intra_src, membership, ckpt).persist()
+        r_src = refined.select(F.col("id").alias("src"), F.col("refined").alias("r_src"))
+        r_dst = refined.select(F.col("id").alias("dst"), F.col("refined").alias("r_dst"))
+        coarse_edges = (
+            edges.join(r_src, "src").join(r_dst, "dst")
+            .groupBy("layer", "r_src", "r_dst").agg(F.sum("weight").alias("weight"))
+            .select(F.col("r_src").alias("src"), F.col("r_dst").alias("dst"), "weight", "layer")
+        )
+        if node_sizes is not None:
+            coarse_ns = (
+                refined.join(node_sizes, "id")
+                .groupBy(F.col("refined").alias("id"), "layer")
+                .agg(F.sum("node_size").alias("node_size"))
+            )
+        else:
+            coarse_ns = (
+                refined.groupBy(F.col("refined").alias("id"))
+                .agg(F.count(F.lit(1)).cast("double").alias("node_size"))
+                .crossJoin(spark.range(L).select(F.col("id").cast("int").alias("layer")).withColumnRenamed("layer", "_l"))
+                .select("id", F.col("_l").alias("layer"), "node_size")
+            )
+        parents = refined.groupBy(F.col("refined")).agg(F.first("comm").alias("parent"))
+        n_coarse = coarse_edges.count()
+        if n_coarse <= max(local_threshold, 5_000_000):
+            ppdf = parents.toPandas()
+            parent_map = dict(zip(
+                ppdf["refined"].to_numpy(dtype=np.int64).tolist(),
+                ppdf["parent"].to_numpy(dtype=np.int64).tolist(),
+            ))
+            uniq_parents = {p: i for i, p in enumerate(sorted(set(parent_map.values())))}
+            init = {rid: uniq_parents[p] for rid, p in parent_map.items()}
+            coarse_memb = _local_solve(coarse_edges, coarse_ns, initial=init)
+            membership = (
+                refined.join(
+                    coarse_memb.select(F.col("id").alias("refined"), F.col("comm").alias("new_comm")),
+                    "refined",
+                )
+                .select("id", F.col("new_comm").alias("comm"))
+            )
+            step_idx += 1
+            membership = ckpt.save(membership, "mx_membership", step_idx)
+        refined.unpersist()
+
+    q = quality_multiplex(edges, membership, specs, lw, node_sizes)
+    vlong.unpersist()
+    varr.unpersist()
+    edges_w.unpersist()
+    edges.unpersist()
+    from .leiden import LeidenResult
+
+    return LeidenResult(membership, q, "multiplex", 0.0, supersteps=step_idx, levels=2, metrics=ckpt.metrics)

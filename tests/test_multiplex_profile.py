@@ -80,3 +80,83 @@ def test_resolution_profile_zachary():
     # bisect values non-increasing in gamma
     bv = [p.bisect_value for p in profile]
     assert all(bv[i] >= bv[i + 1] - 1e-9 for i in range(len(bv) - 1))
+
+
+def test_leiden_multiplex_distributed_single_layer(spark):
+    """L=1 multiplex modularity ≡ plain distributed Leiden on two cliques."""
+    import numpy as np
+    import pandas as pd
+    from leidenalg_spark.localcore import QualitySpec
+    from leidenalg_spark.operators.multiplex import leiden_multiplex
+    from leidenalg_spark.sources import fixtures as fx
+
+    f1 = fx.full(10)
+    s = np.concatenate([f1[1], f1[1] + 10, [0]])
+    d = np.concatenate([f1[2], f1[2] + 10, [10]])
+    e = spark.createDataFrame(pd.DataFrame({
+        "src": s.astype("int64"), "dst": d.astype("int64"),
+        "weight": 1.0, "layer": 0,
+    }))
+    res = leiden_multiplex(
+        spark, e, [QualitySpec("modularity")], local_threshold=0,
+        max_supersteps=8, seed=3,
+    )
+    memb = res.membership.toPandas().sort_values("id")["comm"].to_numpy()
+    assert len(set(memb[:10])) == 1 and len(set(memb[10:])) == 1
+    assert memb[0] != memb[10]
+    assert res.quality > 0.4
+
+
+def test_leiden_multiplex_distributed_matches_local(spark):
+    """Two CPM layers with different structure: distributed quality matches
+    the exact local multiplex core (same objective, same optimum)."""
+    import numpy as np
+    import pandas as pd
+    from leidenalg_spark.localcore import LocalGraph, QualitySpec
+    from leidenalg_spark.operators.multiplex import (
+        find_partition_multiplex_local, leiden_multiplex, quality_multiplex,
+    )
+    from leidenalg_spark.sources import fixtures as fx
+
+    rng = np.random.default_rng(5)
+    fixA = fx.erdos_renyi(60, 0.12, seed=11)
+    fixB = fx.erdos_renyi(60, 0.12, seed=12)
+    rows = []
+    for layer, fix in ((0, fixA), (1, fixB)):
+        for s, d in zip(fix[1], fix[2]):
+            rows.append((int(s), int(d), 1.0, layer))
+    e = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst", "weight", "layer"]))
+    specs = [QualitySpec("cpm", gamma=0.05), QualitySpec("cpm", gamma=0.05)]
+    res = leiden_multiplex(spark, e, specs, layer_weights=[1.0, 1.0],
+                           local_threshold=0, max_supersteps=10, seed=7)
+    gA = LocalGraph(60, fixA[1], fixA[2], None)
+    gB = LocalGraph(60, fixB[1], fixB[2], None)
+    P, _ = find_partition_multiplex_local(
+        [(gA, specs[0]), (gB, specs[1])], layer_weights=[1.0, 1.0],
+        n_iterations=-1, seed=7,
+    )
+    assert res.quality >= 0.95 * P.quality(), (res.quality, P.quality())
+
+
+def test_leiden_multiplex_signed_layers(spark):
+    """Negative layer weight (T9): two cliques joined by negative links
+    stay separate under [1, -1] weighting."""
+    import numpy as np
+    import pandas as pd
+    from leidenalg_spark.localcore import QualitySpec
+    from leidenalg_spark.operators.multiplex import leiden_multiplex
+    from leidenalg_spark.sources import fixtures as fx
+
+    f1 = fx.full(8)
+    pos_s = np.concatenate([f1[1], f1[1] + 8])
+    pos_d = np.concatenate([f1[2], f1[2] + 8])
+    neg_s = np.arange(8)
+    rows = [(int(s), int(d), 1.0, 0) for s, d in zip(pos_s, pos_d)]
+    rows += [(int(s), int(s) + 8, 1.0, 1) for s in neg_s]
+    e = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst", "weight", "layer"]))
+    specs = [QualitySpec("cpm", gamma=0.1), QualitySpec("cpm", gamma=-0.1)]
+    res = leiden_multiplex(spark, e, specs, layer_weights=[1.0, -1.0],
+                           local_threshold=0, max_supersteps=8, seed=1)
+    memb = res.membership.toPandas().sort_values("id")["comm"].to_numpy()
+    assert len(set(memb[:8])) == 1 and len(set(memb[8:])) == 1
+    assert memb[0] != memb[8]
