@@ -445,7 +445,14 @@ def leiden(
     # EnsureRequirements, so each superstep shuffles only the (small)
     # membership side — the edge table moves over the network once per
     # *level*, not once per superstep
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # partition count sized to the data (~200k edges per partition floor):
+    # a tiny graph on a big session would otherwise pay per-stage scheduling
+    # for near-empty tasks in every superstep; never exceeds the session's
+    # configured parallelism
+    n_shuffle = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        max(8, ecount // 200_000),
+    )
 
     # static vertex stats: strengths, loops, sizes
     from ..functions.quality import vertex_strengths

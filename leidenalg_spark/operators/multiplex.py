@@ -293,7 +293,12 @@ def leiden_multiplex(
         return LeidenResult(membership, q, "multiplex", 0.0, supersteps=0, levels=1, metrics=ckpt.metrics)
 
     # ------------------------------------------------------- level setup
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # data-sized partition count (see leiden.py): tiny graphs skip the
+    # per-stage overhead of near-empty tasks
+    n_shuffle = min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        max(8, ecount // 200_000),
+    )
     # per-layer totals
     Wk = {int(r["layer"]): float(r["W"]) for r in edges.groupBy("layer").agg(F.sum("weight").alias("W")).collect()}
     sym = edges.where(F.col("src") != F.col("dst"))
