@@ -204,6 +204,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "media_type", "n_bytes", "checksum"
         )
 
+    def q_embedding_neardup(spark, sf):
+        # LSH-routed candidates + exact-cosine verify (the 100-TB path);
+        # the oracle twins the exact same hyperplane buckets in SQL
+        return S.embedding_neardup_pairs(
+            _embeddings(spark, sf), threshold=0.35, n_planes=8, n_bands=4, seed=42, dim=64
+        )
+
+    def q_temporal_communities(spark, sf):
+        # O15 façade: events split into 3 time slices → per-slice bipartite
+        # graphs coupled on shared vertices → one aligned membership;
+        # iterative (rows-only check).  Deterministic integer vertex ids.
+        from leidenalg_spark.operators.multiplex import find_partition_temporal_df
+
+        ev = _events(spark, sf)
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span = hi - lo
+        b1, b2 = lo + span / 3, lo + 2 * span / 3
+        tertile = (
+            F.when(F.col("ts") < F.lit(b1), 0)
+            .when(F.col("ts") < F.lit(b2), 1)
+            .otherwise(2)
+            .cast("int")
+        )
+        from pyspark.sql import Window
+
+        named = ev.withColumn("slice", tertile).groupBy(
+            "slice", "user_id", "event_type"
+        ).agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        tids = (
+            named.select("event_type").distinct()
+            .withColumn("tid", 2 * F.row_number().over(Window.orderBy("event_type")) + 1)
+        )
+        slices = named.join(tids, "event_type").select(
+            "slice",
+            (2 * F.col("user_id")).alias("src"),
+            F.col("tid").cast("long").alias("dst"),
+            "weight",
+        )
+        memb, _ = find_partition_temporal_df(
+            spark, slices, method="modularity", interslice_weight=2.0, seed=7,
+            n_iterations=1,
+        )
+        return memb.groupBy("slice", "comm").agg(F.count(F.lit(1)).alias("size")) \
+                   .groupBy("slice").agg(
+                       F.count(F.lit(1)).alias("n_comms"), F.sum("size").alias("n_vertices")
+                   )
+
     return {
         "edge_derivation": q_edge_derivation,
         "bipartite_edges": q_bipartite_edges,
@@ -230,6 +277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
         "media_features": q_media_features,
+        "embedding_neardup": q_embedding_neardup,
+        "temporal_communities": q_temporal_communities,
     }
 
 
@@ -277,6 +326,78 @@ stats AS (
 
 def _doc_tokens(col="text"):
     return f"string_split_regex(lower(trim({col})), '\\s+')"
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of operators.dedup.simhash — same md5 hash family,
+    same per-bit majority vote, same two's-complement reassembly."""
+    vs = ", ".join(
+        f"SUM(((({'hi' if b >= 32 else 'lo'}) >> {b % 32}) & 1)*2 - 1) AS v{b}"
+        for b in range(64)
+    )
+    terms = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN "
+        f"{'(-9223372036854775807 - 1)' if b == 63 else str(1 << b)} ELSE 0 END"
+        for b in range(64)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, string_split_regex(lower(coalesce(text,'')), '\\s+') AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS tok)
+  WHERE tok <> ''
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok),1,8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok),9,8))::BIGINT AS lo
+  FROM tok
+), v AS (
+  SELECT doc_id, {vs} FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM v
+)
+SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id)
+"""
+
+
+def _embedding_neardup_oracle(threshold=0.35, n_planes=8, n_bands=4, seed=42, dim=64) -> str:
+    """DuckDB twin of the LSH-routed embedding near-dup: the SAME
+    hyperplane constants (repr round-trips float64 exactly), the same
+    sign-bit bucket keys, the same candidate join and cosine verify."""
+    from leidenalg_spark.operators.similarity import random_hyperplanes
+
+    def dot(vec, consts):
+        lst = "[" + ",".join(repr(float(x)) for x in consts) + "]"
+        return f"list_sum(list_transform(list_zip({vec}, {lst}), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+
+    band_selects = []
+    for band in range(n_bands):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * band)
+        key = " + ".join(
+            f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        band_selects.append(
+            f"SELECT vec_id AS doc, {band} AS band, {key} AS key FROM embeddings"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    norm = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    cs = (
+        "list_sum(list_transform(list_zip(ea.embedding, eb.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / ("
+        + norm.format(v="ea.embedding") + " * " + norm.format(v="eb.embedding") + ")"
+    )
+    return f"""
+WITH banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key AND x.doc < y.doc
+)
+SELECT a, b, ROUND({cs}, 6) AS cos_sim
+FROM cand JOIN embeddings ea ON ea.vec_id = a JOIN embeddings eb ON eb.vec_id = b
+WHERE ROUND({cs}, 6) >= {threshold}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -401,16 +522,23 @@ FROM fp JOIN grp USING (fingerprint)
 """,
         "neardup_jaccard": f"""
 WITH {shingle_cte},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000) ok
+  USING (shingle)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
 inter AS (
   SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
-  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  FROM shc s1 JOIN shc s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
   GROUP BY 1, 2
 )
 SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
 WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.1
 """,
+        "simhash": _simhash_oracle(),
+        "embedding_neardup": _embedding_neardup_oracle(),
         "minhash_signature": f"""
 WITH {shingle_cte},
 mh AS (

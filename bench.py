@@ -88,6 +88,12 @@ def run_queries(spark, sf_dir: str) -> dict:
     timed("connected_components_transcripts", lambda: K.connected_components(spark, edges).count())
     timed("triangle_count_transcripts", lambda: K.triangle_count(spark, edges).collect())
 
+    # drop the transcript-graph caches BEFORE the entry-table query loop:
+    # holding the persisted edge table across unrelated queries skews their
+    # timings with memory pressure/GC (the round-1 dedup_exact anomaly)
+    edges.unpersist()
+    spark.catalog.clearCache()
+
     qs = entrymod.queries()
     for name in [
         "edge_derivation", "degrees", "quality_modularity", "quality_cpm",
@@ -96,7 +102,6 @@ def run_queries(spark, sf_dir: str) -> dict:
         "leiden_communities", "token_count", "doc_quality",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
-    edges.unpersist()
     return out
 
 

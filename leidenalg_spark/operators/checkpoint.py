@@ -7,10 +7,28 @@ superstep therefore materialises its state table.  Two modes:
   ``{path}/{name}/step={k}``, metrics appended to ``{path}/metrics.jsonl``
   — a run can resume from the latest complete step after a crash
   (resumability test: kill after superstep k, restart, identical result).
-- ephemeral: ``localCheckpoint`` — truncates lineage only.
+- ephemeral (no ``path``): parquet under a private temp dir (tmpfs when
+  available) with only the last 3 steps per name retained.  NOT
+  ``localCheckpoint``: a localCheckpoint RDD pins executor/driver storage
+  for the session's lifetime with no API to release it, so a long
+  session accumulating hundreds of superstep checkpoints eventually
+  exhausts the JVM heap; step-pruned parquet on tmpfs is just as fast
+  and strictly bounded.  (Retention 3 > the maximum age of any
+  still-referenced step: the monotone guard's ``good_membership`` is at
+  most one step old.)
 
 The parquet round-trip also acts as the lineage barrier, so checkpointing
 costs nothing extra beyond the write (SURVEY.md §7.3 item 6).
+
+Filesystem access is scheme-aware: a local root uses plain ``os`` calls;
+a remote root (``s3a://``, ``hdfs://``, ``gs://``, …) routes every
+metadata operation through the Hadoop FileSystem API of the session's
+JVM, so ``--checkpoint s3a://bucket/run`` works from any deploy mode —
+the round-1 implementation's driver-local ``os.replace`` would look for
+the S3 key on the driver's disk and fail.  On object stores the
+step-directory rename is a server-side copy; production jobs that need
+atomic commits at scale should checkpoint to an Iceberg table
+(sources/tables.py) instead, which commits via metadata swap.
 """
 
 from __future__ import annotations
@@ -19,8 +37,104 @@ import json
 import os
 import shutil
 import time
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _is_remote(path: str | None) -> bool:
+    if not path:
+        return False
+    return urlparse(path).scheme not in ("", "file")
+
+
+class _LocalFS:
+    """Driver-local filesystem ops (fast path for file:// roots)."""
+
+    def makedirs(self, p):
+        os.makedirs(p, exist_ok=True)
+
+    def exists(self, p):
+        return os.path.exists(p)
+
+    def replace_dir(self, src, dst):
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.replace(src, dst)
+
+    def listdir(self, p):
+        return os.listdir(p) if os.path.isdir(p) else []
+
+    def write_text_atomic(self, p, text):
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, p)
+
+    def read_text(self, p):
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read()
+
+    def append_line(self, p, line, _all_lines):
+        with open(p, "a") as f:
+            f.write(line + "\n")
+
+
+class _HadoopFS:
+    """Hadoop FileSystem ops via the session JVM (s3a/hdfs/gs/abfs roots).
+
+    Public Hadoop API only — the same FileSystem instance Spark itself
+    uses for the root's scheme, resolved from the session's Hadoop conf
+    (credentials, endpoints, committers all inherited).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        sc = spark.sparkContext
+        self._jvm = sc._jvm
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(root).getFileSystem(sc._jsc.hadoopConfiguration())
+
+    def makedirs(self, p):
+        self._fs.mkdirs(self._Path(p))
+
+    def exists(self, p):
+        return bool(self._fs.exists(self._Path(p)))
+
+    def replace_dir(self, src, dst):
+        if self._fs.exists(self._Path(dst)):
+            self._fs.delete(self._Path(dst), True)
+        self._fs.rename(self._Path(src), self._Path(dst))
+
+    def listdir(self, p):
+        if not self.exists(p):
+            return []
+        return [s.getPath().getName() for s in self._fs.listStatus(self._Path(p))]
+
+    def write_text_atomic(self, p, text):
+        # object-store PUT is atomic per object; no tmp+rename needed
+        out = self._fs.create(self._Path(p), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_text(self, p):
+        if not self.exists(p):
+            return None
+        # py4j cannot fill a Python-side buffer in place; commons-io (a
+        # Hadoop dependency) drains the stream JVM-side in one call
+        stream = self._fs.open(self._Path(p))
+        try:
+            return str(self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+        finally:
+            stream.close()
+
+    def append_line(self, p, line, all_lines):
+        # object stores have no append — rewrite the (small) metrics file
+        # from the in-memory stream
+        self.write_text_atomic(p, "\n".join(all_lines) + "\n")
 
 
 class CheckpointManager:
@@ -29,23 +143,48 @@ class CheckpointManager:
         self.path = path
         self.run_id = run_id
         self.metrics: list[dict] = []
+        self._metric_lines: list[str] = []
+        self._tmp_root = None
         if path:
-            os.makedirs(path, exist_ok=True)
+            self.fs = _HadoopFS(spark, path) if _is_remote(path) else _LocalFS()
+            self.fs.makedirs(path)
+        else:
+            import atexit
+            import tempfile
+
+            base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+            self._tmp_root = tempfile.mkdtemp(prefix="leiden-ckpt-", dir=base)
+            # cleanup at PROCESS exit, not GC: the caller's result
+            # DataFrame still reads the final step's parquet after the
+            # manager itself goes out of scope
+            atexit.register(shutil.rmtree, self._tmp_root, ignore_errors=True)
+            self.fs = None
+
+    def _join(self, *parts) -> str:
+        return "/".join([self.path.rstrip("/"), *parts])
 
     # ------------------------------------------------------------------
     def save(self, df: DataFrame, name: str, step: int, **metric_kv) -> DataFrame:
         """Materialise a superstep state table; returns the barrier'd DF."""
         t0 = time.time()
         if self.path:
-            target = os.path.join(self.path, name, f"step={step:05d}")
+            target = self._join(name, f"step={step:05d}")
             tmp = target + ".tmp"
             df.write.mode("overwrite").parquet(tmp)
-            if os.path.exists(target):
-                shutil.rmtree(target)
-            os.replace(tmp, target)
+            self.fs.replace_dir(tmp, target)
             out = self.spark.read.parquet(target)
         else:
-            out = df.localCheckpoint(eager=True)
+            d = os.path.join(self._tmp_root, name)
+            target = os.path.join(d, f"step={step:05d}")
+            df.write.mode("overwrite").parquet(target)
+            out = self.spark.read.parquet(target)
+            # retain only steps >= step-2 (see module docstring); numeric
+            # comparison, not recency, so a later kernel run restarting at
+            # step 0 on the same manager never deletes its own fresh steps
+            if os.path.isdir(d):
+                for s in os.listdir(d):
+                    if s.startswith("step=") and int(s.split("=")[1]) < step - 2:
+                        shutil.rmtree(os.path.join(d, s), ignore_errors=True)
         self.log(name=name, step=step, checkpoint_secs=round(time.time() - t0, 4), **metric_kv)
         return out
 
@@ -53,42 +192,34 @@ class CheckpointManager:
         rec = {"run_id": self.run_id, "ts": time.time(), **kv}
         self.metrics.append(rec)
         if self.path:
-            with open(os.path.join(self.path, "metrics.jsonl"), "a") as f:
-                f.write(json.dumps(rec) + "\n")
+            line = json.dumps(rec)
+            self._metric_lines.append(line)
+            self.fs.append_line(self._join("metrics.jsonl"), line, self._metric_lines)
 
     # ------------------------------------------------------------------
     def save_state(self, state: dict) -> None:
         """Atomic driver-loop state (iteration/step/phase) for resume."""
         if not self.path:
             return
-        tmp = os.path.join(self.path, "state.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, os.path.join(self.path, "state.json"))
+        self.fs.write_text_atomic(self._join("state.json"), json.dumps(state))
 
     def load_state(self) -> dict | None:
         if not self.path:
             return None
-        p = os.path.join(self.path, "state.json")
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+        text = self.fs.read_text(self._join("state.json"))
+        return json.loads(text) if text else None
 
     # ------------------------------------------------------------------
     def latest_step(self, name: str) -> int | None:
         """Largest complete step on disk, for resume-from-checkpoint."""
         if not self.path:
             return None
-        d = os.path.join(self.path, name)
-        if not os.path.isdir(d):
-            return None
         steps = sorted(
             int(s.split("=")[1])
-            for s in os.listdir(d)
+            for s in self.fs.listdir(self._join(name))
             if s.startswith("step=") and not s.endswith(".tmp")
         )
         return steps[-1] if steps else None
 
     def load(self, name: str, step: int) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, name, f"step={step:05d}"))
+        return self.spark.read.parquet(self._join(name, f"step={step:05d}"))

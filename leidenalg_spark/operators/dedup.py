@@ -60,12 +60,19 @@ def shingles(docs: DataFrame, n=3, col="text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n=3, threshold=0.8, col="text", max_shingle_freq: int | None = None
+    docs: DataFrame, n=3, threshold=0.8, col="text", max_shingle_freq: int | None = 1000
 ) -> DataFrame:
     """All doc pairs (a < b) with word-n-gram Jaccard >= threshold.
 
     Exact (no hashing) — the correctness baseline the approximate
     methods are validated against.
+
+    ``max_shingle_freq`` (default 1000) drops shingles shared by more
+    than that many documents before the self-join: a hub shingle in
+    ``f`` documents costs ``f²`` joined rows, so an uncapped run on
+    web-scale data is quadratic in the worst bucket.  Dropping a shingle
+    that common barely moves Jaccard for near-dup thresholds; pass
+    ``None`` to disable for small exact baselines.
     """
     sh = shingles(docs, n, col)
     if max_shingle_freq:
@@ -161,37 +168,45 @@ def minhash_dedup_pairs(docs: DataFrame, n=3, num_hashes=32, bands=8, threshold=
 
 # --------------------------------------------------------------- SimHash
 def simhash(docs: DataFrame, col="text", bits=64) -> DataFrame:
-    """64-bit SimHash per doc via ``mapInPandas`` (Arrow batches; the
-    per-batch body is NumPy bit arithmetic, never per-row plan logic).
-    Returns (doc_id, simhash:long)."""
+    """64-bit SimHash per doc, fully JVM-side (no Python in the plan):
+    explode whitespace tokens → per-token 64-bit hash = first 16 hex chars
+    of ``md5(token)`` split into two 32-bit halves (``conv(hex, 16, 10)``)
+    → per-bit majority vote as 64 map-side-combinable ``sum`` aggregates →
+    sign bits reassembled into one signed long.  Hash family is md5, so
+    the signature has an exact DuckDB twin (``('0x' || substr)::BIGINT``)
+    for the correctness oracle.  Returns (doc_id, simhash:long); empty
+    docs get signature 0.
 
-    def gen(batches):
-        import hashlib
-
-        import numpy as np
-        import pandas as pd
-
-        shifts = np.arange(bits, dtype=np.uint64)
-        for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, t in enumerate(pdf[col].fillna("")):
-                toks = t.lower().split()
-                if not toks:
-                    continue
-                hs = np.array(
-                    [int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") for tok in toks],
-                    dtype=np.uint64,
-                )
-                # bit matrix (n_tokens x bits) -> per-bit majority vote
-                bitmat = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-                votes = (2 * bitmat - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for b in np.flatnonzero(votes > 0):
-                    sig |= np.uint64(1) << np.uint64(b)
-                out[i] = np.int64(sig.astype(np.int64))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
-
-    return docs.select("doc_id", col).mapInPandas(gen, schema="doc_id long, simhash long")
+    The whole pipeline is two hash aggregations over the exploded token
+    table — linear shuffle, whole-stage codegen, scales like word count.
+    """
+    if bits != 64:
+        raise ValueError("only 64-bit simhash is supported")
+    tok = F.explode(F.split(F.lower(F.coalesce(F.col(col), F.lit(""))), r"\s+")).alias("tok")
+    t = docs.select("doc_id", tok).where(F.col("tok") != "")
+    h = F.md5(F.col("tok"))
+    halves = t.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    votes = []
+    for b in range(64):
+        half = F.col("hi") if b >= 32 else F.col("lo")
+        bit = F.shiftrightunsigned(half, b % 32).bitwiseAND(F.lit(1))
+        votes.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
+    agg = halves.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        # bit 63 is the sign bit of the two's-complement long
+        val = F.lit(-9223372036854775807 - 1) if b == 63 else F.lit(1 << b)
+        sig = sig + F.when(F.col(f"v{b}") > 0, val).otherwise(F.lit(0).cast("long"))
+    out = agg.select("doc_id", sig.alias("simhash"))
+    return (
+        docs.select("doc_id")
+        .join(out, "doc_id", "left")
+        .na.fill({"simhash": 0})
+    )
 
 
 def simhash_candidates(sim: DataFrame, band_bits=16) -> DataFrame:

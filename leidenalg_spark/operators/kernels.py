@@ -41,11 +41,21 @@ def pagerank(
     tol: float = 1.0e-6,
     directed: bool = True,
     ckpt: CheckpointManager | None = None,
+    ckpt_every: int = 5,
 ) -> DataFrame:
     """Weighted PageRank; returns (id, rank) with sum(rank) == 1.
 
     Dangling-vertex mass is redistributed uniformly each superstep, so the
     rank vector stays a probability distribution.
+
+    ``ckpt_every``: materialise the rank vector every k supersteps instead
+    of every superstep — on a fixed-iteration run (tol=0, no dangling
+    mass) nothing reads the intermediate vectors, so eager per-step
+    checkpoints only pay materialisation cost; the lineage between
+    checkpoints is k join+agg layers, well inside Catalyst's comfort
+    zone.  Runs that DO read the vector every step (tol>0 delta, dangling
+    mass) checkpoint every step as before, since a lazy chain would be
+    recomputed per action.
     """
     ckpt = ckpt or CheckpointManager(spark)
     if not directed:
@@ -84,7 +94,9 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        new_ranks = ckpt.save(new_ranks, "pagerank_ranks", step)
+        every_step = any_dangling or tol > 0.0
+        if every_step or step % ckpt_every == ckpt_every - 1 or step == max_iter - 1:
+            new_ranks = ckpt.save(new_ranks, "pagerank_ranks", step)
         if tol > 0.0:
             delta = (
                 new_ranks.withColumnRenamed("rank", "nr")

@@ -1,35 +1,61 @@
 """Distributed Leiden community detection (SURVEY.md §2.5, §3.1, §4.3).
 
-Architecture — gather-scatter supersteps + hybrid coarse solve:
+Architecture — gather-scatter supersteps + recursive multi-level descent:
 
-1. **Distributed local-move supersteps** on the full edge table: one
+1. **Distributed local-move supersteps** on the level's edge table: one
    join-aggregate gathers, for every vertex, its edge weight towards every
    neighbouring community (reference ``weight_to_comm``, the hot P8
    gather); the closed-form ΔQ of every candidate move is evaluated as
    pure column arithmetic against frozen per-community aggregates; a
-   deterministic half (``xxhash64(v, step, seed)`` parity) of the winning
-   moves commits per superstep — the standard guard against move/counter-
-   move oscillation in batched Louvain/Leiden (SURVEY.md §4.3).
+   deterministic direction-gated subset of the winning moves commits per
+   superstep, and a **monotone-commit guard** (SURVEY.md §4.3) re-scores
+   the realised quality each superstep and rolls back / halves a batch
+   whose frozen-stats ΔQ turned out negative — per-superstep quality is
+   non-decreasing by construction.
 2. **Distributed refinement**: connected components *within* each
    community (γ-connectivity — Leiden's core guarantee: communities are
    internally connected).  The aggregate graph is built over the refined
    partition, seeded with the parent communities (advanced.rst:100-123
    step 5).
-3. **Coarse solve**: after one aggregation the graph shrinks
-   geometrically; once below ``local_threshold`` edges it is pulled to the
+3. **Recursive multi-level aggregation** (reference Optimiser.py:294-355):
+   the coarse graph (edges between refined communities, ``node_size`` =
+   community vertex mass) re-enters the *distributed* superstep loop when
+   it is still too large for one machine, descending level by level; only
+   once it fits under ``local_finish_threshold`` edges is it pulled to the
    driver and finished by :mod:`leidenalg_spark.localcore` — the exact
    reference semantics (refinement, empty communities, constraints,
-   n_iterations<0) at zero distributed cost.  Small inputs skip straight
-   to the local core, reproducing leidenalg behaviour end-to-end.
+   n_iterations<0) at zero distributed cost.  At 10^12 edges this is the
+   difference between Leiden and a single Louvain sweep: the first coarse
+   graph can still hold billions of edges, so it must be optimised
+   distributed, not skipped.
+
+Reference-contract features carried through the *distributed* supersteps
+(not only the local core):
+
+- ``is_membership_fixed`` (O11, python_optimiser_interface.cpp:76-97):
+  fixed vertices never appear in the winners table, coarse nodes
+  containing a fixed vertex are fixed in the recursive/local solve, and
+  fixed labels survive end-to-end (labels ride the membership rows).
+- ``consider_empty_community`` (O9, Optimiser.py:211-220): every vertex
+  also scores a move into a fresh empty community — a vertex-proportional
+  side branch off the gather (w_to_comm = 0 by definition), so the
+  distributed phase can *split* communities without waiting for
+  refinement.
+- min/max community size (O10, Optimiser.py:223-280): hard gate on
+  ``max_comm_size`` (enforcement 0) and the soft
+  ``enforcement·Δviolation`` penalty, evaluated per candidate from the
+  same community aggregates the ΔQ already reads.
 
 Every superstep checkpoints membership + metrics (north rule) through
 :class:`CheckpointManager`, which also truncates the iterative lineage.
 
-Scale notes: the gather shuffles edges once per superstep on ``dst`` then
-``(src, comm)`` — both partial-aggregated; comm_stats is tiny after the
-first supersteps (broadcast side of the candidate join); AQE splits the
-tool-hub skew.  No per-row Python anywhere: the only Python is the
-driver loop and the coarse NumPy solve.
+Scale notes: the gather shuffles the gathered rows once per superstep on
+the vertex id — both sides of the gather join are co-partitioned sorted
+caches; comm_stats attaches adaptively (merge join while communities are
+many, broadcast once they collapse); AQE splits the tool-hub skew, and
+``hub_salt`` bounds any single task's share of a hub vertex's gather.
+No per-row Python anywhere: the only Python is the driver loop and the
+final coarse NumPy solve.
 """
 
 from __future__ import annotations
@@ -46,9 +72,14 @@ from ..functions.quality import quality as df_quality
 from .checkpoint import CheckpointManager
 
 EPSQ = 1e-10
-# community-stats tables at or below this row count broadcast (~tens of MB);
-# above it they merge-join — see the adaptive attach in the superstep loop
-_BCAST_COMMS = 5_000_000
+# community-stats tables at or below this row count broadcast; the row is
+# (comm:long + ≤4 doubles) ≈ 40 B raw, so 1M rows ≈ 40 MB payload — safely
+# inside a 2 GB-per-core executor even with broadcast-relation overhead.
+# Above it they merge-join — see the adaptive attach in the superstep loop.
+_BCAST_COMMS = 1_000_000
+# coarse graphs at or below this edge count finish on the driver-local
+# exact core; larger coarse graphs recurse into another distributed level
+LOCAL_FINISH_EDGES = 5_000_000
 
 
 @dataclass
@@ -96,50 +127,99 @@ def _method_eff(spec):
     Surprise's global-KL objective is not separable per-row against frozen
     totals; the distributed phase uses the RBER(gamma=1) gradient — "join
     groups denser than the global density", the same local argmax direction
-    as Surprise — and the coarse finish is exact.
+    as Surprise — and the exact local finish at the bottom of the descent
+    re-optimises under true Surprise.  The monotone-commit guard therefore
+    also monitors the effective (RBER) objective for this method.
     """
     if spec.method == "surprise":
         return "rber", 1.0
     return spec.method, spec.gamma
 
 
-def _stat_needs(method_eff, directed):
+def _stat_needs(method_eff, directed, constrained=False):
     """Which per-community aggregates the method's ΔQ actually reads.
 
     The ``w`` (internal weight) terms cancel in the ΔQ difference for every
     linear method, so only Significance carries them; pruning keeps the
-    per-superstep edge shuffle rows narrow.
+    per-superstep edge shuffle rows narrow.  Size constraints (O10) need
+    the community node mass ``n`` regardless of method.
     """
     if method_eff in ("modularity", "rbconfiguration"):
-        return {"K_out", "K_in"} if directed else {"K_out"}
-    if method_eff in ("rber", "cpm"):
-        return {"n"}
-    if method_eff == "significance":
-        return {"n", "w"}
-    raise ValueError(method_eff)
+        needs = {"K_out", "K_in"} if directed else {"K_out"}
+    elif method_eff in ("rber", "cpm"):
+        needs = {"n"}
+    elif method_eff == "significance":
+        needs = {"n", "w"}
+    else:
+        raise ValueError(method_eff)
+    if constrained:
+        needs = needs | {"n"}
+    return needs
 
 
-def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed, n_shuffle):
-    """One distributed local-move superstep → winning moves (id, new_comm).
+def _viol(size, mn, mx):
+    """Community-size violation (localcore._constraint_adjust twin):
+    ``max(0, min-|c|)·[|c|>0] + max(0, |c|-max)`` as a column."""
+    out = F.lit(0.0)
+    if mn:
+        out = out + F.when((size > 0) & (size < mn), mn - size).otherwise(F.lit(0.0))
+    if mx:
+        out = out + F.greatest(size - F.lit(float(mx)), F.lit(0.0))
+    return out
 
-    ΔQ is computed against frozen stats: exact for a single move, a
-    (provably convergent in practice) approximation for a committed batch;
-    the alternating parity keeps batches conflict-sparse.
+
+def _constraint_dq(dq, na, nb, sv, opts, empty=False):
+    """Apply O10 size constraints to a candidate-gain column.
+
+    Soft penalty ``enforcement · Δviolation`` when enforcement > 0, hard
+    gate on max_comm_size when enforcement == 0 (the historic
+    ``find_partition(max_comm_size=...)`` behaviour) — identical to
+    localcore.optimiser._constraint_adjust.
+    """
+    mn, mx, enf = opts.min_comm_size, opts.max_comm_size, opts.community_constraint_enforcement
+    if not mn and not mx:
+        return dq
+    nb_eff = F.lit(0.0) if empty else nb
+    if enf > 0:
+        before = _viol(na, mn, mx) + _viol(nb_eff, mn, mx)
+        after = _viol(na - sv, mn, mx) + _viol(nb_eff + sv, mn, mx)
+        return dq - F.lit(float(enf)) * (after - before)
+    if mx:
+        return F.when(nb_eff + sv > mx, F.lit(float("-inf"))).otherwise(dq)
+    return dq
+
+
+def _empty_comm_id(step):
+    """Fresh community id per (vertex, superstep) for the O9 empty
+    candidate.  xxhash64 of a tagged key: the collision probability with
+    any live label is ~2^-64 per pair — negligible, and a collision would
+    only alias two split-off singletons, never corrupt the invariants."""
+    return F.xxhash64(F.lit("empty_comm"), F.col("id"), F.lit(int(step)))
+
+
+def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed, n_shuffle, opts):
+    """One distributed local-move superstep → (winners, g).
+
+    ΔQ is computed against frozen stats: exact for a single move, an
+    approximation for a committed batch — the monotone-commit guard in the
+    driver loop verifies the realised quality and rolls back otherwise.
 
     ``aug`` = membership ⋈ vertex stats ⋈ own-community aggregates
     (id, comm, k_out, k_in, loop, node_size, Ka_*/na/wa as the method
-    needs) — one hash(id)-partitioned, sorted, cached table, so the whole
-    superstep is a single edge-proportional exchange: candidate-community
-    stats ride through the gather join (constant per candidate, recovered
-    with ``first()``), the vertex side merge-joins co-partitioned, v's
-    weight to its *own* community comes from a window over the same
-    id-partitioning the arg-max reuses, and no per-superstep broadcast is
-    built (a driver-serial cost that caps cluster-size scaling).
+    needs).  The cached EDGE side never moves between supersteps (the
+    expensive exchange at 10^12 edges); the vertex-side tables (aug,
+    membership — n rows, not m) are re-exchanged/sorted each superstep
+    because a parquet checkpoint reload carries no recognised
+    partitioning — candidate-community stats ride through the gather join
+    (constant per candidate, recovered with ``first()``), v's weight to
+    its *own* community comes from the gathered own-community rows, and
+    no per-superstep broadcast is built for the big side.  ``g`` is
+    returned persisted — the caller reads the realised-quality scalar
+    from it (monotone guard) at no extra scan.
     """
-    from pyspark.sql import Window
-
     method_eff, gamma_eff = _method_eff(spec)
-    needs = _stat_needs(method_eff, directed)
+    constrained = bool(opts.min_comm_size or opts.max_comm_size)
+    needs = _stat_needs(method_eff, directed, constrained)
     zero = F.lit(0.0)
     b_cols = []  # (gather output name, aug source column)
     if "K_out" in needs:
@@ -151,9 +231,9 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     if "w" in needs:
         b_cols.append(("wb", "wa"))
 
-    # gather join: edges_sym is cached hash(dst)-partitioned and sorted, and
-    # m_dst inherits hash(id→dst) partitioning + ordering from the aug
-    # cache, so the merge join below is a zero-exchange zipper on both sides
+    # gather join: edges_sym is cached hash(dst)-partitioned and sorted —
+    # the edge side (the heavy one) never re-exchanges; the n-row m_dst
+    # side exchanges/sorts to meet it each superstep
     m_dst = aug.select(
         F.col("id").alias("dst"), F.col("comm").alias("cand"),
         *[F.col(src).alias(dst_name) for dst_name, src in b_cols],
@@ -161,7 +241,7 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     joined = edges_sym.join(m_dst, "dst")
     # ONE edge-proportional exchange per superstep: repartition the gathered
     # rows by vertex; hash(src) satisfies the groupBy(src, cand) clustering,
-    # and every downstream op (aug join, own-community window, per-vertex
+    # and every downstream op (aug join, own-community join, per-vertex
     # arg-max, winner→membership update) reuses the same hash(id) layout
     gather = (
         joined.repartition(n_shuffle, "src")
@@ -171,12 +251,15 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
             *[F.first(name).alias(name) for name, _ in b_cols],
         )
     )
-    g = gather.join(aug.hint("merge"), "id")
-    w_id = Window.partitionBy("id")
-    g = g.withColumn(
-        "w_va", F.coalesce(F.max(F.when(F.col("cand") == F.col("comm"), F.col("w_vc"))).over(w_id), F.lit(0.0))
+    g = gather.join(aug.hint("merge"), "id").persist()
+    # v's weight into its own community: the cand == comm gathered rows —
+    # one row per vertex, co-partitioned hash(id) with everything below
+    w_va_tbl = g.where(F.col("cand") == F.col("comm")).select("id", F.col("w_vc").alias("w_va"))
+    x = (
+        g.where(F.col("cand") != F.col("comm"))
+        .join(w_va_tbl.hint("merge"), "id", "left")
+        .na.fill({"w_va": 0.0})
     )
-    x = g.where(F.col("cand") != F.col("comm"))
 
     present = {"Ka_out": "K_out", "Kb_out": "K_out", "Ka_in": "K_in", "Kb_in": "K_in",
                "na": "n", "nb": "n", "wa": "w", "wb": "w"}
@@ -186,7 +269,6 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
 
     csl = spec.correct_self_loops
     rm = F.col("w_va") + F.col("loop")
-    add = F.col("w_vc") + F.col("loop")
     args = dict(directed=directed, W=W, p_global=p_global, csl=csl)
     ka_out, ka_in, na, wa = col_of("Ka_out"), col_of("Ka_in"), col_of("na"), col_of("wa")
     kb_out, kb_in, nb, wb = col_of("Kb_out"), col_of("Kb_in"), col_of("nb"), col_of("wb")
@@ -200,39 +282,74 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
         w=wa - rm, ko=ka_out - F.col("k_out"),
         ki=ka_in - F.col("k_in"), n=na - F.col("node_size"), **args,
     )
-    gb_old = _contrib(method_eff, gamma_eff, w=wb, ko=kb_out, ki=kb_in, n=nb, **args)
-    gb_new = _contrib(
-        method_eff, gamma_eff,
-        w=wb + add, ko=kb_out + F.col("k_out"),
-        ki=kb_in + F.col("k_in"), n=nb + F.col("node_size"), **args,
-    )
-    dq = (ga_new - ga_old) + (gb_new - gb_old)
 
-    winners = (
-        x.withColumn("dq", dq)
-        .where(F.col("dq") > EPSQ)
+    def dq_for(add_w, kbo, kbi, n_b, w_b, empty):
+        gb_old = _contrib(method_eff, gamma_eff, w=w_b, ko=kbo, ki=kbi, n=n_b, **args)
+        gb_new = _contrib(
+            method_eff, gamma_eff,
+            w=w_b + add_w, ko=kbo + F.col("k_out"),
+            ki=kbi + F.col("k_in"), n=n_b + F.col("node_size"), **args,
+        )
+        dq = (ga_new - ga_old) + (gb_new - gb_old)
+        return _constraint_dq(dq, na, nb, F.col("node_size"), opts, empty=empty)
+
+    # tie-break among equal-ΔQ candidates: deterministic smallest-id by
+    # default; under size constraints a per-(vertex, step) hash instead —
+    # the reference breaks ties RANDOMLY, and a global "everyone picks the
+    # same smallest community" tie-break makes admission-capped batches
+    # fill one community per superstep (K100 min-size golden would need
+    # ~n/min supersteps); the hash spreads tied joiners across targets
+    if constrained:
+        tie = F.xxhash64(F.col("id"), F.col("cand"), F.lit(int(step)))
+    else:
+        tie = -F.col("cand")
+    best_x = (
+        x.withColumn("dq", dq_for(F.col("w_vc") + F.col("loop"), kb_out, kb_in, nb, wb, False))
         .groupBy("id")
         .agg(
-            F.max_by(F.struct(F.col("cand"), F.col("dq")), F.struct(F.col("dq"), -F.col("cand"))).alias("best"),
+            F.max_by(F.struct(F.col("cand"), F.col("dq")), F.struct(F.col("dq"), tie)).alias("best"),
             F.first("comm").alias("comm"),
         )
-        .select("id", "comm", F.col("best.cand").alias("new_comm"), F.col("best.dq").alias("dq"))
-        # direction gate: even steps move only towards larger community
-        # ids, odd steps towards smaller — makes simultaneous swap /
-        # counter-moves between two communities impossible (a pair of
-        # vertices can never trade places in one superstep), unlike a
-        # random half-gate which lets same-parity pairs oscillate
-        .withColumn(
-            "gated",
-            F.when(F.lit(step % 2 == 0), F.col("new_comm") > F.col("comm")).otherwise(
-                F.col("new_comm") < F.col("comm")
-            ),
-        )
+        .select("id", "comm", F.col("best.cand").alias("nc_x"), F.col("best.dq").alias("dq_x"))
     )
-    return winners
+    if opts.consider_empty_community:
+        # O9: one synthetic candidate per vertex (w_to_comm = 0, empty
+        # target stats) — an n-row side branch off the cached aug/w_va
+        # tables, never another edge scan.  Fused into the main arg-max
+        # with ONE left join (same (dq, -new_comm) tie-break as a union
+        # would give) instead of a union + second full aggregation.
+        ev = aug.join(w_va_tbl.hint("merge"), "id", "left").na.fill({"w_va": 0.0})
+        e_dq = dq_for(F.col("loop"), zero, zero, zero, zero, True)
+        ev = ev.select("id", "comm", _empty_comm_id(step).alias("nc_e"), e_dq.alias("dq_e"))
+        j = ev.join(best_x.select("id", "nc_x", "dq_x"), "id", "left")
+        x_wins = F.col("dq_x").isNotNull() & (
+            (F.col("dq_x") > F.col("dq_e"))
+            | ((F.col("dq_x") == F.col("dq_e")) & (F.col("nc_x") < F.col("nc_e")))
+        )
+        winners = j.select(
+            "id", "comm",
+            F.when(x_wins, F.col("nc_x")).otherwise(F.col("nc_e")).alias("new_comm"),
+            F.when(x_wins, F.col("dq_x")).otherwise(F.col("dq_e")).alias("dq"),
+        ).where(F.col("dq") > EPSQ)
+    else:
+        winners = best_x.select(
+            "id", "comm", F.col("nc_x").alias("new_comm"), F.col("dq_x").alias("dq")
+        ).where(F.col("dq") > EPSQ)
+    # direction gate: even steps move only towards larger community
+    # ids, odd steps towards smaller — makes simultaneous swap /
+    # counter-moves between two communities impossible (a pair of
+    # vertices can never trade places in one superstep), unlike a
+    # random half-gate which lets same-parity pairs oscillate
+    winners = winners.withColumn(
+        "gated",
+        F.when(F.lit(step % 2 == 0), F.col("new_comm") > F.col("comm")).otherwise(
+            F.col("new_comm") < F.col("comm")
+        ),
+    )
+    return winners, g
 
 
-def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed, n_shuffle, k):
+def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed, n_shuffle, k, opts):
     """Skew-proof variant of :func:`_superstep_moves` (hub-vertex salting).
 
     A tool vertex can have degree ~|conversations| (10^9 at north-rule
@@ -249,17 +366,19 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
     - the per-vertex arg-max runs two-level: partial per ``(id, salt3)``
       (no exchange), final over ≤k rows per vertex (tiny exchange).
 
-    The arg-max key is the candidate-side ΔQ term only: the source-side
-    term — including v's weight to its own community — is constant across
-    a vertex's candidates, so it cannot change the arg-max and is applied
-    afterwards on the n-row winners table, where the exact dq > 0
-    threshold and the direction gate run as in the fast path.  v's static
-    stats ride the edge cache; candidate-community aggregates ride the
-    gather; v's own-community row is recovered from the same gathered
-    table (``cand == comm``) at no extra scan.
+    The partial arg-max key is the candidate-side ΔQ term (plus the
+    candidate-side constraint penalty): the source-side term — including
+    v's weight to its own community — is constant across a vertex's
+    candidates, so it cannot change the arg-max and is applied afterwards
+    on the n-row winners table, where the exact dq > 0 threshold, the O9
+    empty candidate, and the direction gate run as in the fast path.
+    v's static stats ride the edge cache; candidate-community aggregates
+    ride the gather; v's own-community row is recovered from the same
+    gathered table (``cand == comm``) at no extra scan.
     """
     method_eff, gamma_eff = _method_eff(spec)
-    needs = _stat_needs(method_eff, directed)
+    constrained = bool(opts.min_comm_size or opts.max_comm_size)
+    needs = _stat_needs(method_eff, directed, constrained)
     zero = F.lit(0.0)
     b_cols = []
     if "K_out" in needs:
@@ -284,9 +403,9 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
         .hint("merge")
     )
     joined = edges_sym.join(m_dst_k, ["dst", "salt1"])
-    # rider pruning: node_size is constant 1.0 in the distributed level and
-    # undirected strengths are symmetric — ship only what ΔQ reads
-    statics = ["vk_out", "vloop"] if not directed else ["vk_out", "vk_in", "vloop"]
+    # rider pruning: undirected strengths are symmetric — ship only what
+    # ΔQ reads (vnsize rides because coarse levels carry real node sizes)
+    statics = ["vk_out", "vloop", "vnsize"] if not directed else ["vk_out", "vk_in", "vloop", "vnsize"]
     gather = (
         joined.withColumn("salt3", F.pmod(F.xxhash64("cand"), F.lit(k)))
         .repartition(n_shuffle, "src", "salt3")
@@ -304,8 +423,9 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
         .sortWithinPartitions("id", "salt3")
         .hint("merge")
     )
-    # persisted: the winners branch and the own-community (w_va) branch
-    # both read it — without the cache the whole gather would run twice
+    # persisted: the winners branch, the own-community (w_va) branch and
+    # the monotone-guard quality scalar all read it — without the cache
+    # the whole gather would run three times
     g = gather.join(m_src_k, ["id", "salt3"]).persist()
     w_va_tbl = g.where(F.col("cand") == F.col("comm")).select("id", F.col("w_vc").alias("w_va"))
     cands = g.where(F.col("cand") != F.col("comm"))
@@ -326,11 +446,26 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
     gb_new = _contrib(
         method_eff, gamma_eff,
         w=wb + add, ko=kb_out + F.col("vk_out"),
-        ki=kb_in + vk_in, n=nb + F.lit(1.0), **args,
+        ki=kb_in + vk_in, n=nb + F.col("vnsize"), **args,
     )
-    scored = cands.withColumn("gb", gb_new - gb_old)
+    gb = gb_new - gb_old
+    # candidate-side size constraints must steer the partial arg-max too:
+    # hard max gate, and the b-side half of the soft penalty (the a-side
+    # half is constant per vertex → applied on the winners table below)
+    mn, mx, enf = opts.min_comm_size, opts.max_comm_size, opts.community_constraint_enforcement
+    if (mn or mx) and enf > 0:
+        gb = gb - F.lit(float(enf)) * (_viol(nb + F.col("vnsize"), mn, mx) - _viol(nb, mn, mx))
+    elif mx:
+        gb = F.when(nb + F.col("vnsize") > mx, F.lit(float("-inf"))).otherwise(gb)
+    scored = cands.withColumn("gb", gb)
 
-    pick = F.max_by(F.struct(F.col("cand"), F.col("gb")), F.struct(F.col("gb"), -F.col("cand")))
+    # constrained runs spread equal-gain ties by hash (see the unsalted
+    # path) so admission-capped targets fill concurrently
+    tie = (
+        F.xxhash64(F.col("id"), F.col("cand"), F.lit(int(step)))
+        if constrained else -F.col("cand")
+    )
+    pick = F.max_by(F.struct(F.col("cand"), F.col("gb")), F.struct(F.col("gb"), tie))
     partial = scored.groupBy("id", "salt3").agg(pick.alias("best"))
     best = (
         partial.select("id", F.col("best.cand").alias("cand"), F.col("best.gb").alias("gb"))
@@ -339,7 +474,8 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
         .select("id", F.col("best.cand").alias("new_comm"), F.col("best.gb").alias("gb"))
     )
 
-    # n-row winners stage: exact source-side term, threshold, gate
+    # n-row winners stage: exact source-side term, O9 empty candidate,
+    # threshold, gate
     apresent = {"Ka_out": "K_out", "Ka_in": "K_in", "na": "n", "wa": "w"}
 
     def acol(name):
@@ -360,16 +496,49 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
         w=wa - rm, ko=ka_out - F.col("k_out"),
         ki=ka_in - F.col("k_in"), n=na - F.col("node_size"), **args,
     )
-    winners = (
-        w.withColumn("dq", F.col("gb") + (ga_new - ga_old))
-        .where(F.col("dq") > EPSQ)
-        .select("id", "comm", "new_comm", "dq")
-        .withColumn(
-            "gated",
-            F.when(F.lit(step % 2 == 0), F.col("new_comm") > F.col("comm")).otherwise(
-                F.col("new_comm") < F.col("comm")
-            ),
+    a_term = ga_new - ga_old
+    if (mn or mx) and enf > 0:
+        a_term = a_term - F.lit(float(enf)) * (
+            _viol(na - F.col("node_size"), mn, mx) - _viol(na, mn, mx)
         )
+    if opts.consider_empty_community:
+        # O9 fused into the final pick with one left join (see the
+        # unsalted path): every vertex gets the empty candidate, the
+        # per-vertex best neighbour candidate attaches where it exists
+        bx = w.withColumn("dq_x", F.col("gb") + a_term).select(
+            "id", F.col("new_comm").alias("nc_x"), "dq_x"
+        )
+        ev = aug.join(w_va_tbl, "id", "left").na.fill({"w_va": 0.0})
+        gb_e_new = _contrib(
+            method_eff, gamma_eff,
+            w=F.col("loop"), ko=F.col("k_out"),
+            ki=F.col("k_in") if directed else F.col("k_out"),
+            n=F.col("node_size"), **args,
+        )
+        dq_e = (ga_new - ga_old) + gb_e_new
+        dq_e = _constraint_dq(dq_e, na, zero, F.col("node_size"), opts, empty=True)
+        ev = ev.select("id", "comm", _empty_comm_id(step).alias("nc_e"), dq_e.alias("dq_e"))
+        j = ev.join(bx, "id", "left")
+        x_wins = F.col("dq_x").isNotNull() & (
+            (F.col("dq_x") > F.col("dq_e"))
+            | ((F.col("dq_x") == F.col("dq_e")) & (F.col("nc_x") < F.col("nc_e")))
+        )
+        best_x = j.select(
+            "id", "comm",
+            F.when(x_wins, F.col("nc_x")).otherwise(F.col("nc_e")).alias("new_comm"),
+            F.when(x_wins, F.col("dq_x")).otherwise(F.col("dq_e")).alias("dq"),
+        ).where(F.col("dq") > EPSQ)
+    else:
+        best_x = (
+            w.withColumn("dq", F.col("gb") + a_term)
+            .where(F.col("dq") > EPSQ)
+            .select("id", "comm", "new_comm", "dq")
+        )
+    winners = best_x.withColumn(
+        "gated",
+        F.when(F.lit(step % 2 == 0), F.col("new_comm") > F.col("comm")).otherwise(
+            F.col("new_comm") < F.col("comm")
+        ),
     )
     return winners, g
 
@@ -377,7 +546,7 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
 def _refine_by_components(spark, edges, membership, ckpt):
     """Distributed refinement: split every community into its connected
     components (γ-connectivity).  Returns refined membership
-    (id, refined_comm:string-free long pair hash) and the parent mapping."""
+    (id, comm, refined) with refined = hash(comm, component)."""
     from .kernels import connected_components
 
     m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("comm_src"))
@@ -399,6 +568,517 @@ def _refine_by_components(spark, edges, membership, ckpt):
     )
 
 
+# ----------------------------------------------------- move-phase machinery
+def _level_setup(spark, edges, directed, node_sizes, hub_salt, n_shuffle):
+    """Static per-level tables: symmetrised partitioned edge cache, vertex
+    stats (strengths, loops, node sizes), and level scalars."""
+    from ..functions.quality import vertex_strengths
+
+    sym = edges.where(F.col("src") != F.col("dst"))
+    edges_sym = sym if directed else sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    loops = (
+        edges.where(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("weight").alias("loop"))
+    )
+    vstats = vertex_strengths(edges, directed).join(loops, "id", "left").na.fill({"loop": 0.0})
+    if node_sizes is not None:
+        vstats = vstats.join(node_sizes, "id", "full").na.fill(
+            {"node_size": 1.0, "k_out": 0.0, "k_in": 0.0, "loop": 0.0}
+        )
+    else:
+        vstats = vstats.withColumn("node_size", F.lit(1.0))
+    vstats = vstats.repartition(n_shuffle, "id").persist()  # co-partitioned with membership
+    if hub_salt > 1:
+        # salted layout: hub in-edges spread over k sub-partitions, and
+        # v's static stats ride the cache so the salted gather never
+        # joins the vertex table on an unsalted key
+        static_cols = [
+            F.col("k_out").alias("vk_out"), F.col("loop").alias("vloop"),
+            F.col("node_size").alias("vnsize"),
+        ]
+        if directed:
+            static_cols.insert(1, F.col("k_in").alias("vk_in"))
+        vsrc = vstats.select(F.col("id").alias("src"), *static_cols)
+        edges_sym = (
+            edges_sym.join(vsrc, "src")
+            .withColumn("salt1", F.pmod(F.xxhash64("src"), F.lit(hub_salt)))
+            .repartition(n_shuffle, "dst", "salt1")
+            .sortWithinPartitions("dst", "salt1")
+            .persist()
+        )
+    else:
+        edges_sym = edges_sym.repartition(n_shuffle, "dst").sortWithinPartitions("dst").persist()
+    edges_sym.count()  # materialise outside the measured superstep loop
+    W = float(edges.agg(F.sum("weight")).first()[0] or 0.0)
+    totals = vstats.agg(F.sum("node_size").alias("n"), F.sum("loop").alias("lt")).first()
+    n_tot, loop_tot = float(totals["n"] or 0.0), float(totals["lt"] or 0.0)
+    return edges_sym, vstats, W, n_tot, loop_tot
+
+
+def _guard_exprs(spec, directed, W, p_global, opts):
+    """Aggregate expressions over the community-stats table that the
+    monotone-commit guard needs — folded into the SAME job as the
+    ``n_comm`` count so the guard adds no cstats-side action:
+
+    - ``q_pen``: for the linear family, Σ_c penalty(K_c / n_c); for
+      significance the FULL per-community contribution (its quality reads
+      cstats only).
+    - ``q_viol``: Σ_c size-constraint violation (O10 soft penalty) when
+      constraints are active — without it the guard would roll back the
+      corrective moves that pull an overshooting community back under
+      ``max_comm_size``, because those moves lower the *unconstrained*
+      quality on purpose.
+    """
+    method_eff, gamma_eff = _method_eff(spec)
+    csl = spec.correct_self_loops
+    if method_eff == "significance":
+        pen = -_contrib(
+            method_eff, gamma_eff, directed=directed, W=W, p_global=p_global, csl=csl,
+            w=F.col("wa"), ko=F.lit(0.0), ki=F.lit(0.0), n=F.col("na"),
+        )
+    elif method_eff == "modularity":
+        pen = (F.col("Ka_out") * F.col("Ka_in")) / (W * W) if directed else (
+            F.col("Ka_out") * F.col("Ka_out")
+        ) / (4.0 * W * W)
+    elif method_eff == "rbconfiguration":
+        pen = gamma_eff * ((F.col("Ka_out") * F.col("Ka_in")) / W if directed else (
+            F.col("Ka_out") * F.col("Ka_out")
+        ) / (4.0 * W))
+    elif method_eff == "rber":
+        pen = gamma_eff * p_global * _pairs_col(F.col("na"), directed, csl)
+    elif method_eff == "cpm":
+        pen = gamma_eff * _pairs_col(F.col("na"), directed, csl)
+    else:
+        raise ValueError(method_eff)
+    exprs = [F.coalesce(F.sum(pen), F.lit(0.0)).alias("q_pen")]
+    if opts is not None and (opts.min_comm_size or opts.max_comm_size) \
+            and opts.community_constraint_enforcement > 0:
+        exprs.append(
+            F.coalesce(
+                F.sum(_viol(F.col("na"), opts.min_comm_size, opts.max_comm_size)),
+                F.lit(0.0),
+            ).alias("q_viol")
+        )
+    return exprs
+
+
+def _quality_from_guard_row(row, g, spec, directed, W, loop_tot, opts):
+    """Realised quality of the current membership (monotone-commit guard)
+    from the combined cstats aggregate row + (linear family only) one sum
+    over the persisted gather's own-community rows — no extra edge scan.
+
+    Measured in the *effective* objective (`_method_eff`), which is what
+    the supersteps optimise, minus the soft O10 penalty when active.
+    """
+    method_eff, _ = _method_eff(spec)
+    constraint_pen = 0.0
+    if "q_viol" in row.__fields__:
+        constraint_pen = float(opts.community_constraint_enforcement) * float(row["q_viol"])
+    if method_eff == "significance":
+        return -float(row["q_pen"]) - constraint_pen
+    own = g.where(F.col("cand") == F.col("comm")).agg(F.sum("w_vc")).first()[0] or 0.0
+    w_in_tot = float(own) * (1.0 if directed else 0.5) + loop_tot
+    coef_w = (1.0 / W if W > 0 else 0.0) if method_eff == "modularity" else 1.0
+    return coef_w * w_in_tot - float(row["q_pen"]) - constraint_pen
+
+
+def _move_phase(
+    spark, edges, spec, directed, seed, n_shuffle, max_supersteps, ckpt, opts,
+    membership, node_sizes=None, fixed=None, hub_salt=0, level=0,
+    monotone=True, resume_state=None, name="membership", ckpt_idx0=0,
+    iteration=0, total_steps0=0,
+):
+    """Run the distributed local-move superstep loop on one level until no
+    vertex has an improving move.  Returns (membership, steps, ckpt_idx).
+
+    Monotone-commit guard (SURVEY §4.3): the quality of the incoming
+    membership is evaluated each superstep from the gather's own cached
+    tables; if the previous batch commit *decreased* it, the membership
+    reverts to the last good checkpoint and the superstep is retried with
+    a deterministically-halved commit fraction (always keeping the single
+    best move, whose frozen-stats ΔQ is exact, so the retry strictly
+    improves) — per-committed-superstep quality is non-decreasing.  All
+    guard state (q_prev, fraction, good checkpoint index) rides the
+    durable resume state, so a resumed run replays identically.
+    """
+    method_eff, _ = _method_eff(spec)
+    constrained = bool(opts.min_comm_size or opts.max_comm_size)
+    needs = _stat_needs(method_eff, directed, constrained)
+    edges_sym, vstats, W, n_tot, loop_tot = _level_setup(
+        spark, edges, directed, node_sizes, hub_salt, n_shuffle
+    )
+    from ..localcore.quality import possible_pairs
+
+    pairs_tot = float(possible_pairs(n_tot, directed, spec.correct_self_loops))
+    p_global = W / pairs_tot if pairs_tot > 0 else 0.0
+    ecount = edges.count()  # metric basis: input edges, not the symmetrised cache
+
+    ckpt_idx = ckpt_idx0
+    step = 0
+    q_prev, frac_bits, frac_used, good_idx = None, 0, False, ckpt_idx0
+    good_membership = membership  # last commit whose realised quality held
+    if resume_state is not None:
+        step = resume_state.get("step", 0)
+        ckpt_idx = resume_state.get("ckpt_idx", ckpt_idx0)
+        q_prev = resume_state.get("q_prev")
+        frac_bits = resume_state.get("frac_bits", 0)
+        frac_used = resume_state.get("frac_used", False)
+        good_idx = resume_state.get("good_idx", ckpt_idx)
+        if ckpt.path and good_idx != ckpt_idx:
+            good_membership = ckpt.load(name, good_idx)
+        else:
+            good_membership = membership
+    if fixed is not None:
+        fixed = fixed.select("id").persist()
+
+    while step < max_supersteps:
+        step += 1
+        t0 = time.time()
+        # augmented vertex table: membership ⋈ static vertex stats, plus
+        # the own-community aggregates the method needs.  cstats is a
+        # pruned (comm, 1-4 doubles) table built with map-side partial
+        # aggregation, attached adaptively (see below).
+        mstats = membership.join(vstats.hint("merge"), "id")
+        agg_cols = []
+        if "K_out" in needs:
+            agg_cols.append(F.sum("k_out").alias("Ka_out"))
+        if "K_in" in needs:
+            agg_cols.append(F.sum("k_in").alias("Ka_in"))
+        if "n" in needs:
+            agg_cols.append(F.sum("node_size").alias("na"))
+        cstats = mstats.groupBy("comm").agg(*agg_cols)
+        if "w" in needs:
+            # only the KL objective needs per-community internal weight
+            # in its dQ; for the linear family the w terms cancel
+            m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("cs"))
+            m_dst = membership.select(F.col("id").alias("dst"), F.col("comm").alias("cd"))
+            w_in = (
+                edges.join(m_src, "src").join(m_dst, "dst")
+                .where(F.col("cs") == F.col("cd"))
+                .groupBy(F.col("cs").alias("comm"))
+                .agg(F.sum("weight").alias("wa"))
+            )
+            cstats = cstats.join(w_in, "comm", "left").na.fill({"wa": 0.0})
+        # adaptive stats attach.  Early supersteps: many communities,
+        # none big → the comm-keyed merge join has no skew.  Late
+        # supersteps: one community can hold a large fraction of all
+        # vertices (the tool hub), and a comm-keyed sort would put its
+        # members in ONE task — but by then n_comm has collapsed, so
+        # the stats table broadcasts: a map-side probe with zero
+        # shuffle and zero skew that also keeps mstats' hash(id)
+        # layout (no repartition/sort).  The crossover tracks the
+        # community count, which only shrinks as merges proceed.
+        # The guard's cstats-side quality terms ride the SAME job as the
+        # count — the monotone guard costs at most one extra action per
+        # superstep (the own-community sum over the cached gather).
+        cstats = cstats.persist()
+        guard_aggs = _guard_exprs(spec, directed, W, p_global, opts) if monotone else []
+        guard_row = cstats.agg(F.count(F.lit(1)).alias("n_comm"), *guard_aggs).first()
+        n_comm = int(guard_row["n_comm"])
+        if n_comm <= _BCAST_COMMS:
+            aug = mstats.join(F.broadcast(cstats), "comm").persist()
+        else:
+            aug = (
+                mstats.join(cstats.hint("merge"), "comm")
+                .repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
+            )
+        if hub_salt > 1:
+            winners, g = _superstep_moves_salted(
+                edges_sym, aug, spec, directed, W, p_global,
+                n_tot, ckpt_idx + 1, seed, n_shuffle, hub_salt, opts,
+            )
+        else:
+            winners, g = _superstep_moves(
+                edges_sym, aug, spec, directed, W, p_global,
+                n_tot, ckpt_idx + 1, seed, n_shuffle, opts,
+            )
+        if fixed is not None:
+            winners = winners.join(F.broadcast(fixed), "id", "left_anti")
+        winners = winners.persist()
+
+        # ---- monotone-commit guard: realised quality of the CURRENT
+        # membership, read from the persisted gather tables (cheap agg)
+        if monotone:
+            q_now = _quality_from_guard_row(guard_row, g, spec, directed, W, loop_tot, opts)
+            if q_prev is not None and q_now < q_prev - 1e-9:
+                # the previous batch degraded realised quality: revert to
+                # the last good membership and retry this superstep with a
+                # halved commit fraction (the retry recomputes winners from
+                # the good membership deterministically)
+                frac_bits += 1
+                frac_used = False
+                # log BEFORE the restore save: the rollback metric then
+                # chronologically tags the regressed commit (the previous
+                # superstep's membership save) as the reverted one
+                ckpt.log(
+                    name="leiden_rollback", level=level, step=step,
+                    frac=1.0 / (2 ** frac_bits), q_regressed=float(q_now - q_prev),
+                )
+                ckpt_idx += 1
+                membership = ckpt.save(good_membership, name, ckpt_idx)
+                if level == 0:
+                    ckpt.save_state({
+                        "iteration": iteration, "step": step, "ckpt_idx": ckpt_idx,
+                        "total_steps": total_steps0, "q_prev": q_prev,
+                        "frac_bits": frac_bits, "frac_used": False, "good_idx": ckpt_idx,
+                    })
+                good_membership = membership
+                winners.unpersist()
+                g.unpersist()
+                aug.unpersist()
+                cstats.unpersist()
+                continue
+            q_prev = q_now
+            good_membership = membership
+            good_idx = ckpt_idx
+            if frac_used:
+                # the fractional retry was validated — back to full batches
+                frac_bits, frac_used = 0, False
+
+        commit = winners.where("gated")
+        if frac_bits > 0:
+            frac_used = True
+            # retry of a reverted batch: keep a deterministic 1/2^bits
+            # subset plus the single best move (exact ΔQ > 0 → progress)
+            top = commit.agg(F.max_by("id", "dq").alias("tid")).first()["tid"]
+            commit = commit.where(
+                (F.pmod(F.xxhash64("id", F.lit(seed + 77)), F.lit(2 ** frac_bits)) == 0)
+                | (F.col("id") == F.lit(top if top is not None else -1))
+            )
+        if constrained:
+            # O10 admission capacity: a batch of simultaneous joins is
+            # admitted per target community in (dq desc, id) order only up
+            # to the constraint headroom — under-min targets fill to
+            # exactly min_comm_size, max-capped targets to max_comm_size —
+            # because the frozen-stats ΔQ (and, for min-only constraints,
+            # even the realised penalty) cannot see the batch overshoot:
+            # 99 vertices piling into one K100 community in a single
+            # superstep registers NO min-violation, yet locks the graph
+            # into an unsplittable coarse node.  The per-target window is
+            # winners-proportional and only runs on constrained jobs.
+            from pyspark.sql import Window as _W
+            mnv = float(opts.min_comm_size or 0)
+            mxv = float(opts.max_comm_size or 0)
+            tgt = cstats.select(F.col("comm").alias("new_comm"), F.col("na").alias("tgt_n"))
+            commit = (
+                commit.join(vstats.select("id", "node_size").hint("merge"), "id")
+                .join(tgt, "new_comm", "left").na.fill({"tgt_n": 0.0})
+            )
+            inf = F.lit(float("inf"))
+            if opts.min_comm_size and not opts.max_comm_size:
+                cap = F.when(F.col("tgt_n") < mnv, mnv - F.col("tgt_n")).otherwise(inf)
+            elif opts.max_comm_size and not opts.min_comm_size:
+                cap = F.lit(mxv) - F.col("tgt_n")
+            else:
+                cap = F.when(F.col("tgt_n") < mnv, mnv - F.col("tgt_n")).otherwise(
+                    F.lit(mxv) - F.col("tgt_n")
+                )
+            w_c = (
+                _W.partitionBy("new_comm")
+                .orderBy(F.desc("dq"), F.asc("id"))
+                .rowsBetween(_W.unboundedPreceding, 0)
+            )
+            commit = (
+                commit.withColumn("cum", F.sum("node_size").over(w_c))
+                .where(F.col("cum") <= cap)
+                .select("id", "comm", "new_comm", "dq")
+            )
+        new_membership = (
+            membership.join(commit.select("id", "new_comm"), "id", "left")
+            .select("id", F.coalesce("new_comm", "comm").alias("comm"))
+        )
+        # one heavy action per superstep: the checkpoint materialises the
+        # whole move pipeline (g + winners persist as side effects); the
+        # convergence counts then read the cached winners only
+        ckpt_idx += 1
+        membership = ckpt.save(new_membership, name, ckpt_idx)
+        counts = winners.agg(
+            F.count(F.lit(1)).alias("improving"),
+            F.count(F.when(F.col("gated"), 1)).alias("moves"),
+        ).first()
+        n_improving, n_moves = int(counts["improving"]), int(counts["moves"])
+        if level == 0:
+            ckpt.save_state({
+                "iteration": iteration, "step": step, "ckpt_idx": ckpt_idx,
+                "total_steps": total_steps0, "q_prev": q_prev,
+                "frac_bits": frac_bits, "frac_used": frac_used, "good_idx": good_idx,
+            })
+        winners.unpersist()
+        g.unpersist()
+        aug.unpersist()
+        cstats.unpersist()
+        dt = time.time() - t0
+        ckpt.log(
+            name="leiden_superstep", level=level, step=step,
+            moves=int(n_moves), improving=int(n_improving),
+            secs=round(dt, 4), edges_per_sec=round(ecount / max(dt, 1e-9), 1),
+        )
+        if n_improving == 0:
+            break
+    if fixed is not None:
+        fixed.unpersist()
+    edges_sym.unpersist()
+    vstats.unpersist()
+    return membership, step, ckpt_idx
+
+
+# --------------------------------------------------- multi-level descent
+def _descend(
+    spark, edges, spec, directed, seed, max_supersteps, ckpt, opts,
+    membership, node_sizes, fixed, level, local_finish_threshold, max_levels, hub_salt,
+):
+    """Refine → aggregate → recurse (reference Optimiser.py:294-355 +
+    advanced.rst:100-123 steps 2-5).
+
+    The coarse graph either (a) fits under ``local_finish_threshold``
+    edges → exact driver-local finish, or (b) re-enters the *distributed*
+    superstep loop as the next level (node_size = community vertex mass,
+    initial membership = parent communities, fixedness lifted per coarse
+    node) and recurses.  Projection back down is one join per level
+    (coarse side is the small side).
+    """
+    sym = edges.where(F.col("src") != F.col("dst"))
+    refined = _refine_by_components(spark, sym, membership, ckpt).persist()
+    r_src = refined.select(F.col("id").alias("src"), F.col("refined").alias("r_src"))
+    r_dst = refined.select(F.col("id").alias("dst"), F.col("refined").alias("r_dst"))
+    coarse_edges = (
+        edges.join(r_src, "src").join(r_dst, "dst")
+        .groupBy("r_src", "r_dst")
+        .agg(F.sum("weight").alias("weight"))
+        .select(F.col("r_src").alias("src"), F.col("r_dst").alias("dst"), "weight")
+    )
+    verts = refined
+    if node_sizes is not None:
+        verts = verts.join(node_sizes, "id", "left").na.fill({"node_size": 1.0})
+    else:
+        verts = verts.withColumn("node_size", F.lit(1.0))
+    if fixed is not None:
+        verts = verts.join(
+            F.broadcast(fixed.select("id", F.lit(True).alias("f"))), "id", "left"
+        ).na.fill({"f": False})
+    else:
+        verts = verts.withColumn("f", F.lit(False))
+    coarse_nodes = verts.groupBy("refined").agg(
+        F.sum("node_size").alias("node_size"),
+        F.first("comm").alias("parent"),
+        F.max("f").alias("has_fixed"),
+    ).persist()
+    n_coarse_edges = coarse_edges.count()
+    n_coarse_v = coarse_nodes.count()
+    n_fine_v = refined.count()
+
+    if n_coarse_edges > local_finish_threshold and n_coarse_v >= n_fine_v:
+        # refinement collapsed nothing (reference Optimiser break condition:
+        # coarse.n == cur.n) and the graph is too big for an exact finish —
+        # this level is stable; keep its membership
+        ckpt.log(name="leiden_level_stable", level=level, coarse_vertices=int(n_coarse_v))
+        refined.unpersist()
+        coarse_nodes.unpersist()
+        return membership
+
+    if n_coarse_edges <= local_finish_threshold:
+        ckpt.log(
+            name="leiden_aggregate", level=level, coarse_edges=int(n_coarse_edges),
+            finish="local",
+        )
+        coarse_memb = _local_finish(
+            spark, coarse_edges, coarse_nodes, spec, directed, seed, opts,
+            fixed_any=fixed is not None,
+        )
+    elif level >= max_levels:
+        # runaway guard — should not happen (levels shrink geometrically);
+        # keep the parent membership rather than looping forever
+        ckpt.log(name="leiden_max_levels", level=level, coarse_edges=int(n_coarse_edges))
+        coarse_memb = coarse_nodes.select(F.col("refined"), F.col("parent").alias("new_comm"))
+    else:
+        # the scale path: another distributed level.  Ephemeral
+        # checkpointing — the descent is deterministic given the durable
+        # level-0 membership checkpoint, so resume replays it exactly.
+        ckpt.log(
+            name="leiden_aggregate", level=level, coarse_edges=int(n_coarse_edges),
+            finish="distributed",
+        )
+        c_edges = coarse_edges.persist()
+        c_ns = coarse_nodes.select(F.col("refined").alias("id"), "node_size")
+        c_init = coarse_nodes.select(F.col("refined").alias("id"), F.col("parent").alias("comm"))
+        c_fixed = (
+            coarse_nodes.where("has_fixed").select(F.col("refined").alias("id"))
+            if fixed is not None else None
+        )
+        sub_ckpt = CheckpointManager(spark)
+        sub_ckpt.metrics = ckpt.metrics  # share the metrics stream
+        n_shuffle = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            max(8, n_coarse_edges // 200_000),
+        )
+        init = sub_ckpt.save(c_init, f"membership_l{level + 1}", 0)
+        cm, _, _ = _move_phase(
+            spark, c_edges, spec, directed, seed, n_shuffle, max_supersteps,
+            sub_ckpt, opts, init, node_sizes=c_ns, fixed=c_fixed,
+            hub_salt=hub_salt, level=level + 1, name=f"membership_l{level + 1}",
+        )
+        cm = _descend(
+            spark, c_edges, spec, directed, seed, max_supersteps, sub_ckpt, opts,
+            cm, c_ns, c_fixed, level + 1, local_finish_threshold, max_levels, hub_salt,
+        )
+        coarse_memb = cm.select(F.col("id").alias("refined"), F.col("comm").alias("new_comm"))
+        c_edges.unpersist()
+
+    out = (
+        refined.join(coarse_memb, "refined")
+        .select("id", F.col("new_comm").alias("comm"))
+    )
+    out = out.localCheckpoint(eager=True)  # lineage barrier before unpersists
+    refined.unpersist()
+    coarse_nodes.unpersist()
+    return out
+
+
+def _local_finish(spark, coarse_edges, coarse_nodes, spec, directed, seed, opts, fixed_any):
+    """Exact driver-local solve of the (small) coarse graph, seeded with
+    the parent communities (T3 + T4, SURVEY.md §2.2).  Fixed coarse nodes
+    keep their labels: localcore skips renumbering when a fixed mask is
+    given, and the dense→label unmap below restores the original parent
+    labels for preserved slots."""
+    ce = coarse_edges.toPandas()
+    cn = coarse_nodes.toPandas()
+    ids = cn["refined"].to_numpy(dtype=np.int64)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    src = ce["src"].map(idx).to_numpy(dtype=np.int64)
+    dst = ce["dst"].map(idx).to_numpy(dtype=np.int64)
+    if not directed:
+        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        src, dst = lo, hi
+    g = LocalGraph(
+        len(ids), src, dst, ce["weight"].to_numpy(dtype=np.float64),
+        node_size=cn["node_size"].to_numpy(dtype=np.float64), directed=directed,
+    )
+    parents = cn["parent"].to_numpy(dtype=np.int64)
+    uniq, parent_dense = np.unique(parents, return_inverse=True)
+    P = LocalPartition([(g, spec)], membership=parent_dense.astype(np.int64))
+    o = opts or OptimiserOpts(seed=seed)
+    fixed_mask = cn["has_fixed"].to_numpy(dtype=bool) if fixed_any else None
+    optimise_partition(P, n_iterations=2, is_membership_fixed=fixed_mask, opts=o)
+    memb = P.membership
+    if fixed_any:
+        # slots of fixed communities are preserved indices into ``uniq`` —
+        # map them back to the original parent labels; fresh slots get
+        # labels guaranteed distinct from every original label
+        hi_label = int(uniq.max(initial=0)) + 1
+        out_label = np.where(memb < len(uniq), uniq[np.clip(memb, 0, len(uniq) - 1)], hi_label + memb)
+    else:
+        out_label = memb
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"refined": ids, "new_comm": out_label.astype(np.int64)})
+    )
+
+
+# ------------------------------------------------------------------ façade
 def leiden(
     spark,
     edges: DataFrame,
@@ -415,36 +1095,50 @@ def leiden(
     resume: bool = False,
     finish: bool = True,
     hub_salt: int = 0,
+    node_sizes: DataFrame | None = None,
+    initial_membership: DataFrame | None = None,
+    fixed: DataFrame | None = None,
+    local_finish_threshold: int | None = None,
+    max_levels: int = 8,
+    monotone: bool = True,
 ) -> LeidenResult:
     """Flagship API (reference ``find_partition``, functions.py:21-93) on a
     Spark edge table (src:long, dst:long, weight:double).
 
-    ``hub_salt=k`` (k > 1) switches the move phase to the salted superstep
-    (:func:`_superstep_moves_salted`): no single task ever holds one
-    vertex's full gather — required when hub degrees (tool vertices) are
-    large enough that a per-vertex partition skews a stage.
+    - ``node_sizes``: optional (id, node_size) — CPM/RBER over
+      pre-aggregated vertices (reference ``node_sizes=`` kwarg).
+    - ``initial_membership``: optional (id, comm) seed partition.
+    - ``fixed``: optional (id) — vertices that never move
+      (``is_membership_fixed``, O11); their labels survive end-to-end.
+    - ``hub_salt=k`` (k > 1) switches the move phase to the salted
+      superstep (:func:`_superstep_moves_salted`): no single task ever
+      holds one vertex's full gather — required when hub degrees (tool
+      vertices) skew a stage.
+    - ``local_finish_threshold``: coarse graphs above this edge count
+      recurse into further *distributed* levels instead of a driver
+      collect (default max(local_threshold, 5M)).
+    - ``monotone``: per-superstep realised-quality guard with rollback
+      (SURVEY §4.3); disable only for raw throughput measurement.
     """
     ckpt = ckpt or CheckpointManager(spark)
     spec = QualitySpec(method, gamma=gamma, correct_self_loops=correct_self_loops)
+    o = opts or OptimiserOpts(seed=seed)
+    if local_finish_threshold is None:
+        local_finish_threshold = max(local_threshold, LOCAL_FINISH_EDGES)
     edges = edges.persist()
     ecount = edges.count()
 
     if ecount <= local_threshold:
-        membership = _local_solve_df(spark, edges, spec, n_iterations, seed, directed, opts)
-        q = df_quality(edges, membership, method, gamma, directed, correct_self_loops=correct_self_loops)
+        membership = _local_solve_df(
+            spark, edges, spec, n_iterations, seed, directed, o,
+            node_sizes=node_sizes, initial=initial_membership, fixed=fixed,
+        )
+        q = df_quality(edges, membership, method, gamma, directed,
+                       node_sizes=node_sizes, correct_self_loops=correct_self_loops)
         edges.unpersist()
         return LeidenResult(membership, q, method, gamma, supersteps=0, levels=1, metrics=ckpt.metrics)
 
     # ----------------------------------------------------- distributed path
-    sym = edges.where(F.col("src") != F.col("dst"))
-    edges_sym = sym if directed else sym.unionByName(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-    )
-    # pre-partition the big side of the per-superstep gather join by its
-    # join key: the cached HashPartitioning(dst) is recognised by
-    # EnsureRequirements, so each superstep shuffles only the (small)
-    # membership side — the edge table moves over the network once per
-    # *level*, not once per superstep
     # partition count sized to the data (~200k edges per partition floor):
     # a tiny graph on a big session would otherwise pay per-stage scheduling
     # for near-empty tasks in every superstep; never exceeds the session's
@@ -454,254 +1148,139 @@ def leiden(
         max(8, ecount // 200_000),
     )
 
-    # static vertex stats: strengths, loops, sizes
-    from ..functions.quality import vertex_strengths
-
-    loops = (
-        edges.where(F.col("src") == F.col("dst"))
-        .groupBy(F.col("src").alias("id"))
-        .agg(F.sum("weight").alias("loop"))
-    )
-    vstats = (
-        vertex_strengths(edges, directed)
-        .join(loops, "id", "left")
-        .na.fill({"loop": 0.0})
-        .withColumn("node_size", F.lit(1.0))
-        .repartition(n_shuffle, "id")  # co-partitioned with membership
-        .persist()
-    )
-    if hub_salt > 1:
-        # salted layout: hub in-edges spread over k sub-partitions, and
-        # v's static stats ride the cache so the salted gather never
-        # joins the vertex table on an unsalted key
-        static_cols = [F.col("k_out").alias("vk_out"), F.col("loop").alias("vloop")]
-        if directed:
-            static_cols.insert(1, F.col("k_in").alias("vk_in"))
-        vsrc = vstats.select(F.col("id").alias("src"), *static_cols)
-        edges_sym = (
-            edges_sym.join(vsrc, "src")
-            .withColumn("salt1", F.pmod(F.xxhash64("src"), F.lit(hub_salt)))
-            .repartition(n_shuffle, "dst", "salt1")
-            .sortWithinPartitions("dst", "salt1")
-            .persist()
-        )
-    else:
-        edges_sym = edges_sym.repartition(n_shuffle, "dst").sortWithinPartitions("dst").persist()
-    edges_sym.count()  # materialise outside the measured superstep loop
-    W = float(edges.agg(F.sum("weight")).first()[0] or 0.0)
-    n_tot = float(vstats.count())
-    from ..localcore.quality import possible_pairs
-
-    pairs_tot = float(possible_pairs(n_tot, directed, correct_self_loops))
-    p_global = W / pairs_tot if pairs_tot > 0 else 0.0
-
     # ---- resume support (north rule): the driver loop position is
     # persisted alongside every membership checkpoint; a restarted run
     # reloads the latest membership and re-enters the loop at the exact
     # (iteration, step), reproducing the uninterrupted run bit-for-bit
-    # (the parity gate is keyed on the absolute checkpoint index).
+    # (the parity gate is keyed on the absolute checkpoint index).  The
+    # durable state tracks the level-0 move phase — the dominant cost at
+    # scale; the descent below it is deterministic given the level-0
+    # membership checkpoint, so a crash mid-descent replays it.
     state = ckpt.load_state() if resume else None
     if state is not None and ckpt.latest_step("membership") is not None:
         ckpt_idx = min(state["ckpt_idx"], ckpt.latest_step("membership"))
         membership = ckpt.load("membership", ckpt_idx)
         it0, step0, total_steps = state["iteration"], state["step"], state["total_steps"]
+        resume_state = {**state, "ckpt_idx": ckpt_idx}
+        if monotone and resume_state.get("q_prev") is None:
+            # pre-guard state format: rebuild the guard baseline so the
+            # resumed run takes the same rollback decisions the
+            # uninterrupted run would
+            me, ge = _method_eff(spec)
+            resume_state["q_prev"] = df_quality(
+                edges, membership, me, ge, directed,
+                node_sizes=node_sizes, correct_self_loops=correct_self_loops,
+            )
     else:
-        membership = vstats.select("id", F.col("id").alias("comm"))
+        if initial_membership is not None:
+            membership = initial_membership.select("id", "comm")
+        else:
+            from ..functions.quality import vertex_strengths
+
+            verts = vertex_strengths(edges, directed).select("id")
+            if node_sizes is not None:
+                verts = verts.unionByName(node_sizes.select("id")).distinct()
+            membership = verts.select("id", F.col("id").alias("comm"))
         ckpt_idx = 0
         membership = ckpt.save(membership, "membership", ckpt_idx)
         it0, step0, total_steps = 0, 0, 0
+        resume_state = None
         ckpt.save_state({"iteration": 0, "step": 0, "ckpt_idx": 0, "total_steps": 0})
 
-    for it in range(it0, max(n_iterations, 1)):
-        step = step0 if it == it0 else 0
-        while step < max_supersteps:
-            step += 1
-            t0 = time.time()
-            # augmented vertex table: membership ⋈ static vertex stats, plus
-            # the own-community aggregates the method needs.  cstats is a
-            # pruned (comm, 1-3 doubles) table built with map-side partial
-            # aggregation, attached by merge join and restored to the
-            # hash(id)-sorted layout every downstream superstep op reuses.
-            method_eff, _geff = _method_eff(spec)
-            needs = _stat_needs(method_eff, directed)
-            mstats = membership.join(vstats.hint("merge"), "id")
-            agg_cols = []
-            if "K_out" in needs:
-                agg_cols.append(F.sum("k_out").alias("Ka_out"))
-            if "K_in" in needs:
-                agg_cols.append(F.sum("k_in").alias("Ka_in"))
-            if "n" in needs:
-                agg_cols.append(F.sum("node_size").alias("na"))
-            cstats = mstats.groupBy("comm").agg(*agg_cols) if agg_cols else None
-            if "w" in needs:
-                # only the KL objective needs per-community internal weight
-                # in its dQ; for the linear family the w terms cancel
-                m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("cs"))
-                m_dst = membership.select(F.col("id").alias("dst"), F.col("comm").alias("cd"))
-                w_in = (
-                    edges.join(m_src, "src").join(m_dst, "dst")
-                    .where(F.col("cs") == F.col("cd"))
-                    .groupBy(F.col("cs").alias("comm"))
-                    .agg(F.sum("weight").alias("wa"))
-                )
-                cstats = cstats.join(w_in, "comm", "left").na.fill({"wa": 0.0})
-            # adaptive stats attach.  Early supersteps: many communities,
-            # none big → the comm-keyed merge join has no skew.  Late
-            # supersteps: one community can hold a large fraction of all
-            # vertices (the tool hub), and a comm-keyed sort would put its
-            # members in ONE task — but by then n_comm has collapsed, so
-            # the stats table broadcasts: a map-side probe with zero
-            # shuffle and zero skew that also keeps mstats' hash(id)
-            # layout (no repartition/sort).  The crossover tracks the
-            # community count, which only shrinks as merges proceed.
-            cstats = cstats.persist()
-            n_comm = cstats.count()
-            if n_comm <= _BCAST_COMMS:
-                aug = mstats.join(F.broadcast(cstats), "comm").persist()
-            else:
-                aug = (
-                    mstats.join(cstats.hint("merge"), "comm")
-                    .repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
-                )
-            scratch = None
-            if hub_salt > 1:
-                winners, scratch = _superstep_moves_salted(
-                    edges_sym, aug, spec, directed, W, p_global,
-                    n_tot, ckpt_idx + 1, seed, n_shuffle, hub_salt,
-                )
-                winners = winners.persist()
-            else:
-                winners = _superstep_moves(
-                    edges_sym, aug, spec, directed, W, p_global,
-                    n_tot, ckpt_idx + 1, seed, n_shuffle,
-                ).persist()
-            new_membership = (
-                membership.join(
-                    winners.where("gated").select("id", "new_comm"), "id", "left"
-                ).select("id", F.coalesce("new_comm", "comm").alias("comm"))
-            )
-            # one heavy action per superstep: the checkpoint materialises the
-            # whole move pipeline (winners persists as a side effect); the
-            # convergence counts then read the cached winners only
-            ckpt_idx += 1
-            membership = ckpt.save(new_membership, "membership", ckpt_idx)
-            counts = winners.agg(
-                F.count(F.lit(1)).alias("improving"),
-                F.count(F.when(F.col("gated"), 1)).alias("moves"),
-            ).first()
-            n_improving, n_moves = int(counts["improving"]), int(counts["moves"])
-            ckpt.save_state(
-                {"iteration": it, "step": step, "ckpt_idx": ckpt_idx, "total_steps": total_steps}
-            )
-            winners.unpersist()
-            aug.unpersist()
-            cstats.unpersist()
-            if scratch is not None:
-                scratch.unpersist()
-            dt = time.time() - t0
-            ckpt.log(
-                name="leiden_superstep", iteration=it, step=total_steps + step,
-                moves=int(n_moves), improving=int(n_improving),
-                secs=round(dt, 4), edges_per_sec=round(ecount / max(dt, 1e-9), 1),
-            )
-            if n_improving == 0:
-                break
-        total_steps += step
+    n_iters = max(n_iterations, 1) if n_iterations >= 0 else 1_000
+    q_iter_prev = None
+    levels_seen = 1
+    for it in range(it0, n_iters):
+        rs = resume_state if it == it0 and resume_state is not None else None
+        if rs is not None:
+            rs = {**rs, "iteration": it, "total_steps": total_steps}
+        membership, steps, ckpt_idx = _move_phase(
+            spark, edges, spec, directed, seed, n_shuffle, max_supersteps, ckpt, o,
+            membership, node_sizes=node_sizes, fixed=fixed, hub_salt=hub_salt,
+            level=0, monotone=monotone, resume_state=rs, ckpt_idx0=ckpt_idx,
+            iteration=it, total_steps0=total_steps,
+        )
+        total_steps += steps
         if not finish:
             # throughput-measurement mode: stop after the move phase
             break
-        # refinement + aggregate + local coarse finish
-        refined = _refine_by_components(spark, sym, membership, ckpt).persist()
-        membership = _coarse_finish(
-            spark, edges, refined, spec, directed, seed, opts, local_threshold, ckpt, total_steps
+        membership = _descend(
+            spark, edges, spec, directed, seed, max_supersteps, ckpt, o,
+            membership, node_sizes, fixed, 0, local_finish_threshold, max_levels, hub_salt,
+        )
+        levels_seen = max(
+            levels_seen,
+            1 + sum(1 for m in ckpt.metrics if m.get("name") == "leiden_aggregate"),
         )
         ckpt_idx += 1
         membership = ckpt.save(membership, "membership", ckpt_idx)
         ckpt.save_state(
             {"iteration": it + 1, "step": 0, "ckpt_idx": ckpt_idx, "total_steps": total_steps}
         )
-        refined.unpersist()
+        if n_iterations < 0:
+            q_it = df_quality(edges, membership, method, gamma, directed,
+                              node_sizes=node_sizes, correct_self_loops=correct_self_loops)
+            if q_iter_prev is not None and q_it - q_iter_prev <= EPSQ:
+                break
+            q_iter_prev = q_it
 
-    q = df_quality(edges, membership, method, gamma, directed, correct_self_loops=correct_self_loops)
-    edges_sym.unpersist()
-    vstats.unpersist()
+    q = df_quality(edges, membership, method, gamma, directed,
+                   node_sizes=node_sizes, correct_self_loops=correct_self_loops)
     edges.unpersist()
-    return LeidenResult(membership, q, method, gamma, supersteps=total_steps, levels=2, metrics=ckpt.metrics)
+    return LeidenResult(
+        membership, q, method, gamma, supersteps=total_steps,
+        levels=levels_seen, metrics=ckpt.metrics,
+    )
 
 
 # ----------------------------------------------------------------- helpers
-def _local_solve_df(spark, edges, spec, n_iterations, seed, directed, opts, initial=None):
+def _local_solve_df(spark, edges, spec, n_iterations, seed, directed, opts,
+                    initial=None, node_sizes=None, fixed=None):
     """Pull a (small) edge table to the driver, run the exact local core,
-    return a membership DataFrame (id, comm)."""
+    return a membership DataFrame (id, comm).  ``initial``/``node_sizes``/
+    ``fixed`` are optional DataFrames ((id, comm) / (id, node_size) /
+    (id)); fixed labels are preserved through the dense↔label unmap."""
     pdf = edges.toPandas()
-    ids = np.unique(np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
+    id_arrays = [pdf["src"].to_numpy(), pdf["dst"].to_numpy()]
+    init_pdf = initial.select("id", "comm").toPandas() if initial is not None else None
+    ns_pdf = node_sizes.select("id", "node_size").toPandas() if node_sizes is not None else None
+    fixed_ids = set(
+        int(x) for x in fixed.select("id").toPandas()["id"].to_numpy()
+    ) if fixed is not None else None
+    if init_pdf is not None:
+        id_arrays.append(init_pdf["id"].to_numpy())
+    if ns_pdf is not None:
+        id_arrays.append(ns_pdf["id"].to_numpy())
+    ids = np.unique(np.concatenate(id_arrays))
     idx = {int(v): i for i, v in enumerate(ids)}
     src = pdf["src"].map(idx).to_numpy(dtype=np.int64)
     dst = pdf["dst"].map(idx).to_numpy(dtype=np.int64)
-    g = LocalGraph(len(ids), src, dst, pdf["weight"].to_numpy(dtype=np.float64), directed=directed)
+    ns = None
+    if ns_pdf is not None:
+        ns = np.ones(len(ids))
+        ns[ns_pdf["id"].map(idx).to_numpy(dtype=np.int64)] = ns_pdf["node_size"].to_numpy(dtype=np.float64)
+    g = LocalGraph(len(ids), src, dst, pdf["weight"].to_numpy(dtype=np.float64),
+                   node_size=ns, directed=directed)
+    uniq = None
     init = None
-    if initial is not None:
-        init = np.array([initial[int(v)] for v in ids], dtype=np.int64)
+    if init_pdf is not None:
+        labels = np.full(len(ids), -1, dtype=np.int64)
+        labels[init_pdf["id"].map(idx).to_numpy(dtype=np.int64)] = init_pdf["comm"].to_numpy(dtype=np.int64)
+        missing = labels < 0
+        labels[missing] = ids[missing]  # singletons for uncovered vertices
+        uniq, init = np.unique(labels, return_inverse=True)
     P = LocalPartition([(g, spec)], membership=init)
     o = opts or OptimiserOpts(seed=seed)
     o.seed = seed
-    optimise_partition(P, n_iterations=n_iterations, opts=o)
+    fixed_mask = None
+    if fixed_ids is not None:
+        fixed_mask = np.array([int(v) in fixed_ids for v in ids], dtype=bool)
+    optimise_partition(P, n_iterations=n_iterations, is_membership_fixed=fixed_mask, opts=o)
+    memb = P.membership
+    if fixed_mask is not None and uniq is not None:
+        hi_label = int(uniq.max(initial=0)) + 1
+        memb = np.where(memb < len(uniq), uniq[np.clip(memb, 0, len(uniq) - 1)], hi_label + memb)
     import pandas as pd
 
-    out = pd.DataFrame({"id": ids.astype(np.int64), "comm": P.membership.astype(np.int64)})
+    out = pd.DataFrame({"id": ids.astype(np.int64), "comm": memb.astype(np.int64)})
     return spark.createDataFrame(out)
-
-
-def _coarse_finish(spark, edges, refined, spec, directed, seed, opts, local_threshold, ckpt, step):
-    """Aggregate by the refined partition and finish on the driver.
-
-    Coarse vertices = refined communities, node_size = vertex counts,
-    initial coarse membership = parent community labels — then exact
-    local-core Leiden, projected back down (T3 + T4, SURVEY.md §2.2).
-    """
-    r_src = refined.select(F.col("id").alias("src"), F.col("refined").alias("r_src"))
-    r_dst = refined.select(F.col("id").alias("dst"), F.col("refined").alias("r_dst"))
-    coarse_edges = (
-        edges.join(r_src, "src").join(r_dst, "dst")
-        .groupBy("r_src", "r_dst")
-        .agg(F.sum("weight").alias("weight"))
-        .select(F.col("r_src").alias("src"), F.col("r_dst").alias("dst"), "weight")
-    )
-    coarse_nodes = refined.groupBy("refined").agg(
-        F.count(F.lit(1)).alias("node_size"), F.first("comm").alias("parent")
-    )
-    n_coarse_edges = coarse_edges.count()
-    if n_coarse_edges > max(local_threshold, 5_000_000):
-        # geometric shrink hasn't gone far enough for a driver collect;
-        # log and keep the move-phase membership (a further distributed
-        # level is the scale path — tracked for the next round)
-        ckpt.log(name="leiden_aggregate_skipped", step=step, coarse_edges=int(n_coarse_edges))
-        return refined.select("id", "comm")
-    ce = coarse_edges.toPandas()
-    cn = coarse_nodes.toPandas()
-    ckpt.log(name="leiden_aggregate", step=step, coarse_vertices=len(cn), coarse_edges=len(ce))
-    ids = cn["refined"].to_numpy(dtype=np.int64)
-    idx = {int(v): i for i, v in enumerate(ids)}
-    src = ce["src"].map(idx).to_numpy(dtype=np.int64)
-    dst = ce["dst"].map(idx).to_numpy(dtype=np.int64)
-    if not directed:
-        lo, hi = np.minimum(src, dst), np.maximum(src, dst)
-        src, dst = lo, hi
-    g = LocalGraph(
-        len(ids), src, dst, ce["weight"].to_numpy(dtype=np.float64),
-        node_size=cn["node_size"].to_numpy(dtype=np.float64), directed=directed,
-    )
-    parents = cn["parent"].to_numpy()
-    _, parent_dense = np.unique(parents, return_inverse=True)
-    P = LocalPartition([(g, spec)], membership=parent_dense.astype(np.int64))
-    o = opts or OptimiserOpts(seed=seed)
-    optimise_partition(P, n_iterations=2, opts=o)
-    import pandas as pd
-
-    coarse_memb = spark.createDataFrame(
-        pd.DataFrame({"refined": ids.astype(np.int64), "new_comm": P.membership.astype(np.int64)})
-    )
-    return (
-        refined.join(coarse_memb, "refined")
-        .select("id", F.col("new_comm").alias("comm"))
-    )

@@ -135,17 +135,44 @@ def split_signed_layers(edges: DataFrame) -> DataFrame:
     return pos.unionByName(neg)
 
 
-def slices_to_layers_df(slices: DataFrame) -> DataFrame:
-    """T1/T2 on DataFrames: ``slices`` has (slice:int, src, dst, weight)
+def _slice_vid(s, v):
+    """Composite vertex key (slice, id) → long (deterministic hash)."""
+    return F.xxhash64(F.col(s).cast("long"), F.col(v).cast("long"))
+
+
+def slice_vertex_map(slices: DataFrame) -> DataFrame:
+    """(slice, id, vid) for every vertex of every slice — the map that
+    projects a layered membership back to per-slice memberships."""
+    verts = (
+        slices.select("slice", F.col("src").alias("id"))
+        .unionByName(slices.select("slice", F.col("dst").alias("id")))
+        .distinct()
+    )
+    return verts.select("slice", "id", _slice_vid("slice", "id").alias("vid"))
+
+
+def slices_to_layers_df(
+    slices: DataFrame, interslice_weight: float = 1.0, coupling: DataFrame | None = None
+) -> DataFrame:
+    """T1/T2 on DataFrames (reference ``slices_to_layers``,
+    functions.py:366-528): ``slices`` has (slice:int, src, dst, weight)
     with vertex ids shared across slices; output one edge table with
     composite vertex keys ``(slice, id)`` hashed to longs, a ``layer``
-    column per slice, and an interslice layer (layer = -1) coupling
-    consecutive slices on the shared id (equi-join, SURVEY.md T1)."""
-    vid = lambda s, v: F.xxhash64(F.col(s).cast("long"), F.col(v).cast("long"))
+    column per slice, and an interslice layer (layer = -1).
+
+    ``coupling`` is an arbitrary slice-coupling graph
+    (slice_src:int, slice_dst:int, weight:double) — the reference's
+    general form, where the coupling graph's vertices are the slices
+    themselves (a path for temporal analysis, a star for a reference
+    slice, anything else for custom designs).  When None, consecutive
+    slices are path-coupled with ``interslice_weight`` (the reference
+    ``time_slices_to_layers`` convenience).  Each coupling row links
+    vertex (slice_src, id) to (slice_dst, id) for every id present in
+    BOTH slices — one equi-join on (slice, id), no driver loops."""
     intra = slices.select(
         F.col("slice").alias("layer"),
-        vid("slice", "src").alias("src"),
-        vid("slice", "dst").alias("dst"),
+        _slice_vid("slice", "src").alias("src"),
+        _slice_vid("slice", "dst").alias("dst"),
         "weight",
     )
     verts = (
@@ -153,14 +180,81 @@ def slices_to_layers_df(slices: DataFrame) -> DataFrame:
         .unionByName(slices.select("slice", F.col("dst").alias("id")))
         .distinct()
     )
-    nxt = verts.select((F.col("slice") - 1).alias("slice"), F.col("id"))
-    inter = verts.join(nxt, ["slice", "id"]).select(
-        F.lit(-1).alias("layer"),
-        F.xxhash64(F.col("slice").cast("long"), F.col("id").cast("long")).alias("src"),
-        F.xxhash64((F.col("slice") + 1).cast("long"), F.col("id").cast("long")).alias("dst"),
-        F.lit(1.0).alias("weight"),
+    if coupling is None:
+        sl = verts.select("slice").distinct()
+        coupling = sl.select(
+            F.col("slice").alias("slice_src"),
+            (F.col("slice") + 1).alias("slice_dst"),
+            F.lit(float(interslice_weight)).alias("weight"),
+        )
+    va = verts.select(F.col("slice").alias("slice_src"), "id")
+    vb = verts.select(F.col("slice").alias("slice_dst"), "id")
+    inter = (
+        va.join(coupling, "slice_src")
+        .join(vb, ["slice_dst", "id"])
+        .select(
+            F.lit(-1).alias("layer"),
+            _slice_vid("slice_src", "id").alias("src"),
+            _slice_vid("slice_dst", "id").alias("dst"),
+            "weight",
+        )
     )
     return intra.unionByName(inter)
+
+
+def find_partition_temporal_df(
+    spark,
+    slices: DataFrame,
+    method: str = "cpm",
+    interslice_weight: float = 1.0,
+    gamma: float = 1.0,
+    n_iterations: int = 1,
+    seed: int = 0,
+    local_threshold: int = 500_000,
+    max_supersteps: int = 30,
+    ckpt=None,
+    coupling: DataFrame | None = None,
+    finish: bool = True,
+):
+    """Distributed ``find_partition_temporal`` (O15; reference
+    functions.py:178-306): slices → layered edge table
+    (:func:`slices_to_layers_df`) → per-slice quality layers
+    (node_size 1 on the slice's own members, 0 elsewhere) + a CPM(γ=0)
+    interslice coupling layer → one shared membership via
+    :func:`leiden_multiplex` → membership projected back per slice.
+
+    Returns ``(membership, result)`` where membership is a DataFrame
+    (slice, id, comm) — vertex ``id`` of slice ``slice`` belongs to
+    community ``comm`` — and ``result`` is the underlying
+    :class:`~leidenalg_spark.operators.leiden.LeidenResult` over the
+    layered graph (quality = Σ_k Q_k including the coupling layer).
+    """
+    slice_vals = [int(r["slice"]) for r in slices.select("slice").distinct().orderBy("slice").collect()]
+    idx = {s: i for i, s in enumerate(slice_vals)}
+    T = len(slice_vals)
+    layered = slices_to_layers_df(slices, interslice_weight, coupling)
+    lmap = F.create_map(*[F.lit(int(x)) for kv in idx.items() for x in kv])
+    edges = layered.withColumn(
+        "layer",
+        F.when(F.col("layer") == -1, F.lit(T)).otherwise(lmap[F.col("layer")]).cast("int"),
+    )
+    vmap = slice_vertex_map(slices)
+    node_sizes = vmap.select(
+        F.col("vid").alias("id"),
+        lmap[F.col("slice")].cast("int").alias("layer"),
+        F.lit(1.0).alias("node_size"),
+    )
+    specs = [QualitySpec(method, gamma=gamma) for _ in range(T)] + [QualitySpec("cpm", gamma=0.0)]
+    res = leiden_multiplex(
+        spark, edges, specs, node_sizes=node_sizes, n_iterations=n_iterations,
+        seed=seed, local_threshold=local_threshold, max_supersteps=max_supersteps,
+        ckpt=ckpt, finish=finish,
+    )
+    membership = (
+        vmap.join(res.membership.select(F.col("id").alias("vid"), "comm"), "vid")
+        .select("slice", "id", "comm")
+    )
+    return membership, res
 
 
 # ------------------------------------------- distributed multiplex Leiden
@@ -186,7 +280,14 @@ def quality_multiplex(edges, membership, specs, layer_weights=None, node_sizes=N
         e_k = edges.where(F.col("layer") == k).select("src", "dst", "weight")
         ns_k = None
         if node_sizes is not None:
-            ns_k = node_sizes.where(F.col("layer") == k).select("id", "node_size")
+            # multiplex convention (same as the local solve): a vertex
+            # absent from a layer's node_sizes has size 0 THERE — complete
+            # the table explicitly, since df_quality's own default is 1.0
+            ns_k = (
+                membership.select("id")
+                .join(node_sizes.where(F.col("layer") == k).select("id", "node_size"), "id", "left")
+                .na.fill({"node_size": 0.0})
+            )
         total += lw[k] * df_quality(
             e_k, membership, spec.method, spec.gamma, directed,
             node_sizes=ns_k, correct_self_loops=spec.correct_self_loops,
@@ -206,6 +307,7 @@ def leiden_multiplex(
     max_supersteps: int = 30,
     ckpt=None,
     finish: bool = True,
+    fixed: DataFrame | None = None,
 ):
     """Distributed multiplex Leiden (O3/O14 at scale): one shared membership
     over L layers, ``edges`` = (src, dst, weight, layer:int 0..L-1),
@@ -240,7 +342,7 @@ def leiden_multiplex(
     lw = [float(x) for x in (layer_weights or [1.0] * L)]
     linear = {"modularity", "rbconfiguration", "rber", "cpm"}
 
-    def _local_solve(edges_df, ns_df, initial=None):
+    def _local_solve(edges_df, ns_df, initial=None, fixed_ids=None):
         epdf = edges_df.toPandas()
         # single evaluation of the node-size table (its lineage may contain
         # non-reevaluable steps), and explicit int64 so large hashed ids
@@ -273,19 +375,41 @@ def leiden_multiplex(
                 node_size=ns_mat[k], directed=False,
             )
             layers.append((g, specs[k]))
-        init = None
+        if fixed_ids is not None and initial is None:
+            # fixed vertices must keep their (singleton) labels — give the
+            # solver an explicit initial so labels can be unmapped after
+            initial = {int(v): int(v) for v in ids}
+        init, uniq = None, None
         if initial is not None:
-            init = np.array([initial[int(v)] for v in ids], dtype=np.int64)
+            labels = np.array([initial[int(v)] for v in ids], dtype=np.int64)
+            uniq, init = np.unique(labels, return_inverse=True)
+            init = init.astype(np.int64)
         P = LocalPartition(layers, layer_weights=lw, membership=init)
-        optimise_partition(P, n_iterations=n_iterations, opts=OptimiserOpts(seed=seed))
-        out = pd.DataFrame({"id": ids.astype(np.int64), "comm": P.membership.astype(np.int64)})
+        mask = None
+        if fixed_ids is not None:
+            fs = set(int(x) for x in fixed_ids)
+            mask = np.array([int(v) in fs for v in ids], dtype=bool)
+        optimise_partition(
+            P, n_iterations=n_iterations, is_membership_fixed=mask,
+            opts=OptimiserOpts(seed=seed),
+        )
+        memb = P.membership
+        if mask is not None and uniq is not None:
+            # preserved slots map back to their original labels; fresh
+            # slots get labels distinct from every original (O11 contract)
+            hi = int(uniq.max(initial=0)) + 1
+            memb = np.where(memb < len(uniq), uniq[np.clip(memb, 0, len(uniq) - 1)], hi + memb)
+        out = pd.DataFrame({"id": ids.astype(np.int64), "comm": memb.astype(np.int64)})
         return spark.createDataFrame(out)
 
     ckpt = ckpt or CheckpointManager(spark)
     edges = edges.persist()
     ecount = edges.count()
     if ecount <= local_threshold or any(s.method not in linear for s in specs):
-        membership = _local_solve(edges, node_sizes)
+        fixed_id_list = (
+            [int(r["id"]) for r in fixed.select("id").collect()] if fixed is not None else None
+        )
+        membership = _local_solve(edges, node_sizes, fixed_ids=fixed_id_list)
         q = quality_multiplex(edges, membership, specs, lw, node_sizes)
         edges.unpersist()
         from .leiden import LeidenResult
@@ -463,8 +587,11 @@ def leiden_multiplex(
                     F.col("new_comm") < F.col("comm")
                 ),
             )
-            .persist()
         )
+        if fixed is not None:
+            # O11/O14: fixed vertices never move in the distributed phase
+            winners = winners.join(F.broadcast(fixed.select("id")), "id", "left_anti")
+        winners = winners.persist()
         new_membership = membership.join(
             winners.where("gated").select("id", "new_comm"), "id", "left"
         ).select("id", F.coalesce("new_comm", "comm").alias("comm"))
@@ -513,13 +640,22 @@ def leiden_multiplex(
         n_coarse = coarse_edges.count()
         if n_coarse <= max(local_threshold, 5_000_000):
             ppdf = parents.toPandas()
-            parent_map = dict(zip(
+            # raw parent labels — _local_solve densifies internally and
+            # restores original labels for fixed slots (O11)
+            init = dict(zip(
                 ppdf["refined"].to_numpy(dtype=np.int64).tolist(),
                 ppdf["parent"].to_numpy(dtype=np.int64).tolist(),
             ))
-            uniq_parents = {p: i for i, p in enumerate(sorted(set(parent_map.values())))}
-            init = {rid: uniq_parents[p] for rid, p in parent_map.items()}
-            coarse_memb = _local_solve(coarse_edges, coarse_ns, initial=init)
+            coarse_fixed = None
+            if fixed is not None:
+                coarse_fixed = [
+                    int(r["refined"])
+                    for r in refined.join(fixed.select("id"), "id")
+                    .select("refined").distinct().collect()
+                ]
+            coarse_memb = _local_solve(
+                coarse_edges, coarse_ns, initial=init, fixed_ids=coarse_fixed
+            )
             membership = (
                 refined.join(
                     coarse_memb.select(F.col("id").alias("refined"), F.col("comm").alias("new_comm")),

@@ -95,42 +95,135 @@ def lsh_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def embedding_neardup_pairs(embeddings: DataFrame, threshold=0.95, id_col="vec_id", vec_col="embedding", max_id=None) -> DataFrame:
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold=0.95, id_col="vec_id", vec_col="embedding",
+    max_id=None, n_planes=8, n_bands=4, seed=42, dim=None, exact=False,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
-    ``max_id`` optionally restricts to a prefix for bounded cost."""
+
+    Default path is LSH-routed: ``n_bands`` independent random-hyperplane
+    signatures of ``n_planes`` bits each; two vectors become a candidate
+    pair iff they share ANY band bucket (equality join per band, linear
+    shuffle), then survivors are verified with the exact cosine.  At the
+    default 4 bands × 8 planes, a pair at cos 0.95 (angle 18°) collides
+    with probability 1-(1-(1-18/180)^8)^4 ≈ 0.97 — recall stays high
+    while the all-pairs cross join (quadratic, the 100-TB killer) is
+    gone.  ``exact=True`` restores the cross-join for small oracle
+    baselines; ``max_id`` bounds either path to an id prefix.
+    """
     e = embeddings
     if max_id is not None:
         e = e.where(F.col(id_col) < max_id)
-    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("av"))
-    b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bv"))
     cos = _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv")))
-    return (
-        a.crossJoin(b)
+    if exact:
+        a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("av"))
+        b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bv"))
+        return (
+            a.crossJoin(b)
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", F.round(cos, 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold)
+        )
+    if dim is None:
+        dim = len(e.select(vec_col).first()[0])
+    banded = e.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    keys = []
+    for band in range(n_bands):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * band)
+        sig = None
+        for p in planes:
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            bit = (_dot(F.col("v"), arr) > 0).cast("int")
+            sig = bit if sig is None else sig * 2 + bit
+        keys.append(F.struct(F.lit(band).alias("band"), sig.alias("key")))
+    banded = banded.select("doc", "v", F.explode(F.array(*keys)).alias("bk")).select(
+        "doc", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.select(F.col("doc").alias("a"), F.col("v").alias("av"), "band", "key")
+    b = banded.select(F.col("doc").alias("b"), F.col("v").alias("bv"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cos, 6).alias("cos_sim"))
+        .select("a", "b", "av", "bv")
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.select("a", "b", F.round(cos, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 
 
-def ivf_assign(embeddings: DataFrame, n_cells=16, seed=42, id_col="vec_id", vec_col="embedding", dim=None) -> DataFrame:
-    """IVF coarse assignment: nearest of n_cells deterministic random
-    centroids (stand-in for a trained k-means codebook; the Spark-side
-    plumbing — argmin over cell distances, cell-partitioned storage — is
-    the real scale mechanism)."""
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-    cents = np.random.default_rng(seed).standard_normal((n_cells, dim))
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(cents)
-        ]
+def ivf_train(
+    embeddings: DataFrame, n_cells=16, id_col="vec_id", vec_col="embedding",
+    seed=42, iters=8, sample_size=None,
+) -> np.ndarray:
+    """Train an IVF coarse codebook: deterministic hash-ordered sample to
+    the driver (sample-based k-means is the standard codebook recipe —
+    the full table never leaves the cluster), then Lloyd iterations in
+    NumPy.  Initial centroids are the first ``n_cells`` sampled vectors,
+    so the result is reproducible for a given seed."""
+    sample_size = sample_size or max(n_cells * 64, 1024)
+    pdf = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id").cast("long"), F.lit(int(seed))), F.col("id"))
+        .limit(sample_size)
+        .toPandas()
     )
-    return embeddings.withColumn("cell", F.array_min(dists)["cell"])
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    if len(X) < n_cells:
+        raise ValueError(f"need at least n_cells={n_cells} vectors, got {len(X)}")
+    cents = X[:n_cells].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                cents[c] = X[m].mean(0)
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_cells=16, seed=42, id_col="vec_id", vec_col="embedding",
+    dim=None, centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF coarse assignment: nearest centroid of a trained codebook
+    (:func:`ivf_train` unless ``centroids`` is given).
+
+    The codebook ships as a BROADCAST DataFrame — one (cell, cvec) row
+    per centroid — never as literal arrays inlined into the expression
+    tree (which grows the plan by n_cells × dim literals and breaks down
+    around dim 512 × 256 cells).  Each vector meets every centroid via
+    the broadcast cross join; the per-vector argmin is a map-side
+    partial ``min(struct(dist, cell))``, so the shuffle is one row per
+    vector regardless of n_cells."""
+    import pandas as pd
+
+    if centroids is None:
+        centroids = ivf_train(embeddings, n_cells, id_col, vec_col, seed)
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        pd.DataFrame({
+            "cell": np.arange(len(centroids), dtype=np.int32),
+            "cvec": [[float(x) for x in c] for c in centroids],
+        })
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assign = (
+        embeddings.select(F.col(id_col).alias("_ivf_id"), F.col(vec_col).alias(vec_col))
+        .crossJoin(F.broadcast(cdf))
+        .withColumn("_d", d2)
+        .groupBy("_ivf_id")
+        .agg(F.min(F.struct(F.col("_d"), F.col("cell"))).alias("best"))
+        .select(F.col("_ivf_id"), F.col("best.cell").alias("cell"))
+    )
+    return embeddings.join(
+        assign, embeddings[id_col] == assign["_ivf_id"]
+    ).drop("_ivf_id")

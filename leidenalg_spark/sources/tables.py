@@ -68,13 +68,30 @@ def write_table(df: DataFrame, ref: str, mode: str = "append", partition_by=()) 
     mode: 'append' | 'overwrite' | 'overwrite_partitions' (dynamic).
     """
     if is_table_ref(ref):
+        spark = df.sparkSession
+        if not iceberg_available(spark, ref):
+            raise ValueError(
+                f"table ref {ref!r} has no configured Spark catalog "
+                f"(spark.sql.catalog.{ref.split('.', 1)[0]} is unset) — "
+                "configure an Iceberg catalog or pass a filesystem path"
+            )
         w = df.writeTo(ref)
         if mode == "append":
             w.append()
         elif mode == "overwrite_partitions":
             w.overwritePartitions()
+        elif mode == "overwrite":
+            if spark.catalog.tableExists(ref):
+                # row-level overwrite keeps the table's partition spec and
+                # TBLPROPERTIES (createOrReplace would drop and recreate
+                # the table with none of them)
+                from pyspark.sql import functions as F
+
+                w.overwrite(F.lit(True))
+            else:
+                w.using("iceberg").create()
         else:
-            w.using("iceberg").createOrReplace()
+            raise ValueError(f"unknown mode {mode!r}")
         return
     writer = df.write
     if partition_by:

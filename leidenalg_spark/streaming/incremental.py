@@ -65,33 +65,55 @@ def streaming_edges(transcripts: DataFrame, watermark: str = "1 hour") -> DataFr
     return turn_edges.unionByName(tool_edges).where(F.col("src_name") != F.col("dst_name"))
 
 
-def run_incremental(spark: SparkSession, in_path: str, checkpoint: str, out_path: str):
+def run_incremental(
+    spark: SparkSession, in_path: str, checkpoint: str, out_path: str, n_buckets: int = 64
+):
     """Incremental accumulation via ``foreachBatch`` merge — the
     production pattern for "streaming join feeds an ever-growing
     aggregate": the stream emits raw edge events (append-mode
     stream-stream join; a post-join aggregation would be held back by the
-    watermark forever on historical data), and each micro-batch MERGEs
-    its per-pair counts into the accumulated edge table (here parquet;
-    Iceberg MERGE INTO in production).  availableNow processes the
-    backlog exactly once per checkpoint."""
+    watermark forever on historical data), and each micro-batch upserts
+    its per-pair counts into the accumulated edge table.
+
+    The accumulated table is hash-partitioned into ``n_buckets`` buckets
+    on the edge key; a micro-batch reads back ONLY the buckets its keys
+    touch, merges, and replaces exactly those partitions via dynamic
+    partition overwrite — per-batch cost is O(touched buckets + batch),
+    not O(total accumulated), and untouched buckets are never rewritten
+    (in production the same statement is an Iceberg ``MERGE INTO``).
+    availableNow processes the backlog exactly once per checkpoint."""
     import os
 
     edge_events = streaming_edges(read_transcript_stream(spark, in_path))
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        inc = batch_df.groupBy("src_name", "dst_name").agg(
-            F.count(F.lit(1)).cast("double").alias("weight")
-        )
-        if os.path.exists(out_path):
-            old = batch_df.sparkSession.read.parquet(out_path)
-            inc = (
-                old.unionByName(inc)
-                .groupBy("src_name", "dst_name")
+        sess = batch_df.sparkSession
+        inc = (
+            batch_df.groupBy("src_name", "dst_name")
+            .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("src_name", "dst_name"), F.lit(n_buckets))
+            )
+        ).persist()
+        touched = [int(r["bucket"]) for r in inc.select("bucket").distinct().collect()]
+        merged = inc
+        if touched and os.path.exists(out_path):
+            old = sess.read.parquet(out_path).where(F.col("bucket").isin(touched))
+            merged = (
+                old.select("src_name", "dst_name", "weight", "bucket")
+                .unionByName(inc)
+                .groupBy("bucket", "src_name", "dst_name")
                 .agg(F.sum("weight").alias("weight"))
             )
-        inc.write.mode("overwrite").parquet(out_path + ".tmp")
-        merged = batch_df.sparkSession.read.parquet(out_path + ".tmp")
-        merged.write.mode("overwrite").parquet(out_path)
+        # break the read-from-out_path lineage before overwriting it
+        merged = merged.localCheckpoint(eager=True)
+        prev_mode = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+        finally:
+            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        inc.unpersist()
 
     q = (
         edge_events.writeStream.foreachBatch(merge_batch)

@@ -15,8 +15,15 @@ twice, at N and 4N executors, against the same input —
       --conf spark.sql.shuffle.partitions=2048 \
       scripts/submit_leiden.py \
       --input my_catalog.db.transcripts \
-      --checkpoint s3://bucket/leiden/run42 \
+      --checkpoint s3a://bucket/leiden/run42 \
+      --hub-salt 16 \
       --method modularity --n-iterations 2 --seed 42
+
+Checkpoint roots may be any Hadoop-supported filesystem (s3a://,
+hdfs://, gs://, local paths): CheckpointManager routes metadata
+operations through the Hadoop FileSystem API, so --resume works across
+submissions in any deploy mode.  --hub-salt k enables the skew-proof
+salted superstep for graphs with tool-hub vertices (degree ~#convs).
 
 The job reads transcripts (Iceberg table ref or parquet path), derives
 the reply/tool-interaction edge table, runs Leiden, and writes
@@ -53,6 +60,9 @@ def main(argv=None):
     ap.add_argument("--directed", action="store_true")
     ap.add_argument("--max-supersteps", type=int, default=30)
     ap.add_argument("--local-threshold", type=int, default=500_000)
+    ap.add_argument("--hub-salt", type=int, default=0,
+                    help="k>1 spreads each hub vertex's gather over k tasks "
+                         "(tool vertices with degree ~#conversations)")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the latest checkpointed superstep")
     args = ap.parse_args(argv)
@@ -97,7 +107,7 @@ def main(argv=None):
         spark, edges, method=args.method, gamma=args.gamma,
         n_iterations=args.n_iterations, seed=args.seed, directed=args.directed,
         max_supersteps=args.max_supersteps, local_threshold=args.local_threshold,
-        ckpt=ckpt, resume=args.resume,
+        ckpt=ckpt, resume=args.resume, hub_salt=args.hub_salt,
     )
 
     out = args.output or (f"{args.checkpoint}/final" if args.checkpoint else None)

@@ -160,3 +160,27 @@ def test_leiden_multiplex_signed_layers(spark):
     memb = res.membership.toPandas().sort_values("id")["comm"].to_numpy()
     assert len(set(memb[:8])) == 1 and len(set(memb[8:])) == 1
     assert memb[0] != memb[8]
+
+
+def test_leiden_multiplex_fixed_distributed(spark):
+    """O14 is_membership_fixed through the distributed multiplex path:
+    K3 single CPM layer, vertex 0 fixed -> all vertices end in 0's
+    community and the fixed label survives the coarse finish."""
+    import pandas as pd
+    from leidenalg_spark.localcore import QualitySpec
+    from leidenalg_spark.operators.multiplex import leiden_multiplex
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        pd.DataFrame({
+            "src": [0, 0, 1], "dst": [1, 2, 2],
+            "weight": [1.0, 1.0, 1.0], "layer": [0, 0, 0],
+        })
+    )
+    fixed = spark.createDataFrame(pd.DataFrame({"id": [0]}))
+    res = leiden_multiplex(
+        spark, e, [QualitySpec("cpm", gamma=0.1)], n_iterations=2, seed=2,
+        local_threshold=0, max_supersteps=8, fixed=fixed,
+    )
+    memb = res.membership.toPandas().sort_values("id")["comm"].tolist()
+    assert memb == [0, 0, 0]

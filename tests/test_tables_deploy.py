@@ -84,3 +84,33 @@ def test_submit_entry_local_smoke(tmp_path):
     rec = json.loads(p.stdout.strip().splitlines()[-1])
     assert rec["method"] == "cpm" and rec["communities"] > 0
     assert os.path.exists(os.path.join(ck, "final"))
+
+
+def test_write_table_ref_without_catalog_raises(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    with pytest.raises(ValueError, match="no configured Spark catalog"):
+        write_table(df, "nosuch.db.t", mode="overwrite")
+
+
+def test_checkpoint_hadoop_fs_branch(spark, tmp_path):
+    """The Hadoop FileSystem checkpoint path (s3a/hdfs roots) exercised
+    against file:/ URIs — same code path, locally-testable filesystem."""
+    from leidenalg_spark.operators.checkpoint import CheckpointManager, _HadoopFS, _is_remote
+
+    assert _is_remote("s3a://bucket/run") and _is_remote("hdfs://nn/x")
+    assert not _is_remote(str(tmp_path)) and not _is_remote(None)
+
+    root = str(tmp_path / "hckpt")
+    ckpt = CheckpointManager(spark, root)
+    ckpt.fs = _HadoopFS(spark, "file:" + root)  # force the Hadoop branch
+    df = spark.range(10).selectExpr("id", "id % 3 AS comm")
+    out = ckpt.save(df, "membership", 0)
+    assert out.count() == 10
+    assert ckpt.latest_step("membership") == 0
+    ckpt.save_state({"iteration": 1, "step": 2})
+    assert ckpt.load_state() == {"iteration": 1, "step": 2}
+    ckpt.log(name="x", step=1)
+    back = ckpt.load("membership", 0)
+    assert back.count() == 10
