@@ -195,7 +195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_lsh_topk(spark, sf):
         emb = _embeddings(spark, sf)
-        return S.lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=5, n_planes=8)
+        return S.lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=5, n_planes=8).select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
 
     def q_media_features(spark, sf):
         from leidenalg_spark.operators.multimodal import extract_features, synthetic_media
@@ -358,6 +360,40 @@ WITH tok AS (
 )
 SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
 FROM documents d LEFT JOIN sig s USING (doc_id)
+"""
+
+
+def _lsh_topk_oracle(k=5, n_planes=8, seed=42, dim=64) -> str:
+    """DuckDB twin of operators.similarity.lsh_cosine_topk: the SAME
+    hyperplane constants (repr round-trips float64 exactly), the same
+    sign-bit single-band bucket, candidates = bucket-mates, exact cosine
+    rank within each query's bucket."""
+    from leidenalg_spark.operators.similarity import random_hyperplanes
+
+    def dot(vec, consts):
+        lst = "[" + ",".join(repr(float(x)) for x in consts) + "]"
+        return f"list_sum(list_transform(list_zip({vec}, {lst}), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    key = " + ".join(
+        f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {key} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(list_zip(q.qv, e.embedding),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
 """
 
 
@@ -539,6 +575,7 @@ WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.1
 """,
         "simhash": _simhash_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
+        "lsh_topk": _lsh_topk_oracle(),
         "minhash_signature": f"""
 WITH {shingle_cte},
 mh AS (
