@@ -211,11 +211,16 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     membership — n rows, not m) are re-exchanged/sorted each superstep
     because a parquet checkpoint reload carries no recognised
     partitioning — candidate-community stats ride through the gather join
-    (constant per candidate, recovered with ``first()``), v's weight to
-    its *own* community comes from the gathered own-community rows, and
-    no per-superstep broadcast is built for the big side.  ``g`` is
-    returned persisted — the caller reads the realised-quality scalar
-    from it (monotone guard) at no extra scan.
+    (constant per candidate, recovered with ``first()``), and no
+    per-superstep broadcast is built for the big side.  The whole tail
+    after the gather is ONE hash aggregation per vertex: the arg-max runs
+    on the candidate-side ΔQ half (the vertex-side half is constant per
+    vertex), v's own-community weight is a ``max(when(cand == comm))``
+    inside the same aggregate, and the O9 empty candidate is an inline
+    expression on the aggregate row — no own-community join, no
+    empty-candidate join, no final fuse join.  ``g`` is returned
+    persisted — the caller reads the realised-quality scalar from it
+    (monotone guard) at no extra scan.
     """
     method_eff, gamma_eff = _method_eff(spec)
     constrained = bool(opts.min_comm_size or opts.max_comm_size)
@@ -241,8 +246,8 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     joined = edges_sym.join(m_dst, "dst")
     # ONE edge-proportional exchange per superstep: repartition the gathered
     # rows by vertex; hash(src) satisfies the groupBy(src, cand) clustering,
-    # and every downstream op (aug join, own-community join, per-vertex
-    # arg-max, winner→membership update) reuses the same hash(id) layout
+    # and every downstream op (aug join, per-vertex arg-max,
+    # winner→membership update) reuses the same hash(id) layout
     gather = (
         joined.repartition(n_shuffle, "src")
         .groupBy(F.col("src").alias("id"), "cand")
@@ -251,15 +256,10 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
             *[F.first(name).alias(name) for name, _ in b_cols],
         )
     )
-    g = gather.join(aug.hint("merge"), "id").persist()
-    # v's weight into its own community: the cand == comm gathered rows —
-    # one row per vertex, co-partitioned hash(id) with everything below
-    w_va_tbl = g.where(F.col("cand") == F.col("comm")).select("id", F.col("w_vc").alias("w_va"))
-    x = (
-        g.where(F.col("cand") != F.col("comm"))
-        .join(w_va_tbl.hint("merge"), "id", "left")
-        .na.fill({"w_va": 0.0})
-    )
+    # RIGHT join: vertices with no gathered neighbour rows (pure self-loop
+    # coarse nodes, fully internal vertices) still ride through with a null
+    # cand, so the O9 empty candidate below covers every vertex
+    g = gather.join(aug.hint("merge"), "id", "right").persist()
 
     present = {"Ka_out": "K_out", "Kb_out": "K_out", "Ka_in": "K_in", "Kb_in": "K_in",
                "na": "n", "nb": "n", "wa": "w", "wb": "w"}
@@ -268,30 +268,33 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
         return F.col(name) if present[name] in needs else zero
 
     csl = spec.correct_self_loops
-    rm = F.col("w_va") + F.col("loop")
     args = dict(directed=directed, W=W, p_global=p_global, csl=csl)
-    ka_out, ka_in, na, wa = col_of("Ka_out"), col_of("Ka_in"), col_of("na"), col_of("wa")
+    mn, mx, enf = opts.min_comm_size, opts.max_comm_size, opts.community_constraint_enforcement
+    sv = F.col("node_size")
+    vk_in = F.col("k_in") if directed else F.col("k_out")
+
+    # ---- candidate-side ΔQ term, computable per gathered row (no w_va
+    # dependence): the vertex-side term is constant across one vertex's
+    # candidates, so the arg-max needs only this half + the b-side
+    # constraint penalty.  The whole superstep tail is then ONE hash
+    # aggregation over the cached gather — no own-community join, no
+    # empty-candidate union/join, no final fuse join.
     kb_out, kb_in, nb, wb = col_of("Kb_out"), col_of("Kb_in"), col_of("nb"), col_of("wb")
     if not directed:
         # undirected strengths are symmetric; K_in mirrors K_out so the
         # directed formulas stay valid without shipping a second column
-        ka_in, kb_in = ka_out, kb_out
-    ga_old = _contrib(method_eff, gamma_eff, w=wa, ko=ka_out, ki=ka_in, n=na, **args)
-    ga_new = _contrib(
+        kb_in = kb_out
+    gb_old = _contrib(method_eff, gamma_eff, w=wb, ko=kb_out, ki=kb_in, n=nb, **args)
+    gb_new = _contrib(
         method_eff, gamma_eff,
-        w=wa - rm, ko=ka_out - F.col("k_out"),
-        ki=ka_in - F.col("k_in"), n=na - F.col("node_size"), **args,
+        w=wb + F.col("w_vc") + F.col("loop"), ko=kb_out + F.col("k_out"),
+        ki=kb_in + vk_in, n=nb + sv, **args,
     )
-
-    def dq_for(add_w, kbo, kbi, n_b, w_b, empty):
-        gb_old = _contrib(method_eff, gamma_eff, w=w_b, ko=kbo, ki=kbi, n=n_b, **args)
-        gb_new = _contrib(
-            method_eff, gamma_eff,
-            w=w_b + add_w, ko=kbo + F.col("k_out"),
-            ki=kbi + F.col("k_in"), n=n_b + F.col("node_size"), **args,
-        )
-        dq = (ga_new - ga_old) + (gb_new - gb_old)
-        return _constraint_dq(dq, na, nb, F.col("node_size"), opts, empty=empty)
+    gb = gb_new - gb_old
+    if (mn or mx) and enf > 0:
+        gb = gb - F.lit(float(enf)) * (_viol(nb + sv, mn, mx) - _viol(nb, mn, mx))
+    elif mx:
+        gb = F.when(nb + sv > mx, F.lit(float("-inf"))).otherwise(gb)
 
     # tie-break among equal-ΔQ candidates: deterministic smallest-id by
     # default; under size constraints a per-(vertex, step) hash instead —
@@ -303,37 +306,63 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
         tie = F.xxhash64(F.col("id"), F.col("cand"), F.lit(int(step)))
     else:
         tie = -F.col("cand")
-    best_x = (
-        x.withColumn("dq", dq_for(F.col("w_vc") + F.col("loop"), kb_out, kb_in, nb, wb, False))
-        .groupBy("id")
-        .agg(
-            F.max_by(F.struct(F.col("cand"), F.col("dq")), F.struct(F.col("dq"), tie)).alias("best"),
-            F.first("comm").alias("comm"),
-        )
-        .select("id", "comm", F.col("best.cand").alias("nc_x"), F.col("best.dq").alias("dq_x"))
+    is_x = F.col("cand").isNotNull() & (F.col("cand") != F.col("comm"))
+    a_names = ["comm", "k_out"] + (["k_in"] if directed else []) \
+        + ["loop", "node_size"] + [src for _, src in b_cols]
+    per_v = g.groupBy("id").agg(
+        *[F.first(c).alias(c) for c in a_names],
+        # v's weight into its own community: the cand == comm gathered row
+        F.coalesce(
+            F.max(F.when(F.col("cand") == F.col("comm"), F.col("w_vc"))), zero
+        ).alias("w_va"),
+        F.max_by(
+            F.when(is_x, F.struct(F.col("cand").alias("cand"), gb.alias("gb"))),
+            F.when(is_x, F.struct(gb.alias("gb"), tie.alias("tie"))),
+        ).alias("best"),
     )
+
+    # ---- vertex-side term, exact, on the n-row aggregate
+    ka_out, ka_in, na, wa = col_of("Ka_out"), col_of("Ka_in"), col_of("na"), col_of("wa")
+    if not directed:
+        ka_in = ka_out
+    rm = F.col("w_va") + F.col("loop")
+    ga_old = _contrib(method_eff, gamma_eff, w=wa, ko=ka_out, ki=ka_in, n=na, **args)
+    ga_new = _contrib(
+        method_eff, gamma_eff,
+        w=wa - rm, ko=ka_out - F.col("k_out"),
+        ki=ka_in - vk_in, n=na - sv, **args,
+    )
+    a_term = ga_new - ga_old
+    if (mn or mx) and enf > 0:
+        a_term = a_term - F.lit(float(enf)) * (_viol(na - sv, mn, mx) - _viol(na, mn, mx))
+    dq_x = F.col("best.gb") + a_term
+    nc_x = F.col("best.cand")
     if opts.consider_empty_community:
-        # O9: one synthetic candidate per vertex (w_to_comm = 0, empty
-        # target stats) — an n-row side branch off the cached aug/w_va
-        # tables, never another edge scan.  Fused into the main arg-max
-        # with ONE left join (same (dq, -new_comm) tie-break as a union
-        # would give) instead of a union + second full aggregation.
-        ev = aug.join(w_va_tbl.hint("merge"), "id", "left").na.fill({"w_va": 0.0})
-        e_dq = dq_for(F.col("loop"), zero, zero, zero, zero, True)
-        ev = ev.select("id", "comm", _empty_comm_id(step).alias("nc_e"), e_dq.alias("dq_e"))
-        j = ev.join(best_x.select("id", "nc_x", "dq_x"), "id", "left")
-        x_wins = F.col("dq_x").isNotNull() & (
-            (F.col("dq_x") > F.col("dq_e"))
-            | ((F.col("dq_x") == F.col("dq_e")) & (F.col("nc_x") < F.col("nc_e")))
+        # O9: the synthetic empty-community candidate (w_to_comm = 0, empty
+        # target stats) evaluated inline on the aggregate row — same
+        # (dq, smaller-new_comm) preference a union into the arg-max would
+        # give
+        gb_e = _contrib(
+            method_eff, gamma_eff,
+            w=F.col("loop"), ko=F.col("k_out"), ki=vk_in, n=sv, **args,
         )
-        winners = j.select(
+        dq_e = a_term + gb_e
+        if (mn or mx) and enf > 0:
+            dq_e = dq_e - F.lit(float(enf)) * _viol(sv, mn, mx)
+        elif mx:
+            dq_e = F.when(sv > mx, F.lit(float("-inf"))).otherwise(dq_e)
+        nc_e = _empty_comm_id(step)
+        x_wins = dq_x.isNotNull() & (
+            (dq_x > dq_e) | ((dq_x == dq_e) & (nc_x < nc_e))
+        )
+        winners = per_v.select(
             "id", "comm",
-            F.when(x_wins, F.col("nc_x")).otherwise(F.col("nc_e")).alias("new_comm"),
-            F.when(x_wins, F.col("dq_x")).otherwise(F.col("dq_e")).alias("dq"),
+            F.when(x_wins, nc_x).otherwise(nc_e).alias("new_comm"),
+            F.when(x_wins, dq_x).otherwise(dq_e).alias("dq"),
         ).where(F.col("dq") > EPSQ)
     else:
-        winners = best_x.select(
-            "id", "comm", F.col("nc_x").alias("new_comm"), F.col("dq_x").alias("dq")
+        winners = per_v.select(
+            "id", "comm", nc_x.alias("new_comm"), dq_x.alias("dq")
         ).where(F.col("dq") > EPSQ)
     # direction gate: even steps move only towards larger community
     # ids, odd steps towards smaller — makes simultaneous swap /
@@ -427,8 +456,6 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
     # the monotone-guard quality scalar all read it — without the cache
     # the whole gather would run three times
     g = gather.join(m_src_k, ["id", "salt3"]).persist()
-    w_va_tbl = g.where(F.col("cand") == F.col("comm")).select("id", F.col("w_vc").alias("w_va"))
-    cands = g.where(F.col("cand") != F.col("comm"))
 
     present = {"Kb_out": "K_out", "Kb_in": "K_in", "nb": "n", "wb": "w"}
 
@@ -457,7 +484,6 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
         gb = gb - F.lit(float(enf)) * (_viol(nb + F.col("vnsize"), mn, mx) - _viol(nb, mn, mx))
     elif mx:
         gb = F.when(nb + F.col("vnsize") > mx, F.lit(float("-inf"))).otherwise(gb)
-    scored = cands.withColumn("gb", gb)
 
     # constrained runs spread equal-gain ties by hash (see the unsalted
     # path) so admission-capped targets fill concurrently
@@ -465,27 +491,37 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
         F.xxhash64(F.col("id"), F.col("cand"), F.lit(int(step)))
         if constrained else -F.col("cand")
     )
-    pick = F.max_by(F.struct(F.col("cand"), F.col("gb")), F.struct(F.col("gb"), tie))
-    partial = scored.groupBy("id", "salt3").agg(pick.alias("best"))
-    best = (
-        partial.select("id", F.col("best.cand").alias("cand"), F.col("best.gb").alias("gb"))
-        .groupBy("id")
-        .agg(pick.alias("best"))
-        .select("id", F.col("best.cand").alias("new_comm"), F.col("best.gb").alias("gb"))
+    is_x = F.col("cand") != F.col("comm")
+    pick = F.max_by(
+        F.when(is_x, F.struct(F.col("cand").alias("cand"), gb.alias("gb"))),
+        F.when(is_x, F.struct(gb.alias("gb"), tie.alias("tie"))),
+    )
+    tie2 = (
+        F.xxhash64(F.col("id"), F.col("best.cand"), F.lit(int(step)))
+        if constrained else -F.col("best.cand")
+    )
+    pick2 = F.max_by(
+        F.col("best"), F.struct(F.col("best.gb").alias("gb"), tie2.alias("tie")),
+    )
+    # two-level arg-max; v's own-community weight (the cand == comm row —
+    # it lives in exactly one salt3 group) rides the same aggregations
+    partial = g.groupBy("id", "salt3").agg(
+        pick.alias("best"),
+        F.max(F.when(~is_x, F.col("w_vc"))).alias("w_va_p"),
+    )
+    best = partial.groupBy("id").agg(
+        pick2.alias("best"),
+        F.coalesce(F.max("w_va_p"), zero).alias("w_va"),
     )
 
-    # n-row winners stage: exact source-side term, O9 empty candidate,
-    # threshold, gate
+    # n-row winners stage (ONE merge join with aug — right so every vertex
+    # gets the O9 empty candidate): exact source-side term, threshold, gate
     apresent = {"Ka_out": "K_out", "Ka_in": "K_in", "na": "n", "wa": "w"}
 
     def acol(name):
         return F.col(name) if apresent[name] in needs else zero
 
-    w = (
-        best.join(aug.hint("merge"), "id")
-        .join(w_va_tbl, "id", "left")
-        .na.fill({"w_va": 0.0})
-    )
+    w = best.join(aug.hint("merge"), "id", "right").na.fill({"w_va": 0.0})
     ka_out, ka_in, na, wa = acol("Ka_out"), acol("Ka_in"), acol("na"), acol("wa")
     if not directed:
         ka_in = ka_out
@@ -501,39 +537,36 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
         a_term = a_term - F.lit(float(enf)) * (
             _viol(na - F.col("node_size"), mn, mx) - _viol(na, mn, mx)
         )
+    dq_x = F.col("best.gb") + a_term
+    nc_x = F.col("best.cand")
     if opts.consider_empty_community:
-        # O9 fused into the final pick with one left join (see the
-        # unsalted path): every vertex gets the empty candidate, the
-        # per-vertex best neighbour candidate attaches where it exists
-        bx = w.withColumn("dq_x", F.col("gb") + a_term).select(
-            "id", F.col("new_comm").alias("nc_x"), "dq_x"
-        )
-        ev = aug.join(w_va_tbl, "id", "left").na.fill({"w_va": 0.0})
+        # O9 evaluated inline on the joined row (see the unsalted path)
         gb_e_new = _contrib(
             method_eff, gamma_eff,
             w=F.col("loop"), ko=F.col("k_out"),
             ki=F.col("k_in") if directed else F.col("k_out"),
             n=F.col("node_size"), **args,
         )
-        dq_e = (ga_new - ga_old) + gb_e_new
-        dq_e = _constraint_dq(dq_e, na, zero, F.col("node_size"), opts, empty=True)
-        ev = ev.select("id", "comm", _empty_comm_id(step).alias("nc_e"), dq_e.alias("dq_e"))
-        j = ev.join(bx, "id", "left")
-        x_wins = F.col("dq_x").isNotNull() & (
-            (F.col("dq_x") > F.col("dq_e"))
-            | ((F.col("dq_x") == F.col("dq_e")) & (F.col("nc_x") < F.col("nc_e")))
+        dq_e = a_term + gb_e_new
+        if (mn or mx) and enf > 0:
+            dq_e = dq_e - F.lit(float(enf)) * _viol(F.col("node_size"), mn, mx)
+        elif mx:
+            dq_e = F.when(
+                F.col("node_size") > mx, F.lit(float("-inf"))
+            ).otherwise(dq_e)
+        nc_e = _empty_comm_id(step)
+        x_wins = dq_x.isNotNull() & (
+            (dq_x > dq_e) | ((dq_x == dq_e) & (nc_x < nc_e))
         )
-        best_x = j.select(
+        best_x = w.select(
             "id", "comm",
-            F.when(x_wins, F.col("nc_x")).otherwise(F.col("nc_e")).alias("new_comm"),
-            F.when(x_wins, F.col("dq_x")).otherwise(F.col("dq_e")).alias("dq"),
+            F.when(x_wins, nc_x).otherwise(nc_e).alias("new_comm"),
+            F.when(x_wins, dq_x).otherwise(dq_e).alias("dq"),
         ).where(F.col("dq") > EPSQ)
     else:
-        best_x = (
-            w.withColumn("dq", F.col("gb") + a_term)
-            .where(F.col("dq") > EPSQ)
-            .select("id", "comm", "new_comm", "dq")
-        )
+        best_x = w.select(
+            "id", "comm", nc_x.alias("new_comm"), dq_x.alias("dq")
+        ).where(F.col("dq") > EPSQ)
     winners = best_x.withColumn(
         "gated",
         F.when(F.lit(step % 2 == 0), F.col("new_comm") > F.col("comm")).otherwise(
