@@ -125,7 +125,9 @@ def _candidates(P, v, comms_neigh, mode, rng, allow_empty):
     else:
         raise ValueError(f"unknown consider_comms mode {mode!r}")
     if allow_empty and P.count_c[a] > 1:
-        cands = np.concatenate([cands, [P.empty_slot()]])
+        return np.unique(np.concatenate([cands, [P.empty_slot()]]))
+    if mode == ALL_NEIGH_COMMS:
+        return cands  # gather output: already sorted unique
     return np.unique(cands)
 
 

@@ -78,9 +78,6 @@ class LocalPartition:
         self.free_slots = [c for c in range(self.cap) if self.count_c[c] == 0]
         # per-layer global sums for Surprise (O(1) diffs)
         self._refresh_global_sums()
-        # scratch buffers for gathers: per layer w_out/w_in to community
-        self._scr_out = [np.zeros(self.cap) for _ in self.graphs]
-        self._scr_in = [np.zeros(self.cap) for _ in self.graphs]
 
     def _refresh_global_sums(self):
         self.sum_w_in = self.w_in.sum(axis=1)
@@ -109,8 +106,6 @@ class LocalPartition:
         self.count_c = np.concatenate([self.count_c, np.zeros(extra, dtype=np.int64)])
         self.csize_c = np.concatenate([self.csize_c, np.zeros(extra)])
         self.free_slots.extend(range(self.cap, newcap))
-        self._scr_out = [np.concatenate([b, np.zeros(extra)]) for b in self._scr_out]
-        self._scr_in = [np.concatenate([b, np.zeros(extra)]) for b in self._scr_in]
         self.cap = newcap
 
     def empty_slot(self):
@@ -142,17 +137,26 @@ class LocalPartition:
             c = self.membership[nbr]
             per_layer.append((c, wo, wi))
             comm_list.append(c)
-        comms = np.unique(np.concatenate(comm_list)) if comm_list else np.empty(0, np.int64)
+        if len(comm_list) == 1:
+            comms = np.unique(comm_list[0])
+        elif comm_list:
+            comms = np.unique(np.concatenate(comm_list))
+        else:
+            comms = np.empty(0, np.int64)
+        # per-community sums via searchsorted + bincount: on the tiny
+        # per-node neighbour arrays this is several times cheaper than a
+        # scatter-add into (and reset of) a |comms|-sized scratch buffer
+        ncs = len(comms)
         wouts = []
         wins = []
-        for i, (c, wo, wi) in enumerate(per_layer):
-            so, si = self._scr_out[i], self._scr_in[i]
-            np.add.at(so, c, wo)
-            np.add.at(si, c, wi)
-            wouts.append(so[comms].copy())
-            wins.append(si[comms].copy())
-            so[c] = 0.0
-            si[c] = 0.0
+        for c, wo, wi in per_layer:
+            if len(c):
+                idx = np.searchsorted(comms, c)
+                wouts.append(np.bincount(idx, weights=wo, minlength=ncs))
+                wins.append(np.bincount(idx, weights=wi, minlength=ncs))
+            else:
+                wouts.append(np.zeros(ncs))
+                wins.append(np.zeros(ncs))
         return comms, wouts, wins
 
     # ------------------------------------------------------------------

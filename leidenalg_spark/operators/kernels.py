@@ -158,14 +158,20 @@ def connected_components(
             .unionByName(mins2.select("src", F.col("m").alias("dst")))
             .distinct()
         )
-        e = ckpt.save(ss, "cc_edges", r)
-        # checksum in double space: BIGINT arithmetic on xxhash64-sized ids
-        # overflows under ANSI mode
-        sig = e.agg(
+        # convergence signature rides the checkpoint write via observe() —
+        # one action per round, not two.  Checksum in double space: BIGINT
+        # arithmetic on xxhash64-sized ids overflows under ANSI mode
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        ss = ss.observe(
+            obs,
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.xxhash64("src", "dst").cast("double")).alias("chk"),
-        ).first()
-        sig = (sig["cnt"], sig["chk"])
+        )
+        e = ckpt.save(ss, "cc_edges", r)
+        vals = obs.get
+        sig = (vals["cnt"], vals["chk"])
         ckpt.log(name="cc", step=r, edges=int(sig[0]))
         if sig == prev_sig:
             break

@@ -355,27 +355,31 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
         x_wins = dq_x.isNotNull() & (
             (dq_x > dq_e) | ((dq_x == dq_e) & (nc_x < nc_e))
         )
-        winners = per_v.select(
-            "id", "comm",
+        cand_tbl = per_v.select(
+            "id", "comm", "w_va",
             F.when(x_wins, nc_x).otherwise(nc_e).alias("new_comm"),
             F.when(x_wins, dq_x).otherwise(dq_e).alias("dq"),
-        ).where(F.col("dq") > EPSQ)
+        )
     else:
-        winners = per_v.select(
-            "id", "comm", nc_x.alias("new_comm"), dq_x.alias("dq")
-        ).where(F.col("dq") > EPSQ)
+        cand_tbl = per_v.select(
+            "id", "comm", "w_va", nc_x.alias("new_comm"), dq_x.alias("dq")
+        )
     # direction gate: even steps move only towards larger community
     # ids, odd steps towards smaller — makes simultaneous swap /
     # counter-moves between two communities impossible (a pair of
     # vertices can never trade places in one superstep), unlike a
-    # random half-gate which lets same-parity pairs oscillate
-    winners = winners.withColumn(
+    # random half-gate which lets same-parity pairs oscillate.
+    # The dq > EPSQ improving filter is applied by the caller — the
+    # UNFILTERED n-row table (one row per vertex, ``w_va`` riding along)
+    # lets the caller fold the convergence counts and the guard's
+    # own-community weight into one aggregate over it.
+    cand_tbl = cand_tbl.withColumn(
         "gated",
         F.when(F.lit(step % 2 == 0), F.col("new_comm") > F.col("comm")).otherwise(
             F.col("new_comm") < F.col("comm")
         ),
     )
-    return winners, g
+    return cand_tbl, g
 
 
 def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed, n_shuffle, k, opts):
@@ -558,22 +562,24 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
         x_wins = dq_x.isNotNull() & (
             (dq_x > dq_e) | ((dq_x == dq_e) & (nc_x < nc_e))
         )
-        best_x = w.select(
-            "id", "comm",
+        cand_tbl = w.select(
+            "id", "comm", "w_va",
             F.when(x_wins, nc_x).otherwise(nc_e).alias("new_comm"),
             F.when(x_wins, dq_x).otherwise(dq_e).alias("dq"),
-        ).where(F.col("dq") > EPSQ)
+        )
     else:
-        best_x = w.select(
-            "id", "comm", nc_x.alias("new_comm"), dq_x.alias("dq")
-        ).where(F.col("dq") > EPSQ)
-    winners = best_x.withColumn(
+        cand_tbl = w.select(
+            "id", "comm", "w_va", nc_x.alias("new_comm"), dq_x.alias("dq")
+        )
+    # unfiltered n-row table; the caller applies the dq > EPSQ improving
+    # filter (see the unsalted path)
+    cand_tbl = cand_tbl.withColumn(
         "gated",
         F.when(F.lit(step % 2 == 0), F.col("new_comm") > F.col("comm")).otherwise(
             F.col("new_comm") < F.col("comm")
         ),
     )
-    return winners, g
+    return cand_tbl, g
 
 
 def _refine_by_components(spark, edges, membership, ckpt):
@@ -646,9 +652,12 @@ def _level_setup(spark, edges, directed, node_sizes, hub_salt, n_shuffle):
         edges_sym = edges_sym.repartition(n_shuffle, "dst").sortWithinPartitions("dst").persist()
     edges_sym.count()  # materialise outside the measured superstep loop
     W = float(edges.agg(F.sum("weight")).first()[0] or 0.0)
-    totals = vstats.agg(F.sum("node_size").alias("n"), F.sum("loop").alias("lt")).first()
+    totals = vstats.agg(
+        F.sum("node_size").alias("n"), F.sum("loop").alias("lt"),
+        F.count(F.lit(1)).alias("nv"),
+    ).first()
     n_tot, loop_tot = float(totals["n"] or 0.0), float(totals["lt"] or 0.0)
-    return edges_sym, vstats, W, n_tot, loop_tot
+    return edges_sym, vstats, W, n_tot, loop_tot, int(totals["nv"])
 
 
 def _guard_exprs(spec, directed, W, p_global, opts):
@@ -698,21 +707,21 @@ def _guard_exprs(spec, directed, W, p_global, opts):
     return exprs
 
 
-def _quality_from_guard_row(row, g, spec, directed, W, loop_tot, opts):
+def _quality_from_guard_row(row, own, spec, directed, W, loop_tot, opts):
     """Realised quality of the current membership (monotone-commit guard)
-    from the combined cstats aggregate row + (linear family only) one sum
-    over the persisted gather's own-community rows — no extra edge scan.
+    from the combined cstats aggregate values + (linear family only) the
+    own-community weight sum gathered by the caller — no extra edge scan.
 
     Measured in the *effective* objective (`_method_eff`), which is what
     the supersteps optimise, minus the soft O10 penalty when active.
+    ``row`` is a plain dict (from a collected Row or an Observation).
     """
     method_eff, _ = _method_eff(spec)
     constraint_pen = 0.0
-    if "q_viol" in row.__fields__:
+    if "q_viol" in row:
         constraint_pen = float(opts.community_constraint_enforcement) * float(row["q_viol"])
     if method_eff == "significance":
         return -float(row["q_pen"]) - constraint_pen
-    own = g.where(F.col("cand") == F.col("comm")).agg(F.sum("w_vc")).first()[0] or 0.0
     w_in_tot = float(own) * (1.0 if directed else 0.5) + loop_tot
     coef_w = (1.0 / W if W > 0 else 0.0) if method_eff == "modularity" else 1.0
     return coef_w * w_in_tot - float(row["q_pen"]) - constraint_pen
@@ -740,9 +749,15 @@ def _move_phase(
     method_eff, _ = _method_eff(spec)
     constrained = bool(opts.min_comm_size or opts.max_comm_size)
     needs = _stat_needs(method_eff, directed, constrained)
-    edges_sym, vstats, W, n_tot, loop_tot = _level_setup(
+    edges_sym, vstats, W, n_tot, loop_tot, n_verts = _level_setup(
         spark, edges, directed, node_sizes, hub_salt, n_shuffle
     )
+    # lagged community-count estimate for the broadcast-vs-merge attach
+    # decision (a perf heuristic, not a correctness input): seeded with the
+    # vertex count (= the singleton community count, an upper bound for any
+    # seed membership), refreshed each superstep from the fused cstats
+    # observation — no dedicated count job
+    n_comm_est = n_verts
     from ..localcore.quality import possible_pairs
 
     pairs_tot = float(possible_pairs(n_tot, directed, spec.correct_self_loops))
@@ -803,19 +818,36 @@ def _move_phase(
         # the stats table broadcasts: a map-side probe with zero
         # shuffle and zero skew that also keeps mstats' hash(id)
         # layout (no repartition/sort).  The crossover tracks the
-        # community count, which only shrinks as merges proceed.
-        # The guard's cstats-side quality terms ride the SAME job as the
-        # count — the monotone guard costs at most one extra action per
-        # superstep (the own-community sum over the cached gather).
+        # (lagged) community count, which shrinks as merges proceed.
+        #
+        # Linear family: the community count AND the guard's cstats-side
+        # quality terms ride the gather pipeline as an Observation — the
+        # guard costs no dedicated cstats job, only the own-community sum
+        # over the cached gather (which is also what materialises it).
+        # Significance (w in needs): its guard reads cstats alone and must
+        # be known BEFORE the commit, so it keeps the dedicated aggregate.
         cstats = cstats.persist()
         guard_aggs = _guard_exprs(spec, directed, W, p_global, opts) if monotone else []
-        guard_row = cstats.agg(F.count(F.lit(1)).alias("n_comm"), *guard_aggs).first()
-        n_comm = int(guard_row["n_comm"])
+        fuse_guard = "w" not in needs
+        if fuse_guard:
+            from pyspark.sql import Observation
+
+            obs_c = Observation()
+            cstats_o = cstats.observe(
+                obs_c, F.count(F.lit(1)).alias("n_comm"), *guard_aggs
+            )
+            guard_row, n_comm = None, n_comm_est
+        else:
+            guard_row = cstats.agg(
+                F.count(F.lit(1)).alias("n_comm"), *guard_aggs
+            ).first().asDict()
+            n_comm = n_comm_est = int(guard_row["n_comm"])
+            cstats_o = cstats
         if n_comm <= _BCAST_COMMS:
-            aug = mstats.join(F.broadcast(cstats), "comm").persist()
+            aug = mstats.join(F.broadcast(cstats_o), "comm").persist()
         else:
             aug = (
-                mstats.join(cstats.hint("merge"), "comm")
+                mstats.join(cstats_o.hint("merge"), "comm")
                 .repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
             )
         if hub_salt > 1:
@@ -829,13 +861,39 @@ def _move_phase(
                 n_tot, ckpt_idx + 1, seed, n_shuffle, opts,
             )
         if fixed is not None:
-            winners = winners.join(F.broadcast(fixed), "id", "left_anti")
+            winners = winners.join(
+                F.broadcast(fixed.select("id", F.lit(True).alias("is_fixed"))),
+                "id", "left",
+            )
+        else:
+            winners = winners.withColumn("is_fixed", F.lit(False))
         winners = winners.persist()
+        imp = (F.col("dq") > EPSQ) & ~F.coalesce(F.col("is_fixed"), F.lit(False))
+
+        # ---- ONE action materialises the whole gather pipeline and reads
+        # everything the driver needs off the n-row candidate table: the
+        # convergence counts, the guard's own-community weight (Σ_v w_va —
+        # fixed vertices included: it is a property of the CURRENT
+        # membership, not of the movable set), and, through the fused
+        # cstats Observation, the community count + the guard's
+        # cstats-side terms.  The checkpoint job below then reads only
+        # this tiny cached n-row table.
+        srow = winners.agg(
+            F.coalesce(F.sum("w_va"), F.lit(0.0)).alias("own"),
+            F.count(F.when(imp, 1)).alias("improving"),
+            F.count(F.when(imp & F.col("gated"), 1)).alias("moves"),
+        ).first()
+        n_improving, n_moves = int(srow["improving"]), int(srow["moves"])
+        if fuse_guard:
+            guard_row = dict(obs_c.get)
+            n_comm_est = int(guard_row["n_comm"])
 
         # ---- monotone-commit guard: realised quality of the CURRENT
-        # membership, read from the persisted gather tables (cheap agg)
+        # membership, from values already in hand — no extra action
         if monotone:
-            q_now = _quality_from_guard_row(guard_row, g, spec, directed, W, loop_tot, opts)
+            q_now = _quality_from_guard_row(
+                guard_row, float(srow["own"]), spec, directed, W, loop_tot, opts
+            )
             if q_prev is not None and q_now < q_prev - 1e-9:
                 # the previous batch degraded realised quality: revert to
                 # the last good membership and retry this superstep with a
@@ -871,7 +929,7 @@ def _move_phase(
                 # the fractional retry was validated — back to full batches
                 frac_bits, frac_used = 0, False
 
-        commit = winners.where("gated")
+        commit = winners.where(imp & F.col("gated")).select("id", "comm", "new_comm", "dq")
         if frac_bits > 0:
             frac_used = True
             # retry of a reverted batch: keep a deterministic 1/2^bits
@@ -923,16 +981,11 @@ def _move_phase(
             membership.join(commit.select("id", "new_comm"), "id", "left")
             .select("id", F.coalesce("new_comm", "comm").alias("comm"))
         )
-        # one heavy action per superstep: the checkpoint materialises the
-        # whole move pipeline (g + winners persist as side effects); the
-        # convergence counts then read the cached winners only
+        # checkpoint job: membership (a cached parquet reload) left-joined
+        # with the tiny cached commit table — the heavy gather pipeline ran
+        # exactly once, in the stats aggregate above
         ckpt_idx += 1
         membership = ckpt.save(new_membership, name, ckpt_idx)
-        counts = winners.agg(
-            F.count(F.lit(1)).alias("improving"),
-            F.count(F.when(F.col("gated"), 1)).alias("moves"),
-        ).first()
-        n_improving, n_moves = int(counts["improving"]), int(counts["moves"])
         if level == 0:
             ckpt.save_state({
                 "iteration": iteration, "step": step, "ckpt_idx": ckpt_idx,
@@ -973,6 +1026,7 @@ def _descend(
     node) and recurses.  Projection back down is one join per level
     (coarse side is the small side).
     """
+    t_refine0 = time.time()
     sym = edges.where(F.col("src") != F.col("dst"))
     refined = _refine_by_components(spark, sym, membership, ckpt).persist()
     r_src = refined.select(F.col("id").alias("src"), F.col("refined").alias("r_src"))
@@ -1002,6 +1056,10 @@ def _descend(
     n_coarse_edges = coarse_edges.count()
     n_coarse_v = coarse_nodes.count()
     n_fine_v = refined.count()
+    ckpt.log(
+        name="leiden_coarsen", level=level, coarse_edges=int(n_coarse_edges),
+        coarse_vertices=int(n_coarse_v), secs=round(time.time() - t_refine0, 4),
+    )
 
     if n_coarse_edges > local_finish_threshold and n_coarse_v >= n_fine_v:
         # refinement collapsed nothing (reference Optimiser break condition:
@@ -1013,13 +1071,14 @@ def _descend(
         return membership
 
     if n_coarse_edges <= local_finish_threshold:
-        ckpt.log(
-            name="leiden_aggregate", level=level, coarse_edges=int(n_coarse_edges),
-            finish="local",
-        )
+        t_fin0 = time.time()
         coarse_memb = _local_finish(
             spark, coarse_edges, coarse_nodes, spec, directed, seed, opts,
             fixed_any=fixed is not None,
+        )
+        ckpt.log(
+            name="leiden_aggregate", level=level, coarse_edges=int(n_coarse_edges),
+            finish="local", secs=round(time.time() - t_fin0, 4),
         )
     elif level >= max_levels:
         # runaway guard — should not happen (levels shrink geometrically);
@@ -1045,7 +1104,7 @@ def _descend(
         sub_ckpt.metrics = ckpt.metrics  # share the metrics stream
         n_shuffle = min(
             int(spark.conf.get("spark.sql.shuffle.partitions")),
-            max(8, n_coarse_edges // 200_000),
+            max(8, spark.sparkContext.defaultParallelism, n_coarse_edges // 200_000),
         )
         init = sub_ckpt.save(c_init, f"membership_l{level + 1}", 0)
         cm, _, _ = _move_phase(
@@ -1060,6 +1119,7 @@ def _descend(
         coarse_memb = cm.select(F.col("id").alias("refined"), F.col("comm").alias("new_comm"))
         c_edges.unpersist()
 
+    t_proj0 = time.time()
     out = (
         refined.join(coarse_memb, "refined")
         .select("id", F.col("new_comm").alias("comm"))
@@ -1067,6 +1127,7 @@ def _descend(
     out = out.localCheckpoint(eager=True)  # lineage barrier before unpersists
     refined.unpersist()
     coarse_nodes.unpersist()
+    ckpt.log(name="leiden_project", level=level, secs=round(time.time() - t_proj0, 4))
     return out
 
 
@@ -1172,13 +1233,13 @@ def leiden(
         return LeidenResult(membership, q, method, gamma, supersteps=0, levels=1, metrics=ckpt.metrics)
 
     # ----------------------------------------------------- distributed path
-    # partition count sized to the data (~200k edges per partition floor):
-    # a tiny graph on a big session would otherwise pay per-stage scheduling
-    # for near-empty tasks in every superstep; never exceeds the session's
-    # configured parallelism
+    # partition count sized to the data (~200k edges per partition) but
+    # floored at the session's core count — a small graph on a big session
+    # must still use every core in the superstep stages, and the configured
+    # shuffle-partition ceiling still bounds huge inputs
     n_shuffle = min(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
-        max(8, ecount // 200_000),
+        max(8, spark.sparkContext.defaultParallelism, ecount // 200_000),
     )
 
     # ---- resume support (north rule): the driver loop position is
