@@ -582,10 +582,53 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
     return cand_tbl, g
 
 
-def _refine_by_components(spark, edges, membership, ckpt):
+def _cc_local_pdf(pdf):
+    """Connected components of ONE community's intra-edge list, in numpy:
+    min-hooking + pointer-jumping union-find (O(m log n) flat array ops, no
+    per-edge Python).  Component label = minimum vertex id — identical to
+    the distributed large-star/small-star labelling, so the two refinement
+    paths are bit-compatible."""
+    import pandas as pd
+
+    s = pdf["src"].to_numpy(dtype=np.int64)
+    d = pdf["dst"].to_numpy(dtype=np.int64)
+    ids = np.unique(np.concatenate([s, d]))
+    si = np.searchsorted(ids, s)
+    di = np.searchsorted(ids, d)
+    parent = np.arange(len(ids), dtype=np.int64)
+    while True:
+        ps, pdd = parent[si], parent[di]
+        mn = np.minimum(ps, pdd)
+        mx = np.maximum(ps, pdd)
+        before = parent.copy()
+        np.minimum.at(parent, mx, mn)
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        if np.array_equal(parent, before):
+            break
+    # ids is sorted, so the root's local index maps to the component's
+    # minimum original id
+    return pd.DataFrame({"id": ids, "component": ids[parent]})
+
+
+def _refine_by_components(spark, edges, membership, ckpt, big_comm_edges=5_000_000):
     """Distributed refinement: split every community into its connected
-    components (γ-connectivity).  Returns refined membership
-    (id, comm, refined) with refined = hash(comm, component)."""
+    components (γ-connectivity).  Returns (refined, intra) where refined is
+    (id, comm, refined) with refined = hash(comm, component) and intra is
+    the persisted intra-community edge cache (caller unpersists after
+    materialising downstream state).
+
+    Size-partitioned execution: communities are grouped by their
+    intra-edge count.  The normal case — every community under
+    ``big_comm_edges`` — runs as ONE shuffle (groupBy comm) plus an
+    Arrow-batched per-group union-find; only oversized communities (a hub
+    community at web scale) fall back to the global log-round
+    large-star/small-star kernel, whose rounds cost several shuffles plus
+    a checkpoint each.  Cross-community merges are impossible in either
+    path: intra edges never span communities."""
     from .kernels import connected_components
 
     m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("comm_src"))
@@ -593,18 +636,36 @@ def _refine_by_components(spark, edges, membership, ckpt):
     intra = (
         edges.join(m_src, "src").join(m_dst, "dst")
         .where(F.col("comm_src") == F.col("comm_dst"))
-        .select("src", "dst")
+        .select(F.col("comm_src").alias("comm"), "src", "dst")
+        .persist()
     )
-    comp = connected_components(spark, intra.withColumn("weight", F.lit(1.0)), ckpt=ckpt)
+    big = (
+        intra.groupBy("comm").agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("m") > big_comm_edges).select("comm")
+    )
+    n_big = big.count()
+    small = intra
+    comp = None
+    if n_big:
+        big_edges = intra.join(F.broadcast(big), "comm", "semi").select("src", "dst")
+        comp = connected_components(
+            spark, big_edges.withColumn("weight", F.lit(1.0)), ckpt=ckpt
+        )
+        small = intra.join(F.broadcast(big), "comm", "left_anti")
+    small_comp = small.groupBy("comm").applyInPandas(
+        _cc_local_pdf, "id long, component long"
+    )
+    comp = small_comp if comp is None else comp.unionByName(small_comp)
     refined = membership.join(comp, "id", "left").select(
         "id", "comm", F.coalesce("component", F.col("id")).alias("component")
     )
     # refined community id: hash of (comm, component) — deterministic
-    return refined.select(
+    refined = refined.select(
         "id",
         "comm",
         F.xxhash64(F.col("comm"), F.col("component")).alias("refined"),
     )
+    return refined, intra
 
 
 # ----------------------------------------------------- move-phase machinery
@@ -1028,7 +1089,8 @@ def _descend(
     """
     t_refine0 = time.time()
     sym = edges.where(F.col("src") != F.col("dst"))
-    refined = _refine_by_components(spark, sym, membership, ckpt).persist()
+    refined, intra = _refine_by_components(spark, sym, membership, ckpt)
+    refined = refined.persist()
     r_src = refined.select(F.col("id").alias("src"), F.col("refined").alias("r_src"))
     r_dst = refined.select(F.col("id").alias("dst"), F.col("refined").alias("r_dst"))
     coarse_edges = (
@@ -1060,6 +1122,7 @@ def _descend(
         name="leiden_coarsen", level=level, coarse_edges=int(n_coarse_edges),
         coarse_vertices=int(n_coarse_v), secs=round(time.time() - t_refine0, 4),
     )
+    intra.unpersist()
 
     if n_coarse_edges > local_finish_threshold and n_coarse_v >= n_fine_v:
         # refinement collapsed nothing (reference Optimiser break condition:

@@ -615,7 +615,8 @@ def leiden_multiplex(
     if finish:
         pos_layers = [k for k in range(L) if lw[k] > 0]
         intra_src = edges.where(F.col("layer").isin(pos_layers)).select("src", "dst", "weight")
-        refined = _refine_by_components(spark, intra_src, membership, ckpt).persist()
+        refined, intra_cache = _refine_by_components(spark, intra_src, membership, ckpt)
+        refined = refined.persist()
         r_src = refined.select(F.col("id").alias("src"), F.col("refined").alias("r_src"))
         r_dst = refined.select(F.col("id").alias("dst"), F.col("refined").alias("r_dst"))
         coarse_edges = (
@@ -638,6 +639,7 @@ def leiden_multiplex(
             )
         parents = refined.groupBy(F.col("refined")).agg(F.first("comm").alias("parent"))
         n_coarse = coarse_edges.count()
+        intra_cache.unpersist()
         if n_coarse <= max(local_threshold, 5_000_000):
             ppdf = parents.toPandas()
             # raw parent labels — _local_solve densifies internally and
