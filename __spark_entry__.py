@@ -253,6 +253,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        F.count(F.lit(1)).alias("n_comms"), F.sum("size").alias("n_vertices")
                    )
 
+    def q_resolution_profile(spark, sf):
+        # O12: CPM resolution bisection over the interaction graph —
+        # iterative multi-probe scan (rows-only check).  Each probe is a
+        # full leiden() run; bisect value is one join-aggregate.
+        from leidenalg_spark.plans.profile import resolution_profile_df
+
+        e = _bipartite_ids(spark, sf)
+        w_tot = e.agg(F.sum("weight")).first()[0]
+        pts = resolution_profile_df(
+            spark, e, method="cpm", resolution_range=(0.05, 1.0),
+            min_diff_bisect_value=max(1.0, 0.05 * w_tot),
+            min_diff_resolution=0.05, seed=42, number_iterations=1,
+        )
+        return spark.createDataFrame(
+            [(round(p.gamma, 6), p.n_comms, round(p.bisect_value, 6), round(p.quality, 6))
+             for p in pts],
+            "gamma double, n_comms long, bisect_value double, quality double",
+        )
+
     return {
         "edge_derivation": q_edge_derivation,
         "bipartite_edges": q_bipartite_edges,
@@ -281,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "embedding_neardup": q_embedding_neardup,
         "temporal_communities": q_temporal_communities,
+        "resolution_profile": q_resolution_profile,
     }
 
 

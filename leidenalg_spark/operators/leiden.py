@@ -582,20 +582,36 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
     return cand_tbl, g
 
 
-def _cc_local_pdf(pdf):
-    """Connected components of ONE community's intra-edge list, in numpy:
-    min-hooking + pointer-jumping union-find (O(m log n) flat array ops, no
-    per-edge Python).  Component label = minimum vertex id — identical to
+def _cc_batch_iter(batches):
+    """Connected components of MANY communities' intra-edge lists at once
+    (mapInPandas over a hash(comm)-partitioned edge stream): min-hooking +
+    pointer-jumping union-find over composite (comm, vertex) keys —
+    O(m log n) flat array ops, no per-edge and no per-community Python.
+    Component label = minimum vertex id within the component, identical to
     the distributed large-star/small-star labelling, so the two refinement
-    paths are bit-compatible."""
+    paths are bit-compatible.  One vectorised union-find per PARTITION
+    (each holding every intra edge of its hash bucket of communities)
+    replaces a per-community applyInPandas, whose per-group Arrow/pandas
+    overhead dominates when supersteps leave 10^4-10^6 small communities.
+    """
     import pandas as pd
 
+    chunks = [c for c in batches if len(c)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    comm = pdf["comm"].to_numpy(dtype=np.int64)
     s = pdf["src"].to_numpy(dtype=np.int64)
     d = pdf["dst"].to_numpy(dtype=np.int64)
-    ids = np.unique(np.concatenate([s, d]))
-    si = np.searchsorted(ids, s)
-    di = np.searchsorted(ids, d)
-    parent = np.arange(len(ids), dtype=np.int64)
+    # dense (comm, vertex) keys; lexicographic order makes the min dense
+    # index of a component also its min vertex id (components never span
+    # communities)
+    keys = np.empty((2 * len(s), 2), dtype=np.int64)
+    keys[: len(s), 0], keys[: len(s), 1] = comm, s
+    keys[len(s):, 0], keys[len(s):, 1] = comm, d
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    si, di = inv[: len(s)], inv[len(s):]
+    parent = np.arange(len(uniq), dtype=np.int64)
     while True:
         ps, pdd = parent[si], parent[di]
         mn = np.minimum(ps, pdd)
@@ -609,12 +625,11 @@ def _cc_local_pdf(pdf):
             parent = pp
         if np.array_equal(parent, before):
             break
-    # ids is sorted, so the root's local index maps to the component's
-    # minimum original id
-    return pd.DataFrame({"id": ids, "component": ids[parent]})
+    yield pd.DataFrame({"id": uniq[:, 1], "component": uniq[parent, 1]})
 
 
-def _refine_by_components(spark, edges, membership, ckpt, big_comm_edges=5_000_000):
+def _refine_by_components(spark, edges, membership, ckpt, big_comm_edges=5_000_000,
+                          m_edges=None):
     """Distributed refinement: split every community into its connected
     components (γ-connectivity).  Returns (refined, intra) where refined is
     (id, comm, refined) with refined = hash(comm, component) and intra is
@@ -639,11 +654,19 @@ def _refine_by_components(spark, edges, membership, ckpt, big_comm_edges=5_000_0
         .select(F.col("comm_src").alias("comm"), "src", "dst")
         .persist()
     )
-    big = (
-        intra.groupBy("comm").agg(F.count(F.lit(1)).alias("m"))
-        .where(F.col("m") > big_comm_edges).select("comm")
-    )
-    n_big = big.count()
+    # a community's intra-edge count is bounded by the level's total edge
+    # count — when that bound is under the threshold (every non-root level
+    # of a converging run, and any sub-5M-edge graph) the oversized-probe
+    # job is provably a no-op and is skipped outright
+    if m_edges is not None and m_edges <= big_comm_edges:
+        n_big = 0
+        big = None
+    else:
+        big = (
+            intra.groupBy("comm").agg(F.count(F.lit(1)).alias("m"))
+            .where(F.col("m") > big_comm_edges).select("comm")
+        )
+        n_big = big.count()
     small = intra
     comp = None
     if n_big:
@@ -652,8 +675,13 @@ def _refine_by_components(spark, edges, membership, ckpt, big_comm_edges=5_000_0
             spark, big_edges.withColumn("weight", F.lit(1.0)), ckpt=ckpt
         )
         small = intra.join(F.broadcast(big), "comm", "left_anti")
-    small_comp = small.groupBy("comm").applyInPandas(
-        _cc_local_pdf, "id long, component long"
+    # partition count sized so one partition's intra edges fit one task's
+    # memory (~200k edges) — the mapInPandas below materialises a partition
+    n_cc = max(8, spark.sparkContext.defaultParallelism,
+               (m_edges or 0) // 200_000)
+    small_comp = (
+        small.repartition(n_cc, "comm")
+        .mapInPandas(_cc_batch_iter, "id long, component long")
     )
     comp = small_comp if comp is None else comp.unionByName(small_comp)
     refined = membership.join(comp, "id", "left").select(
@@ -1076,6 +1104,7 @@ def _move_phase(
 def _descend(
     spark, edges, spec, directed, seed, max_supersteps, ckpt, opts,
     membership, node_sizes, fixed, level, local_finish_threshold, max_levels, hub_salt,
+    m_edges=None,
 ):
     """Refine → aggregate → recurse (reference Optimiser.py:294-355 +
     advanced.rst:100-123 steps 2-5).
@@ -1089,7 +1118,7 @@ def _descend(
     """
     t_refine0 = time.time()
     sym = edges.where(F.col("src") != F.col("dst"))
-    refined, intra = _refine_by_components(spark, sym, membership, ckpt)
+    refined, intra = _refine_by_components(spark, sym, membership, ckpt, m_edges=m_edges)
     refined = refined.persist()
     r_src = refined.select(F.col("id").alias("src"), F.col("refined").alias("r_src"))
     r_dst = refined.select(F.col("id").alias("dst"), F.col("refined").alias("r_dst"))
@@ -1114,10 +1143,17 @@ def _descend(
         F.sum("node_size").alias("node_size"),
         F.first("comm").alias("parent"),
         F.max("f").alias("has_fixed"),
+        F.count(F.lit(1)).alias("n_members"),
     ).persist()
+    # persist BEFORE counting: the local finish / distributed recursion
+    # re-reads coarse_edges, and without the cache that re-read replays the
+    # whole refine pipeline (including the per-community CC stage)
+    coarse_edges = coarse_edges.persist()
     n_coarse_edges = coarse_edges.count()
-    n_coarse_v = coarse_nodes.count()
-    n_fine_v = refined.count()
+    crow = coarse_nodes.agg(
+        F.count(F.lit(1)).alias("cv"), F.sum("n_members").alias("fv")
+    ).first()
+    n_coarse_v, n_fine_v = int(crow["cv"]), int(crow["fv"])
     ckpt.log(
         name="leiden_coarsen", level=level, coarse_edges=int(n_coarse_edges),
         coarse_vertices=int(n_coarse_v), secs=round(time.time() - t_refine0, 4),
@@ -1131,6 +1167,7 @@ def _descend(
         ckpt.log(name="leiden_level_stable", level=level, coarse_vertices=int(n_coarse_v))
         refined.unpersist()
         coarse_nodes.unpersist()
+        coarse_edges.unpersist()
         return membership
 
     if n_coarse_edges <= local_finish_threshold:
@@ -1178,6 +1215,7 @@ def _descend(
         cm = _descend(
             spark, c_edges, spec, directed, seed, max_supersteps, sub_ckpt, opts,
             cm, c_ns, c_fixed, level + 1, local_finish_threshold, max_levels, hub_salt,
+            m_edges=n_coarse_edges,
         )
         coarse_memb = cm.select(F.col("id").alias("refined"), F.col("comm").alias("new_comm"))
         c_edges.unpersist()
@@ -1190,6 +1228,7 @@ def _descend(
     out = out.localCheckpoint(eager=True)  # lineage barrier before unpersists
     refined.unpersist()
     coarse_nodes.unpersist()
+    coarse_edges.unpersist()
     ckpt.log(name="leiden_project", level=level, secs=round(time.time() - t_proj0, 4))
     return out
 
@@ -1364,6 +1403,7 @@ def leiden(
         membership = _descend(
             spark, edges, spec, directed, seed, max_supersteps, ckpt, o,
             membership, node_sizes, fixed, 0, local_finish_threshold, max_levels, hub_salt,
+            m_edges=ecount,
         )
         levels_seen = max(
             levels_seen,

@@ -184,3 +184,59 @@ def test_leiden_multiplex_fixed_distributed(spark):
     )
     memb = res.membership.toPandas().sort_values("id")["comm"].tolist()
     assert memb == [0, 0, 0]
+
+
+# ------------------------------------------------- distributed O12 profile
+def _zachary_df(spark):
+    import pandas as pd
+
+    n, s, d, w = fx.zachary()
+    if w is None:
+        w = np.ones(len(s))
+    return spark.createDataFrame(
+        pd.DataFrame({
+            "src": np.asarray(s, dtype=np.int64),
+            "dst": np.asarray(d, dtype=np.int64),
+            "weight": np.asarray(w, dtype=np.float64),
+        })
+    )
+
+
+def test_resolution_profile_df_local_parity(spark):
+    """Below local_threshold the DF probes delegate to the exact local
+    core, so the profile is bit-identical to :func:`resolution_profile`."""
+    from leidenalg_spark.plans.profile import resolution_profile_df
+
+    g = fx.to_local_graph(fx.zachary())
+    local = resolution_profile(g, "cpm", (0.0, 1.0), seed=1)
+    dfp = resolution_profile_df(
+        spark, _zachary_df(spark), method="cpm", resolution_range=(0.0, 1.0),
+        seed=1, local_threshold=500_000,
+    )
+    assert [round(p.gamma, 9) for p in dfp] == [round(p.gamma, 9) for p in local]
+    for a, b in zip(dfp, local):
+        assert abs(a.bisect_value - b.bisect_value) < 1e-9
+        assert abs(a.quality - b.quality) < 1e-9
+    assert dfp[0].sizes() == [34]
+    assert dfp[-1].sizes() == [1] * 34
+
+
+def test_resolution_profile_df_distributed_probes(spark):
+    """local_threshold=0 forces every probe through the distributed
+    superstep + multi-level path; the scan must stay monotone and find
+    the same endpoint structure."""
+    from leidenalg_spark.plans.profile import resolution_profile_df
+
+    dfp = resolution_profile_df(
+        spark, _zachary_df(spark), method="cpm", resolution_range=(0.05, 1.0),
+        seed=1, local_threshold=0, min_diff_resolution=0.3,
+        min_diff_bisect_value=10.0, max_supersteps=10,
+    )
+    assert len(dfp) >= 2
+    bv = [p.bisect_value for p in dfp]
+    assert all(bv[i] >= bv[i + 1] - 1e-9 for i in range(len(bv) - 1))
+    # gamma=1 CPM on unweighted Zachary: all singletons, zero internal weight
+    assert dfp[-1].n_comms == 34
+    assert abs(dfp[-1].bisect_value) < 1e-9
+    # low gamma keeps most weight internal
+    assert dfp[0].bisect_value > 50.0
