@@ -71,6 +71,13 @@ def pagerank(
     has_out = out_w.select(F.col("src").alias("id"))
     dangling_verts = verts.join(has_out, "id", "left_anti").persist()
     any_dangling = dangling_verts.limit(1).count() > 0
+    # vertices with no in-links get the constant teleport(+dangling) rank;
+    # the set is static, so precomputing it replaces the per-iteration
+    # verts left-join (a vertex-proportional shuffle) with a union — and
+    # for undirected graphs the set is empty and the union disappears too
+    receivers = edges.select(F.col("dst").alias("id")).distinct()
+    no_in = verts.join(receivers, "id", "left_anti").persist()
+    any_no_in = no_in.limit(1).count() > 0
     for step in range(max_iter):
         # the dangling-mass action only runs when dangling vertices exist
         # at all (never, for symmetrised/undirected graphs) — one less
@@ -83,17 +90,15 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("share") * F.col("rank")).alias("contrib"))
         )
-        new_ranks = (
-            verts.join(contribs, "id", "left")
-            .na.fill({"contrib": 0.0})
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * (F.col("contrib") + F.lit(dangling / n))
-                ).alias("rank"),
+        rank_expr = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * (F.col("contrib") + F.lit(dangling / n))
+        ).alias("rank")
+        new_ranks = contribs.select("id", rank_expr)
+        if any_no_in:
+            new_ranks = new_ranks.unionByName(
+                no_in.select("id", F.lit(0.0).alias("contrib")).select("id", rank_expr)
             )
-        )
         every_step = any_dangling or tol > 0.0
         if every_step or step % ckpt_every == ckpt_every - 1 or step == max_iter - 1:
             new_ranks = ckpt.save(new_ranks, "pagerank_ranks", step)
@@ -113,6 +118,7 @@ def pagerank(
     verts.unpersist()
     links.unpersist()
     dangling_verts.unpersist()
+    no_in.unpersist()
     return ranks
 
 
