@@ -199,6 +199,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
         )
 
+    def q_ivf_topk(spark, sf):
+        # IVF ANN: trained coarse codebook, n_probe-cell candidate join +
+        # exact rescoring — iterative k-means training (rows-only check)
+        emb = _embeddings(spark, sf)
+        return S.ivf_topk(
+            emb, emb.where(F.col("vec_id") < 8), k=5, n_cells=8, n_probe=2, seed=42
+        ).select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+
     def q_media_features(spark, sf):
         from leidenalg_spark.operators.multimodal import extract_features, synthetic_media
 
@@ -297,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "embedding_neardup": q_embedding_neardup,
         "temporal_communities": q_temporal_communities,

@@ -78,7 +78,11 @@ def run_queries(spark, sf_dir: str) -> dict:
             spark, edges, method="modularity", n_iterations=1, seed=1,
             local_threshold=0, max_supersteps=5,
         )
-        sup = [m for m in res.metrics if m.get("name") == "leiden_superstep"]
+        # level-0 supersteps only: coarse levels run on tiny graphs whose
+        # per-step driver overhead would drag the mean below what the
+        # scale-relevant (full-size) superstep actually sustains
+        sup = [m for m in res.metrics
+               if m.get("name") == "leiden_superstep" and m.get("level", 0) == 0]
         if sup:
             eps = sum(s["edges_per_sec"] for s in sup) / len(sup)
             out["leiden_superstep_edges_per_sec"] = round(eps, 1)

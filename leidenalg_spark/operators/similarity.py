@@ -227,3 +227,59 @@ def ivf_assign(
     return embeddings.join(
         assign, embeddings[id_col] == assign["_ivf_id"]
     ).drop("_ivf_id")
+
+
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k=10, n_cells=16, n_probe=2,
+    seed=42, id_col="vec_id", vec_col="embedding", centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: the 100-TB ANN search path completing
+    :func:`ivf_train`/:func:`ivf_assign`.
+
+    Base vectors are coarse-assigned once (nearest centroid); each query
+    probes its ``n_probe`` nearest cells and rescored candidates are ONLY
+    the base vectors in those cells — an equality join on ``cell``
+    (linear shuffle, no cross join against the base table).  The query ×
+    centroid ranking is a broadcast cross join on the tiny query side.
+    Returns (query_id, neighbor_id, cos_sim, rank); recall rises with
+    ``n_probe`` (n_probe = n_cells degrades to exact search).
+    """
+    import pandas as pd
+
+    if centroids is None:
+        centroids = ivf_train(embeddings, n_cells, id_col, vec_col, seed)
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        pd.DataFrame({
+            "cell": np.arange(len(centroids), dtype=np.int32),
+            "cvec": [[float(x) for x in c] for c in centroids],
+        })
+    )
+    base = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids) \
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cell")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("cell"))
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cdf))
+        .withColumn("_d", d2)
+        .withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    scored = (
+        base.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

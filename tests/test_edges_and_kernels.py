@@ -101,6 +101,25 @@ def test_pagerank_star(spark):
     assert centre > pr.loc[pr["id"] != 0, "rank"].max() * 3
 
 
+def test_pagerank_directed_chain_no_in_and_dangling(spark):
+    # 0→1→2: vertex 0 has no in-links (constant teleport+dangling rank via
+    # the precomputed no-in union), vertex 2 is dangling; fixed point
+    # computed by dense iteration
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1], "dst": [1, 2], "weight": [1.0, 1.0]})
+    )
+    pr = K.pagerank(spark, e, directed=True, max_iter=60, tol=1e-12).toPandas().sort_values("id")
+    r = np.ones(3) / 3
+    for _ in range(120):
+        dang = r[2]
+        new = np.full(3, 0.15 / 3 + 0.85 * dang / 3)
+        new[1] += 0.85 * r[0]
+        new[2] += 0.85 * r[1]
+        r = new
+    assert np.allclose(pr["rank"].to_numpy(), r, atol=1e-9)
+    assert np.isclose(pr["rank"].sum(), 1.0, atol=1e-9)
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     fix = fx.erdos_renyi(60, 0.08, directed=True, seed=3)
     n, e = _fixture_edges(spark, fix)

@@ -107,6 +107,24 @@ def test_ivf_assignment_partitions_space(spark):
     assert len(cells) > 1  # vectors actually spread over cells
 
 
+def test_ivf_topk_recall_and_exact_degenerate(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = S.cosine_topk(emb, q, k=5).toPandas()
+    # n_probe == n_cells probes every cell → identical to exact search
+    full = S.ivf_topk(emb, q, k=5, n_cells=4, n_probe=4, seed=3).toPandas()
+    e = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    f = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (e["neighbor_id"].to_numpy() == f["neighbor_id"].to_numpy()).all()
+    assert np.allclose(e["cos_sim"], f["cos_sim"], atol=1e-6)
+    # pruned probing: scores agree with exact cosine wherever pairs overlap
+    approx = S.ivf_topk(emb, q, k=5, n_cells=8, n_probe=2, seed=3).toPandas()
+    assert (approx.groupby("query_id").size() <= 5).all()
+    both = exact.merge(approx, on=["query_id", "neighbor_id"], suffixes=("_e", "_a"))
+    assert len(both) >= 1
+    assert np.allclose(both["cos_sim_e"], both["cos_sim_a"], atol=1e-6)
+
+
 def test_multimodal_features_and_stub(spark):
     media = M.synthetic_media(spark, 60)
     feats = M.extract_features(media).toPandas()
