@@ -198,7 +198,8 @@ def _empty_comm_id(step):
 
 
 def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed, n_shuffle, opts):
-    """One distributed local-move superstep → (winners, g).
+    """One distributed local-move superstep → the unfiltered per-vertex
+    candidate table (winners).
 
     ΔQ is computed against frozen stats: exact for a single move, an
     approximation for a committed batch — the monotone-commit guard in the
@@ -218,9 +219,7 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     vertex), v's own-community weight is a ``max(when(cand == comm))``
     inside the same aggregate, and the O9 empty candidate is an inline
     expression on the aggregate row — no own-community join, no
-    empty-candidate join, no final fuse join.  ``g`` is returned
-    persisted — the caller reads the realised-quality scalar from it
-    (monotone guard) at no extra scan.
+    empty-candidate join, no final fuse join.
     """
     method_eff, gamma_eff = _method_eff(spec)
     constrained = bool(opts.min_comm_size or opts.max_comm_size)
@@ -258,8 +257,12 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     )
     # RIGHT join: vertices with no gathered neighbour rows (pure self-loop
     # coarse nodes, fully internal vertices) still ride through with a null
-    # cand, so the O9 empty candidate below covers every vertex
-    g = gather.join(aug.hint("merge"), "id", "right").persist()
+    # cand, so the O9 empty candidate below covers every vertex.  NOT
+    # persisted: its single consumer is the per-vertex aggregate below —
+    # caching an edge-proportional table for one read costs a full
+    # memory-bandwidth pass per superstep (and at large inputs evicts the
+    # edge cache, a core-count-independent tax that wrecks scaling).
+    g = gather.join(aug.hint("merge"), "id", "right")
 
     present = {"Ka_out": "K_out", "Kb_out": "K_out", "Ka_in": "K_in", "Kb_in": "K_in",
                "na": "n", "nb": "n", "wa": "w", "wb": "w"}
@@ -379,7 +382,7 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
             F.col("new_comm") < F.col("comm")
         ),
     )
-    return cand_tbl, g
+    return cand_tbl
 
 
 def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed, n_shuffle, k, opts):
@@ -456,10 +459,9 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
         .sortWithinPartitions("id", "salt3")
         .hint("merge")
     )
-    # persisted: the winners branch, the own-community (w_va) branch and
-    # the monotone-guard quality scalar all read it — without the cache
-    # the whole gather would run three times
-    g = gather.join(m_src_k, ["id", "salt3"]).persist()
+    # single consumer (the two-level arg-max below, which also carries the
+    # own-community w_va row) — not persisted; see the unsalted path
+    g = gather.join(m_src_k, ["id", "salt3"])
 
     present = {"Kb_out": "K_out", "Kb_in": "K_in", "nb": "n", "wb": "w"}
 
@@ -579,7 +581,7 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
             F.col("new_comm") < F.col("comm")
         ),
     )
-    return cand_tbl, g
+    return cand_tbl
 
 
 def _cc_batch_iter(batches):
@@ -878,7 +880,11 @@ def _move_phase(
         # the own-community aggregates the method needs.  cstats is a
         # pruned (comm, 1-4 doubles) table built with map-side partial
         # aggregation, attached adaptively (see below).
-        mstats = membership.join(vstats.hint("merge"), "id")
+        # persisted: both the cstats aggregate and the aug attach read it,
+        # and the checkpoint-reloaded membership carries no recognised
+        # partitioning — without the cache the n-row exchange+sort against
+        # the vstats layout would run twice per superstep
+        mstats = membership.join(vstats.hint("merge"), "id").persist()
         agg_cols = []
         if "K_out" in needs:
             agg_cols.append(F.sum("k_out").alias("Ka_out"))
@@ -940,12 +946,12 @@ def _move_phase(
                 .repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
             )
         if hub_salt > 1:
-            winners, g = _superstep_moves_salted(
+            winners = _superstep_moves_salted(
                 edges_sym, aug, spec, directed, W, p_global,
                 n_tot, ckpt_idx + 1, seed, n_shuffle, hub_salt, opts,
             )
         else:
-            winners, g = _superstep_moves(
+            winners = _superstep_moves(
                 edges_sym, aug, spec, directed, W, p_global,
                 n_tot, ckpt_idx + 1, seed, n_shuffle, opts,
             )
@@ -1007,8 +1013,8 @@ def _move_phase(
                     })
                 good_membership = membership
                 winners.unpersist()
-                g.unpersist()
                 aug.unpersist()
+                mstats.unpersist()
                 cstats.unpersist()
                 continue
             q_prev = q_now
@@ -1082,8 +1088,8 @@ def _move_phase(
                 "frac_bits": frac_bits, "frac_used": frac_used, "good_idx": good_idx,
             })
         winners.unpersist()
-        g.unpersist()
         aug.unpersist()
+        mstats.unpersist()
         cstats.unpersist()
         dt = time.time() - t0
         ckpt.log(
