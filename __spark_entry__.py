@@ -282,8 +282,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gamma double, n_comms long, bisect_value double, quality double",
         )
 
+    def q_sessionize(spark, sf):
+        from leidenalg_spark.operators.sessions import sessionize
+
+        return sessionize(
+            _events(spark, sf), key="user_id", ts_col="ts", gap_s=7200.0,
+            tiebreak="event_id",
+        )
+
     return {
         "edge_derivation": q_edge_derivation,
+        "sessionize": q_sessionize,
         "bipartite_edges": q_bipartite_edges,
         "degrees": q_degrees,
         "triangle_count": q_triangles,
@@ -523,6 +532,26 @@ WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
 """,
         "bipartite_edges": f"SELECT src AS src_name, dst AS dst_name, weight FROM ({_BIP_EDGES})",
+        "sessionize": """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 7200.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_ord
+  FROM marked
+)
+SELECT user_id, CAST(session_ord AS INT) AS session_ord,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS INT) AS n_events
+FROM sess GROUP BY user_id, session_ord
+""",
         "degrees": f"""
 WITH edges AS ({_BIP_EDGES})
 SELECT name, COUNT(*) AS degree, ROUND(SUM(w), 6) AS strength

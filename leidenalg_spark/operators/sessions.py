@@ -1,0 +1,70 @@
+"""Batch sessionization — the window-function twin of the streaming
+stateful operator (streaming/stateful.py).
+
+Gap-split sessions are the standard unit of work for transcript-scale
+pipelines (a closed session = one unit of edge derivation / indexing /
+re-clustering).  The batch form is two window passes over the same
+partition key — no per-row Python, no shuffle beyond the single hash
+exchange on the session key that both windows share:
+
+1. ``lag(ts)`` within the key ordered by time → a 0/1 "new session"
+   marker wherever the gap exceeds the threshold;
+2. a running sum of the marker → the session ordinal;
+
+then one hash aggregation per (key, ordinal).  Catalyst executes both
+window functions in ONE Window physical operator (same partition/order
+spec), so the plan is exchange → sort → window → partial agg → final
+agg.  At 10^12 rows the exchange is the only data movement, and it is
+keyed by the id column the source table is clustered by, so a bucketed
+source skips it entirely.
+
+The streaming twin (``applyInPandasWithState``) must agree with this
+definition exactly — tests assert streaming output == this batch output
+on the same input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: float = 1800.0,
+    tool_col: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """(key, session_ord, session_start, session_end, n_events[, n_tool_calls]).
+
+    A new session starts wherever the time since the key's previous row
+    exceeds ``gap_s`` seconds.  ``tool_col`` (transcripts) adds a
+    non-null-count of that column per session; ``tiebreak`` stabilises
+    the window order under duplicate timestamps (oracle determinism).
+    """
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    # epoch seconds with microsecond precision; the cast to TIMESTAMP
+    # first makes this work for both LTZ and NTZ sources (ANSI mode
+    # forbids a direct TIMESTAMP_NTZ → DOUBLE cast), and only gap
+    # DIFFERENCES are consumed, so the session-timezone offset cancels
+    t = F.unix_micros(F.col(ts_col).cast("timestamp")) / 1e6
+    prev = F.lag(t).over(w)
+    marker = F.when(prev.isNull() | ((t - prev) > gap_s), 1).otherwise(0)
+    sess = (
+        df.withColumn("_new", marker)
+        .withColumn("session_ord", F.sum("_new").over(w) - 1)
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+    ]
+    if tool_col is not None:
+        aggs.append(F.count(tool_col).cast("int").alias("n_tool_calls"))
+    return (
+        sess.groupBy(F.col(key), F.col("session_ord").cast("int").alias("session_ord"))
+        .agg(*aggs)
+    )
