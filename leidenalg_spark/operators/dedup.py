@@ -52,10 +52,12 @@ def shingles(docs: DataFrame, n=3, col="text") -> DataFrame:
     toks = tokens_col(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # (doc_id, shingle) pairs are unique by construction — array_distinct
+    # dedupes within the doc and doc_id is the row key — so no .distinct()
+    # (a full exchange + two hash aggregates) is needed
     return (
         docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
         .where(F.length("shingle") > 0)
-        .distinct()
     )
 
 
@@ -74,10 +76,14 @@ def ngram_jaccard_pairs(
     that common barely moves Jaccard for near-dup thresholds; pass
     ``None`` to disable for small exact baselines.
     """
-    sh = shingles(docs, n, col)
+    # the shingle table feeds four consumers (frequency cap, both sides of
+    # the self-join, per-doc sizes); without the cache each consumer
+    # replays the scan + explode — the uncached plan ran the shingling
+    # subtree six times
+    sh = shingles(docs, n, col).persist()
     if max_shingle_freq:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-        sh = sh.join(freq.where(F.col("f") <= max_shingle_freq), "shingle").select("doc_id", "shingle")
+        sh = sh.join(freq.where(F.col("f") <= max_shingle_freq), "shingle").select("doc_id", "shingle").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
