@@ -290,9 +290,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tiebreak="event_id",
         )
 
+    def q_doc_clusters(spark, sf):
+        # semantic clustering pipeline: LSH near-dup graph over the
+        # embeddings table -> Leiden -> per-vector cluster (rows-only:
+        # iterative, not SQL-expressible)
+        return S.embedding_clusters(
+            spark, _embeddings(spark, sf), threshold=0.85, seed=42,
+        ).orderBy("vec_id").limit(200)
+
     return {
         "edge_derivation": q_edge_derivation,
         "sessionize": q_sessionize,
+        "doc_clusters": q_doc_clusters,
         "bipartite_edges": q_bipartite_edges,
         "degrees": q_degrees,
         "triangle_count": q_triangles,

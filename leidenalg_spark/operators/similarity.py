@@ -283,3 +283,50 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_clusters(
+    spark, embeddings: DataFrame, threshold=0.85, id_col="vec_id",
+    vec_col="embedding", method="modularity", gamma=1.0, seed=42,
+    n_planes=8, n_bands=4, **leiden_kw,
+) -> DataFrame:
+    """Semantic clusters over an embedding column: LSH-banded near-dup
+    pairs become a similarity graph and Leiden groups it — the standard
+    "semantic dedup / topic bucketing" pipeline for training-data curation,
+    end-to-end in two of this engine's own operators.
+
+    Scale shape: the pair generation is the banded equality join of
+    :func:`embedding_neardup_pairs` (never a cross join), the graph is
+    pairs-proportional (sparse — only cos >= threshold edges exist), and
+    :func:`leidenalg_spark.operators.leiden.leiden` handles it at any
+    size (distributed supersteps above ``local_threshold``).  Vectors
+    with no neighbour at the threshold come back as singleton clusters
+    labelled by their own id.
+
+    Returns (id_col, cluster: long).
+    """
+    from .leiden import leiden
+
+    pairs = embedding_neardup_pairs(
+        embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_bands=n_bands, seed=seed,
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        F.col("cos_sim").alias("weight"),
+    ).persist()
+    if edges.count() == 0:
+        # no pair reaches the threshold: every vector is its own cluster
+        edges.unpersist()
+        return embeddings.select(
+            F.col(id_col), F.col(id_col).cast("long").alias("cluster")
+        )
+    res = leiden(spark, edges, method=method, gamma=gamma, seed=seed, **leiden_kw)
+    return (
+        embeddings.select(F.col(id_col).alias("id"))
+        .join(res.membership, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("comm", F.col("id")).alias("cluster"),
+        )
+    )

@@ -1,0 +1,38 @@
+"""embedding_clusters: planted well-separated direction bundles must come
+back as exactly those clusters, unrelated vectors as singletons."""
+
+import numpy as np
+import pandas as pd
+
+from leidenalg_spark.operators.similarity import embedding_clusters
+
+
+def test_planted_bundles_recovered(spark):
+    rng = np.random.default_rng(7)
+    dim, per = 16, 6
+    # three nearly-orthogonal base directions; members = base + tiny noise
+    bases = np.linalg.qr(rng.standard_normal((dim, 3)))[0].T  # (3, dim)
+    rows = []
+    for c, base in enumerate(bases):
+        for j in range(per):
+            v = base + 0.02 * rng.standard_normal(dim)
+            rows.append((c * 100 + j, (v / np.linalg.norm(v)).astype("float32")))
+    # two isolated vectors, orthogonal-ish to everything
+    iso = np.linalg.qr(rng.standard_normal((dim, 5)))[0].T[3:]
+    for k, v in enumerate(iso):
+        rows.append((900 + k, (v / np.linalg.norm(v)).astype("float32")))
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                        "embedding": [r[1].tolist() for r in rows]})
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+    got = embedding_clusters(spark, emb, threshold=0.9, seed=3).toPandas()
+    assert len(got) == len(rows)
+    lab = dict(zip(got.vec_id, got.cluster))
+    # each planted bundle is one cluster...
+    for c in range(3):
+        ids = [c * 100 + j for j in range(per)]
+        assert len({lab[i] for i in ids}) == 1
+    # ...the three bundles are distinct clusters...
+    assert len({lab[c * 100] for c in range(3)}) == 3
+    # ...and the isolated vectors are singletons labelled by their own id
+    assert lab[900] == 900 and lab[901] == 901
