@@ -73,6 +73,12 @@ def run_queries(spark, sf_dir: str) -> dict:
     from leidenalg_spark.operators import kernels as K
     from leidenalg_spark.operators.leiden import leiden
 
+    # untimed JIT/shuffle-machinery warmup: one superstep on a small slice
+    # so the first timed query measures the engine, not JVM warmup (the
+    # iterative kernels run first and were swinging +-50% run to run)
+    leiden(spark, edges.limit(20_000), method="modularity", n_iterations=1,
+           seed=1, local_threshold=0, max_supersteps=1, finish=False)
+
     def leiden_supersteps():
         res = leiden(
             spark, edges, method="modularity", n_iterations=1, seed=1,
