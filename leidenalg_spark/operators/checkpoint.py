@@ -148,6 +148,12 @@ class CheckpointManager:
         if path:
             self.fs = _HadoopFS(spark, path) if _is_remote(path) else _LocalFS()
             self.fs.makedirs(path)
+            # a resumed run must carry the pre-crash metrics history:
+            # object-store appends rewrite the whole (small) file from
+            # _metric_lines, so seed it from what is already durable
+            existing = self.fs.read_text(self._join("metrics.jsonl"))
+            if existing:
+                self._metric_lines = existing.strip("\n").split("\n")
         else:
             import atexit
             import tempfile
@@ -156,9 +162,26 @@ class CheckpointManager:
             self._tmp_root = tempfile.mkdtemp(prefix="leiden-ckpt-", dir=base)
             # cleanup at PROCESS exit, not GC: the caller's result
             # DataFrame still reads the final step's parquet after the
-            # manager itself goes out of scope
-            atexit.register(shutil.rmtree, self._tmp_root, ignore_errors=True)
+            # manager itself goes out of scope — close() releases earlier
+            # when the caller has barrier'd its result
+            self._cleanup = lambda p=self._tmp_root: shutil.rmtree(p, ignore_errors=True)
+            atexit.register(self._cleanup)
             self.fs = None
+
+    def close(self) -> None:
+        """Release an ephemeral manager's tmpdir now instead of at process
+        exit.  Only valid once every DataFrame returned by :meth:`save` has
+        been barrier'd past its parquet files (e.g. ``localCheckpoint``) —
+        the iterative operators do exactly that before closing."""
+        if self._tmp_root is not None:
+            import atexit
+
+            self._cleanup()
+            try:
+                atexit.unregister(self._cleanup)
+            except Exception:
+                pass
+            self._tmp_root = None
 
     def _join(self, *parts) -> str:
         return "/".join([self.path.rstrip("/"), *parts])

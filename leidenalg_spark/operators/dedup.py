@@ -66,24 +66,25 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All doc pairs (a < b) with word-n-gram Jaccard >= threshold.
 
-    Exact (no hashing) — the correctness baseline the approximate
-    methods are validated against.
-
-    ``max_shingle_freq`` (default 1000) drops shingles shared by more
-    than that many documents before the self-join: a hub shingle in
-    ``f`` documents costs ``f²`` joined rows, so an uncapped run on
-    web-scale data is quadratic in the worst bucket.  Dropping a shingle
-    that common barely moves Jaccard for near-dup thresholds; pass
-    ``None`` to disable for small exact baselines.
+    No hashing/banding — with ``max_shingle_freq=None`` this is the fully
+    exact Jaccard baseline the approximate methods are validated against.
+    The default cap (1000) computes exact Jaccard over the shingle sets
+    *that survive the frequency filter*: a hub shingle in ``f`` documents
+    costs ``f²`` joined rows, so an uncapped run on web-scale data is
+    quadratic in the worst bucket.  Dropping a shingle that common barely
+    moves Jaccard for near-dup thresholds; pass ``None`` when an exact
+    small-scale baseline is required.
     """
-    # the shingle table feeds four consumers (frequency cap, both sides of
-    # the self-join, per-doc sizes); without the cache each consumer
-    # replays the scan + explode — the uncached plan ran the shingling
-    # subtree six times
-    sh = shingles(docs, n, col).persist()
+    # the (post-cap) shingle table feeds three consumers (both sides of
+    # the self-join, per-doc sizes); cache exactly ONE table — without it
+    # each consumer replays the scan + explode, and caching both the
+    # pre- and post-cap tables would leak the pre-cap cache for the
+    # session lifetime (nothing can unpersist it once this returns)
+    sh = shingles(docs, n, col)
     if max_shingle_freq:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-        sh = sh.join(freq.where(F.col("f") <= max_shingle_freq), "shingle").select("doc_id", "shingle").persist()
+        sh = sh.join(freq.where(F.col("f") <= max_shingle_freq), "shingle").select("doc_id", "shingle")
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")

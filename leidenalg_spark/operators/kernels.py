@@ -57,6 +57,7 @@ def pagerank(
     mass) checkpoint every step as before, since a lazy chain would be
     recomputed per action.
     """
+    own_ckpt = ckpt is None
     ckpt = ckpt or CheckpointManager(spark)
     if not directed:
         edges = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
@@ -119,6 +120,12 @@ def pagerank(
     links.unpersist()
     dangling_verts.unpersist()
     no_in.unpersist()
+    if own_ckpt and ckpt.path is None:
+        # barrier off the ephemeral tmpdir, then free it now (see
+        # CheckpointManager.close) — repeated kernel calls must not
+        # accumulate tmpdirs until process exit
+        ranks = ranks.localCheckpoint(eager=True)
+        ckpt.close()
     return ranks
 
 
@@ -135,6 +142,7 @@ def connected_components(
     the component.  Converges in O(log^2 n) rounds regardless of
     diameter — the scale-correct choice for 10^12-edge graphs.
     """
+    own_ckpt = ckpt is None
     ckpt = ckpt or CheckpointManager(spark)
     verts = _vertices(edges).persist()
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
@@ -188,6 +196,9 @@ def connected_components(
         .select("id", F.coalesce("component", "id").alias("component"))
     )
     verts.unpersist()
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
     return out
 
 
@@ -213,6 +224,7 @@ def label_propagation(
     (oracle comparability: a zero-change half-round is not a fixpoint
     proof, since the other parity class may still move).
     """
+    own_ckpt = ckpt is None
     ckpt = ckpt or CheckpointManager(spark)
     sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")).persist()
     labels = _vertices(edges).withColumn("label", F.col("id"))
@@ -252,6 +264,9 @@ def label_propagation(
         if changed == 0:
             break
     sym.unpersist()
+    if own_ckpt and ckpt.path is None:
+        labels = labels.localCheckpoint(eager=True)
+        ckpt.close()
     return labels
 
 

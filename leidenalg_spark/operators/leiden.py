@@ -1176,6 +1176,7 @@ def _descend(
         coarse_edges.unpersist()
         return membership
 
+    sub_ckpt_open = None
     if n_coarse_edges <= local_finish_threshold:
         t_fin0 = time.time()
         coarse_memb = _local_finish(
@@ -1225,6 +1226,7 @@ def _descend(
         )
         coarse_memb = cm.select(F.col("id").alias("refined"), F.col("comm").alias("new_comm"))
         c_edges.unpersist()
+        sub_ckpt_open = sub_ckpt
 
     t_proj0 = time.time()
     out = (
@@ -1235,6 +1237,10 @@ def _descend(
     refined.unpersist()
     coarse_nodes.unpersist()
     coarse_edges.unpersist()
+    if sub_ckpt_open is not None:
+        # the barrier above copied everything still needed out of the
+        # sub-level's ephemeral tmpdir — release it now, not at exit
+        sub_ckpt_open.close()
     ckpt.log(name="leiden_project", level=level, secs=round(time.time() - t_proj0, 4))
     return out
 
@@ -1322,6 +1328,7 @@ def leiden(
     - ``monotone``: per-superstep realised-quality guard with rollback
       (SURVEY §4.3); disable only for raw throughput measurement.
     """
+    own_ckpt = ckpt is None
     ckpt = ckpt or CheckpointManager(spark)
     spec = QualitySpec(method, gamma=gamma, correct_self_loops=correct_self_loops)
     o = opts or OptimiserOpts(seed=seed)
@@ -1338,6 +1345,8 @@ def leiden(
         q = df_quality(edges, membership, method, gamma, directed,
                        node_sizes=node_sizes, correct_self_loops=correct_self_loops)
         edges.unpersist()
+        if own_ckpt:
+            ckpt.close()  # local path never wrote to it
         return LeidenResult(membership, q, method, gamma, supersteps=0, levels=1, metrics=ckpt.metrics)
 
     # ----------------------------------------------------- distributed path
@@ -1374,14 +1383,21 @@ def leiden(
                 node_sizes=node_sizes, correct_self_loops=correct_self_loops,
             )
     else:
-        if initial_membership is not None:
-            membership = initial_membership.select("id", "comm")
-        else:
-            from ..functions.quality import vertex_strengths
+        from ..functions.quality import vertex_strengths
 
-            verts = vertex_strengths(edges, directed).select("id")
-            if node_sizes is not None:
-                verts = verts.unionByName(node_sizes.select("id")).distinct()
+        verts = vertex_strengths(edges, directed).select("id")
+        if node_sizes is not None:
+            verts = verts.unionByName(node_sizes.select("id")).distinct()
+        if initial_membership is not None:
+            # complete a partial seed with singletons (label = own id) so
+            # vertices absent from the seed still gather and move — the
+            # same semantics as the local path's uncovered-vertex fill
+            verts = verts.unionByName(initial_membership.select("id")).distinct()
+            membership = (
+                verts.join(initial_membership.select("id", "comm"), "id", "left")
+                .select("id", F.coalesce("comm", F.col("id")).alias("comm"))
+            )
+        else:
             membership = verts.select("id", F.col("id").alias("comm"))
         ckpt_idx = 0
         membership = ckpt.save(membership, "membership", ckpt_idx)
@@ -1430,6 +1446,13 @@ def leiden(
     q = df_quality(edges, membership, method, gamma, directed,
                    node_sizes=node_sizes, correct_self_loops=correct_self_loops)
     edges.unpersist()
+    if own_ckpt and ckpt.path is None:
+        # a caller-invisible ephemeral manager: barrier the result off the
+        # tmpdir parquet, then free the tmpdir immediately (repeated calls
+        # — e.g. resolution-profile probes — must not accumulate tmpdirs
+        # until process exit)
+        membership = membership.localCheckpoint(eager=True)
+        ckpt.close()
     return LeidenResult(
         membership, q, method, gamma, supersteps=total_steps,
         levels=levels_seen, metrics=ckpt.metrics,
@@ -1472,6 +1495,11 @@ def _local_solve_df(spark, edges, spec, n_iterations, seed, directed, opts,
         missing = labels < 0
         labels[missing] = ids[missing]  # singletons for uncovered vertices
         uniq, init = np.unique(labels, return_inverse=True)
+    elif fixed_ids is not None:
+        # no seed, but fixed labels must survive the dense↔label unmap
+        # (O11 contract): seed identity singletons so comm == vertex id,
+        # exactly as the distributed path does
+        uniq, init = np.unique(ids.astype(np.int64), return_inverse=True)
     P = LocalPartition([(g, spec)], membership=init)
     o = opts or OptimiserOpts(seed=seed)
     o.seed = seed

@@ -322,11 +322,18 @@ def embedding_clusters(
             F.col(id_col), F.col(id_col).cast("long").alias("cluster")
         )
     res = leiden(spark, edges, method=method, gamma=gamma, seed=seed, **leiden_kw)
+    # Leiden's labels are dense 0..k-1 — a different label space from the
+    # vec_ids that label singleton clusters below, so relabel every
+    # community to its minimum member id (collision-free: a cluster label
+    # is then always a vec_id that belongs to that cluster, and a
+    # singleton's own id belongs to no multi-member cluster)
+    labels = res.membership.groupBy("comm").agg(F.min("id").alias("cluster"))
+    memb = res.membership.join(labels, "comm").select("id", "cluster")  # AQE broadcasts when small
     return (
         embeddings.select(F.col(id_col).alias("id"))
-        .join(res.membership, "id", "left")
+        .join(memb, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce("comm", F.col("id")).alias("cluster"),
+            F.coalesce("cluster", F.col("id")).alias("cluster"),
         )
     )

@@ -31,8 +31,6 @@ conversation is one group, and group size is bounded by turns-per-batch.
 
 from __future__ import annotations
 
-import datetime as _dt
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,6 +39,17 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 SESSION_SCHEMA = (
     "conv_id string, session_ord int, session_start timestamp, "
     "session_end timestamp, n_turns int, n_tool_calls int"
+)
+# the stateful operator itself emits raw epoch seconds: pandas receives
+# *session-local naive* timestamps from Spark, so any Python-side
+# epoch arithmetic would silently assume UTC and both the event-time
+# timeout and the output timestamps would shift by the session-timezone
+# offset.  Instead the epoch is computed JVM-side (cast timestamp ->
+# double, timezone-correct) on the way in and converted back JVM-side
+# (timestamp_seconds) on the way out — no Python timezone handling at all.
+_OUT_SCHEMA = (
+    "conv_id string, session_ord int, session_start double, "
+    "session_end double, n_turns int, n_tool_calls int"
 )
 _STATE_SCHEMA = "start double, last double, turns int, tools int, next_ord int"
 
@@ -55,12 +64,6 @@ def _secs(interval: str) -> float:
     return float(value) * _UNITS[unit]
 
 
-def _epoch(ts) -> float:
-    return ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
-
-
-def _from_epoch(s: float):
-    return _dt.datetime.fromtimestamp(s, tz=_dt.timezone.utc).replace(tzinfo=None)
 
 
 def _session_fn(gap_s: float):
@@ -75,16 +78,16 @@ def _session_fn(gap_s: float):
             state.remove()
             yield pd.DataFrame({
                 "conv_id": [conv_id], "session_ord": [next_ord],
-                "session_start": [_from_epoch(start)],
-                "session_end": [_from_epoch(last)],
+                "session_start": [float(start)],
+                "session_end": [float(last)],
                 "n_turns": [turns], "n_tool_calls": [tools],
             })
             return
 
         chunks = [c for c in pdf_iter if len(c)]
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        pdf = pdf.sort_values("ts", kind="stable")
-        ts = pdf["ts"].map(_epoch).to_numpy()
+        pdf = pdf.sort_values("ts_epoch", kind="stable")
+        ts = pdf["ts_epoch"].to_numpy(dtype="float64")
         tool = pdf["tool"].notna().to_numpy()
 
         if state.exists:
@@ -104,8 +107,8 @@ def _session_fn(gap_s: float):
                 if turns > 0:
                     out["conv_id"].append(conv_id)
                     out["session_ord"].append(next_ord)
-                    out["session_start"].append(_from_epoch(start))
-                    out["session_end"].append(_from_epoch(last))
+                    out["session_start"].append(float(start))
+                    out["session_end"].append(float(last))
                     out["n_turns"].append(turns)
                     out["n_tool_calls"].append(tools)
                     next_ord += 1
@@ -131,13 +134,21 @@ def conversation_sessions(
     idle for longer than ``gap`` (in-batch) or when the event-time
     watermark passes its last turn plus ``gap`` (timeout).
     """
-    t = transcripts.withWatermark("ts", watermark).select("conv_id", "ts", "tool")
-    return t.groupBy("conv_id").applyInPandasWithState(
+    t = transcripts.withWatermark("ts", watermark).select(
+        "conv_id", "ts", F.col("ts").cast("double").alias("ts_epoch"), "tool"
+    )
+    raw = t.groupBy("conv_id").applyInPandasWithState(
         _session_fn(_secs(gap)),
-        outputStructType=SESSION_SCHEMA,
+        outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return raw.select(
+        "conv_id", "session_ord",
+        F.timestamp_seconds("session_start").alias("session_start"),
+        F.timestamp_seconds("session_end").alias("session_end"),
+        "n_turns", "n_tool_calls",
     )
 
 

@@ -36,3 +36,27 @@ def test_planted_bundles_recovered(spark):
     assert len({lab[c * 100] for c in range(3)}) == 3
     # ...and the isolated vectors are singletons labelled by their own id
     assert lab[900] == 900 and lab[901] == 901
+
+
+def test_singleton_labels_cannot_collide_with_cluster_labels(spark):
+    """Regression: Leiden's dense 0..k-1 labels must not leak into the
+    output label space — singleton vec_id 0 used to collide with the
+    first cluster's label 0, merging unrelated vectors."""
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = np.linalg.qr(rng.standard_normal((dim, 2)))[0].T
+    rows = [(0, base[0])]  # isolated vector with the collision-prone id 0
+    for j, v in enumerate(
+        [base[1] + 0.01 * rng.standard_normal(dim) for _ in range(3)]
+    ):
+        rows.append((2 + j, v / np.linalg.norm(v)))
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                        "embedding": [np.asarray(r[1], dtype="float32").tolist() for r in rows]})
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    got = embedding_clusters(spark, emb, threshold=0.9, seed=5).toPandas()
+    lab = dict(zip(got.vec_id, got.cluster))
+    assert lab[0] == 0  # singleton keeps its own id
+    bundle = {lab[i] for i in (2, 3, 4)}
+    assert len(bundle) == 1
+    assert bundle != {0}  # and the bundle's label is NOT the singleton's
+    assert bundle == {2}  # min-member-id labelling

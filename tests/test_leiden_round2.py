@@ -382,3 +382,39 @@ def test_node_sizes_distributed_cpm(spark):
     assert np.isclose(res.quality, q_fine, atol=1e-9)
     memb = res.membership.toPandas()["comm"]
     assert memb.nunique() == n_cliques
+
+
+def test_partial_seed_keeps_unseeded_vertices_distributed(spark):
+    """Regression: a seed covering only part of the graph must not drop
+    the unseeded vertices from the distributed path — they complete as
+    singletons (label = own id), exactly like the local path."""
+    # two triangles {0,1,2} and {10,11,12}; seed only the first one
+    e = _df(spark, [0, 0, 1, 10, 10, 11], [1, 2, 2, 11, 12, 12])
+    init = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 1, 2], "comm": [7, 7, 7]})
+    )
+    res = leiden(
+        spark, e, method="modularity", n_iterations=2, seed=1,
+        local_threshold=0, max_supersteps=8, initial_membership=init,
+    )
+    pdf = res.membership.toPandas().set_index("id")["comm"]
+    assert set(pdf.index) == {0, 1, 2, 10, 11, 12}  # nobody dropped
+    assert pdf.loc[[0, 1, 2]].nunique() == 1
+    assert pdf.loc[[10, 11, 12]].nunique() == 1
+    assert pdf.loc[0] != pdf.loc[10]
+
+
+def test_fixed_without_seed_label_survives_local_path(spark):
+    """Regression (O11): fixed labels must survive the dense<->label unmap
+    of the driver-local solve even when no initial_membership is given."""
+    # sparse ids 10/20/30 in one triangle — local path (small graph)
+    e = _df(spark, [10, 10, 20], [20, 30, 30])
+    fixed = spark.createDataFrame(pd.DataFrame({"id": [20]}))
+    res = leiden(
+        spark, e, method="cpm", gamma=0.1, n_iterations=2, seed=3,
+        local_threshold=1000, fixed=fixed,
+    )
+    pdf = res.membership.toPandas().set_index("id")["comm"]
+    # CPM gamma=0.1 merges the triangle; the fixed vertex anchors label 20
+    assert int(pdf.loc[20]) == 20
+    assert pdf.nunique() == 1

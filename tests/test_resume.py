@@ -49,3 +49,28 @@ def test_resume_reproduces_uninterrupted_run(spark, tmp_path):
 
     assert (full["comm"].to_numpy() == resumed["comm"].to_numpy()).all()
     assert np.isclose(res_full.quality, res_resumed.quality, rtol=1e-9)
+
+
+def test_metrics_history_survives_resume(spark, tmp_path):
+    """Regression: a resumed manager must carry the pre-crash metrics
+    stream — object-store roots rewrite metrics.jsonl from the in-memory
+    lines, which used to start empty on resume and wipe the history."""
+    root = str(tmp_path / "ckpt")
+    m1 = CheckpointManager(spark, root)
+    m1.log(name="superstep", step=0)
+    m1.log(name="superstep", step=1)
+    m2 = CheckpointManager(spark, root)  # the "resumed" manager
+    assert len(m2._metric_lines) == 2    # history seeded from disk
+    m2.log(name="superstep", step=2)
+    with open(os.path.join(root, "metrics.jsonl")) as f:
+        lines = [json.loads(ln) for ln in f.read().strip().splitlines()]
+    assert [r["step"] for r in lines] == [0, 1, 2]
+
+
+def test_ephemeral_close_releases_tmpdir(spark):
+    m = CheckpointManager(spark)
+    root = m._tmp_root
+    assert os.path.isdir(root)
+    m.close()
+    assert not os.path.exists(root)
+    m.close()  # idempotent
