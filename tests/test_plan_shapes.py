@@ -1,0 +1,93 @@
+"""Physical-plan regression guards for the driver queries.
+
+The scale contract (SURVEY.md §2.6-2.7, BENCH/PLANS.md) is that no
+declarative query plans a cartesian product and that the text operators
+prune the documents scan to the columns they read.  These asserts freeze
+those properties so a refactor that silently reintroduces an all-pairs
+join or a full-width scan fails CI instead of failing at 100 TB.
+
+Iterative queries (leiden, pagerank, profiles) run driver loops with
+their own audited per-superstep plans and are exercised elsewhere.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+# one-shot declarative queries: building the DataFrame must not launch
+# jobs, and the final plan must not contain a cartesian product.
+DECLARATIVE = [
+    "edge_derivation",
+    "bipartite_edges",
+    "degrees",
+    "triangle_count",
+    "quality_modularity",
+    "quality_cpm",
+    "quality_rber",
+    "quality_rbconfiguration",
+    "quality_significance",
+    "quality_surprise",
+    "token_count",
+    "doc_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "dedup_exact",
+    "neardup_jaccard",
+    "minhash_signature",
+    "simhash",
+    "lsh_topk",
+    "embedding_neardup",
+    "sessionize",
+    "media_features",
+]
+
+# the quality evaluators attach global scalars (total edge weight m,
+# vertex count n) by cross-joining 1-row grouping-free aggregates — a
+# BroadcastNestedLoopJoin whose build side is provably one row.  Allowed.
+SCALAR_CROSS = {
+    "quality_modularity", "quality_cpm", "quality_rber",
+    "quality_rbconfiguration", "quality_significance", "quality_surprise",
+}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", DECLARATIVE)
+def test_no_cartesian_product(spark, name):
+    df = entry.queries()[name](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    if name not in SCALAR_CROSS:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cosine_topk_broadcasts_query_block_only(spark):
+    df = entry.queries()["cosine_topk"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the nested-loop join must exist AND its build side must be the
+    # broadcast exchange (the filtered query block), never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_textops_prune_documents_scan(spark):
+    # 2 of the documents table's columns are read; the scan must show it
+    df = entry.queries()["token_count"](spark, SF)
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    line = scan[0]
+    assert "text" in line and "doc_id" in line
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in line, line
