@@ -513,8 +513,8 @@ sh AS (
         "quality_rbconfiguration": "SELECT ROUND(SUM(w_in - 0.5 * (K * K) / (4.0 * W)), 6) AS value FROM stats",
         "quality_significance": """
 SELECT ROUND(SUM(CASE WHEN pairs > 0 THEN pairs * (
-    CASE WHEN dens = 0 THEN 0 ELSE dens * ln(dens / p) END +
-    CASE WHEN dens = 1 THEN 0 ELSE (1 - dens) * ln((1 - dens) / (1 - p)) END
+    CASE WHEN dens > 0 AND p > 0 THEN dens * ln(dens / p) ELSE 0 END +
+    CASE WHEN dens < 1 AND p < 1 THEN (1 - dens) * ln((1 - dens) / (1 - p)) ELSE 0 END
   ) ELSE 0 END), 6) AS value
 FROM (SELECT n_size * (n_size - 1) / 2.0 AS pairs,
              least(w_in / nullif(n_size * (n_size - 1) / 2.0, 0), 1.0) AS dens,
@@ -522,8 +522,8 @@ FROM (SELECT n_size * (n_size - 1) / 2.0 AS pairs,
       FROM stats)""",
         "quality_surprise": """
 SELECT ROUND(W * (
-    CASE WHEN q = 0 THEN 0 ELSE q * ln(q / qe) END +
-    CASE WHEN q = 1 THEN 0 ELSE (1 - q) * ln((1 - q) / (1 - qe)) END
+    CASE WHEN q > 0 AND qe > 0 THEN q * ln(q / qe) ELSE 0 END +
+    CASE WHEN q < 1 AND qe < 1 THEN (1 - q) * ln((1 - q) / (1 - qe)) ELSE 0 END
   ), 6) AS value
 FROM (SELECT least(SUM(w_in) / MAX(W), 1.0) AS q,
              SUM(n_size * (n_size - 1) / 2.0) / MAX(n * (n - 1) / 2.0) AS qe,

@@ -34,7 +34,16 @@ def _xlogy(x, y):
 
 
 def _kl(x, y):
-    return _xlogy(x, x / y) + _xlogy(1.0 - x, (1.0 - x) / (1.0 - y))
+    # reference C++ KL semantics: each term only on its valid domain,
+    # 0 otherwise.  Guarding both factors matters in SQL: log of a
+    # non-positive value is NULL, and F.sum silently drops NULL rows —
+    # an unguarded y>=1 (weighted graphs with p>=1) would silently
+    # exclude whole communities from the quality sum.
+    t1 = F.when((x > 0) & (y > 0), x * F.log(x / y)).otherwise(F.lit(0.0))
+    t2 = F.when(
+        (x < 1) & (y < 1), (1.0 - x) * F.log((1.0 - x) / (1.0 - y))
+    ).otherwise(F.lit(0.0))
+    return t1 + t2
 
 
 def vertex_strengths(edges: DataFrame, directed: bool = False) -> DataFrame:

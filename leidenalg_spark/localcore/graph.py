@@ -40,7 +40,11 @@ class LocalGraph:
             raise ValueError("src/dst/weight length mismatch")
         if len(self.node_size) != self.n:
             raise ValueError("node_size length != n")
-        if m and (self.src.max() >= n or self.dst.max() >= n):
+        if m and (
+            self.src.max() >= n or self.dst.max() >= n
+            or self.src.min() < 0 or self.dst.min() < 0
+        ):
+            # negative ids would silently wrap via fancy indexing
             raise ValueError("vertex id out of range")
         if m and (np.isnan(self.weight).any() or np.isinf(self.weight).any()):
             # same validation as the reference

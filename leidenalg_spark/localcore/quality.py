@@ -48,10 +48,30 @@ def xlogy(x, y):
 
 
 def kl_div(x, y):
-    """Binary KL divergence D(x||y) (VertexPartition.py:484, :572)."""
-    return xlogy(x, np.divide(x, np.maximum(y, EPS), where=y > 0)) + xlogy(
-        1.0 - x, np.divide(1.0 - x, np.maximum(1.0 - y, EPS), where=(1.0 - y) > 0)
-    )
+    """Binary KL divergence D(x||y) (VertexPartition.py:484, :572).
+
+    Reference semantics (the C++ KL helper): each term is included only
+    on its valid domain — ``x·ln(x/y)`` when ``x>0 and y>0``,
+    ``(1-x)·ln((1-x)/(1-y))`` when ``x<1 and y<1`` — and contributes 0
+    otherwise.  The previous ``np.divide(..., where=...)`` form had no
+    ``out=`` buffer, leaving masked-off entries as uninitialized memory
+    (nondeterministic NaN/inf when y hit 0 or 1).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    shape = np.broadcast(x, y).shape
+    m1 = (x > 0) & (y > 0)
+    m2 = (x < 1) & (y < 1)
+    t1 = np.zeros(shape)
+    t2 = np.zeros(shape)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        np.copyto(t1, x * np.log(np.divide(x, y, out=np.ones(shape), where=m1)), where=m1)
+        np.copyto(
+            t2,
+            (1.0 - x) * np.log(np.divide(1.0 - x, 1.0 - y, out=np.ones(shape), where=m2)),
+            where=m2,
+        )
+    return t1 + t2
 
 
 def possible_pairs(n, directed, correct_self_loops=False):
@@ -109,7 +129,9 @@ class QualitySpec:
             pairs_tot = possible_pairs(g.total_size, g.directed, self.correct_self_loops)
             p = W / pairs_tot if pairs_tot > 0 else 0.0
             pairs_c = possible_pairs(nsz, g.directed, self.correct_self_loops)
-            dens = np.divide(w, np.maximum(pairs_c, EPS), where=pairs_c > 0)
+            dens = np.divide(
+                w, pairs_c, out=np.zeros(np.shape(pairs_c)), where=pairs_c > 0
+            )
             out = pairs_c * kl_div(np.clip(dens, 0.0, 1.0), p)
             return np.where(pairs_c > 0, out, 0.0)
         raise AssertionError(m)  # surprise handled globally

@@ -69,9 +69,11 @@ def time_slices_to_layers_local(slice_graphs, interslice_weight=1.0):
     identified by local index; the joint vertex set is the disjoint union,
     vertex (t, i) coupled to (t+1, i) with ``interslice_weight``.
 
-    Returns (layers, layer_weights, slice_of, local_id): layers = per-slice
-    graphs (node_size 1 on members, 0 elsewhere) + one interslice layer
-    with all node_size 0 (CPM gamma=0 semantics applied by the caller).
+    Returns (layers, slice_of, local_id): layers = per-slice graphs
+    (node_size 1 on members, 0 elsewhere) + one interslice layer with all
+    node_size 0; the caller assigns QualitySpecs — CPM gamma=0 for the
+    interslice layer, all layer weights 1 (see
+    :func:`find_partition_temporal_local`).
     """
     offsets = np.cumsum([0] + [g.n for g in slice_graphs])
     N = int(offsets[-1])
@@ -152,48 +154,72 @@ def slice_vertex_map(slices: DataFrame) -> DataFrame:
 
 
 def slices_to_layers_df(
-    slices: DataFrame, interslice_weight: float = 1.0, coupling: DataFrame | None = None
+    slices: DataFrame,
+    interslice_weight: float = 1.0,
+    coupling: DataFrame | None = None,
+    verts: DataFrame | None = None,
 ) -> DataFrame:
     """T1/T2 on DataFrames (reference ``slices_to_layers``,
     functions.py:366-528): ``slices`` has (slice:int, src, dst, weight)
     with vertex ids shared across slices; output one edge table with
     composite vertex keys ``(slice, id)`` hashed to longs, a ``layer``
-    column per slice, and an interslice layer (layer = -1).
+    column per slice, and an interslice layer (``layer`` NULL — a slice
+    value can legitimately be any int, including -1, so no in-band
+    sentinel).
 
     ``coupling`` is an arbitrary slice-coupling graph
     (slice_src:int, slice_dst:int, weight:double) — the reference's
     general form, where the coupling graph's vertices are the slices
     themselves (a path for temporal analysis, a star for a reference
     slice, anything else for custom designs).  When None, consecutive
-    slices are path-coupled with ``interslice_weight`` (the reference
-    ``time_slices_to_layers`` convenience).  Each coupling row links
+    slices *in sorted order* are path-coupled with ``interslice_weight``
+    (the reference ``time_slices_to_layers`` convenience) — sorted-order
+    pairing, not ``slice+1`` arithmetic, so non-consecutive slice values
+    (years, sparse buckets) still couple.  Each coupling row links
     vertex (slice_src, id) to (slice_dst, id) for every id present in
-    BOTH slices — one equi-join on (slice, id), no driver loops."""
+    BOTH slices — one equi-join on (slice, id), no driver loops.
+
+    ``verts`` (slice, id) may be passed in when the caller already built
+    the distinct vertex set (e.g. via :func:`slice_vertex_map`) to avoid
+    repeating that shuffle."""
     intra = slices.select(
         F.col("slice").alias("layer"),
         _slice_vid("slice", "src").alias("src"),
         _slice_vid("slice", "dst").alias("dst"),
         "weight",
     )
-    verts = (
-        slices.select("slice", F.col("src").alias("id"))
-        .unionByName(slices.select("slice", F.col("dst").alias("id")))
-        .distinct()
-    )
+    if verts is None:
+        verts = (
+            slices.select("slice", F.col("src").alias("id"))
+            .unionByName(slices.select("slice", F.col("dst").alias("id")))
+            .distinct()
+        )
+    else:
+        verts = verts.select("slice", "id")
     if coupling is None:
+        from pyspark.sql import Window
+
+        # the slice list is tiny — the unpartitioned window is one task
+        # over #slices rows, not a data-sized sort
         sl = verts.select("slice").distinct()
-        coupling = sl.select(
-            F.col("slice").alias("slice_src"),
-            (F.col("slice") + 1).alias("slice_dst"),
-            F.lit(float(interslice_weight)).alias("weight"),
+        w = Window.orderBy("slice")
+        coupling = (
+            sl.select("slice", F.lead("slice").over(w).alias("slice_dst"))
+            .where(F.col("slice_dst").isNotNull())
+            .select(
+                F.col("slice").alias("slice_src"),
+                "slice_dst",
+                F.lit(float(interslice_weight)).alias("weight"),
+            )
         )
     va = verts.select(F.col("slice").alias("slice_src"), "id")
     vb = verts.select(F.col("slice").alias("slice_dst"), "id")
+    layer_t = intra.schema["layer"].dataType
     inter = (
         va.join(coupling, "slice_src")
         .join(vb, ["slice_dst", "id"])
         .select(
-            F.lit(-1).alias("layer"),
+            F.lit(None).cast(layer_t).alias("layer"),
             _slice_vid("slice_src", "id").alias("src"),
             _slice_vid("slice_dst", "id").alias("dst"),
             "weight",
@@ -229,16 +255,33 @@ def find_partition_temporal_df(
     :class:`~leidenalg_spark.operators.leiden.LeidenResult` over the
     layered graph (quality = Σ_k Q_k including the coupling layer).
     """
-    slice_vals = [int(r["slice"]) for r in slices.select("slice").distinct().orderBy("slice").collect()]
+    # one distinct-vertex shuffle serves the whole façade: the layered
+    # edge build, the slice list, the node sizes and the final remap
+    vmap = slice_vertex_map(slices).persist()
+    counts = vmap.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("vid").alias("nd")
+    ).first()
+    if int(counts["n"]) != int(counts["nd"]):
+        # composite keys are xxhash64-truncated to 64 bits; a collision
+        # would silently fuse two (slice, id) vertices — fail loudly
+        # instead (expected collisions ~ n²/2^65; re-key on collision)
+        raise ValueError(
+            "xxhash64 composite-key collision among (slice, id) pairs: "
+            f"{int(counts['n'])} pairs -> {int(counts['nd'])} distinct vids"
+        )
+    slice_vals = sorted(
+        int(r["slice"]) for r in vmap.select("slice").distinct().collect()
+    )
     idx = {s: i for i, s in enumerate(slice_vals)}
     T = len(slice_vals)
-    layered = slices_to_layers_df(slices, interslice_weight, coupling)
+    layered = slices_to_layers_df(
+        slices, interslice_weight, coupling, verts=vmap.select("slice", "id")
+    )
     lmap = F.create_map(*[F.lit(int(x)) for kv in idx.items() for x in kv])
     edges = layered.withColumn(
         "layer",
-        F.when(F.col("layer") == -1, F.lit(T)).otherwise(lmap[F.col("layer")]).cast("int"),
+        F.when(F.col("layer").isNull(), F.lit(T)).otherwise(lmap[F.col("layer")]).cast("int"),
     )
-    vmap = slice_vertex_map(slices)
     node_sizes = vmap.select(
         F.col("vid").alias("id"),
         lmap[F.col("slice")].cast("int").alias("layer"),
@@ -254,6 +297,9 @@ def find_partition_temporal_df(
         vmap.join(res.membership.select(F.col("id").alias("vid"), "comm"), "vid")
         .select("slice", "id", "comm")
     )
+    # barrier the remap so the vmap cache can be released now
+    membership = membership.localCheckpoint(eager=True)
+    vmap.unpersist()
     return membership, res
 
 
@@ -271,27 +317,120 @@ def _entries(key_col, val_col):
 
 
 def quality_multiplex(edges, membership, specs, layer_weights=None, node_sizes=None, directed=False):
-    """Σ_k λ_k Q_k over one shared membership (reference Optimiser.py:389-399)."""
-    from ..functions.quality import quality as df_quality
+    """Σ_k λ_k Q_k over one shared membership (reference Optimiser.py:389-399).
 
-    lw = layer_weights or [1.0] * len(specs)
-    total = 0.0
-    for k, spec in enumerate(specs):
-        e_k = edges.where(F.col("layer") == k).select("src", "dst", "weight")
-        ns_k = None
-        if node_sizes is not None:
-            # multiplex convention (same as the local solve): a vertex
-            # absent from a layer's node_sizes has size 0 THERE — complete
-            # the table explicitly, since df_quality's own default is 1.0
-            ns_k = (
-                membership.select("id")
-                .join(node_sizes.where(F.col("layer") == k).select("id", "node_size"), "id", "left")
-                .na.fill({"node_size": 0.0})
-            )
-        total += lw[k] * df_quality(
-            e_k, membership, spec.method, spec.gamma, directed,
-            node_sizes=ns_k, correct_self_loops=spec.correct_self_loops,
+    Single stats pass (the module contract): ALL per-(layer, comm)
+    aggregates come from one ``groupBy(layer, comm)`` over the layered
+    edge table, the per-layer scalars (W_k, n_k) from one tiny
+    ``groupBy(layer)``, and every layer's quality formula is evaluated in
+    ONE combined Spark aggregation — O(1) jobs total instead of O(L)
+    per-layer evaluations.  A vertex absent from a layer's ``node_sizes``
+    has size 0 there (multiplex convention, same as the local solve).
+    """
+    from ..functions.quality import _kl, _pairs
+
+    L = len(specs)
+    lw = [float(x) for x in (layer_weights or [1.0] * L)]
+    spark = edges.sparkSession
+
+    m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("c_src"))
+    m_dst = membership.select(F.col("id").alias("dst"), F.col("comm").alias("c_dst"))
+    e = edges.join(m_src, "src").join(m_dst, "dst")
+    internal = (
+        e.where(F.col("c_src") == F.col("c_dst"))
+        .groupBy("layer", F.col("c_src").alias("comm"))
+        .agg(F.sum("weight").alias("w_in"))
+    )
+    if directed:
+        ko = e.groupBy("layer", F.col("c_src").alias("comm")).agg(F.sum("weight").alias("k_out"))
+        ki = e.groupBy("layer", F.col("c_dst").alias("comm")).agg(F.sum("weight").alias("k_in"))
+        K = ko.join(ki, ["layer", "comm"], "outer")
+    else:
+        # both endpoints (self-loops therefore count twice — the
+        # vertex_strengths convention)
+        ends = e.select("layer", F.col("c_src").alias("comm"), "weight").unionByName(
+            e.select("layer", F.col("c_dst").alias("comm"), "weight")
         )
+        K = ends.groupBy("layer", "comm").agg(F.sum("weight").alias("k_out")).withColumn(
+            "k_in", F.col("k_out")
+        )
+    if node_sizes is not None:
+        nsz = (
+            membership.join(node_sizes, "id")
+            .groupBy("layer", "comm")
+            .agg(F.sum("node_size").alias("n_size"))
+        )
+        n_tots = {
+            int(r["layer"]): float(r["n"] or 0.0)
+            for r in node_sizes.groupBy("layer").agg(F.sum("node_size").alias("n")).collect()
+        }
+    else:
+        csize = membership.groupBy("comm").agg(F.count(F.lit(1)).cast("double").alias("n_size"))
+        layers_df = spark.range(L).select(F.col("id").cast("int").alias("layer"))
+        nsz = csize.crossJoin(layers_df).select("layer", "comm", "n_size")
+        n_v = float(membership.count())
+        n_tots = {k: n_v for k in range(L)}
+    stats = (
+        nsz.join(K, ["layer", "comm"], "outer")
+        .join(internal, ["layer", "comm"], "outer")
+        .na.fill({"w_in": 0.0, "k_out": 0.0, "k_in": 0.0, "n_size": 0.0})
+    )
+    Wk = {
+        int(r["layer"]): float(r["W"] or 0.0)
+        for r in edges.groupBy("layer").agg(F.sum("weight").alias("W")).collect()
+    }
+
+    w, ko_c, ki_c, n = F.col("w_in"), F.col("k_out"), F.col("k_in"), F.col("n_size")
+    lcol = F.col("layer")
+    contrib = F.lit(0.0)
+    aggs = []
+    surprise = []  # (k, lam, W, pairs_tot, sw_alias, sp_alias)
+    for k, spec in enumerate(specs):
+        W = Wk.get(k, 0.0)
+        nt = n_tots.get(k, 0.0)
+        g, lam, m, csl = spec.gamma, lw[k], spec.method, spec.correct_self_loops
+        pairs_c = _pairs(n, directed, csl)
+        pairs_tot = (nt * nt / 2.0 if csl else nt * (nt - 1.0) / 2.0) * (2.0 if directed else 1.0)
+        if m == "modularity":
+            c = (
+                (w / W - (ko_c * ki_c) / (W * W) if directed else w / W - (ko_c * ko_c) / (4.0 * W * W))
+                if W > 0 else F.lit(0.0)
+            )
+        elif m == "rbconfiguration":
+            c = (
+                (w - g * (ko_c * ki_c) / W if directed else w - g * (ko_c * ko_c) / (4.0 * W))
+                if W > 0 else w
+            )
+        elif m == "rber":
+            p = W / pairs_tot if pairs_tot > 0 else 0.0
+            c = w - g * p * pairs_c
+        elif m == "cpm":
+            c = w - g * pairs_c
+        elif m == "significance":
+            p = W / pairs_tot if pairs_tot > 0 else 0.0
+            dens = F.when(pairs_c > 0, F.least(w / pairs_c, F.lit(1.0))).otherwise(F.lit(0.0))
+            c = F.when(pairs_c > 0, pairs_c * _kl(dens, F.lit(p))).otherwise(F.lit(0.0))
+        elif m == "surprise":
+            sw, sp = f"sw_{k}", f"sp_{k}"
+            aggs.append(F.coalesce(F.sum(F.when(lcol == k, w)), F.lit(0.0)).alias(sw))
+            aggs.append(F.coalesce(F.sum(F.when(lcol == k, pairs_c)), F.lit(0.0)).alias(sp))
+            surprise.append((k, lam, W, pairs_tot, sw, sp))
+            continue
+        else:
+            raise ValueError(m)
+        contrib = contrib + F.when(lcol == k, lam * c).otherwise(F.lit(0.0))
+
+    row = stats.agg(F.coalesce(F.sum(contrib), F.lit(0.0)).alias("q_lin"), *aggs).first()
+    total = float(row["q_lin"])
+    if surprise:
+        from ..localcore.quality import kl_div
+
+        for k, lam, W, pairs_tot, sw, sp in surprise:
+            if W <= 0:
+                continue
+            q = min(max(float(row[sw]) / W, 0.0), 1.0)
+            qe = (float(row[sp]) / pairs_tot) if pairs_tot > 0 else 0.0
+            total += lam * float(W * kl_div(np.float64(q), np.float64(qe)))
     return total
 
 
@@ -496,39 +635,89 @@ def leiden_multiplex(
         )
     varr = varr.repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
 
-    membership = varr.select("id", F.col("id").alias("comm"))
-    step_idx = 0
-    membership = ckpt.save(membership, "mx_membership", step_idx)
-    import time as _time
+    kc_lit = F.array(*[F.lit(x) for x in kc_arr])
+    nc_lit = F.array(*[F.lit(x) for x in nc_arr])
 
-    for step in range(1, max_supersteps + 1):
-        t0 = _time.time()
-        # per-(comm, layer) aggregates, long → arrays
-        mlong = membership.join(vlong, "id")
-        ca = mlong.groupBy("comm", "layer").agg(F.sum("k").alias("Ka"))
+    def _comm_arrays(memb):
+        """Per-community λ-weighted stats arrays (comm, Ka[], na[])."""
+        ca = memb.join(vlong, "id").groupBy("comm", "layer").agg(F.sum("k").alias("Ka"))
         if node_sizes is not None:
-            nlong = membership.join(node_sizes, "id")
+            nlong = memb.join(node_sizes, "id")
             na = nlong.groupBy("comm", "layer").agg(F.sum("node_size").alias("na"))
             cl = ca.join(na, ["comm", "layer"], "outer").na.fill({"Ka": 0.0, "na": 0.0})
-            carr = cl.groupBy("comm").agg(
+            return cl.groupBy("comm").agg(
                 _entries("layer", "Ka").alias("kam"), _entries("layer", "na").alias("nam")
             ).select(
                 "comm",
                 _to_layer_array(F.col("kam"), L, 0.0).alias("Ka"),
                 _to_layer_array(F.col("nam"), L, 0.0).alias("na"),
             )
-        else:
-            csize = membership.groupBy("comm").agg(F.count(F.lit(1)).cast("double").alias("sz"))
-            carr = ca.groupBy("comm").agg(_entries("layer", "Ka").alias("kam")).select(
-                "comm", _to_layer_array(F.col("kam"), L, 0.0).alias("Ka")
-            ).join(csize, "comm").withColumn("na", F.array_repeat(F.col("sz"), L)).drop("sz")
+        csize = memb.groupBy("comm").agg(F.count(F.lit(1)).cast("double").alias("sz"))
+        return ca.groupBy("comm").agg(_entries("layer", "Ka").alias("kam")).select(
+            "comm", _to_layer_array(F.col("kam"), L, 0.0).alias("Ka")
+        ).join(csize, "comm").withColumn("na", F.array_repeat(F.col("sz"), L)).drop("sz")
+
+    def _guard_q(memb, carr_df):
+        """Realised λ-weighted quality of ``memb`` in the effective
+        objective the supersteps optimise, up to membership-independent
+        constants (self-loop mass), which cancel in comparisons:
+        ``Σ_intra wpart − Σ_c Σ_k (kcoef·Ka² + ncoef·binom(na))`` — the
+        same closed forms whose differences drive the per-move ΔQ."""
+        pen_expr = F.aggregate(
+            F.sequence(F.lit(1), F.lit(L)), F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(kc_lit, i) * F.element_at(F.col("Ka"), i) * F.element_at(F.col("Ka"), i)
+            + F.element_at(nc_lit, i) * F.element_at(F.col("na"), i)
+            * (F.element_at(F.col("na"), i) - 1.0) / 2.0,
+        )
+        q_pen = carr_df.agg(F.coalesce(F.sum(pen_expr), F.lit(0.0))).first()[0]
+        mm_s = memb.select(F.col("id").alias("src"), F.col("comm").alias("cs"))
+        mm_d = memb.select(F.col("id").alias("dst"), F.col("comm").alias("cd"))
+        own = (
+            edges_w.join(mm_d, "dst").join(mm_s, "src")
+            .where(F.col("cs") == F.col("cd"))
+            .agg(F.coalesce(F.sum("wpart"), F.lit(0.0)))
+            .first()[0]
+        )
+        # edges_w is symmetrised, so each intra edge is counted twice
+        return float(own) / 2.0 - float(q_pen)
+
+    membership = varr.select("id", F.col("id").alias("comm"))
+    step_idx = 0
+    membership = ckpt.save(membership, "mx_membership", step_idx)
+    import time as _time
+
+    q_prev = None
+    good_membership = membership
+    rolled_back = False
+    last_moves = 0
+    for step in range(1, max_supersteps + 1):
+        t0 = _time.time()
         # adaptive stats attach (see leiden.py): merge join while there are
         # many (small) communities, broadcast once the comm table collapses
         # — which is exactly when hub-community join skew would appear
         from .leiden import _BCAST_COMMS
 
-        carr = carr.persist()
+        carr = _comm_arrays(membership).persist()
         n_comm = carr.count()
+
+        # ---- monotone-commit guard (same contract as leiden.py §4.3):
+        # batched gated moves can oscillate in a 2-cycle across the
+        # direction gate; validate the PREVIOUS commit's realised quality
+        # and revert to the last good membership when it regressed
+        q_now = _guard_q(membership, carr)
+        if q_prev is not None and q_now < q_prev - 1e-9:
+            ckpt.log(
+                name="leiden_mx_rollback", step=step,
+                q_regressed=float(q_now - q_prev),
+            )
+            step_idx += 1
+            membership = ckpt.save(good_membership, "mx_membership", step_idx)
+            carr.unpersist()
+            rolled_back = True
+            break
+        q_prev = q_now
+        good_membership = membership
         mv = membership.join(varr.hint("merge"), "id")
         if n_comm <= _BCAST_COMMS:
             aug = mv.join(F.broadcast(carr), "comm").persist()
@@ -609,8 +798,21 @@ def leiden_multiplex(
             improving=int(counts["improving"]), secs=round(_time.time() - t0, 4),
             edges_per_sec=round(ecount / max(_time.time() - t0, 1e-9), 1),
         )
+        last_moves = int(counts["moves"])
         if counts["improving"] == 0:
             break
+
+    if not rolled_back and last_moves > 0:
+        # the loop's final commit was never guard-validated (the in-loop
+        # check always scores the PREVIOUS commit) — validate it now so the
+        # returned membership is monotone even when max_supersteps ran out
+        carr = _comm_arrays(membership).persist()
+        q_last = _guard_q(membership, carr)
+        carr.unpersist()
+        if q_prev is not None and q_last < q_prev - 1e-9:
+            ckpt.log(name="leiden_mx_rollback", step=step_idx, q_regressed=float(q_last - q_prev))
+            step_idx += 1
+            membership = ckpt.save(good_membership, "mx_membership", step_idx)
 
     if finish:
         pos_layers = [k for k in range(L) if lw[k] > 0]

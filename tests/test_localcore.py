@@ -252,3 +252,35 @@ def test_quality_improves_and_is_deterministic():
         assert list(P1.membership) == list(P2.membership), method
         singleton = LocalPartition([(g, QualitySpec(method))])
         assert P1.quality() >= singleton.quality() - 1e-12, method
+
+
+# ------------------------------------------------------------- KL edge cases
+def test_kl_div_deterministic_out_of_domain():
+    """Regression: kl_div used np.divide(..., where=) without out=, so
+    y<=0 / y>=1 entries were uninitialized memory (nondeterministic
+    NaN/inf).  Reference C++ KL semantics: each term only on its valid
+    domain, 0 otherwise."""
+    from leidenalg_spark.localcore.quality import kl_div
+
+    # q in (0,1), p == 0: first term dropped, second term defined
+    for _ in range(3):  # repeated calls used to return different garbage
+        got = kl_div(np.full(4, 0.5), np.zeros(4))
+        expect = 0.5 * np.log(0.5 / 1.0)
+        assert np.allclose(got, expect), got
+    # q in (0,1), p == 1: second term dropped (first still in-domain)
+    got = kl_div(np.array([0.25]), np.ones(1))
+    assert np.allclose(got, 0.25 * np.log(0.25)), got
+    # fully out of domain -> 0
+    assert kl_div(np.array([0.0]), np.array([0.0]))[0] == 0.0
+    assert kl_div(np.array([1.0]), np.array([1.0]))[0] == 0.0
+    assert np.isfinite(kl_div(np.linspace(0, 1, 11), np.zeros(11))).all()
+
+
+def test_surprise_selfloop_singletons_finite():
+    """Surprise of a partition where q>0 but q_exp==0 (all singletons,
+    self-loops only) must be finite and deterministic."""
+    g = LocalGraph(3, np.array([0, 1]), np.array([0, 1]), np.array([1.0, 1.0]))
+    P = LocalPartition([(g, QualitySpec("surprise"))], membership=np.arange(3))
+    q1 = P.quality()
+    q2 = P.quality()
+    assert np.isfinite(q1) and q1 == q2

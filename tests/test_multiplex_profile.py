@@ -240,3 +240,107 @@ def test_resolution_profile_df_distributed_probes(spark):
     assert abs(dfp[-1].bisect_value) < 1e-9
     # low gamma keeps most weight internal
     assert dfp[0].bisect_value > 50.0
+
+
+def test_mx_monotone_guard_rolls_back_oscillation(spark):
+    """Regression: batched gated moves in the multiplex superstep loop can
+    enter a 2-cycle across the direction gate (quality oscillating between
+    two phases); without the monotone-commit guard the loop burned all
+    supersteps and could return the WORSE phase.  The guard must detect
+    the regression, revert to the last good membership and stop."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from leidenalg_spark.operators.multiplex import leiden_multiplex
+
+    rng = np.random.default_rng(7)
+    n = 60
+    src, dst = [], []
+    for _ in range(240):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            src.append(min(a, b)); dst.append(max(a, b))
+    for a in range(0, 15):          # dense bipartite core
+        for b in range(30, 45):
+            if rng.random() < 0.5:
+                src.append(a); dst.append(b)
+    pdf = pd.DataFrame({"src": src, "dst": dst, "weight": 1.0}).drop_duplicates()
+    e0 = spark.createDataFrame(pdf).withColumn("layer", F.lit(0))
+    edges = e0.unionByName(e0.select("src", "dst", "weight").withColumn("layer", F.lit(1)))
+    specs = [QualitySpec("modularity"), QualitySpec("cpm", gamma=0.2)]
+    res = leiden_multiplex(
+        spark, edges, specs, n_iterations=1, seed=7,
+        local_threshold=0, max_supersteps=12, finish=False,
+    )
+    rollbacks = [m for m in res.metrics if m.get("name") == "leiden_mx_rollback"]
+    assert rollbacks, "oscillation not detected"
+    assert rollbacks[0]["q_regressed"] < 0
+    assert res.quality >= 70.9  # the better phase, not the regressed one
+
+
+def test_slices_nonconsecutive_values_still_couple(spark):
+    """Regression: the default path coupling paired slice s with s+1 by
+    arithmetic, so non-consecutive slice values (years, sparse buckets)
+    silently produced ZERO interslice edges."""
+    import pandas as pd
+
+    from leidenalg_spark.operators.multiplex import slices_to_layers_df
+
+    rows = []
+    for year in (2010, 2012, 2015):
+        rows += [(year, 0, 1, 1.0), (year, 1, 2, 1.0)]
+    slices = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["slice", "src", "dst", "weight"])
+    )
+    layered = slices_to_layers_df(slices, interslice_weight=0.5)
+    inter = layered.where(layered.layer.isNull())
+    # 3 shared vertices x 2 sorted-consecutive transitions
+    assert inter.count() == 6
+    assert set(r["weight"] for r in inter.collect()) == {0.5}
+
+
+def test_quality_multiplex_single_pass_matches_localcore(spark):
+    """The single-pass quality_multiplex (one groupBy(layer, comm)) must
+    equal the exact local multiplex quality for every method mix,
+    including per-layer node sizes, self-loops and negative weights."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from leidenalg_spark.localcore import LocalGraph, LocalPartition
+    from leidenalg_spark.operators.multiplex import quality_multiplex
+
+    rng = np.random.default_rng(5)
+    n = 25
+    specs = [
+        QualitySpec("modularity"), QualitySpec("cpm", gamma=0.4),
+        QualitySpec("rber", gamma=0.7), QualitySpec("surprise"),
+        QualitySpec("significance"), QualitySpec("rbconfiguration", gamma=1.3),
+    ]
+    lw = [1.0, -0.5, 0.8, 0.3, 0.6, 1.1]
+    memb = rng.integers(0, 6, n)
+    rows, ns_rows, layers_local = [], [], []
+    for k, spec in enumerate(specs):
+        m = int(rng.integers(25, 45))
+        s = rng.integers(0, n, m)
+        d = rng.integers(0, n, m)   # collisions give self-loops — wanted
+        w = np.ones(m)
+        ns = rng.uniform(0.5, 2.0, n) if spec.method in ("cpm", "rber") else np.ones(n)
+        layers_local.append(
+            (LocalGraph(n, s.astype(np.int64), d.astype(np.int64), w, node_size=ns), spec)
+        )
+        rows += [(int(a), int(b), 1.0, k) for a, b in zip(s, d)]
+        ns_rows += [(int(v), k, float(ns[v])) for v in range(n)]
+    P = LocalPartition(layers_local, layer_weights=lw, membership=memb)
+    expected = P.quality()
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["src", "dst", "weight", "layer"])
+    )
+    memb_df = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n, dtype="int64"), "comm": memb.astype("int64")})
+    )
+    ns_df = spark.createDataFrame(
+        pd.DataFrame(ns_rows, columns=["id", "layer", "node_size"])
+    )
+    got = quality_multiplex(edges, memb_df, specs, lw, node_sizes=ns_df)
+    assert np.isclose(got, expected, rtol=1e-6, atol=1e-6), (got, expected)

@@ -46,3 +46,27 @@ def test_quality_df_matches_numpy(spark, method, name, fix, directed, weighted):
     mdf = spark.createDataFrame(pd.DataFrame({"id": np.arange(n, dtype="int64"), "comm": memb.astype("int64")}))
     got = df_quality(edges, mdf, method, gamma=0.6, directed=directed)
     assert np.isclose(got, expected, rtol=1e-6, atol=1e-6), (method, name, got, expected)
+
+
+def test_significance_dense_graph_p_equals_one(spark):
+    """Regression: the SQL KL helper produced NULL (silently dropped by
+    SUM) for communities with density < 1 whenever the global density p
+    reached 1 — e.g. a complete graph.  Must match the NumPy core."""
+    fix = fx.complete_graph(5) if hasattr(fx, "complete_graph") else None
+    if fix is None:
+        import itertools
+        s, d = zip(*itertools.combinations(range(5), 2))
+        fix = (5, np.array(s), np.array(d), None)
+    n, edges = _spark_edges(spark, fix)
+    memb = np.array([0, 0, 1, 1, 1])
+    g = fx.to_local_graph(fix, directed=False)
+    P = LocalPartition([(g, QualitySpec("significance"))], membership=memb)
+    expected = P.quality()
+
+    import pandas as pd
+    mdf = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n, dtype="int64"), "comm": memb.astype("int64")})
+    )
+    got = df_quality(edges, mdf, "significance", directed=False)
+    assert np.isfinite(expected)
+    assert np.isclose(got, expected, rtol=1e-6, atol=1e-6), (got, expected)
