@@ -72,14 +72,13 @@ def _bipartite_ids_det(spark, sf_dir):
 def _bipartite_membership(spark, sf_dir):
     """Deterministic membership over the bipartite graph, reproducible in
     SQL: users → user_id % 8, event types → length(name) % 8."""
-    named = _bipartite_named(spark, sf_dir)
-    verts = named.select(F.col("src_name").alias("name")).unionByName(
-        named.select(F.col("dst_name").alias("name"))
-    ).distinct()
+    from leidenalg_spark.operators.edges import vertex_table
+
+    verts = vertex_table(_bipartite_named(spark, sf_dir))
     comm = F.when(
         F.col("name").startswith("u:"), F.expr("CAST(substr(name, 3) AS BIGINT) % 8")
     ).otherwise(F.length("name") % 8)
-    return verts.select(F.xxhash64("name").alias("id"), comm.cast("long").alias("comm"))
+    return verts.select("id", comm.cast("long").alias("comm"))
 
 
 # ---------------------------------------------------------------- entry
@@ -87,12 +86,11 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: sf0.001 events → interaction graph → Leiden communities."""
     from leidenalg_spark.operators.leiden import leiden
 
+    from leidenalg_spark.operators.edges import vertex_table
+
     edges = _bipartite_ids(spark, SF_DEFAULT)
     res = leiden(spark, edges, method="modularity", n_iterations=2, seed=42)
-    named = _bipartite_named(spark, SF_DEFAULT)
-    verts = named.select(F.col("src_name").alias("name")).unionByName(
-        named.select(F.col("dst_name").alias("name"))
-    ).distinct().select(F.xxhash64("name").alias("id"), "name")
+    verts = vertex_table(_bipartite_named(spark, SF_DEFAULT))
     return res.membership.join(verts, "id").select("name", "comm")
 
 
@@ -189,9 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lp.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
 
     def q_simhash(spark, sf):
-        return __import__("leidenalg_spark.operators.dedup", fromlist=["simhash"]).simhash(
-            _documents(spark, sf)
-        )
+        return D.simhash(_documents(spark, sf))
 
     def q_lsh_topk(spark, sf):
         emb = _embeddings(spark, sf)
@@ -607,6 +603,7 @@ SELECT doc_id,
        {hits['de']} AS hits_de, {hits['en']} AS hits_en,
        {hits['es']} AS hits_es, {hits['fr']} AS hits_fr,
        CASE
+         WHEN text IS NULL THEN 'und'
          WHEN greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']}) = 0 THEN 'und'
          WHEN {hits['de']} >= greatest({hits['en']}, {hits['es']}, {hits['fr']}) THEN 'de'
          WHEN {hits['en']} >= greatest({hits['es']}, {hits['fr']}) THEN 'en'
@@ -640,7 +637,7 @@ inter AS (
 )
 SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
-WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.1
+WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.1
 """,
         "simhash": _simhash_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
@@ -664,8 +661,9 @@ scored AS (
             * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
 )
-SELECT query_id, neighbor_id, ROUND(cs, 6) AS cos_sim, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, ROUND(cs, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY ROUND(cs, 6) DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= 5
 """,

@@ -64,7 +64,9 @@ def pagerank(
     verts = _vertices(edges).persist()
     n = verts.count()
     if n == 0:
-        return verts.withColumn("rank", F.lit(0.0))
+        out = verts.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+        verts.unpersist()
+        return out
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     links = edges.join(out_w, "src").select("src", "dst", (F.col("weight") / F.col("out_w")).alias("share")).persist()
     links.count()
@@ -230,7 +232,16 @@ def label_propagation(
     labels = _vertices(edges).withColumn("label", F.col("id"))
     labels = ckpt.save(labels, "lpa_labels", 0)
     for step in range(1, max_iter + 1):
-        nbr_labels = sym.join(
+        # the parity gate is a pure function of (vertex id, step): filter
+        # the gather INPUT to the open class — the ungated half keeps its
+        # label anyway, so skipping its gather halves the dominant
+        # join+aggregate shuffle with identical results
+        def _gate(col):
+            if gate == "id_parity":
+                return F.pmod(col + F.lit(step), F.lit(2)) == 0
+            return F.pmod(F.xxhash64(col, F.lit(step), F.lit(seed)), F.lit(2)) == 0
+
+        nbr_labels = sym.where(_gate(F.col("src"))).join(
             labels.select(F.col("id").alias("dst"), F.col("label").alias("nbr_label")), "dst"
         )
         best = (
@@ -239,10 +250,7 @@ def label_propagation(
             .groupBy("id")
             .agg(F.max_by("nbr_label", F.struct(F.col("w"), -F.col("nbr_label"))).alias("new_label"))
         )
-        if gate == "id_parity":
-            open_gate = F.pmod(F.col("id") + F.lit(step), F.lit(2)) == 0
-        else:
-            open_gate = F.pmod(F.xxhash64("id", F.lit(step), F.lit(seed)), F.lit(2)) == 0
+        open_gate = _gate(F.col("id"))
         upd = labels.join(best, "id", "left").select(
             "id",
             F.when(F.col("new_label").isNotNull() & open_gate, F.col("new_label"))
@@ -303,6 +311,10 @@ def triangle_count(spark, edges: DataFrame) -> DataFrame:
     tri = wedges.join(o.withColumnRenamed("u", "tu").withColumnRenamed("v", "tv"),
                       (F.col("u") == F.col("tu")) & (F.col("v") == F.col("tv")))
     out = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    # 1-row result: materialise it so the oriented-edge cache can be
+    # released now instead of leaking for the session lifetime
+    out = out.localCheckpoint(eager=True)
+    o.unpersist()
     return out
 
 

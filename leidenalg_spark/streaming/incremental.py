@@ -30,14 +30,24 @@ def read_transcript_stream(spark: SparkSession, path: str, schema=None) -> DataF
     return spark.readStream.schema(schema).parquet(path)
 
 
-def streaming_edges(transcripts: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def streaming_edges(
+    transcripts: DataFrame, watermark: str = "1 hour", max_turn_gap: str | None = None
+) -> DataFrame:
     """Consecutive-turn + tool edges from a streaming transcript source.
 
     Stream-stream self-join on (conv_id, turn_idx == turn_idx+1) with a
     watermark bound on both sides; weights accumulate in an aggregation
     (update mode).  At scale the join state is bounded by the watermark —
     conversations are temporally local, so state stays small.
+
+    ``max_turn_gap`` is the time-range bound of the join predicate —
+    required for Spark to prune join state; consecutive turns further
+    apart than this produce no edge (the batch derivation has no such
+    bound, so pick it at or above the real inter-turn maximum).  Defaults
+    to ``watermark`` so the two horizons agree unless told otherwise.
     """
+    if max_turn_gap is None:
+        max_turn_gap = watermark
     t = transcripts.withColumn("actor", actor_expr()).withWatermark("ts", watermark)
     prev = t.select(
         F.col("conv_id").alias("p_conv"),
@@ -56,7 +66,7 @@ def streaming_edges(transcripts: DataFrame, watermark: str = "1 hour") -> DataFr
         (F.col("p_conv") == F.col("c_conv"))
         & (F.col("p_next") == F.col("c_idx"))
         & (F.col("c_ts") >= F.col("p_ts"))
-        & (F.col("c_ts") <= F.col("p_ts") + F.expr("interval 1 hour")),
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr(f"interval {max_turn_gap}")),
     ).select("src_name", "dst_name")
     tool_edges = t.where((F.col("role") == "assistant") & F.col("tool").isNotNull()).select(
         F.col("actor").alias("src_name"),
@@ -79,15 +89,24 @@ def run_incremental(
     on the edge key; a micro-batch reads back ONLY the buckets its keys
     touch, merges, and replaces exactly those partitions via dynamic
     partition overwrite — per-batch cost is O(touched buckets + batch),
-    not O(total accumulated), and untouched buckets are never rewritten
-    (in production the same statement is an Iceberg ``MERGE INTO``).
-    availableNow processes the backlog exactly once per checkpoint."""
+    not O(total accumulated), and untouched buckets are never rewritten.
+
+    ``foreachBatch`` is at-least-once: a crash between the data overwrite
+    and the streaming-checkpoint commit replays the batch.  A per-batch
+    commit marker (written AFTER the overwrite) makes the replay a no-op,
+    so weights are not double-counted on restart.  The marker narrows the
+    at-least-once window to the overwrite-vs-marker gap; true exactly-once
+    needs a transactional sink (in production this merge is an Iceberg
+    ``MERGE INTO``, whose snapshot commit closes that gap)."""
     import os
 
     edge_events = streaming_edges(read_transcript_stream(spark, in_path))
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        marker = os.path.join(out_path, "_commits", f"{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch (at-least-once retry) — already merged
         inc = (
             batch_df.groupBy("src_name", "dst_name")
             .agg(F.count(F.lit(1)).cast("double").alias("weight"))
@@ -114,6 +133,9 @@ def run_incremental(
         finally:
             sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         inc.unpersist()
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("committed\n")
 
     q = (
         edge_events.writeStream.foreachBatch(merge_batch)

@@ -31,6 +31,7 @@ conversation is one group, and group size is bounded by turns-per-batch.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -99,8 +100,12 @@ def _session_fn(gap_s: float):
                ("conv_id", "session_ord", "session_start", "session_end",
                 "n_turns", "n_tool_calls")}
         # vectorised split points: a turn starts a new session iff its gap
-        # to the previous seen timestamp exceeds the threshold
-        prev = pd.Series(ts).shift(1, fill_value=last).to_numpy()
+        # to the LATEST previously-seen timestamp exceeds the threshold.
+        # The baseline is the prefix max (ts is sorted, so max(state last,
+        # previous element)) — a plain shift would let a late cross-batch
+        # turn (within the watermark, older than the state's last) fake a
+        # gap and split a session that already extends past it
+        prev = np.maximum(pd.Series(ts).shift(1, fill_value=last).to_numpy(), last)
         new_sess = (ts - prev) > gap_s
         for i in range(len(ts)):
             if new_sess[i]:
@@ -112,12 +117,22 @@ def _session_fn(gap_s: float):
                     out["n_turns"].append(turns)
                     out["n_tool_calls"].append(tools)
                     next_ord += 1
-                start, turns, tools = ts[i], 0, 0
-            last = ts[i]
+                start, last, turns, tools = ts[i], ts[i], 0, 0
+            else:
+                # late turns extend counts but never move the session end
+                # (or the event-time timeout) backward; a late turn older
+                # than the recorded start may still move the start back
+                last = max(last, ts[i])
+                start = min(start, ts[i])
             turns += 1
             tools += int(tool[i])
         state.update((float(start), float(last), int(turns), int(tools), int(next_ord)))
-        state.setTimeoutTimestamp(int(last * 1000) + int(gap_s * 1000))
+        # never set a timeout at or below the current watermark — Spark
+        # rejects it; clamping only triggers when the session is already
+        # due, and the +1ms timeout fires it on the next batch
+        timeout = int(last * 1000) + int(gap_s * 1000)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout, wm + 1))
         if out["conv_id"]:
             yield pd.DataFrame(out)
 

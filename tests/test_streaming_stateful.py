@@ -91,3 +91,37 @@ def test_sessionization_matches_batch_on_synthetic(spark, tmp_path):
     assert (m["session_start_s"] == m["session_start_b"]).all()
     assert (m["session_end_s"] == m["session_end_b"]).all()
     t.unpersist()
+
+
+def test_sessionization_late_turn_does_not_regress_session(spark, tmp_path):
+    """Regression: a late (within-watermark, cross-batch) turn older than
+    the state's last timestamp used to move the session end and event-time
+    timeout BACKWARD and could fake a gap split.  It must only extend the
+    turn count (and possibly move the start back)."""
+    in_dir, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    s = dt.timedelta(seconds=1)
+    # batch 1: two turns, last at T0+20m
+    _write(spark, [
+        ("convL", 0, "user", "x", None, T0),
+        ("convL", 2, "user", "x", None, T0 + dt.timedelta(minutes=20)),
+    ], in_dir)
+    run_sessionization(spark, in_dir, ckpt, out, gap="30 minutes", watermark="2 hours")
+    # batch 2: a LATE turn at T0+10m (older than last, within watermark)
+    _write(spark, [("convL", 1, "assistant", "x", "tool_9", T0 + dt.timedelta(minutes=10))], in_dir)
+    run_sessionization(spark, in_dir, ckpt, out, gap="30 minutes", watermark="2 hours")
+    # sentinels: push the watermark far ahead so the session times out
+    _write(spark, [("zz1", 0, "user", "x", None, T0 + dt.timedelta(days=30))], in_dir)
+    run_sessionization(spark, in_dir, ckpt, out, gap="30 minutes", watermark="2 hours")
+    _write(spark, [("zz2", 0, "user", "x", None, T0 + dt.timedelta(days=60))], in_dir)
+    run_sessionization(spark, in_dir, ckpt, out, gap="30 minutes", watermark="2 hours")
+
+    got = (
+        spark.read.parquet(out).toPandas()
+        .query("conv_id == 'convL'")
+        .sort_values("session_ord").reset_index(drop=True)
+    )
+    assert len(got) == 1  # no fake split from the late turn
+    row = got.iloc[0]
+    assert row.n_turns == 3 and row.n_tool_calls == 1
+    assert row.session_start == T0
+    assert row.session_end == T0 + dt.timedelta(minutes=20)  # end did not regress
