@@ -613,11 +613,11 @@ SELECT doc_id,
 FROM documents
 """,
         "doc_fingerprint": """
-SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+SELECT doc_id, md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint
 FROM documents
 """,
         "dedup_exact": """
-WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint FROM documents),
+WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint FROM documents),
 grp AS (SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS group_size FROM fp GROUP BY fingerprint)
 SELECT fp.doc_id, fp.fingerprint, grp.group_size, fp.doc_id = grp.keep_id AS is_kept
 FROM fp JOIN grp USING (fingerprint)

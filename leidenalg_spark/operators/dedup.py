@@ -10,9 +10,9 @@ Scale design:
 - MinHash+LSH reduces candidate generation to equality joins on band
   signatures — linear shuffle, no quadratic blow-up; verification of
   candidates re-computes exact Jaccard only on the survivors;
-- SimHash is a 64-bit signature via one Arrow-vectorised pandas UDF
-  (the only non-JVM step in this module), bucketed by rotation for
-  Hamming-distance candidates.
+- SimHash is a 64-bit signature computed fully JVM-side (explode →
+  md5-derived per-token hash → per-bit majority-vote aggregates),
+  banded for Hamming-distance candidates.
 
 Portability: shingles are plain strings and hashes are md5, so every
 SQL-expressible operator here has an exact DuckDB twin for the oracle.
@@ -30,7 +30,10 @@ from .textops import tokens_col
 def dedup_exact(docs: DataFrame, col="text") -> DataFrame:
     """Exact dedup on normalised text: keep the smallest doc_id per
     fingerprint.  Returns (doc_id, fingerprint, group_size, is_kept)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    # coalesce NULL text to '' BEFORE hashing: md5(NULL) is NULL and the
+    # fingerprint equi-join below never matches null keys, so NULL-text
+    # docs would silently vanish from the output
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+", " ")
     with_fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
     grp = with_fp.groupBy("fingerprint").agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size")
@@ -106,14 +109,14 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------- MinHash
-def minhash_signatures(docs: DataFrame, n=3, num_hashes=32, col="text") -> DataFrame:
+def minhash_signatures(docs: DataFrame, n=3, num_hashes=32, col="text", _sh: DataFrame | None = None) -> DataFrame:
     """MinHash signature per doc: for hash function i, the lexicographic
     minimum of ``md5(i || ':' || shingle)`` over the doc's shingles —
     a valid min-wise hash family, portable to plain SQL.
 
     Returns (doc_id, sig: array<string> of length num_hashes).
     """
-    sh = shingles(docs, n, col)
+    sh = _sh if _sh is not None else shingles(docs, n, col)
     hashed = sh.select(
         "doc_id",
         F.explode(
@@ -131,7 +134,14 @@ def minhash_lsh_candidates(signatures: DataFrame, bands=8) -> DataFrame:
     signature become candidate pairs (a < b).  rows = num_hashes/bands
     per band; collision probability follows the classic S-curve."""
     sig_len_row = signatures.select(F.size("sig").alias("l")).first()
-    rows = max(1, int(sig_len_row["l"]) // bands)
+    if sig_len_row is None:
+        return signatures.sparkSession.createDataFrame([], "a long, b long")
+    sig_len = int(sig_len_row["l"])
+    if bands > sig_len:
+        # out-of-range F.slice returns [], every doc would share the
+        # md5('') band key, and the join degenerates to all-pairs
+        raise ValueError(f"bands={bands} > signature length {sig_len}")
+    rows = max(1, sig_len // bands)
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -152,9 +162,12 @@ def minhash_lsh_candidates(signatures: DataFrame, bands=8) -> DataFrame:
 def minhash_dedup_pairs(docs: DataFrame, n=3, num_hashes=32, bands=8, threshold=0.8, col="text") -> DataFrame:
     """MinHash-LSH near-dup pipeline: shingle → minhash → band →
     bucket-join → verify survivors with exact Jaccard."""
-    sigs = minhash_signatures(docs, n, num_hashes, col)
+    # one shared shingle table: signatures + both verify-join sides +
+    # per-doc sizes all read the same cache instead of replaying the
+    # tokenise/explode subtree four times
+    sh = shingles(docs, n, col).persist()
+    sigs = minhash_signatures(docs, n, num_hashes, col, _sh=sh)
     cand = minhash_lsh_candidates(sigs, bands)
-    sh = shingles(docs, n, col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")

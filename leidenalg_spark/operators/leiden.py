@@ -705,7 +705,13 @@ def _level_setup(spark, edges, directed, node_sizes, hub_salt, n_shuffle):
     from ..functions.quality import vertex_strengths
 
     sym = edges.where(F.col("src") != F.col("dst"))
-    edges_sym = sym if directed else sym.unionByName(
+    # the gather must see BOTH directions in every mode: the reference ΔQ
+    # weight term is w(v→C) + w(C→v) for directed graphs (localcore
+    # diff_move_many: rm = wo + wi) and the once-counted incident weight
+    # for undirected ones — either way each stored edge contributes from
+    # both endpoints, so the cached gather table is always the union of
+    # forward and reversed rows
+    edges_sym = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
     loops = (
@@ -813,7 +819,10 @@ def _quality_from_guard_row(row, own, spec, directed, W, loop_tot, opts):
         constraint_pen = float(opts.community_constraint_enforcement) * float(row["q_viol"])
     if method_eff == "significance":
         return -float(row["q_pen"]) - constraint_pen
-    w_in_tot = float(own) * (1.0 if directed else 0.5) + loop_tot
+    # the gather table is symmetrised in both modes, so Σ_v w_va counts
+    # every intra-community edge twice (directed: once per direction pair
+    # member w(v→C) + w(C→v) summed over both endpoints)
+    w_in_tot = float(own) * 0.5 + loop_tot
     coef_w = (1.0 / W if W > 0 else 0.0) if method_eff == "modularity" else 1.0
     return coef_w * w_in_tot - float(row["q_pen"]) - constraint_pen
 
@@ -1099,6 +1108,41 @@ def _move_phase(
         )
         if n_improving == 0:
             break
+    else:
+        # ---- post-loop guard: the in-loop check always scores the
+        # PREVIOUS commit, so when the loop exhausts max_supersteps the
+        # final batch is unvalidated — score it now and revert to the
+        # last good membership if it regressed.  (A convergence exit is
+        # covered: its last commit was empty.)  Computed via df_quality,
+        # whose summation grouping differs from the guard row's by float
+        # rounding only — hence the looser epsilon.
+        if monotone and q_prev is not None and int(n_moves) > 0:
+            me, ge = _method_eff(spec)
+            q_last = df_quality(
+                edges, membership, me, ge, directed,
+                node_sizes=node_sizes, correct_self_loops=spec.correct_self_loops,
+            )
+            if constrained and opts.community_constraint_enforcement > 0:
+                sizes = (
+                    membership.join(vstats.select("id", "node_size"), "id")
+                    .groupBy("comm").agg(F.sum("node_size").alias("na"))
+                )
+                viol = float(
+                    sizes.agg(
+                        F.coalesce(
+                            F.sum(_viol(F.col("na"), opts.min_comm_size, opts.max_comm_size)),
+                            F.lit(0.0),
+                        )
+                    ).first()[0]
+                )
+                q_last -= float(opts.community_constraint_enforcement) * viol
+            if q_last < q_prev - 1e-6 * max(1.0, abs(q_prev)):
+                ckpt.log(
+                    name="leiden_rollback", level=level, step=step,
+                    frac=0.0, q_regressed=float(q_last - q_prev),
+                )
+                ckpt_idx += 1
+                membership = ckpt.save(good_membership, name, ckpt_idx)
     if fixed is not None:
         fixed.unpersist()
     edges_sym.unpersist()
@@ -1110,7 +1154,7 @@ def _move_phase(
 def _descend(
     spark, edges, spec, directed, seed, max_supersteps, ckpt, opts,
     membership, node_sizes, fixed, level, local_finish_threshold, max_levels, hub_salt,
-    m_edges=None,
+    m_edges=None, monotone=True,
 ):
     """Refine → aggregate → recurse (reference Optimiser.py:294-355 +
     advanced.rst:100-123 steps 2-5).
@@ -1218,11 +1262,12 @@ def _descend(
             spark, c_edges, spec, directed, seed, n_shuffle, max_supersteps,
             sub_ckpt, opts, init, node_sizes=c_ns, fixed=c_fixed,
             hub_salt=hub_salt, level=level + 1, name=f"membership_l{level + 1}",
+            monotone=monotone,
         )
         cm = _descend(
             spark, c_edges, spec, directed, seed, max_supersteps, sub_ckpt, opts,
             cm, c_ns, c_fixed, level + 1, local_finish_threshold, max_levels, hub_salt,
-            m_edges=n_coarse_edges,
+            m_edges=n_coarse_edges, monotone=monotone,
         )
         coarse_memb = cm.select(F.col("id").alias("refined"), F.col("comm").alias("new_comm"))
         c_edges.unpersist()
@@ -1373,15 +1418,13 @@ def leiden(
         membership = ckpt.load("membership", ckpt_idx)
         it0, step0, total_steps = state["iteration"], state["step"], state["total_steps"]
         resume_state = {**state, "ckpt_idx": ckpt_idx}
-        if monotone and resume_state.get("q_prev") is None:
-            # pre-guard state format: rebuild the guard baseline so the
-            # resumed run takes the same rollback decisions the
-            # uninterrupted run would
-            me, ge = _method_eff(spec)
-            resume_state["q_prev"] = df_quality(
-                edges, membership, me, ge, directed,
-                node_sizes=node_sizes, correct_self_loops=correct_self_loops,
-            )
+        # a state without q_prev is either an iteration-boundary resume
+        # (where the uninterrupted run also starts its move phase with
+        # q_prev=None) or a pre-guard-format checkpoint; in both cases the
+        # guard simply re-establishes its baseline on the first superstep.
+        # Rebuilding via df_quality here would be WRONG for constrained
+        # runs (it omits the soft O10 penalty the in-loop guard subtracts)
+        # and can differ from the guard-row value by float summation order.
     else:
         from ..functions.quality import vertex_strengths
 
@@ -1422,14 +1465,20 @@ def leiden(
         if not finish:
             # throughput-measurement mode: stop after the move phase
             break
+        n_metrics_before = len(ckpt.metrics)
         membership = _descend(
             spark, edges, spec, directed, seed, max_supersteps, ckpt, o,
             membership, node_sizes, fixed, 0, local_finish_threshold, max_levels, hub_salt,
-            m_edges=ecount,
+            m_edges=ecount, monotone=monotone,
         )
+        # per-iteration descent depth (counting the whole metrics stream
+        # would accumulate across iterations and caller-shared managers)
         levels_seen = max(
             levels_seen,
-            1 + sum(1 for m in ckpt.metrics if m.get("name") == "leiden_aggregate"),
+            1 + sum(
+                1 for m in ckpt.metrics[n_metrics_before:]
+                if m.get("name") == "leiden_aggregate"
+            ),
         )
         ckpt_idx += 1
         membership = ckpt.save(membership, "membership", ckpt_idx)
@@ -1501,8 +1550,9 @@ def _local_solve_df(spark, edges, spec, n_iterations, seed, directed, opts,
         # exactly as the distributed path does
         uniq, init = np.unique(ids.astype(np.int64), return_inverse=True)
     P = LocalPartition([(g, spec)], membership=init)
-    o = opts or OptimiserOpts(seed=seed)
-    o.seed = seed
+    # honour a caller-supplied opts.seed (the distributed path's
+    # _local_finish does); never mutate the caller's object
+    o = opts if opts is not None else OptimiserOpts(seed=seed)
     fixed_mask = None
     if fixed_ids is not None:
         fixed_mask = np.array([int(v) in fixed_ids for v in ids], dtype=bool)

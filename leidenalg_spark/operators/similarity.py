@@ -139,6 +139,10 @@ def embedding_neardup_pairs(
     banded = banded.select("doc", "v", F.explode(F.array(*keys)).alias("bk")).select(
         "doc", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    # the n_bands x n_planes projection stage is the expensive part and
+    # feeds BOTH sides of the self-join — cache the one shared table so it
+    # computes once per action instead of twice
+    banded = banded.persist()
     a = banded.select(F.col("doc").alias("a"), F.col("v").alias("av"), "band", "key")
     b = banded.select(F.col("doc").alias("b"), F.col("v").alias("bv"), "band", "key")
     cand = (

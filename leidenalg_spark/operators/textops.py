@@ -94,6 +94,8 @@ def language_id(docs: DataFrame, col="text") -> DataFrame:
 
 def fingerprint(docs: DataFrame, col="text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-
-    normalised lower-cased text (portable to DuckDB md5())."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    normalised lower-cased text (portable to DuckDB md5()).  NULL text
+    fingerprints as the empty string — never as a NULL that would drop
+    out of downstream equi-joins."""
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+", " ")
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))

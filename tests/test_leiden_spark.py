@@ -119,3 +119,61 @@ def test_leiden_salted_cpm(spark):
     salted = leiden(spark, e, method="cpm", gamma=0.1, local_threshold=0,
                     n_iterations=1, seed=5, max_supersteps=10, hub_salt=3)
     assert np.isclose(plain.quality, salted.quality, rtol=1e-6), (plain.quality, salted.quality)
+
+
+def test_leiden_distributed_directed_matches_localcore_quality(spark):
+    """Regression: the directed distributed gather only traversed
+    out-edges, omitting the w(C→v) term of the reference ΔQ (localcore
+    diff_move_many: rm = wo + wi for directed) — a vertex with only
+    in-edges gathered no candidates at all.  The distributed path must
+    now land on a partition whose directed modularity matches the exact
+    local core's."""
+    # two dense directed "fan-in" clusters: most edges point INTO a hub,
+    # so the buggy out-only gather starves the hubs of candidates
+    rng = np.random.default_rng(9)
+    src, dst = [], []
+    for base, hub in ((0, 0), (15, 15)):
+        for v in range(base + 1, base + 15):
+            src.append(v); dst.append(hub)            # fan-in to the hub
+            if rng.random() < 0.4:
+                src.append(v); dst.append(base + 1 + (v - base) % 14)
+    src.append(0); dst.append(15)                     # weak bridge
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": np.array(src, dtype="int64"),
+                      "dst": np.array(dst, dtype="int64"), "weight": 1.0})
+    )
+    res = leiden(
+        spark, e, method="modularity", directed=True,
+        local_threshold=0, n_iterations=1, seed=4, max_supersteps=12,
+    )
+    from leidenalg_spark.localcore import LocalGraph
+    g = LocalGraph(
+        30, np.array(src, dtype=np.int64), np.array(dst, dtype=np.int64),
+        np.ones(len(src)), directed=True,
+    )
+    P = find_partition_local(g, "modularity", n_iterations=-1, seed=4)
+    # the two fan-in clusters must be found, matching the exact core
+    memb = res.membership.toPandas().sort_values("id")["comm"].to_numpy()
+    assert len(set(memb[:15])) == 1 and len(set(memb[15:])) == 1
+    assert memb[0] != memb[15]
+    assert np.isclose(res.quality, P.quality(), rtol=1e-6, atol=1e-9)
+
+
+def test_leiden_distributed_directed_gather_includes_in_edges(spark):
+    """Regression (verified failing pre-fix): the directed gather only
+    traversed out-edges, so v's candidate weight missed w(C→v) and the
+    superstep picked the wrong community.  v=0 chooses between c1={1,2}
+    (w(0→c1)=2) and c2={3,4} (w(0→c2)=1 but w(c2→0)=3): the reference
+    rm = wo + wi makes c2 the right move; the out-only gather picked c1."""
+    rows = [(0, 1, 2.0), (0, 3, 1.0), (3, 0, 3.0), (1, 2, 1.0), (3, 4, 1.0)]
+    e = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst", "weight"]))
+    init = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 1, 2, 3, 4], "comm": [0, 101, 101, 202, 202]})
+    )
+    fixed = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3, 4]}))
+    res = leiden(
+        spark, e, method="modularity", directed=True, local_threshold=0,
+        n_iterations=1, seed=2, max_supersteps=4, finish=False,
+        initial_membership=init, fixed=fixed,
+    )
+    assert int(res.membership.toPandas().set_index("id")["comm"].loc[0]) == 202

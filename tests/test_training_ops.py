@@ -149,3 +149,24 @@ def test_frame_sample_plan(spark):
     vids = media.where(F.col("media_type") == "video").toPandas()
     expected = int((vids["duration_ms"] // 500 + 1).sum())
     assert len(plan) == expected
+
+
+def test_dedup_exact_null_text_not_dropped(spark):
+    """Regression: md5(NULL) is NULL and the fingerprint equi-join never
+    matches null keys, so NULL-text docs silently vanished."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["same", "same", None]}),
+        "doc_id long, text string",
+    )
+    got = D.dedup_exact(docs).toPandas().set_index("doc_id")
+    assert sorted(got.index) == [1, 2, 3]   # nobody dropped
+    assert bool(got.loc[3, "is_kept"])      # its own (empty) group
+    assert int(got.loc[3, "group_size"]) == 1
+
+
+def test_minhash_lsh_rejects_bands_beyond_signature(spark, docs):
+    """Regression: bands > len(sig) sliced past the signature, giving
+    every doc the md5('') band key — an all-pairs cross join."""
+    sigs = D.minhash_signatures(docs, num_hashes=4)
+    with pytest.raises(ValueError, match="bands"):
+        D.minhash_lsh_candidates(sigs, bands=8)
