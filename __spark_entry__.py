@@ -125,6 +125,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return K.triangle_count(spark, e)
 
+    def q_clustering(spark, sf):
+        # per-vertex local clustering coefficient on the type-transition
+        # graph, keyed by NAME (string ids) so the oracle joins exactly
+        e = E.events_to_type_transition_edges(_events(spark, sf)).select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        cc = K.clustering_coefficient(spark, e)
+        return cc.select(
+            F.col("id").alias("name"), "n_triangles", "degree",
+            F.round("lcc", 6).alias("lcc"),
+        )
+
     def quality_query(method, gamma=1.0):
         def q(spark, sf):
             return quality_onerow(
@@ -142,6 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lang_id(spark, sf):
         return T.language_id(_documents(spark, sf))
 
+    def q_repetition(spark, sf):
+        return T.repetition_stats(_documents(spark, sf))
+
     def q_fingerprint(spark, sf):
         return T.fingerprint(_documents(spark, sf))
 
@@ -150,6 +165,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_neardup_jaccard(spark, sf):
         return D.ngram_jaccard_pairs(_documents(spark, sf), n=3, threshold=0.1)
+
+    def q_decontaminate(spark, sf):
+        # deterministic stand-in eval set: every 17th doc is "benchmark"
+        docs = _documents(spark, sf)
+        bench = docs.where(F.col("doc_id") % 17 == 3)
+        return D.decontaminate(docs, bench, n=5)
+
+    def q_hash_split(spark, sf):
+        from leidenalg_spark.operators.sampling import hash_split
+
+        return hash_split(_documents(spark, sf), seed=42).select("doc_id", "bucket", "split")
+
+    def q_stratified_sample(spark, sf):
+        from leidenalg_spark.operators.sampling import stratified_sample
+
+        return stratified_sample(
+            _documents(spark, sf), {"en": 0.5, "de": 0.25}, strata_col="lang", seed=7
+        ).select("doc_id", "lang")
 
     def q_minhash_signature(spark, sf):
         sig = D.minhash_signatures(_documents(spark, sf), n=3, num_hashes=16)
@@ -301,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_edges": q_bipartite_edges,
         "degrees": q_degrees,
         "triangle_count": q_triangles,
+        "clustering_coefficient": q_clustering,
         "quality_modularity": quality_query("modularity"),
         "quality_cpm": quality_query("cpm", gamma=0.5),
         "quality_rber": quality_query("rber", gamma=0.5),
@@ -310,9 +344,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
+        "repetition_stats": q_repetition,
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "neardup_jaccard": q_neardup_jaccard,
+        "decontaminate": q_decontaminate,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "minhash_signature": q_minhash_signature,
         "cosine_topk": q_cosine_topk,
         "leiden_communities": q_leiden_communities,
@@ -373,6 +411,27 @@ stats AS (
 
 def _doc_tokens(col="text"):
     return f"string_split_regex(lower(trim({col})), '\\s+')"
+
+
+def _hash_split_oracle() -> str:
+    """DuckDB twin of operators.sampling.hash_split (default 98/1/1,
+    seed 42) — thresholds come from the SAME split_thresholds() helper the
+    engine uses, so the compared integers are byte-identical."""
+    from leidenalg_spark.operators.sampling import split_thresholds
+
+    t1, t2 = split_thresholds({"train": 0.98, "val": 0.01, "test": 0.01})
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {t1} THEN 'train'
+            WHEN bucket < {t2} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
 
 
 def _simhash_oracle() -> str:
@@ -576,6 +635,35 @@ und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM te WHERE s <>
 SELECT COUNT(*) AS n_triangles
 FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """,
+        "clustering_coefficient": """
+WITH te AS (
+  SELECT prev_type AS s, event_type AS d
+  FROM (SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events)
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+verts AS (SELECT DISTINCT v AS name
+          FROM (SELECT s AS v FROM te UNION ALL SELECT d AS v FROM te)),
+und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM te WHERE s <> d),
+deg AS (SELECT name, COUNT(*) AS degree
+        FROM (SELECT a AS name FROM und UNION ALL SELECT b AS name FROM und)
+        GROUP BY name),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+cnt AS (SELECT name, COUNT(*) AS nt
+        FROM (SELECT x AS name FROM tri UNION ALL SELECT y AS name FROM tri
+              UNION ALL SELECT z AS name FROM tri)
+        GROUP BY name)
+SELECT v.name,
+       CAST(COALESCE(c.nt, 0) AS BIGINT) AS n_triangles,
+       CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+       ROUND(CASE WHEN COALESCE(d.degree, 0) >= 2
+                  THEN 2.0 * COALESCE(c.nt, 0) / (d.degree * (d.degree - 1.0))
+                  ELSE 0.0 END, 6) AS lcc
+FROM verts v LEFT JOIN deg d ON d.name = v.name LEFT JOIN cnt c ON c.name = v.name
+""",
         "token_count": f"""
 SELECT doc_id, len({toks}) AS n_tokens,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe
@@ -638,6 +726,59 @@ inter AS (
 SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
 WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.1
+""",
+        "decontaminate": f"""
+WITH sh5 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           array_to_string((tk)[i+1:i+5], ' ') AS shingle
+    FROM (SELECT doc_id, {toks} AS tk FROM documents),
+         LATERAL (SELECT unnest(range(0, greatest(len(tk) - 5, 0) + 1)) AS i)
+  ) WHERE length(shingle) > 0
+),
+bsh AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 17 = 3),
+hits AS (SELECT s.doc_id, COUNT(*) AS n_hits FROM sh5 s JOIN bsh USING (shingle) GROUP BY s.doc_id)
+SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+""",
+        "hash_split": _hash_split_oracle(),
+        "repetition_stats": f"""
+WITH tok AS (
+  SELECT doc_id, tok FROM (SELECT doc_id, {toks} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS tok)
+  WHERE tok <> ''
+),
+tstats AS (
+  SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_token_frac, SUM(c) AS n_tokens
+  FROM (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2) GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, array_to_string((tk)[i+1:i+3], ' ') AS g
+    FROM (SELECT doc_id, {toks} AS tk FROM documents),
+         LATERAL (SELECT unnest(range(0, greatest(len(tk) - 3, 0) + 1)) AS i)
+  ) WHERE length(g) > 0
+),
+gstats AS (
+  SELECT doc_id, 1.0 - COUNT(DISTINCT g) * 1.0 / COUNT(*) AS dup_trigram_frac
+  FROM g3 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(t.top_token_frac, 0), 6) AS top_token_frac,
+       ROUND(COALESCE(g.dup_trigram_frac, 0), 6) AS dup_trigram_frac
+FROM documents d LEFT JOIN tstats t ON t.doc_id = d.doc_id
+LEFT JOIN gstats g ON g.doc_id = d.doc_id
+""",
+        "stratified_sample": """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 2147483648 WHEN 'de' THEN 1073741824 ELSE 0 END
 """,
         "simhash": _simhash_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),

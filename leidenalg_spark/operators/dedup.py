@@ -108,6 +108,39 @@ def ngram_jaccard_pairs(
     )
 
 
+# -------------------------------------------------------- decontamination
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n=5, col="text") -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with a benchmark/eval corpus — the standard LLM
+    training-data hygiene step (n-gram overlap rule, as published in the
+    GPT-3 and Gopher appendices).  Returns (doc_id, n_hits, contaminated)
+    where ``n_hits`` counts the doc's DISTINCT shingles that occur
+    anywhere in the benchmark.
+
+    Scale: candidate generation is a pure equality join of the exploded
+    training shingles against the (small, distinct) benchmark shingle
+    set — eval suites are tiny next to a 100 TB corpus, so AQE turns the
+    join into a broadcast; there is no quadratic stage and no per-row
+    Python.  Docs shorter than ``n`` tokens contribute one whole-doc
+    shingle (same convention as :func:`shingles`).
+    """
+    d_sh = shingles(docs, n, col)
+    b_sh = shingles(benchmark, n, col).select("shingle").distinct()
+    hits = d_sh.join(b_sh, "shingle").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "doc_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
 # --------------------------------------------------------------- MinHash
 def minhash_signatures(docs: DataFrame, n=3, num_hashes=32, col="text", _sh: DataFrame | None = None) -> DataFrame:
     """MinHash signature per doc: for hash function i, the lexicographic

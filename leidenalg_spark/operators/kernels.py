@@ -318,6 +318,83 @@ def triangle_count(spark, edges: DataFrame) -> DataFrame:
     return out
 
 
+def clustering_coefficient(spark, edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the simple undirected
+    graph: ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))``, T(v) = triangles
+    through v; vertices of simple-degree < 2 score 0.  Works for numeric
+    or string vertex ids (only equality/order comparisons are used).
+    Returns (id, n_triangles, degree, lcc).
+
+    Scale: one cached pass builds the deduplicated simple edge table that
+    feeds degrees AND the degree-orientation, so the scan+distinct runs
+    once; the only heavy shuffle is the oriented wedge self-join, bounded
+    by Σ deg_out² on the DAG (max out-degree ≈ √m) exactly as in
+    :func:`triangle_count`.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("id")).unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("deg_b"))
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .persist()
+    )
+    wedges = o.alias("e1").join(o.alias("e2"), F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("x2"), F.col("v").alias("z2")),
+        (F.col("x") == F.col("x2")) & (F.col("z") == F.col("z2")),
+    ).select("x", "y", "z")
+    counts = (
+        tri.select(F.col("x").alias("id"))
+        .unionByName(tri.select(F.col("y").alias("id")))
+        .unionByName(tri.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        _vertices(edges)
+        .join(deg, "id", "left")
+        .join(counts, "id", "left")
+        .na.fill({"degree": 0, "n_triangles": 0})
+        .select(
+            "id",
+            "n_triangles",
+            "degree",
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - F.lit(1.0))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+    # vertex-sized result: barrier it so the two caches can be released
+    # now instead of leaking for the session lifetime (same convention as
+    # the other kernels)
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    o.unpersist()
+    return out
+
+
 def triangles_per_vertex(spark, edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation counts (id, n_triangles)."""
     o = oriented_edges(edges)

@@ -1,0 +1,93 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Both operators key every decision off ``md5(seed || ':' || id)`` — a pure
+function of the row identity — instead of ``F.rand()`` / ``randomSplit``:
+
+- stable under task retries and speculative execution (``rand`` is not:
+  a re-run task re-draws its rows);
+- stable under data growth — appending new documents never reshuffles an
+  existing row's split, so yesterday's eval set stays yesterday's eval
+  set (the property a 100 TB corpus that is continuously ingested needs);
+- reproducible in plain SQL (md5 is the portability convention of this
+  repo, see operators/dedup.py), so every operator here is
+  oracle-checkable in DuckDB.
+
+Everything is a single projection / filter — no shuffle, no Python, full
+whole-stage codegen; Catalyst pushes the filters into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 32  # md5's first 8 hex chars, uniform on [0, 2^32)
+
+
+def _bucket(id_col: str, seed: int):
+    """Uniform bucket in [0, 2^32): first 8 hex chars of md5(seed:id)."""
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    return F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+
+
+def split_thresholds(weights: dict[str, float]) -> list[int]:
+    """Cumulative bucket thresholds for all but the last split name —
+    shared by :func:`hash_split` and its SQL oracle so both sides compare
+    against byte-identical integers."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive numbers")
+    total = float(sum(weights.values()))
+    out, cum = [], 0.0
+    for name in list(weights)[:-1]:
+        cum += weights[name] / total
+        out.append(int(cum * _BUCKETS))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is a pure
+    function of ``(id, seed)``.  ``weights`` maps split name → relative
+    weight (insertion order defines the bucket ranges); default
+    98/1/1 train/val/test.  Returns the input plus (bucket, split).
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names = list(weights)
+    thresholds = split_thresholds(weights)
+    b = _bucket(id_col, seed)
+    expr = None
+    for name, thr in zip(names[:-1], thresholds):
+        expr = F.when(b < thr, name) if expr is None else expr.when(b < thr, name)
+    split = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.select("*", b.alias("bucket"), split.alias("split"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float] | float,
+    strata_col: str | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic (approximate, hash-based) sample.  ``fractions`` is
+    either one global fraction or a map stratum-value → fraction with
+    ``strata_col`` naming the stratum column (absent strata keep 0 rows).
+    Row retention is a pure function of ``(id, seed)`` — appending data
+    never changes which existing rows are sampled.
+    """
+    b = _bucket(id_col, seed)
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("strata_col is required when fractions is a map")
+        thr = None
+        for k, frac in fractions.items():
+            t = F.when(F.col(strata_col) == k, F.lit(int(float(frac) * _BUCKETS)))
+            thr = t if thr is None else thr.when(F.col(strata_col) == k, F.lit(int(float(frac) * _BUCKETS)))
+        keep = b < F.coalesce(thr, F.lit(0))
+    else:
+        keep = b < F.lit(int(float(fractions) * _BUCKETS))
+    return df.where(keep)

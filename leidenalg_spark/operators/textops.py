@@ -65,6 +65,45 @@ def quality_score(docs: DataFrame, col="text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, col="text") -> DataFrame:
+    """Gopher-style repetition signals (public heuristics, Rae et al. 2021
+    appendix A1): per doc, the fraction of tokens taken by the single most
+    frequent token, and the fraction of token 3-grams that are duplicates
+    (1 − distinct/total).  Degenerate docs (no tokens) score 0.
+    Returns (doc_id, n_tokens, top_token_frac, dup_trigram_frac).
+
+    Scale: two explode → hash-aggregate pipelines (word-count shape, map-
+    side partial agg, no Python); docs shorter than 3 tokens contribute
+    one whole-doc "trigram" (the shingling convention of dedup.shingles).
+    """
+    toks = tokens_col(col)
+    t = docs.select("doc_id", F.explode(toks).alias("tok")).where(F.col("tok") != "")
+    tok_stats = (
+        t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("top_token_frac"),
+             F.sum("c").alias("n_tokens"))
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    g = docs.select("doc_id", F.explode(grams).alias("g")).where(F.length("g") > 0)
+    gram_stats = g.groupBy("doc_id").agg(
+        (1.0 - F.count_distinct(F.col("g")) / F.count(F.lit(1))).alias("dup_trigram_frac")
+    )
+    return (
+        docs.select("doc_id")
+        .join(tok_stats, "doc_id", "left")
+        .join(gram_stats, "doc_id", "left")
+        .na.fill({"n_tokens": 0, "top_token_frac": 0.0, "dup_trigram_frac": 0.0})
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("top_token_frac", 6).alias("top_token_frac"),
+            F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+        )
+    )
+
+
 def language_id(docs: DataFrame, col="text") -> DataFrame:
     """Stopword-marker language ID: argmax over per-language hit counts,
     ties broken alphabetically, 'und' when no marker hits."""

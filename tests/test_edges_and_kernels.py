@@ -169,6 +169,38 @@ def test_triangles_per_vertex_k4(spark):
     assert (pv["n_triangles"] == 3).all()  # each vertex of K4 is in 3 triangles
 
 
+def test_clustering_coefficient_triangle_with_pendant(spark):
+    # triangle 1-2-3 plus pendant 3-4: lcc(1)=lcc(2)=1, lcc(3)=1/3, lcc(4)=0
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 1, 3], "dst": [2, 3, 3, 4], "weight": 1.0})
+    )
+    out = K.clustering_coefficient(spark, e).toPandas().set_index("id").sort_index()
+    assert out.loc[1, "lcc"] == pytest.approx(1.0)
+    assert out.loc[2, "lcc"] == pytest.approx(1.0)
+    assert out.loc[3, "lcc"] == pytest.approx(1.0 / 3.0)
+    assert out.loc[4, "lcc"] == 0.0
+    assert out["n_triangles"].tolist() == [1, 1, 1, 0]
+    assert out["degree"].tolist() == [2, 2, 3, 1]
+
+
+def test_clustering_coefficient_complete_and_string_ids(spark):
+    # K5: every vertex has lcc 1; duplicate/reversed edges and self-loops
+    # must not change the simple-graph statistics
+    _, e = _fixture_edges(spark, fx.full(5))
+    extra = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    loops = e.limit(2).select("src", F.col("src").alias("dst"), "weight")
+    out = K.clustering_coefficient(spark, e.unionByName(extra).unionByName(loops)).toPandas()
+    assert (out["lcc"] == 1.0).all()
+    assert (out["degree"] == 4).all()
+    assert (out["n_triangles"] == 6).all()
+    # string vertex ids (the driver query keys by name)
+    es = spark.createDataFrame(
+        pd.DataFrame({"src": ["a", "b", "a"], "dst": ["b", "c", "c"], "weight": 1.0})
+    )
+    outs = K.clustering_coefficient(spark, es).toPandas().set_index("id")
+    assert (outs["lcc"] == 1.0).all()
+
+
 def test_label_propagation_two_cliques(spark):
     # two K10 cliques joined by one edge → two labels
     n1, f1 = 10, fx.full(10)

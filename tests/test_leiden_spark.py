@@ -159,6 +159,30 @@ def test_leiden_distributed_directed_matches_localcore_quality(spark):
     assert np.isclose(res.quality, P.quality(), rtol=1e-6, atol=1e-9)
 
 
+def test_leiden_salted_directed_matches_unsalted(spark):
+    """Directed + hub_salt: the salted gather rides per-src statics over
+    the symmetrised (forward + reversed) edge cache — its winners must
+    match the unsalted directed path's converged quality."""
+    rng = np.random.default_rng(11)
+    src, dst = [], []
+    for base, hub in ((0, 0), (15, 15)):
+        for v in range(base + 1, base + 15):
+            src.append(v); dst.append(hub)
+            if rng.random() < 0.4:
+                src.append(v); dst.append(base + 1 + (v - base) % 14)
+    src.append(0); dst.append(15)
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": np.array(src, dtype="int64"),
+                      "dst": np.array(dst, dtype="int64"), "weight": 1.0})
+    )
+    plain = leiden(spark, e, method="modularity", directed=True,
+                   local_threshold=0, n_iterations=1, seed=6, max_supersteps=12)
+    salted = leiden(spark, e, method="modularity", directed=True,
+                    local_threshold=0, n_iterations=1, seed=6, max_supersteps=12,
+                    hub_salt=4)
+    assert np.isclose(plain.quality, salted.quality, rtol=1e-6), (plain.quality, salted.quality)
+
+
 def test_leiden_distributed_directed_gather_includes_in_edges(spark):
     """Regression (verified failing pre-fix): the directed gather only
     traversed out-edges, so v's candidate weight missed w(C→v) and the

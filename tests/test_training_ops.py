@@ -45,6 +45,86 @@ def test_ngram_jaccard_finds_neardup(spark, docs):
     assert not any({1, 3} & set(p) for p in got)  # unrelated docs absent
 
 
+def test_repetition_stats_known_values(spark):
+    from leidenalg_spark.operators import textops as T
+
+    rows = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "a a a a b",               # top token 4/5; trigrams: aaa aaa aab abb? -> see below
+            "one two three four five", # all distinct
+            "",                        # degenerate
+        ],
+    })
+    out = (
+        T.repetition_stats(spark.createDataFrame(rows))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "top_token_frac"] == pytest.approx(0.8)
+    # trigrams of doc 0: "a a a", "a a a", "a a b" -> 1 - 2/3
+    assert out.loc[0, "dup_trigram_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert out.loc[1, "top_token_frac"] == pytest.approx(0.2)
+    assert out.loc[1, "dup_trigram_frac"] == 0.0
+    assert out.loc[2, "n_tokens"] == 0
+    assert out.loc[2, "top_token_frac"] == 0.0 and out.loc[2, "dup_trigram_frac"] == 0.0
+
+
+def test_hash_split_deterministic_and_stable_under_append(spark):
+    from leidenalg_spark.operators.sampling import hash_split
+
+    rows = pd.DataFrame({"doc_id": range(2000), "text": "x"})
+    df = spark.createDataFrame(rows)
+    a = hash_split(df, seed=1).toPandas().set_index("doc_id")["split"]
+    b = hash_split(df, seed=1).toPandas().set_index("doc_id")["split"]
+    pd.testing.assert_series_equal(a, b)  # pure function of (id, seed)
+    # appending rows must not reshuffle existing assignments
+    more = spark.createDataFrame(pd.DataFrame({"doc_id": range(2000, 4000), "text": "y"}))
+    c = hash_split(df.unionByName(more), seed=1).toPandas().set_index("doc_id")["split"]
+    pd.testing.assert_series_equal(a, c.loc[a.index])
+    # proportions roughly honoured (98/1/1 on 2000 ids)
+    frac = a.value_counts(normalize=True)
+    assert frac["train"] > 0.95 and frac.get("val", 0) < 0.05 and frac.get("test", 0) < 0.05
+    # custom weights + different seed → different assignment
+    d = hash_split(df, weights={"a": 1, "b": 1}, seed=2).toPandas()
+    assert set(d["split"]) == {"a", "b"}
+    assert 0.4 < (d["split"] == "a").mean() < 0.6
+    with pytest.raises(ValueError):
+        hash_split(df, weights={"a": -1.0, "b": 2.0})
+
+
+def test_stratified_sample_per_stratum_fractions(spark):
+    from leidenalg_spark.operators.sampling import stratified_sample
+
+    rows = pd.DataFrame({
+        "doc_id": range(3000),
+        "lang": ["en", "de", "fr"] * 1000,
+    })
+    df = spark.createDataFrame(rows)
+    out = stratified_sample(df, {"en": 0.5, "de": 0.1}, strata_col="lang", seed=3).toPandas()
+    n = out["lang"].value_counts()
+    assert "fr" not in n  # absent strata keep nothing
+    assert 400 < n["en"] < 600 and 50 < n["de"] < 160
+    # global-fraction form, deterministic across calls
+    g1 = stratified_sample(df, 0.25, seed=4).toPandas()["doc_id"]
+    g2 = stratified_sample(df, 0.25, seed=4).toPandas()["doc_id"]
+    assert set(g1) == set(g2) and 600 < len(g1) < 900
+
+
+def test_decontaminate_flags_ngram_overlap(spark, docs):
+    # benchmark = doc 0's text: docs 0 (itself), 10 (exact dup) and 11
+    # (near-dup sharing 5-grams) are contaminated; 1/2/3/12 are clean
+    bench = docs.where(F.col("doc_id") == 0)
+    out = D.decontaminate(docs, bench, n=5).toPandas().set_index("doc_id")
+    assert bool(out.loc[0, "contaminated"]) and bool(out.loc[10, "contaminated"])
+    assert bool(out.loc[11, "contaminated"])  # shares leading 5-grams
+    for clean in (1, 2, 3, 12):
+        assert not bool(out.loc[clean, "contaminated"]), clean
+    assert out.loc[0, "n_hits"] == out.loc[10, "n_hits"] > 0
+    assert 0 < out.loc[11, "n_hits"] < out.loc[0, "n_hits"]
+    # every training doc appears exactly once, hit or not
+    assert len(out) == docs.count()
+
+
 def test_minhash_lsh_matches_exact_jaccard(spark, docs):
     exact = D.ngram_jaccard_pairs(docs, n=3, threshold=0.6).toPandas()
     lsh = D.minhash_dedup_pairs(docs, n=3, num_hashes=32, bands=16, threshold=0.6).toPandas()
