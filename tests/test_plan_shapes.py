@@ -44,6 +44,13 @@ DECLARATIVE = [
     "embedding_neardup",
     "sessionize",
     "media_features",
+    # clustering_coefficient materialises (eager localCheckpoint, like the
+    # other kernels) so its visible plan is an ExistingRDD scan — its
+    # wedge join is equality-keyed by construction, audited in kernels.py
+    "decontaminate",
+    "hash_split",
+    "stratified_sample",
+    "repetition_stats",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -79,6 +86,25 @@ def test_cosine_topk_broadcasts_query_block_only(spark):
     # broadcast exchange (the filtered query block), never a shuffle
     assert "BroadcastNestedLoopJoin" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_hash_split_is_scan_plus_project_only(spark):
+    # hash_split is a pure projection: no exchange, no join, no aggregate
+    df = entry.queries()["hash_split"](spark, SF)
+    plan = _plan(df)
+    for op in ("Exchange", "Join", "HashAggregate", "Sort"):
+        assert op not in plan, plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "doc_id" in scan[0] and "text" not in scan[0], plan
+
+
+def test_stratified_sample_filter_reaches_scan(spark):
+    # the bucket filter is a deterministic expression over (doc_id, lang):
+    # the plan must stay scan+filter+project — no shuffle
+    df = entry.queries()["stratified_sample"](spark, SF)
+    plan = _plan(df)
+    for op in ("Exchange", "Join", "HashAggregate"):
+        assert op not in plan, plan
 
 
 def test_textops_prune_documents_scan(spark):
