@@ -177,6 +177,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hash_split(_documents(spark, sf), seed=42).select("doc_id", "bucket", "split")
 
+    def q_pack_sequences(spark, sf):
+        from leidenalg_spark.operators.sampling import pack_sequences
+
+        # block=64 exercises the two-pass prefix sum even at sf0.01
+        return pack_sequences(_documents(spark, sf), capacity=512, block=64)
+
     def q_stratified_sample(spark, sf):
         from leidenalg_spark.operators.sampling import stratified_sample
 
@@ -351,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "minhash_signature": q_minhash_signature,
         "cosine_topk": q_cosine_topk,
         "leiden_communities": q_leiden_communities,
@@ -770,6 +777,18 @@ SELECT d.doc_id,
        ROUND(COALESCE(g.dup_trigram_frac, 0), 6) AS dup_trigram_frac
 FROM documents d LEFT JOIN tstats t ON t.doc_id = d.doc_id
 LEFT JOIN gstats g ON g.doc_id = d.doc_id
+""",
+        "pack_sequences": f"""
+WITH t AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS bin
+FROM c
 """,
         "stratified_sample": """
 WITH b AS (

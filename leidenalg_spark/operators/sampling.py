@@ -66,6 +66,59 @@ def hash_split(
     return df.select("*", b.alias("bucket"), split.alias("split"))
 
 
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 1 << 20,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are (logically)
+    concatenated in ``id_col`` order and cut every ``capacity`` tokens; a
+    document's training bin is the chunk where it STARTS —
+    ``bin = floor(start_offset / capacity)`` with ``start_offset`` the
+    exclusive running token total.  Returns (doc_id, n_tokens,
+    start_offset, bin).  Token counts are whitespace tokens
+    (:func:`leidenalg_spark.operators.textops.tokens_col` semantics, so
+    this matches ``token_count``'s ``n_tokens`` exactly).
+
+    Scale: the global running sum is a classic two-pass distributed
+    prefix sum, NOT one global window (which would serialise 100 TB into
+    a single task): ids are split into contiguous blocks of ``block``
+    ids, per-block totals (a tiny ``n_ids/block``-row table) are
+    prefix-summed on one small task and broadcast back as block offsets,
+    and the per-row cumsum runs inside each block's bounded window
+    partition.  Both exchanges are key-partitioned; no Python.
+    """
+    from .textops import tokens_col
+    from pyspark.sql import Window
+
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    toks = F.size(tokens_col(col)).cast("long")
+    blk = F.floor(F.col(id_col) / F.lit(block)).cast("long")
+    base = docs.select(id_col, toks.alias("n_tokens"), blk.alias("blk"))
+    btot = base.groupBy("blk").agg(F.sum("n_tokens").alias("bt"))
+    # the block-totals table is ~n_ids/2^20 rows — the unpartitioned
+    # window (single small task) is the intended reduction, not a smell
+    wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select("blk", F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("off"))
+    win = (
+        Window.partitionBy("blk").orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(boff), "blk")
+        .withColumn("cum", F.sum("n_tokens").over(win))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("off") + F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+        )
+        .withColumn("bin", F.floor(F.col("start_offset") / F.lit(capacity)).cast("long"))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float] | float,

@@ -50,6 +50,7 @@ DECLARATIVE = [
     "decontaminate",
     "hash_split",
     "stratified_sample",
+    "pack_sequences",
     "repetition_stats",
 ]
 

@@ -92,6 +92,33 @@ def test_hash_split_deterministic_and_stable_under_append(spark):
         hash_split(df, weights={"a": -1.0, "b": 2.0})
 
 
+def test_pack_sequences_two_pass_prefix_sum(spark):
+    from leidenalg_spark.operators.sampling import pack_sequences
+
+    # token counts 3,4,5,2,6,1 over sparse non-contiguous ids; capacity 8:
+    # offsets 0,3,7,12,14,20 -> bins 0,0,0,1,1,2 (doc starts decide)
+    rows = pd.DataFrame({
+        "doc_id": [0, 1, 5, 9, 103, 207],
+        "text": ["a b c", "a b c d", "a b c d e", "a b", "a b c d e f", "a"],
+    })
+    df = spark.createDataFrame(rows)
+    # block=2 forces several blocks -> the broadcast-offset path is live
+    out = (
+        pack_sequences(df, capacity=8, block=2)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["start_offset"].tolist() == [0, 3, 7, 12, 14, 20]
+    assert out["bin"].tolist() == [0, 0, 0, 1, 1, 2]
+    # block size must not change the global result
+    out_big = (
+        pack_sequences(df, capacity=8, block=1 << 20)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out_big)
+    with pytest.raises(ValueError):
+        pack_sequences(df, capacity=0)
+
+
 def test_stratified_sample_per_stratum_fractions(spark):
     from leidenalg_spark.operators.sampling import stratified_sample
 
