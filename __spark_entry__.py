@@ -137,6 +137,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("lcc", 6).alias("lcc"),
         )
 
+    def q_assortativity(spark, sf):
+        out = K.degree_assortativity(spark, _bipartite_ids_det(spark, sf))
+        return out.select(F.round("assortativity", 6).alias("assortativity"))
+
+    def q_k_core(spark, sf):
+        # fixed 8 synchronous peel rounds (oracle comparability, like the
+        # unrolled pagerank/lpa twins)
+        return K.k_core(spark, _bipartite_ids_det(spark, sf), k=3, rounds=8)
+
     def quality_query(method, gamma=1.0):
         def q(spark, sf):
             return quality_onerow(
@@ -341,6 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "triangle_count": q_triangles,
         "clustering_coefficient": q_clustering,
+        "assortativity": q_assortativity,
+        "k_core": q_k_core,
         "quality_modularity": quality_query("modularity"),
         "quality_cpm": quality_query("cpm", gamma=0.5),
         "quality_rber": quality_query("rber", gamma=0.5),
@@ -917,5 +928,42 @@ FROM (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
 GROUP BY component
 """
     )
+    # ---- degree assortativity: Pearson corr of end degrees on the
+    # symmetrised simple edge list
+    assort_sql = (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+s AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (SELECT a AS id, COUNT(*) AS deg FROM s GROUP BY a)
+SELECT ROUND(corr(CAST(da.deg AS DOUBLE), CAST(db.deg AS DOUBLE)), 6) AS assortativity
+FROM s JOIN deg da ON da.id = s.a JOIN deg db ON db.id = s.b
+"""
+    )
+
+    # ---- k-core (k=3): 8 synchronous peel rounds, unrolled.  Every CTE
+    # is MATERIALIZED: e{r} references e{r-1} three times (degree count +
+    # two membership tests), so inlining would blow the base scan up 3^8×
+    kc = ["e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges WHERE src <> dst)"]
+    for r in range(1, 9):
+        kc.append(f"""k{r} AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT id, COUNT(*) AS deg FROM (
+      SELECT a AS id FROM e{r - 1} UNION ALL SELECT b AS id FROM e{r - 1}
+    ) GROUP BY id
+  ) WHERE deg >= 3
+),
+e{r} AS MATERIALIZED (
+  SELECT a, b FROM e{r - 1}
+  WHERE a IN (SELECT id FROM k{r}) AND b IN (SELECT id FROM k{r})
+)""")
+    kcore_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(kc) + """
+SELECT id, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM (SELECT a AS id FROM e8 UNION ALL SELECT b AS id FROM e8)
+GROUP BY id
+"""
+    )
     return {"pagerank": pagerank_sql, "label_propagation": lpa_sql,
-            "connected_components": cc_sql}
+            "connected_components": cc_sql, "assortativity": assort_sql,
+            "k_core": kcore_sql}

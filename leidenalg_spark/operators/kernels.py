@@ -395,6 +395,109 @@ def clustering_coefficient(spark, edges: DataFrame) -> DataFrame:
     return out
 
 
+def degree_assortativity(spark, edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of the simple-graph degrees at either end of each edge,
+    over the symmetrised edge list (each undirected edge contributes both
+    orientations, the standard convention).  Returns a 1-row DataFrame
+    (assortativity — NULL for degree-regular graphs, where the
+    correlation is undefined).
+
+    Scale: one distinct + one degree aggregate + two co-keyed joins into a
+    single global ``corr`` reduction — no quadratic stage, no Python.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    deg = (
+        sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    )
+    paired = (
+        sym.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    # explicit Pearson ratio instead of F.corr: under ANSI mode (Spark 4
+    # default) corr THROWS on zero variance (degree-regular graphs); the
+    # guard returns NULL there, matching DuckDB/NumPy corr conventions
+    stats = paired.agg(
+        F.covar_pop(F.col("da").cast("double"), F.col("db").cast("double")).alias("cov"),
+        F.stddev_pop(F.col("da").cast("double")).alias("sa"),
+        F.stddev_pop(F.col("db").cast("double")).alias("sb"),
+    )
+    out = stats.select(
+        F.when(
+            (F.col("sa") > 0) & (F.col("sb") > 0),
+            F.col("cov") / (F.col("sa") * F.col("sb")),
+        ).alias("assortativity")
+    ).localCheckpoint(eager=True)
+    sym.unpersist()
+    return out
+
+
+def k_core(
+    spark,
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    max_rounds: int = 50,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel vertices whose
+    simple-graph degree is < k until a fixpoint.  Returns (id, core_deg)
+    for the vertices of the k-core, with their degree inside the core.
+
+    ``rounds``: run EXACTLY that many synchronous peel rounds instead of
+    detecting the fixpoint — the oracle-comparability mode (a fixed-round
+    unrolled SQL twin must see identical intermediate states; cf. the
+    ``early_stop=False`` convention of :func:`label_propagation`).
+
+    Scale: each round is one degree aggregate + two semi-joins over the
+    surviving edge set, with per-round lineage truncation; rounds needed
+    = peel depth (≤ degeneracy ordering depth), independent of diameter.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    e = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = ckpt.save(e, "kcore_edges", 0)
+    n_rounds = rounds if rounds is not None else max_rounds
+    prev_cnt = None
+    for r in range(1, n_rounds + 1):
+        ends = e.select(F.col("a").alias("id")).unionByName(e.select(F.col("b").alias("id")))
+        keep = (
+            ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("id")
+        )
+        nxt = (
+            e.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("cnt"))
+        e = ckpt.save(nxt, "kcore_edges", r)
+        cnt = int(obs.get["cnt"])
+        ckpt.log(name="kcore", step=r, edges=cnt)
+        if rounds is None and cnt == prev_cnt:
+            break
+        prev_cnt = cnt
+    ends = e.select(F.col("a").alias("id")).unionByName(e.select(F.col("b").alias("id")))
+    out = ends.groupBy("id").agg(F.count(F.lit(1)).alias("core_deg"))
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    return out
+
+
 def triangles_per_vertex(spark, edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation counts (id, n_triangles)."""
     o = oriented_edges(edges)

@@ -201,6 +201,47 @@ def test_clustering_coefficient_complete_and_string_ids(spark):
     assert (outs["lcc"] == 1.0).all()
 
 
+def test_degree_assortativity_star_and_path(spark):
+    # star K1,5: ends always pair degree 5 with degree 1 -> r = -1
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [0] * 5, "dst": [1, 2, 3, 4, 5], "weight": 1.0})
+    )
+    r = K.degree_assortativity(spark, e).first()["assortativity"]
+    assert r == pytest.approx(-1.0, abs=1e-9)
+    # numpy cross-check on a path graph P4 (degrees 1,2,2,1)
+    ep = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3], "weight": 1.0})
+    )
+    rp = K.degree_assortativity(spark, ep).first()["assortativity"]
+    # both orientations of edges (0,1),(1,2),(2,3); degrees 1,2,2,1
+    da = np.array([1, 2, 2, 2, 2, 1])
+    db = np.array([2, 1, 2, 2, 1, 2])
+    exp = np.corrcoef(da, db)[0, 1]  # the textbook P4 value, -1/2
+    assert rp == pytest.approx(exp, abs=1e-9)
+    # degree-regular graph: correlation undefined -> NULL
+    _, ek = _fixture_edges(spark, fx.full(4))
+    assert K.degree_assortativity(spark, ek).first()["assortativity"] is None
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    # K4 core plus a path tail 3-4-5: 2-core = the K4, 3-core = the K4,
+    # 4-core = empty
+    _, k4 = _fixture_edges(spark, fx.full(4))
+    tail = spark.createDataFrame(
+        pd.DataFrame({"src": [3, 4], "dst": [4, 5], "weight": 1.0})
+    )
+    e = k4.unionByName(tail)
+    two = K.k_core(spark, e, k=2).toPandas().sort_values("id")
+    assert two["id"].tolist() == [0, 1, 2, 3]
+    assert two["core_deg"].tolist() == [3, 3, 3, 3]
+    three = K.k_core(spark, e, k=3).toPandas()
+    assert sorted(three["id"].tolist()) == [0, 1, 2, 3]
+    assert K.k_core(spark, e, k=4).count() == 0
+    # fixed-round mode after convergence equals the fixpoint
+    two_r = K.k_core(spark, e, k=2, rounds=6).toPandas().sort_values("id")
+    assert two_r["id"].tolist() == [0, 1, 2, 3]
+
+
 def test_label_propagation_two_cliques(spark):
     # two K10 cliques joined by one edge → two labels
     n1, f1 = 10, fx.full(10)
