@@ -145,3 +145,58 @@ def run_incremental(
     )
     q.awaitTermination()
     return q
+
+
+def run_streaming_decontaminate(
+    spark: SparkSession,
+    in_path: str,
+    benchmark: DataFrame,
+    checkpoint: str,
+    out_path: str,
+    n: int = 5,
+    schema: str | None = None,
+):
+    """Stream-static decontamination filter: a ``readStream`` of documents
+    is screened against a STATIC benchmark shingle set and only clean
+    docs reach the sink — the streaming twin of
+    :func:`leidenalg_spark.operators.dedup.decontaminate`.
+
+    The benchmark side is computed ONCE (persisted) and broadcast into
+    every micro-batch's shingle equality join — per-batch cost is
+    O(batch shingles), independent of history.  The per-doc EXISTS
+    reduction runs inside ``foreachBatch``: a stream anti-joined against
+    its own exploded shingles would be a stream-stream anti join, which
+    a single continuous query cannot express.  Replay-safe without
+    commit markers — each micro-batch owns ``out_path/batch=<id>`` and
+    overwrites it whole, so an at-least-once retry rewrites the same
+    rows instead of duplicating them.
+    """
+    import os
+
+    from ..operators.dedup import shingles
+
+    if schema is None:
+        schema = "doc_id bigint, text string"
+    b_sh = shingles(benchmark, n).select("shingle").distinct().persist()
+    b_sh.count()
+    stream = spark.readStream.schema(schema).parquet(in_path)
+
+    def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bad = (
+            shingles(batch_df, n)
+            .join(F.broadcast(b_sh), "shingle", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = batch_df.join(bad, "doc_id", "left_anti")
+        clean.write.mode("overwrite").parquet(os.path.join(out_path, f"batch={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(screen_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    b_sh.unpersist()
+    return q

@@ -51,3 +51,39 @@ def test_streaming_second_batch_accumulates(spark, tmp_path):
     assert len(got) == len(exp)
     m = got.merge(exp, on=["src_name", "dst_name"], suffixes=("_s", "_b"))
     assert (m["weight_s"] == m["weight_b"]).all()
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from leidenalg_spark.operators.dedup import decontaminate
+    from leidenalg_spark.streaming.incremental import run_streaming_decontaminate
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different sentence about spark partitions and shuffles",
+        "numbers one two three four five six seven eight nine ten",
+        "der schnelle braune fuchs springt heute nacht wieder los",
+    ]
+    rows = [(i, base[i % 4] + f" tail {i % 3}") for i in range(40)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    bench = docs.where(F.col("doc_id") % 10 == 0).persist()
+
+    in_dir, out, ckpt = (str(tmp_path / p) for p in ("in", "clean", "ckpt"))
+    docs.where("doc_id < 20").write.mode("append").parquet(in_dir)
+    run_streaming_decontaminate(spark, in_dir, bench, ckpt, out)
+    got1 = set(spark.read.parquet(out).toPandas()["doc_id"])
+
+    # second micro-batch arrives later; accumulated clean set must equal
+    # the batch operator over the full input
+    docs.where("doc_id >= 20").write.mode("append").parquet(in_dir)
+    run_streaming_decontaminate(spark, in_dir, bench, ckpt, out)
+    got = set(spark.read.parquet(out).toPandas()["doc_id"])
+    assert got1 <= got
+
+    exp_df = decontaminate(docs, bench, n=5).toPandas()
+    exp = set(exp_df[~exp_df["contaminated"]]["doc_id"])
+    assert got == exp
+    assert len(exp) > 0 and len(exp) < 40  # the filter actually removed docs
+    bench.unpersist()
