@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+# synthetic per-source mixture weights for the mixture_sample query: the
+# testdata sources are uniform src0..src19, so give them distinct weights
+_MIXTURE_WEIGHTS = {f"src{i}": float(i + 1) for i in range(20)}
+
 
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -156,6 +160,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_token_count(spark, sf):
         return T.token_count(_documents(spark, sf))
+
+    def q_clean_text(spark, sf):
+        # md5 of the cleaned text keeps the compared payload compact
+        return T.clean_text(_documents(spark, sf)).select(
+            "doc_id", F.md5("clean_text").alias("clean_fp"),
+            "n_urls", "n_emails", "n_chars_removed",
+        )
+
+    def q_top_bigrams(spark, sf):
+        return T.top_ngrams(_documents(spark, sf), n=2, k=30)
+
+    def q_mixture_sample(spark, sf):
+        from leidenalg_spark.operators.sampling import mixture_sample
+
+        return mixture_sample(
+            _documents(spark, sf), _MIXTURE_WEIGHTS, temperature=2.0, seed=11
+        ).select("doc_id", "source")
+
+    def q_khop_counts(spark, sf):
+        return K.khop_counts(spark, _bipartite_ids_det(spark, sf), k=2)
+
+    def q_neighborhood_hll(spark, sf):
+        # HyperBall ball-size estimates (rows-only: sketch internals are
+        # not SQL-reproducible); exactness vs khop_counts is pytest-held
+        return K.neighborhood_hll(spark, _bipartite_ids_det(spark, sf), max_dist=2)
 
     def q_doc_quality(spark, sf):
         return T.quality_score(_documents(spark, sf))
@@ -359,6 +388,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_significance": quality_query("significance"),
         "quality_surprise": quality_query("surprise"),
         "token_count": q_token_count,
+        "clean_text": q_clean_text,
+        "top_bigrams": q_top_bigrams,
+        "mixture_sample": q_mixture_sample,
+        "khop_counts": q_khop_counts,
+        "neighborhood_hll": q_neighborhood_hll,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition,
@@ -555,6 +589,47 @@ cand AS (
 SELECT a, b, ROUND({cs}, 6) AS cos_sim
 FROM cand JOIN embeddings ea ON ea.vec_id = a JOIN embeddings eb ON eb.vec_id = b
 WHERE ROUND({cs}, 6) >= {threshold}
+"""
+
+
+def _clean_text_oracle() -> str:
+    """DuckDB twin of operators.textops.clean_text — the SAME regex
+    patterns (simple character classes, identical under Java regex and
+    RE2), counts on the raw text, md5 of the cleaned text."""
+    from leidenalg_spark.operators.textops import CTRL_RE, EMAIL_RE, URL_RE
+
+    clean = (
+        "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"coalesce(text, ''), '{URL_RE}', ' ', 'g'), '{EMAIL_RE}', ' ', 'g'), "
+        f"'{CTRL_RE}', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+SELECT doc_id, md5({clean}) AS clean_fp,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(length(coalesce(text, '')) - length({clean}) AS BIGINT) AS n_chars_removed
+FROM documents
+"""
+
+
+def _mixture_sample_oracle(seed=11, temperature=2.0) -> str:
+    """DuckDB twin of operators.sampling.mixture_sample — per-source
+    thresholds from the SAME mixture_weights() helper, so the compared
+    integers are byte-identical."""
+    from leidenalg_spark.operators.sampling import _BUCKETS, mixture_weights
+
+    fracs = mixture_weights(_MIXTURE_WEIGHTS, temperature)
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(float(f) * _BUCKETS)}" for s, f in fracs.items()
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS bucket
+  FROM documents
+)
+SELECT doc_id, source FROM b
+WHERE bucket < CASE source {cases} ELSE 0 END
 """
 
 
@@ -761,6 +836,21 @@ SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 """,
         "hash_split": _hash_split_oracle(),
+        "clean_text": _clean_text_oracle(),
+        "mixture_sample": _mixture_sample_oracle(),
+        "top_bigrams": f"""
+WITH g AS (
+  SELECT doc_id, ngram FROM (
+    SELECT doc_id, array_to_string((tk)[i+1:i+2], ' ') AS ngram
+    FROM (SELECT doc_id, {toks} AS tk FROM documents),
+         LATERAL (SELECT unnest(range(0, greatest(len(tk) - 1, 0))) AS i)
+  ) WHERE length(ngram) > 0
+)
+SELECT ngram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM g GROUP BY ngram
+ORDER BY count DESC, ngram LIMIT 30
+""",
         "repetition_stats": f"""
 WITH tok AS (
   SELECT doc_id, tok FROM (SELECT doc_id, {toks} AS tk FROM documents),
@@ -964,6 +1054,18 @@ FROM (SELECT a AS id FROM e8 UNION ALL SELECT b AS id FROM e8)
 GROUP BY id
 """
     )
+    # ---- exact 2-hop neighbourhood counts on the simple symmetrised graph
+    khop_sql = (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+s AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+r1 AS (SELECT a AS id, b AS v FROM s),
+r2 AS (SELECT r1.id, s.b AS v FROM r1 JOIN s ON s.a = r1.v WHERE s.b <> r1.id),
+reach AS (SELECT DISTINCT id, v FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2))
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
+"""
+    )
     return {"pagerank": pagerank_sql, "label_propagation": lpa_sql,
             "connected_components": cc_sql, "assortativity": assort_sql,
-            "k_core": kcore_sql}
+            "k_core": kcore_sql, "khop_counts": khop_sql}

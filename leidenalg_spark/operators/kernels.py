@@ -498,6 +498,125 @@ def k_core(
     return out
 
 
+def _sym_simple(edges: DataFrame) -> DataFrame:
+    """Symmetrised simple edge list (both orientations of each distinct
+    undirected non-loop edge)."""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+
+def khop_counts(
+    spark,
+    edges: DataFrame,
+    k: int = 2,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """EXACT distinct-neighbourhood size within ≤ ``k`` hops of every
+    vertex (excluding the vertex itself), over the symmetrised simple
+    graph.  Returns (id, n_reachable).
+
+    Scale warning — by design: the materialised reach set is
+    Σ_v |ball_k(v)|, which explodes on low-diameter graphs (a social
+    graph's 3-ball is most of the graph).  This operator is the exact
+    small-k / truth-set path; at 100 TB use :func:`neighborhood_hll`,
+    whose state is one fixed-size sketch per vertex instead.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    reach = sym.select(F.col("a").alias("id"), F.col("b").alias("v"))
+    reach = ckpt.save(reach, "khop_reach", 1)
+    for d in range(2, k + 1):
+        # frontier-free closure step: (ball ⋈ adjacency) ∪ ball, dedup —
+        # simple and exact; per-round lineage truncation via the ckpt
+        nxt = (
+            reach.join(sym.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")
+            .select("id", F.col("w").alias("v"))
+            .where(F.col("v") != F.col("id"))
+            .unionByName(reach)
+            .distinct()
+        )
+        reach = ckpt.save(nxt, "khop_reach", d)
+    out = reach.groupBy("id").agg(F.count(F.lit(1)).alias("n_reachable"))
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    sym.unpersist()
+    return out
+
+
+def neighborhood_hll(
+    spark,
+    edges: DataFrame,
+    max_dist: int = 3,
+    lg_config_k: int = 12,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013, public): per-vertex APPROXIMATE
+    ball sizes at every distance 1..``max_dist`` via mergeable
+    HyperLogLog sketches — the neighbourhood function N(v, d).  Returns
+    (id, dist, n_reachable_est) with the vertex itself excluded, matching
+    :func:`khop_counts` semantics.
+
+    This is the 100-TB shape the exact closure can't reach: per-vertex
+    state is ONE fixed-size HLL sketch (2^lg_config_k registers), and a
+    superstep is one gather join + ``hll_union_agg`` — identical shuffle
+    pattern to PageRank, state size independent of ball size.  Sketches
+    are exact for small counts (datasketches HLL early modes), ±~1.6%
+    at lg_config_k=12 beyond.  All JVM-side (`hll_sketch_agg` /
+    `hll_union_agg` / `hll_union`), no Python in the loop.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    verts = sym.select(F.col("a").alias("id")).distinct()
+    lgk = F.lit(lg_config_k)
+    cur = verts.groupBy("id").agg(F.hll_sketch_agg("id", lgk).alias("sk"))
+    cur = ckpt.save(cur, "hyperball_sk", 0)
+    outs = []
+    for d in range(1, max_dist + 1):
+        gathered = (
+            sym.join(cur.select(F.col("id").alias("a"), "sk"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.hll_union_agg("sk").alias("nsk"))
+        )
+        cur = (
+            cur.join(gathered, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("nsk").isNotNull(), F.hll_union("sk", "nsk")
+                ).otherwise(F.col("sk")).alias("sk"),
+            )
+        )
+        cur = ckpt.save(cur, "hyperball_sk", d)
+        # ball estimate minus 1: the seed sketch counts the vertex itself
+        outs.append(
+            cur.select(
+                "id",
+                F.lit(d).alias("dist"),
+                (F.hll_sketch_estimate("sk") - F.lit(1)).cast("long").alias("n_reachable_est"),
+            )
+        )
+        ckpt.log(name="hyperball", step=d)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    sym.unpersist()
+    return out
+
+
 def triangles_per_vertex(spark, edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation counts (id, n_triangles)."""
     o = oriented_edges(edges)

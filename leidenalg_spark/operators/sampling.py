@@ -119,6 +119,40 @@ def pack_sequences(
     )
 
 
+def mixture_weights(weights: dict[str, float], temperature: float = 1.0) -> dict[str, float]:
+    """Per-source keep fractions for temperature-flattened mixture
+    sampling (the public multilingual-corpus convention, e.g. XLM-R /
+    mT5): ``p_s ∝ w_s^(1/T)``, rescaled so the LARGEST fraction is 1.0 —
+    the dominant source is kept in full and every other source is
+    downsampled to the flattened ratio.  ``T=1`` keeps the given ratios;
+    ``T→∞`` flattens towards uniform.  Shared by :func:`mixture_sample`
+    and its SQL oracle so both sides compare identical thresholds."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive numbers")
+    scaled = {s: float(w) ** (1.0 / temperature) for s, w in weights.items()}
+    mx = max(scaled.values())
+    return {s: v / mx for s, v in scaled.items()}
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_weights: dict[str, float],
+    temperature: float = 1.0,
+    source_col: str = "source",
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic temperature-weighted mixture sampling across corpus
+    sources: each row's retention is a pure function of ``(id, seed)``
+    with a per-source fraction from :func:`mixture_weights` — append-
+    stable and retry-stable like every sampler in this module.  Sources
+    absent from ``source_weights`` keep 0 rows (explicit opt-in)."""
+    fracs = mixture_weights(source_weights, temperature)
+    return stratified_sample(df, fracs, strata_col=source_col, seed=seed, id_col=id_col)
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float] | float,

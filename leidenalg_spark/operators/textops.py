@@ -131,6 +131,70 @@ def language_id(docs: DataFrame, col="text") -> DataFrame:
     )
 
 
+# Web-corpus cleaning patterns.  Deliberately simple character classes so
+# the Java-regex (Spark) and RE2 (DuckDB) engines agree byte-for-byte.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+CTRL_RE = r"[\x00-\x1F\x7F]"
+
+
+def clean_text(docs: DataFrame, col="text") -> DataFrame:
+    """Web-corpus text normalisation (C4-style pre-filtering): count and
+    strip URLs and e-mail addresses, drop control characters, collapse
+    whitespace runs, trim.  NULL text cleans to the empty string.
+    Returns (doc_id, clean_text, n_urls, n_emails, n_chars_removed).
+
+    Scale: a single projection of chained ``regexp_replace`` — pure JVM,
+    whole-stage codegen, no shuffle; Catalyst prunes the scan to
+    (doc_id, text).  Counts are taken on the RAW text (before stripping)
+    so they are independent of the replacement order.
+    """
+    raw = F.coalesce(F.col(col), F.lit(""))
+    n_urls = F.size(F.regexp_extract_all(raw, F.lit(URL_RE), F.lit(0)))
+    n_emails = F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), F.lit(0)))
+    stripped = F.regexp_replace(F.regexp_replace(raw, URL_RE, " "), EMAIL_RE, " ")
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(stripped, CTRL_RE, " "), r"\s+", " ")
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        n_urls.cast("long").alias("n_urls"),
+        n_emails.cast("long").alias("n_emails"),
+        (F.length(raw) - F.length(cleaned)).cast("long").alias("n_chars_removed"),
+    )
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20, col="text") -> DataFrame:
+    """Corpus-level vocabulary statistics: the ``k`` most frequent token
+    ``n``-grams (whitespace tokens, strict n-grams — documents shorter
+    than ``n`` tokens contribute nothing).  Deterministic order: count
+    descending, then n-gram ascending.  Returns (ngram, n_docs, count).
+
+    Scale: word-count shape — explode → two-level hash aggregate with
+    map-side partial aggregation; the final ``ORDER BY … LIMIT k``
+    compiles to TakeOrderedAndProject (per-partition top-k merged on the
+    driver), never a global sort of the distinct-ngram table.
+    """
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be positive")
+    toks = tokens_col(col)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    g = docs.select("doc_id", F.explode(grams).alias("ngram")).where(F.length("ngram") > 0)
+    return (
+        g.groupBy("ngram")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("count"),
+        )
+        .orderBy(F.desc("count"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 def fingerprint(docs: DataFrame, col="text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-
     normalised lower-cased text (portable to DuckDB md5()).  NULL text

@@ -255,3 +255,32 @@ def test_label_propagation_two_cliques(spark):
     assert len(set(l[:10])) == 1
     assert len(set(l[10:])) == 1
     assert l[0] != l[10]
+
+
+def test_khop_counts_path_and_triangle(spark):
+    # path 0-1-2-3-4 plus disjoint triangle 5-6-7
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 2, 3, 5, 6, 5], "dst": [1, 2, 3, 4, 6, 7, 7], "weight": 1.0})
+    )
+    got = K.khop_counts(spark, e, k=2).toPandas().set_index("id")["n_reachable"]
+    assert got.to_dict() == {0: 2, 1: 3, 2: 4, 3: 3, 4: 2, 5: 2, 6: 2, 7: 2}
+    g3 = K.khop_counts(spark, e, k=3).toPandas().set_index("id")["n_reachable"]
+    assert g3.to_dict() == {0: 3, 1: 4, 2: 4, 3: 4, 4: 3, 5: 2, 6: 2, 7: 2}
+    with pytest.raises(ValueError):
+        K.khop_counts(spark, e, k=0)
+
+
+def test_neighborhood_hll_matches_exact_small(spark):
+    """HyperBall sketches are exact in the HLL early modes, so on a small
+    graph every (id, dist) estimate must EQUAL the exact k-hop count."""
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 2, 3, 5, 6, 5], "dst": [1, 2, 3, 4, 6, 7, 7], "weight": 1.0})
+    )
+    est = K.neighborhood_hll(spark, e, max_dist=3).toPandas()
+    for d in (1, 2, 3):
+        exact = K.khop_counts(spark, e, k=d).toPandas().set_index("id")["n_reachable"]
+        sub = est[est["dist"] == d].set_index("id")["n_reachable_est"]
+        assert sub.to_dict() == exact.to_dict(), f"dist {d}"
+    # ball sizes are monotone non-decreasing in dist per vertex
+    p = est.pivot(index="id", columns="dist", values="n_reachable_est")
+    assert ((p[2] >= p[1]) & (p[3] >= p[2])).all()

@@ -277,3 +277,69 @@ def test_minhash_lsh_rejects_bands_beyond_signature(spark, docs):
     sigs = D.minhash_signatures(docs, num_hashes=4)
     with pytest.raises(ValueError, match="bands"):
         D.minhash_lsh_candidates(sigs, bands=8)
+
+
+def test_clean_text_strips_and_counts(spark):
+    from leidenalg_spark.operators.textops import clean_text
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "Visit https://example.com/page now or mail a.b@test.org  thanks",
+                "plain  text\twith\x01control chars",
+                None,
+                "a b",
+            ],
+        }),
+        "doc_id long, text string",
+    )
+    out = clean_text(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "clean_text"] == "Visit now or mail thanks"
+    assert int(out.loc[0, "n_urls"]) == 1 and int(out.loc[0, "n_emails"]) == 1
+    assert out.loc[1, "clean_text"] == "plain text with control chars"
+    assert out.loc[2, "clean_text"] == "" and int(out.loc[2, "n_chars_removed"]) == 0
+    assert int(out.loc[3, "n_chars_removed"]) == 0  # already clean
+
+
+def test_top_ngrams_counts_and_order(spark):
+    from leidenalg_spark.operators.textops import top_ngrams
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["a b a b c", "a b x", "z"],  # doc 2 too short for bigrams? no: 1 token
+        }),
+        "doc_id long, text string",
+    )
+    out = top_ngrams(docs, n=2, k=3).toPandas()
+    # "a b" appears 3 times across 2 docs; ties broken by ngram asc
+    assert list(out["ngram"])[0] == "a b"
+    assert int(out.loc[0, "count"]) == 3 and int(out.loc[0, "n_docs"]) == 2
+    assert len(out) == 3
+    uni = top_ngrams(docs, n=1, k=2).toPandas()
+    assert list(uni["ngram"]) == ["a", "b"]  # 3 each, alphabetical tiebreak
+
+
+def test_mixture_sample_temperature_flattening(spark):
+    from leidenalg_spark.operators.sampling import mixture_sample, mixture_weights
+
+    # T=1 keeps raw ratios (dominant source = 1.0); T→∞ flattens to 1.0
+    w = {"big": 9.0, "small": 1.0}
+    assert mixture_weights(w, 1.0) == {"big": 1.0, "small": pytest.approx(1 / 9)}
+    f2 = mixture_weights(w, 2.0)
+    assert f2["big"] == 1.0 and f2["small"] == pytest.approx(1 / 3)
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "big").otherwise("small").alias("source"),
+    )
+    got = mixture_sample(df, w, temperature=2.0).groupBy("source").count().toPandas()
+    counts = dict(zip(got["source"], got["count"]))
+    assert counts["big"] == 1000                       # dominant kept in full
+    assert abs(counts["small"] - 333) < 60             # hash-approximate 1/3
+    # determinism + append stability: same rows kept on a prefix
+    a = set(r.doc_id for r in mixture_sample(df.where("doc_id < 500"), w, temperature=2.0).collect())
+    b = set(r.doc_id for r in mixture_sample(df, w, temperature=2.0).collect())
+    assert a == {x for x in b if x < 500}
+    with pytest.raises(ValueError):
+        mixture_weights(w, 0.0)
