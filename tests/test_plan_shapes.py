@@ -52,6 +52,9 @@ DECLARATIVE = [
     "stratified_sample",
     "pack_sequences",
     "repetition_stats",
+    "clean_text",
+    "top_bigrams",
+    "mixture_sample",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -103,6 +106,37 @@ def test_stratified_sample_filter_reaches_scan(spark):
     # the bucket filter is a deterministic expression over (doc_id, lang):
     # the plan must stay scan+filter+project — no shuffle
     df = entry.queries()["stratified_sample"](spark, SF)
+    plan = _plan(df)
+    for op in ("Exchange", "Join", "HashAggregate"):
+        assert op not in plan, plan
+
+
+def test_clean_text_is_scan_plus_project_only(spark):
+    # chained regexp_replace projection: no exchange, no join, no agg;
+    # scan pruned to (doc_id, text)
+    df = entry.queries()["clean_text"](spark, SF)
+    plan = _plan(df)
+    for op in ("Exchange", "Join", "HashAggregate", "Sort"):
+        assert op not in plan, plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "doc_id" in scan[0] and "text" in scan[0], plan
+    assert "lang" not in scan[0] and "source" not in scan[0], scan[0]
+
+
+def test_top_bigrams_uses_take_ordered_not_global_sort(spark):
+    # the top-k must compile to TakeOrderedAndProject (per-partition
+    # top-k merged on the driver) — a global Sort of the distinct-ngram
+    # table would serialise the vocabulary at 100 TB
+    df = entry.queries()["top_bigrams"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "GlobalLimit" not in plan, plan  # limit folded into take-ordered
+
+
+def test_mixture_sample_filter_only(spark):
+    # deterministic per-source threshold filter: scan+filter+project,
+    # thresholds are plan-time literals — no shuffle, no join
+    df = entry.queries()["mixture_sample"](spark, SF)
     plan = _plan(df)
     for op in ("Exchange", "Join", "HashAggregate"):
         assert op not in plan, plan
