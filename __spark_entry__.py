@@ -171,6 +171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_top_bigrams(spark, sf):
         return T.top_ngrams(_documents(spark, sf), n=2, k=30)
 
+    def q_bm25(spark, sf):
+        return T.bm25_score(_documents(spark, sf), ["spark", "join", "window"])
+
+    def q_tfidf_terms(spark, sf):
+        return T.tfidf_top_terms(_documents(spark, sf), k=3)
+
     def q_mixture_sample(spark, sf):
         from leidenalg_spark.operators.sampling import mixture_sample
 
@@ -390,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "clean_text": q_clean_text,
         "top_bigrams": q_top_bigrams,
+        "bm25": q_bm25,
+        "tfidf_terms": q_tfidf_terms,
         "mixture_sample": q_mixture_sample,
         "khop_counts": q_khop_counts,
         "neighborhood_hll": q_neighborhood_hll,
@@ -850,6 +858,51 @@ SELECT ngram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS count
 FROM g GROUP BY ngram
 ORDER BY count DESC, ngram LIMIT 30
+""",
+        "bm25": f"""
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter({_doc_tokens("coalesce(text,'')")}, x -> x <> '')) AS DOUBLE) AS dl
+  FROM documents
+),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tok AS (
+  SELECT doc_id, tok FROM (SELECT doc_id, {toks} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS tok)
+  WHERE tok IN ('join', 'spark', 'window')
+),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+idf AS (
+  SELECT tok, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dfreq, stats
+),
+parts AS (
+  SELECT t.doc_id,
+         i.idf * (t.tf * (1.2 + 1.0))
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) AS part
+  FROM tf t JOIN idf i USING (tok) JOIN dl d USING (doc_id), stats s
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, ROUND(SUM(part), 6) AS bm25
+FROM parts GROUP BY doc_id
+""",
+        "tfidf_terms": f"""
+WITH t AS (
+  SELECT doc_id, tok AS term FROM (SELECT doc_id, {toks} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS tok)
+  WHERE tok <> ''
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM t GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf_l,
+         ROUND(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, tf_l AS tf, tfidf, pos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS pos
+  FROM scored
+) WHERE pos <= 3
 """,
         "repetition_stats": f"""
 WITH tok AS (

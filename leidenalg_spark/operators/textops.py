@@ -202,3 +202,101 @@ def fingerprint(docs: DataFrame, col="text") -> DataFrame:
     out of downstream equi-joins."""
     norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+", " ")
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    col="text",
+) -> DataFrame:
+    """Per-document BM25 relevance against a fixed query-term list
+    (Robertson/Sparck-Jones, the Okapi formula with the +1 idf floor so
+    scores stay positive even for terms in >half the corpus).  Returns
+    (doc_id, n_hits, bm25) for documents matching ≥1 query term; scores
+    rounded to 1e-6 for cross-engine reproducibility.
+
+    Scale shape: the query-term ``isin`` filter is applied *before* the
+    (doc, term) aggregation, so the tf table is |matches|, not |tokens|;
+    corpus stats (N, avgdl) and per-term document frequencies are
+    one-row / |query|-row aggregates broadcast into the scoring join.
+    No Python in the row path; word-count-shaped shuffles only.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+    dl = docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t != "")).cast("double").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    t = docs.select("doc_id", F.explode(toks).alias("tok")).where(
+        F.col("tok").isin(terms)
+    )
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("part"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.round(F.sum("part"), 6).alias("bm25"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5, col="text") -> DataFrame:
+    """Per-document top-``k`` terms by tf-idf (tf = in-doc count, idf =
+    ln(N/df), df = docs containing the term).  Deterministic tie-break:
+    tfidf descending, then term ascending.  Returns
+    (doc_id, term, tf, tfidf, pos) with pos in 1..k; terms present in
+    every document (idf = 0) still rank, just at score 0.
+
+    Scale shape: explode → (doc, term) hash aggregate; df is a second
+    hash aggregate over that (never re-reads the corpus); the per-doc
+    top-k is a bounded window over the (doc, term) table — partitioned
+    by doc_id, so no global sort and no skew beyond per-doc vocabulary.
+    """
+    if k < 1:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+    t = docs.select("doc_id", F.explode(toks).alias("term")).where(F.col("term") != "")
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf_l"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= k)
+        .select("doc_id", "term", F.col("tf_l").alias("tf"), "tfidf", "pos")
+    )

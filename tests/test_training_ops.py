@@ -343,3 +343,55 @@ def test_mixture_sample_temperature_flattening(spark):
     assert a == {x for x in b if x < 500}
     with pytest.raises(ValueError):
         mixture_weights(w, 0.0)
+
+
+def test_bm25_scores_and_nulls(spark):
+    import math
+
+    from leidenalg_spark.operators.textops import bm25_score
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["spark join spark", "join window", None, "plain words only here"],
+        }),
+        "doc_id long, text string",
+    )
+    out = bm25_score(docs, ["spark", "join"]).toPandas().set_index("doc_id")
+    # doc 2 (NULL) and doc 3 (no hits) are absent; doc 0 hits both terms
+    assert set(out.index) == {0, 1}
+    assert int(out.loc[0, "n_hits"]) == 2 and int(out.loc[1, "n_hits"]) == 1
+    # hand-computed: N=4, avgdl=(3+2+0+4)/4=2.25
+    k1, b = 1.2, 0.75
+    idf_spark = math.log((4 - 1 + 0.5) / (1 + 0.5) + 1.0)
+    idf_join = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    norm0 = k1 * (1 - b + b * 3 / 2.25)
+    exp0 = idf_spark * 2 * (k1 + 1) / (2 + norm0) + idf_join * 1 * (k1 + 1) / (1 + norm0)
+    assert abs(out.loc[0, "bm25"] - round(exp0, 6)) < 2e-6
+    with pytest.raises(ValueError):
+        bm25_score(docs, [])
+
+
+def test_tfidf_top_terms_rank_and_ties(spark):
+    import math
+
+    from leidenalg_spark.operators.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["common rare rare", "common alpha beta", "common"],
+        }),
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("pos")
+    # "rare" (tf=2, df=1) dominates; "common" idf = ln(3/3) = 0
+    assert list(d0["term"]) == ["rare", "common"]
+    assert abs(d0.iloc[0]["tfidf"] - round(2 * math.log(3.0), 6)) < 1e-9
+    assert d0.iloc[1]["tfidf"] == 0.0
+    d1 = out[out.doc_id == 1].sort_values("pos")
+    # alpha/beta tie at ln(3); alphabetical tie-break
+    assert list(d1["term"]) == ["alpha", "beta"]
+    with pytest.raises(ValueError):
+        tfidf_top_terms(docs, k=0)
