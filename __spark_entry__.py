@@ -258,6 +258,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pr.select("id", F.round("rank", 6).alias("rank"))
         return pr.orderBy(F.desc("rank"), F.asc("id")).limit(20)
 
+    def q_personalized_pagerank(spark, sf):
+        # seeded-relevance ranks from the two smallest vertex ids; fixed 8
+        # iterations so the unrolled-CTE DuckDB twin reproduces the ranks
+        edges = _bipartite_ids_det(spark, sf)
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        seeds = verts.orderBy("id").limit(2)
+        pr = K.personalized_pagerank(spark, edges, seeds, directed=False, max_iter=8, tol=0.0)
+        pr = pr.select("id", F.round("rank", 6).alias("rank"))
+        return pr.orderBy(F.desc("rank"), F.asc("id")).limit(20)
+
     def q_connected_components(spark, sf):
         cc = K.connected_components(spark, _bipartite_ids_det(spark, sf))
         return cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
@@ -415,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "leiden_communities": q_leiden_communities,
         "pagerank": q_pagerank,
+        "personalized_pagerank": q_personalized_pagerank,
         "connected_components": q_connected_components,
         "label_propagation": q_label_propagation,
         "simhash": q_simhash,
@@ -1034,6 +1049,32 @@ ORDER BY ROUND(rank, 6) DESC, id LIMIT 20
 """
     )
 
+    # ---- personalized pagerank: restart at the two smallest vertex ids,
+    # 8 damped iterations, no dangling mass (symmetrised graph); the rank
+    # vector iterates sparse and is densified over verts at the end
+    ppr = ["p0 AS (SELECT id, rw AS rank FROM srcs)"]
+    for k in range(1, 9):
+        ppr.append(f"""p{k} AS (
+  SELECT id, SUM(part) AS rank FROM (
+    SELECT l.dst AS id, 0.85 * SUM(l.share * r.rank) AS part
+    FROM links l JOIN p{k - 1} r ON r.id = l.src GROUP BY l.dst
+    UNION ALL
+    SELECT id, 0.15 * rw AS part FROM srcs
+  ) GROUP BY id
+)""")
+    ppr_sql = (
+        "WITH " + _DET_PRELUDE + """,
+outw AS (SELECT src, SUM(weight) AS w FROM sym GROUP BY src),
+links AS (SELECT s.src, s.dst, s.weight / o.w AS share FROM sym s JOIN outw o ON s.src = o.src),
+srcs AS (SELECT id, 0.5 AS rw FROM (SELECT id FROM verts ORDER BY id LIMIT 2)),
+""" + ",\n".join(ppr) + """
+SELECT id, ROUND(rank, 6) AS rank FROM (
+  SELECT v.id, COALESCE(p.rank, 0) AS rank FROM verts v LEFT JOIN p8 p ON p.id = v.id
+)
+ORDER BY ROUND(rank, 6) DESC, id LIMIT 20
+"""
+    )
+
     # ---- label propagation: 8 synchronous rounds, (id+step)%2 gate,
     # argmax by (weight desc, label asc) — counts are integral so the
     # weight comparison is exact in floating point
@@ -1119,6 +1160,7 @@ reach AS (SELECT DISTINCT id, v FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r
 SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
 """
     )
-    return {"pagerank": pagerank_sql, "label_propagation": lpa_sql,
+    return {"pagerank": pagerank_sql, "personalized_pagerank": ppr_sql,
+            "label_propagation": lpa_sql,
             "connected_components": cc_sql, "assortativity": assort_sql,
             "k_core": kcore_sql, "khop_counts": khop_sql}

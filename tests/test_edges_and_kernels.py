@@ -284,3 +284,55 @@ def test_neighborhood_hll_matches_exact_small(spark):
     # ball sizes are monotone non-decreasing in dist per vertex
     p = est.pivot(index="id", columns="dist", values="n_reachable_est")
     assert ((p[2] >= p[1]) & (p[3] >= p[2])).all()
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    # directed graph with a dangling vertex (3) and a vertex unreachable
+    # from the seeds (4→0 only): dangling mass restarts at the seed
+    # vector, unreached vertices are exactly 0
+    e = spark.createDataFrame(
+        pd.DataFrame({
+            "src": [0, 1, 2, 4, 0],
+            "dst": [1, 2, 3, 0, 2],
+            "weight": [1.0, 2.0, 1.0, 1.0, 1.0],
+        })
+    )
+    pr = (
+        K.personalized_pagerank(spark, e, [0], directed=True, max_iter=80, tol=0.0)
+        .toPandas().sort_values("id")
+    )
+    n, d = 5, 0.85
+    A = np.zeros((n, n))
+    for a, b, w in [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0), (4, 0, 1.0), (0, 2, 1.0)]:
+        A[a, b] += w
+    out = A.sum(axis=1)
+    reset = np.zeros(n); reset[0] = 1.0
+    r = reset.copy()
+    for _ in range(80):
+        dang = r[out == 0].sum()
+        contrib = np.zeros(n)
+        nz = out > 0
+        contrib = (r[nz, None] * A[nz] / out[nz, None]).sum(axis=0)
+        r = d * contrib + (1.0 - d + d * dang) * reset
+    assert np.allclose(pr["rank"].to_numpy(), r, atol=1e-9)
+    assert np.isclose(pr["rank"].sum(), 1.0, atol=1e-9)
+    assert pr.loc[pr["id"] == 4, "rank"].iloc[0] == 0.0  # never reached
+
+
+def test_personalized_pagerank_weighted_seeds_and_validation(spark):
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1], "dst": [1, 0], "weight": [1.0, 1.0]})
+    )
+    seeds = spark.createDataFrame(pd.DataFrame({"id": [0, 1], "weight": [3.0, 1.0]}))
+    pr = (
+        K.personalized_pagerank(spark, e, seeds, directed=True, max_iter=30, tol=0.0)
+        .toPandas().set_index("id")["rank"]
+    )
+    # swap dynamics under q = (0.75, 0.25), iterated exactly 30 steps
+    # (tol=0 → fixed iteration count, bit-reproducible)
+    r = np.array([0.75, 0.25])
+    for _ in range(30):
+        r = 0.85 * r[::-1] + 0.15 * np.array([0.75, 0.25])
+    assert np.isclose(pr[0], r[0], atol=1e-12) and np.isclose(pr[1], r[1], atol=1e-12)
+    with pytest.raises(ValueError):
+        K.personalized_pagerank(spark, e, [])
