@@ -283,6 +283,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return lp.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
 
+    def q_scc(spark, sf):
+        # deterministic DIRECTED graph with real cycles: user→tool edges
+        # from even event_ids; tool→user return edges from odd event_ids
+        # for every 5th user — the rest stay source-singleton SCCs
+        from pyspark.sql import Window
+
+        ev = _events(spark, sf)
+        tids = (
+            ev.select("event_type").distinct()
+            .withColumn("tid", 2 * F.row_number().over(Window.orderBy("event_type")) + 1)
+        )
+        ev = ev.join(tids, "event_type")
+        uid = (2 * F.col("user_id")).cast("long")
+        fwd = ev.where(F.col("event_id") % 2 == 0).select(
+            uid.alias("src"), F.col("tid").cast("long").alias("dst")
+        )
+        bwd = ev.where((F.col("event_id") % 2 == 1) & (F.col("user_id") % 5 == 0)).select(
+            F.col("tid").cast("long").alias("src"), uid.alias("dst")
+        )
+        edges = fwd.unionByName(bwd).distinct().withColumn("weight", F.lit(1.0))
+        scc = K.strongly_connected_components(spark, edges)
+        return scc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
     def q_simhash(spark, sf):
         return D.simhash(_documents(spark, sf))
 
@@ -431,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "personalized_pagerank": q_personalized_pagerank,
         "connected_components": q_connected_components,
+        "strongly_connected_components": q_scc,
         "label_propagation": q_label_propagation,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
@@ -1112,6 +1136,40 @@ FROM (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
 GROUP BY component
 """
     )
+    # ---- strongly connected components: directed events graph (even
+    # event_ids forward, odd event_ids return for every 5th user);
+    # SCC(v) via the mutual-reachability closure, label = min member id
+    scc_sql = """
+WITH RECURSIVE
+tids AS (
+  SELECT event_type, 2 * ROW_NUMBER() OVER (ORDER BY event_type) + 1 AS tid
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+de AS (
+  SELECT DISTINCT 2 * user_id AS src, tid AS dst
+  FROM events JOIN tids USING (event_type) WHERE event_id % 2 = 0
+  UNION
+  SELECT DISTINCT tid AS src, 2 * user_id AS dst
+  FROM events JOIN tids USING (event_type)
+  WHERE event_id % 2 = 1 AND user_id % 5 = 0
+),
+verts AS (SELECT DISTINCT src AS id FROM de UNION SELECT DISTINCT dst FROM de),
+reach(a, b) AS (
+  SELECT src, dst FROM de
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN de e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+comp AS (
+  SELECT v.id, LEAST(v.id, COALESCE(MIN(m.u), v.id)) AS component
+  FROM verts v LEFT JOIN mutual m ON m.v = v.id
+  GROUP BY v.id
+)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS size FROM comp GROUP BY component
+"""
+
     # ---- degree assortativity: Pearson corr of end degrees on the
     # symmetrised simple edge list
     assort_sql = (
@@ -1161,6 +1219,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
 """
     )
     return {"pagerank": pagerank_sql, "personalized_pagerank": ppr_sql,
+            "strongly_connected_components": scc_sql,
             "label_propagation": lpa_sql,
             "connected_components": cc_sql, "assortativity": assort_sql,
             "k_core": kcore_sql, "khop_counts": khop_sql}

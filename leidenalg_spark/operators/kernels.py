@@ -309,6 +309,143 @@ def connected_components(
     return out
 
 
+# -------------------------------------------------------------------- SCC
+def strongly_connected_components(
+    spark,
+    edges: DataFrame,
+    max_rounds: int = 30,
+    max_prop: int = 60,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Strongly connected components of the DIRECTED graph (reply / tool-
+    call edges keep their direction).  Returns (id, component) where
+    component is the minimum vertex id of the SCC — the same canonical
+    label convention as :func:`connected_components`.
+
+    Algorithm: distributed coloring (Orzan 2004; the standard
+    MapReduce/Pregel SCC scheme) with trimming.  Per round over the
+    active subgraph: (a) TRIM — vertices with no in-edges or no
+    out-edges cannot sit on a cycle, assign them as singletons; (b)
+    COLOR — propagate min-reaching-id forward to a fixpoint, so
+    color(v) = min id that reaches v; (c) the root r of each color class
+    (color(r) == r) is the minimum id OF its SCC, and the backward
+    closure of r restricted to its own color class is exactly SCC(r);
+    assign and remove those, repeat.  Each round extracts every SCC
+    containing a basin-minimal vertex, so rounds ≈ the depth of the SCC
+    condensation DAG, and trimming collapses the long chains that
+    dominate real reply graphs.
+
+    Scale shape: every step is an equi-join + min-aggregate on the
+    (src-partitioned) active edge table; convergence checks ride the
+    per-step checkpoint write via ``observe()`` (one action per step,
+    cf. connected_components); the active graph shrinks monotonically
+    and is re-checkpointed per round so lineage stays flat.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    verts = _vertices(edges).persist()
+    active_v = verts
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = ckpt.save(e, "scc_edges", 0)
+    assigned = None  # accumulated (id, component)
+
+    def _fixpoint(state, step_fn, tag, rnd):
+        """Iterate ``state = step_fn(state)`` to a checksum fixpoint."""
+        prev = None
+        for it in range(max_prop):
+            nxt = step_fn(state)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            cols = nxt.columns
+            nxt = nxt.observe(
+                obs,
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.xxhash64(*cols).cast("double")).alias("chk"),
+            )
+            state = ckpt.save(nxt, f"scc_{tag}", rnd * 1000 + it)
+            vals = obs.get
+            sig = (vals["cnt"], vals["chk"])
+            if sig == prev:
+                break
+            prev = sig
+        return state
+
+    for rnd in range(1, max_rounds + 1):
+        if active_v.limit(1).count() == 0:
+            break
+        # ---- trim: no in-edges or no out-edges in the active subgraph
+        has_in = e.select(F.col("dst").alias("id")).distinct()
+        has_out = e.select(F.col("src").alias("id")).distinct()
+        trivial = active_v.join(has_in, "id", "left_anti").unionByName(
+            active_v.join(has_in, "id", "left_semi").join(has_out, "id", "left_anti")
+        )
+        new_assigned = trivial.select("id", F.col("id").alias("component"))
+        # ---- color on the TRIMMED subgraph: removing acyclic vertices
+        # (and their edges) preserves every SCC — no cycle passes through
+        # a vertex with no in- or no out-edge — and keeps trimmed sinks
+        # out of the color table, where the backward closure could
+        # otherwise harvest them a second time
+        live = active_v.join(trivial, "id", "left_anti")
+        live = ckpt.save(live, "scc_live", rnd)
+        e_live = (
+            e.join(live.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(live.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        e_live = ckpt.save(e_live, "scc_elive", rnd)
+
+        def _color_step(c):
+            fwd = (
+                e_live.join(c.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "color")
+            )
+            return c.unionByName(fwd).groupBy("id").agg(F.min("color").alias("color"))
+
+        colors = live.select("id", F.col("id").alias("color"))
+        colors = _fixpoint(colors, _color_step, "colors", rnd)
+        # ---- harvest: backward closure of each root within its color
+        roots = colors.where(F.col("id") == F.col("color")).select("id", "color")
+
+        def _reach_step(rch):
+            back = (
+                e_live.join(rch.withColumnRenamed("id", "dst"), "dst")
+                .select(F.col("src").alias("id"), "color")
+            )
+            back = back.join(colors, ["id", "color"], "left_semi")
+            return rch.unionByName(back).distinct()
+
+        reach = _fixpoint(roots, _reach_step, "reach", rnd)
+        new_assigned = new_assigned.unionByName(
+            reach.select("id", F.col("color").alias("component"))
+        )
+        assigned = (
+            new_assigned if assigned is None else assigned.unionByName(new_assigned)
+        )
+        assigned = ckpt.save(assigned, "scc_assigned", rnd)
+        # ---- shrink the active graph
+        active_v = live.join(reach, "id", "left_anti")
+        active_v = ckpt.save(active_v, "scc_active", rnd)
+        e = (
+            e_live.join(active_v.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(active_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        e = ckpt.save(e, "scc_edges", rnd)
+        ckpt.log(name="scc", step=rnd)
+    out = (
+        verts.join(assigned, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+        if assigned is not None
+        else verts.select("id", F.col("id").alias("component"))
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    verts.unpersist()
+    return out
+
+
 # -------------------------------------------------------------------- LPA
 def label_propagation(
     spark,

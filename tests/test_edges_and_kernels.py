@@ -336,3 +336,91 @@ def test_personalized_pagerank_weighted_seeds_and_validation(spark):
     assert np.isclose(pr[0], r[0], atol=1e-12) and np.isclose(pr[1], r[1], atol=1e-12)
     with pytest.raises(ValueError):
         K.personalized_pagerank(spark, e, [])
+
+
+def _tarjan_scc(n, edge_list):
+    """Reference SCCs (iterative Tarjan); returns {vertex: min-id-of-scc}."""
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, []).append(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            succs = adj.get(v, [])
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                scc = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    scc.append(w)
+                    if w == v:
+                        break
+                m = min(scc)
+                for w in scc:
+                    comp[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for v in range(n):
+        if v not in index and (v in adj or any(v == b for bs in adj.values() for b in bs)):
+            strongconnect(v)
+    return comp
+
+
+def test_scc_crafted_graph(spark):
+    # two 3-cycles bridged one-way, a 2-cycle island, a DAG tail
+    el = [
+        (0, 1), (1, 2), (2, 0),          # SCC {0,1,2}
+        (2, 3),                          # bridge (one-way)
+        (3, 4), (4, 5), (5, 3),          # SCC {3,4,5}
+        (6, 7), (7, 6),                  # SCC {6,7}
+        (5, 8), (8, 9),                  # DAG tail: 8, 9 singletons
+    ]
+    e = spark.createDataFrame(pd.DataFrame(el, columns=["src", "dst"]).assign(weight=1.0))
+    got = {
+        int(r.id): int(r.component)
+        for r in K.strongly_connected_components(spark, e).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6, 7: 6, 8: 8, 9: 9}
+
+
+def test_scc_matches_tarjan_random(spark):
+    rng = np.random.default_rng(7)
+    n = 40
+    mask = rng.random((n, n)) < 0.06
+    np.fill_diagonal(mask, False)
+    el = [(int(a), int(b)) for a, b in zip(*np.nonzero(mask))]
+    e = spark.createDataFrame(pd.DataFrame(el, columns=["src", "dst"]).assign(weight=1.0))
+    got = {
+        int(r.id): int(r.component)
+        for r in K.strongly_connected_components(spark, e).collect()
+    }
+    exp = _tarjan_scc(n, el)
+    assert got == exp
