@@ -283,6 +283,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return lp.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
 
+    def q_random_walks(spark, sf):
+        # 3-step md5-seeded weighted walks on the symmetrised graph;
+        # unrolled-CTE twin reproduces every hop (seed 42)
+        return K.random_walks(
+            spark, _bipartite_ids_det(spark, sf), walk_length=3, seed=42, directed=False
+        )
+
     def q_scc(spark, sf):
         # deterministic DIRECTED graph with real cycles: user→tool edges
         # from even event_ids; tool→user return edges from odd event_ids
@@ -455,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "connected_components": q_connected_components,
         "strongly_connected_components": q_scc,
+        "random_walks": q_random_walks,
         "label_propagation": q_label_propagation,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
@@ -1136,6 +1144,37 @@ FROM (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
 GROUP BY component
 """
     )
+    # ---- random walks: 3 unrolled hops, A-Res weighted choice keyed by
+    # md5(seed:walk_id:step:dst) — byte-identical selection on both sides
+    def _walk_key(step):
+        return (
+            "pow((('0x' || substr(md5('42:' || CAST(walk_id AS VARCHAR) || "
+            f"':{step}:' || CAST(e.dst AS VARCHAR)), 1, 8))::BIGINT + 1.0) "
+            "/ 4294967296.0, 1.0 / e.weight)"
+        )
+
+    wk = ["s0 AS (SELECT id AS walk_id, id AS v FROM verts)"]
+    for t in range(1, 4):
+        wk.append(f"""c{t} AS (
+  SELECT s{t - 1}.walk_id, e.dst, {_walk_key(t)} AS key
+  FROM s{t - 1} JOIN sym e ON e.src = s{t - 1}.v
+),
+s{t} AS (
+  SELECT walk_id, dst AS v FROM (
+    SELECT walk_id, dst,
+           ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY key DESC, dst ASC) AS rn
+    FROM c{t}
+  ) WHERE rn = 1
+)""")
+    walk_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(wk) + """
+SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS vertex FROM s0
+UNION ALL SELECT walk_id, CAST(1 AS BIGINT) AS step, v AS vertex FROM s1
+UNION ALL SELECT walk_id, CAST(2 AS BIGINT) AS step, v AS vertex FROM s2
+UNION ALL SELECT walk_id, CAST(3 AS BIGINT) AS step, v AS vertex FROM s3
+"""
+    )
+
     # ---- strongly connected components: directed events graph (even
     # event_ids forward, odd event_ids return for every 5th user);
     # SCC(v) via the mutual-reachability closure, label = min member id
@@ -1220,6 +1259,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
     )
     return {"pagerank": pagerank_sql, "personalized_pagerank": ppr_sql,
             "strongly_connected_components": scc_sql,
+            "random_walks": walk_sql,
             "label_propagation": lpa_sql,
             "connected_components": cc_sql, "assortativity": assort_sql,
             "k_core": kcore_sql, "khop_counts": khop_sql}

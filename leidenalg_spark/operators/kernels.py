@@ -446,6 +446,89 @@ def strongly_connected_components(
     return out
 
 
+# ------------------------------------------------------------------ walks
+def random_walks(
+    spark,
+    edges: DataFrame,
+    walk_length: int = 3,
+    seed: int = 42,
+    directed: bool = True,
+    ckpt: CheckpointManager | None = None,
+    ckpt_every: int = 4,
+) -> DataFrame:
+    """Deterministic weight-proportional random walks, one per start
+    vertex — the sampling primitive of DeepWalk/node2vec-style graph-
+    embedding pipelines.  Returns (walk_id, step, vertex) with step 0 the
+    start vertex; a walk stops early at a vertex with no out-edges.
+
+    Randomness is a pure function of (seed, walk_id, step, candidate):
+    u = md5-uniform in (0,1], and the next hop is the out-neighbour
+    maximising u^(1/weight) (Efraimidis–Spirakis A-Res, so each neighbour
+    is chosen with probability proportional to its edge weight).  Like
+    the md5 samplers in operators/sampling.py this is retry-stable,
+    append-stable, and reproducible in plain SQL — no ``rand()``.
+
+    Scale shape: per step one equi-join of the frontier against the
+    (src-partitioned) edge table plus one per-walk argmax window — the
+    frontier has exactly one row per live walk, so each step's shuffle is
+    O(walks + touched edges), never O(|E|); lineage is truncated every
+    ``ckpt_every`` steps.
+    """
+    if walk_length < 1:
+        raise ValueError("walk_length must be positive")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    from pyspark.sql import Window
+
+    if not directed:
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+    e = edges.select("src", "dst", "weight").persist()
+    cur = _vertices(e).select(F.col("id").alias("walk_id"), F.col("id").alias("v"))
+    out = cur.select("walk_id", F.lit(0).cast("long").alias("step"), F.col("v").alias("vertex"))
+    w_pick = Window.partitionBy("walk_id").orderBy(F.desc("key"), F.asc("dst"))
+    for t in range(1, walk_length + 1):
+        cand = cur.join(e, cur.v == e.src).select("walk_id", "dst", "weight")
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(seed)),
+                            F.col("walk_id").cast("string"),
+                            F.lit(str(t)),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + 1.0
+        ) / F.lit(4294967296.0)
+        cand = cand.select("walk_id", "dst", F.pow(u, 1.0 / F.col("weight")).alias("key"))
+        chosen = (
+            cand.withColumn("rn", F.row_number().over(w_pick))
+            .where(F.col("rn") == 1)
+            .select("walk_id", F.col("dst").alias("v"))
+        )
+        if t % ckpt_every == 0 or t == walk_length:
+            chosen = ckpt.save(chosen, "walk_frontier", t)
+        out = out.unionByName(
+            chosen.select("walk_id", F.lit(t).cast("long").alias("step"), F.col("v").alias("vertex"))
+        )
+        cur = chosen
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    e.unpersist()
+    return out
+
+
 # -------------------------------------------------------------------- LPA
 def label_propagation(
     spark,

@@ -424,3 +424,52 @@ def test_scc_matches_tarjan_random(spark):
     }
     exp = _tarjan_scc(n, el)
     assert got == exp
+
+
+def test_random_walks_deterministic_and_stops_at_sink(spark):
+    import hashlib
+
+    e = spark.createDataFrame(
+        pd.DataFrame({
+            "src": [0, 0, 1, 2],
+            "dst": [1, 2, 3, 3],
+            "weight": [1.0, 3.0, 1.0, 1.0],
+        })
+    )
+    out = K.random_walks(spark, e, walk_length=3, seed=42).toPandas()
+    out2 = K.random_walks(spark, e, walk_length=3, seed=42).toPandas()
+    key = ["walk_id", "step"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        out2.sort_values(key).reset_index(drop=True),
+    )
+    # every vertex starts a walk; vertex 3 is a sink → its walk stops at 0
+    assert set(out[out.step == 0].vertex) == {0, 1, 2, 3}
+    w3 = out[out.walk_id == 3]
+    assert len(w3) == 1 and int(w3.step.iloc[0]) == 0
+    # walk from 0, step 1: recompute the A-Res choice with hashlib
+    def u(walk_id, t, dst):
+        h = hashlib.md5(f"42:{walk_id}:{t}:{dst}".encode()).hexdigest()
+        return (int(h[:8], 16) + 1.0) / 4294967296.0
+    keys = {d: u(0, 1, d) ** (1.0 / w) for d, w in [(1, 1.0), (2, 3.0)]}
+    expect = max(sorted(keys), key=lambda d: (keys[d], -d))
+    got = int(out[(out.walk_id == 0) & (out.step == 1)].vertex.iloc[0])
+    assert got == expect
+
+
+def test_random_walks_weight_proportional(spark):
+    # 400 start vertices each choosing between weight-1 and weight-3 sinks:
+    # the A-Res rule must pick the heavy sink ~75% of the time
+    n = 400
+    starts = np.arange(n, dtype="int64")
+    e = spark.createDataFrame(
+        pd.DataFrame({
+            "src": np.concatenate([starts, starts]),
+            "dst": np.concatenate([np.full(n, 100000), np.full(n, 100001)]),
+            "weight": np.concatenate([np.full(n, 1.0), np.full(n, 3.0)]),
+        })
+    )
+    out = K.random_walks(spark, e, walk_length=1, seed=7).toPandas()
+    picks = out[(out.step == 1) & (out.walk_id < n)]
+    frac_heavy = (picks.vertex == 100001).mean()
+    assert 0.68 < frac_heavy < 0.82, frac_heavy
