@@ -187,6 +187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_khop_counts(spark, sf):
         return K.khop_counts(spark, _bipartite_ids_det(spark, sf), k=2)
 
+    def q_harmonic(spark, sf):
+        return K.harmonic_centrality(spark, _bipartite_ids_det(spark, sf), max_dist=2)
+
     def q_neighborhood_hll(spark, sf):
         # HyperBall ball-size estimates (rows-only: sketch internals are
         # not SQL-reproducible); exactness vs khop_counts is pytest-held
@@ -444,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "mixture_sample": q_mixture_sample,
         "khop_counts": q_khop_counts,
+        "harmonic_centrality": q_harmonic,
         "neighborhood_hll": q_neighborhood_hll,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -1245,6 +1249,31 @@ FROM (SELECT a AS id FROM e8 UNION ALL SELECT b AS id FROM e8)
 GROUP BY id
 """
     )
+    # ---- truncated harmonic centrality (max_dist=2) on the simple
+    # symmetrised graph: ring-1 neighbours at weight 1, fresh ring-2
+    # vertices at weight 1/2
+    harm_sql = (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+s AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+r1 AS (SELECT DISTINCT a AS id, b AS v FROM s),
+r2 AS (
+  SELECT id, v FROM (
+    SELECT DISTINCT r1.id, s.b AS v FROM r1 JOIN s ON s.a = r1.v WHERE s.b <> r1.id
+  ) EXCEPT SELECT id, v FROM r1
+),
+ball AS (
+  SELECT id, v, 1 AS d FROM r1
+  UNION ALL
+  SELECT id, v, 2 AS d FROM r2
+)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable,
+       ROUND(SUM(1.0 / d), 6) AS harmonic
+FROM ball GROUP BY id
+"""
+    )
+
     # ---- exact 2-hop neighbourhood counts on the simple symmetrised graph
     khop_sql = (
         "WITH " + _DET_PRELUDE + """,
@@ -1260,6 +1289,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
     return {"pagerank": pagerank_sql, "personalized_pagerank": ppr_sql,
             "strongly_connected_components": scc_sql,
             "random_walks": walk_sql,
+            "harmonic_centrality": harm_sql,
             "label_propagation": lpa_sql,
             "connected_components": cc_sql, "assortativity": assort_sql,
             "k_core": kcore_sql, "khop_counts": khop_sql}

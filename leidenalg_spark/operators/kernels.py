@@ -876,6 +876,62 @@ def khop_counts(
     return out
 
 
+def harmonic_centrality(
+    spark,
+    edges: DataFrame,
+    max_dist: int = 2,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """EXACT truncated harmonic centrality over the symmetrised simple
+    graph: H(v) = Σ_{u ≠ v, d(v,u) ≤ max_dist} 1/d(v,u).  Returns
+    (id, n_reachable, harmonic) for every vertex (0s when nothing is
+    within range).  The truncated form is the standard big-graph variant
+    (Boldi & Vigna, "Axioms for centrality"): it needs only the ≤k-ball,
+    not full shortest paths.
+
+    Scale shape: frontier BFS — per ring one frontier⋈adjacency join and
+    one anti-join against the seen set, so each edge is traversed once
+    per ring it borders, and the state is Σ_v |ball_k(v)| (id, v, d)
+    triples.  Like :func:`khop_counts` this is the exact small-k path;
+    at 100 TB estimate with :func:`neighborhood_hll` ball sizes instead
+    (one fixed-size sketch per vertex, harmonic ≈ Σ_d (|B_d|-|B_{d-1}|)/d).
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    verts = sym.select(F.col("a").alias("id")).distinct()
+    seen = verts.select("id", F.col("id").alias("v"), F.lit(0).cast("int").alias("d"))
+    frontier = seen
+    for d in range(1, max_dist + 1):
+        nxt = (
+            frontier.join(sym.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")
+            .select("id", F.col("w").alias("v"))
+            .distinct()
+            .join(seen.select("id", "v"), ["id", "v"], "left_anti")
+            .withColumn("d", F.lit(d).cast("int"))
+        )
+        nxt = ckpt.save(nxt, "harmonic_frontier", d)
+        seen = ckpt.save(seen.unionByName(nxt), "harmonic_seen", d)
+        frontier = nxt
+    ball = seen.where(F.col("d") > 0)
+    agg = ball.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_reachable"),
+        F.round(F.sum(1.0 / F.col("d")), 6).alias("harmonic"),
+    )
+    out = verts.join(agg, "id", "left").select(
+        "id",
+        F.coalesce("n_reachable", F.lit(0)).cast("long").alias("n_reachable"),
+        F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    sym.unpersist()
+    return out
+
+
 def neighborhood_hll(
     spark,
     edges: DataFrame,

@@ -473,3 +473,20 @@ def test_random_walks_weight_proportional(spark):
     picks = out[(out.step == 1) & (out.walk_id < n)]
     frac_heavy = (picks.vertex == 100001).mean()
     assert 0.68 < frac_heavy < 0.82, frac_heavy
+
+
+def test_harmonic_centrality_path_graph(spark):
+    # path 0-1-2-3-4, max_dist=2
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4], "weight": 1.0})
+    )
+    h = K.harmonic_centrality(spark, e, max_dist=2).toPandas().set_index("id").sort_index()
+    assert h.loc[0, "harmonic"] == pytest.approx(1.5)   # 1 + 1/2
+    assert h.loc[1, "harmonic"] == pytest.approx(2.5)   # 0,2 at 1; 3 at 2
+    assert h.loc[2, "harmonic"] == pytest.approx(3.0)   # 1,3 at 1; 0,4 at 2
+    assert list(h["n_reachable"]) == [2, 3, 4, 3, 2]
+    # n_reachable must agree with khop_counts at the same k
+    kh = K.khop_counts(spark, e, k=2).toPandas().set_index("id").sort_index()
+    assert (h["n_reachable"].to_numpy() == kh["n_reachable"].to_numpy()).all()
+    with pytest.raises(ValueError):
+        K.harmonic_centrality(spark, e, max_dist=0)
