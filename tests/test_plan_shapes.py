@@ -55,6 +55,8 @@ DECLARATIVE = [
     "clean_text",
     "top_bigrams",
     "mixture_sample",
+    "bm25",
+    "tfidf_terms",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -63,6 +65,8 @@ DECLARATIVE = [
 SCALAR_CROSS = {
     "quality_modularity", "quality_cpm", "quality_rber",
     "quality_rbconfiguration", "quality_significance", "quality_surprise",
+    # corpus scalars (N, avgdl) ride 1-row broadcast cross joins
+    "bm25", "tfidf_terms",
 }
 
 
@@ -152,3 +156,14 @@ def test_textops_prune_documents_scan(spark):
     assert "text" in line and "doc_id" in line
     for unused in ("lang", "source", "n_chars"):
         assert unused not in line, line
+
+
+def test_bm25_tfidf_prune_documents_scan(spark):
+    # both read exactly (doc_id, text); corpus stats are 1-row broadcasts
+    for name in ("bm25", "tfidf_terms"):
+        df = entry.queries()[name](spark, SF)
+        plan = _plan(df)
+        scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scans, plan
+        for line in scans:
+            assert "lang" not in line and "source" not in line, line
