@@ -187,6 +187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_khop_counts(spark, sf):
         return K.khop_counts(spark, _bipartite_ids_det(spark, sf), k=2)
 
+    def q_adamic_adar(spark, sf):
+        # link prediction on the bipartite graph: pairs sharing ≥2
+        # neighbours (users sharing event types, and vice versa)
+        return K.adamic_adar(spark, _bipartite_ids_det(spark, sf), min_common=2)
+
     def q_harmonic(spark, sf):
         return K.harmonic_centrality(spark, _bipartite_ids_det(spark, sf), max_dist=2)
 
@@ -448,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "khop_counts": q_khop_counts,
         "harmonic_centrality": q_harmonic,
+        "adamic_adar": q_adamic_adar,
         "neighborhood_hll": q_neighborhood_hll,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -1249,6 +1255,32 @@ FROM (SELECT a AS id FROM e8 UNION ALL SELECT b AS id FROM e8)
 GROUP BY id
 """
     )
+    # ---- Adamic–Adar link prediction: wedge enumeration around common
+    # neighbours on the simple symmetrised graph, existing edges excluded
+    aa_sql = (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+adj AS (SELECT a AS w, b AS x FROM und UNION ALL SELECT b AS w, a AS x FROM und),
+deg AS (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w),
+centers AS (
+  SELECT adj.w, adj.x, 1.0 / ln(deg) AS cw
+  FROM adj JOIN deg USING (w) WHERE deg <= 100000
+),
+wedges AS (
+  SELECT l.x AS src, r.x AS dst, l.cw
+  FROM centers l JOIN centers r ON l.w = r.w AND l.x < r.x
+),
+scores AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_common, ROUND(SUM(cw), 6) AS aa
+  FROM wedges GROUP BY src, dst
+)
+SELECT s.src, s.dst, s.n_common, s.aa
+FROM scores s LEFT JOIN und ON und.a = s.src AND und.b = s.dst
+WHERE und.a IS NULL AND s.n_common >= 2
+"""
+    )
+
     # ---- truncated harmonic centrality (max_dist=2) on the simple
     # symmetrised graph: ring-1 neighbours at weight 1, fresh ring-2
     # vertices at weight 1/2
@@ -1290,6 +1322,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
             "strongly_connected_components": scc_sql,
             "random_walks": walk_sql,
             "harmonic_centrality": harm_sql,
+            "adamic_adar": aa_sql,
             "label_propagation": lpa_sql,
             "connected_components": cc_sql, "assortativity": assort_sql,
             "k_core": kcore_sql, "khop_counts": khop_sql}

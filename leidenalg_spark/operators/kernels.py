@@ -998,6 +998,63 @@ def neighborhood_hll(
     return out
 
 
+def adamic_adar(
+    spark,
+    edges: DataFrame,
+    max_center_degree: int | None = 100_000,
+    min_common: int = 1,
+) -> DataFrame:
+    """Adamic–Adar link prediction over the simple undirected graph:
+    for each NON-adjacent pair (src < dst) with ≥ ``min_common`` common
+    neighbours, AA = Σ_{w ∈ N(src)∩N(dst)} 1/ln(deg(w)) — the classic
+    who-should-be-linked score (Adamic & Adar 2003).  Returns
+    (src, dst, n_common, aa), aa rounded to 1e-6.
+
+    Scale shape: wedge enumeration around each common neighbour — one
+    self-join of the (center, spoke) adjacency on center, bounded by
+    Σ_w deg(w)², then a hash aggregate per candidate pair and an
+    anti-join against the existing edge set.  ``max_center_degree``
+    drops super-hub centers (a tool vertex adjacent to every
+    conversation would alone contribute |N|² wedge rows for a
+    per-pair score of only 1/ln(huge)); ``None`` disables the cap.
+    """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("w"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    centers = adj.join(deg, "w")
+    if max_center_degree is not None:
+        centers = centers.where(F.col("deg") <= max_center_degree)
+    centers = centers.select("w", "x", (1.0 / F.log("deg")).alias("cw"))
+    wedges = (
+        centers.alias("l")
+        .join(centers.alias("r"), "w")
+        .where(F.col("l.x") < F.col("r.x"))
+        .select(F.col("l.x").alias("src"), F.col("r.x").alias("dst"), F.col("l.cw").alias("cw"))
+    )
+    scores = wedges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_common"), F.round(F.sum("cw"), 6).alias("aa")
+    )
+    out = (
+        scores.join(
+            und.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            ["src", "dst"],
+            "left_anti",
+        )
+        .where(F.col("n_common") >= min_common)
+    )
+    und.unpersist()
+    return out
+
+
 def triangles_per_vertex(spark, edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation counts (id, n_triangles)."""
     o = oriented_edges(edges)

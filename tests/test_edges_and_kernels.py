@@ -490,3 +490,23 @@ def test_harmonic_centrality_path_graph(spark):
     assert (h["n_reachable"].to_numpy() == kh["n_reachable"].to_numpy()).all()
     with pytest.raises(ValueError):
         K.harmonic_centrality(spark, e, max_dist=0)
+
+
+def test_adamic_adar_cycle_and_filters(spark):
+    import math
+
+    # 4-cycle 1-2-3-4-1: only the two diagonals are predicted, each with
+    # two degree-2 common neighbours → AA = 2/ln(2)
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 3, 4], "dst": [2, 3, 4, 1], "weight": 1.0})
+    )
+    out = K.adamic_adar(spark, e).toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(zip(out.src, out.dst)) == [(1, 3), (2, 4)]
+    assert (out.n_common == 2).all()
+    assert np.allclose(out.aa, round(2 / math.log(2), 6))
+    # min_common filters; adjacent pairs never appear
+    assert K.adamic_adar(spark, e, min_common=3).count() == 0
+    # center-degree cap: capping at 1 drops every wedge
+    assert K.adamic_adar(spark, e, max_center_degree=1).count() == 0
+    with pytest.raises(ValueError):
+        K.adamic_adar(spark, e, min_common=0)
