@@ -171,6 +171,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_top_bigrams(spark, sf):
         return T.top_ngrams(_documents(spark, sf), n=2, k=30)
 
+    def q_pii_mask(spark, sf):
+        # md5 of the masked text keeps the compared payload compact
+        return T.pii_mask(_documents(spark, sf)).select(
+            "doc_id", F.md5("masked_text").alias("masked_fp"),
+            "n_emails", "n_ips", "n_phones",
+        )
+
     def q_bm25(spark, sf):
         return T.bm25_score(_documents(spark, sf), ["spark", "join", "window"])
 
@@ -449,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": q_clean_text,
         "top_bigrams": q_top_bigrams,
         "bm25": q_bm25,
+        "pii_mask": q_pii_mask,
         "tfidf_terms": q_tfidf_terms,
         "mixture_sample": q_mixture_sample,
         "khop_counts": q_khop_counts,
@@ -673,6 +681,25 @@ SELECT doc_id, md5({clean}) AS clean_fp,
        CAST(len(regexp_extract_all(coalesce(text, ''), '{URL_RE}')) AS BIGINT) AS n_urls,
        CAST(len(regexp_extract_all(coalesce(text, ''), '{EMAIL_RE}')) AS BIGINT) AS n_emails,
        CAST(length(coalesce(text, '')) - length({clean}) AS BIGINT) AS n_chars_removed
+FROM documents
+"""
+
+
+def _pii_mask_oracle() -> str:
+    """DuckDB twin of operators.textops.pii_mask — same patterns, same
+    replacement order (email → ip → phone), counts on the raw text."""
+    from leidenalg_spark.operators.textops import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    masked = (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"coalesce(text, ''), '{EMAIL_RE}', '[EMAIL]', 'g'), "
+        f"'{IPV4_RE}', '[IP]', 'g'), '{PHONE_RE}', '[PHONE]', 'g')"
+    )
+    return f"""
+SELECT doc_id, md5({masked}) AS masked_fp,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{PHONE_RE}')) AS BIGINT) AS n_phones
 FROM documents
 """
 
@@ -902,6 +929,7 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 """,
         "hash_split": _hash_split_oracle(),
         "clean_text": _clean_text_oracle(),
+        "pii_mask": _pii_mask_oracle(),
         "mixture_sample": _mixture_sample_oracle(),
         "top_bigrams": f"""
 WITH g AS (

@@ -136,6 +136,8 @@ def language_id(docs: DataFrame, col="text") -> DataFrame:
 URL_RE = r"https?://[^\s]+"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 CTRL_RE = r"[\x00-\x1F\x7F]"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PHONE_RE = r"\+?[0-9][0-9\-]{6,12}[0-9]"
 
 
 def clean_text(docs: DataFrame, col="text") -> DataFrame:
@@ -162,6 +164,43 @@ def clean_text(docs: DataFrame, col="text") -> DataFrame:
         n_urls.cast("long").alias("n_urls"),
         n_emails.cast("long").alias("n_emails"),
         (F.length(raw) - F.length(cleaned)).cast("long").alias("n_chars_removed"),
+    )
+
+
+def pii_mask(docs: DataFrame, col="text") -> DataFrame:
+    """PII scrubbing for training corpora: mask e-mail addresses, IPv4
+    addresses and phone-number-like digit runs with ``[EMAIL]`` /
+    ``[IP]`` / ``[PHONE]`` placeholder tokens (the convention of public
+    pipelines like BigScience ROOTS / CCNet-style scrubbing).  NULL text
+    masks to the empty string.  Returns
+    (doc_id, masked_text, n_emails, n_ips, n_phones).
+
+    Counts are taken on the RAW text so they are independent of the
+    replacement order; masking replaces e-mails first (their local parts
+    contain digit runs), then IPs, then phones.  The patterns are simple
+    character-class regexes, identical under Java regex and RE2, so the
+    operator has an exact DuckDB twin.
+
+    Scale: one chained ``regexp_replace`` projection — pure JVM,
+    whole-stage codegen, no shuffle, scan pruned to (doc_id, text).
+    """
+    raw = F.coalesce(F.col(col), F.lit(""))
+    n_emails = F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(raw, F.lit(IPV4_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(raw, F.lit(PHONE_RE), F.lit(0)))
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+        ),
+        PHONE_RE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        masked.alias("masked_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
     )
 
 

@@ -57,6 +57,7 @@ DECLARATIVE = [
     "mixture_sample",
     "bm25",
     "tfidf_terms",
+    "pii_mask",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,

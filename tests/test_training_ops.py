@@ -395,3 +395,28 @@ def test_tfidf_top_terms_rank_and_ties(spark):
     assert list(d1["term"]) == ["alpha", "beta"]
     with pytest.raises(ValueError):
         tfidf_top_terms(docs, k=0)
+
+
+def test_pii_mask_patterns_and_counts(spark):
+    from leidenalg_spark.operators.textops import pii_mask
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "mail a.b+spam@test.org or call +1-555-0100-77 now",
+                "server at 192.168.0.1 port 8080",
+                None,
+                "clean text no pii",
+            ],
+        }),
+        "doc_id long, text string",
+    )
+    out = pii_mask(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "masked_text"] == "mail [EMAIL] or call [PHONE] now"
+    assert int(out.loc[0, "n_emails"]) == 1 and int(out.loc[0, "n_phones"]) == 1
+    assert out.loc[1, "masked_text"] == "server at [IP] port 8080"
+    assert int(out.loc[1, "n_ips"]) == 1 and int(out.loc[1, "n_phones"]) == 0
+    assert out.loc[2, "masked_text"] == ""
+    assert out.loc[3, "masked_text"] == "clean text no pii"
+    assert (out[["n_emails", "n_ips", "n_phones"]].loc[3] == 0).all()
