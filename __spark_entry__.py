@@ -428,6 +428,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tiebreak="event_id",
         )
 
+    def q_asof_attribution(spark, sf):
+        # temporal attribution: every purchase joined to the user's
+        # latest click at-or-before it (Spark has no ASOF JOIN; this is
+        # the union-and-carry-forward single-shuffle plan)
+        from leidenalg_spark.operators.events import asof_join
+
+        ev = _events(spark, sf)
+        clicks = (
+            ev.where(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("click_event_id"))
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", F.round("value", 6).alias("value")
+        )
+        joined = asof_join(
+            purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+            right_cols=("click_event_id",),
+        )
+        # no-match rows carry NULLs; emit the right ts as epoch seconds
+        # with a -1 sentinel so the compare is NULL- and tz-free
+        return joined.select(
+            "user_id", "ts", "event_id", "value",
+            F.coalesce(
+                F.round(F.unix_micros(F.col("ts_r").cast("timestamp")) / 1e6, 6),
+                F.lit(-1.0),
+            ).alias("ts_r_s"),
+            F.coalesce("click_event_id_r", F.lit(-1).cast("long")).alias("click_event_id_r"),
+        )
+
+    def q_value_profile(spark, sf):
+        from leidenalg_spark.operators.events import value_profile
+
+        return value_profile(_events(spark, sf), group="event_type", value="value")
+
+    def q_event_windows(spark, sf):
+        from leidenalg_spark.operators.events import event_windows
+
+        return event_windows(_events(spark, sf), width="1 hour")
+
+    def q_jaccard_linkpred(spark, sf):
+        return K.jaccard_coefficient(spark, _bipartite_ids_det(spark, sf), min_common=2)
+
     def q_doc_clusters(spark, sf):
         # semantic clustering pipeline: LSH near-dup graph over the
         # embeddings table -> Leiden -> per-vector cluster (rows-only:
@@ -489,6 +532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "temporal_communities": q_temporal_communities,
         "resolution_profile": q_resolution_profile,
+        "asof_attribution": q_asof_attribution,
+        "value_profile": q_value_profile,
+        "event_windows": q_event_windows,
+        "jaccard_linkpred": q_jaccard_linkpred,
     }
 
 
@@ -781,6 +828,37 @@ WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
 """,
         "bipartite_edges": f"SELECT src AS src_name, dst AS dst_name, weight FROM ({_BIP_EDGES})",
+        "asof_attribution": """
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT user_id, ts, event_id, ROUND(value, 6) AS value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.ts, p.event_id, p.value,
+       COALESCE(ROUND(epoch(c.ts), 6), -1.0) AS ts_r_s,
+       COALESCE(c.click_event_id, -1) AS click_event_id_r
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "value_profile": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(value), 6) AS mean,
+       ROUND(MIN(value), 6) AS vmin,
+       ROUND(MAX(value), 6) AS vmax,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+        "event_windows": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS total
+FROM events GROUP BY 1, 2
+""",
         "sessionize": """
 WITH marked AS (
   SELECT user_id, ts, event_id,
@@ -1309,6 +1387,35 @@ WHERE und.a IS NULL AND s.n_common >= 2
 """
     )
 
+    # ---- Jaccard link prediction: same wedge enumeration, scored as
+    # |N(u)∩N(v)| / |N(u)∪N(v)| with true (uncapped) endpoint degrees
+    jc_sql = (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+adj AS (SELECT a AS w, b AS x FROM und UNION ALL SELECT b AS w, a AS x FROM und),
+deg AS (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w),
+centers AS (
+  SELECT adj.w, adj.x FROM adj JOIN deg USING (w) WHERE deg <= 100000
+),
+wedges AS (
+  SELECT l.x AS src, r.x AS dst
+  FROM centers l JOIN centers r ON l.w = r.w AND l.x < r.x
+),
+common AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM wedges GROUP BY src, dst
+)
+SELECT c.src, c.dst, c.n_common,
+       ROUND(CAST(c.n_common AS DOUBLE) / (ds.deg + dd.deg - c.n_common), 6) AS jc
+FROM common c
+JOIN deg ds ON ds.w = c.src
+JOIN deg dd ON dd.w = c.dst
+LEFT JOIN und ON und.a = c.src AND und.b = c.dst
+WHERE und.a IS NULL AND c.n_common >= 2
+"""
+    )
+
     # ---- truncated harmonic centrality (max_dist=2) on the simple
     # symmetrised graph: ring-1 neighbours at weight 1, fresh ring-2
     # vertices at weight 1/2
@@ -1351,6 +1458,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
             "random_walks": walk_sql,
             "harmonic_centrality": harm_sql,
             "adamic_adar": aa_sql,
+            "jaccard_linkpred": jc_sql,
             "label_propagation": lpa_sql,
             "connected_components": cc_sql, "assortativity": assort_sql,
             "k_core": kcore_sql, "khop_counts": khop_sql}

@@ -1,0 +1,138 @@
+"""Event-stream relational operators Spark lacks as built-ins,
+re-expressed as single-shuffle DataFrame plans.
+
+``asof_join`` is the classic temporal-attribution operator (join every
+left event to the latest right event at-or-before it, per key).  Spark
+has no ASOF JOIN; the naive spelling — an inequality theta-join plus a
+per-left-row argmax — is a quadratic range join that dies on the first
+hot key.  The scale-correct plan is the union-and-carry-forward trick:
+
+1. tag both inputs and union them into one (key, ts, side, payload)
+   stream — a metadata-only plan, no data movement;
+2. ONE hash exchange on the key, sort by (ts, side, tiebreak) within
+   each partition — right rows sort before left rows at equal ts, which
+   is exactly the inclusive ``l.ts >= r.ts`` ASOF bound;
+3. ``last(right_payload, ignorenulls=True)`` over the running window
+   carries the most recent right row forward; filtering back to left
+   rows completes the join.
+
+Cost is one shuffle + one sort — identical to the sort-merge join Spark
+would run for an equi-join on the same key, and per-key skew behaves
+like any window function (a hot key is a big sorted run, not a
+quadratic pair blow-up).  At 10^12 rows on a source bucketed by the key
+the exchange disappears entirely.
+
+``value_profile`` (exact ordered percentiles per group) and
+``event_windows`` (tumbling-window aggregation, the batch twin of the
+Structured-Streaming windowed agg) are thin declarative wrappers kept
+here so the driver queries share one audited home.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+    tiebreak: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of LEFT join: every left row gains the payload of the
+    latest right row with the same ``key`` and ``right_ts <= left_ts``
+    (inclusive), or NULLs when no right row precedes it.
+
+    ``right_cols`` are the right payload columns to carry (returned as
+    ``<name><suffix>`` plus ``<right_ts><suffix>``).  ``tiebreak``
+    orders right rows that share an exact timestamp (latest-in-order
+    wins) — pass a unique column for deterministic output.  Matches
+    DuckDB ``ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts``
+    when right rows are unique per (key, ts).
+    """
+    carry_src = [right_ts, *right_cols]
+    carried = [f"{c}{suffix}" for c in carry_src]
+    lpay = [c for c in left.columns if c not in (key, left_ts)]
+
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lpay],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(a) for c, a in zip(carry_src, carried)],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        *[F.col(c).alias(a) for c, a in zip(carry_src, carried)],
+    )
+    order = [F.col("_t").asc(), F.col("_side").asc()]
+    if tiebreak is not None:
+        # right rows order by their tiebreak at equal ts; left rows all
+        # see the full set of equal-ts right rows regardless
+        order.append(F.col(f"{tiebreak}{suffix}" if tiebreak in carry_src else tiebreak).asc_nulls_first())
+    w = Window.partitionBy("_k").orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    unioned = l_tag.unionByName(r_tag)
+    filled = unioned.select(
+        "_k", "_t", "_side", *lpay,
+        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
+    )
+    return filled.where(F.col("_side") == 1).select(
+        F.col("_k").alias(key), F.col("_t").alias(left_ts), *lpay, *carried
+    )
+
+
+def value_profile(
+    df: DataFrame,
+    group: str,
+    value: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-group distribution profile: count, mean, min, max and
+    linearly-interpolated percentiles (``percentile``, the exact sort-
+    based aggregate — same rank formula p*(n-1) as ANSI
+    ``quantile_cont`` / ``percentile_cont``).
+
+    One hash aggregation; the exact percentile buffers each group's
+    values, so at 10^12 rows use this per bounded group (event types,
+    sources, languages — cardinality ≪ rows) and reach for
+    ``approx_percentile`` when a single group's values exceed executor
+    memory.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(value), 6).alias("mean"),
+        F.round(F.min(value), 6).alias("vmin"),
+        F.round(F.max(value), 6).alias("vmax"),
+    ]
+    for p in percentiles:
+        aggs.append(F.round(F.percentile(value, F.lit(p)), 6).alias(f"p{int(round(p * 100)):02d}"))
+    return df.groupBy(F.col(group)).agg(*aggs)
+
+
+def event_windows(
+    df: DataFrame,
+    ts_col: str = "ts",
+    label: str = "event_type",
+    value: str = "value",
+    width: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window aggregation — the batch twin of the Structured
+    Streaming windowed count (same ``F.window`` bucketing, so a
+    ``readStream`` source with a watermark produces identical rows).
+    One hash aggregate on (bucket, label); window assignment is a pure
+    projection, no blow-up.  Returns (window_start, label, n, total).
+    """
+    return (
+        df.groupBy(F.window(F.col(ts_col), width).alias("w"), F.col(label))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(value), 6).alias("total"))
+        .select(F.col("w.start").alias("window_start"), label, "n", "total")
+    )

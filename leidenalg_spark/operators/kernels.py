@@ -1055,6 +1055,73 @@ def adamic_adar(
     return out
 
 
+def jaccard_coefficient(
+    spark,
+    edges: DataFrame,
+    max_center_degree: int | None = 100_000,
+    min_common: int = 1,
+) -> DataFrame:
+    """Jaccard link prediction over the simple undirected graph: for
+    each NON-adjacent pair (src < dst) with ≥ ``min_common`` common
+    neighbours, JC = |N(src)∩N(dst)| / |N(src)∪N(dst)| (Liben-Nowell &
+    Kleinberg 2007).  Returns (src, dst, n_common, jc), jc rounded to
+    1e-6.
+
+    Same wedge-enumeration shape as :func:`adamic_adar` — one self-join
+    of the (center, spoke) adjacency bounded by Σ_w deg(w)², a hash
+    aggregate per candidate pair, then a broadcast-friendly degree
+    attach for the union size |N(u)|+|N(v)|-common and an anti-join
+    against existing edges.  ``max_center_degree`` drops super-hub
+    centers (same skew guard, same rationale).
+    """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    adj = und.select(F.col("a").alias("w"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("w"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg")).persist()
+    centers = adj.join(deg, "w")
+    if max_center_degree is not None:
+        centers = centers.where(F.col("deg") <= max_center_degree)
+    centers = centers.select("w", "x")
+    wedges = (
+        centers.alias("l")
+        .join(centers.alias("r"), "w")
+        .where(F.col("l.x") < F.col("r.x"))
+        .select(F.col("l.x").alias("src"), F.col("r.x").alias("dst"))
+    )
+    common = wedges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_common"))
+    dsrc = deg.select(F.col("w").alias("src"), F.col("deg").alias("_ds"))
+    ddst = deg.select(F.col("w").alias("dst"), F.col("deg").alias("_dd"))
+    scored = (
+        common.join(dsrc, "src")
+        .join(ddst, "dst")
+        .select(
+            "src", "dst", "n_common",
+            F.round(
+                F.col("n_common") / (F.col("_ds") + F.col("_dd") - F.col("n_common")), 6
+            ).alias("jc"),
+        )
+    )
+    out = (
+        scored.join(
+            und.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            ["src", "dst"],
+            "left_anti",
+        )
+        .where(F.col("n_common") >= min_common)
+    )
+    und.unpersist()
+    deg.unpersist()
+    return out
+
+
 def triangles_per_vertex(spark, edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation counts (id, n_triangles)."""
     o = oriented_edges(edges)

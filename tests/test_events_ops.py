@@ -1,0 +1,119 @@
+"""Semantics tests for the event-stream operators (operators/events.py):
+as-of join bound/tie/no-match cases, exact percentile interpolation,
+tumbling-window bucketing — plus a plan guard that the as-of join stays
+a single-exchange window plan (no range join, no cartesian)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from leidenalg_spark.operators.events import asof_join, event_windows, value_profile
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def lr(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:05"), 100),  # after r@3 -> matches 3
+            (1, _ts("2024-01-01 00:00:10"), 101),  # equal ts -> inclusive match r@10
+            (1, _ts("2024-01-01 00:00:01"), 102),  # before any right row -> NULL
+            (2, _ts("2024-01-01 00:00:30"), 103),  # key with no right rows -> NULL
+        ],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:03"), 7, "a"),
+            (1, _ts("2024-01-01 00:00:10"), 8, "b"),
+            (1, _ts("2024-01-01 00:00:20"), 9, "c"),
+        ],
+        "k long, ts timestamp, rid long, tag string",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_nulls(lr):
+    left, right = lr
+    out = asof_join(left, right, key="k", right_cols=("rid", "tag"), tiebreak="rid")
+    rows = {r["lid"]: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[100]["rid_r"] == 7 and rows[100]["tag_r"] == "a"
+    assert rows[101]["rid_r"] == 8, "equal timestamps must match (l.ts >= r.ts)"
+    assert rows[102]["rid_r"] is None and rows[102]["ts_r"] is None
+    assert rows[103]["rid_r"] is None, "key absent from right side -> left-join NULLs"
+    # left payload survives untouched
+    assert rows[101]["ts"] == _ts("2024-01-01 00:00:10")
+
+
+def test_asof_right_tie_latest_tiebreak_wins(spark):
+    left = spark.createDataFrame([(1, 10, 0)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 2), (1, 5, 9)], "k long, ts long, rid long"
+    )
+    out = asof_join(left, right, key="k", right_cols=("rid",), tiebreak="rid").collect()
+    assert out[0]["rid_r"] == 2, "equal-ts right rows: highest tiebreak carries"
+
+
+def test_asof_plan_is_single_window_no_join(lr):
+    left, right = lr
+    plan = asof_join(left, right, key="k", right_cols=("rid",))._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_value_profile_exact_interpolation(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0)], "g string, v double"
+    )
+    row = value_profile(df, "g", "v", percentiles=(0.5, 0.9)).collect()[0]
+    assert row["n"] == 4 and row["vmin"] == 1.0 and row["vmax"] == 10.0
+    assert row["p50"] == pytest.approx(2.5)
+    assert row["p90"] == pytest.approx(7.9), "rank = p*(n-1) linear interpolation"
+
+
+def test_event_windows_buckets_align_to_epoch(spark):
+    df = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 00:59:59"), "x", 1.0),
+            (_ts("2024-01-01 01:00:00"), "x", 2.0),
+            (_ts("2024-01-01 01:30:00"), "y", 4.0),
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    out = {(r["window_start"], r["event_type"]): (r["n"], r["total"])
+           for r in event_windows(df).collect()}
+    assert out[(_ts("2024-01-01 00:00:00"), "x")] == (1, 1.0)
+    assert out[(_ts("2024-01-01 01:00:00"), "x")] == (1, 2.0)
+    assert out[(_ts("2024-01-01 01:00:00"), "y")] == (1, 4.0)
+
+
+def test_jaccard_coefficient_square(spark):
+    from leidenalg_spark.operators.kernels import jaccard_coefficient
+
+    # 4-cycle 1-2-3-4-1: opposite corners share both neighbours,
+    # deg=2 everywhere -> jc = 2 / (2+2-2) = 1.0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    ).withColumn("weight", F.lit(1.0))
+    rows = {(r["src"], r["dst"]): r for r in jaccard_coefficient(spark, edges).collect()}
+    assert set(rows) == {(1, 3), (2, 4)}, "adjacent pairs are anti-joined away"
+    assert rows[(1, 3)]["n_common"] == 2 and rows[(1, 3)]["jc"] == pytest.approx(1.0)
+    assert rows[(2, 4)]["jc"] == pytest.approx(1.0)
+
+
+def test_jaccard_uses_true_degree_for_union(spark):
+    from leidenalg_spark.operators.kernels import jaccard_coefficient
+
+    # path 1-3, 2-3 plus pendant 2-4: pair (1,2) shares only vertex 3;
+    # deg(1)=1, deg(2)=2 -> jc = 1 / (1+2-1) = 0.5
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (2, 4)], "src long, dst long"
+    ).withColumn("weight", F.lit(1.0))
+    rows = {(r["src"], r["dst"]): r["jc"] for r in jaccard_coefficient(spark, edges).collect()}
+    assert rows[(1, 2)] == pytest.approx(0.5)
