@@ -471,6 +471,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_jaccard_linkpred(spark, sf):
         return K.jaccard_coefficient(spark, _bipartite_ids_det(spark, sf), min_common=2)
 
+    def q_community_stats(spark, sf):
+        # per-community conductance/density/cut over the bipartite graph
+        # with the same deterministic membership the quality oracles use
+        from leidenalg_spark.operators.community import community_stats
+
+        named = _bipartite_named(spark, sf)
+        e = named.select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        verts = e.select(F.col("src").alias("name")).union(
+            e.select(F.col("dst").alias("name"))
+        ).distinct()
+        comm = F.when(
+            F.col("name").startswith("u:"), F.expr("CAST(substr(name, 3) AS BIGINT) % 8")
+        ).otherwise(F.length("name") % 8)
+        m = verts.select(F.col("name").alias("id"), comm.cast("long").alias("comm"))
+        return community_stats(e, m)
+
     def q_doc_clusters(spark, sf):
         # semantic clustering pipeline: LSH near-dup graph over the
         # embeddings table -> Leiden -> per-vector cluster (rows-only:
@@ -536,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_profile": q_value_profile,
         "event_windows": q_event_windows,
         "jaccard_linkpred": q_jaccard_linkpred,
+        "community_stats": q_community_stats,
     }
 
 
@@ -828,6 +847,44 @@ WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
 """,
         "bipartite_edges": f"SELECT src AS src_name, dst AS dst_name, weight FROM ({_BIP_EDGES})",
+        "community_stats": f"""
+WITH edges AS ({_BIP_EDGES}),
+verts AS (
+  SELECT name,
+         CASE WHEN name LIKE 'u:%' THEN CAST(substr(name, 3) AS BIGINT) % 8
+              ELSE length(name) % 8 END AS comm
+  FROM (SELECT src AS name FROM edges UNION SELECT dst FROM edges)
+),
+lab AS (
+  SELECT e.weight, v1.comm AS c_src, v2.comm AS c_dst
+  FROM edges e JOIN verts v1 ON e.src = v1.name JOIN verts v2 ON e.dst = v2.name
+),
+per_end AS (
+  SELECT c_src AS comm, weight AS iw, 0.0 AS cw, 1 AS ie FROM lab WHERE c_src = c_dst
+  UNION ALL SELECT c_src, 0.0, weight, 0 FROM lab WHERE c_src <> c_dst
+  UNION ALL SELECT c_dst, 0.0, weight, 0 FROM lab WHERE c_src <> c_dst
+),
+agg AS (SELECT comm, SUM(iw) AS iw, SUM(cw) AS cw, SUM(ie) AS ne
+        FROM per_end GROUP BY comm),
+j AS (
+  SELECT v.comm, v.n_vertices,
+         COALESCE(a.ne, 0) AS ne, COALESCE(a.iw, 0.0) AS iw,
+         COALESCE(a.cw, 0.0) AS cw,
+         2 * COALESCE(a.iw, 0.0) + COALESCE(a.cw, 0.0) AS volume
+  FROM (SELECT comm, COUNT(*) AS n_vertices FROM verts GROUP BY comm) v
+  LEFT JOIN agg a ON v.comm = a.comm
+)
+SELECT j.comm, j.n_vertices, CAST(j.ne AS BIGINT) AS n_internal_edges,
+       ROUND(j.iw, 6) AS internal_weight, ROUND(j.cw, 6) AS cut_weight,
+       ROUND(j.volume, 6) AS volume,
+       ROUND(CASE WHEN LEAST(j.volume, t.total_vol - j.volume) > 0
+                  THEN j.cw / LEAST(j.volume, t.total_vol - j.volume)
+                  ELSE 0.0 END, 6) AS conductance,
+       ROUND(CASE WHEN j.n_vertices > 1
+                  THEN 2.0 * j.ne / (j.n_vertices * (j.n_vertices - 1.0))
+                  ELSE 0.0 END, 6) AS density
+FROM j CROSS JOIN (SELECT SUM(volume) AS total_vol FROM j) t
+""",
         "asof_attribution": """
 WITH clicks AS (
   SELECT user_id, ts, MAX(event_id) AS click_event_id

@@ -1,0 +1,70 @@
+"""Hand-computed community_stats on tiny graphs.
+
+Reference exposes per-community totals only via the partition object
+(``src/VertexPartition.py`` total_weight_in_comm / total_weight_from_comm);
+this table is the bulk equivalent, so we verify its arithmetic by hand.
+"""
+
+import pytest
+
+from leidenalg_spark.operators.community import community_stats
+
+
+def _run(spark, edges, membership):
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    m = spark.createDataFrame(membership, "id long, comm long")
+    rows = community_stats(e, m).collect()
+    return {r["comm"]: r.asDict() for r in rows}
+
+
+def test_two_triangles_with_bridge(spark):
+    # triangle {0,1,2} (w=1 each), triangle {3,4,5} (w=2 each), bridge 2-3 w=0.5
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+             (3, 4, 2.0), (4, 5, 2.0), (3, 5, 2.0),
+             (2, 3, 0.5)]
+    m = [(i, 0) for i in (0, 1, 2)] + [(i, 1) for i in (3, 4, 5)]
+    out = _run(spark, edges, m)
+
+    a, b = out[0], out[1]
+    assert a["n_vertices"] == 3 and b["n_vertices"] == 3
+    assert a["n_internal_edges"] == 3 and b["n_internal_edges"] == 3
+    assert a["internal_weight"] == pytest.approx(3.0)
+    assert b["internal_weight"] == pytest.approx(6.0)
+    # the bridge contributes its weight to BOTH communities' cut
+    assert a["cut_weight"] == pytest.approx(0.5)
+    assert b["cut_weight"] == pytest.approx(0.5)
+    assert a["volume"] == pytest.approx(6.5)   # 2*3 + 0.5
+    assert b["volume"] == pytest.approx(12.5)  # 2*6 + 0.5
+    # conductance = cut / min(vol, total - vol); total = 19
+    assert a["conductance"] == pytest.approx(0.5 / 6.5, abs=1e-6)
+    assert b["conductance"] == pytest.approx(0.5 / 6.5, abs=1e-6)
+    assert a["density"] == pytest.approx(1.0)  # complete triangle
+
+
+def test_self_loop_isolated_vertex_and_singleton(spark):
+    # comm 0: self-loop on 0 (internal, volume counts it twice) + vertex 9
+    # that appears only in membership; comm 1: singleton 5 with one cut edge
+    edges = [(0, 0, 2.0), (0, 5, 1.0)]
+    m = [(0, 0), (9, 0), (5, 1)]
+    out = _run(spark, edges, m)
+
+    a, b = out[0], out[1]
+    assert a["n_vertices"] == 2  # vertex 9 has no edges but still counts
+    assert a["n_internal_edges"] == 1 and a["internal_weight"] == pytest.approx(2.0)
+    assert a["volume"] == pytest.approx(5.0)  # 2*2 (self-loop twice) + 1 cut
+    assert b["n_vertices"] == 1 and b["n_internal_edges"] == 0
+    assert b["volume"] == pytest.approx(1.0)
+    # total volume 6: denom for b = min(1, 5) = 1 -> conductance 1.0
+    assert b["conductance"] == pytest.approx(1.0)
+    # singleton density is defined as 0
+    assert b["density"] == pytest.approx(0.0)
+
+
+def test_whole_graph_community_conductance_zero(spark):
+    edges = [(0, 1, 1.0), (1, 2, 1.0)]
+    m = [(0, 0), (1, 0), (2, 0)]
+    out = _run(spark, edges, m)
+    assert out[0]["cut_weight"] == pytest.approx(0.0)
+    # denom = min(vol, total - vol) = 0 -> defined as 0, not NaN
+    assert out[0]["conductance"] == pytest.approx(0.0)
+    assert out[0]["density"] == pytest.approx(2 * 2 / (3 * 2), abs=1e-6)
