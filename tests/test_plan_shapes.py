@@ -58,6 +58,7 @@ DECLARATIVE = [
     "bm25",
     "tfidf_terms",
     "pii_mask",
+    "community_stats",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -68,6 +69,8 @@ SCALAR_CROSS = {
     "quality_rbconfiguration", "quality_significance", "quality_surprise",
     # corpus scalars (N, avgdl) ride 1-row broadcast cross joins
     "bm25", "tfidf_terms",
+    # total-volume scalar rides a 1-row broadcast cross join
+    "community_stats",
 }
 
 
