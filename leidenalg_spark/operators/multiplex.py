@@ -303,6 +303,89 @@ def find_partition_temporal_df(
     return membership, res
 
 
+def find_partition_bipartite_df(
+    spark,
+    edges: DataFrame,
+    types: DataFrame,
+    resolution_parameter_01: float,
+    resolution_parameter_0: float = 0.0,
+    resolution_parameter_1: float = 0.0,
+    degree_as_node_size: bool = False,
+    n_iterations: int = 1,
+    seed: int = 0,
+    local_threshold: int = 500_000,
+    max_supersteps: int = 30,
+    ckpt=None,
+    finish: bool = True,
+):
+    """Distributed ``CPMVertexPartition.Bipartite`` (T8 at scale; reference
+    ``VertexPartition.py:950-1105``): the bipartite CPM objective
+
+        Q = Σ_c [e_c − γ01·2·n0_c·n1_c − γ0·n0_c² − γ1·n1_c²]
+
+    decomposes into three CPM layers over one shared membership with layer
+    weights ``[1, −1, −1]`` — the real graph at γ01, plus two edgeless
+    node-size-mask layers (type-0 resp. type-1 vertices) at
+    ``γ01 − γ0`` / ``γ01 − γ1`` — exactly the construction of
+    :func:`cpm_bipartite_layers`, here as DataFrames so the whole thing
+    runs through :func:`leiden_multiplex`'s superstep engine.  The two
+    penalty layers contribute no edges and no gather traffic; their
+    node-size masks ride the per-vertex layer arrays for free.
+
+    ``edges`` = (src, dst, weight) undirected; ``types`` = (id, type) with
+    exactly two distinct type values (any orderable type).  Vertices absent
+    from ``types`` get a zero mask in both penalty layers.
+    """
+    tv = [r["type"] for r in types.select("type").distinct().orderBy("type").collect()]
+    if len(tv) != 2:
+        raise ValueError(f"exactly two types required, got {len(tv)}")
+
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .unionByName(types.select("id"))
+        .distinct()
+    )
+    if degree_as_node_size:
+        # unweighted endpoint count (self-loops twice), as in
+        # LocalGraph.degree_counts / the reference's degree node sizes
+        ends = edges.select(F.col("src").alias("id")).unionByName(
+            edges.select(F.col("dst").alias("id"))
+        )
+        deg = ends.groupBy("id").agg(F.count(F.lit(1)).cast("double").alias("ns"))
+        vsz = verts.join(deg, "id", "left").na.fill({"ns": 0.0})
+    else:
+        vsz = verts.withColumn("ns", F.lit(1.0))
+
+    typed = vsz.join(types, "id", "left")
+    node_sizes = (
+        vsz.select("id", F.lit(0).alias("layer"), F.col("ns").alias("node_size"))
+        .unionByName(
+            typed.where(F.col("type") == F.lit(tv[0])).select(
+                "id", F.lit(1).alias("layer"), F.col("ns").alias("node_size")
+            )
+        )
+        .unionByName(
+            typed.where(F.col("type") == F.lit(tv[1])).select(
+                "id", F.lit(2).alias("layer"), F.col("ns").alias("node_size")
+            )
+        )
+    )
+    g01 = float(resolution_parameter_01)
+    specs = [
+        QualitySpec("cpm", gamma=g01),
+        QualitySpec("cpm", gamma=g01 - float(resolution_parameter_0)),
+        QualitySpec("cpm", gamma=g01 - float(resolution_parameter_1)),
+    ]
+    edges3 = edges.select("src", "dst", "weight", F.lit(0).alias("layer"))
+    return leiden_multiplex(
+        spark, edges3, specs, layer_weights=[1.0, -1.0, -1.0],
+        node_sizes=node_sizes, n_iterations=n_iterations, seed=seed,
+        local_threshold=local_threshold, max_supersteps=max_supersteps,
+        ckpt=ckpt, finish=finish,
+    )
+
+
 # ------------------------------------------- distributed multiplex Leiden
 def _to_layer_array(map_col, L, fill):
     """map<int,double> → dense array[0..L-1] with ``fill`` for absent layers."""

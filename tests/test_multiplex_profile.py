@@ -344,3 +344,52 @@ def test_quality_multiplex_single_pass_matches_localcore(spark):
     )
     got = quality_multiplex(edges, memb_df, specs, lw, node_sizes=ns_df)
     assert np.isclose(got, expected, rtol=1e-6, atol=1e-6), (got, expected)
+
+
+def test_bipartite_df_collapses_and_matches_local(spark):
+    """T8 through the DataFrame engine (local_threshold=0 forces the
+    distributed supersteps): same collapse as the reference test_Bipartite
+    at gamma01=0.2, and quality parity with the exact local construction."""
+    import pandas as pd
+    from leidenalg_spark.operators.multiplex import find_partition_bipartite_df
+
+    n, s, d, w, types = fx.bipartite_8()
+    _, e = fx.to_spark_df(spark, (n, s, d, w))
+    tdf = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n, dtype="int64"), "type": types.astype("int64")})
+    )
+    res = find_partition_bipartite_df(
+        spark, e, tdf, resolution_parameter_01=0.2,
+        local_threshold=0, max_supersteps=8, seed=4,
+    )
+    memb = res.membership.toPandas()
+    assert memb["comm"].nunique() == 1
+
+    # local twin on the identical objective
+    g = fx.to_local_graph((n, s, d, w))
+    layers, lw = cpm_bipartite_layers(g, types, resolution_parameter_01=0.2)
+    P, _ = find_partition_multiplex_local(layers, layer_weights=lw, seed=4)
+    assert np.isclose(res.quality, P.quality(), rtol=1e-6, atol=1e-6)
+
+
+def test_bipartite_df_degree_node_size(spark):
+    """degree_as_node_size: penalty masses follow unweighted degrees;
+    distributed quality matches the local construction on the optimum."""
+    import pandas as pd
+    from leidenalg_spark.operators.multiplex import find_partition_bipartite_df
+
+    n, s, d, w, types = fx.bipartite_8()
+    _, e = fx.to_spark_df(spark, (n, s, d, w))
+    tdf = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n, dtype="int64"), "type": types.astype("int64")})
+    )
+    res = find_partition_bipartite_df(
+        spark, e, tdf, resolution_parameter_01=0.1, degree_as_node_size=True,
+        local_threshold=0, max_supersteps=8, seed=9,
+    )
+    g = fx.to_local_graph((n, s, d, w))
+    layers, lw = cpm_bipartite_layers(
+        g, types, resolution_parameter_01=0.1, degree_as_node_size=True
+    )
+    P, _ = find_partition_multiplex_local(layers, layer_weights=lw, seed=9)
+    assert res.quality >= P.quality() - 1e-9 or np.isclose(res.quality, P.quality(), rtol=1e-6)
