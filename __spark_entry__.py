@@ -225,6 +225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_neardup_jaccard(spark, sf):
         return D.ngram_jaccard_pairs(_documents(spark, sf), n=3, threshold=0.1)
 
+    def q_neardup_dedup(spark, sf):
+        # transitive near-dup collapse: pairs -> components -> min-id keep
+        return D.neardup_dedup(spark, _documents(spark, sf), n=3, threshold=0.1)
+
     def q_decontaminate(spark, sf):
         # deterministic stand-in eval set: every 17th doc is "benchmark"
         docs = _documents(spark, sf)
@@ -530,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "neardup_jaccard": q_neardup_jaccard,
+        "neardup_dedup": q_neardup_dedup,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1046,6 +1051,35 @@ inter AS (
 SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
 WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.1
+""",
+        "neardup_dedup": f"""
+WITH RECURSIVE {shingle_cte},
+shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000) ok
+  USING (shingle)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+  FROM shc s1 JOIN shc s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.1
+),
+sym AS (SELECT a, b FROM dup UNION SELECT b AS a, a AS b FROM dup),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical FROM reach GROUP BY a)
+SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical_id,
+       COALESCE(c.canonical, d.doc_id) = d.doc_id AS is_kept
+FROM documents d LEFT JOIN comp c USING (doc_id)
 """,
         "decontaminate": f"""
 WITH sh5 AS (

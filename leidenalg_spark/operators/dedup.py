@@ -108,6 +108,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def neardup_dedup(
+    spark,
+    docs: DataFrame,
+    n=3,
+    threshold=0.5,
+    col="text",
+    max_shingle_freq: int | None = 1000,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """End-to-end near-duplicate dedup: n-gram Jaccard pairs at/above
+    ``threshold`` → connected components over the duplicate-pair graph →
+    canonical keep (minimum ``doc_id`` per duplicate cluster).
+
+    Returns one row per document: (doc_id, canonical_id, is_kept) —
+    unique documents are their own canonical.  This is the materialised
+    "which rows survive dedup" answer a training pipeline actually
+    consumes, where :func:`ngram_jaccard_pairs` only reports the pairs
+    (transitively, A≈B and B≈C must collapse to ONE kept doc even when
+    A and C are below threshold).
+
+    Scale shape: pairs come from the shingle-bucket join (never
+    all-pairs; hub shingles capped), the component step runs alternating
+    large-star/small-star in O(log² n) rounds on the duplicate pairs
+    ONLY — at realistic dup rates a graph orders of magnitude smaller
+    than the corpus — and the final decoration is one left join.
+    """
+    from .kernels import connected_components
+
+    pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold, col=col,
+                                max_shingle_freq=max_shingle_freq)
+    e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(spark, e, max_rounds=max_rounds)
+    return (
+        docs.select("doc_id")
+        .join(comp.select(F.col("id").alias("doc_id"), "component"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("canonical_id"),
+        )
+        .withColumn("is_kept", F.col("canonical_id") == F.col("doc_id"))
+    )
+
+
 # -------------------------------------------------------- decontamination
 def decontaminate(docs: DataFrame, benchmark: DataFrame, n=5, col="text") -> DataFrame:
     """Benchmark decontamination: flag training documents that share any

@@ -420,3 +420,24 @@ def test_pii_mask_patterns_and_counts(spark):
     assert out.loc[2, "masked_text"] == ""
     assert out.loc[3, "masked_text"] == "clean text no pii"
     assert (out[["n_emails", "n_ips", "n_phones"]].loc[3] == 0).all()
+
+
+def test_neardup_dedup_transitive_collapse(spark):
+    # chain: 0 ~ 1 (share most shingles), 1 ~ 2, but 0 !~ 2 at the
+    # threshold — the CC step must still collapse {0,1,2} to one keeper
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta eta theta omega psi"
+    c = "gamma delta epsilon zeta eta theta omega psi chi phi"
+    rows = [(0, a), (1, b), (2, c), (7, "totally unrelated words about spark")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.4).toPandas()
+    got = {(int(x), int(y)) for x, y in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in got and (1, 2) in got and (0, 2) not in got, got
+
+    out = D.neardup_dedup(spark, docs, n=3, threshold=0.4).toPandas().set_index("doc_id")
+    assert out.loc[0, "canonical_id"] == 0 and bool(out.loc[0, "is_kept"])
+    assert out.loc[1, "canonical_id"] == 0 and not bool(out.loc[1, "is_kept"])
+    assert out.loc[2, "canonical_id"] == 0 and not bool(out.loc[2, "is_kept"])
+    assert out.loc[7, "canonical_id"] == 7 and bool(out.loc[7, "is_kept"])
+    assert len(out) == 4
