@@ -309,6 +309,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _bipartite_ids_det(spark, sf), walk_length=3, seed=42, directed=False
         )
 
+    def q_node2vec(spark, sf):
+        # second-order (p,q)-biased walks on the DIRECTED event-type
+        # transition graph — dense with triangles and self-loops, so the
+        # return / triangle / exploration branches all fire; tids are
+        # lexicographic ranks, reproducible in SQL (seed 42, p=4, q=1/4)
+        from pyspark.sql import Window
+
+        der = E.events_to_type_transition_edges(_events(spark, sf))
+        names = (
+            der.select(F.col("src_name").alias("nm"))
+            .union(der.select(F.col("dst_name").alias("nm"))).distinct()
+        )
+        tids = names.withColumn(
+            "tid", F.row_number().over(Window.orderBy("nm")).cast("long")
+        )
+        e = (
+            der.join(tids.select(F.col("nm").alias("src_name"), F.col("tid").alias("src")), "src_name")
+            .join(tids.select(F.col("nm").alias("dst_name"), F.col("tid").alias("dst")), "dst_name")
+            .select("src", "dst", "weight")
+        )
+        return K.node2vec_walks(
+            spark, e, walk_length=3, p=4.0, q=0.25, seed=42, directed=True
+        )
+
     def q_scc(spark, sf):
         # deterministic DIRECTED graph with real cycles: user→tool edges
         # from even event_ids; tool→user return edges from odd event_ids
@@ -547,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "strongly_connected_components": q_scc,
         "random_walks": q_random_walks,
+        "node2vec_walks": q_node2vec,
         "label_propagation": q_label_propagation,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
@@ -1382,6 +1407,60 @@ UNION ALL SELECT walk_id, CAST(3 AS BIGINT) AS step, v AS vertex FROM s3
 """
     )
 
+    # ---- node2vec: 3 unrolled biased hops on the directed event-type
+    # transition graph; same md5 A-Res key, exponent scaled by the
+    # (p=4, q=1/4) bias over the previous vertex (exact binary floats)
+    def _n2v_key(step):
+        return (
+            "pow((('0x' || substr(md5('42:' || CAST(s.walk_id AS VARCHAR) || "
+            f"':{step}:' || CAST(e.dst AS VARCHAR)), 1, 8))::BIGINT + 1.0) "
+            "/ 4294967296.0, 1.0 / (e.weight * CASE "
+            "WHEN s.prev IS NULL THEN 1.0 "
+            "WHEN e.dst = s.prev THEN 0.25 "
+            "WHEN nb.src IS NOT NULL THEN 1.0 "
+            "ELSE 4.0 END))"
+        )
+
+    n2 = [
+        """tr AS (
+  SELECT prev_type AS a, event_type AS b, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM (SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events)
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)""",
+        "tnames AS (SELECT a AS nm FROM tr UNION SELECT b FROM tr)",
+        "ntids AS (SELECT nm, ROW_NUMBER() OVER (ORDER BY nm) AS tid FROM tnames)",
+        """nedges AS (
+  SELECT ta.tid AS src, tb.tid AS dst, tr.weight
+  FROM tr JOIN ntids ta ON ta.nm = tr.a JOIN ntids tb ON tb.nm = tr.b
+)""",
+        "nnbr AS (SELECT DISTINCT src, dst FROM nedges)",
+        "nverts AS (SELECT DISTINCT src AS id FROM nedges UNION SELECT DISTINCT dst FROM nedges)",
+        "n0 AS (SELECT id AS walk_id, id AS v, CAST(NULL AS BIGINT) AS prev FROM nverts)",
+    ]
+    for t in range(1, 4):
+        n2.append(f"""nc{t} AS (
+  SELECT s.walk_id, s.v, e.dst, {_n2v_key(t)} AS key
+  FROM n{t - 1} s JOIN nedges e ON e.src = s.v
+  LEFT JOIN nnbr nb ON nb.src = s.prev AND nb.dst = e.dst
+),
+n{t} AS (
+  SELECT walk_id, dst AS v, v AS prev FROM (
+    SELECT walk_id, v, dst,
+           ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY key DESC, dst ASC) AS rn
+    FROM nc{t}
+  ) WHERE rn = 1
+)""")
+    n2v_sql = (
+        "WITH " + ",\n".join(n2) + """
+SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS vertex FROM n0
+UNION ALL SELECT walk_id, CAST(1 AS BIGINT) AS step, v AS vertex FROM n1
+UNION ALL SELECT walk_id, CAST(2 AS BIGINT) AS step, v AS vertex FROM n2
+UNION ALL SELECT walk_id, CAST(3 AS BIGINT) AS step, v AS vertex FROM n3
+"""
+    )
+
     # ---- strongly connected components: directed events graph (even
     # event_ids forward, odd event_ids return for every 5th user);
     # SCC(v) via the mutual-reachability closure, label = min member id
@@ -1547,6 +1626,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
     return {"pagerank": pagerank_sql, "personalized_pagerank": ppr_sql,
             "strongly_connected_components": scc_sql,
             "random_walks": walk_sql,
+            "node2vec_walks": n2v_sql,
             "harmonic_centrality": harm_sql,
             "adamic_adar": aa_sql,
             "jaccard_linkpred": jc_sql,

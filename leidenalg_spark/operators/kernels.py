@@ -529,6 +529,116 @@ def random_walks(
     return out
 
 
+def node2vec_walks(
+    spark,
+    edges: DataFrame,
+    walk_length: int = 3,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+    directed: bool = True,
+    ckpt: CheckpointManager | None = None,
+    ckpt_every: int = 4,
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016), one
+    per start vertex — returns (walk_id, step, vertex) like
+    :func:`random_walks`, which this reproduces hop-for-hop at p=q=1.
+
+    Each hop reweights the A-Res key by the node2vec bias α over the
+    previous vertex ``t``: α=1/p when the candidate returns to ``t``,
+    α=1 when the candidate is a neighbour of ``t`` (triangle step),
+    α=1/q otherwise (exploration).  The first hop is unbiased (no
+    previous vertex).  Randomness is the same md5 function of
+    (seed, walk_id, step, candidate) as :func:`random_walks` —
+    retry/append-stable and SQL-reproducible.
+
+    Scale shape: per step the frontier (one row per live walk, now
+    carrying ``prev``) joins the src-partitioned edge table, then the
+    candidate set LEFT-joins the distinct neighbour set on
+    (prev, candidate) to mark triangle steps — both equi-joins, so each
+    step shuffles O(walks + touched edges); no per-vertex adjacency set
+    is ever collected.
+    """
+    if walk_length < 1:
+        raise ValueError("walk_length must be positive")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be positive")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    from pyspark.sql import Window
+
+    if not directed:
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+    e = edges.select("src", "dst", "weight").persist()
+    # distinct neighbour pairs for the distance-1 test (prev -> candidate)
+    nbr = e.select(F.col("src").alias("p_src"), F.col("dst").alias("p_dst")).distinct().persist()
+
+    cur = _vertices(e).select(
+        F.col("id").alias("walk_id"), F.col("id").alias("v"),
+        F.lit(None).cast("long").alias("prev"),
+    )
+    out = cur.select("walk_id", F.lit(0).cast("long").alias("step"), F.col("v").alias("vertex"))
+    w_pick = Window.partitionBy("walk_id").orderBy(F.desc("key"), F.asc("dst"))
+    for t in range(1, walk_length + 1):
+        cand = cur.join(e, cur.v == e.src).select("walk_id", "prev", "v", "dst", "weight")
+        # plain equi-join: nbr is |E|-sized, never broadcast it
+        cand = cand.join(
+            nbr,
+            (cand.prev == nbr.p_src) & (cand.dst == nbr.p_dst),
+            "left",
+        ).select("walk_id", "prev", "v", "dst", "weight",
+                 F.col("p_src").isNotNull().alias("is_nbr"))
+        alpha = (
+            F.when(F.col("prev").isNull(), F.lit(1.0))
+            .when(F.col("dst") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("is_nbr"), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+        )
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(seed)),
+                            F.col("walk_id").cast("string"),
+                            F.lit(str(t)),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + 1.0
+        ) / F.lit(4294967296.0)
+        cand = cand.select(
+            "walk_id", "v", "dst",
+            F.pow(u, 1.0 / (F.col("weight") * alpha)).alias("key"),
+        )
+        chosen = (
+            cand.withColumn("rn", F.row_number().over(w_pick))
+            .where(F.col("rn") == 1)
+            .select("walk_id", F.col("dst").alias("v"), F.col("v").alias("prev"))
+        )
+        if t % ckpt_every == 0 or t == walk_length:
+            chosen = ckpt.save(chosen, "n2v_frontier", t)
+        out = out.unionByName(
+            chosen.select("walk_id", F.lit(t).cast("long").alias("step"), F.col("v").alias("vertex"))
+        )
+        cur = chosen
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    e.unpersist()
+    nbr.unpersist()
+    return out
+
+
 # -------------------------------------------------------------------- LPA
 def label_propagation(
     spark,

@@ -510,3 +510,76 @@ def test_adamic_adar_cycle_and_filters(spark):
     assert K.adamic_adar(spark, e, max_center_degree=1).count() == 0
     with pytest.raises(ValueError):
         K.adamic_adar(spark, e, min_common=0)
+
+
+def _n2v_u(seed, wid, t, dst):
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{wid}:{t}:{dst}".encode()).hexdigest()[:8]
+    return (int(h, 16) + 1.0) / 2**32
+
+
+def _n2v_simulate(edges, walk_length, p, q, seed):
+    """Pure-python node2vec twin: md5 A-Res keys, bias over prev."""
+    adj, nbr = {}, set()
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+        nbr.add((s, d))
+    verts = sorted({x for e in edges for x in e[:2]})
+    rows = []
+    for wid in verts:
+        v, prev = wid, None
+        rows.append((wid, 0, v))
+        for t in range(1, walk_length + 1):
+            cands = adj.get(v)
+            if not cands:
+                break
+            scored = []
+            for d, w in cands:
+                if prev is None:
+                    a = 1.0
+                elif d == prev:
+                    a = 1.0 / p
+                elif (prev, d) in nbr:
+                    a = 1.0
+                else:
+                    a = 1.0 / q
+                scored.append((_n2v_u(seed, wid, t, d) ** (1.0 / (w * a)), -d))
+            best_d = -max(scored)[1]
+            rows.append((wid, t, best_d))
+            prev, v = v, best_d
+    return sorted(rows)
+
+
+def test_node2vec_p1_q1_equals_random_walks(spark):
+    import pandas as pd
+    from leidenalg_spark.operators.kernels import node2vec_walks, random_walks
+
+    edges = [(0, 1, 2.0), (1, 0, 1.0), (1, 2, 1.0), (0, 2, 0.5),
+             (2, 0, 1.0), (2, 3, 3.0), (3, 1, 1.0)]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst", "weight"]))
+    rw = random_walks(spark, e, walk_length=3, seed=42, directed=True).toPandas()
+    n2 = node2vec_walks(spark, e, walk_length=3, p=1.0, q=1.0, seed=42, directed=True).toPandas()
+    key = ["walk_id", "step"]
+    assert rw.sort_values(key).reset_index(drop=True).equals(
+        n2.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_node2vec_matches_bruteforce_extreme_bias(spark):
+    import pandas as pd
+    from leidenalg_spark.operators.kernels import node2vec_walks
+
+    # triangle 0-1-2 (dist-1 branch), tail 1->3 with no 0->3 edge
+    # (exploration branch), and returns everywhere (return branch)
+    edges = [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 1, 1.0),
+             (0, 2, 1.0), (2, 0, 1.0), (1, 3, 1.0), (3, 1, 1.0)]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst", "weight"]))
+    for p, q in [(8.0, 0.125), (0.125, 8.0), (4.0, 0.25)]:
+        got = sorted(
+            tuple(int(x) for x in r)
+            for r in node2vec_walks(spark, e, walk_length=4, p=p, q=q,
+                                    seed=7, directed=True).collect()
+        )
+        exp = _n2v_simulate(edges, 4, p, q, 7)
+        assert got == exp, (p, q, got[:8], exp[:8])
