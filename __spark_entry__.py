@@ -496,6 +496,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return event_windows(_events(spark, sf), width="1 hour")
 
+    def q_funnel(spark, sf):
+        # ordered view -> click -> purchase completion, strictly-after,
+        # first-match-wins per user, whole funnel bounded to 1 day from
+        # the first view (discriminating counts at sf0.01: 150/60/14)
+        from leidenalg_spark.operators.events import funnel
+
+        return funnel(
+            _events(spark, sf), ["view", "click", "purchase"], horizon_s=86400
+        )
+
     def q_jaccard_linkpred(spark, sf):
         return K.jaccard_coefficient(spark, _bipartite_ids_det(spark, sf), min_common=2)
 
@@ -583,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "value_profile": q_value_profile,
         "event_windows": q_event_windows,
+        "funnel": q_funnel,
         "jaccard_linkpred": q_jaccard_linkpred,
         "community_stats": q_community_stats,
     }
@@ -945,6 +956,29 @@ FROM events GROUP BY event_type
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS total
 FROM events GROUP BY 1, 2
+""",
+        "funnel": """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t, MIN(ts) AS t0
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t, MIN(s1.t0) AS t0
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+    AND epoch(e.ts) <= epoch(s1.t0) + 86400.0
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+    AND epoch(e.ts) <= epoch(s2.t0) + 86400.0
+  GROUP BY e.user_id
+)
+SELECT 1 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_keys
+UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
 """,
         "sessionize": """
 WITH marked AS (

@@ -118,6 +118,72 @@ def value_profile(
     return df.groupBy(F.col(group)).agg(*aggs)
 
 
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    label: str = "event_type",
+    horizon_s: float | None = None,
+) -> DataFrame:
+    """Ordered-funnel completion counts: a key completes step k when an
+    event labelled ``steps[k]`` occurs STRICTLY after its completion
+    time of step k−1 (first match wins — as-of semantics, so revisits
+    don't double-count).  ``horizon_s`` optionally bounds the whole
+    funnel to ``steps[0]``'s time + horizon seconds.  Returns one row
+    per step: (step_idx, step, n_keys).
+
+    Scale shape: the label filter prunes the scan to funnel events
+    only; then one pass per step — an equi-join of that step's events
+    against the (key, t_prev) table plus one hash aggregate
+    (min-ts-after), each shuffling O(step events + surviving keys).
+    No window over the full stream, no explode, no driver loop over
+    keys; k (a handful) sequential jobs total.
+    """
+    if len(steps) < 1:
+        raise ValueError("at least one funnel step required")
+    ev = df.select(key, ts_col, label).where(F.col(label).isin(list(steps)))
+    # eager localCheckpoint per pass (kernels convention): each step table
+    # feeds two consumers (next pass + its own count) — materialise once,
+    # truncate lineage, let the block manager reclaim on GC (no persist
+    # leak, no O(k²) recompute chain in the final union plan)
+    cur = (
+        ev.where(F.col(label) == steps[0])
+        .groupBy(key)
+        .agg(F.min(ts_col).alias("t"))
+        .withColumn("t0", F.col("t"))
+        .localCheckpoint(eager=True)
+    )
+    out_rows = [
+        cur.agg(F.count(F.lit(1)).alias("n_keys")).select(
+            F.lit(1).alias("step_idx"), F.lit(steps[0]).alias("step"), "n_keys"
+        )
+    ]
+    for k, name in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col(label) == name).join(
+            cur.select(key, F.col("t").alias("tprev"), "t0"), key
+        ).where(F.col(ts_col) > F.col("tprev"))
+        if horizon_s is not None:
+            # epoch via unix_micros (NTZ won't cast to double under ANSI);
+            # only the DIFFERENCE matters, so timezone cancels
+            ep = lambda c: F.unix_micros(F.col(c).cast("timestamp")) / 1e6  # noqa: E731
+            nxt = nxt.where(ep(ts_col) <= ep("t0") + float(horizon_s))
+        cur = (
+            nxt.groupBy(key)
+            .agg(F.min(ts_col).alias("t"), F.min("t0").alias("t0"))
+            .localCheckpoint(eager=True)
+        )
+        out_rows.append(
+            cur.agg(F.count(F.lit(1)).alias("n_keys")).select(
+                F.lit(k).alias("step_idx"), F.lit(name).alias("step"), "n_keys"
+            )
+        )
+    res = out_rows[0]
+    for r in out_rows[1:]:
+        res = res.unionByName(r)
+    return res
+
+
 def event_windows(
     df: DataFrame,
     ts_col: str = "ts",

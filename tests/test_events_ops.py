@@ -117,3 +117,43 @@ def test_jaccard_uses_true_degree_for_union(spark):
     ).withColumn("weight", F.lit(1.0))
     rows = {(r["src"], r["dst"]): r["jc"] for r in jaccard_coefficient(spark, edges).collect()}
     assert rows[(1, 2)] == pytest.approx(0.5)
+
+
+def test_funnel_strictly_after_and_horizon(spark):
+    from leidenalg_spark.operators.events import funnel
+
+    rows = [
+        # user 1: clean view -> click -> purchase
+        (1, _ts("2024-01-01 00:00:00"), "view"),
+        (1, _ts("2024-01-01 00:01:00"), "click"),
+        (1, _ts("2024-01-01 00:02:00"), "purchase"),
+        # user 2: click BEFORE view, none after -> stops at view
+        (2, _ts("2024-01-01 00:00:30"), "click"),
+        (2, _ts("2024-01-01 00:01:30"), "view"),
+        # user 3: click at the SAME ts as view -> strictly-after rejects it
+        (3, _ts("2024-01-01 00:00:00"), "view"),
+        (3, _ts("2024-01-01 00:00:00"), "click"),
+        # user 4: purchase before click -> stops at click; first-match-wins
+        # means the EARLIEST click after view is the step time
+        (4, _ts("2024-01-01 00:00:00"), "view"),
+        (4, _ts("2024-01-01 00:00:10"), "purchase"),
+        (4, _ts("2024-01-01 00:05:00"), "click"),
+        (4, _ts("2024-01-01 00:06:00"), "click"),
+        # user 5: never views
+        (5, _ts("2024-01-01 00:00:00"), "click"),
+        (5, _ts("2024-01-01 00:01:00"), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["step"]: r["n_keys"]
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {"view": 4, "click": 2, "purchase": 1}
+
+    # horizon 90s from the view: user 4's click at +5min falls out, and
+    # user 1's purchase at +120s exceeds the horizon too
+    out_h = {
+        r["step"]: r["n_keys"]
+        for r in funnel(ev, ["view", "click", "purchase"], horizon_s=90).collect()
+    }
+    assert out_h == {"view": 4, "click": 1, "purchase": 0}
