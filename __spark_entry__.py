@@ -225,6 +225,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_neardup_jaccard(spark, sf):
         return D.ngram_jaccard_pairs(_documents(spark, sf), n=3, threshold=0.1)
 
+    def q_pmi_cooccurrence(spark, sf):
+        # word-association edges: window-5 co-occurrence, PMI weights;
+        # cap 950 exercises the stopword-drop path at sf0.01
+        return T.pmi_cooccurrence(
+            _documents(spark, sf), window=5, min_pairs=50, max_token_freq=950
+        )
+
     def q_neardup_dedup(spark, sf):
         # transitive near-dup collapse: pairs -> components -> min-id keep
         return D.neardup_dedup(spark, _documents(spark, sf), n=3, threshold=0.1)
@@ -569,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "neardup_jaccard": q_neardup_jaccard,
         "neardup_dedup": q_neardup_dedup,
+        "pmi_cooccurrence": q_pmi_cooccurrence,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1110,6 +1118,31 @@ inter AS (
 SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
 WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.1
+""",
+        "pmi_cooccurrence": f"""
+WITH pos0 AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS token
+  FROM (SELECT doc_id, {_doc_tokens("coalesce(text,'')")} AS tk FROM documents),
+       LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)
+  WHERE tk[i] <> ''
+),
+capf AS (SELECT token FROM pos0 GROUP BY token HAVING COUNT(*) <= 950),
+pos AS (SELECT pos0.* FROM pos0 JOIN capf USING (token)),
+pairs AS (
+  SELECT least(p1.token, p2.token) AS a, greatest(p1.token, p2.token) AS b
+  FROM pos p1 JOIN pos p2
+    ON p1.doc_id = p2.doc_id AND p2.pos BETWEEN p1.pos + 1 AND p1.pos + 5
+  WHERE p1.token <> p2.token
+),
+nab AS (SELECT a, b, COUNT(*) AS n_ab FROM pairs GROUP BY a, b),
+occ AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS n FROM pos GROUP BY token),
+tot AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM pos) AS n_tok,
+               (SELECT CAST(COUNT(*) AS DOUBLE) FROM pairs) AS n_pair)
+SELECT nab.a, nab.b, CAST(nab.n_ab AS BIGINT) AS n_ab,
+       ROUND(ln((nab.n_ab / t.n_pair) / ((oa.n / t.n_tok) * (ob.n / t.n_tok))), 6) AS pmi
+FROM nab JOIN occ oa ON oa.token = nab.a JOIN occ ob ON ob.token = nab.b
+CROSS JOIN tot t
+WHERE nab.n_ab >= 50
 """,
         "neardup_dedup": f"""
 WITH RECURSIVE {shingle_cte},

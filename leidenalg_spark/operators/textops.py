@@ -339,3 +339,72 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5, col="text") -> DataFrame:
         .where(F.col("pos") <= k)
         .select("doc_id", "term", F.col("tf_l").alias("tf"), "tfidf", "pos")
     )
+
+
+def pmi_cooccurrence(
+    docs: DataFrame,
+    col="text",
+    window: int = 5,
+    min_pairs: int = 2,
+    max_token_freq: int | None = None,
+) -> DataFrame:
+    """Token co-occurrence graph with PMI weights — the word-association
+    edge builder (word2vec/PPMI-style windows).  Pairs are token
+    occurrences at most ``window`` positions apart within a document,
+    canonicalised (a < b); PMI = ln(p(a,b) / (p(a)·p(b))) with p(a,b) =
+    n_ab/N_pairs and p(a) = n_a/N_tokens.  Returns (a, b, n_ab, pmi) —
+    feed the positive-PMI edges straight into :func:`..leiden.leiden`
+    for distributed topic discovery.
+
+    Scale shape: co-occurrence is generated by OFFSET-EXPLODE — every
+    position emits ``window`` (doc, pos+k) anchor keys that equi-join
+    the position table — so the join produces exactly O(len·window)
+    rows per document, never the O(len²) of a whole-doc self-join or a
+    positional range join.  The aggregates are plain hash aggs (a hot
+    stopword pair is one cell, map-side combined); ``max_token_freq``
+    is a quality knob that drops stopword-grade tokens (by total
+    occurrence count), not a safety requirement.  The two corpus
+    scalars ride 1-row broadcast cross joins.
+    """
+    toks = tokens_col(col)
+    pos = (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+        .where(F.col("token") != "")
+    )
+    if max_token_freq is not None:
+        occ_f = pos.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+        pos = (
+            pos.join(occ_f.where(F.col("f") <= max_token_freq), "token")
+            .select("doc_id", "pos", "token")
+        )
+    anchors = pos.select(
+        "doc_id", F.col("pos").alias("pi"), F.col("token").alias("ta"),
+        F.explode(F.array(*[F.lit(k) for k in range(1, window + 1)])).alias("k"),
+    ).select("doc_id", (F.col("pi") + F.col("k")).alias("pos"), "ta")
+    right = pos.select("doc_id", "pos", F.col("token").alias("tb"))
+    pairs = (
+        anchors.join(right, ["doc_id", "pos"])
+        .where(F.col("ta") != F.col("tb"))
+        .select(F.least("ta", "tb").alias("a"), F.greatest("ta", "tb").alias("b"))
+    )
+    nab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    occ = pos.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    n_tok = pos.agg(F.count(F.lit(1)).cast("double").alias("n_tok"))
+    n_pair = pairs.agg(F.count(F.lit(1)).cast("double").alias("n_pair"))
+    return (
+        nab.where(F.col("n_ab") >= min_pairs)
+        .join(occ.select(F.col("token").alias("a"), F.col("n").alias("na")), "a")
+        .join(occ.select(F.col("token").alias("b"), F.col("n").alias("nb")), "b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+        .select(
+            "a", "b", F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("n_pair"))
+                    / ((F.col("na") / F.col("n_tok")) * (F.col("nb") / F.col("n_tok")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -59,6 +59,7 @@ DECLARATIVE = [
     "tfidf_terms",
     "pii_mask",
     "community_stats",
+    "pmi_cooccurrence",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -71,6 +72,8 @@ SCALAR_CROSS = {
     "bm25", "tfidf_terms",
     # total-volume scalar rides a 1-row broadcast cross join
     "community_stats",
+    # corpus scalars (N_tokens, N_pairs) ride 1-row broadcast cross joins
+    "pmi_cooccurrence",
 }
 
 

@@ -441,3 +441,37 @@ def test_neardup_dedup_transitive_collapse(spark):
     assert out.loc[2, "canonical_id"] == 0 and not bool(out.loc[2, "is_kept"])
     assert out.loc[7, "canonical_id"] == 7 and bool(out.loc[7, "is_kept"])
     assert len(out) == 4
+
+
+def test_pmi_cooccurrence_hand_computed(spark):
+    import math
+    from leidenalg_spark.operators import textops as T
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "a b d"]})
+    )
+    out = T.pmi_cooccurrence(docs, window=1, min_pairs=1).toPandas()
+    got = {(r.a, r.b): (r.n_ab, r.pmi) for r in out.itertuples()}
+    # pairs: (a,b)x2, (b,c), (b,d); N_pair=4, N_tok=6, occ a=2 b=2 c=1 d=1
+    assert set(got) == {("a", "b"), ("b", "c"), ("b", "d")}
+    assert got[("a", "b")][0] == 2 and got[("b", "c")][0] == 1
+    # pmi(a,b) = ln((2/4)/((2/6)*(2/6))) = ln(4.5); same value for (b,c)
+    assert abs(got[("a", "b")][1] - round(math.log(4.5), 6)) < 2e-6
+    assert abs(got[("b", "c")][1] - round(math.log(4.5), 6)) < 2e-6
+
+    # window=2 additionally pairs (a,c) and (a,d)
+    out2 = T.pmi_cooccurrence(docs, window=2, min_pairs=1).toPandas()
+    assert set(zip(out2["a"], out2["b"])) == {
+        ("a", "b"), ("b", "c"), ("b", "d"), ("a", "c"), ("a", "d")
+    }
+
+    # min_pairs filters the singletons but totals still count them
+    out3 = T.pmi_cooccurrence(docs, window=1, min_pairs=2).toPandas()
+    assert set(zip(out3["a"], out3["b"])) == {("a", "b")}
+    assert abs(out3["pmi"].iloc[0] - round(math.log(4.5), 6)) < 2e-6
+
+    # frequency cap drops stopword-grade tokens; window is measured on
+    # ORIGINAL positions, so survivors separated by a dropped token at
+    # distance > window do not pair
+    out4 = T.pmi_cooccurrence(docs, window=1, min_pairs=1, max_token_freq=1).toPandas()
+    assert len(out4) == 0
