@@ -542,8 +542,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _embeddings(spark, sf), threshold=0.85, seed=42,
         ).orderBy("vec_id").limit(200)
 
+    def q_topic_clusters(spark, sf):
+        # topic discovery pipeline: positive-PMI word-association graph
+        # -> distributed Leiden -> (token, topic) with min-member-token
+        # labels (rows-only: iterative, not SQL-expressible)
+        from leidenalg_spark.operators.leiden import leiden
+
+        pmi = T.pmi_cooccurrence(
+            _documents(spark, sf), window=5, min_pairs=5
+        ).where(F.col("pmi") > 0)
+        e = pmi.select(
+            F.xxhash64("a").alias("src"), F.xxhash64("b").alias("dst"),
+            F.col("pmi").alias("weight"),
+        )
+        res = leiden(spark, e, method="modularity", n_iterations=2, seed=42)
+        names = (
+            pmi.select(F.col("a").alias("token"))
+            .unionByName(pmi.select(F.col("b").alias("token"))).distinct()
+            .select("token", F.xxhash64("token").alias("id"))
+        )
+        memb = names.join(res.membership, "id").select("token", "comm")
+        lbl = memb.groupBy("comm").agg(F.min("token").alias("topic"))
+        return memb.join(lbl, "comm").select("token", "topic").orderBy("token")
+
     return {
         "edge_derivation": q_edge_derivation,
+        "topic_clusters": q_topic_clusters,
         "sessionize": q_sessionize,
         "doc_clusters": q_doc_clusters,
         "bipartite_edges": q_bipartite_edges,
