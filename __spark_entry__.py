@@ -503,6 +503,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return event_windows(_events(spark, sf), width="1 hour")
 
+    def q_event_windows_sliding(spark, sf):
+        # hopping windows: width 2h, slide 1h — each event lands in
+        # exactly two overlapping buckets
+        from leidenalg_spark.operators.events import event_windows
+
+        return event_windows(
+            _events(spark, sf), width="2 hours", slide="1 hour"
+        )
+
     def q_funnel(spark, sf):
         # ordered view -> click -> purchase completion, strictly-after,
         # first-match-wins per user, whole funnel bounded to 1 day from
@@ -625,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "value_profile": q_value_profile,
         "event_windows": q_event_windows,
+        "event_windows_sliding": q_event_windows_sliding,
         "funnel": q_funnel,
         "jaccard_linkpred": q_jaccard_linkpred,
         "community_stats": q_community_stats,
@@ -988,6 +998,18 @@ FROM events GROUP BY event_type
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS total
 FROM events GROUP BY 1, 2
+""",
+        "event_windows_sliding": """
+SELECT ws AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS total
+FROM (
+  SELECT e.event_type, e.value,
+         time_bucket(INTERVAL '1 hour', e.ts) - (INTERVAL '1 hour' * j.j) AS ws,
+         e.ts
+  FROM events e CROSS JOIN (SELECT unnest(range(0, 2)) AS j) j
+)
+WHERE ts >= ws AND ts < ws + INTERVAL '2 hours'
+GROUP BY 1, 2
 """,
         "funnel": """
 WITH s1 AS (

@@ -190,15 +190,25 @@ def event_windows(
     label: str = "event_type",
     value: str = "value",
     width: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window aggregation — the batch twin of the Structured
-    Streaming windowed count (same ``F.window`` bucketing, so a
-    ``readStream`` source with a watermark produces identical rows).
-    One hash aggregate on (bucket, label); window assignment is a pure
-    projection, no blow-up.  Returns (window_start, label, n, total).
+    """Tumbling or hopping window aggregation — the batch twin of the
+    Structured Streaming windowed count (same ``F.window`` bucketing, so
+    a ``readStream`` source with a watermark produces identical rows).
+    One hash aggregate on (bucket, label).  Tumbling (``slide=None``)
+    window assignment is a pure projection, no blow-up; hopping
+    (``slide`` < ``width``) fans each row out to exactly
+    ``width/slide`` overlapping windows — a bounded, intentional
+    constant factor, not a join.  Returns (window_start, label, n,
+    total).
     """
+    w = (
+        F.window(F.col(ts_col), width)
+        if slide is None
+        else F.window(F.col(ts_col), width, slide)
+    )
     return (
-        df.groupBy(F.window(F.col(ts_col), width).alias("w"), F.col(label))
+        df.groupBy(w.alias("w"), F.col(label))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(value), 6).alias("total"))
         .select(F.col("w.start").alias("window_start"), label, "n", "total")
     )

@@ -157,3 +157,25 @@ def test_funnel_strictly_after_and_horizon(spark):
         for r in funnel(ev, ["view", "click", "purchase"], horizon_s=90).collect()
     }
     assert out_h == {"view": 4, "click": 1, "purchase": 0}
+
+
+def test_event_windows_sliding_double_counts(spark):
+    ev = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 00:10:00"), "view", 1.0),
+            (_ts("2024-01-01 01:10:00"), "view", 2.0),
+            (_ts("2024-01-01 01:50:00"), "click", 4.0),
+        ],
+        "ts timestamp, event_type string, value double",
+    )
+    out = event_windows(ev, width="2 hours", slide="1 hour").collect()
+    # width/slide = 2 -> every event in exactly 2 windows
+    assert sum(r["n"] for r in out) == 6
+    by_w = {(r["window_start"].isoformat(), r["event_type"]): r for r in out}
+    # window [00:00, 02:00) holds both views
+    r = by_w[("2024-01-01T00:00:00", "view")]
+    assert r["n"] == 2 and r["total"] == 3.0
+    # window [23:00, 01:00) holds only the first view
+    assert by_w[("2023-12-31T23:00:00", "view")]["n"] == 1
+    # clicks never mix into view rows
+    assert by_w[("2024-01-01T01:00:00", "click")]["n"] == 1
