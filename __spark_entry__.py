@@ -557,9 +557,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # labels (rows-only: iterative, not SQL-expressible)
         from leidenalg_spark.operators.leiden import leiden
 
+        # the pmi plan feeds leiden's input AND both halves of the name
+        # table — materialise once (kernels convention) instead of
+        # re-running the corpus scan + co-occurrence join ~4x
         pmi = T.pmi_cooccurrence(
             _documents(spark, sf), window=5, min_pairs=5
-        ).where(F.col("pmi") > 0)
+        ).where(F.col("pmi") > 0).localCheckpoint(eager=True)
         e = pmi.select(
             F.xxhash64("a").alias("src"), F.xxhash64("b").alias("dst"),
             F.col("pmi").alias("weight"),

@@ -81,12 +81,9 @@ def community_stats(edges: DataFrame, membership: DataFrame) -> DataFrame:
 
     # |C|-row table from here on: the one-row total broadcasts for free
     vol = 2.0 * F.coalesce(F.col("iw"), F.lit(0.0)) + F.coalesce(F.col("cw"), F.lit(0.0))
-    joined = (
-        nv.join(agg, "comm", "left")
-        .withColumn("volume", vol)
-        .crossJoin(F.broadcast(
-            nv.join(agg, "comm", "left").agg(F.sum(vol).alias("total_vol"))
-        ))
+    base = nv.join(agg, "comm", "left").withColumn("volume", vol)
+    joined = base.crossJoin(
+        F.broadcast(base.agg(F.sum("volume").alias("total_vol")))
     )
     denom_c = F.least(F.col("volume"), F.col("total_vol") - F.col("volume"))
     pairs = F.col("n_vertices").cast("double") * (F.col("n_vertices") - 1).cast("double")

@@ -184,6 +184,25 @@ def funnel(
     return res
 
 
+_INTERVAL_UNIT_S = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _interval_seconds(s: str) -> float | None:
+    """Best-effort parse of simple '<n> <unit>' interval strings; None
+    for anything exotic (validation is then left to Spark)."""
+    parts = str(s).strip().lower().split()
+    if len(parts) != 2 or parts[1] not in _INTERVAL_UNIT_S:
+        return None
+    try:
+        return float(parts[0]) * _INTERVAL_UNIT_S[parts[1]]
+    except ValueError:
+        return None
+
+
 def event_windows(
     df: DataFrame,
     ts_col: str = "ts",
@@ -202,6 +221,15 @@ def event_windows(
     constant factor, not a join.  Returns (window_start, label, n,
     total).
     """
+    if slide is not None:
+        ws, ss = _interval_seconds(width), _interval_seconds(slide)
+        if ws is not None and ss is not None and ss > ws:
+            # slide > width samples the stream and silently DROPS the
+            # events between windows — almost certainly swapped args
+            raise ValueError(
+                f"slide ({slide}) must not exceed width ({width}); "
+                "gapped sampling windows drop events silently"
+            )
     w = (
         F.window(F.col(ts_col), width)
         if slide is None

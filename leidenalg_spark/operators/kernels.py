@@ -447,6 +447,35 @@ def strongly_connected_components(
 
 
 # ------------------------------------------------------------------ walks
+def _ares_key_u(seed, t):
+    """md5-uniform in (0,1] keyed by (seed, walk_id, step, dst) — the
+    SHARED A-Res randomness of :func:`random_walks` and
+    :func:`node2vec_walks`.  One definition on purpose: the p=q=1
+    hop-for-hop parity guarantee and both SQL oracle twins depend on
+    this exact construction (md5 → first 8 hex chars → base-10 → +1 →
+    /2^32), so any tweak must change every consumer at once."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(seed)),
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(t)),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+
+
 def random_walks(
     spark,
     edges: DataFrame,
@@ -490,26 +519,7 @@ def random_walks(
     w_pick = Window.partitionBy("walk_id").orderBy(F.desc("key"), F.asc("dst"))
     for t in range(1, walk_length + 1):
         cand = cur.join(e, cur.v == e.src).select("walk_id", "dst", "weight")
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            F.lit(str(seed)),
-                            F.col("walk_id").cast("string"),
-                            F.lit(str(t)),
-                            F.col("dst").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("double")
-            + 1.0
-        ) / F.lit(4294967296.0)
+        u = _ares_key_u(seed, t)
         cand = cand.select("walk_id", "dst", F.pow(u, 1.0 / F.col("weight")).alias("key"))
         chosen = (
             cand.withColumn("rn", F.row_number().over(w_pick))
@@ -596,26 +606,7 @@ def node2vec_walks(
             .when(F.col("is_nbr"), F.lit(1.0))
             .otherwise(F.lit(1.0 / q))
         )
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            F.lit(str(seed)),
-                            F.col("walk_id").cast("string"),
-                            F.lit(str(t)),
-                            F.col("dst").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("double")
-            + 1.0
-        ) / F.lit(4294967296.0)
+        u = _ares_key_u(seed, t)
         cand = cand.select(
             "walk_id", "v", "dst",
             F.pow(u, 1.0 / (F.col("weight") * alpha)).alias("key"),

@@ -358,15 +358,18 @@ def find_partition_bipartite_df(
         vsz = verts.withColumn("ns", F.lit(1.0))
 
     typed = vsz.join(types, "id", "left")
+    # eqNullSafe: a NULL type value is a REAL class (the local twin's
+    # numpy comparison treats None the same way) — plain == would never
+    # match it and silently zero that class's penalty mass
     node_sizes = (
         vsz.select("id", F.lit(0).alias("layer"), F.col("ns").alias("node_size"))
         .unionByName(
-            typed.where(F.col("type") == F.lit(tv[0])).select(
+            typed.where(F.col("type").eqNullSafe(F.lit(tv[0]))).select(
                 "id", F.lit(1).alias("layer"), F.col("ns").alias("node_size")
             )
         )
         .unionByName(
-            typed.where(F.col("type") == F.lit(tv[1])).select(
+            typed.where(F.col("type").eqNullSafe(F.lit(tv[1]))).select(
                 "id", F.lit(2).alias("layer"), F.col("ns").alias("node_size")
             )
         )

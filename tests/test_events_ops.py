@@ -179,3 +179,14 @@ def test_event_windows_sliding_double_counts(spark):
     assert by_w[("2023-12-31T23:00:00", "view")]["n"] == 1
     # clicks never mix into view rows
     assert by_w[("2024-01-01T01:00:00", "click")]["n"] == 1
+
+
+def test_event_windows_rejects_gapped_sampling(spark):
+    ev = spark.createDataFrame(
+        [(_ts("2024-01-01 00:10:00"), "view", 1.0)],
+        "ts timestamp, event_type string, value double",
+    )
+    with pytest.raises(ValueError, match="slide.*must not exceed width"):
+        event_windows(ev, width="1 hour", slide="2 hours")
+    # equal width/slide is plain tumbling — allowed
+    assert event_windows(ev, width="1 hour", slide="60 minutes").count() == 1

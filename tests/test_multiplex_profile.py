@@ -393,3 +393,29 @@ def test_bipartite_df_degree_node_size(spark):
     )
     P, _ = find_partition_multiplex_local(layers, layer_weights=lw, seed=9)
     assert res.quality >= P.quality() - 1e-9 or np.isclose(res.quality, P.quality(), rtol=1e-6)
+
+
+def test_bipartite_df_null_type_class(spark):
+    """A NULL type value is a real class: quality must match the local
+    twin with the same partition structure under a relabeled (non-NULL)
+    type vector — not silently lose the NULL class's penalty mass."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+    from leidenalg_spark.operators.multiplex import find_partition_bipartite_df
+
+    n, s, d, w, types = fx.bipartite_8()
+    _, e = fx.to_spark_df(spark, (n, s, d, w))
+    # types 0..3 -> NULL, 4..7 -> 0  (same bipartition as the fixture)
+    tdf = spark.createDataFrame(
+        [(int(i), None if types[i] == 0 else 0) for i in range(n)],
+        StructType([StructField("id", LongType()), StructField("type", LongType())]),
+    )
+    res = find_partition_bipartite_df(
+        spark, e, tdf, resolution_parameter_01=0.2,
+        local_threshold=0, max_supersteps=8, seed=4,
+    )
+    g = fx.to_local_graph((n, s, d, w))
+    layers, lw = cpm_bipartite_layers(g, types, resolution_parameter_01=0.2)
+    P, _ = find_partition_multiplex_local(layers, layer_weights=lw, seed=4)
+    assert np.isclose(res.quality, P.quality(), rtol=1e-6, atol=1e-6)
+    assert res.membership.toPandas()["comm"].nunique() == 1
