@@ -316,6 +316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _bipartite_ids_det(spark, sf), walk_length=3, seed=42, directed=False
         )
 
+    def q_hits(spark, sf):
+        # hubs & authorities on the DIRECTED user->event-type graph
+        # (users are pure hubs, types pure authorities); 6 fixed
+        # iterations, unrolled-CTE twin reproduces the power iteration
+        return K.hits(spark, _bipartite_ids_det(spark, sf), max_iter=6)
+
     def q_node2vec(spark, sf):
         # second-order (p,q)-biased walks on the DIRECTED event-type
         # transition graph — dense with triangles and self-loops, so the
@@ -626,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strongly_connected_components": q_scc,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec,
+        "hits": q_hits,
         "label_propagation": q_label_propagation,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
@@ -1523,6 +1530,28 @@ UNION ALL SELECT walk_id, CAST(3 AS BIGINT) AS step, v AS vertex FROM s3
 """
     )
 
+    # ---- HITS: 6 unrolled power iterations on the DIRECTED bipartite
+    # graph, UNNORMALISED (scale-invariant) with one final L2 division —
+    # the same direction the engine's barrier-normalised run converges to
+    hh = ["h0 AS (SELECT id, 1.0 AS hub FROM verts)"]
+    for t in range(1, 7):
+        hh.append(f"""a{t} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(e.weight * h.hub) AS authority
+  FROM edges e JOIN h{t - 1} h ON h.id = e.src GROUP BY e.dst
+),
+h{t} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(e.weight * a.authority) AS hub
+  FROM edges e JOIN a{t} a ON a.id = e.dst GROUP BY e.src
+)""")
+    hits_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(hh) + """
+SELECT v.id,
+       ROUND(COALESCE(h.hub / (SELECT sqrt(SUM(hub * hub)) FROM h6), 0.0), 6) AS hub,
+       ROUND(COALESCE(a.authority / (SELECT sqrt(SUM(authority * authority)) FROM a6), 0.0), 6) AS authority
+FROM verts v LEFT JOIN h6 h ON h.id = v.id LEFT JOIN a6 a ON a.id = v.id
+"""
+    )
+
     # ---- node2vec: 3 unrolled biased hops on the directed event-type
     # transition graph; same md5 A-Res key, exponent scaled by the
     # (p=4, q=1/4) bias over the previous vertex (exact binary floats)
@@ -1743,6 +1772,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
             "strongly_connected_components": scc_sql,
             "random_walks": walk_sql,
             "node2vec_walks": n2v_sql,
+            "hits": hits_sql,
             "harmonic_centrality": harm_sql,
             "adamic_adar": aa_sql,
             "jaccard_linkpred": jc_sql,

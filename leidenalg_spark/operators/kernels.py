@@ -446,6 +446,80 @@ def strongly_connected_components(
     return out
 
 
+# ------------------------------------------------------------------- HITS
+def _l2_normalise(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Divide ``col`` by its L2 norm — the norm rides a 1-row broadcast
+    cross join, never a driver action."""
+    nrm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("nrm"))
+    return df.crossJoin(F.broadcast(nrm)).select(
+        "id", (F.col(col) / F.col("nrm")).alias(out)
+    )
+
+
+def hits(
+    spark,
+    edges: DataFrame,
+    max_iter: int = 10,
+    ckpt: CheckpointManager | None = None,
+    ckpt_every: int = 5,
+) -> DataFrame:
+    """Kleinberg's HITS (hubs & authorities) by synchronous power
+    iteration on the DIRECTED weighted graph: a ← L2-normalised Aᵀh,
+    h ← L2-normalised A·a.  Returns (id, hub, authority) for every
+    vertex (no out-edges → hub 0; no in-edges → authority 0).
+
+    Scale shape: per iteration two PageRank-shaped join+aggregate
+    exchanges (gather over src for authorities, over dst for hubs),
+    partial-aggregated map-side.  Iterations run UNNORMALISED — power
+    iteration is scale-invariant, and a per-iteration L2 cross join
+    would embed the previous iteration's plan twice (value + norm),
+    blowing the lineage up exponentially.  Normalisation happens only
+    at checkpoint barriers (every ``ckpt_every`` iterations, on the
+    already-materialised table — one cheap cross join, no subtree
+    duplication), which simultaneously bounds the unnormalised growth
+    between barriers and truncates lineage.
+    """
+    if max_iter < 1:
+        raise ValueError("max_iter must be positive")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    e = edges.select("src", "dst", "weight").persist()
+    verts = _vertices(e).persist()
+    h = verts.select("id", F.lit(1.0).alias("hub"))
+    a = None
+    for t in range(1, max_iter + 1):
+        a = (
+            e.join(h.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("weight") * F.col("hub")).alias("authority"))
+        )
+        h = (
+            e.join(a.select(F.col("id").alias("dst"), "authority"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.col("weight") * F.col("authority")).alias("hub"))
+        )
+        if t % ckpt_every == 0 or t == max_iter:
+            # materialise FIRST, normalise on the saved table: the norm's
+            # cross join then duplicates a scan, not the iteration plan
+            a = _l2_normalise(ckpt.save(a, "hits_auth", t), "authority", "authority")
+            h = _l2_normalise(ckpt.save(h, "hits_hub", t), "hub", "hub")
+    out = (
+        verts.join(h, "id", "left")
+        .join(a, "id", "left")
+        .select(
+            "id",
+            F.round(F.coalesce("hub", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("authority", F.lit(0.0)), 6).alias("authority"),
+        )
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    e.unpersist()
+    verts.unpersist()
+    return out
+
+
 # ------------------------------------------------------------------ walks
 def _ares_key_u(seed, t):
     """md5-uniform in (0,1] keyed by (seed, walk_id, step, dst) — the

@@ -583,3 +583,50 @@ def test_node2vec_matches_bruteforce_extreme_bias(spark):
         )
         exp = _n2v_simulate(edges, 4, p, q, 7)
         assert got == exp, (p, q, got[:8], exp[:8])
+
+
+def test_hits_star_hand_computed(spark):
+    import math
+    import pandas as pd
+    from leidenalg_spark.operators.kernels import hits
+
+    # three hubs all pointing at one authority
+    e = spark.createDataFrame(
+        pd.DataFrame([(1, 9, 1.0), (2, 9, 1.0), (3, 9, 1.0)],
+                     columns=["src", "dst", "weight"])
+    )
+    out = {r["id"]: r for r in hits(spark, e, max_iter=5).collect()}
+    assert out[9]["authority"] == 1.0 and out[9]["hub"] == 0.0
+    for u in (1, 2, 3):
+        assert abs(out[u]["hub"] - round(1 / math.sqrt(3), 6)) < 2e-6
+        assert out[u]["authority"] == 0.0
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+    import pandas as pd
+    from leidenalg_spark.operators.kernels import hits
+
+    rng = np.random.default_rng(3)
+    n, m = 20, 60
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.uniform(0.5, 2.0, m)
+    # collapse parallel edges like the operator's weighted sum does
+    pdf = (pd.DataFrame({"src": src, "dst": dst, "weight": w})
+           .groupby(["src", "dst"], as_index=False).sum())
+    A = np.zeros((n, n))
+    for r in pdf.itertuples():
+        A[int(r.src), int(r.dst)] += r.weight
+    h = np.ones(n)
+    for _ in range(10):
+        a = A.T @ h
+        a = a / np.linalg.norm(a)
+        h = A @ a
+        h = h / np.linalg.norm(h)
+    e = spark.createDataFrame(pdf)
+    out = hits(spark, e, max_iter=10).toPandas().set_index("id").sort_index()
+    got_h = out["hub"].to_numpy()
+    got_a = out["authority"].to_numpy()
+    assert np.allclose(got_h, np.round(h, 6), atol=2e-6)
+    assert np.allclose(got_a, np.round(a, 6), atol=2e-6)
