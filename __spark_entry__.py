@@ -316,6 +316,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _bipartite_ids_det(spark, sf), walk_length=3, seed=42, directed=False
         )
 
+    def q_eigenvector(spark, sf):
+        # eigenvector centrality on the SYMMETRISED event-type transition
+        # graph — self-loops make it aperiodic, so the power iteration
+        # genuinely converges (a bipartite graph would oscillate)
+        from pyspark.sql import Window
+
+        der = E.events_to_type_transition_edges(_events(spark, sf))
+        names = (
+            der.select(F.col("src_name").alias("nm"))
+            .union(der.select(F.col("dst_name").alias("nm"))).distinct()
+        )
+        tids = names.withColumn(
+            "tid", F.row_number().over(Window.orderBy("nm")).cast("long")
+        )
+        e = (
+            der.join(tids.select(F.col("nm").alias("src_name"), F.col("tid").alias("src")), "src_name")
+            .join(tids.select(F.col("nm").alias("dst_name"), F.col("tid").alias("dst")), "dst_name")
+            .select("src", "dst", "weight")
+        )
+        return K.eigenvector_centrality(spark, e, max_iter=8, directed=False)
+
     def q_hits(spark, sf):
         # hubs & authorities on the DIRECTED user->event-type graph
         # (users are pure hubs, types pure authorities); 6 fixed
@@ -633,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec,
         "hits": q_hits,
+        "eigenvector_centrality": q_eigenvector,
         "label_propagation": q_label_propagation,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
@@ -1566,7 +1588,7 @@ FROM verts v LEFT JOIN h6 h ON h.id = v.id LEFT JOIN a6 a ON a.id = v.id
             "ELSE 4.0 END))"
         )
 
-    n2 = [
+    trans_prelude = [
         """tr AS (
   SELECT prev_type AS a, event_type AS b, CAST(COUNT(*) AS DOUBLE) AS weight
   FROM (SELECT event_type,
@@ -1580,8 +1602,10 @@ FROM verts v LEFT JOIN h6 h ON h.id = v.id LEFT JOIN a6 a ON a.id = v.id
   SELECT ta.tid AS src, tb.tid AS dst, tr.weight
   FROM tr JOIN ntids ta ON ta.nm = tr.a JOIN ntids tb ON tb.nm = tr.b
 )""",
-        "nnbr AS (SELECT DISTINCT src, dst FROM nedges)",
         "nverts AS (SELECT DISTINCT src AS id FROM nedges UNION SELECT DISTINCT dst FROM nedges)",
+    ]
+    n2 = trans_prelude + [
+        "nnbr AS (SELECT DISTINCT src, dst FROM nedges)",
         "n0 AS (SELECT id AS walk_id, id AS v, CAST(NULL AS BIGINT) AS prev FROM nverts)",
     ]
     for t in range(1, 4):
@@ -1603,6 +1627,28 @@ SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS vertex FROM n0
 UNION ALL SELECT walk_id, CAST(1 AS BIGINT) AS step, v AS vertex FROM n1
 UNION ALL SELECT walk_id, CAST(2 AS BIGINT) AS step, v AS vertex FROM n2
 UNION ALL SELECT walk_id, CAST(3 AS BIGINT) AS step, v AS vertex FROM n3
+"""
+    )
+
+    # ---- eigenvector centrality: 8 unrolled power iterations on the
+    # SYMMETRISED transition graph (self-loops => aperiodic), same
+    # unnormalised-with-final-L2 trick as hits
+    ev_ctes = trans_prelude + [
+        """nsym AS (SELECT src, dst, weight FROM nedges
+        UNION ALL SELECT dst, src, weight FROM nedges)""",
+        "x0 AS (SELECT id, 1.0 AS centrality FROM nverts)",
+    ]
+    for t in range(1, 9):
+        ev_ctes.append(f"""x{t} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(e.weight * x.centrality) AS centrality
+  FROM nsym e JOIN x{t - 1} x ON x.id = e.src GROUP BY e.dst
+)""")
+    eig_sql = (
+        "WITH " + ",\n".join(ev_ctes) + """
+SELECT v.id,
+       ROUND(COALESCE(x.centrality /
+             (SELECT sqrt(SUM(centrality * centrality)) FROM x8), 0.0), 6) AS centrality
+FROM nverts v LEFT JOIN x8 x ON x.id = v.id
 """
     )
 
@@ -1773,6 +1819,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
             "random_walks": walk_sql,
             "node2vec_walks": n2v_sql,
             "hits": hits_sql,
+            "eigenvector_centrality": eig_sql,
             "harmonic_centrality": harm_sql,
             "adamic_adar": aa_sql,
             "jaccard_linkpred": jc_sql,

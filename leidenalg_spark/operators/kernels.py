@@ -520,6 +520,58 @@ def hits(
     return out
 
 
+def eigenvector_centrality(
+    spark,
+    edges: DataFrame,
+    max_iter: int = 10,
+    directed: bool = False,
+    ckpt: CheckpointManager | None = None,
+    ckpt_every: int = 5,
+) -> DataFrame:
+    """Principal-eigenvector centrality by power iteration:
+    x ← A·x (w-weighted neighbour sum; undirected graphs are blindly
+    symmetrised, so a self-loop contributes twice — the standard
+    undirected-adjacency convention; directed graphs gather over
+    IN-edges, x ← Aᵀx).  Returns (id, centrality), L2-normalised.
+
+    Scale shape: one PageRank-shaped join+aggregate exchange per
+    iteration; like :func:`hits`, iterations run unnormalised (scale
+    invariance) and the L2 division happens at checkpoint barriers on
+    the materialised table, keeping the plan linear in ``max_iter``.
+    """
+    if max_iter < 1:
+        raise ValueError("max_iter must be positive")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    e = edges.select("src", "dst", "weight")
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+    e = e.persist()
+    verts = _vertices(e).persist()
+    x = verts.select("id", F.lit(1.0).alias("centrality"))
+    for t in range(1, max_iter + 1):
+        x = (
+            e.join(x.select(F.col("id").alias("src"), "centrality"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("weight") * F.col("centrality")).alias("centrality"))
+        )
+        if t % ckpt_every == 0 or t == max_iter:
+            x = _l2_normalise(
+                ckpt.save(x, "eig_x", t), "centrality", "centrality"
+            )
+    out = verts.join(x, "id", "left").select(
+        "id", F.round(F.coalesce("centrality", F.lit(0.0)), 6).alias("centrality")
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    e.unpersist()
+    verts.unpersist()
+    return out
+
+
 # ------------------------------------------------------------------ walks
 def _ares_key_u(seed, t):
     """md5-uniform in (0,1] keyed by (seed, walk_id, step, dst) — the

@@ -630,3 +630,49 @@ def test_hits_matches_numpy_power_iteration(spark):
     got_a = out["authority"].to_numpy()
     assert np.allclose(got_h, np.round(h, 6), atol=2e-6)
     assert np.allclose(got_a, np.round(a, 6), atol=2e-6)
+
+
+def test_eigenvector_centrality_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+    from leidenalg_spark.operators.kernels import eigenvector_centrality
+
+    rng = np.random.default_rng(11)
+    n, m = 15, 40
+    pdf = (pd.DataFrame({
+        "src": rng.integers(0, n, m), "dst": rng.integers(0, n, m),
+        "weight": rng.uniform(0.5, 2.0, m),
+    }).groupby(["src", "dst"], as_index=False).sum())
+    A = np.zeros((n, n))
+    for r in pdf.itertuples():
+        A[int(r.src), int(r.dst)] += r.weight
+        A[int(r.dst), int(r.src)] += r.weight  # blind symmetrisation
+    x = np.ones(n)
+    for _ in range(10):
+        x = A @ x
+        nrm = np.linalg.norm(x)
+        if nrm:
+            x = x / nrm
+    got = (eigenvector_centrality(spark, spark.createDataFrame(pdf), max_iter=10)
+           .toPandas().set_index("id").sort_index()["centrality"].to_numpy())
+    assert np.allclose(got, np.round(x, 6), atol=2e-6)
+
+
+def test_eigenvector_centrality_star_center_dominates(spark):
+    import pandas as pd
+    from leidenalg_spark.operators.kernels import eigenvector_centrality
+
+    # star PLUS one leaf-leaf edge: a pure star is bipartite, where
+    # power iteration oscillates with period 2 (±lambda eigenpair) and
+    # even iteration counts land on the all-equal phase — the classic
+    # caveat; the extra edge makes the graph aperiodic so it converges
+    e = spark.createDataFrame(pd.DataFrame(
+        [(0, i, 1.0) for i in range(1, 6)] + [(1, 2, 1.0)],
+        columns=["src", "dst", "weight"],
+    ))
+    out = {r["id"]: r["centrality"] for r in
+           eigenvector_centrality(spark, e, max_iter=20).collect()}
+    assert out[0] > max(out[i] for i in range(1, 6))
+    # leaves 3,4,5 are symmetric; 1,2 gain from their extra edge
+    assert abs(out[3] - out[4]) < 1e-9 and abs(out[4] - out[5]) < 1e-9
+    assert out[1] > out[3] and abs(out[1] - out[2]) < 1e-9
