@@ -225,6 +225,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_neardup_jaccard(spark, sf):
         return D.ngram_jaccard_pairs(_documents(spark, sf), n=3, threshold=0.1)
 
+    def q_training_set(spark, sf):
+        # the composed corpus filter: dedup keeper AND lang=en AND
+        # quality>=0.5 AND not contaminated by the every-17th benchmark
+        from leidenalg_spark.operators.pipeline import training_set
+
+        docs = _documents(spark, sf)
+        bench = docs.where(F.col("doc_id") % 17 == 3)
+        return training_set(docs, bench, min_quality=0.5, langs=("en",))
+
     def q_pmi_cooccurrence(spark, sf):
         # word-association edges: window-5 co-occurrence, PMI weights;
         # cap 950 exercises the stopword-drop path at sf0.01
@@ -640,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": q_neardup_jaccard,
         "neardup_dedup": q_neardup_dedup,
         "pmi_cooccurrence": q_pmi_cooccurrence,
+        "training_set": q_training_set,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1408,6 +1418,22 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
     }
     for name, tail in quality_tail.items():
         sqls[name] = _QUALITY_PRELUDE + tail
+    # composed corpus filter: the twin is literally the composition of the
+    # four component twins, so the pipeline is oracle-verified end-to-end
+    sqls["training_set"] = f"""
+WITH keep AS ({sqls["dedup_exact"]}),
+lang AS ({sqls["lang_id"]}),
+qual AS ({sqls["doc_quality"]}),
+cont AS ({sqls["decontaminate"]})
+SELECT d.doc_id, lang.lang_pred, qual.n_tokens, qual.quality_score
+FROM documents d
+JOIN keep ON keep.doc_id = d.doc_id
+JOIN lang ON lang.doc_id = d.doc_id
+JOIN qual ON qual.doc_id = d.doc_id
+JOIN cont ON cont.doc_id = d.doc_id
+WHERE keep.is_kept AND NOT cont.contaminated
+  AND lang.lang_pred IN ('en') AND qual.quality_score >= 0.5
+"""
     sqls.update(_kernel_oracles())
     return sqls
 

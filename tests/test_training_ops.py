@@ -475,3 +475,35 @@ def test_pmi_cooccurrence_hand_computed(spark):
     # distance > window do not pair
     out4 = T.pmi_cooccurrence(docs, window=1, min_pairs=1, max_token_freq=1).toPandas()
     assert len(out4) == 0
+
+
+def test_training_set_each_filter_bites(spark):
+    from leidenalg_spark.operators.pipeline import training_set
+
+    good = ("the quick brown fox jumps over the lazy dog and then the "
+            "dog is of the opinion that it is time to sleep in the sun "
+            "and the fox agrees to it so they rest together in peace")
+    rows = [
+        (0, good),                      # survives everything
+        (17, good),                     # exact dup of 0 -> not keeper
+        (2, "der schnelle braune fuchs springt und die katze ist nicht da "
+            "und das ist der ganze satz der hier steht und nicht endet"),  # de
+        (3, "!!! ??? ... ,,, ;;; :::"),  # quality floor
+        (4, good + " benchmark marker"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    # doc 4 is "benchmark": its 5-grams contaminate docs sharing them
+    bench = docs.where(F.col("doc_id") == 4)
+    out = training_set(docs, bench, min_quality=0.5, langs=("en",)).toPandas()
+    kept = set(out["doc_id"])
+    # 0 shares 5-grams with the benchmark doc 4 -> contaminated; so is 4
+    # itself and dup 17; 2 is German; 3 is junk -> nothing survives...
+    assert kept == set(), kept
+
+    # ...but without the contamination screen, 0 survives (17 is a dup,
+    # 2 wrong lang, 3 junk, 4 is its own benchmark)
+    empty_bench = docs.where(F.lit(False))
+    out2 = training_set(docs, empty_bench, min_quality=0.5, langs=("en",)).toPandas()
+    assert set(out2["doc_id"]) == {0, 4}
+    assert (out2["lang_pred"] == "en").all()
+    assert (out2["quality_score"] >= 0.5).all()
