@@ -325,10 +325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, _bipartite_ids_det(spark, sf), walk_length=3, seed=42, directed=False
         )
 
-    def q_eigenvector(spark, sf):
-        # eigenvector centrality on the SYMMETRISED event-type transition
-        # graph — self-loops make it aperiodic, so the power iteration
-        # genuinely converges (a bipartite graph would oscillate)
+    def _transition_ids(spark, sf):
+        # DIRECTED event-type transition graph with SQL-reproducible ids
+        # (lexicographic rank) — shared by node2vec / eigenvector /
+        # reciprocity / closed-triples queries
         from pyspark.sql import Window
 
         der = E.events_to_type_transition_edges(_events(spark, sf))
@@ -339,12 +339,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tids = names.withColumn(
             "tid", F.row_number().over(Window.orderBy("nm")).cast("long")
         )
-        e = (
+        return (
             der.join(tids.select(F.col("nm").alias("src_name"), F.col("tid").alias("src")), "src_name")
             .join(tids.select(F.col("nm").alias("dst_name"), F.col("tid").alias("dst")), "dst_name")
             .select("src", "dst", "weight")
         )
-        return K.eigenvector_centrality(spark, e, max_iter=8, directed=False)
+
+    def q_reciprocity(spark, sf):
+        return K.reciprocity(spark, _transition_ids(spark, sf))
+
+    def q_closed_triples(spark, sf):
+        return K.closed_triples(spark, _transition_ids(spark, sf))
+
+    def q_eigenvector(spark, sf):
+        # eigenvector centrality on the SYMMETRISED event-type transition
+        # graph — self-loops make it aperiodic, so the power iteration
+        # genuinely converges (a bipartite graph would oscillate)
+        return K.eigenvector_centrality(
+            spark, _transition_ids(spark, sf), max_iter=8, directed=False
+        )
 
     def q_hits(spark, sf):
         # hubs & authorities on the DIRECTED user->event-type graph
@@ -357,23 +370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transition graph — dense with triangles and self-loops, so the
         # return / triangle / exploration branches all fire; tids are
         # lexicographic ranks, reproducible in SQL (seed 42, p=4, q=1/4)
-        from pyspark.sql import Window
-
-        der = E.events_to_type_transition_edges(_events(spark, sf))
-        names = (
-            der.select(F.col("src_name").alias("nm"))
-            .union(der.select(F.col("dst_name").alias("nm"))).distinct()
-        )
-        tids = names.withColumn(
-            "tid", F.row_number().over(Window.orderBy("nm")).cast("long")
-        )
-        e = (
-            der.join(tids.select(F.col("nm").alias("src_name"), F.col("tid").alias("src")), "src_name")
-            .join(tids.select(F.col("nm").alias("dst_name"), F.col("tid").alias("dst")), "dst_name")
-            .select("src", "dst", "weight")
-        )
         return K.node2vec_walks(
-            spark, e, walk_length=3, p=4.0, q=0.25, seed=42, directed=True
+            spark, _transition_ids(spark, sf), walk_length=3, p=4.0, q=0.25,
+            seed=42, directed=True,
         )
 
     def q_scc(spark, sf):
@@ -665,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": q_node2vec,
         "hits": q_hits,
         "eigenvector_centrality": q_eigenvector,
+        "reciprocity": q_reciprocity,
+        "closed_triples": q_closed_triples,
         "label_propagation": q_label_propagation,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
@@ -1678,6 +1679,44 @@ FROM nverts v LEFT JOIN x8 x ON x.id = v.id
 """
     )
 
+    # ---- dyad + closed-triple census on the directed transition graph
+    recip_sql = (
+        "WITH " + ",\n".join(trans_prelude) + """,
+de AS (SELECT DISTINCT src, dst FROM nedges WHERE src <> dst),
+mk AS (
+  SELECT d.src, d.dst, CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS m
+  FROM de d LEFT JOIN de r ON r.src = d.dst AND r.dst = d.src
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(m) / 2 AS BIGINT) AS n_mutual,
+       CAST(COUNT(*) - SUM(m) AS BIGINT) AS n_asym,
+       ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*), 6) AS reciprocity
+FROM mk
+"""
+    )
+    triples_sql = (
+        "WITH " + ",\n".join(trans_prelude) + """,
+de AS (SELECT DISTINCT src, dst FROM nedges WHERE src <> dst),
+p2 AS (
+  SELECT x.src AS a, x.dst AS b, y.dst AS c
+  FROM de x JOIN de y ON y.src = x.dst
+  WHERE y.dst <> x.src
+),
+sc AS (
+  SELECT p2.a, p2.c,
+         CASE WHEN bk.src IS NOT NULL THEN 1 ELSE 0 END AS cyc,
+         CASE WHEN fw.src IS NOT NULL THEN 1 ELSE 0 END AS tra
+  FROM p2
+  LEFT JOIN de bk ON bk.src = p2.c AND bk.dst = p2.a
+  LEFT JOIN de fw ON fw.src = p2.a AND fw.dst = p2.c
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_paths2,
+       CAST(COALESCE(SUM(cyc) / 3, 0) AS BIGINT) AS n_cyclic,
+       CAST(COALESCE(SUM(tra), 0) AS BIGINT) AS n_transitive
+FROM sc
+"""
+    )
+
     # ---- strongly connected components: directed events graph (even
     # event_ids forward, odd event_ids return for every 5th user);
     # SCC(v) via the mutual-reachability closure, label = min member id
@@ -1846,6 +1885,8 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
             "node2vec_walks": n2v_sql,
             "hits": hits_sql,
             "eigenvector_centrality": eig_sql,
+            "reciprocity": recip_sql,
+            "closed_triples": triples_sql,
             "harmonic_centrality": harm_sql,
             "adamic_adar": aa_sql,
             "jaccard_linkpred": jc_sql,

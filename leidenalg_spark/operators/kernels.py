@@ -446,6 +446,73 @@ def strongly_connected_components(
     return out
 
 
+# ---------------------------------------------------------- dyads / triads
+def reciprocity(spark, edges: DataFrame) -> DataFrame:
+    """Dyad census of the directed simple graph (self-loops excluded,
+    parallel edges collapsed): ``n_edges`` distinct ordered pairs,
+    ``n_mutual`` unordered pairs connected in BOTH directions,
+    ``n_asym`` connected in exactly one, and ``reciprocity`` =
+    fraction of ordered edges that are reciprocated (igraph's default
+    ratio, 2·mutual/(2·mutual + asym)).
+
+    One distinct + one self-equi-join on the reversed key + one
+    aggregate — every step map-side combinable.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("m"))
+    marked = e.join(rev, ["src", "dst"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        (F.sum(F.coalesce("m", F.lit(0))) / 2).cast("long").alias("n_mutual"),
+        (F.count(F.lit(1)) - F.sum(F.coalesce("m", F.lit(0)))).cast("long").alias("n_asym"),
+        F.round(F.sum(F.coalesce("m", F.lit(0))) / F.count(F.lit(1)), 6).alias("reciprocity"),
+    )
+
+
+def closed_triples(spark, edges: DataFrame) -> DataFrame:
+    """Directed closed-triple census on the simple graph (loops
+    excluded): ``n_paths2`` = directed 2-paths a→b→c over DISTINCT
+    vertices, ``n_cyclic`` = cyclic triangles a→b→c→a (each counted
+    once — the 3 rotations are deduplicated), ``n_transitive`` =
+    2-paths closed by the shortcut a→c.  The cyclic/transitive balance
+    is the classic feed-forward-vs-feedback motif signal.
+
+    One distinct edge table, one self-join for the 2-paths, two
+    LEFT-semi-style closures — all equi-joins bounded by Σdeg_in·deg_out.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    p2 = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.dst") == F.col("y.src"))
+        .where(F.col("y.dst") != F.col("x.src"))
+        .select(
+            F.col("x.src").alias("a"), F.col("x.dst").alias("b"), F.col("y.dst").alias("c")
+        )
+    )
+    back = e.select(F.col("src").alias("c"), F.col("dst").alias("a"), F.lit(1).alias("cyc"))
+    fwd = e.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.lit(1).alias("tra"))
+    scored = p2.join(back, ["a", "c"], "left").join(fwd, ["a", "c"], "left")
+    out = scored.agg(
+        F.count(F.lit(1)).alias("n_paths2"),
+        F.coalesce(F.sum(F.coalesce("cyc", F.lit(0))) / 3, F.lit(0.0))
+        .cast("long").alias("n_cyclic"),
+        F.coalesce(F.sum(F.coalesce("tra", F.lit(0))), F.lit(0))
+        .cast("long").alias("n_transitive"),
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
 # ------------------------------------------------------------------- HITS
 def _l2_normalise(df: DataFrame, col: str, out: str) -> DataFrame:
     """Divide ``col`` by its L2 norm — the norm rides a 1-row broadcast

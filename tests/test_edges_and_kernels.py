@@ -676,3 +676,40 @@ def test_eigenvector_centrality_star_center_dominates(spark):
     # leaves 3,4,5 are symmetric; 1,2 gain from their extra edge
     assert abs(out[3] - out[4]) < 1e-9 and abs(out[4] - out[5]) < 1e-9
     assert out[1] > out[3] and abs(out[1] - out[2]) < 1e-9
+
+
+def test_reciprocity_hand_computed(spark):
+    import pandas as pd
+    from leidenalg_spark.operators.kernels import reciprocity
+
+    # 1<->2 mutual, 1->3 asym, self-loop ignored, parallel edge collapsed
+    e = spark.createDataFrame(pd.DataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 3), (2, 2)], columns=["src", "dst"]
+    ))
+    r = reciprocity(spark, e).collect()[0]
+    assert r["n_edges"] == 3 and r["n_mutual"] == 1 and r["n_asym"] == 1
+    assert abs(r["reciprocity"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_closed_triples_cycle_vs_transitive(spark):
+    import pandas as pd
+    from leidenalg_spark.operators.kernels import closed_triples
+
+    cyc = spark.createDataFrame(pd.DataFrame(
+        [(1, 2), (2, 3), (3, 1)], columns=["src", "dst"]
+    ))
+    r = closed_triples(spark, cyc).collect()[0]
+    assert (r["n_paths2"], r["n_cyclic"], r["n_transitive"]) == (3, 1, 0)
+
+    tra = spark.createDataFrame(pd.DataFrame(
+        [(1, 2), (2, 3), (1, 3)], columns=["src", "dst"]
+    ))
+    r = closed_triples(spark, tra).collect()[0]
+    assert (r["n_paths2"], r["n_cyclic"], r["n_transitive"]) == (1, 0, 1)
+
+    # 2-cycles are NOT 2-paths (distinct-vertex rule)
+    two = spark.createDataFrame(pd.DataFrame(
+        [(1, 2), (2, 1)], columns=["src", "dst"]
+    ))
+    r = closed_triples(spark, two).collect()[0]
+    assert (r["n_paths2"], r["n_cyclic"], r["n_transitive"]) == (0, 0, 0)
