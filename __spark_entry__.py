@@ -348,6 +348,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_reciprocity(spark, sf):
         return K.reciprocity(spark, _transition_ids(spark, sf))
 
+    def q_negative_samples(spark, sf):
+        # link-prediction training negatives on the transition graph
+        return K.negative_samples(spark, _transition_ids(spark, sf), k=3, seed=7)
+
     def q_closed_triples(spark, sf):
         return K.closed_triples(spark, _transition_ids(spark, sf))
 
@@ -666,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_centrality": q_eigenvector,
         "reciprocity": q_reciprocity,
         "closed_triples": q_closed_triples,
+        "negative_samples": q_negative_samples,
         "label_propagation": q_label_propagation,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
@@ -1717,6 +1722,31 @@ FROM sc
 """
     )
 
+    # ---- negative sampling: md5 draws over the rank-ordered vertex table
+    negs_sql = (
+        "WITH " + ",\n".join(trans_prelude) + """,
+de AS (SELECT DISTINCT src, dst FROM nedges WHERE src <> dst),
+vt AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS idx FROM nverts),
+n1 AS (SELECT COUNT(*) AS n FROM vt),
+dr AS (SELECT src, dst, CAST(i AS BIGINT) AS draw
+       FROM de CROSS JOIN (SELECT unnest(range(1, 4)) AS i)),
+c AS (
+  SELECT dr.src, dr.dst, dr.draw,
+         (('0x' || substr(md5('7:' || CAST(dr.src AS VARCHAR) || ':' ||
+             CAST(dr.dst AS VARCHAR) || ':' || CAST(dr.draw AS VARCHAR)),
+             1, 8))::BIGINT % n1.n) + 1 AS idx
+  FROM dr CROSS JOIN n1
+),
+cd AS (
+  SELECT c.src, c.dst AS pos_dst, vt.id AS neg_dst, c.draw
+  FROM c JOIN vt USING (idx) WHERE vt.id <> c.src
+)
+SELECT cd.src, cd.pos_dst, cd.neg_dst, cd.draw
+FROM cd LEFT JOIN de x ON x.src = cd.src AND x.dst = cd.neg_dst
+WHERE x.src IS NULL
+"""
+    )
+
     # ---- strongly connected components: directed events graph (even
     # event_ids forward, odd event_ids return for every 5th user);
     # SCC(v) via the mutual-reachability closure, label = min member id
@@ -1887,6 +1917,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
             "eigenvector_centrality": eig_sql,
             "reciprocity": recip_sql,
             "closed_triples": triples_sql,
+            "negative_samples": negs_sql,
             "harmonic_centrality": harm_sql,
             "adamic_adar": aa_sql,
             "jaccard_linkpred": jc_sql,

@@ -446,6 +446,70 @@ def strongly_connected_components(
     return out
 
 
+# ------------------------------------------------------ negative sampling
+def negative_samples(spark, edges: DataFrame, k: int = 3, seed: int = 42) -> DataFrame:
+    """Deterministic negative sampling for link-prediction / embedding
+    training: for every distinct directed edge (loops excluded), ``k``
+    md5-keyed uniform vertex draws; a draw that hits the source itself
+    or one of its existing out-neighbours is DROPPED, not re-drawn
+    (expected survivors ≈ k·(1 − density); re-draw loops would break
+    the retry/append stability the md5 samplers guarantee).  Returns
+    (src, pos_dst, neg_dst, draw).
+
+    Scale shape: positives explode ×k (a bounded constant), one
+    broadcast of the 1-row vertex count, one equi-join against the
+    dense-ranked vertex table, one anti-join against the edge set.
+    The dense rank is a row_number over the vertex ids — the same
+    global-sort primitive as T5 renumbering; at extreme |V| swap in a
+    precomputed id↔index table.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    vt = _vertices(e).withColumn(
+        "idx", F.row_number().over(Window.orderBy("id")).cast("long")
+    )
+    n1 = vt.agg(F.count(F.lit(1)).alias("n"))
+    draws = e.withColumn(
+        "draw", F.explode(F.array(*[F.lit(i).cast("long") for i in range(1, k + 1)]))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(seed)),
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                    F.col("draw").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        draws.crossJoin(F.broadcast(n1))
+        .withColumn("idx", (h % F.col("n")) + 1)
+        .join(vt.select("idx", F.col("id").alias("neg_dst")), "idx")
+        .where(F.col("neg_dst") != F.col("src"))
+    )
+    out = cand.join(
+        e.select("src", F.col("dst").alias("neg_dst")), ["src", "neg_dst"], "left_anti"
+    )
+    res = out.select("src", F.col("dst").alias("pos_dst"), "neg_dst", "draw")
+    res = res.localCheckpoint(eager=True)
+    e.unpersist()
+    return res
+
+
 # ---------------------------------------------------------- dyads / triads
 def reciprocity(spark, edges: DataFrame) -> DataFrame:
     """Dyad census of the directed simple graph (self-loops excluded,

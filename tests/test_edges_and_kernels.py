@@ -713,3 +713,35 @@ def test_closed_triples_cycle_vs_transitive(spark):
     ))
     r = closed_triples(spark, two).collect()[0]
     assert (r["n_paths2"], r["n_cyclic"], r["n_transitive"]) == (0, 0, 0)
+
+
+def test_negative_samples_deterministic_and_clean(spark):
+    import hashlib
+    import pandas as pd
+    from leidenalg_spark.operators.kernels import negative_samples
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4)]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"])
+                              .assign(weight=1.0))
+    out = negative_samples(spark, e, k=3, seed=7).toPandas()
+    pos = set(edges)
+    # no survivor is a self-pair or an existing edge
+    for r in out.itertuples():
+        assert r.neg_dst != r.src
+        assert (r.src, r.neg_dst) not in pos
+    # exact python twin: same md5 draw over the rank-ordered vertex table
+    verts = sorted({x for ed in edges for x in ed})
+    idx_of = {i + 1: v for i, v in enumerate(verts)}
+    exp = []
+    for s, d in edges:
+        for i in (1, 2, 3):
+            h = int(hashlib.md5(f"7:{s}:{d}:{i}".encode()).hexdigest()[:8], 16)
+            cand = idx_of[h % len(verts) + 1]
+            if cand != s and (s, cand) not in pos:
+                exp.append((s, d, cand, i))
+    got = sorted(map(tuple, out[["src", "pos_dst", "neg_dst", "draw"]].to_numpy().tolist()))
+    assert got == sorted(exp)
+    # rerun is bit-identical (retry-stable)
+    out2 = negative_samples(spark, e, k=3, seed=7).toPandas()
+    got2 = sorted(map(tuple, out2[["src", "pos_dst", "neg_dst", "draw"]].to_numpy().tolist()))
+    assert got2 == got
