@@ -349,8 +349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return K.reciprocity(spark, _transition_ids(spark, sf))
 
     def q_negative_samples(spark, sf):
-        # link-prediction training negatives on the transition graph
-        return K.negative_samples(spark, _transition_ids(spark, sf), k=3, seed=7)
+        # link-prediction training negatives on the SPARSE directed
+        # user->type graph (the complete transition graph would reject
+        # every draw)
+        return K.negative_samples(spark, _bipartite_ids_det(spark, sf), k=3, seed=7)
 
     def q_closed_triples(spark, sf):
         return K.closed_triples(spark, _transition_ids(spark, sf))
@@ -1724,9 +1726,9 @@ FROM sc
 
     # ---- negative sampling: md5 draws over the rank-ordered vertex table
     negs_sql = (
-        "WITH " + ",\n".join(trans_prelude) + """,
-de AS (SELECT DISTINCT src, dst FROM nedges WHERE src <> dst),
-vt AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS idx FROM nverts),
+        "WITH " + _DET_PRELUDE + """,
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+vt AS (SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS idx FROM verts),
 n1 AS (SELECT COUNT(*) AS n FROM vt),
 dr AS (SELECT src, dst, CAST(i AS BIGINT) AS draw
        FROM de CROSS JOIN (SELECT unnest(range(1, 4)) AS i)),
