@@ -60,6 +60,9 @@ DECLARATIVE = [
     "pii_mask",
     "community_stats",
     "pmi_cooccurrence",
+    "reciprocity",
+    "training_set",
+    "event_windows_sliding",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
