@@ -553,6 +553,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(spark, sf), width="2 hours", slide="1 hour"
         )
 
+    def q_trending(spark, sf):
+        # top-2 event types per hour (batch twin of streaming.trending)
+        from leidenalg_spark.operators.events import trending_topk
+
+        return trending_topk(_events(spark, sf), width="1 hour", k=2)
+
     def q_funnel(spark, sf):
         # ordered view -> click -> purchase completion, strictly-after,
         # first-match-wins per user, whole funnel bounded to 1 day from
@@ -685,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_profile": q_value_profile,
         "event_windows": q_event_windows,
         "event_windows_sliding": q_event_windows_sliding,
+        "trending_topk": q_trending,
         "funnel": q_funnel,
         "jaccard_linkpred": q_jaccard_linkpred,
         "community_stats": q_community_stats,
@@ -1060,6 +1067,20 @@ FROM (
 )
 WHERE ts >= ws AND ts < ws + INTERVAL '2 hours'
 GROUP BY 1, 2
+""",
+        "trending_topk": """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT window_start, event_type, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                 ORDER BY n DESC, event_type ASC) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT window_start, event_type, n, rank FROM rk WHERE rank <= 2
 """,
         "funnel": """
 WITH s1 AS (

@@ -118,6 +118,45 @@ def value_profile(
     return df.groupBy(F.col(group)).agg(*aggs)
 
 
+def trending_topk(
+    df: DataFrame,
+    ts_col: str = "ts",
+    label: str = "event_type",
+    width: str = "1 hour",
+    slide: str | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k labels per (tumbling or hopping) window by event count —
+    the batch twin of :func:`..streaming.trending.run_trending` (same
+    bucketing, same rank tiebreak: count desc, label asc).  Returns
+    (window_start, label, n, rank).
+
+    One hash aggregate + one bounded per-window rank window
+    (|labels|-deep partitions, never a global sort).
+    """
+    if slide is not None:
+        ws, ss = _interval_seconds(width), _interval_seconds(slide)
+        if ws is not None and ss is not None and ss > ws:
+            raise ValueError(
+                f"slide ({slide}) must not exceed width ({width}); "
+                "gapped sampling windows drop events silently"
+            )
+    w = (
+        F.window(F.col(ts_col), width)
+        if slide is None
+        else F.window(F.col(ts_col), width, slide)
+    )
+    counts = (
+        df.groupBy(w.alias("w"), F.col(label))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), label, "n")
+    )
+    r = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc(label))
+    )
+    return counts.withColumn("rank", r.cast("long")).where(F.col("rank") <= k)
+
+
 def funnel(
     df: DataFrame,
     steps: list[str],

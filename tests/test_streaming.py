@@ -1,6 +1,8 @@
 """Structured-Streaming incremental edge derivation: the streaming result
 must equal the batch derivation on the same input."""
 
+from pyspark.sql import functions as F
+
 from leidenalg_spark.operators.edges import derive_named_edges
 from leidenalg_spark.sources.transcripts import synthetic_transcripts
 from leidenalg_spark.streaming.incremental import run_incremental
@@ -87,3 +89,47 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     assert got == exp
     assert len(exp) > 0 and len(exp) < 40  # the filter actually removed docs
     bench.unpersist()
+
+
+def test_streaming_trending_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+    from leidenalg_spark.operators.events import trending_topk
+    from leidenalg_spark.streaming.trending import run_trending
+
+    def _ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    rows = []
+    # window [00:00, 01:00): a x3, b x2, c x1; [01:00, 02:00): b x2, c x1
+    for i, (t, lab) in enumerate([
+        ("2024-01-01 00:05:00", "a"), ("2024-01-01 00:10:00", "a"),
+        ("2024-01-01 00:15:00", "a"), ("2024-01-01 00:20:00", "b"),
+        ("2024-01-01 00:25:00", "b"), ("2024-01-01 00:30:00", "c"),
+        ("2024-01-01 01:05:00", "b"), ("2024-01-01 01:10:00", "b"),
+        ("2024-01-01 01:15:00", "c"),
+    ]):
+        rows.append((i, _ts(t), lab, i, 1.0))
+    # heartbeat far past the horizon flushes both real windows (its own
+    # window stays pending — the documented append-mode caveat)
+    rows.append((99, _ts("2024-01-02 00:00:00"), "___flush", 99, 0.0))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "event_id", "value"])
+    ev = spark.createDataFrame(pdf)
+    in_dir = str(tmp_path / "in")
+    ev.write.parquet(in_dir)
+
+    run_trending(spark, in_dir, str(tmp_path / "ckpt"), str(tmp_path / "out"), k=2)
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .select("window_start", "event_type", "n", "rank")
+        .toPandas().sort_values(["window_start", "rank"]).reset_index(drop=True)
+    )
+    exp = (
+        trending_topk(ev.where(F.col("event_type") != "___flush"), k=2)
+        .select("window_start", F.col("event_type"), "n", "rank")
+        .toPandas().sort_values(["window_start", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # and the ranks themselves are the planted truth
+    assert list(exp["event_type"]) == ["a", "b", "b", "c"]
