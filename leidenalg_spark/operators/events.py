@@ -118,6 +118,22 @@ def value_profile(
     return df.groupBy(F.col(group)).agg(*aggs)
 
 
+def window_expr(ts_col: str, width: str, slide: str | None):
+    """Validated tumbling/hopping window bucket expression — the ONE
+    place the slide-vs-width guard and window construction live
+    (event_windows, trending_topk and streaming.trending all route
+    through it, so the gapped-sampling rejection can't drift apart)."""
+    if slide is not None:
+        ws, ss = _interval_seconds(width), _interval_seconds(slide)
+        if ws is not None and ss is not None and ss > ws:
+            raise ValueError(
+                f"slide ({slide}) must not exceed width ({width}); "
+                "gapped sampling windows drop events silently"
+            )
+        return F.window(F.col(ts_col), width, slide)
+    return F.window(F.col(ts_col), width)
+
+
 def trending_topk(
     df: DataFrame,
     ts_col: str = "ts",
@@ -134,18 +150,7 @@ def trending_topk(
     One hash aggregate + one bounded per-window rank window
     (|labels|-deep partitions, never a global sort).
     """
-    if slide is not None:
-        ws, ss = _interval_seconds(width), _interval_seconds(slide)
-        if ws is not None and ss is not None and ss > ws:
-            raise ValueError(
-                f"slide ({slide}) must not exceed width ({width}); "
-                "gapped sampling windows drop events silently"
-            )
-    w = (
-        F.window(F.col(ts_col), width)
-        if slide is None
-        else F.window(F.col(ts_col), width, slide)
-    )
+    w = window_expr(ts_col, width, slide)
     counts = (
         df.groupBy(w.alias("w"), F.col(label))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -260,20 +265,7 @@ def event_windows(
     constant factor, not a join.  Returns (window_start, label, n,
     total).
     """
-    if slide is not None:
-        ws, ss = _interval_seconds(width), _interval_seconds(slide)
-        if ws is not None and ss is not None and ss > ws:
-            # slide > width samples the stream and silently DROPS the
-            # events between windows — almost certainly swapped args
-            raise ValueError(
-                f"slide ({slide}) must not exceed width ({width}); "
-                "gapped sampling windows drop events silently"
-            )
-    w = (
-        F.window(F.col(ts_col), width)
-        if slide is None
-        else F.window(F.col(ts_col), width, slide)
-    )
+    w = window_expr(ts_col, width, slide)
     return (
         df.groupBy(w.alias("w"), F.col(label))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(value), 6).alias("total"))

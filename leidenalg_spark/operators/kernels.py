@@ -624,15 +624,20 @@ def hits(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("weight") * F.col("hub")).alias("authority"))
         )
+        barrier = t % ckpt_every == 0 or t == max_iter
+        if barrier:
+            # materialise a BEFORE h is built on it: h's save then runs
+            # one gather over the saved table instead of replaying the
+            # whole inter-barrier chain a second time; normalising on
+            # the saved table keeps the norm's cross join off the
+            # iteration subtree (no exponential plan growth)
+            a = _l2_normalise(ckpt.save(a, "hits_auth", t), "authority", "authority")
         h = (
             e.join(a.select(F.col("id").alias("dst"), "authority"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum(F.col("weight") * F.col("authority")).alias("hub"))
         )
-        if t % ckpt_every == 0 or t == max_iter:
-            # materialise FIRST, normalise on the saved table: the norm's
-            # cross join then duplicates a scan, not the iteration plan
-            a = _l2_normalise(ckpt.save(a, "hits_auth", t), "authority", "authority")
+        if barrier:
             h = _l2_normalise(ckpt.save(h, "hits_hub", t), "hub", "hub")
     out = (
         verts.join(h, "id", "left")

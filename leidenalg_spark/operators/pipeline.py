@@ -45,9 +45,11 @@ def training_set(
     cont = decontaminate(docs, benchmark, n=n_contam, col=col).select(
         "doc_id", "contaminated"
     )
+    # every feature table already carries each doc_id exactly once, so
+    # the join chain starts from keep — joining docs again would add a
+    # fifth full-corpus scan for zero semantic effect
     return (
-        docs.select("doc_id")
-        .join(keep, "doc_id")
+        keep
         .join(lang, "doc_id")
         .join(qual, "doc_id")
         .join(cont, "doc_id")

@@ -42,12 +42,12 @@ def run_trending(
     """Process all available input (``availableNow``), appending the
     top-``k`` labels of every window the watermark has passed.  Call
     again after new files land to continue from the checkpoint."""
+    from ..operators.events import window_expr
+
     stream = spark.readStream.schema(schema or EVENTS_SCHEMA).parquet(in_path)
-    w = (
-        F.window(F.col("ts"), width)
-        if slide is None
-        else F.window(F.col("ts"), width, slide)
-    )
+    # shared validated constructor: slide > width raises here exactly as
+    # in the batch twin, so the two paths can't silently diverge
+    w = window_expr("ts", width, slide)
     counts = (
         stream.withWatermark("ts", watermark)
         .groupBy(w.alias("w"), F.col("event_type"))
