@@ -357,6 +357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_closed_triples(spark, sf):
         return K.closed_triples(spark, _transition_ids(spark, sf))
 
+    def q_k_truss(spark, sf):
+        # fixed 4 peel rounds (oracle comparability, like k_core)
+        return K.k_truss(spark, _transition_ids(spark, sf), k=5, rounds=4)
+
     def q_eigenvector(spark, sf):
         # eigenvector centrality on the SYMMETRISED event-type transition
         # graph — self-loops make it aperiodic, so the power iteration
@@ -678,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_centrality": q_eigenvector,
         "reciprocity": q_reciprocity,
         "closed_triples": q_closed_triples,
+        "k_truss": q_k_truss,
         "negative_samples": q_negative_samples,
         "label_propagation": q_label_propagation,
         "simhash": q_simhash,
@@ -1745,6 +1750,40 @@ FROM sc
 """
     )
 
+    # ---- k-truss: 4 unrolled synchronous peel rounds (k=5 -> support
+    # >= 3) on the simple transition graph; every CTE MATERIALIZED (each
+    # round references the previous edge set 4 times — inlining would
+    # blow the base scan up 4^4x, cf. the k_core twin)
+    def _kt_sup(src_cte):
+        return f"""
+    SELECT e.a, e.b, COUNT(*) AS support
+    FROM {src_cte} e
+    JOIN (SELECT a AS u, b AS v FROM {src_cte}
+          UNION ALL SELECT b AS u, a AS v FROM {src_cte}) s1 ON s1.u = e.a
+    JOIN (SELECT a AS u, b AS v FROM {src_cte}
+          UNION ALL SELECT b AS u, a AS v FROM {src_cte}) s2
+      ON s2.u = e.b AND s2.v = s1.v
+    GROUP BY e.a, e.b"""
+
+    kt = ["WITH " + ",\n".join(trans_prelude),
+          """te0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM nedges WHERE src <> dst
+)"""]
+    for r in range(1, 5):
+        kt.append(f"ts{r} AS MATERIALIZED ({_kt_sup(f'te{r - 1}')}\n)")
+        kt.append(f"""te{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM te{r - 1} e
+  JOIN ts{r} s ON s.a = e.a AND s.b = e.b AND s.support >= 3
+)""")
+    kt.append(f"tsf AS MATERIALIZED ({_kt_sup('te4')}\n)")
+    ktruss_sql = (
+        kt[0] + ",\n" + ",\n".join(kt[1:]) + """
+SELECT e.a, e.b, CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+FROM te4 e LEFT JOIN tsf s ON s.a = e.a AND s.b = e.b
+"""
+    )
+
     # ---- negative sampling: md5 draws over the rank-ordered vertex table
     negs_sql = (
         "WITH " + _DET_PRELUDE + """,
@@ -1940,6 +1979,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
             "eigenvector_centrality": eig_sql,
             "reciprocity": recip_sql,
             "closed_triples": triples_sql,
+            "k_truss": ktruss_sql,
             "negative_samples": negs_sql,
             "harmonic_centrality": harm_sql,
             "adamic_adar": aa_sql,

@@ -446,6 +446,75 @@ def strongly_connected_components(
     return out
 
 
+def k_truss(
+    spark,
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    max_rounds: int = 50,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """k-truss decomposition: iteratively drop edges of the simple
+    undirected graph whose support (triangles containing the edge in
+    the CURRENT graph) is < k−2, to a fixpoint.  Returns the surviving
+    edges (a, b, support) with the support inside the truss — the
+    edge-level analogue of :func:`k_core` (k-core bounds vertex
+    degrees, k-truss bounds edge embeddedness; every k-truss is inside
+    the (k−1)-core).
+
+    ``rounds``: run EXACTLY that many synchronous peel rounds — the
+    oracle-comparability mode (cf. ``k_core``/``label_propagation``).
+
+    Scale: per round one wedge join (common-neighbour count per edge,
+    bounded by Σ deg(a)·deg(b) over surviving edges) + one semi-join;
+    per-round lineage truncation via the checkpoint; rounds needed =
+    peel depth, independent of diameter.
+    """
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    e = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = ckpt.save(e, "ktruss_edges", 0)
+    n_rounds = rounds if rounds is not None else max_rounds
+    prev_cnt = None
+
+    def _support(cur):
+        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("x"))
+        s2 = sym.select(F.col("u").alias("b"), F.col("v").alias("x"))
+        return (
+            cur.join(s1, "a")
+            .join(s2, ["b", "x"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+
+    for r in range(1, n_rounds + 1):
+        keep = _support(e).where(F.col("support") >= k - 2).select("a", "b")
+        nxt = ckpt.save(e.join(keep, ["a", "b"], "left_semi"), "ktruss_edges", r)
+        cnt = nxt.count()
+        e = nxt
+        if rounds is None:
+            if cnt == 0 or cnt == prev_cnt:
+                break
+            prev_cnt = cnt
+    out = (
+        e.join(_support(e), ["a", "b"], "left")
+        .select("a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support"))
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    return out
+
+
 # ------------------------------------------------------ negative sampling
 def negative_samples(spark, edges: DataFrame, k: int = 3, seed: int = 42) -> DataFrame:
     """Deterministic negative sampling for link-prediction / embedding

@@ -745,3 +745,33 @@ def test_negative_samples_deterministic_and_clean(spark):
     out2 = negative_samples(spark, e, k=3, seed=7).toPandas()
     got2 = sorted(map(tuple, out2[["src", "pos_dst", "neg_dst", "draw"]].to_numpy().tolist()))
     assert got2 == got
+
+
+def test_k_truss_planted(spark):
+    import pandas as pd
+    from leidenalg_spark.operators.kernels import k_truss
+
+    # two triangles sharing edge (2,3), pendant edge (4,5)
+    e = spark.createDataFrame(pd.DataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (4, 5)],
+        columns=["src", "dst"],
+    ).assign(weight=1.0))
+    t3 = k_truss(spark, e, k=3).toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    # 3-truss keeps every triangle edge, drops only the pendant
+    assert list(map(tuple, t3[["a", "b"]].to_numpy())) == [
+        (1, 2), (1, 3), (2, 3), (2, 4), (3, 4)
+    ]
+    assert t3.set_index(["a", "b"])["support"].to_dict() == {
+        (1, 2): 1, (1, 3): 1, (2, 3): 2, (2, 4): 1, (3, 4): 1
+    }
+    # 4-truss: after (2,3) alone survives round 1, its support drops to
+    # 0 and the truss empties — the cascade the fixpoint must follow
+    assert k_truss(spark, e, k=4).count() == 0
+
+    # K4 is exactly a 4-truss: 6 edges, every support 2
+    k4 = spark.createDataFrame(pd.DataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        columns=["src", "dst"],
+    ).assign(weight=1.0))
+    got = k_truss(spark, k4, k=4).toPandas()
+    assert len(got) == 6 and (got["support"] == 2).all()
