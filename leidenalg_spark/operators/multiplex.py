@@ -533,6 +533,7 @@ def leiden_multiplex(
     ckpt=None,
     finish: bool = True,
     fixed: DataFrame | None = None,
+    initial_membership: DataFrame | None = None,
 ):
     """Distributed multiplex Leiden (O3/O14 at scale): one shared membership
     over L layers, ``edges`` = (src, dst, weight, layer:int 0..L-1),
@@ -606,7 +607,8 @@ def leiden_multiplex(
             initial = {int(v): int(v) for v in ids}
         init, uniq = None, None
         if initial is not None:
-            labels = np.array([initial[int(v)] for v in ids], dtype=np.int64)
+            # vertices absent from a partial seed keep their own label
+            labels = np.array([initial.get(int(v), int(v)) for v in ids], dtype=np.int64)
             uniq, init = np.unique(labels, return_inverse=True)
             init = init.astype(np.int64)
         P = LocalPartition(layers, layer_weights=lw, membership=init)
@@ -634,7 +636,12 @@ def leiden_multiplex(
         fixed_id_list = (
             [int(r["id"]) for r in fixed.select("id").collect()] if fixed is not None else None
         )
-        membership = _local_solve(edges, node_sizes, fixed_ids=fixed_id_list)
+        init = (
+            {int(r["id"]): int(r["comm"])
+             for r in initial_membership.select("id", "comm").collect()}
+            if initial_membership is not None else None
+        )
+        membership = _local_solve(edges, node_sizes, initial=init, fixed_ids=fixed_id_list)
         q = quality_multiplex(edges, membership, specs, lw, node_sizes)
         edges.unpersist()
         from .leiden import LeidenResult
@@ -768,7 +775,16 @@ def leiden_multiplex(
         # edges_w is symmetrised, so each intra edge is counted twice
         return float(own) / 2.0 - float(q_pen)
 
-    membership = varr.select("id", F.col("id").alias("comm"))
+    if initial_membership is not None:
+        # seed partition; vertices absent from a partial seed stay
+        # singletons (same contract as single-layer leiden)
+        membership = (
+            varr.select("id")
+            .join(initial_membership.select("id", "comm"), "id", "left")
+            .select("id", F.coalesce("comm", F.col("id")).alias("comm"))
+        )
+    else:
+        membership = varr.select("id", F.col("id").alias("comm"))
     step_idx = 0
     membership = ckpt.save(membership, "mx_membership", step_idx)
     import time as _time

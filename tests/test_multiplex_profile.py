@@ -419,3 +419,53 @@ def test_bipartite_df_null_type_class(spark):
     P, _ = find_partition_multiplex_local(layers, layer_weights=lw, seed=4)
     assert np.isclose(res.quality, P.quality(), rtol=1e-6, atol=1e-6)
     assert res.membership.toPandas()["comm"].nunique() == 1
+
+
+def test_leiden_multiplex_initial_membership(spark):
+    """Seeding the distributed multiplex run with the known optimum must
+    keep that quality, and a PARTIAL seed must not drop unseeded
+    vertices (single-layer leiden's contract, now shared)."""
+    import pandas as pd
+    from leidenalg_spark.localcore import QualitySpec
+    from leidenalg_spark.operators.multiplex import leiden_multiplex
+
+    f1 = fx.full(8)
+    s = np.concatenate([f1[1], f1[1] + 8, [0]])
+    d = np.concatenate([f1[2], f1[2] + 8, [8]])
+    e = spark.createDataFrame(pd.DataFrame({
+        "src": s.astype("int64"), "dst": d.astype("int64"),
+        "weight": 1.0, "layer": 0,
+    }))
+    specs = [QualitySpec("modularity")]
+
+    # optimal two-clique seed, labels chosen OUTSIDE the vertex-id space
+    seed_df = spark.createDataFrame(pd.DataFrame({
+        "id": np.arange(16, dtype="int64"),
+        "comm": np.where(np.arange(16) < 8, 100, 200).astype("int64"),
+    }))
+    res = leiden_multiplex(spark, e, specs, local_threshold=0,
+                           max_supersteps=6, seed=3,
+                           initial_membership=seed_df)
+    memb = res.membership.toPandas().sort_values("id")["comm"].to_numpy()
+    assert len(set(memb[:8])) == 1 and len(set(memb[8:])) == 1
+    assert memb[0] != memb[8]
+
+    base = leiden_multiplex(spark, e, specs, local_threshold=0,
+                            max_supersteps=6, seed=3)
+    assert res.quality >= base.quality - 1e-9
+
+    # partial seed: only vertices 0..3 seeded; all 16 must still appear
+    part = spark.createDataFrame(pd.DataFrame({
+        "id": np.arange(4, dtype="int64"),
+        "comm": np.full(4, 300, dtype="int64"),
+    }))
+    res_p = leiden_multiplex(spark, e, specs, local_threshold=0,
+                             max_supersteps=6, seed=3,
+                             initial_membership=part)
+    assert res_p.membership.count() == 16
+
+    # local path accepts the same seed (small threshold routes local)
+    res_l = leiden_multiplex(spark, e, specs, local_threshold=10_000,
+                             seed=3, initial_membership=seed_df)
+    memb_l = res_l.membership.toPandas().sort_values("id")["comm"].to_numpy()
+    assert len(set(memb_l[:8])) == 1 and memb_l[0] != memb_l[8]
