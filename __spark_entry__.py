@@ -361,6 +361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed 4 peel rounds (oracle comparability, like k_core)
         return K.k_truss(spark, _transition_ids(spark, sf), k=5, rounds=4)
 
+    def q_densest_subgraph(spark, sf):
+        # Bahmani batched peel, 4 fixed rounds, on the bipartite graph
+        return K.densest_subgraph(spark, _bipartite_ids_det(spark, sf), rounds=4)
+
     def q_eigenvector(spark, sf):
         # eigenvector centrality on the SYMMETRISED event-type transition
         # graph — self-loops make it aperiodic, so the power iteration
@@ -683,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "closed_triples": q_closed_triples,
         "k_truss": q_k_truss,
+        "densest_subgraph": q_densest_subgraph,
         "negative_samples": q_negative_samples,
         "label_propagation": q_label_propagation,
         "simhash": q_simhash,
@@ -1784,6 +1789,44 @@ FROM te4 e LEFT JOIN tsf s ON s.a = e.a AND s.b = e.b
 """
     )
 
+    # ---- densest subgraph: 4 unrolled Bahmani peel rounds (eps=0) on
+    # the simple bipartite graph; best (earliest on ties) round wins
+    dsg = ["""g0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+)"""]
+    for r in range(0, 5):
+        dsg.append(f"""d{r} AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg
+  FROM (SELECT a AS id FROM g{r} UNION ALL SELECT b FROM g{r}) GROUP BY id
+)""")
+        dsg.append(
+            f"r{r} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            f"COALESCE(SUM(deg), 0) / 2.0 AS m FROM d{r})"
+        )
+        if r < 4:
+            dsg.append(f"""g{r + 1} AS MATERIALIZED (
+  SELECT g.a, g.b FROM g{r} g
+  JOIN d{r} da ON da.id = g.a JOIN d{r} db ON db.id = g.b
+  WHERE da.deg > 2.0 * (SELECT m / n FROM r{r})
+    AND db.deg > 2.0 * (SELECT m / n FROM r{r})
+)""")
+    dsg.append(
+        "dens AS (" + " UNION ALL ".join(
+            f"SELECT {r} AS r, m / n AS density FROM r{r} WHERE n > 0"
+            for r in range(0, 5)
+        ) + ")"
+    )
+    dsg.append("best AS (SELECT r, density FROM dens ORDER BY density DESC, r ASC LIMIT 1)")
+    dsg_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(dsg) + """
+SELECT u.id, ROUND((SELECT density FROM best), 6) AS density
+FROM (
+""" + " UNION ALL ".join(f"SELECT id, {r} AS r FROM d{r}" for r in range(0, 5)) + """
+) u WHERE u.r = (SELECT r FROM best)
+"""
+    )
+
     # ---- negative sampling: md5 draws over the rank-ordered vertex table
     negs_sql = (
         "WITH " + _DET_PRELUDE + """,
@@ -1980,6 +2023,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
             "reciprocity": recip_sql,
             "closed_triples": triples_sql,
             "k_truss": ktruss_sql,
+            "densest_subgraph": dsg_sql,
             "negative_samples": negs_sql,
             "harmonic_centrality": harm_sql,
             "adamic_adar": aa_sql,

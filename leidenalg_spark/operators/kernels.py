@@ -515,6 +515,75 @@ def k_truss(
     return out
 
 
+def densest_subgraph(
+    spark,
+    edges: DataFrame,
+    epsilon: float = 0.0,
+    rounds: int | None = None,
+    max_rounds: int = 30,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Greedy densest subgraph by batched peeling (Bahmani, Kumar,
+    Vassilvitskii, "Densest subgraph in streaming and MapReduce",
+    PVLDB 2012): each round removes EVERY vertex whose degree is
+    ≤ 2(1+ε)·ρ (ρ = |E|/|V|, the current density), which terminates in
+    O(log n) rounds and returns a subgraph of density ≥ OPT/(2(1+ε)) —
+    the distributable form of Charikar's one-vertex-at-a-time greedy
+    (which needs Θ(n) sequential rounds).  Returns the best round's
+    vertex set: (id, density) with the achieved density on every row;
+    ties between equally dense rounds resolve to the EARLIEST round.
+
+    ``rounds``: run exactly that many peel rounds (oracle mode).
+
+    Scale: per round one degree aggregate + two semi-joins + two
+    scalar counts; vertex sets checkpoint per round so the winner is
+    reloaded, not recomputed.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    e = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = ckpt.save(e, "dsg_edges", 0)
+    n_rounds = rounds if rounds is not None else max_rounds
+    best_density, best_round = -1.0, 0
+    thresh = 2.0 * (1.0 + float(epsilon))
+    deg_by_round = {}
+    for r in range(0, n_rounds + 1):
+        ends = e.select(F.col("a").alias("id")).unionByName(e.select(F.col("b").alias("id")))
+        deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+        deg = ckpt.save(deg, "dsg_deg", r)
+        deg_by_round[r] = deg
+        row = deg.agg(
+            F.count(F.lit(1)).alias("n"), (F.sum("deg") / 2).alias("m")
+        ).first()
+        n_v, m_e = int(row["n"] or 0), float(row["m"] or 0.0)
+        if n_v == 0:
+            break
+        density = m_e / n_v
+        if density > best_density + 1e-12:
+            best_density, best_round = density, r
+        if r == n_rounds:
+            break
+        keep = deg.where(F.col("deg") > thresh * density).select("id")
+        e = ckpt.save(
+            e.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b"),
+            "dsg_edges", r + 1,
+        )
+    out = (
+        deg_by_round[best_round].select("id")
+        .withColumn("density", F.round(F.lit(best_density), 6))
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    return out
+
+
 # ------------------------------------------------------ negative sampling
 def negative_samples(spark, edges: DataFrame, k: int = 3, seed: int = 42) -> DataFrame:
     """Deterministic negative sampling for link-prediction / embedding

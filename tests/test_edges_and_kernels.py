@@ -775,3 +775,22 @@ def test_k_truss_planted(spark):
     ).assign(weight=1.0))
     got = k_truss(spark, k4, k=4).toPandas()
     assert len(got) == 6 and (got["support"] == 2).all()
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    import pandas as pd
+    from leidenalg_spark.operators.kernels import densest_subgraph
+
+    # K5 (density 2.0) with a pendant path hanging off vertex 4
+    rows = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    rows += [(4, 5), (5, 6), (6, 7), (7, 8), (8, 9), (9, 10)]
+    e = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["src", "dst"]).assign(weight=1.0)
+    )
+    out = densest_subgraph(spark, e).toPandas().sort_values("id")
+    assert list(out["id"]) == [0, 1, 2, 3, 4]
+    assert (out["density"] == 2.0).all()
+
+    # fixed-rounds mode reproduces the same winner (oracle comparability)
+    out_r = densest_subgraph(spark, e, rounds=4).toPandas().sort_values("id")
+    assert list(out_r["id"]) == [0, 1, 2, 3, 4]
