@@ -598,6 +598,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = verts.select(F.col("name").alias("id"), comm.cast("long").alias("comm"))
         return community_stats(e, m)
 
+    def q_embedding_covariance(spark, sf):
+        return S.embedding_covariance(_embeddings(spark, sf))
+
+    def q_embedding_pca(spark, sf):
+        # rows-only: the eigendecomposition step is not SQL-expressible
+        return S.embedding_pca(spark, _embeddings(spark, sf), k=4)
+
     def q_doc_clusters(spark, sf):
         # semantic clustering pipeline: LSH near-dup graph over the
         # embeddings table -> Leiden -> per-vector cluster (rows-only:
@@ -669,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_dedup": q_neardup_dedup,
         "pmi_cooccurrence": q_pmi_cooccurrence,
         "training_set": q_training_set,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_pca": q_embedding_pca,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1245,6 +1254,22 @@ inter AS (
 SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
 WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.1
+""",
+        "embedding_covariance": """
+WITH pos AS (
+  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+),
+n1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+mu AS (SELECT i, SUM(x) / (SELECT n FROM n1) AS mu FROM pos GROUP BY i),
+xx AS (
+  SELECT p1.i AS i, p2.i AS j, SUM(p1.x * p2.x) AS sxy
+  FROM pos p1 JOIN pos p2 ON p1.vec_id = p2.vec_id AND p1.i <= p2.i
+  GROUP BY 1, 2
+)
+SELECT xx.i, xx.j,
+       ROUND(sxy / (SELECT n FROM n1) - mi.mu * mj.mu, 6) AS cov
+FROM xx JOIN mu mi ON mi.i = xx.i JOIN mu mj ON mj.i = xx.j
 """,
         "pmi_cooccurrence": f"""
 WITH pos0 AS (

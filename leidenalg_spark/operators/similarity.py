@@ -341,3 +341,99 @@ def embedding_clusters(
             F.coalesce("cluster", F.col("id")).alias("cluster"),
         )
     )
+
+
+# ------------------------------------------------------- embedding stats
+def embedding_covariance(
+    embeddings: DataFrame, vec_col="embedding", id_col="vec_id"
+) -> DataFrame:
+    """Population covariance matrix of the embedding columns — the
+    distributed statistics pass under PCA/whitening.  Returns the upper
+    triangle as (i, j, cov) rows (i ≤ j, 0-based dims), cov rounded 6.
+
+    Scale shape: one posexplode (n·d rows) for the means, one per-vector
+    pair join (n·d²/2 rows BEFORE map-side partial aggregation — the
+    shuffle itself is d²/2 cells per partition, independent of n); the
+    d-row mean table broadcasts.  d² cells is the inherent output of a
+    covariance; nothing here is quadratic in n.
+    """
+    pos = embeddings.select(
+        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    n1 = embeddings.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    mu = (
+        pos.groupBy("i").agg(F.sum("x").alias("sx"))
+        .crossJoin(F.broadcast(n1))
+        .select("i", (F.col("sx") / F.col("n")).alias("mu"))
+    )
+    p1 = pos.select("vid", F.col("i").alias("i"), F.col("x").alias("xi"))
+    p2 = pos.select("vid", F.col("i").alias("j"), F.col("x").alias("xj"))
+    sxy = (
+        p1.join(p2, "vid")
+        .where(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sxy"))
+    )
+    return (
+        sxy.join(F.broadcast(mu.select(F.col("i"), F.col("mu").alias("mi"))), "i")
+        .join(F.broadcast(mu.select(F.col("i").alias("j"), F.col("mu").alias("mj"))), "j")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "i", "j",
+            F.round(F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj"), 6).alias("cov"),
+        )
+    )
+
+
+def embedding_pca(
+    spark, embeddings: DataFrame, k: int = 4, vec_col="embedding", id_col="vec_id"
+) -> DataFrame:
+    """PCA projection to the top-``k`` principal components: the mean and
+    covariance are computed DISTRIBUTED (see
+    :func:`embedding_covariance`); only the d×d matrix reaches the
+    driver, where NumPy eigendecomposes it (d×d is small by
+    construction — the same driver-side-codebook convention as
+    :func:`ivf_train`).  Components ship back as a broadcast (comp,
+    cvec) table and each projection is a JVM ``zip_with`` dot product.
+    Sign convention: each component is flipped so its
+    largest-magnitude entry is positive (deterministic output).
+    Returns (vec_id, comp, score), comp 0-based by descending
+    eigenvalue.
+    """
+    import pandas as pd
+
+    cov_rows = embedding_covariance(embeddings, vec_col, id_col).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    mu_pdf = (
+        embeddings.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i").agg(F.avg(F.col("x").cast("double")).alias("mu"))
+        .toPandas().sort_values("i")
+    )
+    mu = mu_pdf["mu"].to_numpy()
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # (k, d)
+    for c in range(len(comps)):
+        if comps[c][np.argmax(np.abs(comps[c]))] < 0:
+            comps[c] = -comps[c]
+    cdf = spark.createDataFrame(pd.DataFrame({
+        "comp": np.arange(len(comps), dtype=np.int32),
+        "cvec": [[float(x) for x in (c - 0.0)] for c in comps],
+        "coff": [float(np.dot(c, mu)) for c in comps],
+    }))
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("cvec"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    return (
+        embeddings.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            id_col, "comp",
+            F.round(dot - F.col("coff"), 6).alias("score"),
+        )
+    )

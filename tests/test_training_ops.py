@@ -507,3 +507,35 @@ def test_training_set_each_filter_bites(spark):
     assert set(out2["doc_id"]) == {0, 4}
     assert (out2["lang_pred"] == "en").all()
     assert (out2["quality_score"] >= 0.5).all()
+
+
+def test_embedding_covariance_and_pca_match_numpy(spark):
+    rng = np.random.default_rng(9)
+    n, d = 80, 6
+    X = rng.normal(size=(n, d)) @ np.diag([3.0, 2.0, 1.0, 0.5, 0.2, 0.1])
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(n, dtype="int64"),
+        "embedding": [[float(x) for x in row] for row in X],
+    }))
+    cov = S.embedding_covariance(emb).toPandas()
+    C = np.cov(X, rowvar=False, bias=True)  # population covariance
+    assert len(cov) == d * (d + 1) // 2
+    for r in cov.itertuples():
+        assert abs(r.cov - round(C[r.i, r.j], 6)) < 2e-6, (r.i, r.j)
+
+    # PCA: centered scores against a numpy reference with the same
+    # largest-|entry|-positive sign convention
+    k = 3
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for c in range(k):
+        if comps[c][np.argmax(np.abs(comps[c]))] < 0:
+            comps[c] = -comps[c]
+    exp = (X - X.mean(0)) @ comps.T  # (n, k)
+    got = (
+        S.embedding_pca(spark, emb, k=k).toPandas()
+        .pivot(index="vec_id", columns="comp", values="score")
+        .sort_index().to_numpy()
+    )
+    assert np.allclose(got, np.round(exp, 6), atol=5e-6)
