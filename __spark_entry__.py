@@ -361,6 +361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed 4 peel rounds (oracle comparability, like k_core)
         return K.k_truss(spark, _transition_ids(spark, sf), k=5, rounds=4)
 
+    def q_mis(spark, sf):
+        # Luby MIS, 3 fixed rounds, md5 priorities (seed 42)
+        return K.maximal_independent_set(
+            spark, _bipartite_ids_det(spark, sf), seed=42, rounds=3
+        )
+
     def q_densest_subgraph(spark, sf):
         # Bahmani batched peel, 4 fixed rounds, on the bipartite graph
         return K.densest_subgraph(spark, _bipartite_ids_det(spark, sf), rounds=4)
@@ -697,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closed_triples": q_closed_triples,
         "k_truss": q_k_truss,
         "densest_subgraph": q_densest_subgraph,
+        "maximal_independent_set": q_mis,
         "negative_samples": q_negative_samples,
         "label_propagation": q_label_propagation,
         "simhash": q_simhash,
@@ -1814,6 +1821,44 @@ FROM te4 e LEFT JOIN tsf s ON s.a = e.a AND s.b = e.b
 """
     )
 
+    # ---- Luby MIS: 3 unrolled rounds, md5-priority total order — a
+    # vertex wins when its (p, id) pair beats every active neighbour's
+    mis = ["""ge0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+)""",
+           """av0 AS MATERIALIZED (
+  SELECT id, ('0x' || substr(md5('42:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT AS p
+  FROM (SELECT a AS id FROM ge0 UNION SELECT b FROM ge0)
+)"""]
+    for r in range(1, 4):
+        mis.append(f"""sy{r} AS (SELECT a AS u, b AS v FROM ge{r - 1}
+          UNION ALL SELECT b AS u, a AS v FROM ge{r - 1})""")
+        mis.append(f"""nb{r} AS MATERIALIZED (
+  SELECT s.u AS id, MIN(ROW(av.p, av.id)) AS nb
+  FROM sy{r} s JOIN av{r - 1} av ON av.id = s.v GROUP BY s.u
+)""")
+        mis.append(f"""w{r} AS MATERIALIZED (
+  SELECT av.id FROM av{r - 1} av LEFT JOIN nb{r} n ON n.id = av.id
+  WHERE n.id IS NULL OR ROW(av.p, av.id) < n.nb
+)""")
+        mis.append(f"""av{r} AS MATERIALIZED (
+  SELECT av.id, av.p FROM av{r - 1} av
+  WHERE av.id NOT IN (SELECT id FROM w{r})
+    AND av.id NOT IN (SELECT s.v FROM sy{r} s JOIN w{r} w ON w.id = s.u)
+)""")
+        mis.append(f"""ge{r} AS MATERIALIZED (
+  SELECT g.a, g.b FROM ge{r - 1} g
+  JOIN av{r} x ON x.id = g.a JOIN av{r} y ON y.id = g.b
+)""")
+    mis_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(mis) + """
+SELECT id, CAST(1 AS BIGINT) AS mis_round FROM w1
+UNION ALL SELECT id, CAST(2 AS BIGINT) FROM w2
+UNION ALL SELECT id, CAST(3 AS BIGINT) FROM w3
+"""
+    )
+
     # ---- densest subgraph: 4 unrolled Bahmani peel rounds (eps=0) on
     # the simple bipartite graph; best (earliest on ties) round wins
     dsg = ["""g0 AS MATERIALIZED (
@@ -2049,6 +2094,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
             "closed_triples": triples_sql,
             "k_truss": ktruss_sql,
             "densest_subgraph": dsg_sql,
+            "maximal_independent_set": mis_sql,
             "negative_samples": negs_sql,
             "harmonic_centrality": harm_sql,
             "adamic_adar": aa_sql,

@@ -515,6 +515,91 @@ def k_truss(
     return out
 
 
+def maximal_independent_set(
+    spark,
+    edges: DataFrame,
+    seed: int = 42,
+    rounds: int | None = None,
+    max_rounds: int = 50,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Luby-style maximal independent set with DETERMINISTIC md5
+    priorities: each round, an active vertex joins the MIS when its
+    (priority, id) pair beats every active neighbour's — a total order,
+    so no coin flips and no ties; winners and their neighbours
+    deactivate.  O(log n) rounds in expectation for random priorities;
+    md5 priorities behave the same and make the run reproducible in
+    plain SQL.  Returns MIS members as (id, mis_round).
+
+    ``rounds``: run exactly that many rounds (oracle-comparability
+    mode — the result is the members selected so far, a deterministic
+    prefix of the full MIS).
+
+    Scale: per round one neighbour-min aggregate over the active edge
+    set + two semi/anti joins; the active graph shrinks geometrically.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    e = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    pr = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    av = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .withColumn("p", pr)
+    )
+    av = ckpt.save(av, "mis_active", 0)
+    ae = ckpt.save(e, "mis_edges", 0)
+    mis_parts = []
+    n_rounds = rounds if rounds is not None else max_rounds
+    for r in range(1, n_rounds + 1):
+        sym = ae.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            ae.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        nbp = (
+            sym.join(av.select(F.col("id").alias("v"), F.col("p").alias("pv")), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min(F.struct(F.col("pv"), F.col("v"))).alias("nb"))
+        )
+        win = (
+            av.join(nbp, "id", "left")
+            .where(
+                F.col("nb").isNull()
+                | (F.struct(F.col("p"), F.col("id")) < F.col("nb"))
+            )
+            .select("id")
+        )
+        win = ckpt.save(win, "mis_win", r)
+        mis_parts.append(win.select("id", F.lit(r).cast("long").alias("mis_round")))
+        dead = win.unionByName(
+            sym.join(win.withColumnRenamed("id", "u"), "u", "left_semi")
+            .select(F.col("v").alias("id"))
+        ).distinct()
+        av = ckpt.save(av.join(dead, "id", "left_anti"), "mis_active", r)
+        keep = av.select("id")
+        ae = ckpt.save(
+            ae.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi"),
+            "mis_edges", r,
+        )
+        if rounds is None and av.count() == 0:
+            break
+    out = mis_parts[0]
+    for m in mis_parts[1:]:
+        out = out.unionByName(m)
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    return out
+
+
 def densest_subgraph(
     spark,
     edges: DataFrame,

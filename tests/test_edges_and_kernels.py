@@ -794,3 +794,48 @@ def test_densest_subgraph_finds_planted_clique(spark):
     # fixed-rounds mode reproduces the same winner (oracle comparability)
     out_r = densest_subgraph(spark, e, rounds=4).toPandas().sort_values("id")
     assert list(out_r["id"]) == [0, 1, 2, 3, 4]
+
+
+def test_mis_is_independent_and_maximal(spark):
+    import hashlib
+    import pandas as pd
+    from leidenalg_spark.operators.kernels import maximal_independent_set
+
+    fix = fx.erdos_renyi(40, 0.12, seed=5)
+    pairs = {(int(a), int(b)) for a, b in zip(fix[1], fix[2]) if a != b}
+    e = spark.createDataFrame(pd.DataFrame(
+        sorted(pairs), columns=["src", "dst"]
+    ).assign(weight=1.0))
+    out = maximal_independent_set(spark, e, seed=3).toPandas()
+    mis = set(out["id"])
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independent: no two MIS members adjacent
+    for v in mis:
+        assert not (adj.get(v, set()) & mis), v
+    # maximal: every non-member has an MIS neighbour
+    for v in adj:
+        if v not in mis:
+            assert adj[v] & mis, v
+
+    # python twin of the md5-priority rounds — exact member set + rounds
+    def p(v):
+        return (int(hashlib.md5(f"3:{v}".encode()).hexdigest()[:8], 16), v)
+
+    active = set(adj)
+    exp = {}
+    r = 0
+    while active:
+        r += 1
+        winners = {
+            v for v in active
+            if all(p(v) < p(u) for u in (adj[v] & active))
+        }
+        for w in winners:
+            exp[w] = r
+        active -= winners | {u for w in winners for u in adj[w]}
+    got = dict(zip(out["id"], out["mis_round"]))
+    assert got == exp
