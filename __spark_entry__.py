@@ -318,6 +318,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return lp.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
 
+    def q_label_spreading(spark, sf):
+        # semi-supervised: the odd-id (event-type) vertices seed their
+        # own label; users adopt the weight-dominant type
+        e = _bipartite_ids_det(spark, sf)
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id"))).distinct()
+        )
+        seeds = verts.where(F.col("id") % 2 == 1).select(
+            "id", F.col("id").alias("label")
+        )
+        return K.label_spreading(
+            spark, e, seeds, max_iter=4, gate="id_parity", early_stop=False
+        )
+
     def q_random_walks(spark, sf):
         # 3-step md5-seeded weighted walks on the symmetrised graph;
         # unrolled-CTE twin reproduces every hop (seed 42)
@@ -706,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_independent_set": q_mis,
         "negative_samples": q_negative_samples,
         "label_propagation": q_label_propagation,
+        "label_spreading": q_label_spreading,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -1605,6 +1621,30 @@ l{k} AS (
         + "\nSELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM l8 GROUP BY label\n"
     )
 
+    # ---- label spreading: same unroll, odd-id seeds, NULL = unlabeled,
+    # seeds never move, gather only over labeled neighbours
+    ls = ["s0 AS (SELECT id, CASE WHEN id % 2 = 1 THEN id END AS label FROM verts)"]
+    for k in range(1, 5):
+        ls.append(f"""sb{k} AS (
+  SELECT id, nbr AS new_label FROM (
+    SELECT s.src AS id, l.label AS nbr,
+           ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY SUM(s.weight) DESC, l.label ASC) AS rn
+    FROM sym s JOIN s{k - 1} l ON l.id = s.dst AND l.label IS NOT NULL
+    GROUP BY s.src, l.label
+  ) WHERE rn = 1
+),
+s{k} AS (
+  SELECT l.id,
+         CASE WHEN l.id % 2 = 1 THEN l.label
+              WHEN b.new_label IS NOT NULL AND (l.id + {k}) % 2 = 0 THEN b.new_label
+              ELSE l.label END AS label
+  FROM s{k - 1} l LEFT JOIN sb{k} b ON b.id = l.id
+)""")
+    lspread_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(ls)
+        + "\nSELECT id, label FROM s4\n"
+    )
+
     # ---- connected components: reachability closure, component = min id
     cc_sql = (
         "WITH RECURSIVE " + _DET_PRELUDE + """,
@@ -2100,5 +2140,6 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
             "adamic_adar": aa_sql,
             "jaccard_linkpred": jc_sql,
             "label_propagation": lpa_sql,
+            "label_spreading": lspread_sql,
             "connected_components": cc_sql, "assortativity": assort_sql,
             "k_core": kcore_sql, "khop_counts": khop_sql}

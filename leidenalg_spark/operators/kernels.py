@@ -1189,6 +1189,108 @@ def label_propagation(
     return labels
 
 
+def label_spreading(
+    spark,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 10,
+    ckpt: CheckpointManager | None = None,
+    seed: int = 0,
+    gate: str = "hash",
+    early_stop: bool = True,
+) -> DataFrame:
+    """Semi-supervised label spreading: ``seeds`` (id, label) are FIXED;
+    every other vertex starts unlabeled (NULL) and adopts the
+    weight-argmax label among its LABELED neighbours (ties → smallest
+    label).  The same half-gated synchronous supersteps as
+    :func:`label_propagation`; returns (id, label) — vertices that no
+    label ever reaches stay NULL.
+
+    This is the distributed form of seeded community assignment /
+    node classification by propagation: |seeds| classes, O(diameter)
+    rounds to cover a connected graph, per round one gather
+    join+aggregate over the half-gated edge set.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    ).persist()
+    labels = (
+        _vertices(edges)
+        .join(seeds.select("id", F.col("label").cast("long")), "id", "left")
+        .withColumn("is_seed", F.col("label").isNotNull())
+    )
+    labels = ckpt.save(labels, "lsp_labels", 0)
+    for step in range(1, max_iter + 1):
+        def _gate(col):
+            if gate == "id_parity":
+                return F.pmod(col + F.lit(step), F.lit(2)) == 0
+            return F.pmod(F.xxhash64(col, F.lit(step), F.lit(seed)), F.lit(2)) == 0
+
+        nbr_labels = sym.where(_gate(F.col("src"))).join(
+            labels.where(F.col("label").isNotNull())
+            .select(F.col("id").alias("dst"), F.col("label").alias("nbr_label")),
+            "dst",
+        )
+        best = (
+            nbr_labels.groupBy(F.col("src").alias("id"), F.col("nbr_label"))
+            .agg(F.sum("weight").alias("w"))
+            .groupBy("id")
+            .agg(F.max_by("nbr_label", F.struct(F.col("w"), -F.col("nbr_label"))).alias("new_label"))
+        )
+        open_gate = _gate(F.col("id"))
+        upd = labels.join(best, "id", "left").select(
+            "id",
+            F.when(F.col("is_seed"), F.col("label"))
+            .when(F.col("new_label").isNotNull() & open_gate, F.col("new_label"))
+            .otherwise(F.col("label"))
+            .alias("label"),
+            "is_seed",
+        )
+        new_labels = ckpt.save(upd, "lsp_labels", step)
+        if early_stop:
+            changed = (
+                new_labels.withColumnRenamed("label", "nl")
+                .join(labels.select("id", "label"), "id")
+                .where(~F.col("nl").eqNullSafe(F.col("label")))
+                .count()
+            )
+        else:
+            changed = -1
+        labels = new_labels
+        ckpt.log(name="label_spreading", step=step, changed=int(changed))
+        if changed == 0:
+            # a zero-change HALF-round is not a fixpoint proof (the
+            # closed parity class may still have pending moves) — verify
+            # with one UNGATED pending check before stopping
+            full_best = (
+                sym.join(
+                    labels.where(F.col("label").isNotNull())
+                    .select(F.col("id").alias("dst"), F.col("label").alias("nbr_label")),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("id"), F.col("nbr_label"))
+                .agg(F.sum("weight").alias("w"))
+                .groupBy("id")
+                .agg(F.max_by("nbr_label", F.struct(F.col("w"), -F.col("nbr_label"))).alias("nl"))
+            )
+            pending = (
+                labels.where(~F.col("is_seed"))
+                .join(full_best, "id")
+                .where(~F.col("nl").eqNullSafe(F.col("label")))
+                .count()
+            )
+            if pending == 0:
+                break
+    sym.unpersist()
+    out = labels.select("id", "label")
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    return out
+
+
 # -------------------------------------------------------------- triangles
 def oriented_edges(edges: DataFrame) -> DataFrame:
     """Orient each undirected edge from lower to higher (degree, id) —

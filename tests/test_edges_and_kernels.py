@@ -839,3 +839,24 @@ def test_mis_is_independent_and_maximal(spark):
         active -= winners | {u for w in winners for u in adj[w]}
     got = dict(zip(out["id"], out["mis_round"]))
     assert got == exp
+
+
+def test_label_spreading_two_seeds(spark):
+    import pandas as pd
+    from leidenalg_spark.operators.kernels import label_spreading
+
+    # barbell: clique {0,1,2} - bridge - clique {5,6,7}; one seed each
+    rows = [(0, 1), (1, 2), (0, 2), (5, 6), (6, 7), (5, 7), (2, 5), (8, 9)]
+    e = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["src", "dst"]).assign(weight=1.0)
+    )
+    seeds = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 7], "label": [100, 200]})
+    )
+    out = {r["id"]: r["label"] for r in
+           label_spreading(spark, e, seeds, max_iter=20).collect()}
+    assert out[0] == 100 and out[7] == 200   # seeds never move
+    assert out[1] == 100 and out[2] == 100   # left clique adopts left seed
+    assert out[5] == 200 and out[6] == 200   # right clique adopts right
+    # the disconnected pair 8-9 is unreachable from any seed -> NULL
+    assert out[8] is None and out[9] is None
