@@ -582,6 +582,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(spark, sf), width="2 hours", slide="1 hour"
         )
 
+    def q_retention(spark, sf):
+        # weekly retention cohorts keyed by first-seen week
+        from leidenalg_spark.operators.events import retention_cohorts
+
+        return retention_cohorts(_events(spark, sf))
+
     def q_trending(spark, sf):
         # top-2 event types per hour (batch twin of streaming.trending)
         from leidenalg_spark.operators.events import trending_topk
@@ -734,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "event_windows_sliding": q_event_windows_sliding,
         "trending_topk": q_trending,
+        "retention_cohorts": q_retention,
         "funnel": q_funnel,
         "jaccard_linkpred": q_jaccard_linkpred,
         "community_stats": q_community_stats,
@@ -1108,6 +1115,18 @@ FROM (
   FROM events e CROSS JOIN (SELECT unnest(range(0, 2)) AS j) j
 )
 WHERE ts >= ws AND ts < ws + INTERVAL '2 hours'
+GROUP BY 1, 2
+""",
+        "retention_cohorts": """
+WITH first AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_start
+  FROM events GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS b FROM events)
+SELECT f.cohort_start,
+       CAST((epoch(a.b) - epoch(f.cohort_start)) / 604800 AS BIGINT) AS offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM active a JOIN first f ON f.user_id = a.user_id
 GROUP BY 1, 2
 """,
         "trending_topk": """

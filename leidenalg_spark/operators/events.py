@@ -134,6 +134,40 @@ def window_expr(ts_col: str, width: str, slide: str | None):
     return F.window(F.col(ts_col), width)
 
 
+def retention_cohorts(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> DataFrame:
+    """Retention-cohort table: keys are cohorted by their FIRST activity
+    bucket; each (cohort, offset) cell counts the keys of that cohort
+    active ``offset`` buckets later.  Returns (cohort_start, offset,
+    n_active) — offset 0 is the cohort size.
+
+    Scale shape: one min-aggregate for first-seen, one distinct over
+    (key, bucket) activity, one join + hash aggregate — every step
+    map-side combinable, output |buckets|² cells.
+    """
+    tb = F.date_trunc(bucket, F.col(ts_col))
+    first = df.groupBy(key).agg(F.min(tb).alias("cohort_start"))
+    active = df.select(key, tb.alias("b")).distinct()
+    # integral bucket offset: truncate to whole buckets via epoch diff
+    # of the truncated timestamps (weeks are fixed-length; month-bucket
+    # offsets should use months_between instead)
+    secs = {"week": 604800, "day": 86400, "hour": 3600}[bucket]
+    off = (
+        (F.unix_micros(F.col("b").cast("timestamp"))
+         - F.unix_micros(F.col("cohort_start").cast("timestamp"))) / F.lit(secs * 1e6)
+    ).cast("long")
+    return (
+        active.join(first, key)
+        .select("cohort_start", off.alias("offset"))
+        .groupBy("cohort_start", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
 def trending_topk(
     df: DataFrame,
     ts_col: str = "ts",

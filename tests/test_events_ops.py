@@ -190,3 +190,29 @@ def test_event_windows_rejects_gapped_sampling(spark):
         event_windows(ev, width="1 hour", slide="2 hours")
     # equal width/slide is plain tumbling — allowed
     assert event_windows(ev, width="1 hour", slide="60 minutes").count() == 1
+
+
+def test_retention_cohorts_hand_computed(spark):
+    from leidenalg_spark.operators.events import retention_cohorts
+
+    rows = [
+        # user 1: cohort week of 2024-01-01 (Mon), active weeks 0, 1, 3
+        (1, _ts("2024-01-02 10:00:00")), (1, _ts("2024-01-03 11:00:00")),
+        (1, _ts("2024-01-08 09:00:00")), (1, _ts("2024-01-24 09:00:00")),
+        # user 2: same cohort, only week 0
+        (2, _ts("2024-01-05 12:00:00")),
+        # user 3: cohort one week later, weeks 0 and 1
+        (3, _ts("2024-01-10 12:00:00")), (3, _ts("2024-01-17 08:00:00")),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort_start"].date().isoformat(), r["offset"]): r["n_active"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,  # users 1 and 2
+        ("2024-01-01", 1): 1,  # user 1
+        ("2024-01-01", 3): 1,  # user 1
+        ("2024-01-08", 0): 1,  # user 3
+        ("2024-01-08", 1): 1,  # user 3
+    }
