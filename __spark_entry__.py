@@ -582,6 +582,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(spark, sf), width="2 hours", slide="1 hour"
         )
 
+    def q_association_rules(spark, sf):
+        # market-basket rules over 2h-gap sessions of the events stream
+        from leidenalg_spark.operators.sessions import association_rules
+
+        return association_rules(
+            _events(spark, sf), gap_s=7200.0, tiebreak="event_id"
+        )
+
     def q_retention(spark, sf):
         # weekly retention cohorts keyed by first-seen week
         from leidenalg_spark.operators.events import retention_cohorts
@@ -741,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows_sliding": q_event_windows_sliding,
         "trending_topk": q_trending,
         "retention_cohorts": q_retention,
+        "association_rules": q_association_rules,
         "funnel": q_funnel,
         "jaccard_linkpred": q_jaccard_linkpred,
         "community_stats": q_community_stats,
@@ -1116,6 +1125,40 @@ FROM (
 )
 WHERE ts >= ws AND ts < ws + INTERVAL '2 hours'
 GROUP BY 1, 2
+""",
+        "association_rules": """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 7200.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_ord,
+         event_type AS item
+  FROM marked
+),
+items AS (SELECT DISTINCT user_id, session_ord, item FROM sess),
+nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nb
+       FROM (SELECT DISTINCT user_id, session_ord FROM items)),
+ni AS (SELECT item, COUNT(*) AS ni FROM items GROUP BY item),
+pr AS (
+  SELECT a.item AS antecedent, b.item AS consequent, COUNT(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.user_id = b.user_id AND a.session_ord = b.session_ord
+  WHERE a.item <> b.item GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT pr.antecedent, pr.consequent, CAST(pr.n_ab AS BIGINT) AS n_ab,
+       ROUND(pr.n_ab / t.nb, 6) AS support,
+       ROUND(CAST(pr.n_ab AS DOUBLE) / na.ni, 6) AS confidence,
+       ROUND((CAST(pr.n_ab AS DOUBLE) / na.ni) / (nc.ni / t.nb), 6) AS lift
+FROM pr JOIN ni na ON na.item = pr.antecedent
+JOIN ni nc ON nc.item = pr.consequent
+CROSS JOIN nb t
 """,
         "retention_cohorts": """
 WITH first AS (

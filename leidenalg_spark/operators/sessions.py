@@ -68,3 +68,64 @@ def sessionize(
         sess.groupBy(F.col(key), F.col("session_ord").cast("int").alias("session_ord"))
         .agg(*aggs)
     )
+
+
+def association_rules(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    label: str = "event_type",
+    gap_s: float = 1800.0,
+    tiebreak: str | None = None,
+    min_support_n: int = 2,
+) -> DataFrame:
+    """Market-basket association rules over gap-split sessions: baskets
+    are (key, session), items the distinct ``label`` values within one
+    basket.  Emits every ORDERED pair with joint count ≥
+    ``min_support_n``: (antecedent, consequent, n_ab, support,
+    confidence, lift) — support = n_ab/n_baskets, confidence =
+    n_ab/n_antecedent, lift = confidence/(n_consequent/n_baskets).
+
+    Scale shape: the session assignment is the sessionize window pass;
+    items-per-basket is bounded by the label vocabulary, so the basket
+    self-join is |baskets|·v² at worst — a bounded constant per basket,
+    never corpus-quadratic; the three basket-count scalars ride
+    broadcast joins.
+    """
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp")) / 1e6
+    prev = F.lag(t).over(w)
+    marker = F.when(prev.isNull() | ((t - prev) > gap_s), 1).otherwise(0)
+    items = (
+        df.withColumn("_new", marker)
+        .withColumn("session_ord", F.sum("_new").over(w) - 1)
+        .select(key, "session_ord", F.col(label).alias("item"))
+        .distinct()
+    )
+    n_baskets = items.select(key, "session_ord").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("nb")
+    )
+    n_item = items.groupBy("item").agg(F.count(F.lit(1)).alias("ni"))
+    a = items.select(key, "session_ord", F.col("item").alias("antecedent"))
+    b = items.select(key, "session_ord", F.col("item").alias("consequent"))
+    pairs = (
+        a.join(b, [key, "session_ord"])
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support_n)
+    )
+    return (
+        pairs.join(F.broadcast(n_item.select(F.col("item").alias("antecedent"),
+                                             F.col("ni").alias("na"))), "antecedent")
+        .join(F.broadcast(n_item.select(F.col("item").alias("consequent"),
+                                        F.col("ni").alias("nc"))), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent", "consequent", F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(F.col("n_ab") / F.col("nb"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("na"), 6).alias("confidence"),
+            F.round((F.col("n_ab") / F.col("na")) / (F.col("nc") / F.col("nb")), 6).alias("lift"),
+        )
+    )

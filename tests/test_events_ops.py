@@ -216,3 +216,34 @@ def test_retention_cohorts_hand_computed(spark):
         ("2024-01-08", 0): 1,  # user 3
         ("2024-01-08", 1): 1,  # user 3
     }
+
+
+def test_association_rules_hand_computed(spark):
+    from leidenalg_spark.operators.sessions import association_rules
+
+    rows = [
+        # user 1 session A: {x, y}; session B (2h+ later): {x}
+        (1, _ts("2024-01-01 00:00:00"), "x", 1),
+        (1, _ts("2024-01-01 00:10:00"), "y", 2),
+        (1, _ts("2024-01-01 06:00:00"), "x", 3),
+        # user 2 one session: {x, y, z}
+        (2, _ts("2024-01-01 00:00:00"), "x", 4),
+        (2, _ts("2024-01-01 00:05:00"), "y", 5),
+        (2, _ts("2024-01-01 00:06:00"), "z", 6),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(ev, gap_s=1800.0, tiebreak="event_id",
+                                   min_support_n=2).collect()
+    }
+    # baskets: {x,y}, {x}, {x,y,z} -> nb=3; n_x=3, n_y=2, n_xy=2
+    assert set(out) == {("x", "y"), ("y", "x")}
+    r = out[("x", "y")]
+    assert r["n_ab"] == 2
+    assert r["support"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["confidence"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["lift"] == pytest.approx((2 / 3) / (2 / 3), abs=1e-6)
+    r2 = out[("y", "x")]
+    assert r2["confidence"] == pytest.approx(1.0)
+    assert r2["lift"] == pytest.approx(1.0)
