@@ -386,6 +386,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Bahmani batched peel, 4 fixed rounds, on the bipartite graph
         return K.densest_subgraph(spark, _bipartite_ids_det(spark, sf), rounds=4)
 
+    def q_closeness(spark, sf):
+        # truncated Wasserman–Faust closeness (exact ≤2-ball, like harmonic)
+        return K.closeness_centrality(spark, _bipartite_ids_det(spark, sf), max_dist=2)
+
+    def q_betweenness(spark, sf):
+        # bounded-distance Brandes, exact over all sources at this scale
+        return K.betweenness_centrality(spark, _bipartite_ids_det(spark, sf), max_dist=2)
+
+    def q_graph_coloring(spark, sf):
+        # Jones–Plassmann, 3 fixed rounds, md5 priorities (seed 42)
+        return K.greedy_coloring(spark, _bipartite_ids_det(spark, sf), seed=42, rounds=3)
+
     def q_eigenvector(spark, sf):
         # eigenvector centrality on the SYMMETRISED event-type transition
         # graph — self-loops make it aperiodic, so the power iteration
@@ -700,6 +712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "khop_counts": q_khop_counts,
         "harmonic_centrality": q_harmonic,
+        "closeness_centrality": q_closeness,
+        "betweenness_centrality": q_betweenness,
+        "graph_coloring": q_graph_coloring,
         "adamic_adar": q_adamic_adar,
         "neighborhood_hll": q_neighborhood_hll,
         "doc_quality": q_doc_quality,
@@ -2174,6 +2189,123 @@ FROM ball GROUP BY id
 """
     )
 
+    # ---- truncated closeness (max_dist=2): same unrolled 2-ring ball as
+    # harmonic, Wasserman–Faust composite (r/(n-1))*(r/S)
+    closeness_sql = (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+s AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+nv AS (SELECT CAST(COUNT(DISTINCT a) AS DOUBLE) AS n FROM s),
+r1 AS (SELECT DISTINCT a AS id, b AS v FROM s),
+r2 AS (
+  SELECT id, v FROM (
+    SELECT DISTINCT r1.id, s.b AS v FROM r1 JOIN s ON s.a = r1.v WHERE s.b <> r1.id
+  ) EXCEPT SELECT id, v FROM r1
+),
+ball AS (
+  SELECT id, v, 1 AS d FROM r1
+  UNION ALL
+  SELECT id, v, 2 AS d FROM r2
+)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable,
+       CAST(SUM(d) AS DOUBLE) AS sum_dist,
+       ROUND((COUNT(*) / ((SELECT n FROM nv) - 1)) * (COUNT(*) * 1.0 / SUM(d)), 6)
+         AS closeness
+FROM ball GROUP BY id
+"""
+    )
+
+    # ---- truncated betweenness (max_dist=2): Brandes unrolled — dist-1
+    # ring has sigma 1, dist-2 sigma = #midpoints, the only dependency
+    # ring is dist-1 (delta = sum 1/sigma_w over dist-2 successors)
+    betweenness_sql = (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+s AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+vv AS (SELECT DISTINCT a AS id FROM s),
+d1 AS (SELECT a AS s, b AS v FROM s),
+d2 AS (
+  SELECT d1.s, e.b AS v, CAST(COUNT(*) AS DOUBLE) AS sigma
+  FROM d1 JOIN s e ON e.a = d1.v
+  WHERE e.b <> d1.s
+    AND NOT EXISTS (SELECT 1 FROM s x WHERE x.a = d1.s AND x.b = e.b)
+  GROUP BY d1.s, e.b
+),
+del1 AS (
+  SELECT d1.s, d1.v, SUM(1.0 / d2.sigma) AS delta
+  FROM d1 JOIN s e ON e.a = d1.v
+  JOIN d2 ON d2.s = d1.s AND d2.v = e.b
+  GROUP BY d1.s, d1.v
+)
+SELECT vv.id, ROUND(COALESCE(SUM(del1.delta), 0) / 2.0, 6) AS betweenness
+FROM vv LEFT JOIN del1 ON del1.v = vv.id GROUP BY vv.id
+"""
+    )
+
+    # ---- Jones–Plassmann colouring: 3 unrolled rounds; winner election
+    # is the MIS rule, but only winners deactivate, and each winner takes
+    # the mex of its already-coloured FULL neighbourhood
+    col = ["""ce0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+)""",
+           """fsym AS (SELECT a AS u, b AS v FROM ce0
+          UNION ALL SELECT b AS u, a AS v FROM ce0)""",
+           """ca0 AS MATERIALIZED (
+  SELECT id, ('0x' || substr(md5('42:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT AS p
+  FROM (SELECT a AS id FROM ce0 UNION SELECT b FROM ce0)
+)"""]
+    for r in range(1, 4):
+        col.append(f"""cs{r} AS (SELECT a AS u, b AS v FROM ce{r - 1}
+          UNION ALL SELECT b AS u, a AS v FROM ce{r - 1})""")
+        col.append(f"""cn{r} AS MATERIALIZED (
+  SELECT s.u AS id, MIN(ROW(av.p, av.id)) AS nb
+  FROM cs{r} s JOIN ca{r - 1} av ON av.id = s.v GROUP BY s.u
+)""")
+        col.append(f"""cw{r} AS MATERIALIZED (
+  SELECT av.id FROM ca{r - 1} av LEFT JOIN cn{r} n ON n.id = av.id
+  WHERE n.id IS NULL OR ROW(av.p, av.id) < n.nb
+)""")
+        if r == 1:
+            col.append("""cc1 AS MATERIALIZED (
+  SELECT id, CAST(0 AS INTEGER) AS color, CAST(1 AS BIGINT) AS round_assigned
+  FROM cw1
+)""")
+            col.append("call1 AS (SELECT * FROM cc1)")
+        else:
+            col.append(f"""used{r} AS (
+  SELECT w.id, list_distinct(list(c.color)) AS cl
+  FROM cw{r} w JOIN fsym f ON f.u = w.id
+  JOIN call{r - 1} c ON c.id = f.v
+  GROUP BY w.id
+)""")
+            col.append(f"""cc{r} AS MATERIALIZED (
+  SELECT w.id,
+         CAST(COALESCE(
+           list_min(list_filter(range(0, length(u.cl) + 1),
+                                x -> NOT list_contains(u.cl, x))),
+           0) AS INTEGER) AS color,
+         CAST({r} AS BIGINT) AS round_assigned
+  FROM cw{r} w LEFT JOIN used{r} u ON u.id = w.id
+)""")
+            col.append(
+                f"call{r} AS (SELECT * FROM call{r - 1} UNION ALL SELECT * FROM cc{r})"
+            )
+        col.append(f"""ca{r} AS MATERIALIZED (
+  SELECT av.id, av.p FROM ca{r - 1} av
+  WHERE av.id NOT IN (SELECT id FROM cw{r})
+)""")
+        col.append(f"""ce{r} AS MATERIALIZED (
+  SELECT g.a, g.b FROM ce{r - 1} g
+  JOIN ca{r} x ON x.id = g.a JOIN ca{r} y ON y.id = g.b
+)""")
+    coloring_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(col)
+        + "\nSELECT id, color, round_assigned FROM call3\n"
+    )
+
     # ---- exact 2-hop neighbourhood counts on the simple symmetrised graph
     khop_sql = (
         "WITH " + _DET_PRELUDE + """,
@@ -2199,6 +2331,9 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
             "maximal_independent_set": mis_sql,
             "negative_samples": negs_sql,
             "harmonic_centrality": harm_sql,
+            "closeness_centrality": closeness_sql,
+            "betweenness_centrality": betweenness_sql,
+            "graph_coloring": coloring_sql,
             "adamic_adar": aa_sql,
             "jaccard_linkpred": jc_sql,
             "label_propagation": lpa_sql,

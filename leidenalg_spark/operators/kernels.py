@@ -1829,3 +1829,299 @@ def triangles_per_vertex(spark, edges: DataFrame) -> DataFrame:
     )
     verts = _vertices(edges)
     return verts.join(counts, "id", "left").na.fill({"n_triangles": 0})
+
+
+# ------------------------------------------------------- centrality (r2)
+def closeness_centrality(
+    spark,
+    edges: DataFrame,
+    max_dist: int = 2,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """EXACT truncated closeness centrality over the symmetrised simple
+    graph: for the ≤``max_dist`` ball of each vertex, the
+    Wasserman–Faust composite ``C(v) = (r_v/(n-1)) · (r_v/S_v)`` where
+    ``r_v`` is the number of vertices reached and ``S_v`` the sum of
+    their distances — the form that stays comparable across disconnected
+    or truncated neighbourhoods (plain ``1/S_v`` closeness rewards
+    reaching *fewer* vertices).  Returns
+    (id, n_reachable, sum_dist, closeness) for every vertex.
+
+    Same frontier-BFS scale shape as :func:`harmonic_centrality`: per
+    ring one frontier⋈adjacency join + one anti-join vs the seen set;
+    the exact small-``max_dist`` path (reference has no centrality
+    beyond the partition object — this is a north-rule link-graph op).
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    verts = sym.select(F.col("a").alias("id")).distinct()
+    n = verts.count()
+    seen = verts.select("id", F.col("id").alias("v"), F.lit(0).cast("int").alias("d"))
+    frontier = seen
+    for d in range(1, max_dist + 1):
+        nxt = (
+            frontier.join(sym.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")
+            .select("id", F.col("w").alias("v"))
+            .distinct()
+            .join(seen.select("id", "v"), ["id", "v"], "left_anti")
+            .withColumn("d", F.lit(d).cast("int"))
+        )
+        nxt = ckpt.save(nxt, "closeness_frontier", d)
+        seen = ckpt.save(seen.unionByName(nxt), "closeness_seen", d)
+        frontier = nxt
+    ball = seen.where(F.col("d") > 0)
+    agg = ball.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_reachable"),
+        F.sum(F.col("d").cast("double")).alias("sum_dist"),
+    )
+    out = verts.join(agg, "id", "left").select(
+        "id",
+        F.coalesce("n_reachable", F.lit(0)).cast("long").alias("n_reachable"),
+        F.coalesce("sum_dist", F.lit(0.0)).alias("sum_dist"),
+        F.round(
+            F.when(
+                F.col("sum_dist") > 0,
+                (F.col("n_reachable") / F.lit(float(max(n - 1, 1))))
+                * (F.col("n_reachable") / F.col("sum_dist")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("closeness"),
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    sym.unpersist()
+    return out
+
+
+def betweenness_centrality(
+    spark,
+    edges: DataFrame,
+    max_dist: int = 3,
+    n_sources: int | None = None,
+    seed: int = 42,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Truncated (bounded-distance) betweenness centrality via a
+    distributed Brandes accumulation (Brandes 2001; bounded-distance
+    variant per Borgatti–Everett; the sampled-source pivot estimator is
+    Brandes & Pich 2007).  Only shortest paths of length ≤ ``max_dist``
+    contribute — the standard big-graph truncation (exact betweenness
+    needs all-pairs paths, quadratic state at 100 TB).
+
+    Exact over ALL sources by default.  ``n_sources=k`` keeps the k
+    sources with the smallest md5(seed, id) — deterministic and
+    SQL-reproducible, never ``rand()`` — and scales every accumulated
+    dependency by n/k, the unbiased estimator.
+
+    Scale shape — forward: one multi-source BFS ring at a time, state
+    keyed (source, vertex) with shortest-path counts ``sigma``; per ring
+    one frontier⋈adjacency join, one (s, v) sum-aggregate (map-side
+    combinable) and one anti-join vs the seen set.  Backward: Brandes
+    dependencies ``delta`` accumulate ring-by-ring inward; per ring one
+    join between consecutive rings through the adjacency.  Total state
+    is Σ_s |ball_max_dist(s)| — bounded by the source sample, never
+    all-pairs.  Per-ring lineage truncation via ``ckpt.save``.
+    Returns (id, betweenness) for every vertex (undirected halving).
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    verts = sym.select(F.col("a").alias("id")).distinct()
+    if n_sources is None:
+        sources = verts.select(F.col("id").alias("s"))
+        scale = 1.0
+    else:
+        n_total = verts.count()
+        k = min(int(n_sources), n_total)
+        pr = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("id").cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        sources = (
+            verts.withColumn("_p", pr).orderBy("_p", "id").limit(k)
+            .select(F.col("id").alias("s"))
+        )
+        scale = float(n_total) / float(k)
+    lvl = sources.select(
+        "s", F.col("s").alias("v"), F.lit(1.0).alias("sigma")
+    )
+    seen = ckpt.save(lvl, "btw_seen", 0)
+    # every ring is re-read by the backward pass, so each gets its own
+    # checkpoint tag — the manager's step-pruning (keeps the last 3 steps
+    # of a tag) must never collect an outer ring while deltas accumulate
+    levels = [ckpt.save(lvl, "btw_lvl_0", 0)]
+    frontier = levels[0]
+    for d in range(1, max_dist + 1):
+        cand = (
+            frontier.join(sym.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")
+            .groupBy("s", F.col("w").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(seen.select("s", "v"), ["s", "v"], "left_anti")
+        )
+        cand = ckpt.save(cand, f"btw_lvl_{d}", d)
+        levels.append(cand)
+        seen = ckpt.save(seen.unionByName(cand.select("s", "v", "sigma")), "btw_seen", d)
+        frontier = cand
+    # backward: deepest ring has delta 0; accumulate inward one ring at a time
+    delta = levels[max_dist].select("s", "v", F.lit(0.0).alias("delta"))
+    per_level_deltas = []
+    for d in range(max_dist - 1, 0, -1):
+        down = (
+            levels[d + 1].select("s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w"))
+            .join(
+                delta.select("s", F.col("v").alias("w"), "delta"),
+                ["s", "w"], "left",
+            )
+            .na.fill({"delta": 0.0})
+        )
+        contrib = (
+            levels[d].select("s", "v", "sigma")
+            .join(sym.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")
+            .join(down, ["s", "w"])
+            .groupBy("s", "v")
+            .agg(
+                F.sum(F.col("sigma") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta"))).alias(
+                    "delta"
+                )
+            )
+        )
+        delta = ckpt.save(contrib, "btw_delta", d)
+        per_level_deltas.append(delta)
+    acc = None
+    for dfl in per_level_deltas:
+        acc = dfl if acc is None else acc.unionByName(dfl)
+    if acc is None:
+        bt = verts.select("id", F.lit(0.0).alias("betweenness"))
+    else:
+        sums = acc.groupBy(F.col("v").alias("id")).agg(F.sum("delta").alias("bt"))
+        bt = verts.join(sums, "id", "left").select(
+            "id",
+            F.round(
+                F.coalesce(F.col("bt"), F.lit(0.0)) * F.lit(scale / 2.0), 6
+            ).alias("betweenness"),
+        )
+    if own_ckpt and ckpt.path is None:
+        bt = bt.localCheckpoint(eager=True)
+        ckpt.close()
+    sym.unpersist()
+    return bt
+
+
+def greedy_coloring(
+    spark,
+    edges: DataFrame,
+    seed: int = 42,
+    rounds: int | None = None,
+    max_rounds: int = 100,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Jones–Plassmann greedy graph colouring with DETERMINISTIC md5
+    priorities (the same total order as
+    :func:`maximal_independent_set`): each round, every uncoloured
+    vertex whose (priority, id) beats all uncoloured neighbours takes
+    the smallest colour absent from its already-coloured neighbourhood
+    (the mex).  Round winners form an independent set, so their mex
+    choices never conflict — the colouring is proper by construction,
+    and uses at most Δ+1 colours.  Returns (id, color, round_assigned).
+
+    ``rounds=k`` runs exactly k rounds and returns the coloured prefix
+    (oracle-comparability mode, as in MIS / k-truss / densest-subgraph).
+
+    Scale shape: per round one neighbour-min aggregate over the ACTIVE
+    edge set (winner election), one colour gather over winners' FULL
+    adjacency (collect_set of neighbour colours, bounded by degree; the
+    mex is pure array arithmetic, no Python), and two semi/anti joins;
+    the active graph shrinks every round exactly as MIS does —
+    O(log n / p) rounds in expectation.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    e = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    full_sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).persist()
+    pr = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    av = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .withColumn("p", pr)
+    )
+    av = ckpt.save(av, "color_active", 0)
+    ae = ckpt.save(e, "color_edges", 0)
+    colored = None  # (id, color, round_assigned)
+    n_rounds = rounds if rounds is not None else max_rounds
+    for r in range(1, n_rounds + 1):
+        asym = ae.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            ae.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        nbp = (
+            asym.join(av.select(F.col("id").alias("v"), F.col("p").alias("pv")), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min(F.struct(F.col("pv"), F.col("v"))).alias("nb"))
+        )
+        win = (
+            av.join(nbp, "id", "left")
+            .where(F.col("nb").isNull() | (F.struct(F.col("p"), F.col("id")) < F.col("nb")))
+            .select("id")
+        )
+        if colored is None:
+            newc = win.select("id", F.lit(0).cast("int").alias("color"))
+        else:
+            csets = (
+                full_sym.join(win.withColumnRenamed("id", "u"), "u", "left_semi")
+                .join(
+                    colored.select(F.col("id").alias("v"), "color"), "v"
+                )
+                .groupBy(F.col("u").alias("id"))
+                .agg(F.collect_set("color").alias("cset"))
+            )
+            mex = F.array_min(
+                F.array_except(
+                    F.sequence(F.lit(0), F.size("cset")), F.col("cset")
+                )
+            )
+            newc = (
+                win.join(csets, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce(mex, F.lit(0)).cast("int").alias("color"),
+                )
+            )
+        newc = ckpt.save(
+            newc.withColumn("round_assigned", F.lit(r).cast("long")), "color_new", r
+        )
+        colored = newc if colored is None else colored.unionByName(newc)
+        colored = ckpt.save(colored, "color_all", r)
+        av = ckpt.save(av.join(win, "id", "left_anti"), "color_active", r)
+        keep = av.select("id")
+        ae = ckpt.save(
+            ae.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi"),
+            "color_edges", r,
+        )
+        if rounds is None and av.count() == 0:
+            break
+    out = colored if colored is not None else spark.createDataFrame(
+        [], "id long, color int, round_assigned long"
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    full_sym.unpersist()
+    return out
