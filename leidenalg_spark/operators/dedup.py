@@ -27,14 +27,21 @@ from .textops import tokens_col
 
 
 # ------------------------------------------------------------------ exact
+def fingerprint_expr(col="text"):
+    """Normalised-text md5 fingerprint — the ONE definition shared by the
+    batch dedup and the streaming dedup so the two paths cannot diverge.
+
+    NULL text coalesces to '' BEFORE hashing: md5(NULL) is NULL and a
+    fingerprint equi-join never matches null keys, so NULL-text docs
+    would silently vanish from a dedup output."""
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+", " ")
+    return F.md5(norm)
+
+
 def dedup_exact(docs: DataFrame, col="text") -> DataFrame:
     """Exact dedup on normalised text: keep the smallest doc_id per
     fingerprint.  Returns (doc_id, fingerprint, group_size, is_kept)."""
-    # coalesce NULL text to '' BEFORE hashing: md5(NULL) is NULL and the
-    # fingerprint equi-join below never matches null keys, so NULL-text
-    # docs would silently vanish from the output
-    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(col), F.lit("")))), r"\s+", " ")
-    with_fp = docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    with_fp = docs.select("doc_id", fingerprint_expr(col).alias("fingerprint"))
     grp = with_fp.groupBy("fingerprint").agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size")
     )
