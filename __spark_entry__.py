@@ -645,6 +645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = verts.select(F.col("name").alias("id"), comm.cast("long").alias("comm"))
         return community_stats(e, m)
 
+    def q_kmeans(spark, sf):
+        # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
+        return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
+
     def q_embedding_covariance(spark, sf):
         return S.embedding_covariance(_embeddings(spark, sf))
 
@@ -726,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_dedup": q_neardup_dedup,
         "pmi_cooccurrence": q_pmi_cooccurrence,
         "training_set": q_training_set,
+        "kmeans": q_kmeans,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "decontaminate": q_decontaminate,
@@ -1598,8 +1603,56 @@ JOIN cont ON cont.doc_id = d.doc_id
 WHERE keep.is_kept AND NOT cont.contaminated
   AND lang.lang_pred IN ('en') AND qual.quality_score >= 0.5
 """
+    sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
     sqls.update(_kernel_oracles())
     return sqls
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2, seed: int = 42) -> str:
+    """DuckDB twin of kmeans_embeddings: same md5-priority init, Lloyd
+    rounds unrolled as CTEs, centroids ROUNDED to 6 decimals at every
+    sync (the cross-engine determinism barrier the Spark op implements
+    for exactly this purpose)."""
+    pri = f"('0x' || substr(md5('{seed}:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
+    ctes = [
+        """emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)""",
+        f"""c0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY {pri}, vec_id) - 1 AS cell,
+         list_transform(v, x -> ROUND(x, 6)) AS cv
+  FROM emb ORDER BY {pri}, vec_id LIMIT {k}
+)""",
+    ]
+    for t in range(1, iters + 2):
+        ctes.append(f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT vec_id, cell, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM (
+      SELECT e.vec_id, c.cell,
+             list_sum(list_transform(range(1, length(e.v) + 1),
+                      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+      FROM emb e CROSS JOIN c{t - 1} c
+    )
+  ) WHERE rn = 1
+)""")
+        if t <= iters:
+            ctes.append(f"""c{t} AS MATERIALIZED (
+  SELECT cell, list(m ORDER BY i) AS cv FROM (
+    SELECT a.cell, u.i, ROUND(AVG(u.x), 6) AS m
+    FROM a{t} a JOIN emb e USING (vec_id),
+         LATERAL (SELECT unnest(e.v) AS x,
+                         unnest(range(1, length(e.v) + 1)) AS i) u
+    GROUP BY a.cell, u.i
+  ) GROUP BY cell
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, CAST(cell AS BIGINT) AS cell,"
+          f" ROUND(sqrt(d2), 6) AS dist FROM a{iters + 1}\n"
+    )
 
 
 # deterministic-id bipartite graph (mirrors _bipartite_ids_det exactly):

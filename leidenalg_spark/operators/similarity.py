@@ -437,3 +437,107 @@ def embedding_pca(
             F.round(dot - F.col("coff"), 6).alias("score"),
         )
     )
+
+
+# ------------------------------------------------------------- k-means
+def kmeans_embeddings(
+    spark,
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over the FULL embedding table (contrast
+    :func:`ivf_train`, which trains a codebook on a driver-side sample).
+
+    - Initial centroids: the ``k`` vectors with the smallest
+      md5(seed, id) priority — deterministic and SQL-reproducible,
+      never ``rand()`` (the repo-wide sampling convention).
+    - Assignment: broadcast the k×d codebook, per-vector nearest
+      centroid via a map-side ``min(struct(d2, cell))`` — the
+      :func:`ivf_assign` shape, one shuffle row per vector.
+    - Update: one posexplode + (cell, dim) hash aggregate (map-side
+      combinable); only the k×d centroid matrix reaches the driver
+      between iterations, and it is ROUNDED to 6 decimals at that sync —
+      the cross-engine determinism barrier that lets a DuckDB oracle
+      replay the run bit-for-bit.  Empty cells keep their previous
+      centroid.
+
+    Returns (``id_col``, cell, dist) — the assignment against the final
+    centroids, euclidean ``dist`` rounded to 6 decimals.
+    """
+    import pandas as pd
+
+    pr = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("id").cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+    init = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("_p", pr)
+        .orderBy("_p", "id")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cents = [[round(float(x), 6) for x in r["v"]] for r in init]
+
+    base = embeddings.select(
+        F.col(id_col).alias("_km_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist()
+
+    def _assign(centroids):
+        cdf = spark.createDataFrame(
+            pd.DataFrame({
+                "cell": list(range(len(centroids))),
+                "cv": centroids,
+            })
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        return (
+            base.crossJoin(F.broadcast(cdf))
+            .withColumn("_d2", d2)
+            .groupBy("_km_id")
+            .agg(F.min(F.struct(F.col("_d2"), F.col("cell"))).alias("best"))
+            .select(
+                "_km_id",
+                F.col("best.cell").alias("cell"),
+                F.col("best._d2").alias("d2"),
+            )
+        )
+
+    for _ in range(iters):
+        assign = _assign(cents)
+        upd = (
+            assign.join(base, "_km_id")
+            .select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cell.setdefault(r["cell"], {})[r["i"]] = r["m"]
+        cents = [
+            [round(by_cell[c][i], 6) for i in sorted(by_cell[c])]
+            if c in by_cell
+            else cents[c]
+            for c in range(k)
+        ]
+
+    out = _assign(cents).select(
+        F.col("_km_id").alias(id_col),
+        "cell",
+        F.round(F.sqrt("d2"), 6).alias("dist"),
+    )
+    base.unpersist()
+    return out
