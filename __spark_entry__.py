@@ -649,6 +649,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_partition_compare(spark, sf):
+        # NMI/ARI/VI/split-join between two deterministic partitions of
+        # the bipartite vertex set (mod-8 vs mod-5 labelings)
+        from leidenalg_spark.operators.community import partition_compare
+
+        named = _bipartite_named(spark, sf)
+        verts = named.select(F.col("src_name").alias("name")).union(
+            named.select(F.col("dst_name"))
+        ).distinct()
+
+        def _mod(k):
+            return F.when(
+                F.col("name").startswith("u:"),
+                F.expr(f"CAST(substr(name, 3) AS BIGINT) % {k}"),
+            ).otherwise(F.length("name") % k)
+
+        m1 = verts.select(F.col("name").alias("id"), _mod(8).cast("long").alias("comm"))
+        m2 = verts.select(F.col("name").alias("id"), _mod(5).cast("long").alias("comm"))
+        return partition_compare(m1, m2)
+
     def q_embedding_covariance(spark, sf):
         return S.embedding_covariance(_embeddings(spark, sf))
 
@@ -731,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_cooccurrence": q_pmi_cooccurrence,
         "training_set": q_training_set,
         "kmeans": q_kmeans,
+        "partition_compare": q_partition_compare,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "decontaminate": q_decontaminate,
@@ -1604,6 +1625,38 @@ WHERE keep.is_kept AND NOT cont.contaminated
   AND lang.lang_pred IN ('en') AND qual.quality_score >= 0.5
 """
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
+    sqls["partition_compare"] = f"""
+WITH edges AS ({_BIP_EDGES}),
+verts AS (
+  SELECT name,
+    CASE WHEN name LIKE 'u:%' THEN CAST(substr(name, 3) AS BIGINT) % 8
+         ELSE length(name) % 8 END AS c1,
+    CASE WHEN name LIKE 'u:%' THEN CAST(substr(name, 3) AS BIGINT) % 5
+         ELSE length(name) % 5 END AS c2
+  FROM (SELECT src AS name FROM edges UNION SELECT dst FROM edges)
+),
+ct AS (SELECT c1, c2, CAST(COUNT(*) AS DOUBLE) AS nij FROM verts GROUP BY c1, c2),
+a AS (SELECT c1, SUM(nij) AS ai, MAX(nij) AS mi FROM ct GROUP BY c1),
+b AS (SELECT c2, SUM(nij) AS bj, MAX(nij) AS mj FROM ct GROUP BY c2),
+at AS (SELECT SUM(ai) AS N, SUM(ai*(ai-1)/2.0) AS sa, SUM(mi) AS ma,
+              SUM(ai*ln(ai)) AS la FROM a),
+bt AS (SELECT SUM(bj*(bj-1)/2.0) AS sb, SUM(mj) AS mb, SUM(bj*ln(bj)) AS lb FROM b),
+cc AS (SELECT SUM(nij*ln(nij)) AS lc, SUM(nij*(nij-1)/2.0) AS sab FROM ct)
+SELECT CAST(N AS BIGINT) AS n_vertices,
+  ROUND(CASE WHEN 2*ln(N) - la/N - lb/N > 0
+             THEN 2*(lc/N - la/N - lb/N + ln(N)) / (2*ln(N) - la/N - lb/N)
+             ELSE 1.0 END, 6) AS nmi,
+  ROUND(2*ln(N) - la/N - lb/N - 2*(lc/N - la/N - lb/N + ln(N)), 6) AS vi,
+  ROUND(CASE WHEN N > 1
+             THEN (N*(N-1)/2.0 + 2*sab - sa - sb) / (N*(N-1)/2.0)
+             ELSE 1.0 END, 6) AS rand,
+  ROUND(CASE WHEN N > 1 AND (sa+sb)/2.0 - sa*sb/(N*(N-1)/2.0) > 0
+             THEN (sab - sa*sb/(N*(N-1)/2.0))
+                  / ((sa+sb)/2.0 - sa*sb/(N*(N-1)/2.0))
+             ELSE 1.0 END, 6) AS adjusted_rand,
+  CAST(2*N - ma - mb AS BIGINT) AS split_join
+FROM cc CROSS JOIN at CROSS JOIN bt
+"""
     sqls.update(_kernel_oracles())
     return sqls
 

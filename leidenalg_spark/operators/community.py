@@ -101,3 +101,87 @@ def community_stats(edges: DataFrame, membership: DataFrame) -> DataFrame:
             F.when(pairs > 0, 2.0 * F.coalesce(F.col("ne"), F.lit(0)) / pairs).otherwise(0.0), 6
         ).alias("density"),
     )
+
+
+def partition_compare(m1: DataFrame, m2: DataFrame) -> DataFrame:
+    """Compare two partitions of the same vertex set — the
+    ``igraph.compare_communities`` surface the reference's docs lean on
+    when users sweep resolutions / methods (leidenalg itself returns bare
+    memberships and delegates comparison; see the reference README's
+    igraph interop).  Metrics, all in natural log:
+
+    * ``nmi``        — normalised mutual information (Danon et al 2005,
+      igraph ``method="nmi"``): ``2·I(X;Y)/(H(X)+H(Y))``; defined as 1.0
+      when both partitions carry zero entropy (both trivial).
+    * ``vi``         — variation of information (Meilă 2003,
+      ``method="vi"``): ``H(X)+H(Y)-2I``.
+    * ``rand`` / ``adjusted_rand`` — pair-counting indices (igraph
+      ``method="rand"/"adjusted_rand"``); ARI is 1.0 when the expected
+      index equals the maximum (e.g. two identical trivial partitions).
+    * ``split_join`` — van Dongen 2000 split-join distance
+      (``method="split-join"``): ``2N - Σ_i max_j n_ij - Σ_j max_i n_ij``.
+
+    Inputs are ``(id, comm)`` DataFrames over the same ids (inner-joined:
+    ids missing from either side are ignored, matching igraph's
+    equal-length-vector contract which has no missing slots).
+
+    Scale shape: ONE |V|-row equi-join on id feeds a map-side-combinable
+    ``groupBy(c1, c2)`` contingency table; everything downstream runs on
+    that table (≤ nnz(C1×C2) rows — communities that co-occur), whose
+    marginals are two more tiny aggregates.  One row out; no driver-side
+    loops, no per-row Python.
+    """
+    ct = (
+        m1.select("id", F.col("comm").alias("c1"))
+        .join(m2.select("id", F.col("comm").alias("c2")), "id")
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).cast("double").alias("nij"))
+    )
+    a = ct.groupBy("c1").agg(F.sum("nij").alias("ai"), F.max("nij").alias("mi"))
+    b = ct.groupBy("c2").agg(F.sum("nij").alias("bj"), F.max("nij").alias("mj"))
+
+    # one-row side aggregates (each a broadcastable scalar table)
+    at = a.agg(
+        F.sum("ai").alias("N"),
+        F.sum(F.col("ai") * (F.col("ai") - 1) / 2.0).alias("sa"),
+        F.sum("mi").alias("ma"),
+        F.sum(F.col("ai") * F.log("ai")).alias("la"),
+    )
+    bt = b.agg(
+        F.sum(F.col("bj") * (F.col("bj") - 1) / 2.0).alias("sb"),
+        F.sum("mj").alias("mb"),
+        F.sum(F.col("bj") * F.log("bj")).alias("lb"),
+    )
+    # Σ n_ij·ln n_ij and Σ C(n_ij, 2) over the contingency table
+    cc = ct.agg(
+        F.sum(F.col("nij") * F.log("nij")).alias("lc"),
+        F.sum(F.col("nij") * (F.col("nij") - 1) / 2.0).alias("sab"),
+    )
+
+    row = cc.crossJoin(F.broadcast(at)).crossJoin(F.broadcast(bt))
+    N = F.col("N")
+    # H terms via the Σ n·ln n decomposition: H(X) = ln N − (Σ aᵢ ln aᵢ)/N
+    h1 = F.log(N) - F.col("la") / N
+    h2 = F.log(N) - F.col("lb") / N
+    mi = F.col("lc") / N - F.col("la") / N - F.col("lb") / N + F.log(N)
+    nmi = F.when(h1 + h2 > 0, 2.0 * mi / (h1 + h2)).otherwise(F.lit(1.0))
+    vi = h1 + h2 - 2.0 * mi
+    t = N * (N - 1) / 2.0
+    rand = F.when(t > 0, (t + 2.0 * F.col("sab") - F.col("sa") - F.col("sb")) / t) \
+        .otherwise(F.lit(1.0))
+    exp_i = F.col("sa") * F.col("sb") / t
+    max_i = (F.col("sa") + F.col("sb")) / 2.0
+    ari = F.when(
+        t > 0,
+        F.when(
+            max_i - exp_i > 0, (F.col("sab") - exp_i) / (max_i - exp_i)
+        ).otherwise(F.lit(1.0)),
+    ).otherwise(F.lit(1.0))
+    return row.select(
+        N.cast("long").alias("n_vertices"),
+        F.round(nmi, 6).alias("nmi"),
+        F.round(vi, 6).alias("vi"),
+        F.round(rand, 6).alias("rand"),
+        F.round(ari, 6).alias("adjusted_rand"),
+        (2 * N - F.col("ma") - F.col("mb")).cast("long").alias("split_join"),
+    )

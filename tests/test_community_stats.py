@@ -68,3 +68,45 @@ def test_whole_graph_community_conductance_zero(spark):
     # denom = min(vol, total - vol) = 0 -> defined as 0, not NaN
     assert out[0]["conductance"] == pytest.approx(0.0)
     assert out[0]["density"] == pytest.approx(2 * 2 / (3 * 2), abs=1e-6)
+
+
+def test_partition_compare_identical_and_refinement(spark):
+    from leidenalg_spark.operators.community import partition_compare
+
+    m = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id long, comm long"
+    )
+    row = partition_compare(m, m).first()
+    assert row["n_vertices"] == 30
+    assert row["nmi"] == pytest.approx(1.0)
+    assert row["vi"] == pytest.approx(0.0, abs=1e-6)
+    assert row["rand"] == pytest.approx(1.0)
+    assert row["adjusted_rand"] == pytest.approx(1.0)
+    assert row["split_join"] == 0
+
+    # a strict refinement: VI = H(refined) - H(coarse), split-join is
+    # one-sided (the coarse side's maxima already cover every block)
+    fine = spark.createDataFrame(
+        [(i, i % 6) for i in range(30)], "id long, comm long"
+    )
+    r2 = partition_compare(m, fine).first()
+    import math
+    assert r2["vi"] == pytest.approx(math.log(6) - math.log(3), abs=1e-6)
+    # Σ_i max_j n_ij = 3·5 = 15 (each coarse block best-covered by one
+    # fine block of 5), Σ_j max_i n_ij = 6·5 = 30 → 2·30 − 15 − 30 = 15
+    assert r2["split_join"] == 15
+    assert 0 < r2["nmi"] < 1
+
+
+def test_partition_compare_independent_labels(spark):
+    from leidenalg_spark.operators.community import partition_compare
+
+    # c1 = i // 10, c2 = i % 10 over a 10x10 grid: statistically
+    # independent → MI = 0, NMI = 0; ARI = (0 − exp)/(max − exp) with
+    # sab = 0, sa = sb = 450, t = 4950 → exactly −0.1 (below the
+    # permutation-null expectation, as a balanced grid must be)
+    m1 = spark.createDataFrame([(i, i // 10) for i in range(100)], "id long, comm long")
+    m2 = spark.createDataFrame([(i, i % 10) for i in range(100)], "id long, comm long")
+    row = partition_compare(m1, m2).first()
+    assert row["nmi"] == pytest.approx(0.0, abs=1e-6)
+    assert row["adjusted_rand"] == pytest.approx(-0.1, abs=1e-6)
