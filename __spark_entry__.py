@@ -649,6 +649,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_rich_club(spark, sf):
+        return K.rich_club(spark, _bipartite_ids_det(spark, sf))
+
+    def q_lm_score(spark, sf):
+        # corpus-trained add-1 unigram LM, per-doc mean token log-prob
+        return T.lm_score(_documents(spark, sf))
+
     def q_partition_compare(spark, sf):
         # NMI/ARI/VI/split-join between two deterministic partitions of
         # the bipartite vertex set (mod-8 vs mod-5 labelings)
@@ -752,6 +759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_set": q_training_set,
         "kmeans": q_kmeans,
         "partition_compare": q_partition_compare,
+        "lm_score": q_lm_score,
+        "rich_club": q_rich_club,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "decontaminate": q_decontaminate,
@@ -1625,6 +1634,54 @@ WHERE keep.is_kept AND NOT cont.contaminated
   AND lang.lang_pred IN ('en') AND qual.quality_score >= 0.5
 """
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
+    sqls["rich_club"] = (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY id
+),
+ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k),
+nodes_k AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg JOIN ks ON deg > k GROUP BY k
+),
+edges_k AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM (SELECT least(da.deg, db.deg) AS lim
+        FROM und JOIN deg da ON und.a = da.id JOIN deg db ON und.b = db.id)
+  JOIN ks ON lim > k GROUP BY k
+)
+SELECT ks.k, COALESCE(n_nodes, 0) AS n_nodes, COALESCE(n_edges, 0) AS n_edges,
+       ROUND(CASE WHEN COALESCE(n_nodes, 0) > 1
+                  THEN 2.0 * COALESCE(n_edges, 0)
+                       / (n_nodes * (n_nodes - 1.0))
+                  ELSE 0.0 END, 6) AS phi
+FROM ks LEFT JOIN nodes_k USING (k) LEFT JOIN edges_k USING (k)
+"""
+    )
+    sqls["lm_score"] = f"""
+WITH tok AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, {_doc_tokens()} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS tok)
+  WHERE tok <> ''
+),
+model AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS T, CAST(COUNT(*) AS DOUBLE) AS V FROM model),
+scored AS (
+  SELECT t.doc_id, COUNT(*) AS n,
+         AVG(ln((m.cnt + 1.0) / (tot.T + 1.0 * tot.V))) AS mlp
+  FROM tok t JOIN model m USING (tok) CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(s.mlp, 0.0), 6) AS mean_logp
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
     sqls["partition_compare"] = f"""
 WITH edges AS ({_BIP_EDGES}),
 verts AS (

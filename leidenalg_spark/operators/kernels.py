@@ -2125,3 +2125,62 @@ def greedy_coloring(
         ckpt.close()
     full_sym.unpersist()
     return out
+
+
+def rich_club(spark, edges: DataFrame, ks: list[int] | None = None) -> DataFrame:
+    """Rich-club coefficient φ(k) of the undirected simple graph for each
+    degree threshold in ``ks`` (Zhou & Mondragón 2004): among the N_k
+    vertices of degree > k, φ(k) = 2·E_k / (N_k·(N_k−1)) where E_k counts
+    edges with BOTH endpoints in the club.  φ rising with k = hubs wire
+    preferentially to each other (the classic link-graph core signal).
+
+    One distinct-edge pass builds degrees; the threshold sweep is an
+    array-explode over the |ks|-literal list (≤ a few dozen rows of fan-
+    out per edge/vertex), each side one map-side-combinable aggregate —
+    no per-k job, no driver loop.  Output: (k, n_nodes, n_edges, phi).
+    """
+    ks = sorted(ks or [1, 2, 4, 8, 16, 32])
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("id")).unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    karr = F.array(*[F.lit(int(k)) for k in ks])
+    nodes_k = (
+        deg.select(F.explode(F.filter(karr, lambda k: F.col("deg") > k)).alias("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    lim = F.least("deg_a", "deg_b")
+    edges_k = (
+        und.join(da, "a").join(db, "b")
+        .select(F.explode(F.filter(karr, lambda k: lim > k)).alias("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    base = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    out = (
+        base.join(nodes_k, "k", "left").join(edges_k, "k", "left")
+        .na.fill({"n_nodes": 0, "n_edges": 0})
+        .select(
+            "k",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.round(
+                F.when(
+                    F.col("n_nodes") > 1,
+                    2.0 * F.col("n_edges")
+                    / (F.col("n_nodes").cast("double") * (F.col("n_nodes") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("phi"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out

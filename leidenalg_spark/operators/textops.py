@@ -408,3 +408,45 @@ def pmi_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def lm_score(docs: DataFrame, col="text", alpha: float = 1.0) -> DataFrame:
+    """Unigram language-model quality score per document: train an
+    add-``alpha``-smoothed unigram model on the WHOLE corpus, then score
+    every document by its mean token log-probability — the classic cheap
+    LM-based quality filter (CCNet-style: low mean log-prob ≈ gibberish /
+    boilerplate outliers, high ≈ stereotypical text).
+
+    Returns ``(doc_id, n_tokens, mean_logp)``; ``n_tokens`` counts
+    non-empty whitespace tokens, ``mean_logp`` is 0.0 for empty documents.
+
+    Scale shape: one explode feeds TWO map-side-combinable hash
+    aggregates (the |V|-row model and the per-doc rescore); the
+    token→model equi-join streams the exploded side against the model
+    side — a stop-word hub key is harmless because the probe side is
+    never re-grouped on the token.  The two model scalars (corpus size,
+    vocab size) attach as a broadcast literal row, not a driver collect.
+    """
+    tok = (
+        docs.select("doc_id", F.explode(tokens_col(col)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    model = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    tot = model.agg(
+        F.sum("cnt").alias("T"), F.count(F.lit(1)).cast("double").alias("V")
+    )
+    lp = F.log(
+        (F.col("cnt") + F.lit(float(alpha)))
+        / (F.col("T") + F.lit(float(alpha)) * F.col("V"))
+    )
+    scored = (
+        tok.join(model, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg(lp).alias("mlp"))
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.coalesce("mlp", F.lit(0.0)), 6).alias("mean_logp"),
+    )
