@@ -649,6 +649,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_kmeans_silhouette(spark, sf):
+        # per-cell simplified silhouette of the same deterministic run
+        return S.kmeans_silhouette(spark, _embeddings(spark, sf), k=4, iters=2)
+
     def q_rich_club(spark, sf):
         return K.rich_club(spark, _bipartite_ids_det(spark, sf))
 
@@ -761,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_compare": q_partition_compare,
         "lm_score": q_lm_score,
         "rich_club": q_rich_club,
+        "kmeans_silhouette": q_kmeans_silhouette,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "decontaminate": q_decontaminate,
@@ -1634,6 +1639,7 @@ WHERE keep.is_kept AND NOT cont.contaminated
   AND lang.lang_pred IN ('en') AND qual.quality_score >= 0.5
 """
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
+    sqls["kmeans_silhouette"] = _silhouette_oracle(k=4, iters=2)
     sqls["rich_club"] = (
         "WITH " + _DET_PRELUDE + """,
 und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -1718,11 +1724,14 @@ FROM cc CROSS JOIN at CROSS JOIN bt
     return sqls
 
 
-def _kmeans_oracle(k: int = 4, iters: int = 2, seed: int = 42) -> str:
-    """DuckDB twin of kmeans_embeddings: same md5-priority init, Lloyd
-    rounds unrolled as CTEs, centroids ROUNDED to 6 decimals at every
-    sync (the cross-engine determinism barrier the Spark op implements
-    for exactly this purpose)."""
+def _kmeans_ctes(k: int = 4, iters: int = 2, seed: int = 42) -> str:
+    """Shared DuckDB twin of the deterministic Lloyd loop: same
+    md5-priority init as the Spark op, rounds unrolled as CTEs,
+    centroids ROUNDED to 6 decimals at every sync (the cross-engine
+    determinism barrier the Spark op implements for exactly this
+    purpose).  The final assignment CTE ``a{iters+1}`` keeps rn ≤ 2
+    (nearest + second-nearest) so both the assignment and the
+    silhouette oracles read from it."""
     pri = f"('0x' || substr(md5('{seed}:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
     ctes = [
         """emb AS (
@@ -1736,8 +1745,9 @@ def _kmeans_oracle(k: int = 4, iters: int = 2, seed: int = 42) -> str:
 )""",
     ]
     for t in range(1, iters + 2):
+        rn_keep = 2 if t == iters + 1 else 1
         ctes.append(f"""a{t} AS MATERIALIZED (
-  SELECT vec_id, cell, d2 FROM (
+  SELECT vec_id, cell, d2, rn FROM (
     SELECT vec_id, cell, d2,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
     FROM (
@@ -1746,7 +1756,7 @@ def _kmeans_oracle(k: int = 4, iters: int = 2, seed: int = 42) -> str:
                       i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
       FROM emb e CROSS JOIN c{t - 1} c
     )
-  ) WHERE rn = 1
+  ) WHERE rn <= {rn_keep}
 )""")
         if t <= iters:
             ctes.append(f"""c{t} AS MATERIALIZED (
@@ -1758,10 +1768,37 @@ def _kmeans_oracle(k: int = 4, iters: int = 2, seed: int = 42) -> str:
     GROUP BY a.cell, u.i
   ) GROUP BY cell
 )""")
+    return "WITH " + ",\n".join(ctes)
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 2, seed: int = 42) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        _kmeans_ctes(k, iters, seed)
         + f"\nSELECT vec_id, CAST(cell AS BIGINT) AS cell,"
-          f" ROUND(sqrt(d2), 6) AS dist FROM a{iters + 1}\n"
+          f" ROUND(sqrt(d2), 6) AS dist FROM a{iters + 1} WHERE rn = 1\n"
+    )
+
+
+def _silhouette_oracle(k: int = 4, iters: int = 2, seed: int = 42) -> str:
+    """Per-cell simplified silhouette over the final Lloyd assignment:
+    a = nearest-centroid distance, b = second-nearest (or a when k=1)."""
+    return (
+        _kmeans_ctes(k, iters, seed)
+        + f""",
+sil AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN cell END) AS cell,
+         MAX(CASE WHEN rn = 1 THEN sqrt(d2) END) AS a,
+         COALESCE(MAX(CASE WHEN rn = 2 THEN sqrt(d2) END),
+                  MAX(CASE WHEN rn = 1 THEN sqrt(d2) END)) AS b
+  FROM a{iters + 1} GROUP BY vec_id
+)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CASE WHEN greatest(a, b) > 0
+                      THEN (b - a) / greatest(a, b) ELSE 0.0 END), 6)
+         AS mean_silhouette
+FROM sil GROUP BY cell
+"""
     )
 
 

@@ -440,34 +440,11 @@ def embedding_pca(
 
 
 # ------------------------------------------------------------- k-means
-def kmeans_embeddings(
-    spark,
-    embeddings: DataFrame,
-    k: int = 4,
-    iters: int = 2,
-    seed: int = 42,
-    id_col="vec_id",
-    vec_col="embedding",
-) -> DataFrame:
-    """Distributed Lloyd k-means over the FULL embedding table (contrast
-    :func:`ivf_train`, which trains a codebook on a driver-side sample).
-
-    - Initial centroids: the ``k`` vectors with the smallest
-      md5(seed, id) priority — deterministic and SQL-reproducible,
-      never ``rand()`` (the repo-wide sampling convention).
-    - Assignment: broadcast the k×d codebook, per-vector nearest
-      centroid via a map-side ``min(struct(d2, cell))`` — the
-      :func:`ivf_assign` shape, one shuffle row per vector.
-    - Update: one posexplode + (cell, dim) hash aggregate (map-side
-      combinable); only the k×d centroid matrix reaches the driver
-      between iterations, and it is ROUNDED to 6 decimals at that sync —
-      the cross-engine determinism barrier that lets a DuckDB oracle
-      replay the run bit-for-bit.  Empty cells keep their previous
-      centroid.
-
-    Returns (``id_col``, cell, dist) — the assignment against the final
-    centroids, euclidean ``dist`` rounded to 6 decimals.
-    """
+def _kmeans_fit(spark, embeddings, k, iters, seed, id_col, vec_col):
+    """Shared Lloyd loop: returns (persisted base table, assign closure,
+    final centroids).  Caller must ``base.unpersist()``.  See
+    :func:`kmeans_embeddings` for the determinism contract (md5-priority
+    init, centroids rounded to 6 decimals at every driver sync)."""
     import pandas as pd
 
     pr = F.conv(
@@ -491,7 +468,9 @@ def kmeans_embeddings(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).persist()
 
-    def _assign(centroids):
+    def _scored(centroids):
+        """Per-(vector, cell) squared distances against a broadcast
+        codebook — the shared probe all consumers aggregate from."""
         cdf = spark.createDataFrame(
             pd.DataFrame({
                 "cell": list(range(len(centroids))),
@@ -503,9 +482,11 @@ def kmeans_embeddings(
             F.lit(0.0),
             lambda acc, val: acc + val,
         )
+        return base.crossJoin(F.broadcast(cdf)).withColumn("_d2", d2)
+
+    def _assign(centroids):
         return (
-            base.crossJoin(F.broadcast(cdf))
-            .withColumn("_d2", d2)
+            _scored(centroids)
             .groupBy("_km_id")
             .agg(F.min(F.struct(F.col("_d2"), F.col("cell"))).alias("best"))
             .select(
@@ -534,10 +515,93 @@ def kmeans_embeddings(
             for c in range(k)
         ]
 
+    return base, _scored, _assign, cents
+
+
+def kmeans_embeddings(
+    spark,
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means over the FULL embedding table (contrast
+    :func:`ivf_train`, which trains a codebook on a driver-side sample).
+
+    - Initial centroids: the ``k`` vectors with the smallest
+      md5(seed, id) priority — deterministic and SQL-reproducible,
+      never ``rand()`` (the repo-wide sampling convention).
+    - Assignment: broadcast the k×d codebook, per-vector nearest
+      centroid via a map-side ``min(struct(d2, cell))`` — the
+      :func:`ivf_assign` shape, one shuffle row per vector.
+    - Update: one posexplode + (cell, dim) hash aggregate (map-side
+      combinable); only the k×d centroid matrix reaches the driver
+      between iterations, and it is ROUNDED to 6 decimals at that sync —
+      the cross-engine determinism barrier that lets a DuckDB oracle
+      replay the run bit-for-bit.  Empty cells keep their previous
+      centroid.
+
+    Returns (``id_col``, cell, dist) — the assignment against the final
+    centroids, euclidean ``dist`` rounded to 6 decimals.
+    """
+    base, _scored, _assign, cents = _kmeans_fit(
+        spark, embeddings, k, iters, seed, id_col, vec_col
+    )
     out = _assign(cents).select(
         F.col("_km_id").alias(id_col),
         "cell",
         F.round(F.sqrt("d2"), 6).alias("dist"),
     )
+    base.unpersist()
+    return out
+
+
+def kmeans_silhouette(
+    spark,
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """Per-cell simplified silhouette of the deterministic Lloyd run
+    (same init / rounding contract as :func:`kmeans_embeddings`): for
+    each vector, ``a`` = distance to its own (nearest) centroid, ``b`` =
+    distance to the second-nearest, ``s = (b − a) / max(a, b)`` — the
+    centroid-based silhouette (a linear-cost proxy for the O(n²)
+    pairwise silhouette, the standard clustering-quality report at
+    scale).  Returns one row per cell: ``(cell, n, mean_silhouette)``.
+
+    The best/second-best pair comes out of the SAME per-vector hash
+    aggregate as the assignment (a sorted k-element struct array per
+    vector, k small by construction) — no second probe pass.
+    """
+    base, _scored, _assign, cents = _kmeans_fit(
+        spark, embeddings, k, iters, seed, id_col, vec_col
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("_d2").alias("d2"), F.col("cell")))
+    )
+    per_v = (
+        _scored(cents)
+        .groupBy("_km_id")
+        .agg(arr.alias("arr"))
+        .select(
+            F.col("arr")[0]["cell"].alias("cell"),
+            F.sqrt(F.col("arr")[0]["d2"]).alias("a"),
+            F.sqrt(F.coalesce(F.col("arr")[1]["d2"], F.col("arr")[0]["d2"])).alias("b"),
+        )
+    )
+    s = F.when(
+        F.greatest("a", "b") > 0, (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    ).otherwise(F.lit(0.0))
+    out = per_v.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(s), 6).alias("mean_silhouette"),
+    )
+    out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
