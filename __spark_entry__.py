@@ -649,6 +649,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_conversation_profile(spark, sf):
+        # input_hint-shaped transcripts derived deterministically from
+        # events (SQL-twinnable), then the per-conversation profile
+        from leidenalg_spark.operators.sessions import conversation_profile
+        from leidenalg_spark.sources.transcripts import transcripts_from_events
+
+        return conversation_profile(transcripts_from_events(_events(spark, sf)))
+
     def q_kmeans_silhouette(spark, sf):
         # per-cell simplified silhouette of the same deterministic run
         return S.kmeans_silhouette(spark, _embeddings(spark, sf), k=4, iters=2)
@@ -766,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "rich_club": q_rich_club,
         "kmeans_silhouette": q_kmeans_silhouette,
+        "conversation_profile": q_conversation_profile,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "decontaminate": q_decontaminate,
@@ -1640,6 +1649,38 @@ WHERE keep.is_kept AND NOT cont.contaminated
 """
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
     sqls["kmeans_silhouette"] = _silhouette_oracle(k=4, iters=2)
+    sqls["conversation_profile"] = """
+WITH tr AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         rn - 1 AS turn_idx,
+         CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+         event_type AS text,
+         CASE WHEN event_type = 'click' THEN 'browser'
+              WHEN event_type = 'purchase' THEN 'checkout' END AS tool,
+         ts
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events)
+),
+lagged AS (
+  SELECT *, CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                      IS NOT NULL
+                  AND role <> lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                 THEN 1 ELSE 0 END AS alt
+  FROM tr
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns,
+       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+       CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools,
+       CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+       ROUND(AVG(length(COALESCE(text, ''))), 6) AS avg_turn_chars,
+       ROUND(epoch(MAX(ts)) - epoch(MIN(ts)), 6) AS duration_s,
+       ROUND(CASE WHEN COUNT(*) > 1
+                  THEN CAST(SUM(alt) AS DOUBLE) / (COUNT(*) - 1)
+                  ELSE 0.0 END, 6) AS alternation_rate
+FROM lagged GROUP BY conv_id
+"""
     sqls["rich_club"] = (
         "WITH " + _DET_PRELUDE + """,
 und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

@@ -129,3 +129,60 @@ def association_rules(
             F.round((F.col("n_ab") / F.col("na")) / (F.col("nc") / F.col("nb")), 6).alias("lift"),
         )
     )
+
+
+def conversation_profile(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation profile of an input_hint-shaped transcripts table
+    ``(conv_id, turn_idx, role, text, tool, ts)`` — the first table an
+    analyst builds over agent logs: turn counts by role, tool usage,
+    text volume, wall-clock duration, and the role-alternation rate
+    (fraction of consecutive turn pairs that switch speaker — low values
+    flag degenerate single-speaker runs).
+
+    ONE shuffle total: the ``lag(role)`` window hash-partitions on
+    ``conv_id`` and the groupBy reuses that exchange (same key).  All
+    expressions are JVM-side; output is |convs| rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    alt = F.when(
+        F.lag("role").over(w).isNotNull()
+        & (F.col("role") != F.lag("role").over(w)),
+        1,
+    ).otherwise(0)
+    n_turns = F.count(F.lit(1))
+    return (
+        transcripts.withColumn("_alt", alt)
+        .groupBy("conv_id")
+        .agg(
+            n_turns.cast("long").alias("n_turns"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+            .cast("long").alias("n_user_turns"),
+            F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_tool_calls"),
+            F.countDistinct("tool").cast("long").alias("n_tools"),
+            F.sum(F.length(F.coalesce("text", F.lit(""))))
+            .cast("long").alias("total_chars"),
+            F.round(F.avg(F.length(F.coalesce("text", F.lit("")))), 6)
+            .alias("avg_turn_chars"),
+            # unix_micros keeps fractional seconds (unix_timestamp
+            # truncates; NTZ won't cast straight to double under ANSI) —
+            # matches DuckDB epoch() exactly in the UTC session
+            F.round(
+                (
+                    F.unix_micros(F.max("ts").cast("timestamp"))
+                    - F.unix_micros(F.min("ts").cast("timestamp"))
+                )
+                / 1e6,
+                6,
+            ).alias("duration_s"),
+            F.round(
+                F.when(
+                    n_turns > 1,
+                    F.sum("_alt").cast("double") / (n_turns - 1),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("alternation_rate"),
+        )
+    )

@@ -66,3 +66,27 @@ def synthetic_transcripts(
         tool.alias("tool"),
         ts.alias("ts"),
     )
+
+
+def transcripts_from_events(events: DataFrame) -> DataFrame:
+    """Deterministic events→transcripts adapter: recast the event stream
+    as input_hint-shaped conversations (``conv_id`` = user, turns in
+    stable ``(ts, event_id)`` order, roles alternating user/assistant,
+    ``tool`` set on click/purchase turns).  Pure window + column
+    expressions — SQL-twinnable, so oracle checks can replay transcript
+    operators on the shared parquet tables.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    return events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (rn - 1).cast("int").alias("turn_idx"),
+        F.when(rn % 2 == 1, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+        F.col("event_type").alias("text"),
+        F.when(F.col("event_type") == "click", F.lit("browser"))
+        .when(F.col("event_type") == "purchase", F.lit("checkout"))
+        .alias("tool"),
+        F.col("ts"),
+    )

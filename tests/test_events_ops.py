@@ -247,3 +247,27 @@ def test_association_rules_hand_computed(spark):
     r2 = out[("y", "x")]
     assert r2["confidence"] == pytest.approx(1.0)
     assert r2["lift"] == pytest.approx(1.0)
+
+
+def test_conversation_profile_basic(spark):
+    from leidenalg_spark.operators.sessions import conversation_profile
+
+    rows = [
+        ("c1", 0, "user", "hi", None, "2026-01-01 00:00:00"),
+        ("c1", 1, "assistant", "hello!", None, "2026-01-01 00:00:10"),
+        ("c1", 2, "tool", "ls", "bash", "2026-01-01 00:00:20"),
+        ("c1", 3, "tool", "cat x", "bash", "2026-01-01 00:00:30"),
+        ("c2", 0, "user", "solo", None, "2026-01-01 01:00:00"),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["conv_id"]: r for r in conversation_profile(tr).collect()}
+    c1, c2 = out["c1"], out["c2"]
+    assert c1["n_turns"] == 4 and c1["n_user_turns"] == 1
+    assert c1["n_tool_calls"] == 2 and c1["n_tools"] == 1
+    assert c1["total_chars"] == len("hi") + len("hello!") + len("ls") + len("cat x")
+    assert c1["duration_s"] == 30.0
+    # role switches at turns 1 and 2, stays at 3 → 2/3
+    assert abs(c1["alternation_rate"] - 2 / 3) < 1e-6
+    assert c2["n_turns"] == 1 and c2["alternation_rate"] == 0.0 and c2["duration_s"] == 0.0
