@@ -63,6 +63,9 @@ DECLARATIVE = [
     "reciprocity",
     "training_set",
     "event_windows_sliding",
+    "partition_compare",
+    "lm_score",
+    "conversation_profile",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -77,6 +80,10 @@ SCALAR_CROSS = {
     "community_stats",
     # corpus scalars (N_tokens, N_pairs) ride 1-row broadcast cross joins
     "pmi_cooccurrence",
+    # the three 1-row marginal summaries assemble via broadcast cross joins
+    "partition_compare",
+    # model scalars (corpus size T, vocab V) ride a 1-row broadcast cross join
+    "lm_score",
 }
 
 
@@ -177,3 +184,15 @@ def test_bm25_tfidf_prune_documents_scan(spark):
         assert scans, plan
         for line in scans:
             assert "lang" not in line and "source" not in line, line
+
+
+def test_conversation_profile_single_exchange(spark):
+    # window (partitionBy conv_id) and groupBy(conv_id) must share one
+    # exchange: the profile costs a single shuffle of the turn rows
+    from leidenalg_spark.operators.sessions import conversation_profile
+    from leidenalg_spark.sources.transcripts import synthetic_transcripts
+
+    df = conversation_profile(synthetic_transcripts(spark, 50))
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 2, plan  # 1 exchange + its reuse line
+    assert "CartesianProduct" not in plan, plan
