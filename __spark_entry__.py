@@ -649,6 +649,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_bipartite_project(spark, sf):
+        # user–user co-interaction graph (B·Bᵀ product weights) from the
+        # named bipartite table; anchors are the event-type hub vertices
+        from leidenalg_spark.operators.edges import bipartite_project
+
+        named = _bipartite_named(spark, sf).select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        return bipartite_project(named, side="src", weighting="product")
+
     def q_conversation_profile(spark, sf):
         # input_hint-shaped transcripts derived deterministically from
         # events (SQL-twinnable), then the per-conversation profile
@@ -775,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "kmeans_silhouette": q_kmeans_silhouette,
         "conversation_profile": q_conversation_profile,
+        "bipartite_project": q_bipartite_project,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "decontaminate": q_decontaminate,
@@ -1649,6 +1660,16 @@ WHERE keep.is_kept AND NOT cont.contaminated
 """
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
     sqls["kmeans_silhouette"] = _silhouette_oracle(k=4, iters=2)
+    sqls["bipartite_project"] = f"""
+WITH edges AS ({_BIP_EDGES}),
+e AS (SELECT dst AS anchor, src AS node, weight FROM edges),
+deg AS (SELECT anchor, COUNT(*) AS d FROM e GROUP BY anchor),
+k AS (SELECT e.* FROM e JOIN deg USING (anchor) WHERE d <= 10000)
+SELECT l.node AS src, r.node AS dst,
+       ROUND(SUM(l.weight * r.weight), 6) AS weight
+FROM k l JOIN k r ON l.anchor = r.anchor AND l.node < r.node
+GROUP BY 1, 2
+"""
     sqls["conversation_profile"] = """
 WITH tr AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,

@@ -154,3 +154,50 @@ def degrees(edges: DataFrame, directed: bool = False) -> DataFrame:
     return ends.groupBy("id").agg(
         F.count(F.lit(1)).alias("degree"), F.sum("weight").alias("strength")
     )
+
+
+def bipartite_project(
+    edges: DataFrame,
+    side: str = "src",
+    weighting: str = "count",
+    max_anchor_degree: int | None = 10_000,
+) -> DataFrame:
+    """Project a bipartite edge table ``(src, dst, weight)`` onto one
+    vertex class: two ``side`` vertices are linked iff they share an
+    anchor on the other side (user–user via common event types, doc–doc
+    via common shingles — the standard one-mode co-interaction graph fed
+    to Leiden when the bipartite CPM variant isn't wanted).
+
+    ``weighting``: ``"count"`` = number of shared anchors;
+    ``"product"`` = Σ_anchor w_a·w_b (the adjacency-matrix product
+    B·Bᵀ off-diagonal).
+
+    Scale shape: one self-equi-join keyed on the anchor — pair rows are
+    bounded by Σ_anchor deg(anchor)², so a super-hub anchor (a stop-word
+    shingle, a ubiquitous tool vertex) is quadratic in ITS degree alone.
+    ``max_anchor_degree`` drops such anchors first (the ngram_jaccard
+    ``max_shingle_freq`` convention: a hub anchor carries ~zero
+    association signal but all of the cost); pass ``None`` only on
+    inputs with bounded anchor degree.  Output keeps ``a < b`` (each
+    undirected pair once).
+    """
+    anchor, node = ("dst", "src") if side == "src" else ("src", "dst")
+    e = edges.select(
+        F.col(anchor).alias("anchor"), F.col(node).alias("node"), "weight"
+    )
+    if max_anchor_degree is not None:
+        deg = e.groupBy("anchor").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") <= max_anchor_degree).select("anchor")
+        e = e.join(keep, "anchor", "semi")
+    l = e.select("anchor", F.col("node").alias("a"), F.col("weight").alias("wa"))
+    r = e.select("anchor", F.col("node").alias("b"), F.col("weight").alias("wb"))
+    pairs = l.join(r, "anchor").where(F.col("a") < F.col("b"))
+    if weighting == "product":
+        wexpr = F.sum(F.col("wa") * F.col("wb"))
+    elif weighting == "count":
+        wexpr = F.count(F.lit(1)).cast("double")
+    else:
+        raise ValueError(weighting)
+    return pairs.groupBy(F.col("a").alias("src"), F.col("b").alias("dst")).agg(
+        F.round(wexpr, 6).alias("weight")
+    )

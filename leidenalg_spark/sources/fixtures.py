@@ -149,3 +149,61 @@ def to_spark_df(spark, fix, directed=False):
     pdf = pd.DataFrame({"src": s, "dst": d, "weight": w.astype(np.float64)})
     df = spark.createDataFrame(pdf)
     return n, df
+
+
+def sbm_edges_df(
+    spark,
+    n_blocks: int = 8,
+    block_size: int = 200,
+    m_in: int = 1200,
+    m_out: int = 400,
+    seed: int = 7,
+):
+    """Deterministic planted-partition (SBM, G(n,m)-flavoured) generator:
+    ``m_in`` candidate intra-block edges per block plus ``m_out``
+    candidate inter-block edges, endpoints picked by ``xxhash64`` — no
+    Python RNG, no rand(): the identical graph is reproduced at any
+    parallelism (the synthetic_transcripts convention).  Collisions and
+    self-loops are dropped and duplicates collapse (weight = 1.0), so
+    realised counts are slightly below the targets — irrelevant for the
+    planted-recovery use.
+
+    Returns ``(edges_df, truth_df)``: the edge table and the planted
+    (id, comm) membership.  Built from ``spark.range`` — generation
+    parallelises and scales linearly with the edge count.
+
+    The classic community-detection validation harness (leidenalg's own
+    papers benchmark on LFR/SBM graphs): run leiden on ``edges`` and
+    score recovery against ``truth`` with
+    :func:`leidenalg_spark.operators.community.partition_compare`.
+    """
+    from pyspark.sql import functions as F
+
+    n = n_blocks * block_size
+
+    def h(tag, *cols):
+        return F.xxhash64(F.lit(tag), *cols, F.lit(seed))
+
+    intra = (
+        spark.range(n_blocks * m_in)
+        .withColumn("b", (F.col("id") / m_in).cast("long"))
+        .select(
+            (F.col("b") * block_size + F.pmod(h("i1", "id"), F.lit(block_size))).alias("src"),
+            (F.col("b") * block_size + F.pmod(h("i2", "id"), F.lit(block_size))).alias("dst"),
+        )
+    )
+    inter = spark.range(m_out).select(
+        F.pmod(h("o1", "id"), F.lit(n)).alias("src"),
+        F.pmod(h("o2", "id"), F.lit(n)).alias("dst"),
+    )
+    edges = (
+        intra.unionByName(inter)
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    truth = spark.range(n).select(
+        F.col("id"), (F.col("id") / block_size).cast("long").alias("comm")
+    )
+    return edges, truth
