@@ -649,6 +649,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_community_drift(spark, sf):
+        # slice-to-slice stability metrics over deterministic per-slice
+        # memberships (day-mod-3 slices, comm = (id + slice) % 6) — the
+        # metric machinery is what's under test; iterative memberships
+        # plug into the same call (see find_partition_temporal_df)
+        from pyspark.sql import Window
+        from leidenalg_spark.operators.community import community_drift
+
+        ev = _events(spark, sf)
+        slc = (
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000))
+            .cast("long") % 3
+        )
+        ev = ev.withColumn("slice", slc)
+        tids = (
+            ev.select("event_type").distinct()
+            .withColumn("tid", 2 * F.row_number().over(Window.orderBy("event_type")) + 1)
+        )
+        sv = (
+            ev.select("slice", (2 * F.col("user_id")).alias("id"))
+            .unionByName(
+                ev.join(tids, "event_type").select("slice", F.col("tid").cast("long").alias("id"))
+            )
+            .distinct()
+        )
+        m = sv.select("slice", "id", ((F.col("id") + F.col("slice")) % 6).alias("comm"))
+        return community_drift(m)
+
     def q_bipartite_project(spark, sf):
         # user–user co-interaction graph (B·Bᵀ product weights) from the
         # named bipartite table; anchors are the event-type hub vertices
@@ -786,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_silhouette": q_kmeans_silhouette,
         "conversation_profile": q_conversation_profile,
         "bipartite_project": q_bipartite_project,
+        "community_drift": q_community_drift,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "decontaminate": q_decontaminate,
@@ -1660,6 +1689,50 @@ WHERE keep.is_kept AND NOT cont.contaminated
 """
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
     sqls["kmeans_silhouette"] = _silhouette_oracle(k=4, iters=2)
+    sqls["community_drift"] = """
+WITH ev AS (
+  SELECT *, (CAST(epoch(ts) AS BIGINT) // 86400) % 3 AS slice FROM events
+),
+tids AS (
+  SELECT event_type, 2 * ROW_NUMBER() OVER (ORDER BY event_type) + 1 AS tid
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+sv AS (
+  SELECT DISTINCT slice, 2 * user_id AS id FROM ev
+  UNION
+  SELECT DISTINCT slice, tid AS id FROM ev JOIN tids USING (event_type)
+),
+m AS (SELECT slice, id, (id + slice) % 6 AS comm FROM sv),
+ct AS (
+  SELECT a.slice AS slice_from, a.comm AS c1, b.comm AS c2,
+         CAST(COUNT(*) AS DOUBLE) AS nij
+  FROM m a JOIN m b ON a.id = b.id AND b.slice = a.slice + 1
+  GROUP BY 1, 2, 3
+),
+a AS (SELECT slice_from, c1, SUM(nij) AS ai, MAX(nij) AS mi FROM ct GROUP BY 1, 2),
+b AS (SELECT slice_from, c2, SUM(nij) AS bj, MAX(nij) AS mj FROM ct GROUP BY 1, 2),
+at AS (SELECT slice_from, SUM(ai) AS N, SUM(ai*(ai-1)/2.0) AS sa,
+              SUM(mi) AS ma, SUM(ai*ln(ai)) AS la FROM a GROUP BY 1),
+bt AS (SELECT slice_from, SUM(bj*(bj-1)/2.0) AS sb, SUM(mj) AS mb,
+              SUM(bj*ln(bj)) AS lb FROM b GROUP BY 1),
+cc AS (SELECT slice_from, SUM(nij*ln(nij)) AS lc,
+              SUM(nij*(nij-1)/2.0) AS sab FROM ct GROUP BY 1)
+SELECT slice_from, slice_from + 1 AS slice_to,
+  CAST(N AS BIGINT) AS n_vertices,
+  ROUND(CASE WHEN 2*ln(N) - la/N - lb/N > 0
+             THEN 2*(lc/N - la/N - lb/N + ln(N)) / (2*ln(N) - la/N - lb/N)
+             ELSE 1.0 END, 6) AS nmi,
+  ROUND(2*ln(N) - la/N - lb/N - 2*(lc/N - la/N - lb/N + ln(N)), 6) AS vi,
+  ROUND(CASE WHEN N > 1
+             THEN (N*(N-1)/2.0 + 2*sab - sa - sb) / (N*(N-1)/2.0)
+             ELSE 1.0 END, 6) AS rand,
+  ROUND(CASE WHEN N > 1 AND (sa+sb)/2.0 - sa*sb/(N*(N-1)/2.0) > 0
+             THEN (sab - sa*sb/(N*(N-1)/2.0))
+                  / ((sa+sb)/2.0 - sa*sb/(N*(N-1)/2.0))
+             ELSE 1.0 END, 6) AS adjusted_rand,
+  CAST(2*N - ma - mb AS BIGINT) AS split_join
+FROM cc JOIN at USING (slice_from) JOIN bt USING (slice_from)
+"""
     sqls["bipartite_project"] = f"""
 WITH edges AS ({_BIP_EDGES}),
 e AS (SELECT dst AS anchor, src AS node, weight FROM edges),

@@ -137,28 +137,39 @@ def partition_compare(m1: DataFrame, m2: DataFrame) -> DataFrame:
         .groupBy("c1", "c2")
         .agg(F.count(F.lit(1)).cast("double").alias("nij"))
     )
-    a = ct.groupBy("c1").agg(F.sum("nij").alias("ai"), F.max("nij").alias("mi"))
-    b = ct.groupBy("c2").agg(F.sum("nij").alias("bj"), F.max("nij").alias("mj"))
+    return _compare_from_contingency(ct, [])
 
-    # one-row side aggregates (each a broadcastable scalar table)
-    at = a.agg(
+
+def _compare_from_contingency(ct: DataFrame, keys: list[str]) -> DataFrame:
+    """Agreement metrics from a contingency table ``(keys…, c1, c2,
+    nij)`` — one output row per key group (one total row when ``keys``
+    is empty).  Shared by :func:`partition_compare` (global) and
+    :func:`community_drift` (per consecutive-slice pair)."""
+    a = ct.groupBy(*keys, "c1").agg(F.sum("nij").alias("ai"), F.max("nij").alias("mi"))
+    b = ct.groupBy(*keys, "c2").agg(F.sum("nij").alias("bj"), F.max("nij").alias("mj"))
+
+    # per-group side aggregates (tiny, broadcastable tables)
+    at = a.groupBy(*keys).agg(
         F.sum("ai").alias("N"),
         F.sum(F.col("ai") * (F.col("ai") - 1) / 2.0).alias("sa"),
         F.sum("mi").alias("ma"),
         F.sum(F.col("ai") * F.log("ai")).alias("la"),
     )
-    bt = b.agg(
+    bt = b.groupBy(*keys).agg(
         F.sum(F.col("bj") * (F.col("bj") - 1) / 2.0).alias("sb"),
         F.sum("mj").alias("mb"),
         F.sum(F.col("bj") * F.log("bj")).alias("lb"),
     )
     # Σ n_ij·ln n_ij and Σ C(n_ij, 2) over the contingency table
-    cc = ct.agg(
+    cc = ct.groupBy(*keys).agg(
         F.sum(F.col("nij") * F.log("nij")).alias("lc"),
         F.sum(F.col("nij") * (F.col("nij") - 1) / 2.0).alias("sab"),
     )
 
-    row = cc.crossJoin(F.broadcast(at)).crossJoin(F.broadcast(bt))
+    if keys:
+        row = cc.join(F.broadcast(at), keys).join(F.broadcast(bt), keys)
+    else:
+        row = cc.crossJoin(F.broadcast(at)).crossJoin(F.broadcast(bt))
     N = F.col("N")
     # H terms via the Σ n·ln n decomposition: H(X) = ln N − (Σ aᵢ ln aᵢ)/N
     h1 = F.log(N) - F.col("la") / N
@@ -178,10 +189,45 @@ def partition_compare(m1: DataFrame, m2: DataFrame) -> DataFrame:
         ).otherwise(F.lit(1.0)),
     ).otherwise(F.lit(1.0))
     return row.select(
+        *keys,
         N.cast("long").alias("n_vertices"),
         F.round(nmi, 6).alias("nmi"),
         F.round(vi, 6).alias("vi"),
         F.round(rand, 6).alias("rand"),
         F.round(ari, 6).alias("adjusted_rand"),
         (2 * N - F.col("ma") - F.col("mb")).cast("long").alias("split_join"),
+    )
+
+
+def community_drift(memberships: DataFrame, slice_col: str = "slice") -> DataFrame:
+    """Community stability across CONSECUTIVE time slices: for every
+    pair (s, s+1) in a per-slice membership table ``(slice, id, comm)``
+    (the output shape of ``find_partition_temporal_df``), the full
+    :func:`partition_compare` metric set computed over the vertices the
+    two slices SHARE.  Low NMI / high VI between adjacent slices =
+    community churn; ``n_vertices`` is the shared-vertex count the
+    comparison is based on (tiny overlaps make the metrics noisy —
+    report it, don't hide it).
+
+    Scale shape: ONE id-equi-join of the membership table against
+    itself shifted by one slice, one contingency groupBy keyed by the
+    pair, then the shared grouped-marginal arithmetic — per-pair cost
+    is |shared vertices|, all pairs in one plan (no per-pair driver
+    loop).
+    """
+    m = memberships.select(
+        F.col(slice_col).cast("long").alias("s"), "id", "comm"
+    )
+    a = m.select(F.col("s").alias("slice_from"), "id", F.col("comm").alias("c1"))
+    b = m.select((F.col("s") - 1).alias("slice_from"), "id", F.col("comm").alias("c2"))
+    ct = (
+        a.join(b, ["slice_from", "id"])
+        .groupBy("slice_from", "c1", "c2")
+        .agg(F.count(F.lit(1)).cast("double").alias("nij"))
+    )
+    out = _compare_from_contingency(ct, ["slice_from"])
+    return out.select(
+        "slice_from",
+        (F.col("slice_from") + 1).alias("slice_to"),
+        "n_vertices", "nmi", "vi", "rand", "adjusted_rand", "split_join",
     )

@@ -110,3 +110,24 @@ def test_partition_compare_independent_labels(spark):
     row = partition_compare(m1, m2).first()
     assert row["nmi"] == pytest.approx(0.0, abs=1e-6)
     assert row["adjusted_rand"] == pytest.approx(-0.1, abs=1e-6)
+
+
+def test_community_drift_composes_with_temporal_facade(spark):
+    from leidenalg_spark.operators.community import community_drift
+    from leidenalg_spark.operators.multiplex import find_partition_temporal_df
+    from leidenalg_spark.sources.fixtures import ZACHARY_EDGES
+
+    z = [(int(a), int(b), 1.0) for a, b in ZACHARY_EDGES]
+    sl = spark.createDataFrame(
+        [(s, a, b, w) for s in (0, 1, 2) for a, b, w in z],
+        "slice int, src long, dst long, weight double",
+    )
+    membership, _ = find_partition_temporal_df(
+        spark, sl, method="modularity", interslice_weight=5.0, seed=1
+    )
+    drift = {r["slice_from"]: r for r in community_drift(membership).collect()}
+    # identical slices + strong coupling → perfectly stable communities
+    assert set(drift) == {0, 1}
+    for r in drift.values():
+        assert r["n_vertices"] == 34
+        assert r["nmi"] == 1.0 and r["split_join"] == 0
