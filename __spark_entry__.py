@@ -674,7 +674,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .distinct()
         )
-        m = sv.select("slice", "id", ((F.col("id") + F.col("slice")) % 6).alias("comm"))
+        # (id + slice) % 6 would be a pure label PERMUTATION across
+        # slices (NMI trivially 1); the slice-dependent multiplier makes
+        # adjacent partitions genuinely disagree
+        m = sv.select(
+            "slice", "id", ((F.col("id") * (F.col("slice") + 2)) % 6).alias("comm")
+        )
         return community_drift(m)
 
     def q_bipartite_project(spark, sf):
@@ -1702,7 +1707,7 @@ sv AS (
   UNION
   SELECT DISTINCT slice, tid AS id FROM ev JOIN tids USING (event_type)
 ),
-m AS (SELECT slice, id, (id + slice) % 6 AS comm FROM sv),
+m AS (SELECT slice, id, (id * (slice + 2)) % 6 AS comm FROM sv),
 ct AS (
   SELECT a.slice AS slice_from, a.comm AS c1, b.comm AS c2,
          CAST(COUNT(*) AS DOUBLE) AS nij
