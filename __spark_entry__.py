@@ -649,6 +649,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_vertex_features(spark, sf):
+        # joined per-vertex structural feature table on the transition
+        # graph (string ids so the oracle joins exactly)
+        e = E.events_to_type_transition_edges(_events(spark, sf)).select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        return K.vertex_features(spark, e).withColumnRenamed("id", "name")
+
+    def q_corpus_profile(spark, sf):
+        return T.corpus_profile(_documents(spark, sf))
+
     def q_community_drift(spark, sf):
         # slice-to-slice stability metrics over deterministic per-slice
         # memberships (day-mod-3 slices, comm = (id + slice) % 6) — the
@@ -820,6 +831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_profile": q_conversation_profile,
         "bipartite_project": q_bipartite_project,
         "community_drift": q_community_drift,
+        "corpus_profile": q_corpus_profile,
+        "vertex_features": q_vertex_features,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "decontaminate": q_decontaminate,
@@ -1694,6 +1707,52 @@ WHERE keep.is_kept AND NOT cont.contaminated
 """
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
     sqls["kmeans_silhouette"] = _silhouette_oracle(k=4, iters=2)
+    sqls["vertex_features"] = """
+WITH te AS (
+  SELECT prev_type AS s, event_type AS d, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM (SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events)
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+deg AS (SELECT name, COUNT(*) AS degree, SUM(w) AS strength
+        FROM (SELECT s AS name, w FROM te UNION ALL SELECT d AS name, w FROM te)
+        GROUP BY name),
+und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM te WHERE s <> d),
+sdeg AS (SELECT name, COUNT(*) AS degree
+         FROM (SELECT a AS name FROM und UNION ALL SELECT b AS name FROM und)
+         GROUP BY name),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+cnt AS (SELECT name, COUNT(*) AS nt
+        FROM (SELECT x AS name FROM tri UNION ALL SELECT y AS name FROM tri
+              UNION ALL SELECT z AS name FROM tri)
+        GROUP BY name)
+SELECT d.name, CAST(d.degree AS BIGINT) AS degree, ROUND(d.strength, 6) AS strength,
+       CAST(COALESCE(c.nt, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN COALESCE(s.degree, 0) >= 2
+                  THEN 2.0 * COALESCE(c.nt, 0) / (s.degree * (s.degree - 1.0))
+                  ELSE 0.0 END, 6) AS lcc
+FROM deg d LEFT JOIN sdeg s ON s.name = d.name LEFT JOIN cnt c ON c.name = d.name
+"""
+    sqls["corpus_profile"] = r"""
+WITH d AS (
+  SELECT source, lang,
+         CAST(len(list_filter(
+           string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+           x -> x <> '')) AS DOUBLE) AS nt,
+         length(coalesce(text, '')) AS nc
+  FROM documents
+)
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       ROUND(AVG(nc), 6) AS mean_chars,
+       ROUND(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+       ROUND(quantile_cont(nt, 0.9), 6) AS p90_tokens,
+       ROUND(quantile_cont(nt, 0.99), 6) AS p99_tokens
+FROM d GROUP BY 1, 2
+"""
     sqls["community_drift"] = """
 WITH ev AS (
   SELECT *, (CAST(epoch(ts) AS BIGINT) // 86400) % 3 AS slice FROM events

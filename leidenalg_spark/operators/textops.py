@@ -450,3 +450,31 @@ def lm_score(docs: DataFrame, col="text", alpha: float = 1.0) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("long").alias("n_tokens"),
         F.round(F.coalesce("mlp", F.lit(0.0)), 6).alias("mean_logp"),
     )
+
+
+def corpus_profile(docs: DataFrame, by=("source", "lang")) -> DataFrame:
+    """Per-``by``-group corpus report over the documents table: doc and
+    token counts, exact token-length percentiles (p50/p90/p99), mean
+    chars — the first dashboard a dataset curator reads before choosing
+    mixture weights.
+
+    ONE hash aggregate on the grouping key; exact ``percentile``
+    (bounded group cardinality by construction — |sources|×|langs|
+    groups; swap in ``approx_percentile`` for unbounded keys, the
+    value_profile convention).
+    """
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+            lambda t: t != "",
+        )
+    ).cast("double")
+    d = docs.withColumn("_nt", toks)
+    return d.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.round(F.avg(F.length(F.coalesce("text", F.lit("")))), 6).alias("mean_chars"),
+        F.round(F.expr("percentile(_nt, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(_nt, 0.9)"), 6).alias("p90_tokens"),
+        F.round(F.expr("percentile(_nt, 0.99)"), 6).alias("p99_tokens"),
+    )
