@@ -649,6 +649,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_diameter(spark, sf):
+        # double-sweep diameter lower bound, truncated at 6 rings to
+        # match the unrolled oracle depth
+        return K.diameter_approx(spark, _bipartite_ids_det(spark, sf), max_depth=6)
+
     def q_vertex_features(spark, sf):
         # joined per-vertex structural feature table on the transition
         # graph (string ids so the oracle joins exactly)
@@ -833,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_drift": q_community_drift,
         "corpus_profile": q_corpus_profile,
         "vertex_features": q_vertex_features,
+        "diameter": q_diameter,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "decontaminate": q_decontaminate,
@@ -1707,6 +1713,7 @@ WHERE keep.is_kept AND NOT cont.contaminated
 """
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
     sqls["kmeans_silhouette"] = _silhouette_oracle(k=4, iters=2)
+    sqls["diameter"] = _diameter_oracle(depth=6)
     sqls["vertex_features"] = """
 WITH te AS (
   SELECT prev_type AS s, event_type AS d, CAST(COUNT(*) AS DOUBLE) AS w
@@ -1921,6 +1928,52 @@ FROM cc CROSS JOIN at CROSS JOIN bt
 """
     sqls.update(_kernel_oracles())
     return sqls
+
+
+def _bfs_sweep_ctes(tag: str, start_sql: str, depth: int) -> str:
+    """Unrolled deterministic BFS CTEs over the symmetric pair table
+    ``s(a, b)``: levels ``{tag}0..{tag}{depth}``, union ``{tag}_all``,
+    and ``{tag}_far`` = the (max d, min v) farthest vertex."""
+    ctes = [f"{tag}0 AS MATERIALIZED (SELECT {start_sql} AS v, 0 AS d)"]
+    seen = f"SELECT v FROM {tag}0"
+    for k in range(1, depth + 1):
+        ctes.append(
+            f"""{tag}{k} AS MATERIALIZED (
+  SELECT DISTINCT s.b AS v, {k} AS d FROM {tag}{k - 1} p JOIN s ON s.a = p.v
+  WHERE s.b NOT IN ({seen}))"""
+        )
+        seen += f" UNION ALL SELECT v FROM {tag}{k}"
+    union = " UNION ALL ".join(f"SELECT * FROM {tag}{k}" for k in range(depth + 1))
+    ctes.append(f"{tag}_all AS ({union})")
+    ctes.append(
+        f"{tag}_far AS (SELECT v, d FROM {tag}_all ORDER BY d DESC, v LIMIT 1)"
+    )
+    return ",\n".join(ctes)
+
+
+def _diameter_oracle(depth: int = 6) -> str:
+    """DuckDB twin of diameter_approx on the deterministic bipartite
+    graph: same max-degree start, same (d, v) tie-breaks, same ring
+    truncation."""
+    return (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+s AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+degq AS (SELECT a AS id, COUNT(*) AS deg FROM s GROUP BY a),
+st AS (SELECT id FROM degq ORDER BY deg DESC, id LIMIT 1),
+"""
+        + _bfs_sweep_ctes("w1", "(SELECT id FROM st)", depth)
+        + ",\n"
+        + _bfs_sweep_ctes("w2", "(SELECT v FROM w1_far)", depth)
+        + """
+SELECT CAST((SELECT id FROM st) AS BIGINT) AS start_id,
+       CAST((SELECT v FROM w1_far) AS BIGINT) AS sweep1_end,
+       CAST((SELECT d FROM w1_far) AS INT) AS sweep1_dist,
+       CAST((SELECT v FROM w2_far) AS BIGINT) AS sweep2_end,
+       CAST((SELECT d FROM w2_far) AS INT) AS diameter_lb
+"""
+    )
 
 
 def _kmeans_ctes(k: int = 4, iters: int = 2, seed: int = 42) -> str:

@@ -2218,3 +2218,74 @@ def vertex_features(
         )
         out = out.join(kh, "id", "left").na.fill({"n_2hop": 0})
     return out
+
+
+def _bfs_far(spark, sym, start_id, max_depth, ckpt, tag):
+    """Single-source BFS over the cached symmetric simple edge table:
+    returns (farthest vertex, its distance) with deterministic (max d,
+    min id) tie-break.  Per ring ONE frontier⋈adjacency join + one
+    anti-join vs the seen set (the harmonic_centrality shape, single
+    source so state is |component| rows)."""
+    seen = spark.range(1).select(
+        F.lit(start_id).cast("long").alias("v"), F.lit(0).cast("int").alias("d")
+    )
+    frontier = seen
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")
+            .select(F.col("w").alias("v"))
+            .distinct()
+            .join(seen.select("v"), "v", "left_anti")
+            .withColumn("d", F.lit(d).cast("int"))
+        )
+        nxt = ckpt.save(nxt, f"bfs_{tag}_frontier", d)
+        if nxt.limit(1).count() == 0:
+            break
+        seen = ckpt.save(seen.unionByName(nxt), f"bfs_{tag}_seen", d)
+        frontier = nxt
+    far = seen.agg(
+        F.max_by(F.struct(F.col("v"), F.col("d")), F.struct(F.col("d"), -F.col("v"))).alias("f")
+    ).first()["f"]
+    return int(far["v"]), int(far["d"])
+
+
+def diameter_approx(
+    spark,
+    edges: DataFrame,
+    max_depth: int = 16,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009 —
+    the standard cheap diameter estimate, usually tight on real graphs):
+    BFS from the max-degree vertex to its farthest reachable vertex u,
+    then BFS from u; the second eccentricity is the bound.  All
+    tie-breaks deterministic (max degree then min id; max distance then
+    min id), so the run — and its DuckDB twin — is reproducible.
+
+    Returns one row: ``(start_id, sweep1_end, sweep1_dist, sweep2_end,
+    diameter_lb)``.  Truncated at ``max_depth`` rings (each ring is one
+    frontier join; state is one component's vertex set, never all-pairs).
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    start = deg.agg(
+        F.max_by(F.col("id"), F.struct(F.col("deg"), -F.col("id"))).alias("s")
+    ).first()["s"]
+    u, d1 = _bfs_far(spark, sym, int(start), max_depth, ckpt, "sweep1")
+    w, d2 = _bfs_far(spark, sym, u, max_depth, ckpt, "sweep2")
+    import pandas as pd
+
+    out = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "start_id": [int(start)], "sweep1_end": [u], "sweep1_dist": [d1],
+                "sweep2_end": [w], "diameter_lb": [d2],
+            }
+        )
+    )
+    sym.unpersist()
+    if own_ckpt and ckpt.path is None:
+        ckpt.close()
+    return out

@@ -860,3 +860,18 @@ def test_label_spreading_two_seeds(spark):
     assert out[5] == 200 and out[6] == 200   # right clique adopts right
     # the disconnected pair 8-9 is unreachable from any seed -> NULL
     assert out[8] is None and out[9] is None
+
+
+def test_diameter_double_sweep_exact_on_path(spark):
+    from leidenalg_spark.operators.kernels import diameter_approx
+
+    # path 0-1-2-3-4 plus a hub fan at 2: max-degree start = 2,
+    # sweep1 reaches an end (dist 2), sweep2 spans the path (dist 4)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 5), (2, 6)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    row = diameter_approx(spark, e, max_depth=8).first()
+    assert row["start_id"] == 2
+    assert row["sweep1_dist"] == 2 and row["sweep1_end"] == 0
+    assert row["diameter_lb"] == 4 and row["sweep2_end"] == 4
