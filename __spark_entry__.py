@@ -649,6 +649,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_neighbor_sample(spark, sf):
+        # GraphSAGE fanout sampling from every 50th user, fanouts (3, 2)
+        from leidenalg_spark.operators.sampling import neighbor_sample
+
+        e = _bipartite_ids_det(spark, sf)
+        seeds = (
+            e.select("src").distinct()
+            .where((F.col("src") / 2 % 50) == 0)
+            .select(F.col("src").alias("id"))
+        )
+        return neighbor_sample(spark, e, seeds, fanouts=(3, 2), seed=42)
+
     def q_diameter(spark, sf):
         # double-sweep diameter lower bound, truncated at 6 rings to
         # match the unrolled oracle depth
@@ -839,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "vertex_features": q_vertex_features,
         "diameter": q_diameter,
+        "neighbor_sample": q_neighbor_sample,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "decontaminate": q_decontaminate,
@@ -1714,6 +1727,37 @@ WHERE keep.is_kept AND NOT cont.contaminated
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
     sqls["kmeans_silhouette"] = _silhouette_oracle(k=4, iters=2)
     sqls["diameter"] = _diameter_oracle(depth=6)
+    sqls["neighbor_sample"] = (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+s AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+seeds AS (SELECT DISTINCT src AS id FROM edges WHERE (src / 2) % 50 = 0),
+f1 AS (
+  SELECT root, 1 AS hop, v AS src, b AS dst FROM (
+    SELECT fr.root, fr.v, s.b,
+           ROW_NUMBER() OVER (
+             PARTITION BY fr.root, fr.v
+             ORDER BY md5(concat_ws(':', '42', '1', fr.root, fr.v, s.b)), s.b
+           ) AS rn
+    FROM (SELECT id AS root, id AS v FROM seeds) fr JOIN s ON s.a = fr.v
+  ) WHERE rn <= 3
+),
+fr2 AS (SELECT DISTINCT root, dst AS v FROM f1),
+f2 AS (
+  SELECT root, 2 AS hop, v AS src, b AS dst FROM (
+    SELECT fr.root, fr.v, s.b,
+           ROW_NUMBER() OVER (
+             PARTITION BY fr.root, fr.v
+             ORDER BY md5(concat_ws(':', '42', '2', fr.root, fr.v, s.b)), s.b
+           ) AS rn
+    FROM fr2 fr JOIN s ON s.a = fr.v
+  ) WHERE rn <= 2
+)
+SELECT root, hop, src, dst FROM f1
+UNION ALL SELECT root, hop, src, dst FROM f2
+"""
+    )
     sqls["vertex_features"] = """
 WITH te AS (
   SELECT prev_type AS s, event_type AS d, CAST(COUNT(*) AS DOUBLE) AS w

@@ -178,3 +178,66 @@ def stratified_sample(
     else:
         keep = b < F.lit(int(float(fractions) * _BUCKETS))
     return df.where(keep)
+
+
+def neighbor_sample(
+    spark,
+    edges,
+    seeds,
+    fanouts=(10, 5),
+    seed: int = 42,
+) -> "DataFrame":
+    """GraphSAGE-style layered neighbor sampling over the symmetrised
+    simple graph: hop ``h`` keeps at most ``fanouts[h-1]`` neighbours per
+    (root, frontier-vertex) pair, chosen by md5 priority — deterministic,
+    retry/append-stable, SQL-reproducible (never ``rand()``); the sampled
+    block is what a GNN trainer's loader materialises per mini-batch.
+
+    ``seeds``: DataFrame with column ``id`` (the mini-batch roots).
+    Returns ``(root, hop, src, dst)`` — the sampled adjacency, one row
+    per kept edge instance.  Revisits are allowed across hops (standard
+    GraphSAGE semantics — the sample is a computation tree, not a
+    subgraph).
+
+    Scale shape: per hop ONE frontier⋈adjacency equi-join and one
+    per-(root, v) top-f window (partition count = frontier size — hub
+    fan-out is capped at f BEFORE the next hop, so frontiers grow at
+    most ×f per hop and a tool-hub vertex contributes f rows, not
+    deg rows).
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    frontier = seeds.select(F.col("id").alias("root"), F.col("id").alias("v"))
+    layers = []
+    for h, f in enumerate(fanouts, 1):
+        cand = frontier.join(adj.withColumnRenamed("a", "v"), "v")
+        pri = F.md5(
+            F.concat_ws(
+                ":", F.lit(str(seed)), F.lit(str(h)),
+                F.col("root").cast("string"), F.col("v").cast("string"),
+                F.col("b").cast("string"),
+            )
+        )
+        w = Window.partitionBy("root", "v").orderBy(pri, F.col("b"))
+        pick = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(f))
+            .select(
+                "root", F.lit(h).cast("int").alias("hop"),
+                F.col("v").alias("src"), F.col("b").alias("dst"),
+            )
+        )
+        layers.append(pick)
+        frontier = pick.select("root", F.col("dst").alias("v")).distinct()
+    out = layers[0]
+    for l in layers[1:]:
+        out = out.unionByName(l)
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    return out
