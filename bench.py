@@ -110,6 +110,7 @@ def run_queries(spark, sf_dir: str) -> dict:
         "quality_significance", "quality_surprise", "dedup_exact",
         "neardup_jaccard", "minhash_signature", "cosine_topk",
         "leiden_communities", "token_count", "doc_quality",
+        "lm_score", "bipartite_project", "kmeans", "neighbor_sample",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
     return out
