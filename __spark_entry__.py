@@ -649,6 +649,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_partition_quality(spark, sf):
+        # igraph coverage/performance pair on the named bipartite graph
+        # with the community_stats deterministic membership
+        from leidenalg_spark.operators.community import partition_quality_report
+
+        named = _bipartite_named(spark, sf)
+        e = named.select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        verts = e.select(F.col("src").alias("name")).union(
+            e.select(F.col("dst").alias("name"))
+        ).distinct()
+        comm = F.when(
+            F.col("name").startswith("u:"), F.expr("CAST(substr(name, 3) AS BIGINT) % 8")
+        ).otherwise(F.length("name") % 8)
+        m = verts.select(F.col("name").alias("id"), comm.cast("long").alias("comm"))
+        return partition_quality_report(e, m)
+
     def q_neighbor_sample(spark, sf):
         # GraphSAGE fanout sampling from every 50th user, fanouts (3, 2)
         from leidenalg_spark.operators.sampling import neighbor_sample
@@ -852,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_features": q_vertex_features,
         "diameter": q_diameter,
         "neighbor_sample": q_neighbor_sample,
+        "partition_quality": q_partition_quality,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "decontaminate": q_decontaminate,
@@ -1727,6 +1746,40 @@ WHERE keep.is_kept AND NOT cont.contaminated
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
     sqls["kmeans_silhouette"] = _silhouette_oracle(k=4, iters=2)
     sqls["diameter"] = _diameter_oracle(depth=6)
+    sqls["partition_quality"] = f"""
+WITH edges AS ({_BIP_EDGES}),
+verts AS (
+  SELECT name,
+         CASE WHEN name LIKE 'u:%' THEN CAST(substr(name, 3) AS BIGINT) % 8
+              ELSE length(name) % 8 END AS comm
+  FROM (SELECT src AS name FROM edges UNION SELECT dst FROM edges)
+),
+und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(weight) AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+lab AS (
+  SELECT u.w, va.comm AS ca, vb.comm AS cb
+  FROM und u JOIN verts va ON u.a = va.name JOIN verts vb ON u.b = vb.name
+),
+eagg AS (
+  SELECT COUNT(*) AS m_edges, COALESCE(SUM(w), 0) AS w_tot,
+         COALESCE(SUM(CASE WHEN ca = cb THEN w END), 0) AS w_in,
+         COALESCE(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END), 0) AS m_in
+  FROM lab
+),
+sagg AS (
+  SELECT SUM(nc) AS n, COALESCE(SUM(nc * (nc - 1) / 2.0), 0) AS p_in
+  FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS nc FROM verts GROUP BY comm)
+)
+SELECT CAST(n AS BIGINT) AS n_vertices, CAST(m_edges AS BIGINT) AS n_edges,
+  ROUND(CASE WHEN w_tot > 0 THEN w_in / w_tot ELSE 1.0 END, 6) AS coverage,
+  ROUND(CASE WHEN n > 1
+             THEN (m_in + ((n*(n-1)/2.0 - p_in) - (m_edges - m_in)))
+                  / (n*(n-1)/2.0)
+             ELSE 1.0 END, 6) AS performance
+FROM eagg CROSS JOIN sagg
+"""
     sqls["neighbor_sample"] = (
         "WITH " + _DET_PRELUDE + """,
 und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

@@ -231,3 +231,54 @@ def community_drift(memberships: DataFrame, slice_col: str = "slice") -> DataFra
         (F.col("slice_from") + 1).alias("slice_to"),
         "n_vertices", "nmi", "vi", "rand", "adjusted_rand", "split_join",
     )
+
+
+def partition_quality_report(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """The igraph partition-quality pair the reference's ecosystem
+    reports alongside modularity: ``coverage`` = intra-community edge
+    fraction (weighted), ``performance`` = fraction of vertex pairs
+    correctly classified (intra pairs linked + inter pairs unlinked;
+    unweighted simple undirected graph, self-loops ignored).
+
+    One row out: ``(n_vertices, n_edges, coverage, performance)``.
+
+    Scale shape: two |V|-row membership joins decorate each edge, then
+    one aggregate; the pair-count terms are pure arithmetic over the
+    |C|-row community-size table (Σ C(n_c,2) intra pairs — never an
+    all-pairs join).
+    """
+    m = membership.select("id", "comm")
+    simple = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"), "weight")
+        .where(F.col("a") != F.col("b"))
+    )
+    und = simple.groupBy("a", "b").agg(F.sum("weight").alias("w"))
+    lab = (
+        und.join(m.select(F.col("id").alias("a"), F.col("comm").alias("ca")), "a")
+        .join(m.select(F.col("id").alias("b"), F.col("comm").alias("cb")), "b")
+    )
+    eagg = lab.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.coalesce(F.sum("w"), F.lit(0.0)).alias("w_tot"),
+        F.coalesce(F.sum(F.when(F.col("ca") == F.col("cb"), F.col("w"))), F.lit(0.0)).alias("w_in"),
+        F.coalesce(
+            F.sum(F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)), F.lit(0)
+        ).alias("m_in"),
+    )
+    sizes = m.groupBy("comm").agg(F.count(F.lit(1)).cast("double").alias("nc"))
+    sagg = sizes.agg(
+        F.sum("nc").alias("n"),
+        F.coalesce(F.sum(F.col("nc") * (F.col("nc") - 1) / 2.0), F.lit(0.0)).alias("p_in"),
+    )
+    row = eagg.crossJoin(F.broadcast(sagg))
+    t = F.col("n") * (F.col("n") - 1) / 2.0
+    # correct pairs = linked intra pairs + unlinked inter pairs
+    correct = F.col("m_in") + ((t - F.col("p_in")) - (F.col("m_edges") - F.col("m_in")))
+    return row.select(
+        F.col("n").cast("long").alias("n_vertices"),
+        F.col("m_edges").cast("long").alias("n_edges"),
+        F.round(
+            F.when(F.col("w_tot") > 0, F.col("w_in") / F.col("w_tot")).otherwise(1.0), 6
+        ).alias("coverage"),
+        F.round(F.when(t > 0, correct / t).otherwise(1.0), 6).alias("performance"),
+    )

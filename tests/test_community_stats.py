@@ -131,3 +131,24 @@ def test_community_drift_composes_with_temporal_facade(spark):
     for r in drift.values():
         assert r["n_vertices"] == 34
         assert r["nmi"] == 1.0 and r["split_join"] == 0
+
+
+def test_partition_quality_report_hand_computed(spark):
+    from leidenalg_spark.operators.community import partition_quality_report
+
+    # two triangles + one bridge; perfect 2-community split
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+             (3, 4, 2.0), (4, 5, 2.0), (3, 5, 2.0),
+             (2, 3, 0.5)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    m = spark.createDataFrame(
+        [(i, 0) for i in (0, 1, 2)] + [(i, 1) for i in (3, 4, 5)],
+        "id long, comm long",
+    )
+    r = partition_quality_report(e, m).first()
+    assert r["n_vertices"] == 6 and r["n_edges"] == 7
+    # coverage = intra weight / total = (3 + 6) / 9.5
+    assert r["coverage"] == pytest.approx(9.0 / 9.5, abs=1e-6)
+    # pairs: 15 total, 6 intra (all linked), 9 inter (1 linked) →
+    # correct = 6 + 8 = 14
+    assert r["performance"] == pytest.approx(14 / 15, abs=1e-6)
