@@ -649,6 +649,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_degree_histogram(spark, sf):
+        from leidenalg_spark.operators.edges import degree_histogram
+
+        return degree_histogram(_bipartite_ids_det(spark, sf))
+
     def q_partition_quality(spark, sf):
         # igraph coverage/performance pair on the named bipartite graph
         # with the community_stats deterministic membership
@@ -871,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter": q_diameter,
         "neighbor_sample": q_neighbor_sample,
         "partition_quality": q_partition_quality,
+        "degree_histogram": q_degree_histogram,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "decontaminate": q_decontaminate,
@@ -1746,6 +1752,21 @@ WHERE keep.is_kept AND NOT cont.contaminated
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
     sqls["kmeans_silhouette"] = _silhouette_oracle(k=4, iters=2)
     sqls["diameter"] = _diameter_oracle(depth=6)
+    sqls["degree_histogram"] = (
+        "WITH " + _DET_PRELUDE + """,
+deg AS (
+  SELECT name, COUNT(*) AS degree
+  FROM (SELECT src AS name FROM edges UNION ALL SELECT dst FROM edges)
+  GROUP BY name
+)
+SELECT bin,
+       CAST(2 ** bin AS BIGINT) AS lo,
+       CAST(2 ** (bin + 1) - 1 AS BIGINT) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM (SELECT CAST(FLOOR(log2(CAST(degree AS DOUBLE))) AS INT) AS bin FROM deg)
+GROUP BY bin
+"""
+    )
     sqls["partition_quality"] = f"""
 WITH edges AS ({_BIP_EDGES}),
 verts AS (

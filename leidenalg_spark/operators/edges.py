@@ -201,3 +201,28 @@ def bipartite_project(
     return pairs.groupBy(F.col("a").alias("src"), F.col("b").alias("dst")).agg(
         F.round(wexpr, 6).alias("weight")
     )
+
+
+def degree_histogram(edges: DataFrame, directed: bool = False) -> DataFrame:
+    """Log2-binned degree distribution of the multigraph — the
+    power-law fingerprint read before choosing skew strategy (a heavy
+    tail at high bins ⇒ salt the gather, cap wedge centers).
+
+    Returns ``(bin, lo, hi, n_vertices)`` where bin b covers degrees
+    [2^b, 2^{b+1}).  One degree aggregate + one |V|-row projection +
+    one tiny aggregate — all map-side combinable.
+    """
+    deg = degrees(edges, directed=directed)
+    dcol = F.col("out_degree") + F.col("in_degree") if directed else F.col("degree")
+    b = F.floor(F.log2(dcol.cast("double"))).cast("int")
+    return (
+        deg.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+        .select(
+            "bin",
+            F.pow(F.lit(2.0), F.col("bin")).cast("long").alias("lo"),
+            (F.pow(F.lit(2.0), F.col("bin") + 1) - 1).cast("long").alias("hi"),
+            "n_vertices",
+        )
+    )
