@@ -689,6 +689,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # match the unrolled oracle depth
         return K.diameter_approx(spark, _bipartite_ids_det(spark, sf), max_depth=6)
 
+    def q_wl_refinement(spark, sf):
+        # 2-round Weisfeiler-Lehman color refinement on the bipartite graph
+        return K.wl_refinement(spark, _bipartite_ids_det(spark, sf), rounds=2)
+
+    def q_anomaly_windows(spark, sf):
+        # hourly per-event-type counts vs their trailing-6-window z-score
+        from leidenalg_spark.operators.events import anomaly_windows
+
+        return anomaly_windows(
+            _events(spark, sf), width="1 hour", baseline=6, threshold=2.0
+        )
+
     def q_vertex_features(spark, sf):
         # joined per-vertex structural feature table on the transition
         # graph (string ids so the oracle joins exactly)
@@ -919,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "jaccard_linkpred": q_jaccard_linkpred,
         "community_stats": q_community_stats,
+        "wl_refinement": q_wl_refinement,
+        "anomaly_windows": q_anomaly_windows,
     }
 
 
@@ -1767,6 +1781,49 @@ FROM (SELECT CAST(FLOOR(log2(CAST(degree AS DOUBLE))) AS INT) AS bin FROM deg)
 GROUP BY bin
 """
     )
+    sqls["wl_refinement"] = (
+        "WITH " + _DET_PRELUDE + """,
+c0 AS (SELECT id, '0' AS color FROM verts),
+g1 AS (
+  SELECT s.src AS id, string_agg(c.color, ',' ORDER BY c.color) AS sig
+  FROM sym s JOIN c0 c ON s.dst = c.id GROUP BY s.src
+),
+c1 AS (
+  SELECT c0.id, md5(c0.color || '|' || COALESCE(g1.sig, '')) AS color
+  FROM c0 LEFT JOIN g1 USING (id)
+),
+g2 AS (
+  SELECT s.src AS id, string_agg(c.color, ',' ORDER BY c.color) AS sig
+  FROM sym s JOIN c1 c ON s.dst = c.id GROUP BY s.src
+),
+c2 AS (
+  SELECT c1.id, md5(c1.color || '|' || COALESCE(g2.sig, '')) AS color
+  FROM c1 LEFT JOIN g2 USING (id)
+)
+SELECT id, color FROM c2
+"""
+    )
+    sqls["anomaly_windows"] = """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT window_start, event_type, n,
+         AVG(n) OVER tw AS mu,
+         STDDEV_SAMP(n) OVER tw AS sd
+  FROM counts
+  WINDOW tw AS (PARTITION BY event_type ORDER BY window_start
+                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT window_start, event_type, n,
+       ROUND(mu, 6) AS baseline_mean,
+       ROUND(CASE WHEN sd > 0 THEN (n - mu) / sd END, 6) AS zscore,
+       COALESCE(ABS(CASE WHEN sd > 0 THEN (n - mu) / sd END) >= 2.0, FALSE)
+         AS is_anomaly
+FROM scored
+"""
     sqls["partition_quality"] = f"""
 WITH edges AS ({_BIP_EDGES}),
 verts AS (

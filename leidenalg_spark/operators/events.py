@@ -305,3 +305,51 @@ def event_windows(
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(value), 6).alias("total"))
         .select(F.col("w.start").alias("window_start"), label, "n", "total")
     )
+
+
+def anomaly_windows(
+    df: DataFrame,
+    ts_col: str = "ts",
+    label: str = "event_type",
+    width: str = "1 hour",
+    baseline: int = 6,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing z-score anomaly detection over tumbling window counts —
+    the monitoring query every event pipeline runs ("did this event
+    type spike this hour vs its recent history?").
+
+    Per (label, window) the count is compared to the mean/stddev of the
+    previous ``baseline`` OBSERVED windows (rows, not time range — empty
+    windows don't emit rows, matching the streaming twin's output);
+    ``zscore`` is NULL until two baseline windows exist or when the
+    baseline is constant, and ``is_anomaly`` is false there.
+
+    Scale shape: one hash aggregate on (window, label) collapses the
+    stream to |labels|·|windows| rows, then the trailing window runs on
+    that tiny table — the second exchange moves per-label-per-bucket
+    counts, never events.  Output (window_start, label, n,
+    baseline_mean, zscore, is_anomaly).
+    """
+    w = window_expr(ts_col, width, None)
+    counts = df.groupBy(w.alias("w"), F.col(label)).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.col("w.start").alias("window_start"), label, "n")
+    trail = (
+        Window.partitionBy(label)
+        .orderBy("window_start")
+        .rowsBetween(-baseline, -1)
+    )
+    mu = F.avg("n").over(trail)
+    sd = F.stddev_samp("n").over(trail)
+    z = F.when(sd > 0, (F.col("n") - mu) / sd)
+    return counts.select(
+        "window_start",
+        label,
+        "n",
+        F.round(mu, 6).alias("baseline_mean"),
+        F.round(z, 6).alias("zscore"),
+        F.coalesce(F.abs(z) >= F.lit(float(threshold)), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

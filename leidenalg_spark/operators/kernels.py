@@ -2289,3 +2289,68 @@ def diameter_approx(
     if own_ckpt and ckpt.path is None:
         ckpt.close()
     return out
+
+
+def wl_refinement(
+    spark,
+    edges: DataFrame,
+    rounds: int = 2,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Weisfeiler–Lehman color refinement over the symmetrised simple
+    graph: every vertex starts with the uniform color and each round
+    re-colors it with ``md5(own_color || '|' || sorted neighbour
+    colors)``.  The stable coloring is the classic graph-isomorphism
+    invariant and the vertex featurizer behind WL graph kernels
+    (Shervashidze et al. 2011) and GNN expressiveness tests; round 1
+    reproduces degree classes, round k distinguishes k-hop structure.
+
+    Returns ``(id, color)`` — color a 32-hex md5 string, identical
+    across engines (the signature is built from lexicographically
+    sorted neighbour colors, so it is visit-order free and
+    parallelism-independent).
+
+    Scale shape: per round one gather join + one hash aggregate —
+    PageRank-shaped shuffle, |V|-row state, per-round lineage
+    truncation via the checkpoint.  The sorted-concat signature is
+    O(deg) per vertex; on hub-heavy graphs cap it the hub_salt way:
+    md5 per (vertex, salt) sorted block, then md5 of the sorted block
+    digests — associative, same fixpoint classes.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    color = sym.select(F.col("a").alias("id")).distinct().select(
+        "id", F.lit("0").alias("color")
+    )
+    color = ckpt.save(color, "wl_color", 0)
+    for r in range(1, rounds + 1):
+        # gather: every vertex collects its neighbours' colors (one
+        # join on the |V|-row state), sorts them lexicographically and
+        # hashes together with its own color — ties to the reference
+        # invariant, free of visit order
+        sig = (
+            sym.join(
+                color.select(F.col("id").alias("b"), F.col("color").alias("nc")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.array_join(F.sort_array(F.collect_list("nc")), ",").alias("sig"))
+        )
+        color = (
+            color.join(sig, "id", "left")
+            .select(
+                "id",
+                F.md5(
+                    F.concat(F.col("color"), F.lit("|"), F.coalesce("sig", F.lit("")))
+                ).alias("color"),
+            )
+        )
+        color = ckpt.save(color, "wl_color", r)
+    sym.unpersist()
+    if own_ckpt and ckpt.path is None:
+        color = color.localCheckpoint(eager=True)
+        ckpt.close()
+    return color

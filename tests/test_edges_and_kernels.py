@@ -875,3 +875,38 @@ def test_diameter_double_sweep_exact_on_path(spark):
     assert row["start_id"] == 2
     assert row["sweep1_dist"] == 2 and row["sweep1_end"] == 0
     assert row["diameter_lb"] == 4 and row["sweep2_end"] == 4
+
+
+def test_wl_refinement_degree_classes_then_stable(spark):
+    from leidenalg_spark.operators.kernels import wl_refinement
+
+    # triangle 0-1-2 with a pendant 3 on 0: stable WL classes are
+    # {0} (deg 3), {1,2} (deg-2 twins), {3} (deg 1)
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (0, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    for rounds in (1, 2, 3):
+        c = {r["id"]: r["color"] for r in wl_refinement(spark, e, rounds=rounds).collect()}
+        assert c[1] == c[2]
+        assert len({c[0], c[1], c[3]}) == 3
+
+
+def test_wl_refinement_rounds_only_split_classes(spark):
+    from leidenalg_spark.operators.kernels import wl_refinement
+
+    # deterministic 30-vertex graph: ring + chords
+    pairs = {(i, (i + 1) % 30) for i in range(30)}
+    pairs |= {(i, (i * i + 1) % 30) for i in range(30)}
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs if a != b], "src long, dst long, weight double"
+    )
+    c1 = {r["id"]: r["color"] for r in wl_refinement(spark, e, rounds=1).collect()}
+    c2 = {r["id"]: r["color"] for r in wl_refinement(spark, e, rounds=2).collect()}
+    assert set(c1) == set(c2)
+    # refinement: same round-2 color implies same round-1 color, and the
+    # class count never decreases
+    m = {}
+    for v, col2 in c2.items():
+        assert m.setdefault(col2, c1[v]) == c1[v]
+    assert len(set(c2.values())) >= len(set(c1.values()))

@@ -271,3 +271,48 @@ def test_conversation_profile_basic(spark):
     # role switches at turns 1 and 2, stays at 3 → 2/3
     assert abs(c1["alternation_rate"] - 2 / 3) < 1e-6
     assert c2["n_turns"] == 1 and c2["alternation_rate"] == 0.0 and c2["duration_s"] == 0.0
+
+
+def test_anomaly_windows_flags_spike_and_null_baselines(spark):
+    from leidenalg_spark.operators.events import anomaly_windows
+
+    rows = []
+    # alternating 4/6 baseline then a 50-count spike in hour 6
+    for h, k in enumerate([4, 6, 4, 6, 4, 6, 50]):
+        for i in range(k):
+            rows.append((f"2026-01-01 0{h}:00:{i % 60:02d}", "click"))
+    ev = spark.createDataFrame(rows, "ts string, event_type string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        r["window_start"].hour: r
+        for r in anomaly_windows(
+            ev, width="1 hour", baseline=6, threshold=3.0
+        ).collect()
+    }
+    spike = out[6]
+    assert spike["n"] == 50
+    assert spike["baseline_mean"] == pytest.approx(5.0)
+    # stddev_samp([4,6]*3) = sqrt(1.2); z = 45/sqrt(1.2)
+    assert spike["zscore"] == pytest.approx(45 / 1.2**0.5, abs=1e-5)
+    assert spike["is_anomaly"]
+    # hour 0 has no baseline; hour 1 has one row (stddev_samp NULL)
+    assert out[0]["zscore"] is None and not out[0]["is_anomaly"]
+    assert out[1]["zscore"] is None and not out[1]["is_anomaly"]
+    assert all(out[h]["zscore"] is not None for h in range(2, 7))
+
+
+def test_anomaly_windows_constant_baseline_gives_null_z(spark):
+    from leidenalg_spark.operators.events import anomaly_windows
+
+    rows = []
+    for h, k in enumerate([5, 5, 5, 20]):
+        for i in range(k):
+            rows.append((f"2026-01-01 0{h}:00:{i % 60:02d}", "err"))
+    ev = spark.createDataFrame(rows, "ts string, event_type string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["n"]: r for r in anomaly_windows(ev, baseline=6).collect()}
+    # zero-variance baseline: z undefined by design, never flagged
+    assert out[20]["zscore"] is None and not out[20]["is_anomaly"]
+    assert out[20]["baseline_mean"] == pytest.approx(5.0)

@@ -66,6 +66,7 @@ DECLARATIVE = [
     "partition_compare",
     "lm_score",
     "conversation_profile",
+    "anomaly_windows",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
