@@ -216,6 +216,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_repetition(spark, sf):
         return T.repetition_stats(_documents(spark, sf))
 
+    def q_duplicate_spans(spark, sf):
+        # Lee et al. exact-substring dedup signal at 5-gram granularity
+        from leidenalg_spark.operators.dedup import duplicate_spans
+
+        return duplicate_spans(_documents(spark, sf), k=5, min_docs=2)
+
     def q_fingerprint(spark, sf):
         return T.fingerprint(_documents(spark, sf))
 
@@ -933,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_stats": q_community_stats,
         "wl_refinement": q_wl_refinement,
         "anomaly_windows": q_anomaly_windows,
+        "duplicate_spans": q_duplicate_spans,
     }
 
 
@@ -1694,6 +1701,33 @@ SELECT d.doc_id,
        ROUND(COALESCE(g.dup_trigram_frac, 0), 6) AS dup_trigram_frac
 FROM documents d LEFT JOIN tstats t ON t.doc_id = d.doc_id
 LEFT JOIN gstats g ON g.doc_id = d.doc_id
+""",
+        "duplicate_spans": f"""
+WITH base AS (SELECT doc_id, {toks} AS tk, len({toks}) AS n_tokens FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(tk[i+1:i+5], ' ') AS gram
+  FROM (SELECT * FROM base WHERE n_tokens >= 5),
+       LATERAL (SELECT unnest(range(0, n_tokens - 5 + 1)) AS i)
+),
+dupg AS (
+  SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+  WHERE nd >= 2
+),
+dp AS (SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)),
+dg AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM dp GROUP BY doc_id),
+cov AS (
+  SELECT doc_id, COUNT(*) AS dup_tokens FROM (
+    SELECT DISTINCT doc_id, pos + j AS p
+    FROM dp, LATERAL (SELECT unnest(range(0, 5)) AS j)
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(dg.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(CASE WHEN b.n_tokens > 0
+                  THEN COALESCE(cov.dup_tokens, 0) * 1.0 / b.n_tokens
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM base b LEFT JOIN dg USING (doc_id) LEFT JOIN cov USING (doc_id)
 """,
         "pack_sequences": f"""
 WITH t AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents),

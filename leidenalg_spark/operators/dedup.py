@@ -332,3 +332,87 @@ def simhash_candidates(sim: DataFrame, band_bits=16) -> DataFrame:
     a = banded.select(F.col("doc_id").alias("a"), "band", "key")
     b = banded.select(F.col("doc_id").alias("b"), "band", "key")
     return a.join(b, ["band", "key"]).where(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-substring coverage at token-k-gram
+    granularity — the distributed form of the exact-substring dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), which found verbatim cross-document
+    spans to be the highest-value thing to remove from LM corpora.
+    A token position is "duplicated" when it is covered by any k-gram
+    that also occurs in >= ``min_docs`` distinct documents.
+
+    Returns ``(doc_id, n_tokens, n_dup_grams, dup_tokens, dup_frac)``;
+    filter ``dup_frac`` high to drop boilerplate-heavy docs, or use
+    ``dup_tokens`` for span-clipping downstream.
+
+    Scale shape: one word-count-shaped k-gram explode (len rows per
+    doc), one hash aggregate on gram (map-side combinable; boilerplate
+    hub grams are just heavy groups, never a join blow-up), one semi
+    join back, and a k-bounded position explode ONLY over duplicated
+    grams.  State is linear in corpus tokens — the suffix array the
+    paper builds single-node is replaced by the fixed-k hash shuffle.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("tk"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    grams = base.where(F.col("n_tokens") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_tokens") - k).cast("int")),
+                lambda i: F.array_join(F.slice(F.col("tk"), i + 1, k), " "),
+            )
+        ).alias("pos", "gram"),
+    )
+    dupg = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    dup_pos = grams.join(dupg, "gram", "semi")
+    dgrams = dup_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_grams")
+    )
+    covered = (
+        dup_pos.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_tokens"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(dgrams, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -67,6 +67,7 @@ DECLARATIVE = [
     "lm_score",
     "conversation_profile",
     "anomaly_windows",
+    "duplicate_spans",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,

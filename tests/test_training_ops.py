@@ -539,3 +539,24 @@ def test_embedding_covariance_and_pca_match_numpy(spark):
         .sort_index().to_numpy()
     )
     assert np.allclose(got, np.round(exp, 6), atol=5e-6)
+
+
+def test_duplicate_spans_planted_boilerplate(spark):
+    from leidenalg_spark.operators.dedup import duplicate_spans
+
+    boiler = "all rights reserved contact us today"   # 6 tokens
+    rows = [
+        ("a", f"alpha beta gamma {boiler}"),          # 9 tokens, 6 dup
+        ("b", f"{boiler} delta epsilon zeta eta"),     # 10 tokens, 6 dup
+        ("c", "totally unique text with no duplicated span at all"),
+        ("d", "tiny"),                                 # < k tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in duplicate_spans(docs, k=5, min_docs=2).collect()}
+    # the 6-token boilerplate contributes two overlapping 5-grams in each doc
+    assert out["a"]["n_dup_grams"] == 2 and out["b"]["n_dup_grams"] == 2
+    assert out["a"]["dup_tokens"] == 6 and out["b"]["dup_tokens"] == 6
+    assert abs(out["a"]["dup_frac"] - 6 / 9) < 1e-6
+    assert abs(out["b"]["dup_frac"] - 6 / 10) < 1e-6
+    assert out["c"]["n_dup_grams"] == 0 and out["c"]["dup_frac"] == 0.0
+    assert out["d"]["n_tokens"] == 1 and out["d"]["dup_frac"] == 0.0
