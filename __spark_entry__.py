@@ -655,6 +655,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def _named_comm_graph(spark, sf):
+        # the community_stats deterministic (edges, membership) pair on
+        # string vertex names — shared by the attribute-mixing queries
+        named = _bipartite_named(spark, sf)
+        e = named.select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        verts = e.select(F.col("src").alias("name")).union(
+            e.select(F.col("dst").alias("name"))
+        ).distinct()
+        comm = F.when(
+            F.col("name").startswith("u:"), F.expr("CAST(substr(name, 3) AS BIGINT) % 8")
+        ).otherwise(F.length("name") % 8)
+        m = verts.select(F.col("name").alias("id"), comm.cast("long").alias("comm"))
+        return e, m
+
+    def q_mixing_matrix(spark, sf):
+        from leidenalg_spark.operators.community import mixing_matrix
+
+        e, m = _named_comm_graph(spark, sf)
+        return mixing_matrix(e, m)
+
+    def q_assortativity_nominal(spark, sf):
+        from leidenalg_spark.operators.community import assortativity_nominal
+
+        e, m = _named_comm_graph(spark, sf)
+        return assortativity_nominal(e, m)
+
     def q_degree_histogram(spark, sf):
         from leidenalg_spark.operators.edges import degree_histogram
 
@@ -940,6 +968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_refinement": q_wl_refinement,
         "anomaly_windows": q_anomaly_windows,
         "duplicate_spans": q_duplicate_spans,
+        "mixing_matrix": q_mixing_matrix,
+        "assortativity_nominal": q_assortativity_nominal,
     }
 
 
@@ -1857,6 +1887,54 @@ SELECT window_start, event_type, n,
        COALESCE(ABS(CASE WHEN sd > 0 THEN (n - mu) / sd END) >= 2.0, FALSE)
          AS is_anomaly
 FROM scored
+"""
+    sqls["mixing_matrix"] = f"""
+WITH edges AS ({_BIP_EDGES}),
+verts AS (
+  SELECT name,
+         CASE WHEN name LIKE 'u:%' THEN CAST(substr(name, 3) AS BIGINT) % 8
+              ELSE length(name) % 8 END AS comm
+  FROM (SELECT src AS name FROM edges UNION SELECT dst FROM edges)
+),
+und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+lab AS (
+  SELECT va.comm AS ca, vb.comm AS cb
+  FROM und u JOIN verts va ON u.a = va.name JOIN verts vb ON u.b = vb.name
+)
+SELECT least(ca, cb) AS comm_a, greatest(ca, cb) AS comm_b,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM lab GROUP BY 1, 2
+"""
+    sqls["assortativity_nominal"] = f"""
+WITH edges AS ({_BIP_EDGES}),
+verts AS (
+  SELECT name,
+         CASE WHEN name LIKE 'u:%' THEN CAST(substr(name, 3) AS BIGINT) % 8
+              ELSE length(name) % 8 END AS comm
+  FROM (SELECT src AS name FROM edges UNION SELECT dst FROM edges)
+),
+und AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+lab AS (
+  SELECT va.comm AS ca, vb.comm AS cb
+  FROM sym s JOIN verts va ON s.a = va.name JOIN verts vb ON s.b = vb.name
+),
+e AS (SELECT ca, cb, CAST(COUNT(*) AS DOUBLE) AS w FROM lab GROUP BY 1, 2),
+tot AS (SELECT SUM(w) AS W FROM e),
+eii AS (SELECT COALESCE(SUM(CASE WHEN ca = cb THEN w END), 0) AS diag FROM e),
+sq AS (
+  SELECT SUM((ai / W) * (ai / W)) AS s
+  FROM (SELECT ca, SUM(w) AS ai FROM e GROUP BY ca), tot
+)
+SELECT ROUND(CASE WHEN s < 1.0 THEN (diag / W - s) / (1.0 - s) END, 6)
+         AS assortativity
+FROM eii, tot, sq
 """
     sqls["partition_quality"] = f"""
 WITH edges AS ({_BIP_EDGES}),

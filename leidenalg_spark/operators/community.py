@@ -282,3 +282,72 @@ def partition_quality_report(edges: DataFrame, membership: DataFrame) -> DataFra
         ).alias("coverage"),
         F.round(F.when(t > 0, correct / t).otherwise(1.0), 6).alias("performance"),
     )
+
+
+def mixing_matrix(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Class-to-class mixing table over the simple undirected graph
+    (igraph habit: the contingency table behind
+    ``assortativity_nominal``).  Each distinct undirected non-loop edge
+    is counted once under its unordered class pair ``(comm_a <=
+    comm_b)``.  Returns (comm_a, comm_b, n_edges) — a |C|²-bounded
+    (usually tiny) table from two membership joins + one hash agg.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    lab = und.join(
+        membership.select(F.col("id").alias("a"), F.col("comm").alias("ca")), "a"
+    ).join(membership.select(F.col("id").alias("b"), F.col("comm").alias("cb")), "b")
+    return (
+        lab.groupBy(
+            F.least("ca", "cb").alias("comm_a"), F.greatest("ca", "cb").alias("comm_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+
+
+def assortativity_nominal(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Nominal (categorical) assortativity coefficient (Newman 2003,
+    igraph ``assortativity_nominal``): r = (Σ_i e_ii − Σ_i a_i²) /
+    (1 − Σ_i a_i²) over the symmetrised simple graph, where e_ij is the
+    fraction of directed edge endpoints from class i to class j and
+    a_i the marginal.  1 = perfectly assortative, 0 = random mixing,
+    negative = disassortative (bipartite-like).  Returns one row
+    (assortativity — NULL when Σ a_i² = 1, i.e. a single class).
+
+    Scale: two membership joins + two tiny aggregates over the |C|-row
+    mixing table; nothing quadratic.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    lab = sym.join(
+        membership.select(F.col("id").alias("a"), F.col("comm").alias("ca")), "a"
+    ).join(membership.select(F.col("id").alias("b"), F.col("comm").alias("cb")), "b")
+    # e_ij over directed orientations: marginals a_i = b_i by symmetry
+    e = lab.groupBy("ca", "cb").agg(F.count(F.lit(1)).cast("double").alias("w"))
+    tot = e.agg(F.sum("w").alias("W"))
+    eii = (
+        e.where(F.col("ca") == F.col("cb"))
+        .agg(F.sum("w").alias("diag"))
+        .na.fill({"diag": 0.0})
+    )
+    marg = e.groupBy("ca").agg(F.sum("w").alias("ai"))
+    sum_ai2 = marg.crossJoin(F.broadcast(tot)).agg(
+        F.sum((F.col("ai") / F.col("W")) * (F.col("ai") / F.col("W"))).alias("s")
+    )
+    row = eii.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(sum_ai2))
+    return row.select(
+        F.round(
+            F.when(
+                F.col("s") < 1.0,
+                (F.col("diag") / F.col("W") - F.col("s")) / (1.0 - F.col("s")),
+            ),
+            6,
+        ).alias("assortativity")
+    )

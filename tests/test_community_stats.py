@@ -152,3 +152,34 @@ def test_partition_quality_report_hand_computed(spark):
     # pairs: 15 total, 6 intra (all linked), 9 inter (1 linked) →
     # correct = 6 + 8 = 14
     assert r["performance"] == pytest.approx(14 / 15, abs=1e-6)
+
+
+def test_mixing_matrix_and_nominal_assortativity_golden(spark):
+    from leidenalg_spark.operators.community import (
+        assortativity_nominal,
+        mixing_matrix,
+    )
+
+    # two triangles joined by one bridge: classes = the two triangles
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    m = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "id long, comm long"
+    )
+    mm = {(r["comm_a"], r["comm_b"]): r["n_edges"] for r in mixing_matrix(e, m).collect()}
+    assert mm == {(0, 0): 3, (1, 1): 3, (0, 1): 1}
+    r = assortativity_nominal(e, m).first()["assortativity"]
+    # e_ii = 12/14, a_i = 1/2 each -> r = (6/7 - 1/2) / (1/2) = 5/7
+    assert abs(r - 5 / 7) < 1e-6
+
+
+def test_nominal_assortativity_single_class_is_null(spark):
+    from leidenalg_spark.operators.community import assortativity_nominal
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    m = spark.createDataFrame([(i, 7) for i in range(3)], "id long, comm long")
+    assert assortativity_nominal(e, m).first()["assortativity"] is None

@@ -68,6 +68,8 @@ DECLARATIVE = [
     "conversation_profile",
     "anomaly_windows",
     "duplicate_spans",
+    "mixing_matrix",
+    "assortativity_nominal",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -86,6 +88,8 @@ SCALAR_CROSS = {
     "partition_compare",
     # model scalars (corpus size T, vocab V) ride a 1-row broadcast cross join
     "lm_score",
+    # W / Σa_i² global scalars ride 1-row broadcast cross joins
+    "assortativity_nominal",
 }
 
 
