@@ -129,6 +129,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return K.triangle_count(spark, e)
 
+    def q_transitivity(spark, sf):
+        # global transitivity on the same type-transition graph as
+        # triangle_count (orientation-invariant, so hashed ids are fine)
+        e = E.events_to_type_transition_edges(_events(spark, sf)).select(
+            F.xxhash64("src_name").alias("src"), F.xxhash64("dst_name").alias("dst"), "weight"
+        )
+        return K.transitivity_global(spark, e)
+
+    def q_avg_distance(spark, sf):
+        # truncated mean distance over the <=2-hop balls (harmonic's graph)
+        return K.avg_distance(spark, _bipartite_ids_det(spark, sf), max_dist=2)
+
+    def q_bpe_pairs(spark, sf):
+        return T.bpe_pair_counts(_documents(spark, sf), k=20)
+
     def q_clustering(spark, sf):
         # per-vertex local clustering coefficient on the type-transition
         # graph, keyed by NAME (string ids) so the oracle joins exactly
@@ -970,6 +985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "mixing_matrix": q_mixing_matrix,
         "assortativity_nominal": q_assortativity_nominal,
+        "transitivity": q_transitivity,
+        "avg_distance": q_avg_distance,
+        "bpe_pairs": q_bpe_pairs,
     }
 
 
@@ -1887,6 +1905,68 @@ SELECT window_start, event_type, n,
        COALESCE(ABS(CASE WHEN sd > 0 THEN (n - mu) / sd END) >= 2.0, FALSE)
          AS is_anomaly
 FROM scored
+"""
+    sqls["transitivity"] = """
+WITH te AS (
+  SELECT prev_type AS s, event_type AS d
+  FROM (SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events)
+  WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM te WHERE s <> d),
+deg AS (
+  SELECT name, CAST(COUNT(*) AS DOUBLE) AS degree
+  FROM (SELECT a AS name FROM und UNION ALL SELECT b AS name FROM und)
+  GROUP BY name
+),
+w AS (SELECT COALESCE(SUM(degree * (degree - 1) / 2.0), 0) AS n_wedges FROM deg),
+t AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       CAST(w.n_wedges AS BIGINT) AS n_wedges,
+       ROUND(CASE WHEN w.n_wedges > 0 THEN 3.0 * t.n_triangles / w.n_wedges END, 6)
+         AS transitivity
+FROM t, w
+"""
+    sqls["avg_distance"] = (
+        "WITH " + _DET_PRELUDE + """,
+und2 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM edges WHERE src <> dst),
+s2 AS (SELECT a, b FROM und2 UNION ALL SELECT b AS a, a AS b FROM und2),
+r1 AS (SELECT DISTINCT a AS id, b AS v FROM s2),
+r2 AS (
+  SELECT id, v FROM (
+    SELECT DISTINCT r1.id, s2.b AS v FROM r1 JOIN s2 ON s2.a = r1.v WHERE s2.b <> r1.id
+  ) EXCEPT SELECT id, v FROM r1
+),
+ball AS (
+  SELECT id, v, 1 AS d FROM r1
+  UNION ALL
+  SELECT id, v, 2 AS d FROM r2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(CAST(d AS DOUBLE)), 6) AS avg_distance
+FROM ball
+"""
+    )
+    sqls["bpe_pairs"] = f"""
+WITH words AS (
+  SELECT tok AS w
+  FROM (SELECT {_doc_tokens()} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS tok)
+  WHERE tok <> ''
+),
+wc AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, c
+  FROM (SELECT * FROM wc WHERE length(w) >= 2),
+       LATERAL (SELECT unnest(range(1, length(w))) AS i)
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_words, CAST(SUM(c) AS BIGINT) AS count
+FROM pairs GROUP BY pair ORDER BY count DESC, pair ASC LIMIT 20
 """
     sqls["mixing_matrix"] = f"""
 WITH edges AS ({_BIP_EDGES}),

@@ -1564,6 +1564,27 @@ def khop_counts(
     return out
 
 
+def _truncated_balls(sym, verts, max_dist, ckpt, tag):
+    """All-sources frontier BFS to depth ``max_dist`` over a symmetrised
+    simple edge list: returns the (id, v, d) ball table, d=0 rows
+    included.  Per ring one frontier⋈adjacency join + one anti-join vs
+    the seen set; per-ring lineage truncation through the checkpoint."""
+    seen = verts.select("id", F.col("id").alias("v"), F.lit(0).cast("int").alias("d"))
+    frontier = seen
+    for d in range(1, max_dist + 1):
+        nxt = (
+            frontier.join(sym.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")
+            .select("id", F.col("w").alias("v"))
+            .distinct()
+            .join(seen.select("id", "v"), ["id", "v"], "left_anti")
+            .withColumn("d", F.lit(d).cast("int"))
+        )
+        nxt = ckpt.save(nxt, f"{tag}_frontier", d)
+        seen = ckpt.save(seen.unionByName(nxt), f"{tag}_seen", d)
+        frontier = nxt
+    return seen
+
+
 def harmonic_centrality(
     spark,
     edges: DataFrame,
@@ -1590,19 +1611,7 @@ def harmonic_centrality(
     ckpt = ckpt or CheckpointManager(spark)
     sym = _sym_simple(edges).persist()
     verts = sym.select(F.col("a").alias("id")).distinct()
-    seen = verts.select("id", F.col("id").alias("v"), F.lit(0).cast("int").alias("d"))
-    frontier = seen
-    for d in range(1, max_dist + 1):
-        nxt = (
-            frontier.join(sym.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")
-            .select("id", F.col("w").alias("v"))
-            .distinct()
-            .join(seen.select("id", "v"), ["id", "v"], "left_anti")
-            .withColumn("d", F.lit(d).cast("int"))
-        )
-        nxt = ckpt.save(nxt, "harmonic_frontier", d)
-        seen = ckpt.save(seen.unionByName(nxt), "harmonic_seen", d)
-        frontier = nxt
+    seen = _truncated_balls(sym, verts, max_dist, ckpt, "harmonic")
     ball = seen.where(F.col("d") > 0)
     agg = ball.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_reachable"),
@@ -2354,3 +2363,70 @@ def wl_refinement(
         color = color.localCheckpoint(eager=True)
         ckpt.close()
     return color
+
+
+def avg_distance(
+    spark,
+    edges: DataFrame,
+    max_dist: int = 2,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Truncated mean shortest-path distance (igraph
+    ``average_path_length``, big-graph form): the average of d(u, v)
+    over all ordered reachable pairs with d ≤ ``max_dist``, plus the
+    pair count — 1-row output ``(n_pairs, avg_distance)``.
+
+    Shares the all-sources frontier-BFS ball builder with
+    :func:`harmonic_centrality` (per ring one frontier⋈adjacency join
+    + one anti-join; state Σ_v |ball_k(v)|) — the exact small-k path.
+    At 100 TB estimate from :func:`neighborhood_hll` ball deltas
+    instead.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    verts = sym.select(F.col("a").alias("id")).distinct()
+    seen = _truncated_balls(sym, verts, max_dist, ckpt, "avgdist")
+    out = (
+        seen.where(F.col("d") > 0)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg(F.col("d").cast("double")), 6).alias("avg_distance"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sym.unpersist()
+    if own_ckpt and ckpt.path is None:
+        ckpt.close()
+    return out
+
+
+def transitivity_global(spark, edges: DataFrame) -> DataFrame:
+    """Global transitivity (igraph ``transitivity_undirected``):
+    C = 3·triangles / wedges over the simple undirected graph — the
+    corpus-level clustering scalar next to the per-vertex
+    :func:`clustering_coefficient`.  1-row output
+    ``(n_triangles, n_wedges, transitivity)``; NULL when wedge-free.
+
+    Scale: the wedge count is one degree aggregate (Σ deg(deg−1)/2, no
+    wedge materialisation); triangles reuse the degree-oriented
+    wedge-join counter.  One broadcast cross join of two 1-row tables.
+    """
+    sym = _sym_simple(edges)
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    wedges = deg.agg(
+        F.coalesce(F.sum(F.col("deg") * (F.col("deg") - 1) / 2.0), F.lit(0.0)).alias(
+            "n_wedges"
+        )
+    )
+    tri = triangle_count(spark, edges)
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        "n_triangles",
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.round(
+            F.when(F.col("n_wedges") > 0, 3.0 * F.col("n_triangles") / F.col("n_wedges")),
+            6,
+        ).alias("transitivity"),
+    )

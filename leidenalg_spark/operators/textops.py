@@ -478,3 +478,41 @@ def corpus_profile(docs: DataFrame, by=("source", "lang")) -> DataFrame:
         F.round(F.expr("percentile(_nt, 0.9)"), 6).alias("p90_tokens"),
         F.round(F.expr("percentile(_nt, 0.99)"), 6).alias("p99_tokens"),
     )
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 20, col="text") -> DataFrame:
+    """First BPE merge-round statistics: corpus frequencies of adjacent
+    character pairs inside whitespace words — the pair-selection step of
+    byte-pair-encoding tokenizer training (Sennrich et al. 2016).  The
+    top pair is the next BPE merge; re-running after applying each merge
+    reproduces full vocabulary training (a driver loop, one job per
+    merge).  Deterministic order: count desc, then pair asc.  Returns
+    top-k (pair, n_words, count).
+
+    Scale: one word hash-aggregate collapses the corpus to its
+    vocabulary; the pair explode runs over DISTINCT words weighted by
+    their counts (vocabulary-sized, not corpus-sized); the final top-k
+    compiles to TakeOrderedAndProject, never a global sort.
+    """
+    if k < 1:
+        raise ValueError("k must be positive")
+    words = docs.select(F.explode(tokens_col(col)).alias("w")).where(F.col("w") != "")
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    idx = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = wc.select(
+        F.explode(F.transform(idx, lambda i: F.col("w").substr(i, F.lit(2)))).alias(
+            "pair"
+        ),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("c").cast("long").alias("count"),
+        )
+        .orderBy(F.desc("count"), F.asc("pair"))
+        .limit(k)
+    )

@@ -910,3 +910,28 @@ def test_wl_refinement_rounds_only_split_classes(spark):
     for v, col2 in c2.items():
         assert m.setdefault(col2, c1[v]) == c1[v]
     assert len(set(c2.values())) >= len(set(c1.values()))
+
+
+def test_transitivity_global_triangle_with_pendant(spark):
+    from leidenalg_spark.operators.kernels import transitivity_global
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (0, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    row = transitivity_global(spark, e).first()
+    # degrees 3,2,2,1 -> wedges 3+1+1 = 5; one triangle -> C = 3/5
+    assert row["n_triangles"] == 1 and row["n_wedges"] == 5
+    assert abs(row["transitivity"] - 0.6) < 1e-6
+
+
+def test_avg_distance_path_graph(spark):
+    from leidenalg_spark.operators.kernels import avg_distance
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    row = avg_distance(spark, e, max_dist=2).first()
+    # ordered pairs: 6 at d=1, 4 at d=2 -> avg = 14/10
+    assert row["n_pairs"] == 10
+    assert abs(row["avg_distance"] - 1.4) < 1e-6

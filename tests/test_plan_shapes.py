@@ -70,6 +70,8 @@ DECLARATIVE = [
     "duplicate_spans",
     "mixing_matrix",
     "assortativity_nominal",
+    "transitivity",
+    "bpe_pairs",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -90,6 +92,8 @@ SCALAR_CROSS = {
     "lm_score",
     # W / Σa_i² global scalars ride 1-row broadcast cross joins
     "assortativity_nominal",
+    # the 1-row wedge total rides a broadcast cross join
+    "transitivity",
 }
 
 

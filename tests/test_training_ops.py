@@ -560,3 +560,16 @@ def test_duplicate_spans_planted_boilerplate(spark):
     assert abs(out["b"]["dup_frac"] - 6 / 10) < 1e-6
     assert out["c"]["n_dup_grams"] == 0 and out["c"]["dup_frac"] == 0.0
     assert out["d"]["n_tokens"] == 1 and out["d"]["dup_frac"] == 0.0
+
+
+def test_bpe_pair_counts_vocabulary_weighted(spark):
+    from leidenalg_spark.operators.textops import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [("a", "aaa bb"), ("b", "aaa")], "doc_id string, text string"
+    )
+    out = {r["pair"]: r for r in bpe_pair_counts(docs, k=10).collect()}
+    # 'aaa' occurs twice, contributes two 'aa' slots each -> count 4
+    assert out["aa"]["count"] == 4 and out["aa"]["n_words"] == 2
+    assert out["bb"]["count"] == 1 and out["bb"]["n_words"] == 1
+    assert set(out) == {"aa", "bb"}
