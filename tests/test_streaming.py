@@ -133,3 +133,96 @@ def test_streaming_trending_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, exp)
     # and the ranks themselves are the planted truth
     assert list(exp["event_type"]) == ["a", "b", "b", "c"]
+
+
+def test_streaming_anomaly_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+    from leidenalg_spark.operators.events import anomaly_windows
+    from leidenalg_spark.streaming.anomaly import run_anomaly
+
+    def _ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    rows = []
+    i = 0
+    # alternating 4/6 hourly baseline then a 30-count spike in hour 6
+    for h, k in enumerate([4, 6, 4, 6, 4, 6, 30]):
+        for j in range(k):
+            rows.append((i, _ts(f"2024-01-01 0{h}:{j % 60:02d}:00"), "click", i, 1.0))
+            i += 1
+    rows.append((999, _ts("2024-01-03 00:00:00"), "___flush", 999, 0.0))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "event_id", "value"])
+    ev = spark.createDataFrame(pdf)
+    in_dir = str(tmp_path / "in")
+    ev.write.parquet(in_dir)
+
+    run_anomaly(
+        spark, in_dir, str(tmp_path / "ckpt"), str(tmp_path / "out"),
+        baseline=6, threshold=3.0,
+    )
+    cols = ["window_start", "event_type", "n", "baseline_mean", "zscore", "is_anomaly"]
+    got = (
+        spark.read.parquet(str(tmp_path / "out" / "scored"))
+        .where(F.col("event_type") != "___flush").select(*cols)
+        .toPandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    )
+    exp = (
+        anomaly_windows(
+            ev.where(F.col("event_type") != "___flush"), baseline=6, threshold=3.0
+        )
+        .select(*cols)
+        .toPandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert bool(got.loc[got["n"] == 30, "is_anomaly"].iloc[0])
+
+
+def test_streaming_anomaly_incremental_runs_match_one_shot(spark, tmp_path):
+    """Scores finalised across TWO separate availableNow runs (history
+    carried through the per-batch partitions) equal the one-shot batch
+    twin over the full stream."""
+    import datetime as dt
+
+    import pandas as pd
+    from leidenalg_spark.operators.events import anomaly_windows
+    from leidenalg_spark.streaming.anomaly import run_anomaly
+
+    def _ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    def mk(rows, counts, h0):
+        i = len(rows) * 1000
+        for h, k in enumerate(counts):
+            for j in range(k):
+                rows.append((i, _ts(f"2024-01-01 0{h0 + h}:{j % 60:02d}:00"), "e", i, 1.0))
+                i += 1
+        return rows
+
+    in_dir = str(tmp_path / "in")
+    first = mk([], [5, 7, 5], 0)
+    first.append((1, _ts("2024-01-01 04:00:00"), "___flush", 1, 0.0))
+    pd1 = pd.DataFrame(first, columns=["user_id", "ts", "event_type", "event_id", "value"])
+    spark.createDataFrame(pd1).write.mode("append").parquet(in_dir)
+    run_anomaly(spark, in_dir, str(tmp_path / "ckpt"), str(tmp_path / "out"), baseline=3)
+
+    second = mk([], [7, 5, 40], 5)
+    second.append((2, _ts("2024-01-02 00:00:00"), "___flush2", 2, 0.0))
+    pd2 = pd.DataFrame(second, columns=["user_id", "ts", "event_type", "event_id", "value"])
+    spark.createDataFrame(pd2).write.mode("append").parquet(in_dir)
+    run_anomaly(spark, in_dir, str(tmp_path / "ckpt"), str(tmp_path / "out"), baseline=3)
+
+    cols = ["window_start", "event_type", "n", "baseline_mean", "zscore", "is_anomaly"]
+    got = (
+        spark.read.parquet(str(tmp_path / "out" / "scored"))
+        .where(~F.col("event_type").startswith("___")).select(*cols)
+        .toPandas().sort_values("window_start").reset_index(drop=True)
+    )
+    full = spark.read.parquet(in_dir).where(~F.col("event_type").startswith("___"))
+    exp = (
+        anomaly_windows(full, baseline=3).select(*cols)
+        .toPandas().sort_values("window_start").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert bool(got.loc[got["n"] == 40, "is_anomaly"].iloc[0])
