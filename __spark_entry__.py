@@ -703,6 +703,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return degree_histogram(_bipartite_ids_det(spark, sf))
 
+    def q_graph_summary(spark, sf):
+        from leidenalg_spark.operators.edges import graph_summary
+
+        named = _bipartite_named(spark, sf)
+        return graph_summary(
+            named.select(
+                F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+            )
+        )
+
+    def q_importance_sample(spark, sf):
+        # A-Res weighted resampling: weight = chars+1, top-50 (seed 42)
+        from leidenalg_spark.operators.sampling import importance_sample
+
+        return importance_sample(
+            _documents(spark, sf), n=50, weight=F.length("text") + 1, seed=42
+        )
+
     def q_partition_quality(spark, sf):
         # igraph coverage/performance pair on the named bipartite graph
         # with the community_stats deterministic membership
@@ -988,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": q_transitivity,
         "avg_distance": q_avg_distance,
         "bpe_pairs": q_bpe_pairs,
+        "graph_summary": q_graph_summary,
+        "importance_sample": q_importance_sample,
     }
 
 
@@ -1905,6 +1925,48 @@ SELECT window_start, event_type, n,
        COALESCE(ABS(CASE WHEN sd > 0 THEN (n - mu) / sd END) >= 2.0, FALSE)
          AS is_anomaly
 FROM scored
+"""
+    sqls["graph_summary"] = f"""
+WITH edges AS ({_BIP_EDGES}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+allv AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+deg AS (
+  SELECT name, COUNT(*) AS d
+  FROM (SELECT a AS name FROM und UNION ALL SELECT b AS name FROM und)
+  GROUP BY name
+),
+b AS (
+  SELECT COALESCE(SUM(weight), 0) AS total_weight,
+         CAST(COALESCE(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_self_loops
+  FROM edges
+),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM allv),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und),
+md AS (SELECT CAST(COALESCE(MAX(d), 0) AS BIGINT) AS max_degree FROM deg)
+SELECT nv.n_vertices, ne.n_edges, b.n_self_loops,
+       ROUND(b.total_weight, 6) AS total_weight,
+       ROUND(CASE WHEN nv.n_vertices > 1
+                  THEN 2.0 * ne.n_edges / (nv.n_vertices * (nv.n_vertices - 1.0))
+             END, 6) AS density,
+       ROUND(CASE WHEN nv.n_vertices > 0 THEN 2.0 * ne.n_edges / nv.n_vertices END, 6)
+         AS avg_degree,
+       md.max_degree
+FROM nv, ne, b, md
+"""
+    sqls["importance_sample"] = """
+WITH w AS (
+  SELECT doc_id, CAST(length(text) + 1 AS DOUBLE) AS weight FROM documents
+),
+k AS (
+  SELECT doc_id, weight,
+         pow((('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 1.0) / 4294967296.0, 1.0 / weight) AS key
+  FROM w WHERE weight > 0
+)
+SELECT doc_id, weight, ROUND(key, 6) AS sample_key
+FROM k ORDER BY key DESC, doc_id ASC LIMIT 50
 """
     sqls["transitivity"] = """
 WITH te AS (

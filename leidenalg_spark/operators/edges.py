@@ -226,3 +226,57 @@ def degree_histogram(edges: DataFrame, directed: bool = False) -> DataFrame:
             "n_vertices",
         )
     )
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row graph fingerprint — the igraph ``summary(g)`` habit:
+    ``(n_vertices, n_edges, n_self_loops, total_weight, density,
+    avg_degree, max_degree)``, where n_edges/density/degrees are over
+    the simple undirected non-loop graph and total_weight sums the raw
+    input rows.  The first thing read before choosing γ, shuffle
+    partitioning, or a skew strategy (with :func:`degree_histogram`).
+
+    Scale: three aggregates (edge rows, distinct simple edges, degrees)
+    plus 1-row broadcast cross joins — nothing materialised beyond the
+    |V|-row degree table.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    allv = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("name"))
+        .unionByName(und.select(F.col("b").alias("name")))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    base = edges.agg(
+        F.coalesce(F.sum("weight"), F.lit(0.0)).alias("total_weight"),
+        F.coalesce(
+            F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_self_loops"),
+    )
+    nv = allv.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    ne = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    md = deg.agg(F.coalesce(F.max("d"), F.lit(0)).cast("long").alias("max_degree"))
+    row = (
+        nv.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(md))
+    )
+    n, m = F.col("n_vertices"), F.col("n_edges")
+    return row.select(
+        "n_vertices",
+        "n_edges",
+        "n_self_loops",
+        F.round("total_weight", 6).alias("total_weight"),
+        F.round(F.when(n > 1, 2.0 * m / (n * (n - 1.0))), 6).alias("density"),
+        F.round(F.when(n > 0, 2.0 * m / n), 6).alias("avg_degree"),
+        "max_degree",
+    )

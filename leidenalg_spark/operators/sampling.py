@@ -241,3 +241,59 @@ def neighbor_sample(
     out = out.localCheckpoint(eager=True)
     adj.unpersist()
     return out
+
+
+def importance_sample(
+    docs: DataFrame,
+    n: int,
+    weight,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-Res, the :func:`random_walks` key reused at document
+    granularity): keep the ``n`` rows with the largest ``u^(1/w)``,
+    ``u = md5-uniform(seed, id)`` — the importance-resampling primitive
+    behind DSIR-style training-data selection (resample a raw corpus
+    toward a target distribution by importance weight).  Rows with
+    non-positive weight carry no probability mass and are excluded.
+
+    Same md5 determinism contract as :func:`hash_split`: retry-stable,
+    append-stable (existing rows keep their keys when new rows land),
+    engine-reproducible in plain SQL.  Returns (id, weight, sample_key)
+    — the top-n by key desc then id asc.
+
+    Scale: one projection + ``TakeOrderedAndProject`` top-n (per-
+    partition heaps merged on the driver) — no shuffle of the corpus.
+    """
+    if n < 1:
+        raise ValueError("n must be positive")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, 1.0 / w.cast("double"))
+    return (
+        docs.where(w > 0)
+        .select(
+            F.col(id_col),
+            w.cast("double").alias("weight"),
+            key.alias("_k"),
+        )
+        .orderBy(F.desc("_k"), F.asc(id_col))
+        .limit(n)
+        .select(id_col, "weight", F.round(F.col("_k"), 6).alias("sample_key"))
+    )

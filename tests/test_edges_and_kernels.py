@@ -935,3 +935,18 @@ def test_avg_distance_path_graph(spark):
     # ordered pairs: 6 at d=1, 4 at d=2 -> avg = 14/10
     assert row["n_pairs"] == 10
     assert abs(row["avg_distance"] - 1.4) < 1e-6
+
+
+def test_graph_summary_golden(spark):
+    from leidenalg_spark.operators.edges import graph_summary
+
+    # triangle + pendant + one self-loop + one duplicate edge row
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 2.0), (1, 2, 1.0), (0, 2, 1.0), (0, 3, 1.0), (2, 2, 4.0)],
+        "src long, dst long, weight double",
+    )
+    r = graph_summary(e).first()
+    assert r["n_vertices"] == 4 and r["n_edges"] == 4 and r["n_self_loops"] == 1
+    assert abs(r["total_weight"] - 10.0) < 1e-6
+    assert abs(r["density"] - 4 / 6) < 1e-6
+    assert abs(r["avg_degree"] - 2.0) < 1e-6 and r["max_degree"] == 3

@@ -72,6 +72,8 @@ DECLARATIVE = [
     "assortativity_nominal",
     "transitivity",
     "bpe_pairs",
+    "graph_summary",
+    "importance_sample",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -94,6 +96,8 @@ SCALAR_CROSS = {
     "assortativity_nominal",
     # the 1-row wedge total rides a broadcast cross join
     "transitivity",
+    # four 1-row summary scalars ride broadcast cross joins
+    "graph_summary",
 }
 
 

@@ -573,3 +573,38 @@ def test_bpe_pair_counts_vocabulary_weighted(spark):
     assert out["aa"]["count"] == 4 and out["aa"]["n_words"] == 2
     assert out["bb"]["count"] == 1 and out["bb"]["n_words"] == 1
     assert set(out) == {"aa", "bb"}
+
+
+def test_importance_sample_prefers_heavy_weights_and_is_stable(spark):
+    from leidenalg_spark.operators.sampling import importance_sample
+
+    rows = [(i, "x " * (1000 if i < 5 else 1)) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = importance_sample(docs, n=10, weight=F.length("text") + 1, seed=42)
+    picked = {r["doc_id"] for r in out.collect()}
+    # the 5 heavy docs (weight ~2001 vs ~3) are near-certain picks
+    assert {0, 1, 2, 3, 4} <= picked and len(picked) == 10
+    # retry-stability: same seed, same rows -> identical selection
+    again = {r["doc_id"] for r in importance_sample(
+        docs, n=10, weight=F.length("text") + 1, seed=42).collect()}
+    assert picked == again
+    # append-stability: adding light rows never evicts by key change
+    more = docs.union(spark.createDataFrame(
+        [(i, "y") for i in range(100, 120)], "doc_id long, text string"))
+    keys_old = {r["doc_id"]: r["sample_key"] for r in out.collect()}
+    keys_new = {
+        r["doc_id"]: r["sample_key"]
+        for r in importance_sample(more, n=10, weight=F.length("text") + 1, seed=42).collect()
+    }
+    for d in set(keys_old) & set(keys_new):
+        assert keys_old[d] == keys_new[d]
+
+
+def test_importance_sample_drops_nonpositive_weights(spark):
+    from leidenalg_spark.operators.sampling import importance_sample
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0)], "doc_id long, w double"
+    )
+    picked = {r["doc_id"] for r in importance_sample(docs, n=4, weight="w").collect()}
+    assert picked == {1, 4}
