@@ -756,6 +756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # match the unrolled oracle depth
         return K.diameter_approx(spark, _bipartite_ids_det(spark, sf), max_depth=6)
 
+    def q_coreness(spark, sf):
+        # H-index core decomposition, 3 fixed rounds (oracle comparability)
+        return K.coreness(spark, _bipartite_ids_det(spark, sf), rounds=3)
+
     def q_wl_refinement(spark, sf):
         # 2-round Weisfeiler-Lehman color refinement on the bipartite graph
         return K.wl_refinement(spark, _bipartite_ids_det(spark, sf), rounds=2)
@@ -1008,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "graph_summary": q_graph_summary,
         "importance_sample": q_importance_sample,
+        "coreness": q_coreness,
     }
 
 
@@ -1882,6 +1887,29 @@ SELECT bin,
 FROM (SELECT CAST(FLOOR(log2(CAST(degree AS DOUBLE))) AS INT) AS bin FROM deg)
 GROUP BY bin
 """
+    )
+    # ---- coreness: 3 unrolled H-index rounds (est0 = degree; per round
+    # est' = min(est, H(neighbour ests)) with H = max over ranked
+    # neighbours of least(rank, est)) — same graph, same math as Spark
+    cor = ["e0 AS (SELECT src AS id, CAST(COUNT(*) AS INT) AS est FROM sym GROUP BY src)"]
+    for r in (1, 2, 3):
+        cor.append(f"""g{r} AS (
+  SELECT s.src AS id, e.est AS nb FROM sym s JOIN e{r - 1} e ON s.dst = e.id
+),
+h{r} AS (
+  SELECT id, MAX(LEAST(rk, nb)) AS h
+  FROM (SELECT id, nb, ROW_NUMBER() OVER (PARTITION BY id ORDER BY nb DESC) AS rk
+        FROM g{r})
+  GROUP BY id
+),
+e{r} AS (SELECT e{r - 1}.id, LEAST(e{r - 1}.est, h{r}.h) AS est
+         FROM e{r - 1} JOIN h{r} USING (id))""")
+    sqls["coreness"] = (
+        "WITH "
+        + _DET_PRELUDE
+        + ",\n"
+        + ",\n".join(cor)
+        + "\nSELECT id, CAST(est AS BIGINT) AS coreness FROM e3"
     )
     sqls["wl_refinement"] = (
         "WITH " + _DET_PRELUDE + """,

@@ -2430,3 +2430,59 @@ def transitivity_global(spark, edges: DataFrame) -> DataFrame:
             6,
         ).alias("transitivity"),
     )
+
+
+def coreness(
+    spark,
+    edges: DataFrame,
+    rounds: int = 8,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Per-vertex core number (igraph ``coreness``) via distributed
+    H-index iteration (Montresor, De Pellegrini & Miorandi 2013): start
+    every estimate at the simple degree, then repeatedly set
+    ``est(v) = H(est(u) : u ∈ N(v))`` — the largest h such that at
+    least h neighbours hold estimate ≥ h.  Estimates are monotone
+    non-increasing and lower-bounded by the true core number, so the
+    fixpoint IS the core decomposition; a fixed ``rounds`` keeps the
+    run (and its unrolled DuckDB twin) deterministic, and real runs can
+    stop early when a round changes nothing.
+
+    Returns (id, coreness).  Unlike :func:`k_core` (one k, the
+    subgraph), this yields every vertex's number in one pass over ks.
+
+    Scale shape: per round one gather join on the |V|-row estimate
+    table + one per-vertex ranked window + one aggregate — the
+    PageRank shuffle plus a per-vertex sort whose run length is the
+    degree (a hub's sorted run is one big partition-local sort, not a
+    blow-up); per-round lineage truncation via the checkpoint.
+    """
+    from pyspark.sql import Window
+
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    est = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("int").alias("est")
+    )
+    est = ckpt.save(est, "coreness_est", 0)
+    w = Window.partitionBy("a").orderBy(F.desc("nb_est"))
+    for r in range(1, rounds + 1):
+        gathered = sym.join(
+            est.select(F.col("id").alias("b"), F.col("est").alias("nb_est")), "b"
+        ).select("a", "nb_est")
+        h = (
+            gathered.withColumn("rk", F.row_number().over(w))
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.max(F.least(F.col("rk"), F.col("nb_est"))).cast("int").alias("h"))
+        )
+        est = est.join(h, "id").select("id", F.least("est", "h").alias("est"))
+        est = ckpt.save(est, "coreness_est", r)
+    out = est.select("id", F.col("est").cast("long").alias("coreness"))
+    sym.unpersist()
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    return out

@@ -950,3 +950,32 @@ def test_graph_summary_golden(spark):
     assert abs(r["total_weight"] - 10.0) < 1e-6
     assert abs(r["density"] - 4 / 6) < 1e-6
     assert abs(r["avg_degree"] - 2.0) < 1e-6 and r["max_degree"] == 3
+
+
+def test_coreness_k4_with_tail(spark):
+    from leidenalg_spark.operators.kernels import coreness, k_core
+
+    # K4 on {0..3} with a tail 3-4-5: core numbers 3,3,3,3,1,1
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    out = {r["id"]: r["coreness"] for r in coreness(spark, e, rounds=8).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
+    # consistency: the 3-core subgraph is exactly {coreness >= 3}
+    k3 = {r["id"] for r in k_core(spark, e, k=3, rounds=8).collect()}
+    assert k3 == {v for v, c in out.items() if c >= 3}
+
+
+def test_coreness_triangle_chain(spark):
+    from leidenalg_spark.operators.kernels import coreness
+
+    # two triangles joined by a PENDANT path (3-7, 7-4 chain has degree-1
+    # cascade only at the dangling end): triangles are 2-core, the
+    # chain 3-7 peels to 1 (vertex 3 hangs off triangle {0,1,2})
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 7), (4, 5), (5, 6), (4, 6)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    out = {r["id"]: r["coreness"] for r in coreness(spark, e, rounds=8).collect()}
+    assert out == {0: 2, 1: 2, 2: 2, 3: 1, 7: 1, 4: 2, 5: 2, 6: 2}
