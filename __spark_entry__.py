@@ -328,6 +328,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pr.select("id", F.round("rank", 6).alias("rank"))
         return pr.orderBy(F.desc("rank"), F.asc("id")).limit(20)
 
+    def q_ppr_sweep(spark, sf):
+        # ACL local-community sweep from the same two seeds as the ppr
+        # query (8 fixed iterations), 25-vertex sweep prefix
+        edges = _bipartite_ids_det(spark, sf)
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        seeds = verts.orderBy("id").limit(2)
+        return K.ppr_sweep(spark, edges, seeds, m=25, max_iter=8)
+
     def q_connected_components(spark, sf):
         cc = K.connected_components(spark, _bipartite_ids_det(spark, sf))
         return cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
@@ -1013,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": q_graph_summary,
         "importance_sample": q_importance_sample,
         "coreness": q_coreness,
+        "ppr_sweep": q_ppr_sweep,
     }
 
 
@@ -2583,6 +2596,46 @@ ORDER BY ROUND(rank, 6) DESC, id LIMIT 20
 """
     )
 
+    # ---- ppr sweep: the same unrolled p8 ranks, ACL conductance sweep
+    # over the top-25 by round(rank/vol, 6) desc, id asc
+    sweep_sql = (
+        "WITH " + _DET_PRELUDE + """,
+outw AS (SELECT src, SUM(weight) AS w FROM sym GROUP BY src),
+links AS (SELECT s.src, s.dst, s.weight / o.w AS share FROM sym s JOIN outw o ON s.src = o.src),
+srcs AS (SELECT id, 0.5 AS rw FROM (SELECT id FROM verts ORDER BY id LIMIT 2)),
+""" + ",\n".join(ppr) + """,
+und2 AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(weight) AS w
+         FROM edges WHERE src <> dst GROUP BY 1, 2),
+sym2 AS (SELECT a, b, w FROM und2 UNION ALL SELECT b AS a, a AS b, w FROM und2),
+vol AS (SELECT a AS id, SUM(w) AS vol FROM sym2 GROUP BY a),
+tot AS (SELECT SUM(vol) AS tot FROM vol),
+scored AS (
+  SELECT p.id, v.vol, ROUND(p.rank / v.vol, 6) AS score
+  FROM p8 p JOIN vol v ON v.id = p.id WHERE p.rank > 0
+),
+top AS (
+  SELECT id, vol, score, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS pos
+  FROM scored QUALIFY pos <= 25
+),
+bb AS (
+  SELECT t.id, SUM(s.w) AS b
+  FROM top t JOIN sym2 s ON s.a = t.id JOIN top u ON u.id = s.b AND u.pos < t.pos
+  GROUP BY t.id
+),
+run AS (
+  SELECT top.pos, top.id, top.score,
+         SUM(top.vol) OVER (ORDER BY pos) AS vol_w,
+         SUM(top.vol) OVER (ORDER BY pos)
+           - 2 * SUM(COALESCE(bb.b, 0)) OVER (ORDER BY pos) AS cut_w
+  FROM top LEFT JOIN bb USING (id)
+)
+SELECT pos, id, score, ROUND(vol_w, 6) AS vol_w, ROUND(cut_w, 6) AS cut_w,
+       ROUND(CASE WHEN LEAST(vol_w, tot - vol_w) > 0
+                  THEN cut_w / LEAST(vol_w, tot - vol_w) END, 6) AS conductance
+FROM run, tot
+"""
+    )
+
     # ---- label propagation: 8 synchronous rounds, (id+step)%2 gate,
     # argmax by (weight desc, label asc) — counts are integral so the
     # weight comparison is exact in floating point
@@ -3228,6 +3281,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
 """
     )
     return {"pagerank": pagerank_sql, "personalized_pagerank": ppr_sql,
+            "ppr_sweep": sweep_sql,
             "strongly_connected_components": scc_sql,
             "random_walks": walk_sql,
             "node2vec_walks": n2v_sql,

@@ -2486,3 +2486,102 @@ def coreness(
         out = out.localCheckpoint(eager=True)
         ckpt.close()
     return out
+
+
+def ppr_sweep(
+    spark,
+    edges: DataFrame,
+    sources,
+    m: int = 50,
+    max_iter: int = 8,
+    damping: float = 0.85,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Local community detection by the PPR sweep cut (Andersen, Chung
+    & Lang 2006 — the seed-set-expansion standard): rank vertices by
+    personalized-PageRank-over-volume, then score every prefix of that
+    ordering by conductance; the argmin prefix is the seed's local
+    community.  Returns the sweep curve ``(pos, id, score, vol_w,
+    cut_w, conductance)`` for the top-``m`` vertices — callers take
+    ``pos <= argmin`` as the community.
+
+    Determinism contract: the sweep order is (round(score, 6) desc,
+    id asc) — a total order both engines reproduce; conductance is
+    exact integer-weight arithmetic over that order.
+
+    Scale shape: the PPR stays sparse (seed neighbourhood only); the
+    top-m cut is TakeOrderedAndProject; every window after that runs
+    over the m-row prefix table, and the earlier-neighbour mass b(v)
+    is one equi-join of the m-row table against the adjacency —
+    bounded by Σ_{v∈top-m} deg(v), never |E|.
+    """
+    from pyspark.sql import Window
+
+    if m < 1:
+        raise ValueError("m must be positive")
+    pr = personalized_pagerank(
+        spark, edges, sources, damping=damping, max_iter=max_iter,
+        tol=0.0, directed=False, ckpt=ckpt,
+    )
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "weight",
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("weight").alias("w"))
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    vol = sym.groupBy(F.col("a").alias("id")).agg(F.sum("w").alias("vol"))
+    tot = vol.agg(F.sum("vol").alias("tot"))
+    scored = (
+        pr.where(F.col("rank") > 0)
+        .join(vol, "id")
+        .select("id", "vol", F.round(F.col("rank") / F.col("vol"), 6).alias("score"))
+    )
+    top = (
+        scored.orderBy(F.desc("score"), F.asc("id"))
+        .limit(m)
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id"))),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # b(v): weight from v to strictly-earlier prefix vertices — exactly
+    # one direction of each internal undirected edge survives the filter
+    b = (
+        top.select(F.col("id").alias("v"), F.col("pos").alias("vpos"))
+        .join(sym.select(F.col("a").alias("v"), F.col("b").alias("u"), "w"), "v")
+        .join(top.select(F.col("id").alias("u"), F.col("pos").alias("upos")), "u")
+        .where(F.col("upos") < F.col("vpos"))
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum("w").alias("b"))
+    )
+    run = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        top.join(b, "id", "left")
+        .na.fill({"b": 0.0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pos",
+            "id",
+            "score",
+            F.sum("vol").over(run).alias("vol_w"),
+            (F.sum("vol").over(run) - 2.0 * F.sum("b").over(run)).alias("cut_w"),
+            "tot",
+        )
+    )
+    mn = F.least(F.col("vol_w"), F.col("tot") - F.col("vol_w"))
+    return curve.select(
+        "pos",
+        "id",
+        "score",
+        F.round("vol_w", 6).alias("vol_w"),
+        F.round("cut_w", 6).alias("cut_w"),
+        F.round(F.when(mn > 0, F.col("cut_w") / mn), 6).alias("conductance"),
+    )

@@ -979,3 +979,28 @@ def test_coreness_triangle_chain(spark):
     )
     out = {r["id"]: r["coreness"] for r in coreness(spark, e, rounds=8).collect()}
     assert out == {0: 2, 1: 2, 2: 2, 3: 1, 7: 1, 4: 2, 5: 2, 6: 2}
+
+
+def test_ppr_sweep_recovers_planted_clique(spark):
+    from leidenalg_spark.operators.kernels import ppr_sweep
+
+    # two K5s joined by one bridge edge; seed vertex 0 in clique A
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(i, j) for i in range(5, 10) for j in range(i + 1, 10)]
+    edges += [(4, 5)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    curve = ppr_sweep(spark, e, [0], m=10).collect()
+    by_pos = {r["pos"]: r for r in curve}
+    # the first 5 sweep positions are exactly clique A
+    assert {by_pos[p]["id"] for p in range(1, 6)} == {0, 1, 2, 3, 4}
+    # conductance bottoms out at the clique boundary: cut 1, vol 21
+    # the all-vertices prefix has min(vol, tot-vol) = 0 -> NULL by design
+    best = min(
+        (r for r in curve if r["conductance"] is not None),
+        key=lambda r: (r["conductance"], r["pos"]),
+    )
+    assert best["pos"] == 5
+    assert abs(best["conductance"] - 1 / 21) < 1e-6
+    assert best["cut_w"] == 1.0 and best["vol_w"] == 21.0
