@@ -328,6 +328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pr.select("id", F.round("rank", 6).alias("rank"))
         return pr.orderBy(F.desc("rank"), F.asc("id")).limit(20)
 
+    def q_katz(spark, sf):
+        # 6 fixed Katz iterations, alpha well under 1/lambda_max
+        return K.katz_centrality(
+            spark, _bipartite_ids_det(spark, sf), alpha=0.01, beta=1.0, max_iter=6
+        )
+
     def q_ppr_sweep(spark, sf):
         # ACL local-community sweep from the same two seeds as the ppr
         # query (8 fixed iterations), 25-vertex sweep prefix
@@ -1026,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_sample": q_importance_sample,
         "coreness": q_coreness,
         "ppr_sweep": q_ppr_sweep,
+        "katz_centrality": q_katz,
     }
 
 
@@ -2596,6 +2603,22 @@ ORDER BY ROUND(rank, 6) DESC, id LIMIT 20
 """
     )
 
+    # ---- katz centrality: 6 unrolled x <- 1 + 0.01 * A^T x iterations
+    # on the symmetrised weighted graph (x0 = 1 everywhere)
+    kz = ["k0 AS (SELECT id, 1.0 AS c FROM verts)"]
+    for t in range(1, 7):
+        kz.append(f"""k{t} AS (
+  SELECT v.id, 1.0 + 0.01 * COALESCE(g.g, 0) AS c
+  FROM verts v LEFT JOIN (
+    SELECT s.dst AS id, SUM(s.weight * k.c) AS g
+    FROM sym s JOIN k{t - 1} k ON k.id = s.src GROUP BY s.dst
+  ) g ON g.id = v.id
+)""")
+    katz_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(kz)
+        + "\nSELECT id, ROUND(c, 6) AS centrality FROM k6\n"
+    )
+
     # ---- ppr sweep: the same unrolled p8 ranks, ACL conductance sweep
     # over the top-25 by round(rank/vol, 6) desc, id asc
     sweep_sql = (
@@ -3281,7 +3304,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
 """
     )
     return {"pagerank": pagerank_sql, "personalized_pagerank": ppr_sql,
-            "ppr_sweep": sweep_sql,
+            "ppr_sweep": sweep_sql, "katz_centrality": katz_sql,
             "strongly_connected_components": scc_sql,
             "random_walks": walk_sql,
             "node2vec_walks": n2v_sql,

@@ -2585,3 +2585,59 @@ def ppr_sweep(
         F.round("cut_w", 6).alias("cut_w"),
         F.round(F.when(mn > 0, F.col("cut_w") / mn), 6).alias("conductance"),
     )
+
+
+def katz_centrality(
+    spark,
+    edges: DataFrame,
+    alpha: float = 0.01,
+    beta: float = 1.0,
+    max_iter: int = 8,
+    directed: bool = False,
+    ckpt: CheckpointManager | None = None,
+    ckpt_every: int = 4,
+) -> DataFrame:
+    """Katz centrality by fixed-point iteration x ← β + α·Aᵀx (igraph /
+    Katz 1953): every vertex gets β for free plus α per unit of its
+    neighbours' centrality, so unlike eigenvector centrality pendant
+    and zero-in-degree vertices still score.  Converges for
+    α < 1/λ_max; run with small α on hub-heavy graphs.  Returns
+    (id, centrality), raw (unnormalised) values rounded to 6.
+
+    Scale shape: identical to :func:`eigenvector_centrality` — one
+    join+aggregate exchange per iteration, β re-attached as a column
+    (no extra join), checkpoint barriers every ``ckpt_every`` rounds.
+    """
+    if max_iter < 1:
+        raise ValueError("max_iter must be positive")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    e = edges.select("src", "dst", "weight")
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+    e = e.persist()
+    verts = _vertices(e).persist()
+    x = verts.select("id", F.lit(float(beta)).alias("centrality"))
+    for t in range(1, max_iter + 1):
+        gathered = (
+            e.join(x.select(F.col("id").alias("src"), "centrality"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("weight") * F.col("centrality")).alias("g"))
+        )
+        x = verts.join(gathered, "id", "left").select(
+            "id",
+            (
+                F.lit(float(beta)) + F.lit(float(alpha)) * F.coalesce("g", F.lit(0.0))
+            ).alias("centrality"),
+        )
+        if t % ckpt_every == 0 or t == max_iter:
+            x = ckpt.save(x, "katz_x", t)
+    out = x.select("id", F.round("centrality", 6).alias("centrality"))
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    e.unpersist()
+    verts.unpersist()
+    return out

@@ -1004,3 +1004,21 @@ def test_ppr_sweep_recovers_planted_clique(spark):
     assert best["pos"] == 5
     assert abs(best["conductance"] - 1 / 21) < 1e-6
     assert best["cut_w"] == 1.0 and best["vol_w"] == 21.0
+
+
+def test_katz_centrality_star_and_pendant_mass(spark):
+    from leidenalg_spark.operators.kernels import katz_centrality
+
+    # star: centre 0 with 4 leaves; alpha=0.1
+    e = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1, 5)], "src long, dst long, weight double"
+    )
+    out = {r["id"]: r["centrality"] for r in
+           katz_centrality(spark, e, alpha=0.1, max_iter=20).collect()}
+    # fixed point: c0 = 1 + 0.4*cl, cl = 1 + 0.1*c0 -> c0 = 1.4/0.96
+    assert out[0] == pytest.approx(1.4 / 0.96, abs=1e-4)
+    assert out[1] == pytest.approx(1 + 0.1 * 1.4 / 0.96, abs=1e-4)
+    assert out[1] == out[2] == out[3] == out[4]
+    # unlike eigenvector centrality, an isolated-ish pendant still has
+    # beta mass: all values >= 1
+    assert all(v >= 1.0 for v in out.values())
