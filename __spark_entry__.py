@@ -328,6 +328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pr.select("id", F.round("rank", 6).alias("rank"))
         return pr.orderBy(F.desc("rank"), F.asc("id")).limit(20)
 
+    def q_spanning_forest(spark, sf):
+        # Borůvka minimum spanning forest (rows-only: iterative with a
+        # CC contraction per round — no SQL twin; pytest carries a
+        # Kruskal union-find equality oracle instead)
+        return K.spanning_forest(spark, _bipartite_ids_det(spark, sf))
+
     def q_katz(spark, sf):
         # 6 fixed Katz iterations, alpha well under 1/lambda_max
         return K.katz_centrality(
@@ -1033,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "ppr_sweep": q_ppr_sweep,
         "katz_centrality": q_katz,
+        "spanning_forest": q_spanning_forest,
     }
 
 

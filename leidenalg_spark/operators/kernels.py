@@ -2641,3 +2641,112 @@ def katz_centrality(
     e.unpersist()
     verts.unpersist()
     return out
+
+
+def spanning_forest(
+    spark,
+    edges: DataFrame,
+    max_rounds: int = 16,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Minimum spanning forest by distributed Borůvka — the classic
+    O(log n)-round MST algorithm and the standard distributed choice
+    (each round every component claims its lightest outgoing edge, the
+    claimed edges merge components, the graph contracts geometrically).
+    Spark has no MST; sequential Kruskal/Prim need a global union-find.
+
+    Edges are totally ordered by ``(weight, min_end, max_end)``, so the
+    claimed set is cycle-free (the classic distinct-weight argument)
+    and the run is deterministic; under genuinely distinct weights the
+    result is THE unique MST (asserted vs a Kruskal twin in tests).
+
+    Returns the forest's edges ``(src, dst, weight)`` (canonical
+    ``src < dst``, |V| − #components rows).
+
+    Scale shape: per round one component-label join + one per-component
+    min-struct aggregate (map-side combinable) to claim edges, then a
+    connected-components pass over the CLAIMED edge set only (≤ one
+    edge per component — geometrically shrinking) to merge labels;
+    per-round lineage truncation via the checkpoint.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "weight",
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("weight").alias("w"))
+        .persist()
+    )
+    comp = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+    )
+    comp = ckpt.save(comp, "msf_comp", 0)
+    forest = None
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    for r in range(1, max_rounds + 1):
+        lab = (
+            sym.join(comp.select(F.col("id").alias("a"), F.col("comp").alias("ca")), "a")
+            .join(comp.select(F.col("id").alias("b"), F.col("comp").alias("cb")), "b")
+            .where(F.col("ca") != F.col("cb"))
+        )
+        # lightest outgoing edge per component under the (w, a, b) total
+        # order — min_by on the packed struct is one map-side-combinable agg
+        claimed = (
+            lab.groupBy("ca")
+            .agg(
+                F.min(
+                    F.struct(
+                        "w",
+                        F.least("a", "b").alias("ea"),
+                        F.greatest("a", "b").alias("eb"),
+                    )
+                ).alias("pick")
+            )
+            .select(
+                F.col("pick.ea").alias("a"),
+                F.col("pick.eb").alias("b"),
+                F.col("pick.w").alias("w"),
+            )
+            .distinct()
+        )
+        claimed = ckpt.save(claimed, "msf_claimed", r)
+        if claimed.isEmpty():
+            break
+        forest = claimed if forest is None else forest.unionByName(claimed).distinct()
+        forest = ckpt.save(forest, "msf_forest", r)
+        # merge: CC over the claimed COMPONENT-level edges (tiny set)
+        cedges = (
+            claimed.join(comp.select(F.col("id").alias("a"), F.col("comp").alias("ca")), "a")
+            .join(comp.select(F.col("id").alias("b"), F.col("comp").alias("cb")), "b")
+            .select(F.col("ca").alias("src"), F.col("cb").alias("dst"), F.lit(1.0).alias("weight"))
+        )
+        merged = connected_components(spark, cedges, ckpt=ckpt)
+        comp = (
+            comp.join(
+                merged.select(F.col("id").alias("comp"), "component"), "comp", "left"
+            )
+            .select("id", F.coalesce("component", F.col("comp")).alias("comp"))
+        )
+        comp = ckpt.save(comp, "msf_comp", r)
+    out = (
+        forest.select(F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w").alias("weight"))
+        if forest is not None
+        else und.select("a", "b", "w").limit(0).select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w").alias("weight")
+        )
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    und.unpersist()
+    return out

@@ -1022,3 +1022,68 @@ def test_katz_centrality_star_and_pendant_mass(spark):
     # unlike eigenvector centrality, an isolated-ish pendant still has
     # beta mass: all values >= 1
     assert all(v >= 1.0 for v in out.values())
+
+
+def test_spanning_forest_cycle_drops_heaviest(spark):
+    from leidenalg_spark.operators.kernels import spanning_forest
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 3.0), (3, 0, 9.0)],
+        "src long, dst long, weight double",
+    )
+    got = {(r["src"], r["dst"]): r["weight"] for r in spanning_forest(spark, e).collect()}
+    assert got == {(0, 1): 1.0, (1, 2): 2.0, (2, 3): 3.0}
+
+
+def test_spanning_forest_two_components(spark):
+    from leidenalg_spark.operators.kernels import spanning_forest
+
+    # two disjoint triangles: MSF = 2 edges per triangle (drop heaviest)
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 5.0), (10, 11, 1.0), (11, 12, 1.5), (10, 12, 4.0)],
+        "src long, dst long, weight double",
+    )
+    got = {(r["src"], r["dst"]) for r in spanning_forest(spark, e).collect()}
+    assert got == {(0, 1), (1, 2), (10, 11), (11, 12)}
+
+
+def test_spanning_forest_matches_kruskal_twin(spark):
+    import hashlib
+
+    from leidenalg_spark.operators.kernels import spanning_forest
+
+    # deterministic 60-vertex graph with DISTINCT md5 weights -> the MST
+    # is unique, so the edge SETS must match exactly
+    pairs = sorted({(i, (i + 1) % 60) for i in range(60)}
+                   | {(min(i, (i * 7 + 3) % 60), max(i, (i * 7 + 3) % 60))
+                      for i in range(60) if i != (i * 7 + 3) % 60})
+    rows = [
+        (a, b, 1 + int(hashlib.md5(f"{a}:{b}".encode()).hexdigest()[:8], 16) % 997)
+        for a, b in pairs
+    ]
+    # ensure distinct weights by nudging duplicates deterministically
+    seen, uniq = set(), []
+    for a, b, w in rows:
+        while w in seen:
+            w += 1009
+        seen.add(w)
+        uniq.append((a, b, float(w)))
+    e = spark.createDataFrame(uniq, "src long, dst long, weight double")
+    got = {(r["src"], r["dst"]) for r in spanning_forest(spark, e).collect()}
+
+    # Kruskal twin with union-find
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    exp = set()
+    for a, b, w in sorted(uniq, key=lambda t: t[2]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            exp.add((min(a, b), max(a, b)))
+    assert got == exp and len(got) == 59
