@@ -694,6 +694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_quantize(spark, sf):
+        # symmetric int8 vector quantization, exploded code table
+        return S.quantize_embeddings(_embeddings(spark, sf))
+
     def _named_comm_graph(spark, sf):
         # the community_stats deterministic (edges, membership) pair on
         # string vertex names — shared by the attribute-mixing queries
@@ -1040,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep": q_ppr_sweep,
         "katz_centrality": q_katz,
         "spanning_forest": q_spanning_forest,
+        "quantize_embeddings": q_quantize,
     }
 
 
@@ -1980,6 +1985,18 @@ SELECT window_start, event_type, n,
        COALESCE(ABS(CASE WHEN sd > 0 THEN (n - mu) / sd END) >= 2.0, FALSE)
          AS is_anomaly
 FROM scored
+"""
+    sqls["quantize_embeddings"] = """
+WITH s AS (
+  SELECT vec_id AS id, embedding,
+         ROUND(list_max(list_transform(embedding, y -> abs(y))) / 127.0, 9) AS scale
+  FROM embeddings
+)
+SELECT id, CAST(i - 1 AS INT) AS i,
+       CAST(CASE WHEN scale > 0 THEN round(embedding[i] / scale, 0) ELSE 0 END AS INT)
+         AS code,
+       scale
+FROM s, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
 """
     sqls["graph_summary"] = f"""
 WITH edges AS ({_BIP_EDGES}),

@@ -605,3 +605,39 @@ def kmeans_silhouette(
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    n_levels: int = 127,
+) -> DataFrame:
+    """Symmetric per-vector int8-style quantization — the standard
+    vector-store compression step (scale = max|x| / n_levels, code_i =
+    round(x_i / scale)), 4× smaller than float32 at ~0.5% recall cost
+    in practice.  Returns the EXPLODED code table
+    ``(id, i, code, scale)`` so downstream dot products can run as
+    integer arithmetic joins; zero vectors quantize to all-zero codes
+    with scale 0.
+
+    Scale shape: one projection (max|x| via ``F.aggregate``, codes via
+    ``F.transform``) + one posexplode — whole-stage codegen, no
+    shuffle, no Python.
+    """
+    x = F.col(col)
+    mx = F.aggregate(
+        x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+    )
+    scale = F.round(mx / F.lit(float(n_levels)), 9)
+    codes = F.transform(
+        x,
+        lambda v: F.when(F.col("scale") > 0, F.round(v / F.col("scale"), 0))
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    return (
+        emb.select(F.col(id_col).alias("id"), x.alias(col), scale.alias("scale"))
+        .select("id", "scale", F.posexplode(codes).alias("i", "code"))
+        .select("id", "i", "code", "scale")
+    )

@@ -60,3 +60,26 @@ def test_singleton_labels_cannot_collide_with_cluster_labels(spark):
     assert len(bundle) == 1
     assert bundle != {0}  # and the bundle's label is NOT the singleton's
     assert bundle == {2}  # min-member-id labelling
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    from leidenalg_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),       # zero vector -> scale 0, codes 0
+        (2, [127.0, -127.0, 63.5, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = quantize_embeddings(emb).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["id"], {})[r["i"]] = (r["code"], r["scale"])
+    # zero vector
+    assert all(c == 0 for c, _ in by[1].values())
+    # reconstruction error <= scale/2 per coordinate on the others
+    for vid, vec in ((0, rows[0][1]), (2, rows[2][1])):
+        for i, x in enumerate(vec):
+            code, scale = by[vid][i]
+            assert abs(code * scale - x) <= scale / 2 + 1e-9
+            assert abs(code) <= 127

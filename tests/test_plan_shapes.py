@@ -74,6 +74,7 @@ DECLARATIVE = [
     "bpe_pairs",
     "graph_summary",
     "importance_sample",
+    "quantize_embeddings",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
