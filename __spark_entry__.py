@@ -328,6 +328,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pr.select("id", F.round("rank", 6).alias("rank"))
         return pr.orderBy(F.desc("rank"), F.asc("id")).limit(20)
 
+    def q_shortest_path(spark, sf):
+        # user 0 -> user 1 (ids 0 -> 2): distance 2 through the min-id
+        # shared event type; 4 fixed rings match the unrolled oracle
+        return K.shortest_path(spark, _bipartite_ids_det(spark, sf), 0, 2, max_depth=4)
+
     def q_spanning_forest(spark, sf):
         # Borůvka minimum spanning forest (rows-only: iterative with a
         # CC contraction per round — no SQL twin; pytest carries a
@@ -1045,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_centrality": q_katz,
         "spanning_forest": q_spanning_forest,
         "quantize_embeddings": q_quantize,
+        "shortest_path": q_shortest_path,
     }
 
 
@@ -2627,6 +2633,35 @@ ORDER BY ROUND(rank, 6) DESC, id LIMIT 20
 """
     )
 
+    # ---- shortest path 0 -> 2: 4 unrolled BFS rings with MIN(src)
+    # parent tie-breaks, then 4 unrolled parent walk-back steps
+    sp = [
+        "r0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(NULL AS BIGINT) AS parent, 0 AS d)",
+        "s0 AS (SELECT * FROM r0)",
+    ]
+    for d in (1, 2, 3, 4):
+        sp.append(f"""r{d} AS (
+  SELECT s.dst AS id, MIN(s.src) AS parent, {d} AS d
+  FROM sym s JOIN r{d - 1} f ON s.src = f.id
+  WHERE s.dst NOT IN (SELECT id FROM s{d - 1})
+  GROUP BY s.dst
+)""")
+        sp.append(f"s{d} AS (SELECT * FROM s{d - 1} UNION ALL SELECT * FROM r{d})")
+    sp.append("b0 AS (SELECT id, parent, d FROM s4 WHERE id = 2)")
+    for k in (1, 2, 3, 4):
+        sp.append(
+            f"b{k} AS (SELECT s.id, s.parent, s.d FROM b{k - 1} JOIN s4 s ON s.id = b{k - 1}.parent)"
+        )
+    shortest_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(sp) + """
+SELECT DISTINCT CAST(d AS INT) AS step, id FROM (
+  SELECT d, id FROM b0 UNION ALL SELECT d, id FROM b1
+  UNION ALL SELECT d, id FROM b2 UNION ALL SELECT d, id FROM b3
+  UNION ALL SELECT d, id FROM b4
+)
+"""
+    )
+
     # ---- katz centrality: 6 unrolled x <- 1 + 0.01 * A^T x iterations
     # on the symmetrised weighted graph (x0 = 1 everywhere)
     kz = ["k0 AS (SELECT id, 1.0 AS c FROM verts)"]
@@ -3329,6 +3364,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
     )
     return {"pagerank": pagerank_sql, "personalized_pagerank": ppr_sql,
             "ppr_sweep": sweep_sql, "katz_centrality": katz_sql,
+            "shortest_path": shortest_sql,
             "strongly_connected_components": scc_sql,
             "random_walks": walk_sql,
             "node2vec_walks": n2v_sql,

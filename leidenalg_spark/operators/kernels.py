@@ -2750,3 +2750,60 @@ def spanning_forest(
         ckpt.close()
     und.unpersist()
     return out
+
+
+def shortest_path(
+    spark,
+    edges: DataFrame,
+    src_id: int,
+    dst_id: int,
+    max_depth: int = 6,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Single-pair unweighted shortest path (igraph
+    ``get_shortest_paths``) over the symmetrised simple graph, with
+    deterministic min-id parent tie-breaks so THE returned path is
+    unique and SQL-reproducible.  Returns ``(step, id)`` rows — step 0
+    is ``src_id``, the last step is ``dst_id``; empty when unreachable
+    within ``max_depth``.
+
+    Scale shape: forward frontier BFS from the single source (per ring
+    one frontier⋈adjacency join + anti-join vs seen — state is the
+    source's ball, not all-pairs), then ``max_depth`` one-row parent
+    walk-back joins against the materialised ring table.
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    seen = spark.createDataFrame(
+        [(int(src_id), None, 0)], "id long, parent long, d int"
+    )
+    frontier = seen.select("id")
+    seen = ckpt.save(seen, "sp_seen", 0)
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.select(F.col("id").alias("f"))
+            .join(sym.select(F.col("a").alias("f"), F.col("b").alias("id")), "f")
+            .groupBy("id")
+            .agg(F.min("f").alias("parent"))
+            .join(seen.select("id"), "id", "left_anti")
+            .withColumn("d", F.lit(d).cast("int"))
+        )
+        nxt = ckpt.save(nxt, "sp_ring", d)
+        seen = ckpt.save(seen.unionByName(nxt), "sp_seen", d)
+        frontier = nxt.select("id")
+    # walk back from dst through the parent pointers (<= max_depth
+    # one-row joins against the ring table)
+    step = seen.where(F.col("id") == int(dst_id))
+    path = step.select("d", "id")
+    for _ in range(max_depth):
+        step = step.select(F.col("parent").alias("id")).join(seen, "id")
+        path = path.unionByName(step.select("d", "id"))
+    out = path.distinct().select(F.col("d").cast("int").alias("step"), "id")
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    sym.unpersist()
+    return out

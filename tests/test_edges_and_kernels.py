@@ -1087,3 +1087,25 @@ def test_spanning_forest_matches_kruskal_twin(spark):
             parent[ra] = rb
             exp.add((min(a, b), max(a, b)))
     assert got == exp and len(got) == 59
+
+
+def test_shortest_path_grid_min_id_ties(spark):
+    from leidenalg_spark.operators.kernels import shortest_path
+
+    # diamond 0-{1,2}-3 plus tail 3-4: two length-2 paths to 3, the
+    # min-id parent rule must pick the one through 1
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    p = {r["step"]: r["id"] for r in shortest_path(spark, e, 0, 4).collect()}
+    assert p == {0: 0, 1: 1, 2: 3, 3: 4}
+
+
+def test_shortest_path_unreachable_is_empty(spark):
+    from leidenalg_spark.operators.kernels import shortest_path
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (5, 6, 1.0)], "src long, dst long, weight double"
+    )
+    assert shortest_path(spark, e, 0, 6, max_depth=4).count() == 0
