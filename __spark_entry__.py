@@ -867,6 +867,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return conversation_profile(transcripts_from_events(_events(spark, sf)))
 
+    def q_tool_chains(spark, sf):
+        # tool-call bigram mining over the same deterministic transcripts
+        from leidenalg_spark.operators.sessions import tool_chains
+        from leidenalg_spark.sources.transcripts import transcripts_from_events
+
+        return tool_chains(transcripts_from_events(_events(spark, sf)), n=2, k=20)
+
     def q_kmeans_silhouette(spark, sf):
         # per-cell simplified silhouette of the same deterministic run
         return S.kmeans_silhouette(spark, _embeddings(spark, sf), k=4, iters=2)
@@ -1051,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spanning_forest": q_spanning_forest,
         "quantize_embeddings": q_quantize,
         "shortest_path": q_shortest_path,
+        "tool_chains": q_tool_chains,
     }
 
 
@@ -1991,6 +1999,28 @@ SELECT window_start, event_type, n,
        COALESCE(ABS(CASE WHEN sd > 0 THEN (n - mu) / sd END) >= 2.0, FALSE)
          AS is_anomaly
 FROM scored
+"""
+    sqls["tool_chains"] = """
+WITH tr AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         rn - 1 AS turn_idx,
+         CASE WHEN event_type = 'click' THEN 'browser'
+              WHEN event_type = 'purchase' THEN 'checkout' END AS tool
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events)
+),
+seqs AS (
+  SELECT conv_id, list(tool ORDER BY turn_idx) AS tools
+  FROM tr WHERE tool IS NOT NULL GROUP BY conv_id
+),
+grams AS (
+  SELECT conv_id, array_to_string(tools[i:i+1], '>') AS chain
+  FROM (SELECT * FROM seqs WHERE len(tools) >= 2),
+       LATERAL (SELECT unnest(range(1, len(tools))) AS i)
+)
+SELECT chain, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(COUNT(*) AS BIGINT) AS count
+FROM grams GROUP BY chain ORDER BY count DESC, chain ASC LIMIT 20
 """
     sqls["quantize_embeddings"] = """
 WITH s AS (

@@ -186,3 +186,47 @@ def conversation_profile(transcripts: DataFrame) -> DataFrame:
             ).alias("alternation_rate"),
         )
     )
+
+
+def tool_chains(transcripts: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Frequent tool-invocation sequences over input_hint-shaped
+    transcripts: each conversation's tool calls in turn order, counted
+    as sliding n-grams across the corpus — the "which tool follows
+    which" mining behind agent-workflow analytics.  Deterministic
+    order: count desc, then chain asc.  Returns top-k
+    (chain, n_convs, count); chains render as ``a>b>c``.
+
+    Scale shape: one per-conversation hash aggregate (ordered
+    struct-collect — run length = that conversation's tool calls, never
+    the corpus), a bounded n-gram explode, and a two-level hash
+    aggregate with TakeOrderedAndProject top-k.
+    """
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be positive")
+    calls = transcripts.where(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    seqs = calls.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "tool"))),
+            lambda s: s["tool"],
+        ).alias("tools")
+    )
+    idx = F.when(
+        F.size("tools") >= n, F.sequence(F.lit(0), F.size("tools") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = seqs.select(
+        "conv_id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(F.col("tools"), i + 1, n), ">"))
+        ).alias("chain"),
+    )
+    return (
+        grams.groupBy("chain")
+        .agg(
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).cast("long").alias("count"),
+        )
+        .orderBy(F.desc("count"), F.asc("chain"))
+        .limit(k)
+    )

@@ -316,3 +316,22 @@ def test_anomaly_windows_constant_baseline_gives_null_z(spark):
     # zero-variance baseline: z undefined by design, never flagged
     assert out[20]["zscore"] is None and not out[20]["is_anomaly"]
     assert out[20]["baseline_mean"] == pytest.approx(5.0)
+
+
+def test_tool_chains_bigrams_in_turn_order(spark):
+    from leidenalg_spark.operators.sessions import tool_chains
+
+    rows = [
+        ("c1", 0, "user", "q", None, "2026-01-01 00:00:00"),
+        ("c1", 1, "tool", "x", "bash", "2026-01-01 00:00:01"),
+        ("c1", 2, "tool", "y", "grep", "2026-01-01 00:00:02"),
+        ("c1", 3, "tool", "z", "bash", "2026-01-01 00:00:03"),
+        ("c2", 0, "tool", "a", "bash", "2026-01-01 01:00:00"),
+        ("c2", 1, "tool", "b", "grep", "2026-01-01 01:00:01"),
+        ("c3", 0, "tool", "solo", "edit", "2026-01-01 02:00:00"),  # < n calls
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["chain"]: (r["n_convs"], r["count"]) for r in tool_chains(tr, n=2).collect()}
+    assert out == {"bash>grep": (2, 2), "grep>bash": (1, 1)}

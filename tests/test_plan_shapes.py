@@ -75,6 +75,7 @@ DECLARATIVE = [
     "graph_summary",
     "importance_sample",
     "quantize_embeddings",
+    "tool_chains",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
