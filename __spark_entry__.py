@@ -874,6 +874,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return tool_chains(transcripts_from_events(_events(spark, sf)), n=2, k=20)
 
+    def q_role_transitions(spark, sf):
+        # role→role Markov matrix over the same deterministic transcripts
+        from leidenalg_spark.operators.sessions import role_transitions
+        from leidenalg_spark.sources.transcripts import transcripts_from_events
+
+        return role_transitions(transcripts_from_events(_events(spark, sf)))
+
+    def q_turn_latency(spark, sf):
+        # per-role response-latency distribution (exact percentiles)
+        from leidenalg_spark.operators.sessions import turn_latency
+        from leidenalg_spark.sources.transcripts import transcripts_from_events
+
+        return turn_latency(transcripts_from_events(_events(spark, sf)))
+
     def q_kmeans_silhouette(spark, sf):
         # per-cell simplified silhouette of the same deterministic run
         return S.kmeans_silhouette(spark, _embeddings(spark, sf), k=4, iters=2)
@@ -1059,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize,
         "shortest_path": q_shortest_path,
         "tool_chains": q_tool_chains,
+        "role_transitions": q_role_transitions,
+        "turn_latency": q_turn_latency,
     }
 
 
@@ -2021,6 +2037,50 @@ grams AS (
 SELECT chain, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
        CAST(COUNT(*) AS BIGINT) AS count
 FROM grams GROUP BY chain ORDER BY count DESC, chain ASC LIMIT 20
+"""
+    sqls["role_transitions"] = """
+WITH tr AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         rn - 1 AS turn_idx,
+         CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events)
+),
+pairs AS (
+  SELECT lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS from_role,
+         role AS to_role
+  FROM tr
+),
+counts AS (
+  SELECT from_role, to_role, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE from_role IS NOT NULL GROUP BY from_role, to_role
+)
+SELECT from_role, to_role, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY from_role), 6) AS prob
+FROM counts
+"""
+    sqls["turn_latency"] = """
+WITH tr AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         rn - 1 AS turn_idx,
+         CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+         ts
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events)
+),
+lat AS (
+  SELECT role,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))
+           AS latency_s
+  FROM tr
+)
+SELECT role, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(latency_s), 6) AS mean_s,
+       ROUND(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+       ROUND(quantile_cont(latency_s, 0.95), 6) AS p95_s,
+       ROUND(MAX(latency_s), 6) AS max_s
+FROM lat WHERE latency_s IS NOT NULL
+GROUP BY role
 """
     sqls["quantize_embeddings"] = """
 WITH s AS (

@@ -230,3 +230,81 @@ def tool_chains(transcripts: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         .orderBy(F.desc("count"), F.asc("chain"))
         .limit(k)
     )
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """Role→role Markov transition matrix over input_hint-shaped
+    transcripts: for every consecutive turn pair within a conversation,
+    count the (from_role, to_role) transition and normalise per source
+    row — the dialogue-structure fingerprint (does the assistant always
+    answer the user? how often do tool turns chain?).
+
+    Returns (from_role, to_role, n, prob) with prob = n / Σ_to n, i.e.
+    each from_role row of the matrix sums to 1.
+
+    ONE data shuffle: the lag window hash-partitions on ``conv_id``;
+    the transition count is a map-side-combinable hash aggregate on a
+    key space bounded by |roles|² (a handful of rows), and the per-row
+    normaliser is a broadcast join of that tiny aggregate against
+    itself.  Everything is JVM expressions — no Python in the path.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        transcripts.select(
+            "conv_id",
+            F.lag("role").over(w).alias("from_role"),
+            F.col("role").alias("to_role"),
+        )
+        .where(F.col("from_role").isNotNull())
+        .groupBy("from_role", "to_role")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_role").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(totals), "from_role")
+        .select(
+            "from_role",
+            "to_role",
+            "n",
+            F.round(F.col("n") / F.col("n_from"), 6).alias("prob"),
+        )
+    )
+
+
+def turn_latency(transcripts: DataFrame) -> DataFrame:
+    """Per-role response-latency distribution over input_hint-shaped
+    transcripts: latency of a turn = its ``ts`` minus the previous
+    turn's ``ts`` in the same conversation (stable ``turn_idx`` order).
+    Grouped by the RESPONDING turn's role — "how long does the
+    assistant/tool take to come back" is the first SLO chart on any
+    agent-ops dashboard.
+
+    Returns (role, n, mean_s, p50_s, p95_s, max_s); percentiles are
+    EXACT (``F.percentile``, linear interpolation — the same definition
+    as DuckDB/ANSI ``quantile_cont``, so the oracle twins bit-for-bit).
+    At 10^12 turns exact percentiles over a |roles|-way group are fine:
+    the groupBy key space is tiny but each group is huge, so Spark's
+    percentile buffers per-group values — swap to
+    ``percentile_approx`` when groups stop fitting; the column contract
+    is unchanged.  One window shuffle on ``conv_id`` + one aggregate.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = F.unix_micros(F.col("ts").cast("timestamp")) / 1e6
+    lat = (t - F.lag(t).over(w)).alias("latency_s")
+    rows = transcripts.select("conv_id", "role", lat).where(
+        F.col("latency_s").isNotNull()
+    )
+    return (
+        rows.groupBy("role")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("latency_s"), 6).alias("mean_s"),
+            F.round(F.percentile("latency_s", F.lit(0.5)), 6).alias("p50_s"),
+            F.round(F.percentile("latency_s", F.lit(0.95)), 6).alias("p95_s"),
+            F.round(F.max("latency_s"), 6).alias("max_s"),
+        )
+    )

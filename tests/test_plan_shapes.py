@@ -76,6 +76,8 @@ DECLARATIVE = [
     "importance_sample",
     "quantize_embeddings",
     "tool_chains",
+    "role_transitions",
+    "turn_latency",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
