@@ -895,6 +895,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_rich_club(spark, sf):
         return K.rich_club(spark, _bipartite_ids_det(spark, sf))
 
+    def q_text_entropy(spark, sf):
+        # per-doc token-unigram entropy / type-token diversity signals
+        return T.text_entropy(_documents(spark, sf))
+
+    def q_hashed_features(spark, sf):
+        # hashing-trick sparse features, md5-bucketed (engine-portable)
+        return T.hashed_features(_documents(spark, sf), n_buckets=64)
+
     def q_lm_score(spark, sf):
         # corpus-trained add-1 unigram LM, per-doc mean token log-prob
         return T.lm_score(_documents(spark, sf))
@@ -1075,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_chains": q_tool_chains,
         "role_transitions": q_role_transitions,
         "turn_latency": q_turn_latency,
+        "text_entropy": q_text_entropy,
+        "hashed_features": q_hashed_features,
     }
 
 
@@ -2490,6 +2500,51 @@ SELECT d.doc_id,
        CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
        ROUND(COALESCE(s.mlp, 0.0), 6) AS mean_logp
 FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+    sqls["text_entropy"] = f"""
+WITH tok AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, {_doc_tokens()} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS tok)
+  WHERE tok <> ''
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM tok GROUP BY doc_id, tok
+),
+per AS (
+  SELECT doc_id, SUM(c) AS n, CAST(COUNT(*) AS DOUBLE) AS n_types,
+         SUM(c * ln(c)) AS s
+  FROM tf GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(per.n_types, 0) AS BIGINT) AS n_types,
+       ROUND(COALESCE(per.n_types / per.n, 0.0), 6) AS ttr,
+       ROUND(COALESCE((ln(per.n) - per.s / per.n) / ln(2), 0.0), 6)
+         AS entropy_bits,
+       ROUND(COALESCE(CASE WHEN per.n_types > 1
+                 THEN (ln(per.n) - per.s / per.n) / ln(per.n_types)
+                 ELSE 0.0 END, 0.0), 6) AS norm_entropy
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+    sqls["hashed_features"] = f"""
+WITH tok AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, {_doc_tokens()} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS tok)
+  WHERE tok <> ''
+),
+bc AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS INT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS count
+  FROM tok GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, SUM(count) AS n FROM bc GROUP BY doc_id)
+SELECT bc.doc_id, bc.bucket, bc.count, ROUND(bc.count / tot.n, 6) AS tf
+FROM bc JOIN tot USING (doc_id)
 """
     sqls["partition_compare"] = f"""
 WITH edges AS ({_BIP_EDGES}),

@@ -516,3 +516,94 @@ def bpe_pair_counts(docs: DataFrame, k: int = 20, col="text") -> DataFrame:
         .orderBy(F.desc("count"), F.asc("pair"))
         .limit(k)
     )
+
+
+def text_entropy(docs: DataFrame, col="text") -> DataFrame:
+    """Per-document token-unigram Shannon entropy — the classic
+    diversity/degeneracy quality signal (low entropy = repetitive or
+    template text; pairs with repetition_stats for corpus filtering).
+
+    Returns (doc_id, n_tokens, n_types, ttr, entropy_bits,
+    norm_entropy): ttr = type/token ratio, entropy_bits =
+    -Σ p·log2 p over the doc's own token frequencies, norm_entropy =
+    entropy_bits / log2(n_types) (0 when the doc has ≤1 distinct
+    token).  Every doc is kept — empty docs carry zeros.
+
+    Scale: explode is linear in corpus tokens; the (doc_id, tok) hash
+    aggregate combines map-side; the per-doc reduce uses the identity
+    H = log2(n) − Σ c·log2(c) / n so entropy needs NO second pass or
+    window — two aggregates and one left join back to doc ids, all JVM
+    expressions.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(col)).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    ln2 = 0.6931471805599453
+    per = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.log("c")).alias("s_clogc"),
+    )
+    h = (F.log("n") - F.col("s_clogc") / F.col("n")) / ln2
+    scored = per.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.round(F.col("n_types") / F.col("n"), 6).alias("ttr"),
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(
+            F.when(F.col("n_types") > 1, h / (F.log("n_types") / ln2)).otherwise(0.0), 6
+        ).alias("norm_entropy"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            F.coalesce("ttr", F.lit(0.0)).alias("ttr"),
+            F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
+            F.coalesce("norm_entropy", F.lit(0.0)).alias("norm_entropy"),
+        )
+    )
+
+
+def hashed_features(docs: DataFrame, n_buckets: int = 64, col="text") -> DataFrame:
+    """Hashing-trick sparse feature vectors (Weinberger et al. 2009 /
+    sklearn HashingVectorizer): each token is hashed to one of
+    ``n_buckets`` columns; the doc's feature value is the bucket's term
+    frequency.  The standard fixed-width featurisation for downstream
+    classifiers/dedup at corpus scale — no vocabulary build, no fit
+    pass, stable across shards and reruns.
+
+    Bucket = first 8 hex chars of md5(token) mod n_buckets — the
+    engine-portable hash convention (identical integer in DuckDB via
+    ``('0x'||substr(md5(tok),1,8))::BIGINT``), so oracles can replay it.
+
+    Returns sparse rows (doc_id, bucket, count, tf) with tf normalised
+    by the doc's token total.  Scale: one explode, a (doc_id, bucket)
+    hash aggregate (map-side combinable, key space |docs|·n_buckets),
+    then a groupBy(doc_id) total joined back — the second aggregate and
+    the join both reuse the doc_id hash partitioning of the first
+    shuffle, so there is exactly one exchange end to end.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be positive")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(col)).alias("tok")
+    ).where(F.col("tok") != "")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    ).cast("int")
+    bc = toks.select("doc_id", bucket.alias("bucket")).groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    totals = bc.groupBy("doc_id").agg(F.sum("count").alias("n"))
+    return bc.join(totals, "doc_id").select(
+        "doc_id",
+        "bucket",
+        F.col("count").cast("long").alias("count"),
+        F.round(F.col("count") / F.col("n"), 6).alias("tf"),
+    )

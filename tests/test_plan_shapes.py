@@ -78,6 +78,8 @@ DECLARATIVE = [
     "tool_chains",
     "role_transitions",
     "turn_latency",
+    "text_entropy",
+    "hashed_features",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
