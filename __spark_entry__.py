@@ -903,6 +903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hashing-trick sparse features, md5-bucketed (engine-portable)
         return T.hashed_features(_documents(spark, sf), n_buckets=64)
 
+    def q_chunk_documents(spark, sf):
+        # RAG-style overlapping token chunking (C=32, overlap=8)
+        return T.chunk_documents(_documents(spark, sf), chunk_tokens=32, overlap=8)
+
     def q_lm_score(spark, sf):
         # corpus-trained add-1 unigram LM, per-doc mean token log-prob
         return T.lm_score(_documents(spark, sf))
@@ -1085,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_latency": q_turn_latency,
         "text_entropy": q_text_entropy,
         "hashed_features": q_hashed_features,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2545,6 +2550,30 @@ bc AS (
 tot AS (SELECT doc_id, SUM(count) AS n FROM bc GROUP BY doc_id)
 SELECT bc.doc_id, bc.bucket, bc.count, ROUND(bc.count / tot.n, 6) AS tf
 FROM bc JOIN tot USING (doc_id)
+"""
+    sqls["chunk_documents"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter({_doc_tokens()}, t -> t <> '') AS tk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) <= 0 THEN 0
+              WHEN len(tk) <= 32 THEN 1
+              ELSE CAST(ceil((len(tk) - 32) / 24.0) AS INT) + 1 END AS n_chunks
+  FROM d
+),
+x AS (
+  SELECT doc_id, tk, n,
+         CAST(ci AS INT) AS chunk_idx, CAST(ci * 24 AS INT) AS start_tok
+  FROM c, LATERAL (SELECT unnest(range(n_chunks)) AS ci)
+)
+SELECT doc_id, chunk_idx, start_tok,
+       CAST(least(32, n - start_tok) AS INT) AS n_tokens,
+       array_to_string(list_slice(tk, start_tok + 1, start_tok + 32), ' ')
+         AS chunk_text
+FROM x
 """
     sqls["partition_compare"] = f"""
 WITH edges AS ({_BIP_EDGES}),

@@ -607,3 +607,52 @@ def hashed_features(docs: DataFrame, n_buckets: int = 64, col="text") -> DataFra
         F.col("count").cast("long").alias("count"),
         F.round(F.col("count") / F.col("n"), 6).alias("tf"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16, col="text"
+) -> DataFrame:
+    """Sliding-window token chunking — the RAG-indexing / context-packing
+    primitive: split each document into chunks of ``chunk_tokens``
+    whitespace tokens with ``overlap`` tokens shared between
+    consecutive chunks (stride = chunk_tokens − overlap), the last
+    chunk shorter if needed.  Every token of every doc is covered;
+    empty docs produce no rows.
+
+    Returns (doc_id, chunk_idx, start_tok, n_tokens, chunk_text);
+    chunk_text re-joins tokens with single spaces (whitespace is
+    normalised by construction).
+
+    Scale: a pure projection + bounded explode — no shuffle at all;
+    chunk rows inherit the scan's partitioning, so a downstream
+    embed/index stage starts co-located with its source doc.  The
+    chunk count per doc is ceil((n−C)/S)+1, an expression, not a loop.
+    """
+    stride = chunk_tokens - overlap
+    if chunk_tokens < 1 or overlap < 0 or stride < 1:
+        raise ValueError("need chunk_tokens ≥ 1 and 0 ≤ overlap < chunk_tokens")
+    toks = F.filter(tokens_col(col), lambda t: t != "")
+    d = docs.select("doc_id", toks.alias("tk")).withColumn("n", F.size("tk"))
+    n_chunks = (
+        F.when(F.col("n") <= 0, F.lit(0))
+        .when(F.col("n") <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.ceil((F.col("n") - chunk_tokens) / F.lit(float(stride))).cast("int")
+            + 1
+        )
+    )
+    # ANSI guard: sequence(0, -1) would generate DESCENDING — gate on >0
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    d = d.withColumn("ci", F.explode(idx))
+    start = F.col("ci") * stride
+    return d.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_tok"),
+        F.least(F.lit(chunk_tokens), F.col("n") - start).cast("int").alias("n_tokens"),
+        F.array_join(F.slice("tk", start + 1, F.lit(chunk_tokens)), " ").alias(
+            "chunk_text"
+        ),
+    )

@@ -80,6 +80,7 @@ DECLARATIVE = [
     "turn_latency",
     "text_entropy",
     "hashed_features",
+    "chunk_documents",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
