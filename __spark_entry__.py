@@ -413,6 +413,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_reciprocity(spark, sf):
         return K.reciprocity(spark, _transition_ids(spark, sf))
 
+    def q_triad_census(spark, sf):
+        # Holland–Leinhardt 16-class census on the MIXED directed graph
+        # (user→type interaction arcs ∪ type→type transition arcs — the
+        # transition layer contributes mutual dyads, so the
+        # direction-sensitive classes are all exercised)
+        from pyspark.sql import Window
+
+        bip = _bipartite_named(spark, sf).select("src_name", "dst_name")
+        der = E.events_to_type_transition_edges(_events(spark, sf)).select(
+            F.concat(F.lit("t:"), "src_name").alias("src_name"),
+            F.concat(F.lit("t:"), "dst_name").alias("dst_name"),
+        )
+        un = bip.unionByName(der)
+        names = (
+            un.select(F.col("src_name").alias("nm"))
+            .union(un.select("dst_name"))
+            .distinct()
+        )
+        ids = names.withColumn(
+            "nid", F.row_number().over(Window.orderBy("nm")).cast("long")
+        )
+        g = (
+            un.join(ids.select(F.col("nm").alias("src_name"), F.col("nid").alias("src")), "src_name")
+            .join(ids.select(F.col("nm").alias("dst_name"), F.col("nid").alias("dst")), "dst_name")
+            .select("src", "dst")
+        )
+        return K.triad_census(spark, g)
+
     def q_negative_samples(spark, sf):
         # link-prediction training negatives on the SPARSE directed
         # user->type graph (the complete transition graph would reject
@@ -1090,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": q_text_entropy,
         "hashed_features": q_hashed_features,
         "chunk_documents": q_chunk_documents,
+        "triad_census": q_triad_census,
     }
 
 
@@ -3536,6 +3565,85 @@ reach AS (SELECT DISTINCT id, v FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r
 SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
 """
     )
+    # ---- 16-class triad census on the MIXED graph (bipartite arcs ∪
+    # type-transition arcs); the 64-code → class lookup comes from the
+    # SAME helper the engine uses, so classification is shared
+    from leidenalg_spark.operators.kernels import TRIAD_CLASSES, triad_code_table
+
+    _lut_vals = ", ".join(
+        f"({c}, '{lab}', {m}, {a})" for c, lab, m, a in triad_code_table()
+    )
+    _cls_vals = ", ".join(f"('{lab}')" for lab in TRIAD_CLASSES)
+    triad_sql = (
+        "WITH " + trans_prelude[0] + f""",
+mixed AS (
+  SELECT 'u:' || CAST(user_id AS VARCHAR) AS sn, 't:' || event_type AS dn
+  FROM events GROUP BY 1, 2
+  UNION ALL
+  SELECT 't:' || a, 't:' || b FROM tr
+),
+mnames AS (SELECT sn AS nm FROM mixed UNION SELECT dn FROM mixed),
+mids AS (SELECT nm, CAST(ROW_NUMBER() OVER (ORDER BY nm) AS BIGINT) AS nid FROM mnames),
+me AS (
+  SELECT DISTINCT sa.nid AS src, sb.nid AS dst
+  FROM mixed m JOIN mids sa ON sa.nm = m.sn JOIN mids sb ON sb.nm = m.dn
+  WHERE sa.nid <> sb.nid
+),
+dy AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         MAX(CASE WHEN src < dst THEN 1 ELSE 0 END)
+         + 2 * MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS s
+  FROM me GROUP BY 1, 2
+),
+inc AS (SELECT a AS v, b AS w, s FROM dy UNION ALL SELECT b, a, s FROM dy),
+wed AS (
+  SELECT p.v, p.w AS w1, q.w AS w2, p.s AS sa, q.s AS sb
+  FROM inc p JOIN inc q ON q.v = p.v AND p.w < q.w
+),
+wed3 AS (
+  SELECT wed.*, COALESCE(d.s, 0) AS sc
+  FROM wed LEFT JOIN dy d ON d.a = least(w1, w2) AND d.b = greatest(w1, w2)
+),
+pos AS (
+  SELECT v, w1, w2, sa, sb, sc,
+         least(v, w1, w2) AS i, greatest(v, w1, w2) AS k,
+         v + w1 + w2 - least(v, w1, w2) - greatest(v, w1, w2) AS j
+  FROM wed3
+),
+coded AS (
+  SELECT DISTINCT i, j, k,
+      (CASE WHEN least(v, w1) = i AND greatest(v, w1) = j THEN sa
+            WHEN least(v, w2) = i AND greatest(v, w2) = j THEN sb ELSE sc END)
+  + 4 * (CASE WHEN least(v, w1) = j AND greatest(v, w1) = k THEN sa
+            WHEN least(v, w2) = j AND greatest(v, w2) = k THEN sb ELSE sc END)
+  + 16 * (CASE WHEN least(v, w1) = i AND greatest(v, w1) = k THEN sa
+            WHEN least(v, w2) = i AND greatest(v, w2) = k THEN sb ELSE sc END)
+    AS code
+  FROM pos
+),
+lut(code, triad, m, a) AS (VALUES {_lut_vals}),
+conn AS (SELECT l.triad, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM coded c JOIN lut l USING (code) GROUP BY 1),
+scal AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT src AS x FROM me UNION SELECT dst FROM me)) AS n,
+         (SELECT COALESCE(SUM(CASE WHEN s = 3 THEN 1 ELSE 0 END), 0) FROM dy) AS mm,
+         (SELECT COALESCE(SUM(CASE WHEN s IN (1, 2) THEN 1 ELSE 0 END), 0) FROM dy) AS aa,
+         (SELECT COUNT(*) FROM coded) AS t2n,
+         (SELECT COALESCE(SUM(l.m), 0) FROM coded c JOIN lut l USING (code)) AS sum_m,
+         (SELECT COALESCE(SUM(l.a), 0) FROM coded c JOIN lut l USING (code)) AS sum_a
+),
+classes(triad) AS (VALUES {_cls_vals})
+SELECT cl.triad,
+  CAST(CASE cl.triad
+    WHEN '012' THEN aa * (n - 2) - sum_a
+    WHEN '102' THEN mm * (n - 2) - sum_m
+    WHEN '003' THEN (n * (n - 1) // 2) * (n - 2) // 3 - t2n
+                    - (aa * (n - 2) - sum_a) - (mm * (n - 2) - sum_m)
+    ELSE COALESCE(conn.cnt, 0) END AS BIGINT) AS count
+FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
+"""
+    )
+
     return {"pagerank": pagerank_sql, "personalized_pagerank": ppr_sql,
             "ppr_sweep": sweep_sql, "katz_centrality": katz_sql,
             "shortest_path": shortest_sql,
@@ -3545,6 +3653,7 @@ SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
             "hits": hits_sql,
             "eigenvector_centrality": eig_sql,
             "reciprocity": recip_sql,
+            "triad_census": triad_sql,
             "closed_triples": triples_sql,
             "k_truss": ktruss_sql,
             "densest_subgraph": dsg_sql,

@@ -2807,3 +2807,196 @@ def shortest_path(
         ckpt.close()
     sym.unpersist()
     return out
+
+
+# Holland–Leinhardt MAN triad classes in igraph's triad_census order.
+TRIAD_CLASSES = [
+    "003", "012", "102", "021D", "021U", "021C", "111D", "111U",
+    "030T", "030C", "201", "120D", "120U", "120C", "210", "300",
+]
+
+
+def triad_code_table() -> list[tuple[int, str, int, int]]:
+    """The 64-entry lookup (code, triad, n_mutual, n_asym) from packed
+    dyad states to MAN triad classes.
+
+    For the sorted triple i<j<k, each dyad carries a state relative to
+    its (lower, higher) orientation — 0 null, 1 lower→higher,
+    2 higher→lower, 3 mutual — and ``code = s_ij + 4·s_jk + 16·s_ik``.
+    Classification follows the standard rules (Holland & Leinhardt
+    1970; igraph ``triad_census`` docs): the (M, A, N) dyad counts pin
+    the class except for the direction-sensitive families, which split
+    on the shared/odd vertex's orientation (021D out-star / 021U
+    in-star / 021C chain; 111D points into the mutual pair / 111U out
+    of it; 030T transitive / 030C cyclic; 120D/U/C by the non-mutual
+    vertex's out-degree).  Shared with the DuckDB oracle so both
+    engines classify identically.
+    """
+    out = []
+    for code in range(64):
+        states = {
+            (0, 1): code & 3,
+            (1, 2): (code >> 2) & 3,
+            (0, 2): (code >> 4) & 3,
+        }
+        arcs = set()
+        for (lo, hi), s in states.items():
+            if s in (1, 3):
+                arcs.add((lo, hi))
+            if s in (2, 3):
+                arcs.add((hi, lo))
+        m = sum(1 for s in states.values() if s == 3)
+        a = sum(1 for s in states.values() if s in (1, 2))
+        asym = [p for p, s in states.items() if s in (1, 2)]
+        mut = [p for p, s in states.items() if s == 3]
+        if (m, a) == (0, 0):
+            lab = "003"
+        elif (m, a) == (0, 1):
+            lab = "012"
+        elif (m, a) == (1, 0):
+            lab = "102"
+        elif (m, a) == (0, 2):
+            (p1, p2) = asym
+            shared = (set(p1) & set(p2)).pop()
+            outd = sum(1 for (x, y) in arcs if x == shared)
+            lab = {2: "021D", 0: "021U", 1: "021C"}[outd]
+        elif (m, a) == (1, 1):
+            pair = set(mut[0])
+            # the asym arc: D if it points INTO the mutual pair
+            arc = next((x, y) for (x, y) in arcs if not ({x, y} <= pair))
+            lab = "111D" if arc[1] in pair else "111U"
+        elif (m, a) == (0, 3):
+            outdeg = {v: sum(1 for (x, _) in arcs if x == v) for v in (0, 1, 2)}
+            lab = "030T" if max(outdeg.values()) == 2 else "030C"
+        elif (m, a) == (2, 0):
+            lab = "201"
+        elif (m, a) == (1, 2):
+            odd = ({0, 1, 2} - set(mut[0])).pop()
+            mutarcs = {mut[0], (mut[0][1], mut[0][0])}
+            outd = sum(1 for (x, y) in arcs if x == odd and (x, y) not in mutarcs)
+            lab = {2: "120D", 0: "120U", 1: "120C"}[outd]
+        elif (m, a) == (2, 1):
+            lab = "210"
+        else:
+            lab = "300"
+        out.append((code, lab, m, a))
+    return out
+
+
+def triad_census(spark, edges: DataFrame) -> DataFrame:
+    """Directed triad census (Holland–Leinhardt / igraph
+    ``triad_census``): counts of all 16 MAN isomorphism classes of
+    3-vertex subgraphs of the simple directed graph (self-loops
+    dropped, parallel arcs collapsed; the vertex set is the edge
+    endpoints).  Returns 16 rows (triad, count), Σcount = C(n,3).
+
+    Scale shape (Batagelj & Mrvar 2001, "A subquadratic triad census
+    algorithm"): only triads with ≥2 linked dyads are ENUMERATED — a
+    wedge self-join on the shared vertex bounded by Σdeg² like the
+    triangle count, followed by one equi-join for the third dyad's
+    state and a 64-entry literal-array classification.  The empty and
+    single-dyad classes (003/012/102) — the O(n³) bulk — come from
+    closed-form identities over the dyad census: n_012 = A·(n−2) −
+    Σ_{T2} a_t, n_102 = M·(n−2) − Σ_{T2} m_t, n_003 = C(n,3) − rest.
+    The handful of global scalars ride 1-row broadcast cross joins.
+    C(n,3) is exact BIGINT arithmetic (valid to n ≈ 3·10⁹ vertices).
+    """
+    lut = triad_code_table()
+    lab_arr = F.array(*[F.lit(lab) for _, lab, _, _ in lut])
+    m_arr = F.array(*[F.lit(m) for _, _, m, _ in lut])
+    a_arr = F.array(*[F.lit(a) for _, _, _, a in lut])
+
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    dy = (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.when(F.col("src") < F.col("dst"), 1).otherwise(0).alias("f"),
+            F.when(F.col("src") > F.col("dst"), 1).otherwise(0).alias("r"),
+        )
+        .groupBy("a", "b")
+        .agg((F.max("f") + 2 * F.max("r")).alias("s"))
+    )
+    inc = dy.select(F.col("a").alias("v"), F.col("b").alias("w"), "s").unionByName(
+        dy.select(F.col("b").alias("v"), F.col("a").alias("w"), "s")
+    )
+    wed = (
+        inc.alias("p")
+        .join(inc.alias("q"), "v")
+        .where(F.col("p.w") < F.col("q.w"))
+        .select(
+            "v",
+            F.col("p.w").alias("w1"),
+            F.col("q.w").alias("w2"),
+            F.col("p.s").alias("sa"),
+            F.col("q.s").alias("sb"),
+        )
+    )
+    third = dy.select(
+        F.col("a").alias("ta"), F.col("b").alias("tb"), F.col("s").alias("sc")
+    )
+    wed = (
+        wed.withColumn("ta", F.least("w1", "w2"))
+        .withColumn("tb", F.greatest("w1", "w2"))
+        .join(third, ["ta", "tb"], "left")
+        .withColumn("sc", F.coalesce("sc", F.lit(0)))
+        .withColumn("i", F.least("v", "w1", "w2"))
+        .withColumn("k", F.greatest("v", "w1", "w2"))
+        .withColumn("j", F.col("v") + F.col("w1") + F.col("w2") - F.col("i") - F.col("k"))
+    )
+
+    def _state(x, y):
+        return (
+            F.when(
+                (F.least("v", "w1") == F.col(x)) & (F.greatest("v", "w1") == F.col(y)),
+                F.col("sa"),
+            )
+            .when(
+                (F.least("v", "w2") == F.col(x)) & (F.greatest("v", "w2") == F.col(y)),
+                F.col("sb"),
+            )
+            .otherwise(F.col("sc"))
+        )
+
+    code = _state("i", "j") + 4 * _state("j", "k") + 16 * _state("i", "k")
+    # a triangle (3 linked dyads) surfaces once per shared vertex → distinct
+    t2 = wed.select("i", "j", "k", code.cast("int").alias("code")).distinct()
+
+    conn = (
+        t2.groupBy("code")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.element_at(lab_arr, F.col("code") + 1).alias("triad"),
+            "cnt",
+        )
+        .groupBy("triad")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    dstats = dy.agg(
+        F.sum((F.col("s") == 3).cast("long")).alias("M"),
+        F.sum(F.col("s").isin(1, 2).cast("long")).alias("A"),
+    )
+    nv = _vertices(e).agg(F.count(F.lit(1)).alias("n"))
+    t2stats = t2.agg(
+        F.count(F.lit(1)).alias("t2n"),
+        F.coalesce(F.sum(F.element_at(m_arr, F.col("code") + 1)), F.lit(0)).alias("sum_m"),
+        F.coalesce(F.sum(F.element_at(a_arr, F.col("code") + 1)), F.lit(0)).alias("sum_a"),
+    )
+    scalars = dstats.crossJoin(nv).crossJoin(t2stats)
+    base = spark.createDataFrame([(lab,) for lab in TRIAD_CLASSES], "triad string")
+    n012 = F.col("A") * (F.col("n") - 2) - F.col("sum_a")
+    n102 = F.col("M") * (F.col("n") - 2) - F.col("sum_m")
+    cn3 = F.expr("(n * (n - 1)) div 2 * (n - 2) div 3")
+    return (
+        base.join(conn, "triad", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "triad",
+            F.when(F.col("triad") == "012", n012)
+            .when(F.col("triad") == "102", n102)
+            .when(F.col("triad") == "003", cn3 - F.col("t2n") - n012 - n102)
+            .otherwise(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("count"),
+        )
+    )

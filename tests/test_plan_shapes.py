@@ -81,6 +81,7 @@ DECLARATIVE = [
     "text_entropy",
     "hashed_features",
     "chunk_documents",
+    "triad_census",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -105,6 +106,8 @@ SCALAR_CROSS = {
     "transitivity",
     # four 1-row summary scalars ride broadcast cross joins
     "graph_summary",
+    # dyad-census scalars (M, A, n, ΣT2) ride 1-row broadcast cross joins
+    "triad_census",
 }
 
 
