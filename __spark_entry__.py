@@ -526,6 +526,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf):
         return D.simhash(_documents(spark, sf))
 
+    def q_knn_graph(spark, sf):
+        # embeddings → undirected weighted k-NN edge table (LSH-bucketed
+        # candidates; feeds leiden/LPA for semantic clustering)
+        return S.knn_graph(spark, _embeddings(spark, sf), k=3, n_planes=5, dim=64)
+
     def q_lsh_topk(spark, sf):
         emb = _embeddings(spark, sf)
         return S.lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 8), k=5, n_planes=8).select(
@@ -1119,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "chunk_documents": q_chunk_documents,
         "triad_census": q_triad_census,
+        "knn_graph": q_knn_graph,
     }
 
 
@@ -1253,6 +1259,44 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= {k}
+"""
+
+
+def _knn_graph_oracle(k=3, n_planes=5, seed=42, dim=64) -> str:
+    """DuckDB twin of operators.similarity.knn_graph: SAME hyperplane
+    constants (repr round-trips float64), same single-band sign bucket,
+    exact cosine within bucket, per-vertex top-k, symmetrised."""
+    from leidenalg_spark.operators.similarity import random_hyperplanes
+
+    def dot(vec, consts):
+        lst = "[" + ",".join(repr(float(x)) for x in consts) + "]"
+        return f"list_sum(list_transform(list_zip({vec}, {lst}), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+
+    planes = random_hyperplanes(dim, n_planes, seed)
+    key = " + ".join(
+        f"(CASE WHEN {dot('embedding', p)} > 0 THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (SELECT vec_id AS id, embedding, {key} AS bucket FROM embeddings),
+cand AS (
+  SELECT x.id AS src0, y.id AS dst0,
+         ROUND(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+            * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6)
+           AS cos_sim
+  FROM b x JOIN b y ON y.bucket = x.bucket AND x.id <> y.id
+),
+knn AS (
+  SELECT src0, dst0, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY src0
+                                 ORDER BY cos_sim DESC, dst0 ASC) AS rn
+    FROM cand) WHERE rn <= {k}
+)
+SELECT least(src0, dst0) AS src, greatest(src0, dst0) AS dst,
+       MAX(cos_sim) AS weight, COUNT(*) = 2 AS mutual
+FROM knn GROUP BY 1, 2
 """
 
 
@@ -1932,6 +1976,7 @@ WHERE bucket < CASE lang WHEN 'en' THEN 2147483648 WHEN 'de' THEN 1073741824 ELS
         "simhash": _simhash_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "lsh_topk": _lsh_topk_oracle(),
+        "knn_graph": _knn_graph_oracle(),
         "minhash_signature": f"""
 WITH {shingle_cte},
 mh AS (

@@ -641,3 +641,73 @@ def quantize_embeddings(
         .select("id", "scale", F.posexplode(codes).alias("i", "code"))
         .select("id", "i", "code", "scale")
     )
+
+
+def knn_graph(
+    spark,
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """k-nearest-neighbour graph construction — the bridge from vector
+    space into the link-graph engine: the returned weighted edge table
+    feeds straight into ``leiden`` / ``label_propagation`` /
+    ``connected_components`` for semantic clustering of embeddings.
+
+    Candidates are LSH bucket-mates (sign-of-projection signature over
+    ``n_planes`` shared hyperplanes — one equality self-join, never an
+    all-pairs cross join); exact cosine ranks within the bucket; each
+    vertex keeps its top-k (ties → lower neighbour id); the directed
+    k-NN relation is then symmetrised to undirected edges.
+
+    Returns (src, dst, weight, mutual) with src < dst, weight = cosine
+    similarity, mutual = true iff each endpoint is in the other's
+    top-k (the "mutual-kNN" filter commonly used to suppress hub
+    links before clustering).
+
+    Scale shape: the self-join shuffles both sides by the bucket key
+    (2^n_planes buckets — pick n_planes ≈ log2(N/avg_bucket) so bucket
+    population stays bounded); per-bucket pairing is |bucket|², the
+    standard LSH cost; the top-k is one ranked window partitioned by
+    vertex; the symmetrise step is a (src,dst)-keyed aggregate.  No
+    broadcast of the full table anywhere, so N is unbounded.
+    """
+    if k < 1:
+        raise ValueError("k must be positive")
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    b = lsh_bucket_ids(embeddings, planes, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    cos = _dot(F.col("x.v"), F.col("y.v")) / (
+        _norm(F.col("x.v")) * _norm(F.col("y.v"))
+    )
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), "bucket")
+        .where(F.col("x.id") != F.col("y.id"))
+        .select(
+            F.col("x.id").alias("src0"),
+            F.col("y.id").alias("dst0"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src0").orderBy(F.desc("cos_sim"), F.asc("dst0"))
+    knn = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return (
+        knn.select(
+            F.least("src0", "dst0").alias("src"),
+            F.greatest("src0", "dst0").alias("dst"),
+            "cos_sim",
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.max("cos_sim").alias("weight"),
+            (F.count(F.lit(1)) == 2).alias("mutual"),
+        )
+    )

