@@ -928,6 +928,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_rich_club(spark, sf):
         return K.rich_club(spark, _bipartite_ids_det(spark, sf))
 
+    def q_tool_retries(spark, sf):
+        # consecutive same-tool run-length encoding (agent retry signal)
+        from leidenalg_spark.operators.sessions import tool_retries
+        from leidenalg_spark.sources.transcripts import transcripts_from_events
+
+        return tool_retries(transcripts_from_events(_events(spark, sf)))
+
+    def q_conversation_endings(spark, sf):
+        # terminal-role breakdown (abandonment/completion shapes)
+        from leidenalg_spark.operators.sessions import conversation_endings
+        from leidenalg_spark.sources.transcripts import transcripts_from_events
+
+        return conversation_endings(transcripts_from_events(_events(spark, sf)))
+
+    def q_turn_boilerplate(spark, sf):
+        # cross-conversation repeated-turn (template) detection
+        from leidenalg_spark.operators.sessions import turn_boilerplate
+        from leidenalg_spark.sources.transcripts import transcripts_from_events
+
+        return turn_boilerplate(transcripts_from_events(_events(spark, sf)))
+
     def q_text_entropy(spark, sf):
         # per-doc token-unigram entropy / type-token diversity signals
         return T.text_entropy(_documents(spark, sf))
@@ -1125,6 +1146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "triad_census": q_triad_census,
         "knn_graph": q_knn_graph,
+        "tool_retries": q_tool_retries,
+        "conversation_endings": q_conversation_endings,
+        "turn_boilerplate": q_turn_boilerplate,
     }
 
 
@@ -2579,6 +2603,70 @@ SELECT d.doc_id,
        CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
        ROUND(COALESCE(s.mlp, 0.0), 6) AS mean_logp
 FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+    _TR_CTE = """
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         rn - 1 AS turn_idx,
+         CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+         event_type AS text,
+         CASE WHEN event_type = 'click' THEN 'browser'
+              WHEN event_type = 'purchase' THEN 'checkout' END AS tool,
+         ts
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events)
+"""
+    sqls["tool_retries"] = f"""
+WITH tr AS ({_TR_CTE}),
+calls AS (SELECT conv_id, turn_idx, tool FROM tr WHERE tool IS NOT NULL),
+marked AS (
+  SELECT conv_id, turn_idx, tool,
+         CASE WHEN lag(tool) OVER w IS NULL OR tool <> lag(tool) OVER w
+              THEN 1 ELSE 0 END AS newr
+  FROM calls WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+runs0 AS (
+  SELECT conv_id, tool,
+         SUM(newr) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run_id
+  FROM marked
+),
+runs AS (SELECT conv_id, run_id, tool, COUNT(*) AS run_len
+         FROM runs0 GROUP BY 1, 2, 3)
+SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(SUM(run_len) AS BIGINT) AS n_calls,
+       CAST(SUM(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retry_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       ROUND(SUM(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS retry_rate
+FROM runs GROUP BY tool
+"""
+    sqls["conversation_endings"] = f"""
+WITH tr AS ({_TR_CTE}),
+per AS (
+  SELECT conv_id, arg_max(role, turn_idx) AS last_role,
+         COUNT(*) AS n_turns,
+         epoch(MAX(ts)) - epoch(MIN(ts)) AS dur_s
+  FROM tr GROUP BY conv_id
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM per)
+SELECT last_role, CAST(COUNT(*) AS BIGINT) AS n_convs,
+       ROUND(COUNT(*) / n_total, 6) AS frac,
+       ROUND(AVG(n_turns), 6) AS avg_turns,
+       ROUND(AVG(dur_s), 6) AS avg_duration_s
+FROM per CROSS JOIN tot GROUP BY last_role, n_total
+"""
+    sqls["turn_boilerplate"] = f"""
+WITH tr AS ({_TR_CTE}),
+r AS (
+  SELECT conv_id, role, text,
+         md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'))
+           AS fp
+  FROM tr
+)
+SELECT fp, role, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(COUNT(*) AS BIGINT) AS n_turns, MIN(text) AS sample_text
+FROM r GROUP BY fp, role
+HAVING COUNT(DISTINCT conv_id) >= 2
 """
     sqls["text_entropy"] = f"""
 WITH tok AS (

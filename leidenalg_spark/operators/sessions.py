@@ -308,3 +308,122 @@ def turn_latency(transcripts: DataFrame) -> DataFrame:
             F.round(F.max("latency_s"), 6).alias("max_s"),
         )
     )
+
+
+def tool_retries(transcripts: DataFrame) -> DataFrame:
+    """Consecutive same-tool invocation runs — the agent-ops retry/flail
+    signal: a tool called on back-to-back tool turns of one conversation
+    is usually a failed call being retried (or a loop).  Computes
+    run-length encoding of each conversation's tool-call sequence and
+    aggregates per tool.
+
+    Returns (tool, n_runs, n_calls, n_retry_runs, max_run, retry_rate):
+    a "run" is a maximal streak of consecutive calls to the same tool
+    within a conversation's tool-turn sequence; retry runs have
+    length ≥ 2; retry_rate = n_retry_runs / n_runs.
+
+    Scale: the classic gaps-and-islands double window (lag marker +
+    running sum) — both windows share ONE conv_id hash exchange, then
+    two map-side-combinable aggregates (run key space ≤ tool calls,
+    final key space = |tools|).
+    """
+    from pyspark.sql import Window
+
+    calls = transcripts.where(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    new_run = F.when(
+        F.lag("tool").over(w).isNull() | (F.col("tool") != F.lag("tool").over(w)), 1
+    ).otherwise(0)
+    runs = (
+        calls.withColumn("_new", new_run)
+        .withColumn("run_id", F.sum("_new").over(w))
+        .groupBy("conv_id", "run_id", "tool")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("run_len").cast("long").alias("n_calls"),
+        F.sum((F.col("run_len") >= 2).cast("long")).cast("long").alias("n_retry_runs"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.round(
+            F.sum((F.col("run_len") >= 2).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("retry_rate"),
+    )
+
+
+def conversation_endings(transcripts: DataFrame) -> DataFrame:
+    """How conversations END — the abandonment/completion breakdown: a
+    conversation whose last turn is a *user* turn was abandoned
+    mid-request; ending on an *assistant* turn is the completed shape;
+    ending on a *tool* turn is a crashed/truncated agent loop.
+
+    Returns one row per terminal role: (last_role, n_convs, frac,
+    avg_turns, avg_duration_s) — duration from first to last ts.
+
+    Scale: ONE conv_id-keyed aggregate (max_by(role, turn_idx) picks the
+    terminal role without a window), then a |roles|-key aggregate with
+    the corpus total attached by a 1-row broadcast cross join.
+    """
+    per = transcripts.groupBy("conv_id").agg(
+        F.max_by("role", "turn_idx").alias("last_role"),
+        F.count(F.lit(1)).alias("n_turns"),
+        (
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            )
+            / 1e6
+        ).alias("dur_s"),
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        per.groupBy("last_role")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.round(F.avg("n_turns"), 6).alias("avg_turns"),
+            F.round(F.avg("dur_s"), 6).alias("avg_duration_s"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "last_role",
+            "n_convs",
+            F.round(F.col("n_convs") / F.col("n_total"), 6).alias("frac"),
+            "avg_turns",
+            "avg_duration_s",
+        )
+    )
+
+
+def turn_boilerplate(transcripts: DataFrame, min_convs: int = 2) -> DataFrame:
+    """Cross-conversation repeated-turn detection — the transcript twin
+    of corpus dedup: turn texts that recur in ≥ ``min_convs`` DISTINCT
+    conversations are templates/boilerplate (canned greetings, retry
+    prompts, tool wrappers) and usually get down-weighted or stripped
+    before training on transcripts.
+
+    Keyed by md5 of the whitespace-normalised lower-cased text (the
+    fingerprint convention of textops.fingerprint), so matching is
+    robust to spacing.  Returns (fp, role, n_convs, n_turns,
+    sample_text) with sample_text = the lexicographically-first raw
+    text of the group (deterministic).
+
+    Scale: one (fp, role) hash aggregate — map-side combinable,
+    dedup_exact's shape; no window, no join.
+    """
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " "
+    )
+    rows = transcripts.select(
+        "conv_id", "role", F.col("text"), F.md5(norm).alias("fp")
+    )
+    return (
+        rows.groupBy("fp", "role")
+        .agg(
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.min("text").alias("sample_text"),
+        )
+        .where(F.col("n_convs") >= min_convs)
+    )

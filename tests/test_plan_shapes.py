@@ -83,6 +83,9 @@ DECLARATIVE = [
     "chunk_documents",
     "triad_census",
     "knn_graph",
+    "tool_retries",
+    "conversation_endings",
+    "turn_boilerplate",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -109,6 +112,8 @@ SCALAR_CROSS = {
     "graph_summary",
     # dyad-census scalars (M, A, n, ΣT2) ride 1-row broadcast cross joins
     "triad_census",
+    # the 1-row conversation total rides a broadcast cross join
+    "conversation_endings",
 }
 
 
