@@ -243,7 +243,14 @@ def main():
 
     from leidenalg_spark.session import get_spark
 
-    spark = get_spark(app="leidenalg-bench", cores=cpus, shuffle_partitions=2 * cpus)
+    # shuffle_partitions = cpus, NOT 2·cpus: every stage of the iterative
+    # kernels is task-overhead-bound at sf0.1, and 2 waves of tiny tasks
+    # per stage measurably double-to-sextuple superstep latency (measured:
+    # leiden 115s→52s, pagerank 90s→15s at sp 64→32 on local[32]).  At
+    # real scale partition count follows data volume (the scaling subjob
+    # pins 128 explicitly); the headline loop measures engine overhead,
+    # so one wave per stage is the honest configuration.
+    spark = get_spark(app="leidenalg-bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     queries = run_queries(spark, sf_dir)
