@@ -413,6 +413,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_reciprocity(spark, sf):
         return K.reciprocity(spark, _transition_ids(spark, sf))
 
+    def q_bib_coupling(spark, sf):
+        # bibliographic coupling of users on the directed user→type
+        # graph: n_common = shared event types per user pair
+        return K.cocitation(spark, _bipartite_ids_det(spark, sf), mode="coupling")
+
+    def q_kmeans_outliers(spark, sf):
+        # per-cell z-scored centroid distances over the deterministic
+        # Lloyd run — embedding-space data-cleaning signal
+        return S.kmeans_outliers(spark, _embeddings(spark, sf), k=4, iters=2)
+
     def q_triad_census(spark, sf):
         # Holland–Leinhardt 16-class census on the MIXED directed graph
         # (user→type interaction arcs ∪ type→type transition arcs — the
@@ -1149,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_retries": q_tool_retries,
         "conversation_endings": q_conversation_endings,
         "turn_boilerplate": q_turn_boilerplate,
+        "bib_coupling": q_bib_coupling,
+        "kmeans_outliers": q_kmeans_outliers,
     }
 
 
@@ -2047,6 +2059,7 @@ WHERE keep.is_kept AND NOT cont.contaminated
 """
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
     sqls["kmeans_silhouette"] = _silhouette_oracle(k=4, iters=2)
+    sqls["kmeans_outliers"] = _kmeans_outliers_oracle(k=4, iters=2)
     sqls["diameter"] = _diameter_oracle(depth=6)
     sqls["degree_histogram"] = (
         "WITH " + _DET_PRELUDE + """,
@@ -2897,6 +2910,26 @@ FROM sil GROUP BY cell
     )
 
 
+def _kmeans_outliers_oracle(k: int = 4, iters: int = 2, seed: int = 42, z: float = 2.0) -> str:
+    """Per-cell z-scored centroid distance over the final assignment —
+    composed on the SAME Lloyd CTE chain as the kmeans oracle."""
+    return (
+        _kmeans_ctes(k, iters, seed)
+        + f""",
+asg AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+               ROUND(sqrt(d2), 6) AS dist
+        FROM a{iters + 1} WHERE rn = 1),
+st AS (SELECT cell, AVG(dist) AS mu, STDDEV_SAMP(dist) AS sd
+       FROM asg GROUP BY cell)
+SELECT a.vec_id, a.cell, a.dist,
+       ROUND(CASE WHEN sd > 0 THEN (dist - mu) / sd END, 6) AS z,
+       COALESCE(CASE WHEN sd > 0 THEN (dist - mu) / sd END >= {z}, FALSE)
+         AS is_outlier
+FROM asg a JOIN st USING (cell)
+"""
+    )
+
+
 # deterministic-id bipartite graph (mirrors _bipartite_ids_det exactly):
 # users = 2*user_id (even), event types = odd lexicographic ranks
 _DET_PRELUDE = """
@@ -3698,6 +3731,18 @@ reach AS (SELECT DISTINCT id, v FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r
 SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
 """
     )
+    # ---- bibliographic coupling on the DIRECTED bipartite graph:
+    # pairs of users sharing cited event types
+    coupling_sql = (
+        "WITH " + _DET_PRELUDE + """,
+de AS (SELECT DISTINCT src, dst FROM edges),
+adj AS (SELECT dst AS w, src AS x FROM de)
+SELECT l.x AS src, r.x AS dst, CAST(COUNT(*) AS BIGINT) AS n_common
+FROM adj l JOIN adj r ON r.w = l.w AND l.x < r.x
+GROUP BY 1, 2 HAVING COUNT(*) >= 1
+"""
+    )
+
     # ---- 16-class triad census on the MIXED graph (bipartite arcs ∪
     # type-transition arcs); the 64-code → class lookup comes from the
     # SAME helper the engine uses, so classification is shared
@@ -3787,6 +3832,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "eigenvector_centrality": eig_sql,
             "reciprocity": recip_sql,
             "triad_census": triad_sql,
+            "bib_coupling": coupling_sql,
             "closed_triples": triples_sql,
             "k_truss": ktruss_sql,
             "densest_subgraph": dsg_sql,

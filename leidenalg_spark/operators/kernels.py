@@ -3000,3 +3000,51 @@ def triad_census(spark, edges: DataFrame) -> DataFrame:
             .alias("count"),
         )
     )
+
+
+def cocitation(
+    spark,
+    edges: DataFrame,
+    mode: str = "cocitation",
+    max_center_degree: int | None = 100_000,
+    min_common: int = 1,
+) -> DataFrame:
+    """Cocitation / bibliographic-coupling counts (igraph ``cocitation``
+    / ``bibcoupling``, Small 1973 / Kessler 1963): cocitation(u,v) =
+    |{w : w→u ∧ w→v}| — how often two vertices are cited TOGETHER;
+    coupling(u,v) = |{w : u→w ∧ v→w}| — how many references two
+    vertices SHARE.  The classic second-order similarity indices on a
+    directed graph (citations, user→item interactions, tool calls).
+
+    Returns sparse unordered pairs (src, dst, n_common) with src < dst
+    and n_common ≥ ``min_common`` (zero pairs are never materialised —
+    the full matrix is O(n²)).
+
+    Scale shape: the adamic_adar wedge enumeration — one self-join of
+    the (center, spoke) adjacency on the center vertex, bounded by
+    Σ_w deg(w)² with the same ``max_center_degree`` hub guard, then one
+    map-side-combinable pair aggregate.
+    """
+    if mode not in ("cocitation", "coupling"):
+        raise ValueError("mode must be 'cocitation' or 'coupling'")
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    if mode == "cocitation":
+        adj = e.select(F.col("src").alias("w"), F.col("dst").alias("x"))
+    else:
+        adj = e.select(F.col("dst").alias("w"), F.col("src").alias("x"))
+    if max_center_degree is not None:
+        deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+        adj = adj.join(deg, "w").where(F.col("deg") <= max_center_degree).select("w", "x")
+    wedges = (
+        adj.alias("l")
+        .join(adj.alias("r"), "w")
+        .where(F.col("l.x") < F.col("r.x"))
+        .select(F.col("l.x").alias("src"), F.col("r.x").alias("dst"))
+    )
+    return (
+        wedges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )

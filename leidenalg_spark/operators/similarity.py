@@ -711,3 +711,41 @@ def knn_graph(
             (F.count(F.lit(1)) == 2).alias("mutual"),
         )
     )
+
+
+def kmeans_outliers(
+    spark,
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    z_thresh: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier scoring — the data-cleaning signal on top
+    of the deterministic Lloyd run (:func:`kmeans_embeddings`): each
+    vector's distance to its assigned centroid, z-scored against its
+    OWN cell's distance distribution; points beyond ``z_thresh`` are
+    flagged (mislabeled/garbage embeddings cluster at the cell fringe).
+
+    Returns (vec_id, cell, dist, z, is_outlier); z is NULL (and the
+    flag false) in degenerate cells with zero distance spread.
+
+    Scale: the kmeans assignment plan plus ONE |k|-row aggregate
+    broadcast back — no extra exchange beyond the fit itself.
+    """
+    assigned = kmeans_embeddings(
+        spark, embeddings, k=k, iters=iters, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    stats = assigned.groupBy("cell").agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")
+    )
+    z = F.when(F.col("sd") > 0, (F.col("dist") - F.col("mu")) / F.col("sd"))
+    return assigned.join(F.broadcast(stats), "cell").select(
+        id_col,
+        "cell",
+        "dist",
+        F.round(z, 6).alias("z"),
+        F.coalesce(z >= z_thresh, F.lit(False)).alias("is_outlier"),
+    )

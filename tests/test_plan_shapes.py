@@ -86,6 +86,8 @@ DECLARATIVE = [
     "tool_retries",
     "conversation_endings",
     "turn_boilerplate",
+    "bib_coupling",
+    "kmeans_outliers",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -114,6 +116,9 @@ SCALAR_CROSS = {
     "triad_census",
     # the 1-row conversation total rides a broadcast cross join
     "conversation_endings",
+    # the kmeans fit attaches the k-row centroid table via a broadcast
+    # nested-loop (same as the kmeans/silhouette queries)
+    "kmeans_outliers",
 }
 
 

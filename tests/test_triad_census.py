@@ -80,3 +80,17 @@ def test_analytic_classes_and_total(spark):
 def test_self_loops_and_parallel_arcs_collapse(spark):
     arcs = [(1, 2), (1, 2), (1, 1), (2, 3)]
     assert _census(spark, arcs) == {"021C": 1}
+
+
+def test_cocitation_vs_coupling_directed_semantics(spark):
+    """Hand graph arcs: 10→1, 10→2, 1→20, 2→20, 1→10.
+    cocitation: (1,2) co-cited by 10; (10,20) co-cited by 1.
+    coupling: only (1,2) share an out-neighbour (20)."""
+    from leidenalg_spark.operators.kernels import cocitation
+
+    arcs = [(10, 1), (10, 2), (1, 20), (2, 20), (1, 10)]
+    df = spark.createDataFrame(arcs, "src long, dst long")
+    co = {(r.src, r.dst): r.n_common for r in cocitation(spark, df, "cocitation").collect()}
+    cp = {(r.src, r.dst): r.n_common for r in cocitation(spark, df, "coupling").collect()}
+    assert co == {(1, 2): 1, (10, 20): 1}
+    assert cp == {(1, 2): 1}
