@@ -413,6 +413,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_reciprocity(spark, sf):
         return K.reciprocity(spark, _transition_ids(spark, sf))
 
+    def q_avg_neighbor_degree(spark, sf):
+        # igraph knn: degree-correlation diagnostic per vertex
+        return K.avg_neighbor_degree(spark, _bipartite_ids_det(spark, sf))
+
+    def q_vertex_diversity(spark, sf):
+        # igraph diversity: normalised entropy of incident tie weights
+        return K.vertex_diversity(spark, _bipartite_ids_det(spark, sf))
+
+    def q_burt_constraint(spark, sf):
+        # Burt's structural-hole constraint (brokerage metric)
+        return K.burt_constraint(spark, _bipartite_ids_det(spark, sf))
+
     def q_bib_coupling(spark, sf):
         # bibliographic coupling of users on the directed user→type
         # graph: n_common = shared event types per user pair
@@ -1161,6 +1173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_boilerplate": q_turn_boilerplate,
         "bib_coupling": q_bib_coupling,
         "kmeans_outliers": q_kmeans_outliers,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        "vertex_diversity": q_vertex_diversity,
+        "burt_constraint": q_burt_constraint,
     }
 
 
@@ -3743,6 +3758,57 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 1
 """
     )
 
+    # ---- igraph knn / diversity / Burt constraint on the undirected
+    # weighted bipartite graph
+    _UND_ADJ = """
+und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(weight) AS w
+        FROM edges WHERE src <> dst GROUP BY 1, 2),
+adj AS (SELECT a AS i, b AS j, w FROM und UNION ALL SELECT b, a, w FROM und)
+"""
+    knn_sql = (
+        "WITH " + _DET_PRELUDE + "," + _UND_ADJ + """,
+deg AS (SELECT i AS id, COUNT(*) AS degree FROM adj GROUP BY i)
+SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+       ROUND(AVG(nd.degree), 6) AS knn
+FROM adj a JOIN deg nd ON nd.id = a.j JOIN deg d ON d.id = a.i
+GROUP BY d.id, d.degree
+"""
+    )
+    diversity_sql = (
+        "WITH " + _DET_PRELUDE + "," + _UND_ADJ + """,
+per AS (
+  SELECT i AS id, COUNT(*) AS degree, SUM(w) AS strength,
+         SUM(w * ln(w)) AS s_wlogw
+  FROM adj GROUP BY i
+)
+SELECT id, CAST(degree AS BIGINT) AS degree,
+       ROUND(strength, 6) AS strength,
+       ROUND(CASE WHEN degree > 1
+                  THEN (ln(strength) - s_wlogw / strength) / ln(degree)
+                  ELSE 0.0 END, 6) AS diversity
+FROM per
+"""
+    )
+    burt_sql = (
+        "WITH " + _DET_PRELUDE + "," + _UND_ADJ + """,
+st AS (SELECT i, SUM(w) AS s, COUNT(*) AS degree FROM adj GROUP BY i),
+p AS (SELECT adj.i, adj.j, adj.w / st.s AS p FROM adj JOIN st USING (i)),
+ind AS (
+  SELECT l.i, r.j, SUM(l.p * r.p) AS pind
+  FROM p l JOIN p r ON r.i = l.j AND r.j <> l.i
+  GROUP BY l.i, r.j
+),
+cij AS (
+  SELECT p.i, (p.p + COALESCE(ind.pind, 0.0)) AS c
+  FROM p LEFT JOIN ind ON ind.i = p.i AND ind.j = p.j
+)
+SELECT st.i AS id, CAST(st.degree AS BIGINT) AS degree,
+       ROUND(SUM(c * c), 6) AS "constraint"
+FROM cij JOIN st ON st.i = cij.i
+GROUP BY st.i, st.degree
+"""
+    )
+
     # ---- 16-class triad census on the MIXED graph (bipartite arcs ∪
     # type-transition arcs); the 64-code → class lookup comes from the
     # SAME helper the engine uses, so classification is shared
@@ -3833,6 +3899,9 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "reciprocity": recip_sql,
             "triad_census": triad_sql,
             "bib_coupling": coupling_sql,
+            "avg_neighbor_degree": knn_sql,
+            "vertex_diversity": diversity_sql,
+            "burt_constraint": burt_sql,
             "closed_triples": triples_sql,
             "k_truss": ktruss_sql,
             "densest_subgraph": dsg_sql,

@@ -3048,3 +3048,134 @@ def cocitation(
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
+
+
+def _und_weighted(edges: DataFrame) -> DataFrame:
+    """Simple undirected weighted edge list (a < b, parallel arcs and
+    both directions collapsed by weight sum, self-loops dropped)."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            "weight",
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("weight").alias("w"))
+    )
+
+
+def avg_neighbor_degree(spark, edges: DataFrame) -> DataFrame:
+    """Average nearest-neighbour degree (igraph ``knn``, Barrat et al.
+    2004): for each vertex, the mean degree of its neighbours on the
+    simple undirected graph — THE degree-correlation diagnostic
+    (rising knn(k) = assortative, falling = hubs attach to leaves;
+    complements the scalar assortativity coefficient).
+
+    Returns (id, degree, knn) per vertex with degree ≥ 1.
+
+    Scale: one degree aggregate + one equi-join of the adjacency
+    against the degree table + one per-vertex mean — the PageRank
+    gather shape, nothing quadratic.
+    """
+    und = _und_weighted(edges)
+    adj = und.select(F.col("a").alias("id"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("id"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    nb_deg = adj.join(
+        deg.select(F.col("id").alias("nb"), F.col("degree").alias("nd")), "nb"
+    )
+    return (
+        nb_deg.groupBy("id")
+        .agg(F.round(F.avg("nd"), 6).alias("knn"))
+        .join(deg, "id")
+        .select("id", F.col("degree").cast("long").alias("degree"), "knn")
+    )
+
+
+def vertex_diversity(spark, edges: DataFrame) -> DataFrame:
+    """Vertex strength diversity (igraph ``diversity``, Eagle, Macy &
+    Claxton 2010): the normalised Shannon entropy of a vertex's
+    incident edge weights on the simple undirected graph —
+    H_v / log2(deg_v), 1.0 when attention is spread evenly across
+    neighbours, →0 when one tie dominates.  Degree-1 vertices score
+    0 by convention.
+
+    Returns (id, degree, strength, diversity).
+
+    Scale: ONE per-vertex aggregate using the c·ln c identity (no
+    second pass): H = (ln s − Σ w·ln w / s) / ln 2 over incident
+    weights w with strength s = Σ w.
+    """
+    und = _und_weighted(edges)
+    inc = und.select(F.col("a").alias("id"), "w").unionByName(
+        und.select(F.col("b").alias("id"), "w")
+    )
+    ln2 = 0.6931471805599453
+    per = inc.groupBy("id").agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.sum("w").alias("strength"),
+        F.sum(F.col("w") * F.log("w")).alias("s_wlogw"),
+    )
+    h = (F.log("strength") - F.col("s_wlogw") / F.col("strength")) / ln2
+    return per.select(
+        "id",
+        F.col("degree").cast("long").alias("degree"),
+        F.round("strength", 6).alias("strength"),
+        F.round(
+            F.when(F.col("degree") > 1, h / (F.log("degree") / ln2)).otherwise(0.0), 6
+        ).alias("diversity"),
+    )
+
+
+def burt_constraint(spark, edges: DataFrame) -> DataFrame:
+    """Burt's network constraint (igraph ``constraint``, Burt 1995/2004):
+    constraint(i) = Σ_{j∈N(i)} (p_ij + Σ_q p_iq·p_qj)² where p_ij is
+    vertex i's share of relational investment in j (symmetrised
+    weights, normalised per vertex).  LOW constraint = structural-hole
+    broker; the classic brokerage metric on collaboration /
+    interaction graphs.
+
+    Returns (id, degree, constraint).
+
+    Scale shape: the proportion table P is the normalised undirected
+    adjacency; the indirect term is ONE self-join of P on the shared
+    middle vertex (Σdeg²-bounded, the triangle-count wedge shape)
+    aggregated per (i,j), then an inner join back to P restricts j to
+    i's NEIGHBOURS only (Burt sums over direct contacts) — no
+    all-pairs anything.
+    """
+    und = _und_weighted(edges)
+    adj = und.select(F.col("a").alias("i"), F.col("b").alias("j"), "w").unionByName(
+        und.select(F.col("b").alias("i"), F.col("a").alias("j"), "w")
+    )
+    stren = adj.groupBy("i").agg(F.sum("w").alias("s"), F.count(F.lit(1)).alias("degree"))
+    p = adj.join(stren, "i").select("i", "j", (F.col("w") / F.col("s")).alias("p"))
+    # indirect: Σ_q p_iq · p_qj over middle vertices q (q≠i, q≠j by
+    # simple-graph construction: p has no self-rows)
+    ind = (
+        p.alias("l")
+        .join(
+            p.alias("r").select(
+                F.col("i").alias("q"), F.col("j").alias("jj"), F.col("p").alias("pr")
+            ),
+            F.col("l.j") == F.col("q"),
+        )
+        .where(F.col("l.i") != F.col("jj"))
+        .groupBy(F.col("l.i").alias("i"), F.col("jj").alias("j"))
+        .agg(F.sum(F.col("l.p") * F.col("pr")).alias("pind"))
+    )
+    cij = p.join(ind, ["i", "j"], "left").select(
+        "i", (F.col("p") + F.coalesce("pind", F.lit(0.0))).alias("c")
+    )
+    return (
+        cij.groupBy("i")
+        .agg(F.round(F.sum(F.col("c") * F.col("c")), 6).alias("constraint"))
+        .join(stren.select("i", "degree"), "i")
+        .select(
+            F.col("i").alias("id"),
+            F.col("degree").cast("long").alias("degree"),
+            "constraint",
+        )
+    )

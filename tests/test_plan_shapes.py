@@ -88,6 +88,9 @@ DECLARATIVE = [
     "turn_boilerplate",
     "bib_coupling",
     "kmeans_outliers",
+    "avg_neighbor_degree",
+    "vertex_diversity",
+    "burt_constraint",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,

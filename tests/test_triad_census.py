@@ -94,3 +94,43 @@ def test_cocitation_vs_coupling_directed_semantics(spark):
     cp = {(r.src, r.dst): r.n_common for r in cocitation(spark, df, "coupling").collect()}
     assert co == {(1, 2): 1, (10, 20): 1}
     assert cp == {(1, 2): 1}
+
+
+def test_vertex_metrics_theory_goldens(spark):
+    """Known closed-form values: star K1,3 and triangle K3 (igraph
+    reference values for knn / diversity / Burt constraint)."""
+    from leidenalg_spark.operators.kernels import (
+        avg_neighbor_degree,
+        burt_constraint,
+        vertex_diversity,
+    )
+
+    star = spark.createDataFrame(
+        [(0, i, 1.0) for i in (1, 2, 3)], "src long, dst long, weight double"
+    )
+    knn = {r.id: r.knn for r in avg_neighbor_degree(spark, star).collect()}
+    assert knn == {0: 1.0, 1: 3.0, 2: 3.0, 3: 3.0}
+    con = {r.id: r["constraint"] for r in burt_constraint(spark, star).collect()}
+    assert con == {0: 0.333333, 1: 1.0, 2: 1.0, 3: 1.0}
+
+    k3 = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0)], "src long, dst long, weight double"
+    )
+    # K3: every c_ij = (1/2 + 1/4)^2 = 0.5625, constraint = 1.125 (igraph)
+    con3 = {r.id: r["constraint"] for r in burt_constraint(spark, k3).collect()}
+    assert con3 == {1: 1.125, 2: 1.125, 3: 1.125}
+    # path P3: constraints [1, 0.5, 1]
+    p3 = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    conp = {r.id: r["constraint"] for r in burt_constraint(spark, p3).collect()}
+    assert conp == {1: 1.0, 2: 0.5, 3: 1.0}
+    # weighted 2-star diversity: weights (1, 3) → H = entropy(0.25, 0.75)
+    ws = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 3.0)], "src long, dst long, weight double"
+    )
+    div = {r.id: r.diversity for r in vertex_diversity(spark, ws).collect()}
+    import math
+    expected = -(0.25 * math.log2(0.25) + 0.75 * math.log2(0.75))  # /log2(2)=1
+    assert abs(div[0] - round(expected, 6)) < 2e-6
+    assert div[1] == 0.0 and div[2] == 0.0
