@@ -413,6 +413,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_reciprocity(spark, sf):
         return K.reciprocity(spark, _transition_ids(spark, sf))
 
+    def q_ncol_roundtrip(spark, sf):
+        # igraph NCOL interchange: write the bipartite edge table as an
+        # edge-list text file, parse it back — the oracle recomputes the
+        # same edges straight from parquet, so any loss in the text
+        # round-trip (quoting, precision, dropped rows) hash-mismatches
+        from leidenalg_spark.sources.edgelist import read_ncol, write_ncol
+
+        named = _bipartite_named(spark, sf).select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        path = f"/tmp/spark_graft_ncol_{sf.replace('/', '_')}"
+        write_ncol(named, path)
+        return read_ncol(spark, path)
+
     def q_avg_neighbor_degree(spark, sf):
         # igraph knn: degree-correlation diagnostic per vertex
         return K.avg_neighbor_degree(spark, _bipartite_ids_det(spark, sf))
@@ -1176,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "vertex_diversity": q_vertex_diversity,
         "burt_constraint": q_burt_constraint,
+        "ncol_roundtrip": q_ncol_roundtrip,
     }
 
 
@@ -2178,6 +2193,9 @@ grams AS (
 SELECT chain, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
        CAST(COUNT(*) AS BIGINT) AS count
 FROM grams GROUP BY chain ORDER BY count DESC, chain ASC LIMIT 20
+"""
+    sqls["ncol_roundtrip"] = f"""
+SELECT src, dst, weight FROM ({_BIP_EDGES})
 """
     sqls["role_transitions"] = """
 WITH tr AS (
