@@ -427,6 +427,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_ncol(named, path)
         return read_ncol(spark, path)
 
+    def q_graphml_roundtrip(spark, sf):
+        # igraph GraphML interchange: write → parse back; oracle recomputes
+        # the same edges from parquet, so the hash certifies losslessness
+        from leidenalg_spark.sources.graphml import read_graphml, write_graphml
+
+        named = _bipartite_named(spark, sf).select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        path = f"/tmp/spark_graft_graphml_{sf.replace('/', '_')}"
+        write_graphml(named, path)
+        return read_graphml(spark, path)
+
+    def q_pajek_roundtrip(spark, sf):
+        # igraph Pajek .net interchange: integer-id assignment + label
+        # resolution must both be lossless for the hash to match
+        from leidenalg_spark.sources.pajek import read_pajek, write_pajek
+
+        named = _bipartite_named(spark, sf).select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        path = f"/tmp/spark_graft_pajek_{sf.replace('/', '_')}"
+        write_pajek(named, path)
+        return read_pajek(spark, path)
+
     def q_avg_neighbor_degree(spark, sf):
         # igraph knn: degree-correlation diagnostic per vertex
         return K.avg_neighbor_degree(spark, _bipartite_ids_det(spark, sf))
@@ -1191,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_diversity": q_vertex_diversity,
         "burt_constraint": q_burt_constraint,
         "ncol_roundtrip": q_ncol_roundtrip,
+        "graphml_roundtrip": q_graphml_roundtrip,
+        "pajek_roundtrip": q_pajek_roundtrip,
     }
 
 
@@ -2195,6 +2221,12 @@ SELECT chain, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
 FROM grams GROUP BY chain ORDER BY count DESC, chain ASC LIMIT 20
 """
     sqls["ncol_roundtrip"] = f"""
+SELECT src, dst, weight FROM ({_BIP_EDGES})
+"""
+    sqls["graphml_roundtrip"] = f"""
+SELECT src, dst, weight FROM ({_BIP_EDGES})
+"""
+    sqls["pajek_roundtrip"] = f"""
 SELECT src, dst, weight FROM ({_BIP_EDGES})
 """
     sqls["role_transitions"] = """
