@@ -451,6 +451,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_pajek(named, path)
         return read_pajek(spark, path)
 
+    def q_graph_setops(spark, sf):
+        # igraph union/intersection/difference/symmetric_difference over
+        # two overlapping md5-bucket halves of the bipartite graph; one
+        # row per op with edge count + total weight
+        from leidenalg_spark.operators import setops as SO
+
+        named = _bipartite_named(spark, sf).select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        bkt = (
+            F.conv(F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 8), 16, 10)
+            .cast("bigint") % 4
+        )
+        keyed = named.withColumn("bkt", bkt)
+        a = keyed.where(F.col("bkt").isin(0, 1, 2)).drop("bkt")
+        b = keyed.where(F.col("bkt").isin(2, 3)).drop("bkt")
+
+        def summ(op, df):
+            return df.agg(
+                F.lit(op).alias("op"),
+                F.count(F.lit(1)).cast("long").alias("n_edges"),
+                F.round(F.sum("weight"), 6).alias("total_weight"),
+            )
+
+        return (
+            summ("difference", SO.graph_difference(a, b))
+            .unionByName(summ("intersection", SO.graph_intersection(a, b)))
+            .unionByName(summ("symdiff", SO.graph_symmetric_difference(a, b)))
+            .unionByName(summ("union", SO.graph_union(a, b)))
+            .orderBy("op")
+        )
+
     def q_avg_neighbor_degree(spark, sf):
         # igraph knn: degree-correlation diagnostic per vertex
         return K.avg_neighbor_degree(spark, _bipartite_ids_det(spark, sf))
@@ -1217,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ncol_roundtrip": q_ncol_roundtrip,
         "graphml_roundtrip": q_graphml_roundtrip,
         "pajek_roundtrip": q_pajek_roundtrip,
+        "graph_setops": q_graph_setops,
     }
 
 
@@ -2228,6 +2261,27 @@ SELECT src, dst, weight FROM ({_BIP_EDGES})
 """
     sqls["pajek_roundtrip"] = f"""
 SELECT src, dst, weight FROM ({_BIP_EDGES})
+"""
+    sqls["graph_setops"] = f"""
+WITH edges AS ({_BIP_EDGES}),
+keyed AS (
+  SELECT src, dst, weight,
+         ('0x' || substr(md5(src || '|' || dst), 1, 8))::BIGINT % 4 AS bkt
+  FROM edges
+),
+a AS (SELECT src, dst, SUM(weight) AS w FROM keyed WHERE bkt IN (0,1,2) GROUP BY 1,2),
+b AS (SELECT src, dst, SUM(weight) AS w FROM keyed WHERE bkt IN (2,3) GROUP BY 1,2),
+un AS (SELECT src, dst, SUM(w) AS w
+       FROM (SELECT * FROM a UNION ALL SELECT * FROM b) GROUP BY 1,2),
+ins AS (SELECT a.src, a.dst, a.w + b.w AS w FROM a JOIN b USING (src, dst)),
+dab AS (SELECT * FROM a ANTI JOIN b USING (src, dst)),
+dba AS (SELECT * FROM b ANTI JOIN a USING (src, dst)),
+sd AS (SELECT * FROM dab UNION ALL SELECT * FROM dba)
+SELECT 'difference' AS op, CAST(COUNT(*) AS BIGINT) AS n_edges, ROUND(SUM(w), 6) AS total_weight FROM dab
+UNION ALL SELECT 'intersection', CAST(COUNT(*) AS BIGINT), ROUND(SUM(w), 6) FROM ins
+UNION ALL SELECT 'symdiff', CAST(COUNT(*) AS BIGINT), ROUND(SUM(w), 6) FROM sd
+UNION ALL SELECT 'union', CAST(COUNT(*) AS BIGINT), ROUND(SUM(w), 6) FROM un
+ORDER BY op
 """
     sqls["role_transitions"] = """
 WITH tr AS (
