@@ -483,6 +483,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("op")
         )
 
+    def q_rmat_graph(spark, sf):
+        # Graph500 R-MAT generator: every edge derived from its index via
+        # md5 quadrant draws — zero-shuffle, index-deterministic, so the
+        # DuckDB twin replays the identical recursion
+        from leidenalg_spark.sources.generators import rmat
+
+        return rmat(spark, scale=7, m=1000, seed=42).orderBy("i")
+
+    def q_graph_generators(spark, sf):
+        # igraph constructor surface: ring/star/lattice/G(n,m), tagged
+        from leidenalg_spark.sources import generators as G
+
+        tag = lambda kind, df: df.select(
+            F.lit(kind).alias("kind"),
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        return (
+            tag("ring", G.ring(spark, 50))
+            .unionByName(tag("star", G.star(spark, 33)))
+            .unionByName(tag("lattice", G.lattice(spark, 6, 9)))
+            .unionByName(tag("gnm", G.erdos_renyi_gnm(spark, 64, 200, seed=7)))
+        )
+
     def q_avg_neighbor_degree(spark, sf):
         # igraph knn: degree-correlation diagnostic per vertex
         return K.avg_neighbor_degree(spark, _bipartite_ids_det(spark, sf))
@@ -1250,6 +1274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphml_roundtrip": q_graphml_roundtrip,
         "pajek_roundtrip": q_pajek_roundtrip,
         "graph_setops": q_graph_setops,
+        "rmat_graph": q_rmat_graph,
+        "graph_generators": q_graph_generators,
     }
 
 
@@ -2282,6 +2308,53 @@ UNION ALL SELECT 'intersection', CAST(COUNT(*) AS BIGINT), ROUND(SUM(w), 6) FROM
 UNION ALL SELECT 'symdiff', CAST(COUNT(*) AS BIGINT), ROUND(SUM(w), 6) FROM sd
 UNION ALL SELECT 'union', CAST(COUNT(*) AS BIGINT), ROUND(SUM(w), 6) FROM un
 ORDER BY op
+"""
+    sqls["rmat_graph"] = """
+WITH e AS (SELECT unnest(range(1000)) AS i),
+lev AS (
+  SELECT e.i, l.l,
+         ('0x' || substr(md5('rmat-42-' || e.i || '-' || l.l), 1, 8))::BIGINT
+           / 4294967296.0 AS r
+  FROM e, (SELECT unnest(range(7)) AS l) l
+),
+bits AS (
+  SELECT i, l,
+         CASE WHEN r >= CAST(0.57 AS DOUBLE) + CAST(0.19 AS DOUBLE) THEN 1 ELSE 0 END AS rb,
+         CASE WHEN (r >= CAST(0.57 AS DOUBLE) AND r < CAST(0.57 AS DOUBLE) + CAST(0.19 AS DOUBLE))
+                OR r >= CAST(0.57 AS DOUBLE) + CAST(0.19 AS DOUBLE) + CAST(0.19 AS DOUBLE)
+              THEN 1 ELSE 0 END AS cb
+  FROM lev
+)
+SELECT i, CAST(SUM(rb * (1 << l)) AS BIGINT) AS src,
+          CAST(SUM(cb * (1 << l)) AS BIGINT) AS dst
+FROM bits GROUP BY i ORDER BY i
+"""
+    sqls["graph_generators"] = """
+WITH ring AS (
+  SELECT 'ring' AS kind,
+         LEAST(i, (i + 1) % 50) AS src, GREATEST(i, (i + 1) % 50) AS dst
+  FROM (SELECT unnest(range(50)) AS i)
+),
+star AS (
+  SELECT 'star' AS kind, 0 AS src, i AS dst
+  FROM (SELECT unnest(range(33)) AS i) WHERE i <> 0
+),
+cells AS (SELECT i // 9 AS r, i % 9 AS c FROM (SELECT unnest(range(54)) AS i)),
+lat AS (
+  SELECT 'lattice' AS kind, r * 9 + c AS src, r * 9 + c + 1 AS dst FROM cells WHERE c < 8
+  UNION ALL
+  SELECT 'lattice', r * 9 + c, (r + 1) * 9 + c FROM cells WHERE r < 5
+),
+gnm AS (
+  SELECT 'gnm' AS kind,
+         ('0x' || substr(md5('gnm-s-7-' || i), 1, 12))::BIGINT % 64 AS src,
+         ('0x' || substr(md5('gnm-d-7-' || i), 1, 12))::BIGINT % 64 AS dst
+  FROM (SELECT unnest(range(200)) AS i)
+)
+SELECT kind, CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM (
+  SELECT * FROM ring UNION ALL SELECT * FROM star
+  UNION ALL SELECT * FROM lat UNION ALL SELECT * FROM gnm
+)
 """
     sqls["role_transitions"] = """
 WITH tr AS (

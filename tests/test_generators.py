@@ -1,0 +1,69 @@
+"""Deterministic graph generators (sources/generators.py) — igraph
+Ring/Star/Full/Lattice/Erdos_Renyi constructors + Graph500 R-MAT."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from leidenalg_spark.sources.generators import (
+    erdos_renyi_gnm,
+    full,
+    lattice,
+    ring,
+    rmat,
+    star,
+)
+
+
+def test_ring_undirected(spark):
+    e = ring(spark, 5).collect()
+    assert sorted((r.src, r.dst) for r in e) == [(0, 1), (0, 4), (1, 2), (2, 3), (3, 4)]
+
+
+def test_star(spark):
+    e = star(spark, 4).collect()
+    assert sorted((r.src, r.dst) for r in e) == [(0, 1), (0, 2), (0, 3)]
+
+
+def test_full_counts_and_guard(spark):
+    assert full(spark, 6).count() == 15
+    assert full(spark, 4, loops=True).count() == 10
+    with pytest.raises(ValueError):
+        full(spark, 100, max_vertices=10)
+
+
+def test_lattice_grid(spark):
+    e = lattice(spark, 2, 3)  # 2x3 grid: 2*(3-1) right + 3*(2-1) down = 7
+    assert e.count() == 7
+    assert sorted((r.src, r.dst) for r in e.collect()) == [
+        (0, 1), (0, 3), (1, 2), (1, 4), (2, 5), (3, 4), (4, 5),
+    ]
+
+
+def test_rmat_bounds_determinism_and_skew(spark):
+    g1 = rmat(spark, scale=6, m=2000, seed=9)
+    g2 = rmat(spark, scale=6, m=2000, seed=9)
+    assert g1.exceptAll(g2).count() == 0 and g2.exceptAll(g1).count() == 0
+    mn, mx = g1.agg(F.min(F.least("src", "dst")), F.max(F.greatest("src", "dst"))).first()
+    assert mn >= 0 and mx < 64
+    # Graph500 parameters are heavily skewed: the hottest vertex should
+    # see far more than the uniform m/n share of edge endpoints
+    top = (
+        g1.select(F.col("src").alias("v")).union(g1.select(F.col("dst")))
+        .groupBy("v").count().agg(F.max("count")).first()[0]
+    )
+    assert top > 4 * (2 * 2000 / 64)
+
+
+def test_rmat_different_seeds_differ(spark):
+    g1 = rmat(spark, scale=6, m=500, seed=1)
+    g2 = rmat(spark, scale=6, m=500, seed=2)
+    assert g1.exceptAll(g2).count() > 0
+
+
+def test_gnm_bounds_and_determinism(spark):
+    g = erdos_renyi_gnm(spark, n=32, m=300, seed=5)
+    assert g.count() == 300
+    mn, mx = g.agg(F.min(F.least("src", "dst")), F.max(F.greatest("src", "dst"))).first()
+    assert mn >= 0 and mx < 32
+    again = erdos_renyi_gnm(spark, n=32, m=300, seed=5)
+    assert g.exceptAll(again).count() == 0
