@@ -507,6 +507,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(tag("gnm", G.erdos_renyi_gnm(spark, 64, 200, seed=7)))
         )
 
+    def q_configuration_model(spark, sf):
+        # igraph Degree_Sequence(..., 'configuration') / rewire(): the
+        # degree-preserving null model; md5-keyed stub ranking makes the
+        # uniform re-pairing replayable in SQL
+        from leidenalg_spark.sources import generators as G
+
+        base = G.erdos_renyi_gnm(spark, 64, 200, seed=7).select("src", "dst")
+        return G.configuration_model(base, seed=11).orderBy("pair_id")
+
     def q_avg_neighbor_degree(spark, sf):
         # igraph knn: degree-correlation diagnostic per vertex
         return K.avg_neighbor_degree(spark, _bipartite_ids_det(spark, sf))
@@ -1276,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_setops": q_graph_setops,
         "rmat_graph": q_rmat_graph,
         "graph_generators": q_graph_generators,
+        "configuration_model": q_configuration_model,
     }
 
 
@@ -2355,6 +2365,35 @@ SELECT kind, CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM (
   SELECT * FROM ring UNION ALL SELECT * FROM star
   UNION ALL SELECT * FROM lat UNION ALL SELECT * FROM gnm
 )
+"""
+    sqls["configuration_model"] = """
+WITH gnm AS (
+  SELECT ('0x' || substr(md5('gnm-s-7-' || i), 1, 12))::BIGINT % 64 AS src,
+         ('0x' || substr(md5('gnm-d-7-' || i), 1, 12))::BIGINT % 64 AS dst
+  FROM (SELECT unnest(range(200)) AS i)
+),
+und AS (
+  SELECT DISTINCT LEAST(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS a,
+                  GREATEST(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS b
+  FROM gnm WHERE CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+),
+deg AS (
+  SELECT v, COUNT(*) AS deg
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v
+),
+stubs AS (
+  SELECT v, md5('cfg-11-' || v || '-' || CAST(j AS VARCHAR)) AS key
+  FROM deg, LATERAL (SELECT unnest(range(1, deg + 1)) AS j)
+),
+ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY key) - 1 AS rnk FROM stubs),
+paired AS (SELECT rnk // 2 AS pair_id, rnk % 2 AS side, v FROM ranked)
+SELECT CAST(pair_id AS BIGINT) AS pair_id,
+       MIN(CASE WHEN side = 0 THEN v END) AS src,
+       MIN(CASE WHEN side = 1 THEN v END) AS dst
+FROM paired GROUP BY pair_id
+HAVING MIN(CASE WHEN side = 1 THEN v END) IS NOT NULL
+ORDER BY pair_id
 """
     sqls["role_transitions"] = """
 WITH tr AS (

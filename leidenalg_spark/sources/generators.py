@@ -121,3 +121,71 @@ def erdos_renyi_gnm(spark: SparkSession, n: int, m: int, seed: int = 42) -> Data
     return spark.range(m).select(F.col("id").alias("i")).select(
         "i", (h1 % n).alias("src"), (h2 % n).alias("dst")
     )
+
+
+def configuration_model(edges: DataFrame, seed: int = 42) -> DataFrame:
+    """Degree-preserving null model — igraph ``Graph.Degree_Sequence(
+    degrees, method='configuration')`` / ``rewire()``: the graph
+    leidenalg users compare modularity against to judge significance.
+    Takes an edge table, extracts the undirected degree sequence, and
+    deterministically re-pairs the 2|E| stubs uniformly at random:
+    stub (v, j) gets key md5('cfg-{seed}-{v}-{j}'), stubs are ranked by
+    key, and rank 2i pairs with 2i+1.  Self-loops and multi-edges are
+    kept (the standard configuration model; simplify downstream if
+    unwanted).  Returns (pair_id, src, dst) with src/dst in key order.
+
+    Scale: the global rank is computed WITHOUT a single-partition
+    window — stubs are split into 256 range-disjoint buckets by their
+    key's first two hex chars, per-bucket counts (256 rows) prefix-sum
+    on the driver, and the rank is bucket offset + a per-bucket
+    row_number window, so all heavy work stays parallel.  One explode +
+    one windowed shuffle + one pair groupBy.
+    """
+    from pyspark.sql import Window
+
+    und = edges.select(
+        F.least(F.col("src").cast("string"), F.col("dst").cast("string")).alias("a"),
+        F.greatest(F.col("src").cast("string"), F.col("dst").cast("string")).alias("b"),
+    ).where(F.col("a") != F.col("b")).distinct()
+    deg = (
+        und.select(F.col("a").alias("v")).unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    stubs = deg.select(
+        "v", F.explode(F.sequence(F.lit(1), F.col("deg"))).alias("j")
+    ).select(
+        "v",
+        F.md5(F.concat_ws("-", F.lit("cfg"), F.lit(str(seed)), "v", F.col("j").cast("string"))).alias("key"),
+    )
+    stubs = stubs.withColumn("bkt", F.substring("key", 1, 2)).persist()
+    counts = {r.bkt: r.c for r in stubs.groupBy("bkt").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offs, acc = {}, 0
+    for b in sorted(counts):
+        offs[b] = acc
+        acc += counts[b]
+    off_col = F.create_map(*[x for b, o in sorted(offs.items()) for x in (F.lit(b), F.lit(o))])
+    ranked = stubs.select(
+        "v",
+        (
+            off_col[F.col("bkt")]
+            + F.row_number().over(Window.partitionBy("bkt").orderBy("key"))
+            - 1
+        ).alias("rank"),
+    )
+    paired = ranked.select(
+        (F.col("rank") / 2).cast("bigint").alias("pair_id"),
+        (F.col("rank") % 2).alias("side"),
+        "v",
+    )
+    out = (
+        paired.groupBy("pair_id")
+        .agg(
+            F.min(F.when(F.col("side") == 0, F.col("v"))).alias("src"),
+            F.min(F.when(F.col("side") == 1, F.col("v"))).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())  # odd stub total: drop the last
+        .select("pair_id", "src", "dst")
+    )
+    out = out.localCheckpoint(eager=True)  # counts map already spent; free the cache
+    stubs.unpersist()
+    return out

@@ -67,3 +67,20 @@ def test_gnm_bounds_and_determinism(spark):
     assert mn >= 0 and mx < 32
     again = erdos_renyi_gnm(spark, n=32, m=300, seed=5)
     assert g.exceptAll(again).count() == 0
+
+
+def test_configuration_model_preserves_degree_sequence(spark):
+    from leidenalg_spark.sources.generators import configuration_model
+
+    edges = rmat(spark, scale=5, m=300, seed=3).select("src", "dst")
+    und = edges.selectExpr("least(src,dst) a", "greatest(src,dst) b").where("a<>b").distinct()
+    orig = und.selectExpr("a v").union(und.selectExpr("b v")).groupBy("v").count()
+    rw = configuration_model(edges, seed=11)
+    got = rw.selectExpr("src v").union(rw.selectExpr("dst v")).groupBy("v").count()
+    assert orig.exceptAll(got).count() == 0 and got.exceptAll(orig).count() == 0
+    # deterministic
+    rw2 = configuration_model(edges, seed=11)
+    assert rw.exceptAll(rw2).count() == 0
+    # different seed gives a different pairing
+    rw3 = configuration_model(edges, seed=12)
+    assert rw.exceptAll(rw3).count() > 0
