@@ -597,6 +597,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bounded-distance Brandes, exact over all sources at this scale
         return K.betweenness_centrality(spark, _bipartite_ids_det(spark, sf), max_dist=2)
 
+    def q_topological_levels(spark, sf):
+        # igraph topological_sorting/is_dag: the small→large orientation
+        # of the bipartite graph is a DAG by construction; level = Kahn
+        # peel round = longest-path depth (oracle: recursive CTE)
+        e = _bipartite_ids_det(spark, sf).select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        return K.topological_levels(spark, e)
+
     def q_graph_coloring(spark, sf):
         # Jones–Plassmann, 3 fixed rounds, md5 priorities (seed 42)
         return K.greedy_coloring(spark, _bipartite_ids_det(spark, sf), seed=42, rounds=3)
@@ -1179,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic,
         "closeness_centrality": q_closeness,
         "betweenness_centrality": q_betweenness,
+        "topological_levels": q_topological_levels,
         "graph_coloring": q_graph_coloring,
         "adamic_adar": q_adamic_adar,
         "neighborhood_hll": q_neighborhood_hll,
@@ -3811,6 +3821,27 @@ WHERE und.a IS NULL AND c.n_common >= 2
     # ---- truncated harmonic centrality (max_dist=2) on the simple
     # symmetrised graph: ring-1 neighbours at weight 1, fresh ring-2
     # vertices at weight 1/2
+    # ---- Kahn topological levels on the small→large orientation (a DAG
+    # by construction): level = longest path from any zero-in-degree
+    # source — the recursive CTE dedups (vertex, depth) pairs so the
+    # recursion length is the DAG depth, not the path count
+    topo_sql = (
+        "WITH RECURSIVE " + _DET_PRELUDE + """,
+de AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM edges WHERE src <> dst),
+s0 AS (
+  SELECT id FROM (SELECT a AS id FROM de UNION SELECT b FROM de) v
+  WHERE id NOT IN (SELECT b FROM de)
+),
+lev(v, d) AS (
+  SELECT id, 0 FROM s0
+  UNION
+  SELECT e.b, lev.d + 1 FROM lev JOIN de e ON e.a = lev.v
+)
+SELECT v AS id, CAST(MAX(d) AS BIGINT) AS level FROM lev GROUP BY v
+"""
+    )
+
     harm_sql = (
         "WITH " + _DET_PRELUDE + """,
 und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -4132,4 +4163,5 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "label_propagation": lpa_sql,
             "label_spreading": lspread_sql,
             "connected_components": cc_sql, "assortativity": assort_sql,
-            "k_core": kcore_sql, "khop_counts": khop_sql}
+            "k_core": kcore_sql, "khop_counts": khop_sql,
+            "topological_levels": topo_sql}

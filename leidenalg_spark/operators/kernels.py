@@ -3179,3 +3179,76 @@ def burt_constraint(spark, edges: DataFrame) -> DataFrame:
             "constraint",
         )
     )
+
+
+def topological_levels(
+    spark,
+    edges: DataFrame,
+    max_rounds: int = 100,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Kahn topological peel over the DIRECTED simple graph — igraph
+    ``topological_sorting()`` / ``is_dag()`` (ref ecosystem: igraph
+    ``src/connectivity/basic.c`` topological sort).  Round ``r`` peels
+    the current zero-in-degree vertices, so a vertex's ``level`` equals
+    the length of the longest directed path ending at it — a valid
+    topological key (order by ``(level, id)``) plus the DAG depth in one
+    pass.  Vertices never peeled within ``max_rounds`` (members of
+    directed cycles and everything downstream of them) return
+    ``level = -1``, so ``is_dag == (min(level) >= 0)``.
+
+    Scale: each round is one distinct-dst anti-join + two anti-joins
+    over the surviving edge set, all equality-keyed (AQE-broadcastable
+    once the frontier shrinks), with per-round lineage truncation;
+    rounds needed = DAG depth, independent of |V|.  There is no global
+    sort anywhere — the level IS the sort key; materialising a total
+    order is the caller's per-level (cheap) choice.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = ckpt.save(e, "topo_edges", 0)
+    remaining = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    remaining = ckpt.save(remaining, "topo_verts", 0)
+    from pyspark.sql import Observation
+
+    levels = None
+    for r in range(max_rounds):
+        srcs = remaining.join(
+            e.select(F.col("dst").alias("id")), "id", "left_anti"
+        ).select("id", F.lit(r).cast("long").alias("level"))
+        obs = Observation()
+        srcs = srcs.observe(obs, F.count(F.lit(1)).alias("cnt"))
+        srcs = ckpt.save(srcs, "topo_srcs", r)
+        n = int(obs.get["cnt"])
+        ckpt.log(name="topo", step=r, peeled=n)
+        if n == 0:
+            break
+        # the manager prunes old steps per tag, so the running union must
+        # re-checkpoint every round (cf. the btw_lvl_{d} note above) —
+        # never reference a topo_srcs step older than the keep window
+        levels = ckpt.save(
+            srcs.select("id", "level")
+            if levels is None
+            else levels.unionByName(srcs.select("id", "level")),
+            "topo_levels",
+            r,
+        )
+        remaining = ckpt.save(
+            remaining.join(srcs.select("id"), "id", "left_anti"), "topo_verts", r + 1
+        )
+        e = ckpt.save(
+            e.join(srcs.select(F.col("id").alias("src")), "src", "left_anti"),
+            "topo_edges",
+            r + 1,
+        )
+    leftover = remaining.select("id", F.lit(-1).cast("long").alias("level"))
+    out = leftover if levels is None else levels.unionByName(leftover)
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    return out

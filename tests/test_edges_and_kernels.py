@@ -1109,3 +1109,25 @@ def test_shortest_path_unreachable_is_empty(spark):
         [(0, 1, 1.0), (5, 6, 1.0)], "src long, dst long, weight double"
     )
     assert shortest_path(spark, e, 0, 6, max_depth=4).count() == 0
+
+
+def test_topological_levels_dag_golden(spark):
+    from leidenalg_spark.operators.kernels import topological_levels
+
+    # diamond 0→{1,2}→3→4 plus shortcut 0→3: level = LONGEST path depth,
+    # so 3 sits at level 2 (via 1 or 2), not 1 (via the shortcut)
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (0, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.level for r in topological_levels(spark, e).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_topological_levels_cycle_marks_minus_one(spark):
+    from leidenalg_spark.operators.kernels import topological_levels
+
+    # 0→1→2→1 cycle with 2→3 downstream: only 0 peels; the cycle
+    # members AND their descendant 3 must come back as -1 (not a DAG)
+    edges = [(0, 1), (1, 2), (2, 1), (2, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.level for r in topological_levels(spark, e).collect()}
+    assert got == {0: 0, 1: -1, 2: -1, 3: -1}
