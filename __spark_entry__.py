@@ -597,6 +597,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bounded-distance Brandes, exact over all sources at this scale
         return K.betweenness_centrality(spark, _bipartite_ids_det(spark, sf), max_dist=2)
 
+    def q_voronoi(spark, sf):
+        # igraph voronoi(): nearest-seed multi-source BFS, 4 md5-elected
+        # seeds (same deterministic pivot idiom as sampled betweenness)
+        e = _bipartite_ids_det(spark, sf)
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        pr = F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("42"), F.col("id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long")
+        seeds = verts.withColumn("_p", pr).orderBy("_p", "id").limit(4).select("id")
+        return K.voronoi_cells(spark, e, seeds, max_dist=3)
+
     def q_topological_levels(spark, sf):
         # igraph topological_sorting/is_dag: the small→large orientation
         # of the bipartite graph is a DAG by construction; level = Kahn
@@ -1189,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_centrality": q_closeness,
         "betweenness_centrality": q_betweenness,
         "topological_levels": q_topological_levels,
+        "voronoi_cells": q_voronoi,
         "graph_coloring": q_graph_coloring,
         "adamic_adar": q_adamic_adar,
         "neighborhood_hll": q_neighborhood_hll,
@@ -3821,6 +3838,43 @@ WHERE und.a IS NULL AND c.n_common >= 2
     # ---- truncated harmonic centrality (max_dist=2) on the simple
     # symmetrised graph: ring-1 neighbours at weight 1, fresh ring-2
     # vertices at weight 1/2
+    # ---- graph Voronoi: 3 unrolled multi-source BFS rings from the 4
+    # md5-elected seeds; a vertex is assigned by the FIRST ring that
+    # reaches it, same-ring ties to the smallest seed id
+    voronoi_sql = (
+        "WITH " + _DET_PRELUDE + """,
+sd AS (
+  SELECT id FROM (
+    SELECT id, ('0x' || substr(md5('42:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT AS p
+    FROM verts) ORDER BY p, id LIMIT 4
+),
+r0 AS (SELECT id, id AS seed, 0 AS dist FROM sd),
+r1 AS (
+  SELECT s.dst AS id, MIN(r0.seed) AS seed, 1 AS dist
+  FROM r0 JOIN sym s ON s.src = r0.id
+  WHERE s.dst NOT IN (SELECT id FROM r0)
+  GROUP BY s.dst
+),
+r2 AS (
+  SELECT s.dst AS id, MIN(r1.seed) AS seed, 2 AS dist
+  FROM r1 JOIN sym s ON s.src = r1.id
+  WHERE s.dst NOT IN (SELECT id FROM r0 UNION ALL SELECT id FROM r1)
+  GROUP BY s.dst
+),
+r3 AS (
+  SELECT s.dst AS id, MIN(r2.seed) AS seed, 3 AS dist
+  FROM r2 JOIN sym s ON s.src = r2.id
+  WHERE s.dst NOT IN (SELECT id FROM r0 UNION ALL SELECT id FROM r1
+                      UNION ALL SELECT id FROM r2)
+  GROUP BY s.dst
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(seed AS BIGINT) AS seed,
+       CAST(dist AS BIGINT) AS dist
+FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+      UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+"""
+    )
+
     # ---- Kahn topological levels on the small→large orientation (a DAG
     # by construction): level = longest path from any zero-in-degree
     # source — the recursive CTE dedups (vertex, depth) pairs so the
@@ -4164,4 +4218,5 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "label_spreading": lspread_sql,
             "connected_components": cc_sql, "assortativity": assort_sql,
             "k_core": kcore_sql, "khop_counts": khop_sql,
-            "topological_levels": topo_sql}
+            "topological_levels": topo_sql,
+            "voronoi_cells": voronoi_sql}

@@ -3252,3 +3252,53 @@ def topological_levels(
         out = out.localCheckpoint(eager=True)
         ckpt.close()
     return out
+
+
+def voronoi_cells(
+    spark,
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_dist: int = 3,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Graph Voronoi partition — igraph ``voronoi()`` (igraph
+    ``src/misc/graph_voronoi.c``): assign every vertex within
+    ``max_dist`` hops of a seed to its NEAREST seed over the symmetrised
+    simple graph; same-ring ties break to the smallest seed id
+    (deterministic, the SQL-reproducible analogue of igraph's
+    tiebreaker modes).  ``seeds`` is a one-column (id) DataFrame.
+    Returns (id, seed, dist); vertices farther than ``max_dist`` from
+    every seed are absent — at 100 TB an unbounded BFS is a full
+    connected-components pass, which :func:`connected_components`
+    already provides.
+
+    Scale: multi-source BFS with O(|V|) total state — a vertex is
+    assigned exactly once (first ring that reaches it), so each ring is
+    one frontier⋈adjacency join + one min-agg + one anti-join vs the
+    assigned set, all equality-keyed; rings needed = max_dist, not
+    diameter.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    best = seeds.select(
+        F.col("id"), F.col("id").alias("seed"), F.lit(0).cast("long").alias("dist")
+    )
+    best = ckpt.save(best, "vor_best", 0)
+    frontier = best
+    for d in range(1, max_dist + 1):
+        cand = (
+            frontier.select(F.col("id").alias("a"), "seed")
+            .join(sym, "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("seed").alias("seed"))
+            .join(best.select("id"), "id", "left_anti")
+            .select("id", "seed", F.lit(d).cast("long").alias("dist"))
+        )
+        best = ckpt.save(best.unionByName(cand), "vor_best", d)
+        frontier = best.where(F.col("dist") == d)
+    if own_ckpt and ckpt.path is None:
+        best = best.localCheckpoint(eager=True)
+        ckpt.close()
+    sym.unpersist()
+    return best

@@ -1131,3 +1131,26 @@ def test_topological_levels_cycle_marks_minus_one(spark):
     e = spark.createDataFrame(edges, "src long, dst long")
     got = {r.id: r.level for r in topological_levels(spark, e).collect()}
     assert got == {0: 0, 1: -1, 2: -1, 3: -1}
+
+
+def test_voronoi_cells_path_tiebreak(spark):
+    from leidenalg_spark.operators.kernels import voronoi_cells
+
+    # path 0-1-2-3-4, seeds {0, 4}: vertex 2 is dist-2 from both seeds —
+    # the tie must break to the smaller seed id 0
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (4,)], "id long")
+    got = {r.id: (r.seed, r.dist) for r in voronoi_cells(spark, e, seeds).collect()}
+    assert got == {0: (0, 0), 4: (4, 0), 1: (0, 1), 3: (4, 1), 2: (0, 2)}
+
+
+def test_voronoi_cells_max_dist_excludes_far(spark):
+    from leidenalg_spark.operators.kernels import voronoi_cells
+
+    # chain 0-1-2-3, seed {0}, max_dist=2: vertex 3 is unassigned
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,), ], "id long")
+    got = {r.id: r.dist for r in voronoi_cells(spark, e, seeds, max_dist=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
