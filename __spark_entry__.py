@@ -597,6 +597,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bounded-distance Brandes, exact over all sources at this scale
         return K.betweenness_centrality(spark, _bipartite_ids_det(spark, sf), max_dist=2)
 
+    def q_edge_betweenness(spark, sf):
+        # Girvan–Newman edge centrality, bounded-distance Brandes, exact
+        # over all sources at this scale (same protocol as q_betweenness)
+        return K.edge_betweenness(spark, _bipartite_ids_det(spark, sf), max_dist=2)
+
+    def q_maximal_matching(spark, sf):
+        # Israeli–Itai local-min matching on the G(n,m) generator graph
+        # (sf-independent, like rmat_graph); converges in 4 rounds — the
+        # oracle unrolls 5, the extra round provably matches nothing
+        from leidenalg_spark.sources import generators as G
+
+        base = G.erdos_renyi_gnm(spark, 64, 200, seed=7).select("src", "dst")
+        return K.maximal_matching(spark, base, seed=42)
+
     def q_voronoi(spark, sf):
         # igraph voronoi(): nearest-seed multi-source BFS, 4 md5-elected
         # seeds (same deterministic pivot idiom as sampled betweenness)
@@ -1206,6 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_centrality": q_betweenness,
         "topological_levels": q_topological_levels,
         "voronoi_cells": q_voronoi,
+        "maximal_matching": q_maximal_matching,
+        "edge_betweenness": q_edge_betweenness,
         "graph_coloring": q_graph_coloring,
         "adamic_adar": q_adamic_adar,
         "neighborhood_hll": q_neighborhood_hll,
@@ -2422,6 +2438,47 @@ FROM paired GROUP BY pair_id
 HAVING MIN(CASE WHEN side = 1 THEN v END) IS NOT NULL
 ORDER BY pair_id
 """
+    # Israeli–Itai maximal matching: 5 unrolled local-min election
+    # rounds over the G(64,200) generator graph; round r's winners are
+    # the edges that are min-(p,a,b) at BOTH endpoints of e{r}
+    mm_rounds = 5
+    # every CTE is MATERIALIZED — DuckDB inlines CTEs by default, and the
+    # round-to-round references would otherwise expand exponentially
+    # (same lesson as the coloring oracle)
+    mm_cte = ["""gnm AS MATERIALIZED (
+  SELECT ('0x' || substr(md5('gnm-s-7-' || i), 1, 12))::BIGINT % 64 AS src,
+         ('0x' || substr(md5('gnm-d-7-' || i), 1, 12))::BIGINT % 64 AS dst
+  FROM (SELECT unnest(range(200)) AS i)
+)""", """e1 AS MATERIALIZED (
+  SELECT a, b, md5('mm-42-' || CAST(a AS VARCHAR) || '-' || CAST(b AS VARCHAR)) AS p
+  FROM (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM gnm WHERE src <> dst)
+)"""]
+    for _r in range(1, mm_rounds + 1):
+        mm_cte.append(f"""c{_r} AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT v, a, b, ROW_NUMBER() OVER (PARTITION BY v ORDER BY p, a, b) AS rn
+    FROM (SELECT a AS v, a, b, p FROM e{_r}
+          UNION ALL SELECT b AS v, a, b, p FROM e{_r})
+  ) WHERE rn = 1
+)""")
+        mm_cte.append(
+            f"m{_r} AS MATERIALIZED (SELECT a, b, {_r} AS rd FROM c{_r} "
+            "GROUP BY a, b HAVING COUNT(*) = 2)"
+        )
+        mm_cte.append(
+            f"v{_r} AS MATERIALIZED (SELECT a AS v FROM m{_r} UNION SELECT b FROM m{_r})"
+        )
+        mm_cte.append(f"""e{_r + 1} AS MATERIALIZED (
+  SELECT * FROM e{_r}
+  WHERE a NOT IN (SELECT v FROM v{_r}) AND b NOT IN (SELECT v FROM v{_r})
+)""")
+    sqls["maximal_matching"] = (
+        "WITH " + ",\n".join(mm_cte)
+        + "\nSELECT a, b, CAST(rd AS BIGINT) AS \"round\" FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM m{_r}" for _r in range(1, mm_rounds + 1))
+        + ")"
+    )
     sqls["role_transitions"] = """
 WITH tr AS (
   SELECT CAST(user_id AS VARCHAR) AS conv_id,
@@ -3973,6 +4030,49 @@ FROM vv LEFT JOIN del1 ON del1.v = vv.id GROUP BY vv.id
 """
     )
 
+    # ---- truncated EDGE betweenness (max_dist=2): same unrolled Brandes
+    # rings, dependencies land on the edge between consecutive rings —
+    # ring1→ring2 carries 1/sigma_w, the source's own ring-0→1 edge
+    # carries 1+delta_v
+    edge_betweenness_sql = (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+s AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+d1 AS (SELECT a AS s, b AS v FROM s),
+d2 AS (
+  SELECT d1.s, e.b AS v, CAST(COUNT(*) AS DOUBLE) AS sigma
+  FROM d1 JOIN s e ON e.a = d1.v
+  WHERE e.b <> d1.s
+    AND NOT EXISTS (SELECT 1 FROM s x WHERE x.a = d1.s AND x.b = e.b)
+  GROUP BY d1.s, e.b
+),
+del1 AS (
+  SELECT d1.s, d1.v, SUM(1.0 / d2.sigma) AS delta
+  FROM d1 JOIN s e ON e.a = d1.v
+  JOIN d2 ON d2.s = d1.s AND d2.v = e.b
+  GROUP BY d1.s, d1.v
+),
+eb12 AS (
+  SELECT least(d1.v, d2.v) AS a, greatest(d1.v, d2.v) AS b,
+         SUM(1.0 / d2.sigma) AS c
+  FROM d1 JOIN s e ON e.a = d1.v
+  JOIN d2 ON d2.s = d1.s AND d2.v = e.b
+  GROUP BY 1, 2
+),
+eb01 AS (
+  SELECT least(d1.s, d1.v) AS a, greatest(d1.s, d1.v) AS b,
+         SUM(1.0 + COALESCE(del1.delta, 0)) AS c
+  FROM d1 LEFT JOIN del1 ON del1.s = d1.s AND del1.v = d1.v
+  GROUP BY 1, 2
+),
+allc AS (SELECT * FROM eb12 UNION ALL SELECT * FROM eb01)
+SELECT u.a, u.b, ROUND(COALESCE(SUM(allc.c), 0) / 2.0, 6) AS betweenness
+FROM und u LEFT JOIN allc ON allc.a = u.a AND allc.b = u.b
+GROUP BY u.a, u.b
+"""
+    )
+
     # ---- Jones–Plassmann colouring: 3 unrolled rounds; winner election
     # is the MIS rule, but only winners deactivate, and each winner takes
     # the mex of its already-coloured FULL neighbourhood
@@ -4211,6 +4311,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "harmonic_centrality": harm_sql,
             "closeness_centrality": closeness_sql,
             "betweenness_centrality": betweenness_sql,
+            "edge_betweenness": edge_betweenness_sql,
             "graph_coloring": coloring_sql,
             "adamic_adar": aa_sql,
             "jaccard_linkpred": jc_sql,

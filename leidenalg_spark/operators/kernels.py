@@ -3302,3 +3302,198 @@ def voronoi_cells(
         ckpt.close()
     sym.unpersist()
     return best
+
+
+def maximal_matching(
+    spark,
+    edges: DataFrame,
+    seed: int = 42,
+    rounds: int | None = None,
+    max_rounds: int = 30,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Maximal matching by deterministic local-min edge election
+    (Israeli–Itai 1986, the distributed analogue of igraph's greedy
+    matching utilities; igraph ships ``maximum_bipartite_matching`` —
+    exact augmenting paths are inherently sequential, so the scale path
+    is the 1/2-approximate maximal matching, the standard big-graph
+    substitute).  Edge priority = md5(seed, a, b) — an edge joins the
+    matching when it is the minimum-priority edge at BOTH endpoints;
+    matched endpoints retire with all incident edges.  With random
+    priorities the surviving edge set shrinks geometrically, so rounds
+    ≈ O(log |E|).
+
+    ``rounds``: run EXACTLY that many synchronous rounds (the
+    oracle-comparability mode, cf. :func:`k_core`); default detects the
+    empty-edge fixpoint.  Returns (a, b, round) — one row per matched
+    edge, ``round`` = the election round that claimed it.
+
+    Scale: per round one per-vertex min-struct aggregate over edge
+    endpoints (map-side combinable), one 2-vote filter, two anti-joins;
+    no windows, no sorts, no driver data.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    e = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .withColumn(
+            "p",
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.lit("mm"),
+                    F.lit(str(seed)),
+                    F.col("a").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+        )
+    )
+    e = ckpt.save(e, "mm_edges", 0)
+    from pyspark.sql import Observation
+
+    matched = None
+    n_rounds = rounds if rounds is not None else max_rounds
+    for r in range(1, n_rounds + 1):
+        s = F.struct("p", "a", "b").alias("s")
+        ends = e.select(F.col("a").alias("v"), s).unionByName(
+            e.select(F.col("b").alias("v"), s)
+        )
+        claims = ends.groupBy("v").agg(F.min("s").alias("s"))
+        win = (
+            claims.groupBy(F.col("s.a").alias("a"), F.col("s.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .where(F.col("votes") == 2)
+            .select("a", "b", F.lit(r).cast("long").alias("round"))
+        )
+        matched = ckpt.save(
+            win if matched is None else matched.unionByName(win), "mm_matched", r
+        )
+        mv = matched.select(F.col("a").alias("v")).unionByName(
+            matched.select(F.col("b").alias("v"))
+        )
+        nxt = (
+            e.join(mv.withColumnRenamed("v", "a"), "a", "left_anti")
+            .join(mv.withColumnRenamed("v", "b"), "b", "left_anti")
+            .select("a", "b", "p")
+        )
+        obs = Observation()
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("cnt"))
+        e = ckpt.save(nxt, "mm_edges", r)
+        cnt = int(obs.get["cnt"])
+        ckpt.log(name="maximal_matching", step=r, edges=cnt)
+        if rounds is None and cnt == 0:
+            break
+    out = matched if matched is not None else spark.createDataFrame(
+        [], "a long, b long, round long"
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    return out
+
+
+def edge_betweenness(
+    spark,
+    edges: DataFrame,
+    max_dist: int = 3,
+    n_sources: int | None = None,
+    seed: int = 42,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Truncated EDGE betweenness — the Girvan–Newman centrality
+    (igraph ``edge_betweenness()`` / ``community_edge_betweenness()``),
+    same bounded-distance Brandes machinery as
+    :func:`betweenness_centrality` but the backward pass accumulates the
+    dependency σ_v/σ_w·(1+δ_w) onto the EDGE (v,w) between consecutive
+    rings instead of onto the vertex — including the source's own ring-0
+    edges, which vertex betweenness skips by definition.  Sampled-source
+    mode (``n_sources``) uses the identical md5 pivot election and n/k
+    rescaling.  Returns (a, b, betweenness) for every undirected simple
+    edge (0.0 if no ≤max_dist shortest path crosses it).
+
+    Scale: identical to the vertex pass — state Σ_s |ball(s)|, per ring
+    one frontier⋈adjacency join + one (s,v) aggregate; the extra edge
+    accumulator is one (a,b) hash-aggregate per ring, map-side
+    combinable.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    und = sym.where(F.col("a") < F.col("b"))
+    verts = sym.select(F.col("a").alias("id")).distinct()
+    if n_sources is None:
+        sources = verts.select(F.col("id").alias("s"))
+        scale = 1.0
+    else:
+        n_total = verts.count()
+        k = min(int(n_sources), n_total)
+        pr = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("id").cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        sources = (
+            verts.withColumn("_p", pr).orderBy("_p", "id").limit(k)
+            .select(F.col("id").alias("s"))
+        )
+        scale = float(n_total) / float(k)
+    lvl = sources.select("s", F.col("s").alias("v"), F.lit(1.0).alias("sigma"))
+    seen = ckpt.save(lvl, "ebw_seen", 0)
+    levels = [ckpt.save(lvl, "ebw_lvl_0", 0)]
+    frontier = levels[0]
+    for d in range(1, max_dist + 1):
+        cand = (
+            frontier.join(sym.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")
+            .groupBy("s", F.col("w").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(seen.select("s", "v"), ["s", "v"], "left_anti")
+        )
+        cand = ckpt.save(cand, f"ebw_lvl_{d}", d)
+        levels.append(cand)
+        seen = ckpt.save(seen.unionByName(cand.select("s", "v", "sigma")), "ebw_seen", d)
+        frontier = cand
+    delta = levels[max_dist].select("s", "v", F.lit(0.0).alias("delta"))
+    edge_acc = None
+    for d in range(max_dist - 1, -1, -1):
+        down = (
+            levels[d + 1].select("s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w"))
+            .join(delta.select("s", F.col("v").alias("w"), "delta"), ["s", "w"], "left")
+            .na.fill({"delta": 0.0})
+        )
+        pairs = (
+            levels[d].select("s", "v", "sigma")
+            .join(sym.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")
+            .join(down, ["s", "w"])
+            .select(
+                "s", "v", "w",
+                (F.col("sigma") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta"))).alias("c"),
+            )
+        )
+        econ = pairs.groupBy(
+            F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")
+        ).agg(F.sum("c").alias("c"))
+        edge_acc = ckpt.save(
+            econ if edge_acc is None else edge_acc.unionByName(econ), "ebw_acc", d
+        )
+        if d > 0:
+            delta = ckpt.save(
+                pairs.groupBy("s", "v").agg(F.sum("c").alias("delta")), "ebw_delta", d
+            )
+    sums = edge_acc.groupBy("a", "b").agg(F.sum("c").alias("c"))
+    out = und.select("a", "b").join(sums, ["a", "b"], "left").select(
+        "a", "b",
+        F.round(F.coalesce(F.col("c"), F.lit(0.0)) * F.lit(scale / 2.0), 6).alias(
+            "betweenness"
+        ),
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    sym.unpersist()
+    return out

@@ -203,3 +203,32 @@ def test_coloring_round_prefix_mode(spark):
     rows = K.greedy_coloring(spark, _edges_df(spark, pairs), seed=42, rounds=2).collect()
     got = {r["id"]: (r["color"], r["round_assigned"]) for r in rows}
     assert got == {v: (want_color[v], want_round[v]) for v in want_color}
+
+
+def test_edge_betweenness_goldens(spark):
+    from leidenalg_spark.operators.kernels import edge_betweenness
+
+    # path 0-1-2: both edges carry 2 paths; triangle: 1 each; square:
+    # own pair + two half-weight diagonal paths = 2 each (igraph values)
+    path = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {(r.a, r.b): r.betweenness for r in edge_betweenness(spark, path, max_dist=2).collect()}
+    assert got == {(0, 1): 2.0, (1, 2): 2.0}
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    got = {(r.a, r.b): r.betweenness for r in edge_betweenness(spark, tri, max_dist=2).collect()}
+    assert got == {(0, 1): 1.0, (1, 2): 1.0, (0, 2): 1.0}
+    sq = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long")
+    got = {(r.a, r.b): r.betweenness for r in edge_betweenness(spark, sq, max_dist=2).collect()}
+    assert got == {(0, 1): 2.0, (1, 2): 2.0, (2, 3): 2.0, (0, 3): 2.0}
+
+
+def test_edge_betweenness_star_and_sampling(spark):
+    from leidenalg_spark.operators.kernels import edge_betweenness
+
+    # star center 0, leaves 1..4: each edge carries the path to its leaf
+    # (1) plus 3 leaf-leaf paths through it (3) = 4
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    got = {(r.a, r.b): r.betweenness for r in edge_betweenness(spark, star, max_dist=2).collect()}
+    assert got == {(0, i): 4.0 for i in range(1, 5)}
+    # sampled-source mode returns all edges and non-negative values
+    samp = edge_betweenness(spark, star, max_dist=2, n_sources=3, seed=1).collect()
+    assert len(samp) == 4 and all(r.betweenness >= 0 for r in samp)

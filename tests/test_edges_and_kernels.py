@@ -1154,3 +1154,35 @@ def test_voronoi_cells_max_dist_excludes_far(spark):
     seeds = spark.createDataFrame([(0,), ], "id long")
     got = {r.id: r.dist for r in voronoi_cells(spark, e, seeds, max_dist=2).collect()}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_maximal_matching_valid_and_maximal(spark):
+    from leidenalg_spark.operators.kernels import maximal_matching
+    from leidenalg_spark.sources.generators import erdos_renyi_gnm
+
+    e = erdos_renyi_gnm(spark, 32, 100, seed=3).select("src", "dst")
+    rows = maximal_matching(spark, e, seed=7).collect()
+    verts = [v for r in rows for v in (r.a, r.b)]
+    # valid: no vertex matched twice
+    assert len(verts) == len(set(verts))
+    # maximal: every canonical edge touches a matched endpoint
+    und = (
+        e.selectExpr("least(src,dst) a", "greatest(src,dst) b")
+        .where("a<>b").distinct().collect()
+    )
+    mset = set(verts)
+    assert all((r.a in mset) or (r.b in mset) for r in und)
+    # deterministic
+    again = maximal_matching(spark, e, seed=7).collect()
+    assert sorted((r.a, r.b, r.round) for r in rows) == sorted(
+        (r.a, r.b, r.round) for r in again
+    )
+
+
+def test_maximal_matching_triangle_single_edge(spark):
+    from leidenalg_spark.operators.kernels import maximal_matching
+
+    # a triangle admits exactly one matched edge, in round 1
+    e = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    rows = maximal_matching(spark, e).collect()
+    assert len(rows) == 1 and rows[0].round == 1
