@@ -413,6 +413,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_reciprocity(spark, sf):
         return K.reciprocity(spark, _transition_ids(spark, sf))
 
+    def q_dyad_census(spark, sf):
+        # igraph dyad_census: (mutual, asym, null) — null dyads are
+        # arithmetic over C(|V|,2), never materialised
+        return K.dyad_census(spark, _transition_ids(spark, sf))
+
+    def q_power_law_fit(spark, sf):
+        # igraph power_law_fit (Clauset MLE, fixed xmin=2) on the
+        # bipartite degree sequence
+        return K.power_law_fit(spark, _bipartite_ids_det(spark, sf), xmin=2)
+
     def q_ncol_roundtrip(spark, sf):
         # igraph NCOL interchange: write the bipartite edge table as an
         # edge-list text file, parse it back — the oracle recomputes the
@@ -1266,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "eigenvector_centrality": q_eigenvector,
         "reciprocity": q_reciprocity,
+        "dyad_census": q_dyad_census,
+        "power_law_fit": q_power_law_fit,
         "closed_triples": q_closed_triples,
         "k_truss": q_k_truss,
         "densest_subgraph": q_densest_subgraph,
@@ -3609,6 +3621,27 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
 FROM mk
 """
     )
+    dyad_sql = (
+        "WITH " + ",\n".join(trans_prelude) + """,
+de AS (SELECT DISTINCT src, dst FROM nedges WHERE src <> dst),
+mk AS (
+  SELECT d.src, d.dst, CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS m
+  FROM de d LEFT JOIN de r ON r.src = d.dst AND r.dst = d.src
+),
+ma AS (
+  SELECT CAST(SUM(m) / 2 AS BIGINT) AS n_mutual,
+         CAST(COUNT(*) - SUM(m) AS BIGINT) AS n_asym
+  FROM mk
+),
+nv AS (
+  SELECT COUNT(*) AS n FROM (
+    SELECT src AS id FROM de UNION SELECT dst FROM de)
+)
+SELECT n_mutual, n_asym,
+       CAST(n * (n - 1) / 2 - n_mutual - n_asym AS BIGINT) AS n_null
+FROM ma, nv
+"""
+    )
     triples_sql = (
         "WITH " + ",\n".join(trans_prelude) + """,
 de AS (SELECT DISTINCT src, dst FROM nedges WHERE src <> dst),
@@ -3895,6 +3928,34 @@ WHERE und.a IS NULL AND c.n_common >= 2
     # ---- truncated harmonic centrality (max_dist=2) on the simple
     # symmetrised graph: ring-1 neighbours at weight 1, fresh ring-2
     # vertices at weight 1/2
+    # ---- Clauset–Shalizi–Newman power-law MLE at fixed xmin=2 over the
+    # bipartite degree sequence; KS vs the continuous-approx tail CCDF
+    plaw_sql = (
+        "WITH " + _DET_PRELUDE + """,
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+tail AS (SELECT deg FROM deg WHERE deg >= 2),
+st AS (
+  SELECT COUNT(*) AS n_tail,
+         1.0 + COUNT(*) / SUM(ln(deg / 1.5)) AS alpha
+  FROM tail
+),
+dd AS (SELECT deg, COUNT(*) AS cnt FROM tail GROUP BY deg),
+ccdf AS (
+  SELECT deg,
+         SUM(cnt) OVER (ORDER BY deg DESC ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dd
+),
+ks AS (
+  SELECT MAX(ABS(CAST(cum AS DOUBLE) / st.n_tail
+                 - POWER((deg - 0.5) / 1.5, 1.0 - st.alpha))) AS ks
+  FROM ccdf, st
+)
+SELECT CAST(2 AS BIGINT) AS xmin, CAST(st.n_tail AS BIGINT) AS n_tail,
+       ROUND(st.alpha, 6) AS alpha, ROUND(ks.ks, 6) AS ks
+FROM st, ks
+"""
+    )
+
     # ---- graph Voronoi: 3 unrolled multi-source BFS rings from the 4
     # md5-elected seeds; a vertex is assigned by the FIRST ring that
     # reaches it, same-ring ties to the smallest seed id
@@ -4298,6 +4359,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "hits": hits_sql,
             "eigenvector_centrality": eig_sql,
             "reciprocity": recip_sql,
+            "dyad_census": dyad_sql,
             "triad_census": triad_sql,
             "bib_coupling": coupling_sql,
             "avg_neighbor_degree": knn_sql,
@@ -4320,4 +4382,5 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "connected_components": cc_sql, "assortativity": assort_sql,
             "k_core": kcore_sql, "khop_counts": khop_sql,
             "topological_levels": topo_sql,
-            "voronoi_cells": voronoi_sql}
+            "voronoi_cells": voronoi_sql,
+            "power_law_fit": plaw_sql}

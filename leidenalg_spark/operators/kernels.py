@@ -3497,3 +3497,92 @@ def edge_betweenness(
         ckpt.close()
     sym.unpersist()
     return out
+
+
+def dyad_census(spark, edges: DataFrame) -> DataFrame:
+    """Full dyad census — igraph ``dyad_census()`` (Holland–Leinhardt
+    1970): one row (n_mutual, n_asym, n_null) over the directed simple
+    graph; ``n_null`` = C(|V|,2) − mutual − asym.  The triad analogue is
+    :func:`triad_census`; :func:`reciprocity` reports the edge-ratio
+    view of the same mutual/asym split.
+
+    One distinct + one reversed-key self-join + two 1-row aggregates
+    assembled by a broadcast cross join — no per-pair state for null
+    dyads, they are arithmetic.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("m"))
+    marked = e.join(rev, ["src", "dst"], "left")
+    ma = marked.agg(
+        (F.sum(F.coalesce("m", F.lit(0))) / 2).cast("long").alias("n_mutual"),
+        (F.count(F.lit(1)) - F.sum(F.coalesce("m", F.lit(0)))).cast("long").alias("n_asym"),
+    )
+    nv = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return ma.crossJoin(F.broadcast(nv)).select(
+        "n_mutual",
+        "n_asym",
+        (
+            (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+            - F.col("n_mutual")
+            - F.col("n_asym")
+        ).alias("n_null"),
+    )
+
+
+def power_law_fit(spark, edges: DataFrame, xmin: int = 2) -> DataFrame:
+    """Power-law tail fit of the degree distribution — igraph
+    ``power_law_fit()`` per Clauset–Shalizi–Newman 2009: discrete MLE
+    ``alpha = 1 + n/Σ ln(deg/(xmin−0.5))`` (CSN eq. 3.7) at a
+    CALLER-FIXED ``xmin``, plus the KS distance between the empirical
+    tail CCDF and the fitted continuous-approximation CCDF
+    ``((x−0.5)/(xmin−0.5))^{1−alpha}``.  Scanning xmin to minimise KS is
+    a driver loop over this operator — each candidate is one pass.
+    Returns one row (xmin, n_tail, alpha, ks).
+
+    Scale: degrees are one hash-aggregate; alpha is a 1-row aggregate
+    riding a broadcast cross join; the CCDF window runs over DISTINCT
+    degree values — cardinality ≤ max degree, thousands at worst, small
+    by construction (the same bounded-side contract as pajek ids).
+    """
+    from pyspark.sql import Window
+
+    if xmin < 1:
+        raise ValueError("xmin must be >= 1")
+    deg = _sym_simple(edges).groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    tail = deg.where(F.col("deg") >= xmin)
+    stats = tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum(F.log(F.col("deg") / F.lit(xmin - 0.5))).alias("s"),
+    ).select("n_tail", (F.lit(1.0) + F.col("n_tail") / F.col("s")).alias("alpha"))
+    dd = tail.groupBy("deg").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("deg").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    ks = (
+        dd.withColumn("cum", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.abs(
+                F.col("cum") / F.col("n_tail")
+                - F.pow(
+                    (F.col("deg") - 0.5) / F.lit(xmin - 0.5),
+                    F.lit(1.0) - F.col("alpha"),
+                )
+            ).alias("d")
+        )
+        .agg(F.max("d").alias("ks"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(ks))
+        .select(
+            F.lit(xmin).cast("long").alias("xmin"),
+            F.col("n_tail").cast("long").alias("n_tail"),
+            F.round("alpha", 6).alias("alpha"),
+            F.round("ks", 6).alias("ks"),
+        )
+    )

@@ -1186,3 +1186,26 @@ def test_maximal_matching_triangle_single_edge(spark):
     e = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
     rows = maximal_matching(spark, e).collect()
     assert len(rows) == 1 and rows[0].round == 1
+
+
+def test_dyad_census_golden(spark):
+    from leidenalg_spark.operators.kernels import dyad_census
+
+    # 0<->1 mutual, 0->2 asym, vertex 3 via 3->0: n=4, C(4,2)=6 dyads
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (3, 0)], "src long, dst long"
+    )
+    r = dyad_census(spark, e).collect()[0]
+    assert (r.n_mutual, r.n_asym, r.n_null) == (1, 2, 3)
+
+
+def test_power_law_fit_star_golden(spark):
+    import math
+    from leidenalg_spark.operators.kernels import power_law_fit
+
+    # star: hub degree 6, leaves degree 1; xmin=1 keeps all 7 vertices —
+    # alpha = 1 + 7 / (6*ln(1/0.5) + ln(6/0.5))
+    e = spark.createDataFrame([(0, i) for i in range(1, 7)], "src long, dst long")
+    r = power_law_fit(spark, e, xmin=1).collect()[0]
+    exp = 1.0 + 7.0 / (6 * math.log(1 / 0.5) + math.log(6 / 0.5))
+    assert r.n_tail == 7 and abs(r.alpha - exp) < 1e-6 and 0.0 <= r.ks <= 1.0
