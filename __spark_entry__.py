@@ -461,6 +461,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_pajek(named, path)
         return read_pajek(spark, path)
 
+    def q_gml_roundtrip(spark, sf):
+        # igraph GML interchange: integer-id blocks written one per line,
+        # parsed back and resolved to labels; oracle recomputes from
+        # parquet so the hash certifies losslessness
+        from leidenalg_spark.sources.gml import read_gml, write_gml
+
+        named = _bipartite_named(spark, sf).select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        path = f"/tmp/spark_graft_gml_{sf.replace('/', '_')}"
+        write_gml(named, path)
+        return read_gml(spark, path)
+
+    def q_lgl_roundtrip(spark, sf):
+        # igraph LGL interchange: self-contained '#' adjacency blocks —
+        # write is one groupBy, read splits records on lineSep='#'
+        from leidenalg_spark.sources.lgl import read_lgl, write_lgl
+
+        named = _bipartite_named(spark, sf).select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        path = f"/tmp/spark_graft_lgl_{sf.replace('/', '_')}"
+        write_lgl(named, path)
+        return read_lgl(spark, path)
+
     def q_graph_setops(spark, sf):
         # igraph union/intersection/difference/symmetric_difference over
         # two overlapping md5-bucket halves of the bipartite graph; one
@@ -1337,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ncol_roundtrip": q_ncol_roundtrip,
         "graphml_roundtrip": q_graphml_roundtrip,
         "pajek_roundtrip": q_pajek_roundtrip,
+        "gml_roundtrip": q_gml_roundtrip,
+        "lgl_roundtrip": q_lgl_roundtrip,
         "graph_setops": q_graph_setops,
         "rmat_graph": q_rmat_graph,
         "graph_generators": q_graph_generators,
@@ -2351,6 +2378,12 @@ SELECT src, dst, weight FROM ({_BIP_EDGES})
 SELECT src, dst, weight FROM ({_BIP_EDGES})
 """
     sqls["pajek_roundtrip"] = f"""
+SELECT src, dst, weight FROM ({_BIP_EDGES})
+"""
+    sqls["gml_roundtrip"] = f"""
+SELECT src, dst, weight FROM ({_BIP_EDGES})
+"""
+    sqls["lgl_roundtrip"] = f"""
 SELECT src, dst, weight FROM ({_BIP_EDGES})
 """
     sqls["graph_setops"] = f"""

@@ -102,3 +102,80 @@ def test_pajek_rejects_quote_in_label(spark, tmp_path):
     bad = _edges(spark, [('he said "hi"', "b", 1.0)])
     with pytest.raises(ValueError):
         write_pajek(bad, str(tmp_path / "p"))
+
+
+# ---------- GML ----------
+
+def test_gml_roundtrip_weighted(spark, tmp_path):
+    from leidenalg_spark.sources.gml import read_gml, write_gml
+
+    path = str(tmp_path / "g")
+    write_gml(_edges(spark), path)
+    assert _collect(read_gml(spark, path)) == sorted(EDGES)
+
+
+def test_gml_roundtrip_unweighted_default(spark, tmp_path):
+    from leidenalg_spark.sources.gml import read_gml, write_gml
+
+    path = str(tmp_path / "g")
+    write_gml(_edges(spark).drop("weight"), path)
+    got = _collect(read_gml(spark, path, default_weight=3.0))
+    assert got == sorted((s, d, 3.0) for s, d, _ in EDGES)
+
+
+def test_gml_rejects_quoted_labels(spark, tmp_path):
+    from leidenalg_spark.sources.gml import write_gml
+
+    with pytest.raises(ValueError):
+        write_gml(_edges(spark, [('a"b', "c", 1.0)]), str(tmp_path / "g"))
+
+
+def test_gml_reads_handwritten_file(spark, tmp_path):
+    from leidenalg_spark.sources.gml import read_gml
+
+    p = tmp_path / "hand.gml"
+    p.write_text(
+        'graph [\n  directed 1\n'
+        '  node [ id 0 label "x" ]\n  node [ id 1 label "y" ]\n'
+        '  edge [ source 0 target 1 value 2.0 ]\n'
+        '  edge [ source 1 target 0 ]\n]\n'
+    )
+    got = _collect(read_gml(spark, str(p), default_weight=9.0))
+    assert got == [("x", "y", 2.0), ("y", "x", 9.0)]
+
+
+# ---------- LGL ----------
+
+def test_lgl_roundtrip_weighted(spark, tmp_path):
+    from leidenalg_spark.sources.lgl import read_lgl, write_lgl
+
+    path = str(tmp_path / "g")
+    write_lgl(_edges(spark), path)
+    assert _collect(read_lgl(spark, path)) == sorted(EDGES)
+
+
+def test_lgl_roundtrip_unweighted_default(spark, tmp_path):
+    from leidenalg_spark.sources.lgl import read_lgl, write_lgl
+
+    path = str(tmp_path / "g")
+    write_lgl(_edges(spark).drop("weight"), path)
+    got = _collect(read_lgl(spark, path, default_weight=5.0))
+    assert got == sorted((s, d, 5.0) for s, d, _ in EDGES)
+
+
+def test_lgl_rejects_bad_names(spark, tmp_path):
+    from leidenalg_spark.sources.lgl import write_lgl
+
+    with pytest.raises(ValueError):
+        write_lgl(_edges(spark, [("a b", "c", 1.0)]), str(tmp_path / "g"))
+    with pytest.raises(ValueError):
+        write_lgl(_edges(spark, [("a", "c#d", 1.0)]), str(tmp_path / "g"))
+
+
+def test_lgl_reads_handwritten_file(spark, tmp_path):
+    from leidenalg_spark.sources.lgl import read_lgl
+
+    p = tmp_path / "hand.lgl"
+    p.write_text("# a\nb 2.0\nc\n# b\nc 0.5\n")
+    got = _collect(read_lgl(spark, str(p), default_weight=1.0))
+    assert got == [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 0.5)]
