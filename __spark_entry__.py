@@ -662,6 +662,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = verts.withColumn("_p", pr).orderBy("_p", "id").limit(4).select("id")
         return K.voronoi_cells(spark, e, seeds, max_dist=3)
 
+    def q_eccentricity(spark, sf):
+        # igraph eccentricity/radius: truncated at 2 rings (same bounded
+        # protocol as harmonic/closeness); radius/diameter bounds are
+        # 1-row aggregates over this output
+        return K.eccentricity(spark, _bipartite_ids_det(spark, sf), max_dist=2)
+
+    def q_vocab_coverage(spark, sf):
+        # tokenizer-design curve: share of all token occurrences covered
+        # by the top-200 vocabulary types
+        return T.vocab_coverage(_documents(spark, sf), k=200)
+
     def q_topological_levels(spark, sf):
         # igraph topological_sorting/is_dag: the small→large orientation
         # of the bipartite graph is a DAG by construction; level = Kahn
@@ -1257,6 +1268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi_cells": q_voronoi,
         "maximal_matching": q_maximal_matching,
         "edge_betweenness": q_edge_betweenness,
+        "eccentricity": q_eccentricity,
+        "vocab_coverage": q_vocab_coverage,
         "graph_coloring": q_graph_coloring,
         "adamic_adar": q_adamic_adar,
         "neighborhood_hll": q_neighborhood_hll,
@@ -1934,6 +1947,24 @@ FROM verts v LEFT JOIN deg d ON d.name = v.name LEFT JOIN cnt c ON c.name = v.na
 SELECT doc_id, len({toks}) AS n_tokens,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe
 FROM documents
+""",
+        "vocab_coverage": f"""
+WITH tok AS (
+  SELECT t.tok AS token
+  FROM (SELECT {toks} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS tok) t
+  WHERE length(t.tok) > 0
+),
+cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT COUNT(*) AS n FROM tok),
+top AS (
+  SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+  FROM cnt QUALIFY rnk <= 200
+)
+SELECT CAST(rnk AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(SUM(cnt) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING)
+             * 1.0 / tot.n, 6) AS coverage
+FROM top, tot
 """,
         "doc_quality": f"""
 SELECT doc_id,
@@ -4069,6 +4100,30 @@ FROM ball GROUP BY id
 """
     )
 
+    # ---- truncated eccentricity (max_dist=2): max ring index + reached
+    # count over the same unrolled 2-ring ball as harmonic/closeness
+    ecc_sql = (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+s AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+r1 AS (SELECT DISTINCT a AS id, b AS v FROM s),
+r2 AS (
+  SELECT id, v FROM (
+    SELECT DISTINCT r1.id, s.b AS v FROM r1 JOIN s ON s.a = r1.v WHERE s.b <> r1.id
+  ) EXCEPT SELECT id, v FROM r1
+),
+ball AS (
+  SELECT id, v, 1 AS d FROM r1
+  UNION ALL
+  SELECT id, v, 2 AS d FROM r2
+)
+SELECT id, CAST(MAX(d) AS BIGINT) AS ecc,
+       CAST(COUNT(*) AS BIGINT) AS n_reachable
+FROM ball GROUP BY id
+"""
+    )
+
     # ---- truncated closeness (max_dist=2): same unrolled 2-ring ball as
     # harmonic, Wasserman–Faust composite (r/(n-1))*(r/S)
     closeness_sql = (
@@ -4416,4 +4471,5 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "k_core": kcore_sql, "khop_counts": khop_sql,
             "topological_levels": topo_sql,
             "voronoi_cells": voronoi_sql,
-            "power_law_fit": plaw_sql}
+            "power_law_fit": plaw_sql,
+            "eccentricity": ecc_sql}

@@ -3586,3 +3586,39 @@ def power_law_fit(spark, edges: DataFrame, xmin: int = 2) -> DataFrame:
             F.round("ks", 6).alias("ks"),
         )
     )
+
+
+def eccentricity(
+    spark,
+    edges: DataFrame,
+    max_dist: int = 3,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Truncated per-vertex eccentricity — igraph ``eccentricity()`` /
+    ``radius()``: the max BFS ring index reached within ``max_dist``
+    over the symmetrised simple graph, plus the reached-set size.
+    Values below ``max_dist`` are exact; a value equal to ``max_dist``
+    is a lower bound (the ball may still be growing) — the standard
+    big-graph truncation, cf. :func:`harmonic_centrality` /
+    :func:`diameter_approx` (which bounds the global max instead).
+    ``radius >= min(ecc)`` and ``diameter >= max(ecc)`` follow as 1-row
+    aggregates at the caller.  Returns (id, ecc, n_reachable).
+
+    Scale: one all-sources frontier BFS (shared `_truncated_balls`
+    machinery) — state Σ_v |ball(v)|, bounded by max_dist, then a single
+    hash aggregate.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    verts = sym.select(F.col("a").alias("id")).distinct()
+    ball = _truncated_balls(sym, verts, max_dist, ckpt, "ecc")
+    out = ball.groupBy("id").agg(
+        F.max("d").cast("long").alias("ecc"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_reachable"),
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    sym.unpersist()
+    return out

@@ -656,3 +656,40 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+def vocab_coverage(docs: DataFrame, k: int = 500, col: str = "text") -> DataFrame:
+    """Cumulative corpus-coverage curve of the top-``k`` vocabulary — the
+    first chart a tokenizer designer draws (what share of all token
+    occurrences do the k most frequent types cover?).  Rank is
+    (count desc, token asc) — fully deterministic under ties.  Returns
+    (rank, token, cnt, coverage) with coverage = cumulative share of
+    total token occurrences, rounded to 6dp.
+
+    Scale: token counts are one explode + hash aggregate; top-k is
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver
+    side of the plan); the cumulative window runs over the k-row prefix
+    only, and the corpus total rides a 1-row broadcast cross join.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(F.explode(tokens_col(col)).alias("token")).where(
+        F.length("token") > 0
+    )
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    top = cnt.orderBy(F.col("cnt").desc(), "token").limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(
+                F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("n_total"),
+                6,
+            ).alias("coverage"),
+        )
+    )

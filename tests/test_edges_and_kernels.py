@@ -1209,3 +1209,13 @@ def test_power_law_fit_star_golden(spark):
     r = power_law_fit(spark, e, xmin=1).collect()[0]
     exp = 1.0 + 7.0 / (6 * math.log(1 / 0.5) + math.log(6 / 0.5))
     assert r.n_tail == 7 and abs(r.alpha - exp) < 1e-6 and 0.0 <= r.ks <= 1.0
+
+
+def test_eccentricity_path_golden(spark):
+    from leidenalg_spark.operators.kernels import eccentricity
+
+    # path 0-1-2-3-4 truncated at 3: middle vertex 2 has exact ecc 2,
+    # ends report the truncation bound 3 with partial reach
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long")
+    got = {r.id: (r.ecc, r.n_reachable) for r in eccentricity(spark, e, max_dist=3).collect()}
+    assert got == {0: (3, 3), 1: (3, 4), 2: (2, 4), 3: (3, 4), 4: (3, 3)}

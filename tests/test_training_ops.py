@@ -608,3 +608,18 @@ def test_importance_sample_drops_nonpositive_weights(spark):
     )
     picked = {r["doc_id"] for r in importance_sample(docs, n=4, weight="w").collect()}
     assert picked == {1, 4}
+
+
+def test_vocab_coverage_golden(spark):
+    from leidenalg_spark.operators.textops import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    rows = {r.rank: (r.token, r.cnt, r.coverage) for r in vocab_coverage(docs, k=3).collect()}
+    # 9 tokens total: a=4, b=3, c=1, x=1 (tie broken to 'c' first)
+    assert rows == {
+        1: ("a", 4, round(4 / 9, 6)),
+        2: ("b", 3, round(7 / 9, 6)),
+        3: ("c", 1, round(8 / 9, 6)),
+    }
