@@ -91,6 +91,9 @@ DECLARATIVE = [
     "avg_neighbor_degree",
     "vertex_diversity",
     "burt_constraint",
+    "dyad_census",
+    "power_law_fit",
+    "vocab_coverage",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -122,6 +125,12 @@ SCALAR_CROSS = {
     # the kmeans fit attaches the k-row centroid table via a broadcast
     # nested-loop (same as the kmeans/silhouette queries)
     "kmeans_outliers",
+    # the 1-row vertex-count scalar rides a broadcast cross join
+    "dyad_census",
+    # alpha and KS scalars ride 1-row broadcast cross joins
+    "power_law_fit",
+    # the corpus-total scalar rides a 1-row broadcast cross join
+    "vocab_coverage",
 }
 
 
