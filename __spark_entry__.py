@@ -518,6 +518,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("op")
         )
 
+    def q_watts_strogatz(spark, sf):
+        # igraph Watts_Strogatz small-world generator: index-derived ring
+        # lattice + md5-coin rewiring, zero shuffles (rmat convention)
+        from leidenalg_spark.sources.generators import watts_strogatz
+
+        return watts_strogatz(spark, n=100, k=3, p=0.2, seed=11).orderBy("src", "o")
+
     def q_rmat_graph(spark, sf):
         # Graph500 R-MAT generator: every edge derived from its index via
         # md5 quadrant draws — zero-shuffle, index-deterministic, so the
@@ -1381,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmat_graph": q_rmat_graph,
         "graph_generators": q_graph_generators,
         "configuration_model": q_configuration_model,
+        "watts_strogatz": q_watts_strogatz,
     }
 
 
@@ -2514,6 +2522,27 @@ FROM paired GROUP BY pair_id
 HAVING MIN(CASE WHEN side = 1 THEN v END) IS NOT NULL
 ORDER BY pair_id
 """
+    sqls["watts_strogatz"] = """
+WITH base AS (
+  SELECT i // 3 AS src, (i % 3) + 1 AS o
+  FROM (SELECT unnest(range(300)) AS i)
+),
+draws AS (
+  SELECT src, o,
+         ('0x' || substr(md5('ws-11-' || src || '-' || o), 1, 8))::BIGINT
+           / 4294967296.0 AS r,
+         ('0x' || substr(md5('wsd-11-' || src || '-' || o), 1, 12))::BIGINT AS h
+  FROM base
+)
+SELECT CAST(src AS BIGINT) AS src, CAST(o AS BIGINT) AS o,
+       CAST(CASE WHEN r < CAST(0.2 AS DOUBLE)
+                 THEN (src + 1 + (h % 99)) % 100
+                 ELSE (src + o) % 100 END AS BIGINT) AS dst,
+       r < CAST(0.2 AS DOUBLE) AS rewired
+FROM draws
+ORDER BY src, o
+"""
+
     # Israeli–Itai maximal matching: 5 unrolled local-min election
     # rounds over the G(64,200) generator graph; round r's winners are
     # the edges that are min-(p,a,b) at BOTH endpoints of e{r}

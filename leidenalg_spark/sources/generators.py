@@ -189,3 +189,49 @@ def configuration_model(edges: DataFrame, seed: int = 42) -> DataFrame:
     out = out.localCheckpoint(eager=True)  # counts map already spent; free the cache
     stubs.unpersist()
     return out
+
+
+def watts_strogatz(
+    spark: SparkSession, n: int, k: int, p: float, seed: int = 42
+) -> DataFrame:
+    """Watts–Strogatz small-world graph — igraph ``Graph.Watts_Strogatz
+    (dim=1, size=n, nei=k, p=p)``: a ring lattice (vertex i linked to
+    i+1..i+k mod n) where each edge's far endpoint is rewired with
+    probability ``p`` to a uniform replacement.  All randomness is
+    md5-keyed by (seed, src, offset) — the rewire coin is the first
+    8 hex chars / 2^32 (the R-MAT convention), the replacement dst is
+    ``(src + 1 + draw mod (n-1)) mod n``, uniform over every vertex
+    except src, so rewiring can never create a self-loop (parallel
+    edges remain possible, as in igraph's default rewiring; simplify
+    downstream if unwanted).  Returns (src, o, dst, rewired).
+
+    Scale: one range() projection per edge index — ZERO shuffles,
+    retry/backfill-stable, the same index-derived shape as
+    :func:`rmat`; a 10^12-edge small-world graph is just a bigger
+    range.
+    """
+    if not 0.0 <= p <= 1.0:
+        raise ValueError("p must be in [0, 1]")
+    if not 1 <= k < n:
+        raise ValueError("need 1 <= k < n")
+    base = spark.range(n).select(
+        F.col("id").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("o"),
+    )
+    tag = lambda pref: F.concat_ws(
+        "-", F.lit(pref), F.lit(str(seed)),
+        F.col("src").cast("string"), F.col("o").cast("string"),
+    )
+    r = (
+        F.conv(F.substring(F.md5(tag("ws")), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+    h = F.conv(F.substring(F.md5(tag("wsd")), 1, 12), 16, 10).cast("bigint")
+    lat = (F.col("src") + F.col("o")) % F.lit(n)
+    rnd = (F.col("src") + 1 + (h % F.lit(n - 1))) % F.lit(n)
+    return base.select(
+        "src",
+        F.col("o").cast("long").alias("o"),
+        F.when(r < F.lit(float(p)), rnd).otherwise(lat).cast("long").alias("dst"),
+        (r < F.lit(float(p))).alias("rewired"),
+    )

@@ -84,3 +84,25 @@ def test_configuration_model_preserves_degree_sequence(spark):
     # different seed gives a different pairing
     rw3 = configuration_model(edges, seed=12)
     assert rw.exceptAll(rw3).count() > 0
+
+
+def test_watts_strogatz_shape_and_determinism(spark):
+    from leidenalg_spark.sources.generators import watts_strogatz
+
+    g = watts_strogatz(spark, n=100, k=3, p=0.2, seed=11)
+    rows = g.collect()
+    assert len(rows) == 300  # n*k edges, one per (src, offset)
+    assert all(0 <= r.dst < 100 and r.dst != r.src for r in rows)
+    # unrewired edges are exactly the ring lattice
+    assert all((r.src + r.o) % 100 == r.dst for r in rows if not r.rewired)
+    frac = sum(r.rewired for r in rows) / len(rows)
+    assert 0.1 < frac < 0.35  # md5 coin ~ Bernoulli(0.2)
+    again = watts_strogatz(spark, n=100, k=3, p=0.2, seed=11)
+    assert g.exceptAll(again).count() == 0
+
+
+def test_watts_strogatz_p_zero_is_lattice(spark):
+    from leidenalg_spark.sources.generators import watts_strogatz
+
+    g = watts_strogatz(spark, n=20, k=2, p=0.0, seed=1)
+    assert all((r.src + r.o) % 20 == r.dst and not r.rewired for r in g.collect())
