@@ -927,6 +927,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_jaccard_linkpred(spark, sf):
         return K.jaccard_coefficient(spark, _bipartite_ids_det(spark, sf), min_common=2)
 
+    def q_dice_similarity(spark, sf):
+        # igraph similarity_dice over the same wedge enumeration
+        return K.dice_coefficient(spark, _bipartite_ids_det(spark, sf), min_common=2)
+
     def q_community_stats(spark, sf):
         # per-community conductance/density/cut over the bipartite graph
         # with the same deterministic membership the quality oracles use
@@ -1346,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": q_association_rules,
         "funnel": q_funnel,
         "jaccard_linkpred": q_jaccard_linkpred,
+        "dice_similarity": q_dice_similarity,
         "community_stats": q_community_stats,
         "wl_refinement": q_wl_refinement,
         "anomaly_windows": q_anomaly_windows,
@@ -4018,6 +4023,35 @@ WHERE und.a IS NULL AND c.n_common >= 2
 """
     )
 
+    # ---- Dice vertex similarity: the same wedge enumeration with the
+    # 2·common/(deg+deg) weighting (igraph similarity_dice)
+    dice_sql = (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+adj AS (SELECT a AS w, b AS x FROM und UNION ALL SELECT b AS w, a AS x FROM und),
+deg AS (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w),
+centers AS (
+  SELECT adj.w, adj.x FROM adj JOIN deg USING (w) WHERE deg <= 100000
+),
+wedges AS (
+  SELECT l.x AS src, r.x AS dst
+  FROM centers l JOIN centers r ON l.w = r.w AND l.x < r.x
+),
+common AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM wedges GROUP BY src, dst
+)
+SELECT c.src, c.dst, c.n_common,
+       ROUND(2.0 * c.n_common / (ds.deg + dd.deg), 6) AS dice
+FROM common c
+JOIN deg ds ON ds.w = c.src
+JOIN deg dd ON dd.w = c.dst
+LEFT JOIN und ON und.a = c.src AND und.b = c.dst
+WHERE und.a IS NULL AND c.n_common >= 2
+"""
+    )
+
     # ---- truncated harmonic centrality (max_dist=2) on the simple
     # symmetrised graph: ring-1 neighbours at weight 1, fresh ring-2
     # vertices at weight 1/2
@@ -4494,6 +4528,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "graph_coloring": coloring_sql,
             "adamic_adar": aa_sql,
             "jaccard_linkpred": jc_sql,
+            "dice_similarity": dice_sql,
             "label_propagation": lpa_sql,
             "label_spreading": lspread_sql,
             "connected_components": cc_sql, "assortativity": assort_sql,

@@ -1219,3 +1219,13 @@ def test_eccentricity_path_golden(spark):
     e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long")
     got = {r.id: (r.ecc, r.n_reachable) for r in eccentricity(spark, e, max_dist=3).collect()}
     assert got == {0: (3, 3), 1: (3, 4), 2: (2, 4), 3: (3, 4), 4: (3, 3)}
+
+
+def test_dice_coefficient_square_golden(spark):
+    from leidenalg_spark.operators.kernels import dice_coefficient
+
+    # square 0-1-2-3-0: non-adjacent diagonals (0,2) and (1,3) share 2
+    # neighbours, all degrees 2 -> dice = 2*2/(2+2) = 1.0
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long")
+    got = {(r.src, r.dst): (r.n_common, r.dice) for r in dice_coefficient(spark, e).collect()}
+    assert got == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
