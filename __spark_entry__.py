@@ -518,6 +518,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("op")
         )
 
+    def q_modularity_null(spark, sf):
+        # modularity significance vs 3 degree-preserving md5 rewires of
+        # the G(64,200) graph, md5-bucket membership (4 communities)
+        from leidenalg_spark.operators.community import modularity_null_test
+        from leidenalg_spark.sources import generators as G
+
+        base = G.erdos_renyi_gnm(spark, 64, 200, seed=7).select("src", "dst")
+        verts = (
+            base.select(F.col("src").alias("id"))
+            .unionByName(base.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        comm = (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 4
+        )
+        memb = verts.select("id", comm.alias("comm"))
+        return modularity_null_test(spark, base, memb, seeds=(1, 2, 3))
+
     def q_watts_strogatz(spark, sf):
         # igraph Watts_Strogatz small-world generator: index-derived ring
         # lattice + md5-coin rewiring, zero shuffles (rmat convention)
@@ -1394,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_generators": q_graph_generators,
         "configuration_model": q_configuration_model,
         "watts_strogatz": q_watts_strogatz,
+        "modularity_null_test": q_modularity_null,
     }
 
 
@@ -2547,6 +2567,74 @@ SELECT CAST(src AS BIGINT) AS src, CAST(o AS BIGINT) AS o,
 FROM draws
 ORDER BY src, o
 """
+
+    # modularity-vs-configuration-null z-score: 3 md5 rewires of the
+    # G(64,200) graph, unweighted multigraph modularity per null, all
+    # CTEs MATERIALIZED (chained rewires would inline exponentially)
+    def _mnq(tag, etab):
+        return f"""
+{tag}_m AS MATERIALIZED (SELECT COUNT(*) * 1.0 AS m FROM {etab}),
+{tag}_i AS MATERIALIZED (
+  SELECT SUM(CASE WHEN ms.comm = md.comm THEN 1.0 ELSE 0.0 END) AS i
+  FROM {etab} e JOIN memb ms ON ms.v = e.src JOIN memb md ON md.v = e.dst
+),
+{tag}_deg AS MATERIALIZED (
+  SELECT v, COUNT(*) * 1.0 AS deg
+  FROM (SELECT src AS v FROM {etab} UNION ALL SELECT dst FROM {etab}) GROUP BY v
+),
+{tag}_v2 AS MATERIALIZED (
+  SELECT SUM(vol * vol) AS v2 FROM (
+    SELECT mb.comm, SUM(d.deg) AS vol
+    FROM {tag}_deg d JOIN memb mb ON mb.v = d.v GROUP BY mb.comm)
+),
+{tag}_q AS MATERIALIZED (
+  SELECT ROUND(i / m - v2 / (4.0 * m * m), 6) AS q FROM {tag}_i, {tag}_m, {tag}_v2
+)"""
+
+    mn_cte = ["""gnm AS MATERIALIZED (
+  SELECT ('0x' || substr(md5('gnm-s-7-' || i), 1, 12))::BIGINT % 64 AS src,
+         ('0x' || substr(md5('gnm-d-7-' || i), 1, 12))::BIGINT % 64 AS dst
+  FROM (SELECT unnest(range(200)) AS i)
+)""", """und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS src,
+                  GREATEST(CAST(src AS VARCHAR), CAST(dst AS VARCHAR)) AS dst
+  FROM gnm WHERE CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR)
+)""", """memb AS MATERIALIZED (
+  SELECT v, ('0x' || substr(md5(v), 1, 8))::BIGINT % 4 AS comm
+  FROM (SELECT src AS v FROM und UNION SELECT dst FROM und)
+)""", """deg0 AS MATERIALIZED (
+  SELECT v, COUNT(*) AS deg
+  FROM (SELECT src AS v FROM und UNION ALL SELECT dst AS v FROM und) GROUP BY v
+)"""]
+    mn_cte.append(_mnq("obs", "und").strip())
+    for _s in (1, 2, 3):
+        mn_cte.append(f"""cfg{_s}_st AS MATERIALIZED (
+  SELECT v, md5('cfg-{_s}-' || v || '-' || CAST(j AS VARCHAR)) AS key
+  FROM deg0, LATERAL (SELECT unnest(range(1, deg + 1)) AS j)
+)""")
+        mn_cte.append(
+            f"cfg{_s}_rk AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY key) - 1"
+            f" AS rnk FROM cfg{_s}_st)"
+        )
+        mn_cte.append(f"""cfg{_s}_e AS MATERIALIZED (
+  SELECT MIN(CASE WHEN rnk % 2 = 0 THEN v END) AS src,
+         MIN(CASE WHEN rnk % 2 = 1 THEN v END) AS dst
+  FROM cfg{_s}_rk GROUP BY rnk // 2
+  HAVING MIN(CASE WHEN rnk % 2 = 1 THEN v END) IS NOT NULL
+)""")
+        mn_cte.append(_mnq(f"cfg{_s}", f"cfg{_s}_e").strip())
+    sqls["modularity_null_test"] = (
+        "WITH " + ",\n".join(mn_cte) + """
+SELECT o.q AS q_obs,
+       ROUND(AVG(n.q), 6) AS null_mean,
+       ROUND(STDDEV_POP(n.q), 6) AS null_std,
+       ROUND(CASE WHEN STDDEV_POP(n.q) > 0
+                  THEN (o.q - AVG(n.q)) / STDDEV_POP(n.q) END, 6) AS z
+FROM obs_q o, (SELECT q FROM cfg1_q UNION ALL SELECT q FROM cfg2_q
+               UNION ALL SELECT q FROM cfg3_q) n
+GROUP BY o.q
+"""
+    )
 
     # Israeli–Itai maximal matching: 5 unrolled local-min election
     # rounds over the G(64,200) generator graph; round r's winners are

@@ -351,3 +351,100 @@ def assortativity_nominal(edges: DataFrame, membership: DataFrame) -> DataFrame:
             6,
         ).alias("assortativity")
     )
+
+
+def _modularity_1row(edges_sd: DataFrame, memb: DataFrame):
+    """One-row unweighted multigraph modularity: Q = internal/m −
+    Σ_c (vol_c/2m)², degrees counted per edge-endpoint (self-loops add
+    2), each edge row counted once.  All 1-row scalars ride broadcast
+    cross joins."""
+    m1 = edges_sd.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    lab = (
+        edges_sd.join(memb.select(F.col("v").alias("src"), F.col("comm").alias("cs")), "src")
+        .join(memb.select(F.col("v").alias("dst"), F.col("comm").alias("cd")), "dst")
+    )
+    internal = lab.agg(
+        F.sum(F.when(F.col("cs") == F.col("cd"), 1.0).otherwise(0.0)).alias("i")
+    )
+    deg = (
+        edges_sd.select(F.col("src").alias("v"))
+        .unionByName(edges_sd.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    )
+    vol2 = (
+        deg.join(memb, "v")
+        .groupBy("comm")
+        .agg(F.sum("deg").alias("vol"))
+        .agg(F.sum(F.col("vol") * F.col("vol")).alias("v2"))
+    )
+    return (
+        internal.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(vol2))
+        .select(
+            F.round(
+                F.col("i") / F.col("m") - F.col("v2") / (4.0 * F.col("m") * F.col("m")), 6
+            ).alias("q")
+        )
+    )
+
+
+def modularity_null_test(
+    spark,
+    edges: DataFrame,
+    membership: DataFrame,
+    seeds=(1, 2, 3),
+) -> DataFrame:
+    """Modularity significance against the configuration-model null —
+    the test Newman–Girvan modularity is implicitly calibrated to (its
+    null term IS the configuration model's expectation), and the
+    empirical cousin of the reference's analytic Significance quality
+    (`src/SignificanceVertexPartition.py`): rewire the graph
+    degree-preservingly (md5-deterministic, one
+    :func:`~leidenalg_spark.sources.generators.configuration_model` per
+    seed), score the SAME membership on each null, and report
+    ``z = (Q_obs − mean(Q_null)) / std_pop(Q_null)``.  Returns one row
+    (q_obs, null_mean, null_std, z); z is NULL when the null spread is
+    0.  ``membership`` has columns (id, comm); ids are compared as
+    strings (the rewire operator's vertex key space).
+
+    Scale: each null is one rewire (bucketed rank, no global sort) plus
+    the modularity plan (two membership joins + hash aggregates);
+    ``len(seeds)`` passes total, embarrassingly parallel across seeds
+    on a real cluster.
+    """
+    from leidenalg_spark.sources.generators import configuration_model
+
+    memb = membership.select(F.col("id").cast("string").alias("v"), "comm")
+    und = (
+        edges.select(
+            F.least(F.col("src").cast("string"), F.col("dst").cast("string")).alias("src"),
+            F.greatest(F.col("src").cast("string"), F.col("dst").cast("string")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    q_obs = _modularity_1row(und, memb).select(F.col("q").alias("q_obs"))
+    nulls = None
+    for s in seeds:
+        rew = configuration_model(edges, seed=s).select("src", "dst")
+        qn = _modularity_1row(rew, memb)
+        nulls = qn if nulls is None else nulls.unionByName(qn)
+    summary = nulls.agg(
+        F.round(F.avg("q"), 6).alias("null_mean"),
+        F.round(F.stddev_pop("q"), 6).alias("null_std"),
+        F.avg("q").alias("_mu"),
+        F.stddev_pop("q").alias("_sd"),
+    )
+    return (
+        q_obs.crossJoin(F.broadcast(summary))
+        .select(
+            "q_obs",
+            "null_mean",
+            "null_std",
+            F.round(
+                F.when(F.col("_sd") > 0, (F.col("q_obs") - F.col("_mu")) / F.col("_sd")),
+                6,
+            ).alias("z"),
+        )
+    )

@@ -183,3 +183,20 @@ def test_nominal_assortativity_single_class_is_null(spark):
     )
     m = spark.createDataFrame([(i, 7) for i in range(3)], "id long, comm long")
     assert assortativity_nominal(e, m).first()["assortativity"] is None
+
+
+def test_modularity_null_test_detects_planted_structure(spark):
+    from leidenalg_spark.operators.community import modularity_null_test
+
+    # two 6-cliques joined by one edge, membership = the cliques: the
+    # observed modularity must sit far above every degree-preserving null
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(a, b) for a in range(6, 12) for b in range(a + 1, 12)]
+    edges += [(0, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    memb = spark.createDataFrame(
+        [(i, i // 6) for i in range(12)], "id long, comm long"
+    )
+    r = modularity_null_test(spark, e, memb, seeds=(1, 2, 3)).collect()[0]
+    assert r.q_obs > r.null_mean + 3 * r.null_std
+    assert r.z is None or r.z > 3
