@@ -688,6 +688,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = verts.withColumn("_p", pr).orderBy("_p", "id").limit(4).select("id")
         return K.voronoi_cells(spark, e, seeds, max_dist=3)
 
+    def q_attack_curve(spark, sf):
+        # Albert–Jeong–Barabási targeted-attack robustness on the
+        # scale-free R-MAT graph (the classic demonstration input — the
+        # bipartite graph collapses after its handful of type hubs):
+        # hub removal at 0/5/10% with LCC + fragmentation per step
+        from leidenalg_spark.sources.generators import rmat
+
+        base = rmat(spark, scale=7, m=1000, seed=42).select("src", "dst")
+        return K.attack_curve(spark, base, fractions=(0.0, 0.05, 0.1))
+
     def q_eccentricity(spark, sf):
         # igraph eccentricity/radius: truncated at 2 rings (same bounded
         # protocol as harmonic/closeness); radius/diameter bounds are
@@ -1299,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_matching": q_maximal_matching,
         "edge_betweenness": q_edge_betweenness,
         "eccentricity": q_eccentricity,
+        "attack_curve": q_attack_curve,
         "vocab_coverage": q_vocab_coverage,
         "graph_coloring": q_graph_coloring,
         "adamic_adar": q_adamic_adar,
@@ -3648,6 +3659,67 @@ s{k} AS (
         + "\nSELECT id, label FROM s4\n"
     )
 
+    # ---- targeted-attack robustness: per fraction, drop the top
+    # floor(f·|V|) degree-ranked vertices (ties → smaller id), then the
+    # same recursive reachability closure as cc_sql on the survivors
+    atk_cte = ["""ae AS (SELECT unnest(range(1000)) AS i)""", """alev AS (
+  SELECT ae.i, l.l,
+         ('0x' || substr(md5('rmat-42-' || ae.i || '-' || l.l), 1, 8))::BIGINT
+           / 4294967296.0 AS r
+  FROM ae, (SELECT unnest(range(7)) AS l) l
+)""", """abits AS (
+  SELECT i, l,
+         CASE WHEN r >= CAST(0.57 AS DOUBLE) + CAST(0.19 AS DOUBLE) THEN 1 ELSE 0 END AS rb,
+         CASE WHEN (r >= CAST(0.57 AS DOUBLE) AND r < CAST(0.57 AS DOUBLE) + CAST(0.19 AS DOUBLE))
+                OR r >= CAST(0.57 AS DOUBLE) + CAST(0.19 AS DOUBLE) + CAST(0.19 AS DOUBLE)
+              THEN 1 ELSE 0 END AS cb
+  FROM alev
+)""", """armg AS MATERIALIZED (
+  SELECT i, CAST(SUM(rb * (1 << l)) AS BIGINT) AS src,
+            CAST(SUM(cb * (1 << l)) AS BIGINT) AS dst
+  FROM abits GROUP BY i
+)""", """aund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM armg WHERE src <> dst
+)""", """asym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM aund UNION ALL SELECT b, a FROM aund
+)""", """adeg AS MATERIALIZED (
+  SELECT src AS id, COUNT(*) AS deg FROM asym GROUP BY src
+)""", "anv AS (SELECT COUNT(*) AS n FROM adeg)"]
+    atk_rows = []
+    for _t, _f in enumerate((0.0, 0.05, 0.1)):
+        atk_cte.append(f"""rm{_t} AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY deg DESC, id) AS rn FROM adeg), anv
+  WHERE rn <= FLOOR({_f} * anv.n)
+)""")
+        atk_cte.append(f"""sym{_t} AS MATERIALIZED (
+  SELECT s.src, s.dst FROM asym s
+  WHERE s.src NOT IN (SELECT id FROM rm{_t})
+    AND s.dst NOT IN (SELECT id FROM rm{_t})
+)""")
+        atk_cte.append(f"av{_t} AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym{_t})")
+        atk_cte.append(f"""reach{_t}(id, lbl) AS (
+  SELECT id, id FROM av{_t}
+  UNION
+  SELECT s.dst, r.lbl FROM reach{_t} r JOIN sym{_t} s ON s.src = r.id
+)""")
+        atk_cte.append(
+            f"comp{_t} AS MATERIALIZED (SELECT id, MIN(lbl) AS component "
+            f"FROM reach{_t} GROUP BY id)"
+        )
+        atk_rows.append(f"""SELECT CAST({_f} AS DOUBLE) AS frac,
+       CAST((SELECT COUNT(*) FROM rm{_t}) AS BIGINT) AS n_removed,
+       CAST((SELECT COUNT(*) FROM av{_t}) AS BIGINT) AS n_vertices,
+       CAST((SELECT COUNT(*) / 2 FROM sym{_t}) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(DISTINCT component) FROM comp{_t}) AS BIGINT) AS n_components,
+       CAST((SELECT COALESCE(MAX(sz), 0) FROM (
+             SELECT COUNT(*) AS sz FROM comp{_t} GROUP BY component)) AS BIGINT) AS lcc_size""")
+    attack_sql = (
+        "WITH RECURSIVE " + ",\n".join(atk_cte)
+        + "\n" + " UNION ALL ".join(atk_rows) + "\nORDER BY frac\n"
+    )
+
     # ---- connected components: reachability closure, component = min id
     cc_sql = (
         "WITH RECURSIVE " + _DET_PRELUDE + """,
@@ -4624,4 +4696,5 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "topological_levels": topo_sql,
             "voronoi_cells": voronoi_sql,
             "power_law_fit": plaw_sql,
-            "eccentricity": ecc_sql}
+            "eccentricity": ecc_sql,
+            "attack_curve": attack_sql}

@@ -3685,3 +3685,73 @@ def dice_coefficient(
     und.unpersist()
     deg.unpersist()
     return out
+
+
+def attack_curve(
+    spark,
+    edges: DataFrame,
+    fractions=(0.0, 0.05, 0.1),
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Targeted-attack robustness curve (Albert–Jeong–Barabási 2000):
+    for each fraction ``f``, remove the top ``floor(f·|V|)`` vertices by
+    degree (ties → smaller id) and report the surviving graph's size and
+    fragmentation — the first resilience chart a link-graph analyst
+    draws.  Returns one row per fraction: (frac, n_removed, n_vertices,
+    n_edges, n_components, lcc_size).  Vertices left with no surviving
+    edge are not counted (edge-list convention); components come from
+    :func:`connected_components` (min-id labels, O(log² n) rounds).
+
+    Scale: per fraction, the removal set is TakeOrderedAndProject top-k
+    (never a global sort), the surviving edges are two anti-joins, and
+    the component pass is the alternating-star CC; fractions are
+    independent — parallel jobs on a real cluster.
+    """
+    import math
+
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg")).persist()
+    n = deg.count()
+    rows = []
+    for f in fractions:
+        k = int(math.floor(float(f) * n))
+        rm = deg.orderBy(F.col("deg").desc(), "id").limit(k).select("id")
+        surv = (
+            sym.join(rm.withColumnRenamed("id", "a"), "a", "left_anti")
+            .join(rm.withColumnRenamed("id", "b"), "b", "left_anti")
+        )
+        e_und = surv.where(F.col("a") < F.col("b")).select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        )
+        n_edges = e_und.count()
+        if n_edges == 0:
+            rows.append((float(f), k, 0, 0, 0, 0))
+            continue
+        # fresh manager per fraction: CC tag/step names restart at 0 on
+        # every call, so sharing one manager across fractions would let
+        # its per-tag step pruning collide between runs
+        cc = connected_components(spark, e_und)
+        st = (
+            cc.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.count(F.lit(1)).alias("n_components"),
+                F.sum("sz").alias("n_vertices"),
+                F.max("sz").alias("lcc_size"),
+            )
+            .collect()[0]
+        )
+        rows.append(
+            (float(f), k, int(st.n_vertices), int(n_edges), int(st.n_components), int(st.lcc_size))
+        )
+    sym.unpersist()
+    deg.unpersist()
+    if own_ckpt and ckpt.path is None:
+        ckpt.close()
+    return spark.createDataFrame(
+        rows,
+        "frac double, n_removed long, n_vertices long, n_edges long, "
+        "n_components long, lcc_size long",
+    ).orderBy("frac")

@@ -1229,3 +1229,14 @@ def test_dice_coefficient_square_golden(spark):
     e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long")
     got = {(r.src, r.dst): (r.n_common, r.dice) for r in dice_coefficient(spark, e).collect()}
     assert got == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
+
+
+def test_attack_curve_star_collapse(spark):
+    from leidenalg_spark.operators.kernels import attack_curve
+
+    # star with 9 leaves: at f=0.2 (2 removed: hub first) nothing survives
+    e = spark.createDataFrame([(0, i) for i in range(1, 10)], "src long, dst long")
+    rows = {r.frac: (r.n_removed, r.n_vertices, r.n_edges, r.n_components, r.lcc_size)
+            for r in attack_curve(spark, e, fractions=(0.0, 0.2)).collect()}
+    assert rows[0.0] == (0, 10, 9, 1, 10)
+    assert rows[0.2] == (2, 0, 0, 0, 0)
