@@ -688,6 +688,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = verts.withColumn("_p", pr).orderBy("_p", "id").limit(4).select("id")
         return K.voronoi_cells(spark, e, seeds, max_dist=3)
 
+    def q_edge_drift(spark, sf):
+        # slice-to-slice edge-set churn of the daily (user, event_type)
+        # link graph — the structural companion of community_drift
+        ev = _events(spark, sf)
+        sliced = ev.select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long").alias("slice"),
+            F.col("user_id").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        return E.edge_set_drift(sliced).orderBy("slice")
+
     def q_attack_curve(spark, sf):
         # Albert–Jeong–Barabási targeted-attack robustness on the
         # scale-free R-MAT graph (the classic demonstration input — the
@@ -1310,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness": q_edge_betweenness,
         "eccentricity": q_eccentricity,
         "attack_curve": q_attack_curve,
+        "edge_drift": q_edge_drift,
         "vocab_coverage": q_vocab_coverage,
         "graph_coloring": q_graph_coloring,
         "adamic_adar": q_adamic_adar,
@@ -2557,6 +2570,31 @@ SELECT CAST(pair_id AS BIGINT) AS pair_id,
 FROM paired GROUP BY pair_id
 HAVING MIN(CASE WHEN side = 1 THEN v END) IS NOT NULL
 ORDER BY pair_id
+"""
+    sqls["edge_drift"] = """
+WITH cur AS (
+  SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS slice,
+         user_id AS src, event_type AS dst
+  FROM events
+),
+prv AS (SELECT slice + 1 AS slice, src, dst FROM cur),
+nc AS (SELECT slice, COUNT(*) AS n_curr FROM cur GROUP BY slice),
+np AS (SELECT slice, COUNT(*) AS n_prev FROM prv GROUP BY slice),
+cm AS (
+  SELECT c.slice, COUNT(*) AS n_common
+  FROM cur c JOIN prv p ON p.slice = c.slice AND p.src = c.src AND p.dst = c.dst
+  GROUP BY c.slice
+)
+SELECT CAST(np.slice AS BIGINT) AS slice,
+       CAST(n_prev AS BIGINT) AS n_prev,
+       CAST(n_curr AS BIGINT) AS n_curr,
+       CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+       CAST(n_curr - COALESCE(n_common, 0) AS BIGINT) AS n_new,
+       CAST(n_prev - COALESCE(n_common, 0) AS BIGINT) AS n_gone,
+       ROUND(COALESCE(n_common, 0) * 1.0
+             / (n_prev + n_curr - COALESCE(n_common, 0)), 6) AS jaccard
+FROM np JOIN nc USING (slice) LEFT JOIN cm USING (slice)
+ORDER BY slice
 """
     sqls["watts_strogatz"] = """
 WITH base AS (

@@ -280,3 +280,47 @@ def graph_summary(edges: DataFrame) -> DataFrame:
         F.round(F.when(n > 0, 2.0 * m / n), 6).alias("avg_degree"),
         "max_degree",
     )
+
+
+def edge_set_drift(sliced_edges: DataFrame) -> DataFrame:
+    """Slice-to-slice EDGE-set stability over a temporal link graph —
+    the structural companion of
+    :func:`~leidenalg_spark.operators.community.community_drift` (which
+    tracks memberships): for every consecutive slice pair, how many
+    edges persisted, appeared, and vanished, plus the edge-set Jaccard.
+    Input columns (slice:int-like, src, dst); edges are deduped per
+    slice, direction preserved.  Returns one row per slice with a
+    predecessor: (slice, n_prev, n_curr, n_common, n_new, n_gone,
+    jaccard), 1e-6 rounded.
+
+    Scale: one distinct per slice, one equi-join keyed
+    (slice, src, dst) against the shifted copy, three map-side-combinable
+    count aggregates — no windows, no collect.
+    """
+    cur = sliced_edges.select("slice", "src", "dst").distinct()
+    prev = cur.select((F.col("slice") + 1).alias("slice"), "src", "dst")
+    n_cur = cur.groupBy("slice").agg(F.count(F.lit(1)).alias("n_curr"))
+    n_prev = prev.groupBy("slice").agg(F.count(F.lit(1)).alias("n_prev"))
+    n_common = (
+        cur.join(prev, ["slice", "src", "dst"])
+        .groupBy("slice")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        n_prev.join(n_cur, "slice", "inner")
+        .join(n_common, "slice", "left")
+        .na.fill({"n_common": 0})
+        .select(
+            F.col("slice").cast("long").alias("slice"),
+            F.col("n_prev").cast("long").alias("n_prev"),
+            F.col("n_curr").cast("long").alias("n_curr"),
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("n_curr") - F.col("n_common")).cast("long").alias("n_new"),
+            (F.col("n_prev") - F.col("n_common")).cast("long").alias("n_gone"),
+            F.round(
+                F.col("n_common")
+                / (F.col("n_prev") + F.col("n_curr") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -335,3 +335,17 @@ def test_tool_chains_bigrams_in_turn_order(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = {r["chain"]: (r["n_convs"], r["count"]) for r in tool_chains(tr, n=2).collect()}
     assert out == {"bash>grep": (2, 2), "grep>bash": (1, 1)}
+
+
+def test_edge_set_drift_golden(spark):
+    from leidenalg_spark.operators.edges import edge_set_drift
+
+    # slice 1: {a,b}; slice 2: {b,c,d} -> common {b}, new {c,d}, gone {a}
+    rows = [
+        (1, "u1", "a"), (1, "u1", "b"), (1, "u1", "b"),
+        (2, "u1", "b"), (2, "u1", "c"), (2, "u1", "d"),
+    ]
+    df = spark.createDataFrame(rows, "slice long, src string, dst string")
+    got = {r.slice: (r.n_prev, r.n_curr, r.n_common, r.n_new, r.n_gone, r.jaccard)
+           for r in edge_set_drift(df).collect()}
+    assert got == {2: (2, 3, 1, 2, 1, 0.25)}
