@@ -688,6 +688,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seeds = verts.withColumn("_p", pr).orderBy("_p", "id").limit(4).select("id")
         return K.voronoi_cells(spark, e, seeds, max_dist=3)
 
+    def q_clique_census(spark, sf):
+        # bounded igraph cliques()/motifs slice on the scale-free R-MAT
+        # graph: edges / triangles / K4, each counted once (a<b<c<d)
+        from leidenalg_spark.sources.generators import rmat
+
+        base = rmat(spark, scale=7, m=1000, seed=42).select("src", "dst")
+        return K.clique_census(spark, base)
+
     def q_edge_drift(spark, sf):
         # slice-to-slice edge-set churn of the daily (user, event_type)
         # link graph — the structural companion of community_drift
@@ -1323,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "attack_curve": q_attack_curve,
         "edge_drift": q_edge_drift,
+        "clique_census": q_clique_census,
         "vocab_coverage": q_vocab_coverage,
         "graph_coloring": q_graph_coloring,
         "adamic_adar": q_adamic_adar,
@@ -3758,6 +3767,49 @@ s{k} AS (
         + "\n" + " UNION ALL ".join(atk_rows) + "\nORDER BY frac\n"
     )
 
+    # ---- clique census 2..4 on the R-MAT graph: canonical-order join
+    # chain (a<b<c<d), every clique counted once
+    clique_sql = """
+WITH e AS (SELECT unnest(range(1000)) AS i),
+lev AS (
+  SELECT e.i, l.l,
+         ('0x' || substr(md5('rmat-42-' || e.i || '-' || l.l), 1, 8))::BIGINT
+           / 4294967296.0 AS r
+  FROM e, (SELECT unnest(range(7)) AS l) l
+),
+bits AS (
+  SELECT i, l,
+         CASE WHEN r >= CAST(0.57 AS DOUBLE) + CAST(0.19 AS DOUBLE) THEN 1 ELSE 0 END AS rb,
+         CASE WHEN (r >= CAST(0.57 AS DOUBLE) AND r < CAST(0.57 AS DOUBLE) + CAST(0.19 AS DOUBLE))
+                OR r >= CAST(0.57 AS DOUBLE) + CAST(0.19 AS DOUBLE) + CAST(0.19 AS DOUBLE)
+              THEN 1 ELSE 0 END AS cb
+  FROM lev
+),
+rmg AS MATERIALIZED (
+  SELECT i, CAST(SUM(rb * (1 << l)) AS BIGINT) AS src,
+            CAST(SUM(cb * (1 << l)) AS BIGINT) AS dst
+  FROM bits GROUP BY i
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM rmg WHERE src <> dst
+),
+tri AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+),
+k4 AS MATERIALIZED (
+  SELECT t.a, t.b, t.c, e4.b AS d
+  FROM tri t JOIN und e4 ON e4.a = t.c
+  WHERE EXISTS (SELECT 1 FROM und x WHERE x.a = t.a AND x.b = e4.b)
+    AND EXISTS (SELECT 1 FROM und y WHERE y.a = t.b AND y.b = e4.b)
+)
+SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT COUNT(*) FROM k4) AS BIGINT) AS n_k4
+"""
+
     # ---- connected components: reachability closure, component = min id
     cc_sql = (
         "WITH RECURSIVE " + _DET_PRELUDE + """,
@@ -4735,4 +4787,5 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "voronoi_cells": voronoi_sql,
             "power_law_fit": plaw_sql,
             "eccentricity": ecc_sql,
-            "attack_curve": attack_sql}
+            "attack_curve": attack_sql,
+            "clique_census": clique_sql}

@@ -3755,3 +3755,60 @@ def attack_curve(
         "frac double, n_removed long, n_vertices long, n_edges long, "
         "n_components long, lcc_size long",
     ).orderBy("frac")
+
+
+def clique_census(spark, edges: DataFrame) -> DataFrame:
+    """Global clique census for sizes 2–4 — the bounded slice of igraph
+    ``cliques()`` / ``motifs_randesu`` that survives web scale: one row
+    (n_edges, n_triangles, n_k4) over the simple undirected graph.
+    Every clique is counted exactly once via the canonical ordering
+    a < b < c < d (Schank–Wagner orientation: each join extends the
+    clique by its highest-id vertex, so candidate lists are bounded by
+    ORIENTED degree, which hub-splitting keeps small even on power-law
+    graphs — the same argument as :func:`triangle_count`).
+
+    Scale: triangles = two equality joins on the oriented edge list;
+    K4 = one more join fan-out from each triangle's top vertex plus two
+    existence semi-joins — total cost Σ_tri deg⁺(c), never an all-pairs
+    product; three 1-row aggregates assemble on broadcast cross joins.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    tri = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            und.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            "left_semi",
+        )
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+        .persist()
+    )
+    k4 = (
+        tri.alias("t")
+        .join(und.alias("e4"), F.col("e4.a") == F.col("t.c"))
+        .select("t.a", "t.b", "t.c", F.col("e4.b").alias("d"))
+        .join(
+            und.select(F.col("a").alias("a"), F.col("b").alias("d")),
+            ["a", "d"],
+            "left_semi",
+        )
+        .join(
+            und.select(F.col("a").alias("b"), F.col("b").alias("d")),
+            ["b", "d"],
+            "left_semi",
+        )
+    )
+    ne = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nt = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    nk = k4.agg(F.count(F.lit(1)).cast("long").alias("n_k4"))
+    out = ne.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nk))
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    tri.unpersist()
+    return out

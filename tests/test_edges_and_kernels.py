@@ -1240,3 +1240,20 @@ def test_attack_curve_star_collapse(spark):
             for r in attack_curve(spark, e, fractions=(0.0, 0.2)).collect()}
     assert rows[0.0] == (0, 10, 9, 1, 10)
     assert rows[0.2] == (2, 0, 0, 0, 0)
+
+
+def test_clique_census_goldens(spark):
+    from leidenalg_spark.operators.kernels import clique_census
+
+    # K4: 6 edges, 4 triangles, 1 four-clique
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = clique_census(spark, spark.createDataFrame(k4, "src long, dst long")).collect()[0]
+    assert (r.n_edges, r.n_triangles, r.n_k4) == (6, 4, 1)
+    # K5: 10 edges, C(5,3)=10 triangles, C(5,4)=5 four-cliques
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    r = clique_census(spark, spark.createDataFrame(k5, "src long, dst long")).collect()[0]
+    assert (r.n_edges, r.n_triangles, r.n_k4) == (10, 10, 5)
+    # square (no diagonals): no triangles, no K4
+    sq = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    r = clique_census(spark, spark.createDataFrame(sq, "src long, dst long")).collect()[0]
+    assert (r.n_edges, r.n_triangles, r.n_k4) == (4, 0, 0)
