@@ -729,6 +729,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by the top-200 vocabulary types
         return T.vocab_coverage(_documents(spark, sf), k=200)
 
+    def q_filter_funnel(spark, sf):
+        # C4-style curation funnel: survivors after length, quality, and
+        # exact-dedup gates — one combinable aggregate, no second scan
+        return T.filter_funnel(
+            _documents(spark, sf), min_chars=50, max_chars=100_000, min_quality=0.5
+        ).orderBy("stage_idx")
+
+    def q_cross_source_dupes(spark, sf):
+        # who-copies-from-whom: distinct texts shared by source pairs
+        from leidenalg_spark.operators.dedup import cross_source_dupes
+
+        return cross_source_dupes(_documents(spark, sf)).orderBy("source_a", "source_b")
+
     def q_topological_levels(spark, sf):
         # igraph topological_sorting/is_dag: the small→large orientation
         # of the bipartite graph is a DAG by construction; level = Kahn
@@ -1333,6 +1346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_drift": q_edge_drift,
         "clique_census": q_clique_census,
         "vocab_coverage": q_vocab_coverage,
+        "filter_funnel": q_filter_funnel,
+        "cross_source_dupes": q_cross_source_dupes,
         "graph_coloring": q_graph_coloring,
         "adamic_adar": q_adamic_adar,
         "neighborhood_hll": q_neighborhood_hll,
@@ -2031,6 +2046,44 @@ SELECT CAST(rnk AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
        ROUND(SUM(cnt) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING)
              * 1.0 / tot.n, 6) AS coverage
 FROM top, tot
+""",
+        "filter_funnel": f"""
+WITH q AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         (least(n_tokens / 50.0, 1.0) * 0.4
+          + least(stop_hits / greatest(n_tokens, 1.0) * 5.0, 1.0) * 0.4
+          + (1.0 - least(punct / greatest(n_chars_d, 1.0) * 10.0, 1.0)) * 0.2) AS score
+  FROM (
+    SELECT doc_id, text,
+           CAST(length(text) AS DOUBLE) AS n_chars_d,
+           CAST(len({toks}) AS DOUBLE) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+           CAST(len(list_filter({toks}, t -> t IN {stop})) AS DOUBLE) AS stop_hits
+    FROM documents)
+),
+f AS (
+  SELECT COUNT(*) AS total,
+         SUM(CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) AS len_ok,
+         SUM(CASE WHEN n_chars BETWEEN 50 AND 100000 AND score >= 0.5
+                  THEN 1 ELSE 0 END) AS q_ok,
+         COUNT(DISTINCT CASE WHEN n_chars BETWEEN 50 AND 100000 AND score >= 0.5
+                             THEN md5(text) END) AS dedup_ok
+  FROM q
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'total' AS stage,
+         CAST(total AS BIGINT) AS n_docs, ROUND(total * 1.0 / total, 6) AS frac_of_total FROM f
+  UNION ALL SELECT 1, 'length', CAST(len_ok AS BIGINT), ROUND(len_ok * 1.0 / total, 6) FROM f
+  UNION ALL SELECT 2, 'quality', CAST(q_ok AS BIGINT), ROUND(q_ok * 1.0 / total, 6) FROM f
+  UNION ALL SELECT 3, 'dedup', CAST(dedup_ok AS BIGINT), ROUND(dedup_ok * 1.0 / total, 6) FROM f
+) ORDER BY stage_idx
+""",
+        "cross_source_dupes": """
+WITH h AS (SELECT DISTINCT md5(text) AS h, source FROM documents)
+SELECT l.source AS source_a, r.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+FROM h l JOIN h r ON r.h = l.h AND l.source < r.source
+GROUP BY 1, 2
 """,
         "doc_quality": f"""
 SELECT doc_id,

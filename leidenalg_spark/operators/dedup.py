@@ -416,3 +416,27 @@ def duplicate_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def cross_source_dupes(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Cross-source exact-duplication matrix: for every unordered source
+    pair, how many distinct texts appear in BOTH — the "who copies from
+    whom" curation signal that decides which source to keep when
+    near-identical feeds overlap.  Returns (source_a, source_b,
+    n_shared_texts) with source_a < source_b.
+
+    Scale: one distinct over (md5(text), source) — combinable — then a
+    self-join keyed on the hash, fan-out bounded per hash by the number
+    of DISTINCT SOURCES carrying it (≤ |sources|, a catalog-sized
+    constant), never by duplicate count.
+    """
+    h = docs.select(F.md5(F.col(col)).alias("h"), "source").distinct()
+    return (
+        h.alias("l")
+        .join(h.alias("r"), "h")
+        .where(F.col("l.source") < F.col("r.source"))
+        .groupBy(
+            F.col("l.source").alias("source_a"), F.col("r.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_texts"))
+    )

@@ -39,6 +39,24 @@ def token_count(docs: DataFrame, col="text") -> DataFrame:
     )
 
 
+def quality_score_col(col="text"):
+    """The composite C4/Gopher-style quality score in [0,1] as a bare
+    Column — shared by :func:`quality_score` (per-doc report) and
+    :func:`filter_funnel` (survival counts)."""
+    toks = tokens_col(col)
+    n_chars = F.length(F.col(col)).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    punct = (n_chars - F.length(F.regexp_replace(F.col(col), r"[.,;:!?]", ""))).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1.0))
+    return (
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.2
+    )
+
+
 def quality_score(docs: DataFrame, col="text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features and a
     composite score in [0,1] (C4/Gopher-style heuristics)."""
@@ -50,11 +68,7 @@ def quality_score(docs: DataFrame, col="text") -> DataFrame:
     avg_tok = n_chars / F.greatest(n_tokens, F.lit(1.0))
     punct_ratio = punct / F.greatest(n_chars, F.lit(1.0))
     stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1.0))
-    score = (
-        F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.2
-    )
+    score = quality_score_col(col)
     return docs.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
@@ -692,4 +706,44 @@ def vocab_coverage(docs: DataFrame, k: int = 500, col: str = "text") -> DataFram
                 6,
             ).alias("coverage"),
         )
+    )
+
+
+def filter_funnel(
+    docs: DataFrame,
+    min_chars: int = 50,
+    max_chars: int = 100_000,
+    min_quality: float = 0.5,
+    col: str = "text",
+) -> DataFrame:
+    """C4-style filter survival report: how many documents remain after
+    each successive curation gate — length window, quality threshold
+    (the :func:`quality_score_col` composite), exact dedup (distinct
+    text hash among survivors).  Returns one row per stage:
+    (stage_idx, stage, n_docs, frac_of_total), fractions 1e-6 rounded.
+    The stage list is cumulative — each count is AND of all gates so
+    far, the shape a curation dashboard plots directly.
+
+    Scale: ONE aggregate over the corpus (conditional counts +
+    conditional distinct-hash count, all map-side combinable), then a
+    4-row stack — no joins, no windows, no second scan.
+    """
+    n_chars = F.length(F.col(col))
+    len_ok = (n_chars >= min_chars) & (n_chars <= max_chars)
+    q_ok = len_ok & (quality_score_col(col) >= F.lit(float(min_quality)))
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(len_ok.cast("long")).alias("len_ok"),
+        F.sum(q_ok.cast("long")).alias("q_ok"),
+        F.count_distinct(F.when(q_ok, F.md5(F.col(col)))).alias("dedup_ok"),
+    )
+    return agg.selectExpr(
+        "stack(4, 0L, 'total', total, 1L, 'length', len_ok, "
+        "2L, 'quality', q_ok, 3L, 'dedup', dedup_ok) AS (stage_idx, stage, n_docs)",
+        "total",
+    ).select(
+        "stage_idx",
+        "stage",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("frac_of_total"),
     )

@@ -94,6 +94,9 @@ DECLARATIVE = [
     "dyad_census",
     "power_law_fit",
     "vocab_coverage",
+    "filter_funnel",
+    "cross_source_dupes",
+    "edge_drift",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,

@@ -623,3 +623,37 @@ def test_vocab_coverage_golden(spark):
         2: ("b", 3, round(7 / 9, 6)),
         3: ("c", 1, round(8 / 9, 6)),
     }
+
+
+def test_filter_funnel_golden(spark):
+    from leidenalg_spark.operators.textops import filter_funnel
+
+    good = "the cat and the dog is in the house and it is warm " * 5
+    docs = spark.createDataFrame(
+        [(1, good), (2, good), (3, "short"), (4, "x" * 200)],
+        "doc_id long, text string",
+    )
+    rows = {r.stage: (r.stage_idx, r.n_docs, r.frac_of_total)
+            for r in filter_funnel(docs, min_chars=50, max_chars=1000).collect()}
+    # doc3 fails length; doc4 passes length but has no stopwords/length
+    # signal -> fails quality; docs 1,2 pass everything but are identical
+    assert rows["total"] == (0, 4, 1.0)
+    assert rows["length"] == (1, 3, 0.75)
+    assert rows["quality"] == (2, 2, 0.5)
+    assert rows["dedup"] == (3, 1, 0.25)
+
+
+def test_cross_source_dupes_golden(spark):
+    from leidenalg_spark.operators.dedup import cross_source_dupes
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa", "s1"), (2, "aaa", "s2"), (3, "aaa", "s3"),
+            (4, "bbb", "s1"), (5, "bbb", "s2"), (6, "bbb", "s1"),
+            (7, "ccc", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {(r.source_a, r.source_b): r.n_shared_texts
+           for r in cross_source_dupes(docs).collect()}
+    assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
