@@ -718,6 +718,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         base = rmat(spark, scale=7, m=1000, seed=42).select("src", "dst")
         return K.attack_curve(spark, base, fractions=(0.0, 0.05, 0.1))
 
+    def q_sssp_weighted(spark, sf):
+        # igraph distances(weights=...): Bellman–Ford relaxation from
+        # vertex 0; converges in 4 rounds here, oracle unrolls 8 (extra
+        # rounds provably change nothing at a fixpoint)
+        return K.sssp_weighted(spark, _bipartite_ids_det(spark, sf), 0)
+
     def q_eccentricity(spark, sf):
         # igraph eccentricity/radius: truncated at 2 rings (same bounded
         # protocol as harmonic/closeness); radius/diameter bounds are
@@ -1342,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_matching": q_maximal_matching,
         "edge_betweenness": q_edge_betweenness,
         "eccentricity": q_eccentricity,
+        "sssp_weighted": q_sssp_weighted,
         "attack_curve": q_attack_curve,
         "edge_drift": q_edge_drift,
         "clique_census": q_clique_census,
@@ -4466,6 +4473,28 @@ FROM ball GROUP BY id
 """
     )
 
+    # ---- weighted SSSP from vertex 0: 8 unrolled Bellman–Ford rounds
+    # (fixpoint at 4 on this graph; extra rounds are provable no-ops),
+    # min-collapsed symmetric weights, every round MATERIALIZED
+    bf_cte = ["wsym AS MATERIALIZED (SELECT src, dst, MIN(weight) AS w FROM sym GROUP BY src, dst)",
+              "d0 AS (SELECT CAST(0 AS BIGINT) AS id, 0.0 AS dist)"]
+    for _r in range(1, 9):
+        bf_cte.append(f"""c{_r} AS MATERIALIZED (
+  SELECT s.dst AS id, MIN(d.dist + s.w) AS nd
+  FROM d{_r - 1} d JOIN wsym s ON s.src = d.id GROUP BY s.dst
+)""")
+        bf_cte.append(f"""d{_r} AS MATERIALIZED (
+  SELECT COALESCE(d.id, c.id) AS id,
+         CASE WHEN d.dist IS NULL THEN c.nd
+              WHEN c.nd IS NULL THEN d.dist
+              WHEN c.nd < d.dist THEN c.nd ELSE d.dist END AS dist
+  FROM d{_r - 1} d FULL JOIN c{_r} c ON c.id = d.id
+)""")
+    sssp_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(bf_cte)
+        + "\nSELECT id, ROUND(dist, 6) AS dist FROM d8\n"
+    )
+
     # ---- truncated eccentricity (max_dist=2): max ring index + reached
     # count over the same unrolled 2-ring ball as harmonic/closeness
     ecc_sql = (
@@ -4840,5 +4869,6 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "voronoi_cells": voronoi_sql,
             "power_law_fit": plaw_sql,
             "eccentricity": ecc_sql,
+            "sssp_weighted": sssp_sql,
             "attack_curve": attack_sql,
             "clique_census": clique_sql}

@@ -3812,3 +3812,89 @@ def clique_census(spark, edges: DataFrame) -> DataFrame:
     und.unpersist()
     tri.unpersist()
     return out
+
+
+def sssp_weighted(
+    spark,
+    edges: DataFrame,
+    src_id: int,
+    rounds: int | None = None,
+    max_rounds: int = 30,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Single-source WEIGHTED shortest-path distances via synchronous
+    Bellman–Ford relaxation — igraph ``distances(v, weights=...)``.
+    Positive weights required (the undirected symmetrisation makes any
+    negative edge a negative cycle); parallel edges collapse to their
+    min weight per direction, symmetrised by min.  Returns (id, dist)
+    for vertices reachable within the executed rounds, 1e-6 rounded.
+
+    ``rounds``: run EXACTLY that many relaxation rounds (the
+    oracle-comparability mode, cf. :func:`k_core`); default detects the
+    fixpoint (a round that improves no distance).  Rounds needed = max
+    HOP count of any weighted shortest path — bounded by the longest
+    cheap detour, not the unweighted diameter.
+
+    Scale: per round one dist⋈adjacency join + per-destination min
+    aggregate (map-side combinable) + one full-outer merge keyed on id;
+    state is one |reached|-row table — the standard distributed SSSP
+    shape (Pregel/GraphX), expressed as DataFrame algebra.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    w = F.col("weight").cast("double") if "weight" in edges.columns else F.lit(1.0)
+    e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"), w.alias("w")).where(
+        F.col("a") != F.col("b")
+    )
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    bad = sym.where(F.col("w") <= 0).limit(1).collect()
+    if bad:
+        raise ValueError(f"sssp_weighted requires positive weights, got {bad[0].w!r}")
+    from pyspark.sql import Observation
+
+    dist = spark.createDataFrame([(int(src_id), 0.0)], "id long, dist double")
+    dist = ckpt.save(dist, "bf_dist", 0)
+    n_rounds = rounds if rounds is not None else max_rounds
+    for r in range(1, n_rounds + 1):
+        cand = (
+            dist.join(sym.select(F.col("a").alias("id"), "b", "w"), "id")
+            .select(F.col("b").alias("id"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = dist.join(cand, "id", "full_outer").select(
+            "id",
+            "dist",
+            "nd",
+            F.when(
+                F.col("dist").isNull() | (F.col("nd") < F.col("dist")), F.col("nd")
+            )
+            .otherwise(F.col("dist"))
+            .alias("new_dist"),
+        )
+        obs = Observation()
+        merged = merged.observe(
+            obs,
+            F.sum(
+                (
+                    F.col("nd").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+                ).cast("long")
+            ).alias("improved"),
+        )
+        dist = ckpt.save(merged.select("id", F.col("new_dist").alias("dist")), "bf_dist", r)
+        improved = int(obs.get["improved"] or 0)
+        ckpt.log(name="sssp", step=r, improved=improved)
+        if rounds is None and improved == 0:
+            break
+    out = dist.select("id", F.round("dist", 6).alias("dist"))
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    sym.unpersist()
+    return out

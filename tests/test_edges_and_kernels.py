@@ -1257,3 +1257,25 @@ def test_clique_census_goldens(spark):
     sq = [(0, 1), (1, 2), (2, 3), (0, 3)]
     r = clique_census(spark, spark.createDataFrame(sq, "src long, dst long")).collect()[0]
     assert (r.n_edges, r.n_triangles, r.n_k4) == (4, 0, 0)
+
+
+def test_sssp_weighted_prefers_cheap_detour(spark):
+    from leidenalg_spark.operators.kernels import sssp_weighted
+
+    # direct 0-2 costs 10; detour 0-1-2 costs 3 — weighted SSSP must
+    # take the longer-hop cheaper path
+    e = spark.createDataFrame(
+        [(0, 2, 10.0), (0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    got = {r.id: r.dist for r in sssp_weighted(spark, e, 0).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 3.0, 3: 4.0}
+
+
+def test_sssp_weighted_rejects_nonpositive(spark):
+    import pytest as _pytest
+    from leidenalg_spark.operators.kernels import sssp_weighted
+
+    e = spark.createDataFrame([(0, 1, -1.0)], "src long, dst long, weight double")
+    with _pytest.raises(ValueError):
+        sssp_weighted(spark, e, 0)
