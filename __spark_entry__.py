@@ -413,6 +413,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_reciprocity(spark, sf):
         return K.reciprocity(spark, _transition_ids(spark, sf))
 
+    def q_bipartiteness(spark, sf):
+        # igraph is_bipartite via the double-cover reduction: one CC run
+        # on the (2|V|, 2|E|) cover decides every component at once
+        return K.bipartiteness(spark, _transition_ids(spark, sf)).orderBy("component")
+
     def q_dyad_census(spark, sf):
         # igraph dyad_census: (mutual, asym, null) — null dyads are
         # arithmetic over C(|V|,2), never materialised
@@ -1400,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_centrality": q_eigenvector,
         "reciprocity": q_reciprocity,
         "dyad_census": q_dyad_census,
+        "bipartiteness": q_bipartiteness,
         "power_law_fit": q_power_law_fit,
         "closed_triples": q_closed_triples,
         "k_truss": q_k_truss,
@@ -4050,6 +4056,33 @@ SELECT n_mutual, n_asym,
 FROM ma, nv
 """
     )
+    # ---- bipartiteness via the double cover: component = min cover
+    # label // 2, two one-per-side copies ⇔ no odd cycle
+    bip_sql = (
+        "WITH RECURSIVE " + ",\n".join(trans_prelude) + """,
+bde AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM nedges WHERE src <> dst),
+cov AS (SELECT 2 * a AS src, 2 * b + 1 AS dst FROM bde
+        UNION ALL SELECT 2 * a + 1, 2 * b FROM bde),
+csym AS (SELECT src, dst FROM cov UNION ALL SELECT dst, src FROM cov),
+cverts AS (SELECT DISTINCT src AS id FROM csym),
+reach(id, lbl) AS (
+  SELECT id, id FROM cverts
+  UNION
+  SELECT s.dst, r.lbl FROM reach r JOIN csym s ON s.src = r.id
+),
+comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+pv AS (
+  SELECT id // 2 AS v, MIN(component) AS c0, MAX(component) AS c1
+  FROM comp GROUP BY id // 2
+)
+SELECT CAST(c0 // 2 AS BIGINT) AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       BOOL_AND(c0 <> c1) AS is_bipartite
+FROM pv GROUP BY c0 // 2
+ORDER BY component
+"""
+    )
     triples_sql = (
         "WITH " + ",\n".join(trans_prelude) + """,
 de AS (SELECT DISTINCT src, dst FROM nedges WHERE src <> dst),
@@ -4843,6 +4876,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "eigenvector_centrality": eig_sql,
             "reciprocity": recip_sql,
             "dyad_census": dyad_sql,
+            "bipartiteness": bip_sql,
             "triad_census": triad_sql,
             "bib_coupling": coupling_sql,
             "avg_neighbor_degree": knn_sql,

@@ -3898,3 +3898,49 @@ def sssp_weighted(
         ckpt.close()
     sym.unpersist()
     return out
+
+
+def bipartiteness(spark, edges: DataFrame, ckpt: CheckpointManager | None = None) -> DataFrame:
+    """Per-component bipartiteness — igraph ``is_bipartite()`` /
+    ``is_bipartite`` + component structure, via the BIPARTITE DOUBLE
+    COVER reduction: vertex v splits into 2v and 2v+1, every undirected
+    edge (u,v) becomes (2u, 2v+1) and (2u+1, 2v); v's two copies land in
+    the same cover-component iff v's component contains an odd cycle.
+    One :func:`connected_components` run on the (2|V|, 2|E|) cover does
+    all the work — no new iteration logic, O(log² n) rounds.  The
+    original component label recovers as
+    ``min(cc(2v), cc(2v+1)) // 2``.  Returns one row per component:
+    (component, n_vertices, is_bipartite).
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cover = und.select(
+        (2 * F.col("a")).alias("src"), (2 * F.col("b") + 1).alias("dst")
+    ).unionByName(
+        und.select((2 * F.col("a") + 1).alias("src"), (2 * F.col("b")).alias("dst"))
+    )
+    cc = connected_components(spark, cover, ckpt=ckpt)
+    per_v = (
+        cc.select((F.col("id") / 2).cast("long").alias("v"),
+                  (F.col("id") % 2).alias("side"), "component")
+        .groupBy("v")
+        .agg(
+            F.min("component").alias("c0"),
+            F.max("component").alias("c1"),
+        )
+    )
+    return (
+        per_v.select(
+            (F.col("c0") / 2).cast("long").alias("component"),
+            "v",
+            (F.col("c0") != F.col("c1")).alias("two_sided"),
+        )
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.min(F.col("two_sided").cast("int")).cast("boolean").alias("is_bipartite"),
+        )
+    )

@@ -1279,3 +1279,16 @@ def test_sssp_weighted_rejects_nonpositive(spark):
     e = spark.createDataFrame([(0, 1, -1.0)], "src long, dst long, weight double")
     with _pytest.raises(ValueError):
         sssp_weighted(spark, e, 0)
+
+
+def test_bipartiteness_even_vs_odd_cycle(spark):
+    from leidenalg_spark.operators.kernels import bipartiteness
+
+    # square (even cycle, bipartite) + disjoint triangle (odd, not)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    got = {r.component: (r.n_vertices, r.is_bipartite)
+           for r in bipartiteness(spark, e).collect()}
+    assert got == {0: (4, True), 10: (3, False)}
