@@ -4057,9 +4057,22 @@ FROM ma, nv
 """
     )
     # ---- bipartiteness via the double cover: component = min cover
-    # label // 2, two one-per-side copies ⇔ no odd cycle
+    # label // 2, two one-per-side copies ⇔ no odd cycle.
+    # NB: under WITH RECURSIVE DuckDB parses any `name AS (X UNION Y)`
+    # CTE as recursive even without self-reference, silently changing
+    # its dedup semantics — so the prelude's bare-UNION CTEs (tnames,
+    # nverts) are replaced with subquery-wrapped equivalents here.
+    bip_prelude = [
+        trans_prelude[0],
+        "tnames AS (SELECT DISTINCT nm FROM (SELECT a AS nm FROM tr"
+        " UNION ALL SELECT b AS nm FROM tr))",
+        trans_prelude[2],
+        trans_prelude[3],
+        "nverts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM nedges"
+        " UNION ALL SELECT dst AS id FROM nedges))",
+    ]
     bip_sql = (
-        "WITH RECURSIVE " + ",\n".join(trans_prelude) + """,
+        "WITH RECURSIVE " + ",\n".join(bip_prelude) + """,
 bde AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         FROM nedges WHERE src <> dst),
 cov AS (SELECT 2 * a AS src, 2 * b + 1 AS dst FROM bde
