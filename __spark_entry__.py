@@ -701,6 +701,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         base = rmat(spark, scale=7, m=1000, seed=42).select("src", "dst")
         return K.clique_census(spark, base)
 
+    def q_burstiness(spark, sf):
+        # Goh–Barabási per-user burstiness of inter-event gaps
+        from leidenalg_spark.operators.events import burstiness
+
+        return burstiness(_events(spark, sf)).orderBy("user_id")
+
     def q_edge_drift(spark, sf):
         # slice-to-slice edge-set churn of the daily (user, event_type)
         # link graph — the structural companion of community_drift
@@ -1357,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attack_curve": q_attack_curve,
         "edge_drift": q_edge_drift,
         "clique_census": q_clique_census,
+        "burstiness": q_burstiness,
         "vocab_coverage": q_vocab_coverage,
         "filter_funnel": q_filter_funnel,
         "cross_source_dupes": q_cross_source_dupes,
@@ -2645,6 +2652,23 @@ SELECT CAST(pair_id AS BIGINT) AS pair_id,
 FROM paired GROUP BY pair_id
 HAVING MIN(CASE WHEN side = 1 THEN v END) IS NOT NULL
 ORDER BY pair_id
+"""
+    sqls["burstiness"] = """
+WITH g AS (
+  SELECT user_id,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(AVG(gap), 6) AS mean_gap_s,
+       ROUND(CASE WHEN AVG(gap) > 0 THEN STDDEV_POP(gap) / AVG(gap) END, 6) AS cv,
+       ROUND(CASE WHEN STDDEV_POP(gap) + AVG(gap) > 0
+                  THEN (STDDEV_POP(gap) - AVG(gap))
+                       / (STDDEV_POP(gap) + AVG(gap)) END, 6) AS burstiness
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id HAVING COUNT(*) >= 2
+ORDER BY user_id
 """
     sqls["edge_drift"] = """
 WITH cur AS (

@@ -353,3 +353,39 @@ def anomaly_windows(
             "is_anomaly"
         ),
     )
+
+
+def burstiness(
+    events: DataFrame, id_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-actor activity burstiness (Goh & Barabási 2008): over the
+    actor's inter-event gaps, ``B = (σ − μ) / (σ + μ)`` — −1 for a
+    perfectly periodic actor, ≈0 for Poisson arrivals, →1 for bursty
+    ones — plus the gap mean and coefficient of variation.  Actors with
+    fewer than 2 gaps are dropped (σ undefined).  Returns (user_id,
+    n_gaps, mean_gap_s, cv, burstiness), 1e-6 rounded.
+
+    Scale: one window lag partitioned by actor (per-actor sorted runs,
+    the sessionize shape — no global sort) + one hash aggregate;
+    timestamps go through unix_micros (NTZ-safe, matches DuckDB
+    ``epoch()`` exactly in the UTC session).
+    """
+    from pyspark.sql import Window
+
+    sec = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    w = Window.partitionBy(id_col).orderBy(ts_col, "event_id")
+    g = events.select(
+        F.col(id_col), (sec - F.lag(sec).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    mu = F.avg("gap")
+    sd = F.stddev_pop("gap")
+    return (
+        g.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.round(mu, 6).alias("mean_gap_s"),
+            F.round(F.when(mu > 0, sd / mu), 6).alias("cv"),
+            F.round(F.when((sd + mu) > 0, (sd - mu) / (sd + mu)), 6).alias("burstiness"),
+        )
+        .where(F.col("n_gaps") >= 2)
+    )

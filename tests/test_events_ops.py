@@ -349,3 +349,24 @@ def test_edge_set_drift_golden(spark):
     got = {r.slice: (r.n_prev, r.n_curr, r.n_common, r.n_new, r.n_gone, r.jaccard)
            for r in edge_set_drift(df).collect()}
     assert got == {2: (2, 3, 1, 2, 1, 0.25)}
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    import datetime as dt
+    from leidenalg_spark.operators.events import burstiness
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # user 1: perfectly periodic (gap 10s) -> sigma 0, B = -1
+    for i in range(5):
+        rows.append((i, t0 + dt.timedelta(seconds=10 * i), 1, "e", 0.0))
+    # user 2: gaps 1,1,1,100 -> mu=25.75, sigma_pop~42.87, B~0.2495
+    offs = [0, 1, 2, 3, 103]
+    for j, o in enumerate(offs):
+        rows.append((100 + j, t0 + dt.timedelta(seconds=o), 2, "e", 0.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.user_id: r for r in burstiness(ev).collect()}
+    assert got[1].burstiness == -1.0 and got[1].cv == 0.0 and got[1].n_gaps == 4
+    assert got[2].mean_gap_s == 25.75 and abs(got[2].burstiness - 0.249471) < 1e-6
