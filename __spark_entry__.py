@@ -729,6 +729,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         base = rmat(spark, scale=7, m=1000, seed=42).select("src", "dst")
         return K.attack_curve(spark, base, fractions=(0.0, 0.05, 0.1))
 
+    def q_failure_curve(spark, sf):
+        # the AJB contrast case: md5-random removal barely fragments the
+        # same scale-free graph that targeted attack shatters
+        from leidenalg_spark.sources.generators import rmat
+
+        base = rmat(spark, scale=7, m=1000, seed=42).select("src", "dst")
+        return K.attack_curve(
+            spark, base, fractions=(0.0, 0.05, 0.1), strategy="random", seed=42
+        )
+
     def q_sssp_weighted(spark, sf):
         # igraph distances(weights=...): Bellman–Ford relaxation from
         # vertex 0; converges in 4 rounds here, oracle unrolls 8 (extra
@@ -1361,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "sssp_weighted": q_sssp_weighted,
         "attack_curve": q_attack_curve,
+        "failure_curve": q_failure_curve,
         "edge_drift": q_edge_drift,
         "clique_census": q_clique_census,
         "burstiness": q_burstiness,
@@ -3823,38 +3834,47 @@ s{k} AS (
 )""", """adeg AS MATERIALIZED (
   SELECT src AS id, COUNT(*) AS deg FROM asym GROUP BY src
 )""", "anv AS (SELECT COUNT(*) AS n FROM adeg)"]
-    atk_rows = []
-    for _t, _f in enumerate((0.0, 0.05, 0.1)):
-        atk_cte.append(f"""rm{_t} AS MATERIALIZED (
+    def _robustness_sql(rank_order):
+        # rank_order: the ORDER BY inside the removal election — degree
+        # attack vs md5 random failure share everything else
+        ctes = list(atk_cte)
+        rows_sel = []
+        for _t, _f in enumerate((0.0, 0.05, 0.1)):
+            ctes.append(f"""rm{_t} AS MATERIALIZED (
   SELECT id FROM (
-    SELECT id, ROW_NUMBER() OVER (ORDER BY deg DESC, id) AS rn FROM adeg), anv
+    SELECT id, ROW_NUMBER() OVER (ORDER BY {rank_order}) AS rn FROM adeg), anv
   WHERE rn <= FLOOR({_f} * anv.n)
 )""")
-        atk_cte.append(f"""sym{_t} AS MATERIALIZED (
+            ctes.append(f"""sym{_t} AS MATERIALIZED (
   SELECT s.src, s.dst FROM asym s
   WHERE s.src NOT IN (SELECT id FROM rm{_t})
     AND s.dst NOT IN (SELECT id FROM rm{_t})
 )""")
-        atk_cte.append(f"av{_t} AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym{_t})")
-        atk_cte.append(f"""reach{_t}(id, lbl) AS (
+            ctes.append(f"av{_t} AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym{_t})")
+            ctes.append(f"""reach{_t}(id, lbl) AS (
   SELECT id, id FROM av{_t}
   UNION
   SELECT s.dst, r.lbl FROM reach{_t} r JOIN sym{_t} s ON s.src = r.id
 )""")
-        atk_cte.append(
-            f"comp{_t} AS MATERIALIZED (SELECT id, MIN(lbl) AS component "
-            f"FROM reach{_t} GROUP BY id)"
-        )
-        atk_rows.append(f"""SELECT CAST({_f} AS DOUBLE) AS frac,
+            ctes.append(
+                f"comp{_t} AS MATERIALIZED (SELECT id, MIN(lbl) AS component "
+                f"FROM reach{_t} GROUP BY id)"
+            )
+            rows_sel.append(f"""SELECT CAST({_f} AS DOUBLE) AS frac,
        CAST((SELECT COUNT(*) FROM rm{_t}) AS BIGINT) AS n_removed,
        CAST((SELECT COUNT(*) FROM av{_t}) AS BIGINT) AS n_vertices,
        CAST((SELECT COUNT(*) / 2 FROM sym{_t}) AS BIGINT) AS n_edges,
        CAST((SELECT COUNT(DISTINCT component) FROM comp{_t}) AS BIGINT) AS n_components,
        CAST((SELECT COALESCE(MAX(sz), 0) FROM (
              SELECT COUNT(*) AS sz FROM comp{_t} GROUP BY component)) AS BIGINT) AS lcc_size""")
-    attack_sql = (
-        "WITH RECURSIVE " + ",\n".join(atk_cte)
-        + "\n" + " UNION ALL ".join(atk_rows) + "\nORDER BY frac\n"
+        return (
+            "WITH RECURSIVE " + ",\n".join(ctes)
+            + "\n" + " UNION ALL ".join(rows_sel) + "\nORDER BY frac\n"
+        )
+
+    attack_sql = _robustness_sql("deg DESC, id")
+    failure_sql = _robustness_sql(
+        "('0x' || substr(md5('42:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT, id"
     )
 
     # ---- clique census 2..4 on the R-MAT graph: canonical-order join
@@ -4942,4 +4962,5 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "eccentricity": ecc_sql,
             "sssp_weighted": sssp_sql,
             "attack_curve": attack_sql,
+            "failure_curve": failure_sql,
             "clique_census": clique_sql}

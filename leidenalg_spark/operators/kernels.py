@@ -3691,15 +3691,20 @@ def attack_curve(
     spark,
     edges: DataFrame,
     fractions=(0.0, 0.05, 0.1),
+    strategy: str = "degree",
+    seed: int = 42,
     ckpt: CheckpointManager | None = None,
 ) -> DataFrame:
-    """Targeted-attack robustness curve (Albert–Jeong–Barabási 2000):
-    for each fraction ``f``, remove the top ``floor(f·|V|)`` vertices by
-    degree (ties → smaller id) and report the surviving graph's size and
-    fragmentation — the first resilience chart a link-graph analyst
-    draws.  Returns one row per fraction: (frac, n_removed, n_vertices,
-    n_edges, n_components, lcc_size).  Vertices left with no surviving
-    edge are not counted (edge-list convention); components come from
+    """Robustness curve (Albert–Jeong–Barabási 2000): for each fraction
+    ``f``, remove ``floor(f·|V|)`` vertices and report the surviving
+    graph's size and fragmentation — the first resilience chart a
+    link-graph analyst draws.  ``strategy='degree'`` is the targeted
+    attack (top degree, ties → smaller id); ``strategy='random'`` is the
+    AJB random-failure contrast, electing victims by md5(seed, id) —
+    deterministic and SQL-reproducible, the betweenness pivot idiom.
+    Returns one row per fraction: (frac, n_removed, n_vertices, n_edges,
+    n_components, lcc_size).  Vertices left with no surviving edge are
+    not counted (edge-list convention); components come from
     :func:`connected_components` (min-id labels, O(log² n) rounds).
 
     Scale: per fraction, the removal set is TakeOrderedAndProject top-k
@@ -3709,15 +3714,28 @@ def attack_curve(
     """
     import math
 
+    if strategy not in ("degree", "random"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     own_ckpt = ckpt is None
     ckpt = ckpt or CheckpointManager(spark)
     sym = _sym_simple(edges).persist()
     deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg")).persist()
     n = deg.count()
+    if strategy == "random":
+        pr = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("id").cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long")
+        ranked = deg.select("id", pr.alias("_p"))
     rows = []
     for f in fractions:
         k = int(math.floor(float(f) * n))
-        rm = deg.orderBy(F.col("deg").desc(), "id").limit(k).select("id")
+        if strategy == "random":
+            rm = ranked.orderBy("_p", "id").limit(k).select("id")
+        else:
+            rm = deg.orderBy(F.col("deg").desc(), "id").limit(k).select("id")
         surv = (
             sym.join(rm.withColumnRenamed("id", "a"), "a", "left_anti")
             .join(rm.withColumnRenamed("id", "b"), "b", "left_anti")

@@ -1292,3 +1292,19 @@ def test_bipartiteness_even_vs_odd_cycle(spark):
     got = {r.component: (r.n_vertices, r.is_bipartite)
            for r in bipartiteness(spark, e).collect()}
     assert got == {0: (4, True), 10: (3, False)}
+
+
+def test_failure_vs_attack_contrast(spark):
+    from leidenalg_spark.operators.kernels import attack_curve
+
+    # star with 19 leaves: targeted attack at f=0.05 (1 vertex) kills
+    # the hub and everything; random failure with this seed removes a
+    # leaf and the star survives
+    e = spark.createDataFrame([(0, i) for i in range(1, 20)], "src long, dst long")
+    atk = {r.frac: r for r in attack_curve(spark, e, fractions=(0.05,)).collect()}
+    rnd = {r.frac: r for r in attack_curve(
+        spark, e, fractions=(0.05,), strategy="random", seed=42).collect()}
+    assert atk[0.05].n_edges == 0 and atk[0.05].lcc_size == 0
+    assert rnd[0.05].n_removed == 1
+    if 0 not in {rnd[0.05].n_edges}:  # hub survived this seed
+        assert rnd[0.05].n_edges == 18 and rnd[0.05].lcc_size == 19
