@@ -769,6 +769,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return cross_source_dupes(_documents(spark, sf)).orderBy("source_a", "source_b")
 
+    def q_leading_eigenvector(spark, sf):
+        # Newman leading-eigenvector bisection (igraph
+        # community_leading_eigenvector, one level): shifted power
+        # iteration on the modularity matrix, rank-1 term never
+        # materialised; 9dp barrier rounding pins both engines
+        from leidenalg_spark.operators.community import leading_eigenvector_split
+
+        return leading_eigenvector_split(
+            spark, _bipartite_ids_det(spark, sf), max_iter=24, norm_every=8
+        ).orderBy("id")
+
     def q_topological_levels(spark, sf):
         # igraph topological_sorting/is_dag: the small→large orientation
         # of the bipartite graph is a DAG by construction; level = Kahn
@@ -1365,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_centrality": q_closeness,
         "betweenness_centrality": q_betweenness,
         "topological_levels": q_topological_levels,
+        "leading_eigenvector": q_leading_eigenvector,
         "voronoi_cells": q_voronoi,
         "maximal_matching": q_maximal_matching,
         "edge_betweenness": q_edge_betweenness,
@@ -4563,6 +4575,49 @@ FROM ball GROUP BY id
 """
     )
 
+    # ---- Newman leading-eigenvector bisection: 24 unrolled shifted
+    # power iterations on B = A − kkᵀ/2m (rank-1 term as a 1-row kx
+    # scalar), L2 + 9dp rounding at barriers 8/16/24 — the rounding is
+    # what pins cross-engine float drift
+    lev_cte = ["""levk AS MATERIALIZED (
+  SELECT src AS id, SUM(weight) AS k FROM sym GROUP BY src
+)""", """levc AS MATERIALIZED (
+  SELECT SUM(k) AS two_m, 1.0 + MAX(k) AS c FROM levk
+)""", """lx0 AS MATERIALIZED (
+  SELECT id, k,
+         ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 - 0.5 AS x
+  FROM levk
+)"""]
+    for _t in range(1, 25):
+        lev_cte.append(f"lkx{_t} AS MATERIALIZED (SELECT SUM(k * x) AS kx FROM lx{_t - 1})")
+        lev_cte.append(f"""lg{_t} AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(s.weight * x.x) AS ax
+  FROM sym s JOIN lx{_t - 1} x ON x.id = s.src GROUP BY s.dst
+)""")
+        _body = (
+            f"SELECT p.id, p.k, COALESCE(g.ax, 0) + cc.c * p.x"
+            f" - p.k * kx.kx / cc.two_m AS x\n"
+            f"  FROM lx{_t - 1} p LEFT JOIN lg{_t} g ON g.id = p.id, levc cc, lkx{_t} kx"
+        )
+        if _t % 8 == 0:
+            lev_cte.append(f"lraw{_t} AS MATERIALIZED (\n  {_body}\n)")
+            lev_cte.append(f"""lx{_t} AS MATERIALIZED (
+  SELECT id, k,
+         ROUND(x / (SELECT sqrt(SUM(x * x)) FROM lraw{_t}), 9) AS x
+  FROM lraw{_t}
+)""")
+        else:
+            lev_cte.append(f"lx{_t} AS MATERIALIZED (\n  {_body}\n)")
+    lev_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(lev_cte)
+        + """
+SELECT id, ROUND(x, 6) AS score,
+       CAST(CASE WHEN x >= 0 THEN 1 ELSE -1 END AS BIGINT) AS side
+FROM lx24 ORDER BY id
+"""
+    )
+
     # ---- weighted SSSP from vertex 0: 8 unrolled Bellman–Ford rounds
     # (fixpoint at 4 on this graph; extra rounds are provable no-ops),
     # min-collapsed symmetric weights, every round MATERIALIZED
@@ -4961,6 +5016,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "power_law_fit": plaw_sql,
             "eccentricity": ecc_sql,
             "sssp_weighted": sssp_sql,
+            "leading_eigenvector": lev_sql,
             "attack_curve": attack_sql,
             "failure_curve": failure_sql,
             "clique_census": clique_sql}

@@ -448,3 +448,102 @@ def modularity_null_test(
             ).alias("z"),
         )
     )
+
+
+def leading_eigenvector_split(
+    spark,
+    edges: DataFrame,
+    max_iter: int = 24,
+    norm_every: int = 8,
+    ckpt=None,
+) -> DataFrame:
+    """Newman (2006) leading-eigenvector community bisection — the first
+    level of igraph ``community_leading_eigenvector()``: power iteration
+    on the SHIFTED modularity matrix ``M = B + cI`` with
+    ``B = A − k·kᵀ/2m`` and ``c = 1 + max strength`` (the Gershgorin
+    shift makes B's algebraically-largest eigenvalue M's dominant one,
+    so plain synchronous power iteration converges without ARPACK —
+    the distributed-friendly substitute).  Deterministic ±1 start by
+    md5(id) parity.  Returns (id, score, side): score the L2-normalised
+    eigenvector estimate (1e-6), side = its sign (+1/−1) — the split.
+
+    Scale: per iteration ONE PageRank-shaped gather join + aggregate
+    plus a 1-row (k·x) scalar riding a broadcast cross join; the rank-1
+    correction never materialises k·kᵀ.  Unnormalised between barriers
+    (scale invariance), L2 at every ``norm_every``-th checkpoint —
+    identical to the eigenvector_centrality idiom.
+    """
+    from leidenalg_spark.operators.checkpoint import CheckpointManager
+
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    w = F.col("weight").cast("double") if "weight" in edges.columns else F.lit(1.0)
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"), w.alias("w"))
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")).persist()
+    k = sym.groupBy(F.col("a").alias("id")).agg(F.sum("w").alias("k")).persist()
+    consts = k.agg(
+        F.sum("k").alias("two_m"), (F.lit(1.0) + F.max("k")).alias("c")
+    )
+    # continuous md5-uniform start in (−0.5, 0.5): a ±1 start is exactly
+    # orthogonal to the leading eigenvector with non-negligible
+    # probability on symmetric graphs (equal eigenvector entries cancel
+    # in pairs — observed on the two-clique fixture); distinct
+    # irrational-looking fractions make that a measure-zero event
+    u = (
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("double") / F.lit(4294967296.0)
+    )
+    x = k.select("id", "k", (u - 0.5).alias("x"))
+    x = ckpt.save(x, "lev_x", 0)
+    for t in range(1, max_iter + 1):
+        kx = x.agg(F.sum(F.col("k") * F.col("x")).alias("kx"))
+        gathered = (
+            sym.join(x.select(F.col("id").alias("a"), F.col("x").alias("xa")), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.sum(F.col("w") * F.col("xa")).alias("ax"))
+        )
+        x = (
+            x.join(gathered, "id", "left")
+            .na.fill({"ax": 0.0})
+            .crossJoin(F.broadcast(consts))
+            .crossJoin(F.broadcast(kx))
+            .select(
+                "id",
+                "k",
+                (
+                    F.col("ax")
+                    + F.col("c") * F.col("x")
+                    - F.col("k") * F.col("kx") / F.col("two_m")
+                ).alias("x"),
+            )
+        )
+        # materialise EVERY iteration: the rank-1 term cross-joins two
+        # 1-row aggregates per step, and letting even a handful of steps
+        # chain un-materialised makes the Catalyst plan (and the kx
+        # recomputation) compound superlinearly
+        x = ckpt.save(x, "lev_x", t)
+        if t % norm_every == 0 or t == max_iter:
+            # 9dp rounding at the barrier pins both engines to the same
+            # doubles — aggregation-order float drift resets every
+            # norm_every steps instead of compounding over max_iter
+            nrm = x.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("n"))
+            x = x.crossJoin(F.broadcast(nrm)).select(
+                "id", "k", F.round(F.col("x") / F.col("n"), 9).alias("x")
+            )
+            x = ckpt.save(x, "lev_xn", t)
+    out = x.select(
+        "id",
+        F.round("x", 6).alias("score"),
+        F.when(F.col("x") >= 0, 1).otherwise(-1).cast("long").alias("side"),
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    sym.unpersist()
+    k.unpersist()
+    return out

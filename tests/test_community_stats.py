@@ -200,3 +200,16 @@ def test_modularity_null_test_detects_planted_structure(spark):
     r = modularity_null_test(spark, e, memb, seeds=(1, 2, 3)).collect()[0]
     assert r.q_obs > r.null_mean + 3 * r.null_std
     assert r.z is None or r.z > 3
+
+
+def test_leading_eigenvector_splits_two_cliques(spark):
+    from leidenalg_spark.operators.community import leading_eigenvector_split
+
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(a, b) for a in range(6, 12) for b in range(a + 1, 12)]
+    edges += [(0, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    sides = {r.id: r.side for r in leading_eigenvector_split(spark, e).collect()}
+    a = {v for v in sides if sides[v] == sides[0]}
+    assert a == set(range(6)) or a == set(range(6, 12)) == set(sides) - a
+    assert len(sides) == 12
