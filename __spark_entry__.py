@@ -523,6 +523,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("op")
         )
 
+    def q_tree_graph(spark, sf):
+        # igraph Graph.Tree: parent = (i-1)//children, zero shuffles
+        from leidenalg_spark.sources.generators import tree
+
+        return tree(spark, n=64, children=3).orderBy("dst")
+
     def q_modularity_null(spark, sf):
         # modularity significance vs 3 degree-preserving md5 rewires of
         # the G(64,200) graph, md5-bucket membership (4 communities)
@@ -1505,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "configuration_model": q_configuration_model,
         "watts_strogatz": q_watts_strogatz,
         "modularity_null_test": q_modularity_null,
+        "tree_graph": q_tree_graph,
     }
 
 
@@ -2675,6 +2682,10 @@ SELECT CAST(pair_id AS BIGINT) AS pair_id,
 FROM paired GROUP BY pair_id
 HAVING MIN(CASE WHEN side = 1 THEN v END) IS NOT NULL
 ORDER BY pair_id
+"""
+    sqls["tree_graph"] = """
+SELECT CAST((i - 1) // 3 AS BIGINT) AS src, CAST(i AS BIGINT) AS dst
+FROM (SELECT unnest(range(1, 64)) AS i) ORDER BY dst
 """
     sqls["burstiness"] = """
 WITH g AS (

@@ -235,3 +235,20 @@ def watts_strogatz(
         F.when(r < F.lit(float(p)), rnd).otherwise(lat).cast("long").alias("dst"),
         (r < F.lit(float(p))).alias("rewired"),
     )
+
+
+def tree(spark: SparkSession, n: int, children: int = 2) -> DataFrame:
+    """Regular rooted tree — igraph ``Graph.Tree(n, children)``: vertex
+    i > 0 hangs off parent ``(i-1) // children``.  One range()
+    projection, ZERO shuffles, index-derived like :func:`rmat`.
+    Returns (src=parent, dst=child).
+    """
+    if children < 1:
+        raise ValueError("children must be >= 1")
+    return (
+        spark.range(1, n)
+        .select(
+            ((F.col("id") - 1) / children).cast("long").alias("src"),
+            F.col("id").alias("dst"),
+        )
+    )
