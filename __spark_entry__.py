@@ -707,6 +707,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         base = rmat(spark, scale=7, m=1000, seed=42).select("src", "dst")
         return K.clique_census(spark, base)
 
+    def q_periodicity(spark, sf):
+        # daily-rhythm detection: lag-24 autocorrelation of the
+        # zero-densified hourly count series, per event type
+        from leidenalg_spark.operators.events import periodicity
+
+        return periodicity(_events(spark, sf), lag=24).orderBy("event_type")
+
     def q_burstiness(spark, sf):
         # Goh–Barabási per-user burstiness of inter-event gaps
         from leidenalg_spark.operators.events import burstiness
@@ -1393,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_drift": q_edge_drift,
         "clique_census": q_clique_census,
         "burstiness": q_burstiness,
+        "periodicity": q_periodicity,
         "vocab_coverage": q_vocab_coverage,
         "filter_funnel": q_filter_funnel,
         "cross_source_dupes": q_cross_source_dupes,
@@ -2682,6 +2690,31 @@ SELECT CAST(pair_id AS BIGINT) AS pair_id,
 FROM paired GROUP BY pair_id
 HAVING MIN(CASE WHEN side = 1 THEN v END) IS NOT NULL
 ORDER BY pair_id
+"""
+    sqls["periodicity"] = """
+WITH counts AS (
+  SELECT event_type AS etype, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM counts),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket FROM span
+),
+types AS (SELECT DISTINCT etype FROM counts),
+dense AS (
+  SELECT t.etype, h.bucket, COALESCE(c.c, 0.0) AS c
+  FROM types t CROSS JOIN hours h
+  LEFT JOIN counts c ON c.etype = t.etype AND c.bucket = h.bucket
+),
+lagged AS (
+  SELECT etype, bucket + INTERVAL '24 hours' AS bucket, c AS c_prev FROM dense
+)
+SELECT d.etype AS event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(corr(l.c_prev, d.c), 6) AS acf
+FROM dense d JOIN lagged l ON l.etype = d.etype AND l.bucket = d.bucket
+GROUP BY d.etype
+ORDER BY event_type
 """
     sqls["tree_graph"] = """
 SELECT CAST((i - 1) // 3 AS BIGINT) AS src, CAST(i AS BIGINT) AS dst

@@ -389,3 +389,54 @@ def burstiness(
         )
         .where(F.col("n_gaps") >= 2)
     )
+
+
+def periodicity(
+    events: DataFrame, lag: int = 24, type_col: str = "event_type", ts_col: str = "ts"
+) -> DataFrame:
+    """Circadian-rhythm detector: per event type, the Pearson
+    autocorrelation of the hourly count series at ``lag`` buckets
+    (24 = daily cycle) over the DENSIFIED series — missing hours count
+    0, without which gaps masquerade as rhythm.  Returns
+    (event_type, n_pairs, acf), 1e-6 rounded; types whose series is
+    constant (zero variance) return NULL acf.
+
+    Scale: counts are one window-bucket hash aggregate; densification
+    joins the (types × hour-range) frame — hour cardinality is
+    time-span-bounded, types catalog-bounded, so the dense frame is a
+    cross join of two SMALL dims, never event-scaled; the lag pairing is
+    one equi-join on (type, bucket+lag) and the correlation one
+    combinable aggregate.
+    """
+    b = F.window(F.col(ts_col), "1 hour").start.alias("bucket")
+    counts = events.groupBy(F.col(type_col).alias("etype"), b).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    span = counts.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    hours = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    types = counts.select("etype").distinct()
+    dense = (
+        types.crossJoin(hours)
+        .join(counts, ["etype", "bucket"], "left")
+        .na.fill({"c": 0.0})
+    )
+    lagged = dense.select(
+        "etype",
+        (F.col("bucket") + F.expr(f"INTERVAL {int(lag)} HOURS")).alias("bucket"),
+        F.col("c").alias("c_prev"),
+    )
+    # explicit Pearson with a zero-variance guard: under ANSI mode
+    # F.corr THROWS DIVIDE_BY_ZERO on a constant series instead of
+    # returning NULL (DuckDB's corr() returns NULL — match that)
+    num = F.covar_pop("c_prev", "c")
+    den = F.stddev_pop("c_prev") * F.stddev_pop("c")
+    return (
+        dense.join(lagged, ["etype", "bucket"])
+        .groupBy(F.col("etype").alias(type_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.when(den > 0, num / den), 6).alias("acf"),
+        )
+    )

@@ -370,3 +370,27 @@ def test_burstiness_periodic_vs_bursty(spark):
     got = {r.user_id: r for r in burstiness(ev).collect()}
     assert got[1].burstiness == -1.0 and got[1].cv == 0.0 and got[1].n_gaps == 4
     assert got[2].mean_gap_s == 25.75 and abs(got[2].burstiness - 0.249471) < 1e-6
+
+
+def test_periodicity_daily_rhythm(spark):
+    import datetime as dt
+    from leidenalg_spark.operators.events import periodicity
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # 'daily': a burst at hour 9 of every day for 6 days -> acf(24) = 1
+    for day in range(6):
+        for _ in range(5):
+            rows.append((eid, t0 + dt.timedelta(days=day, hours=9), 1, "daily", 0.0))
+            eid += 1
+    # 'flat': one event every hour -> constant series, zero variance -> NULL
+    for h in range(6 * 24):
+        rows.append((eid, t0 + dt.timedelta(hours=h), 2, "flat", 0.0))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r.event_type: r for r in periodicity(ev, lag=24).collect()}
+    assert got["daily"].acf == 1.0
+    assert got["flat"].acf is None
