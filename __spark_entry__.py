@@ -769,6 +769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by the top-200 vocabulary types
         return T.vocab_coverage(_documents(spark, sf), k=200)
 
+    def q_zipf_fit(spark, sf):
+        # Zipf exponent of the token-frequency distribution (CSN MLE,
+        # same estimator as power_law_fit, text side)
+        return T.zipf_fit(_documents(spark, sf), xmin=2)
+
     def q_filter_funnel(spark, sf):
         # C4-style curation funnel: survivors after length, quality, and
         # exact-dedup gates — one combinable aggregate, no second scan
@@ -1403,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodicity": q_periodicity,
         "vocab_coverage": q_vocab_coverage,
         "filter_funnel": q_filter_funnel,
+        "zipf_fit": q_zipf_fit,
         "cross_source_dupes": q_cross_source_dupes,
         "graph_coloring": q_graph_coloring,
         "adamic_adar": q_adamic_adar,
@@ -2104,6 +2110,36 @@ SELECT CAST(rnk AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
        ROUND(SUM(cnt) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING)
              * 1.0 / tot.n, 6) AS coverage
 FROM top, tot
+""",
+        "zipf_fit": f"""
+WITH tok AS (
+  SELECT t.tok AS token
+  FROM (SELECT {toks} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS tok) t
+  WHERE length(t.tok) > 0
+),
+cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+nt AS (SELECT COUNT(*) AS n_types FROM cnts),
+tail AS (SELECT cnt FROM cnts WHERE cnt >= 2),
+st AS (
+  SELECT COUNT(*) AS n_tail,
+         1.0 + COUNT(*) / SUM(ln(cnt / 1.5)) AS alpha
+  FROM tail
+),
+dd AS (SELECT cnt, COUNT(*) AS m FROM tail GROUP BY cnt),
+ccdf AS (
+  SELECT cnt, SUM(m) OVER (ORDER BY cnt DESC ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dd
+),
+ks AS (
+  SELECT MAX(ABS(CAST(cum AS DOUBLE) / st.n_tail
+                 - POWER((cnt - 0.5) / 1.5, 1.0 - st.alpha))) AS ks
+  FROM ccdf, st
+)
+SELECT CAST(2 AS BIGINT) AS xmin, CAST(nt.n_types AS BIGINT) AS n_types,
+       CAST(st.n_tail AS BIGINT) AS n_tail,
+       ROUND(st.alpha, 6) AS alpha, ROUND(ks.ks, 6) AS ks
+FROM st, nt, ks
 """,
         "filter_funnel": f"""
 WITH q AS (

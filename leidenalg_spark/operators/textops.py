@@ -747,3 +747,61 @@ def filter_funnel(
         F.col("n_docs").cast("long").alias("n_docs"),
         F.round(F.col("n_docs") / F.col("total"), 6).alias("frac_of_total"),
     )
+
+
+def zipf_fit(docs: DataFrame, xmin: int = 2, col: str = "text") -> DataFrame:
+    """Zipf fit of the corpus token-frequency distribution — the same
+    Clauset–Shalizi–Newman discrete MLE as
+    :func:`~leidenalg_spark.operators.kernels.power_law_fit` but over
+    token occurrence counts (the canonical Zipf/Heaps corpus
+    diagnostic): ``alpha = 1 + n/Σ ln(cnt/(xmin−0.5))`` over types with
+    ``cnt ≥ xmin``, plus the KS distance to the fitted tail CCDF.
+    Returns one row (xmin, n_types, n_tail, alpha, ks).
+
+    Scale: type counts are one explode + hash aggregate; the CCDF window
+    runs over DISTINCT count values (≤ max frequency, small), everything
+    else 1-row scalars on broadcast cross joins.
+    """
+    from pyspark.sql import Window
+
+    if xmin < 1:
+        raise ValueError("xmin must be >= 1")
+    cnts = (
+        docs.select(F.explode(tokens_col(col)).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_types = cnts.agg(F.count(F.lit(1)).alias("n_types"))
+    tail = cnts.where(F.col("cnt") >= xmin)
+    stats = tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.sum(F.log(F.col("cnt") / F.lit(xmin - 0.5))).alias("s"),
+    ).select("n_tail", (F.lit(1.0) + F.col("n_tail") / F.col("s")).alias("alpha"))
+    dd = tail.groupBy("cnt").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy(F.col("cnt").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    ks = (
+        dd.withColumn("cum", F.sum("m").over(w))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.abs(
+                F.col("cum") / F.col("n_tail")
+                - F.pow(
+                    (F.col("cnt") - 0.5) / F.lit(xmin - 0.5),
+                    F.lit(1.0) - F.col("alpha"),
+                )
+            ).alias("d")
+        )
+        .agg(F.max("d").alias("ks"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_types))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            F.lit(xmin).cast("long").alias("xmin"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("n_tail").cast("long").alias("n_tail"),
+            F.round("alpha", 6).alias("alpha"),
+            F.round("ks", 6).alias("ks"),
+        )
+    )
