@@ -769,6 +769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by the top-200 vocabulary types
         return T.vocab_coverage(_documents(spark, sf), k=200)
 
+    def q_vocab_growth(spark, sf):
+        # Heaps-law curve: token total + distinct types at 8 doc-quantile
+        # prefixes, one aggregate over the exploded token table
+        return T.vocab_growth(_documents(spark, sf), n_points=8).orderBy("point")
+
     def q_zipf_fit(spark, sf):
         # Zipf exponent of the token-frequency distribution (CSN MLE,
         # same estimator as power_law_fit, text side)
@@ -1409,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "filter_funnel": q_filter_funnel,
         "zipf_fit": q_zipf_fit,
+        "vocab_growth": q_vocab_growth,
         "cross_source_dupes": q_cross_source_dupes,
         "graph_coloring": q_graph_coloring,
         "adamic_adar": q_adamic_adar,
@@ -2110,6 +2116,35 @@ SELECT CAST(rnk AS BIGINT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
        ROUND(SUM(cnt) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING)
              * 1.0 / tot.n, 6) AS coverage
 FROM top, tot
+""",
+        "vocab_growth": f"""
+WITH tok AS (
+  SELECT doc_id, t.tok AS token
+  FROM (SELECT doc_id, {toks} AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS tok) t
+  WHERE length(t.tok) > 0
+),
+th AS (
+  SELECT {", ".join(f"quantile_disc(doc_id, {i}/8.0) AS th{i}" for i in range(1, 9))}
+  FROM documents
+),
+agg AS (
+  SELECT
+    {", ".join(
+        f"COUNT(DISTINCT CASE WHEN doc_id <= th.th{i} THEN doc_id END) AS d{i}, "
+        f"SUM(CASE WHEN doc_id <= th.th{i} THEN 1 ELSE 0 END) AS n{i}, "
+        f"COUNT(DISTINCT CASE WHEN doc_id <= th.th{i} THEN token END) AS v{i}"
+        for i in range(1, 9)
+    )}
+  FROM tok, th
+)
+{" UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS point, ROUND({i}/8.0, 6) AS frac, "
+    f"CAST(d{i} AS BIGINT) AS n_docs, CAST(n{i} AS BIGINT) AS n_tokens, "
+    f"CAST(v{i} AS BIGINT) AS n_types FROM agg"
+    for i in range(1, 9)
+)}
+ORDER BY point
 """,
         "zipf_fit": f"""
 WITH tok AS (

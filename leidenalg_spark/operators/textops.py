@@ -805,3 +805,53 @@ def zipf_fit(docs: DataFrame, xmin: int = 2, col: str = "text") -> DataFrame:
             F.round("ks", 6).alias("ks"),
         )
     )
+
+
+def vocab_growth(docs: DataFrame, n_points: int = 8, col: str = "text") -> DataFrame:
+    """Heaps-law vocabulary growth curve: at ``n_points`` doc-id-quantile
+    checkpoints, the corpus-prefix token total and distinct-type count —
+    the curve whose log-log slope is Heaps' β (fit it offline; the curve
+    is the deliverable).  Prefixes are by doc_id order (deterministic,
+    retry-stable).  Returns one row per checkpoint:
+    (point, frac, n_docs, n_tokens, n_types).
+
+    Scale: thresholds are exact doc_id quantiles (one 1-row aggregate on
+    a broadcast cross join); the curve is ONE aggregate over the
+    exploded token table with ``n_points`` conditional sums/distincts
+    (an n_points-way expand — keep n_points small), then a stack.  No
+    per-prefix rescans, no ordered window over the corpus.
+    """
+    if n_points < 1:
+        raise ValueError("n_points must be >= 1")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(col)).alias("token")
+    ).where(F.length("token") > 0)
+    fracs = [i / n_points for i in range(1, n_points + 1)]
+    ths = docs.agg(
+        *[
+            F.expr(f"percentile_disc({f}) WITHIN GROUP (ORDER BY doc_id)").alias(f"th{i}")
+            for i, f in enumerate(fracs, 1)
+        ]
+    )
+    t = tok.crossJoin(F.broadcast(ths))
+    aggs = []
+    for i in range(1, n_points + 1):
+        cond = F.col("doc_id") <= F.col(f"th{i}")
+        aggs += [
+            F.count_distinct(F.when(cond, F.col("doc_id"))).alias(f"d{i}"),
+            F.sum(cond.cast("long")).alias(f"n{i}"),
+            F.count_distinct(F.when(cond, F.col("token"))).alias(f"v{i}"),
+        ]
+    one = t.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}L, {f}D, d{i}, n{i}, v{i}" for i, f in enumerate(fracs, 1)
+    )
+    return one.selectExpr(
+        f"stack({n_points}, {stack_args}) AS (point, frac, n_docs, n_tokens, n_types)"
+    ).select(
+        "point",
+        F.round("frac", 6).alias("frac"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+    )

@@ -657,3 +657,15 @@ def test_cross_source_dupes_golden(spark):
     got = {(r.source_a, r.source_b): r.n_shared_texts
            for r in cross_source_dupes(docs).collect()}
     assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+def test_vocab_growth_prefix_golden(spark):
+    from leidenalg_spark.operators.textops import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a e"), (4, "f f f")],
+        "doc_id long, text string",
+    )
+    rows = {r.point: (r.n_docs, r.n_tokens, r.n_types)
+            for r in vocab_growth(docs, n_points=4).collect()}
+    assert rows == {1: (1, 3, 3), 2: (2, 6, 4), 3: (3, 8, 5), 4: (4, 11, 6)}
