@@ -683,6 +683,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         base = G.erdos_renyi_gnm(spark, 64, 200, seed=7).select("src", "dst")
         return K.maximal_matching(spark, base, seed=42)
 
+    def q_core_periphery(spark, sf):
+        # Borgatti–Everett discrete core–periphery fit, core = top
+        # quarter by degree (ties → smaller id): the phi correlation
+        # collapses to four scalars, nothing pairwise materialises
+        e = _bipartite_ids_det(spark, sf)
+        sym = e.select("src", "dst").unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+        n = deg.count()
+        core = deg.orderBy(F.col("deg").desc(), "id").limit(n // 4).select("id")
+        return K.core_periphery_fit(spark, e, core)
+
     def q_voronoi(spark, sf):
         # igraph voronoi(): nearest-seed multi-source BFS, 4 md5-elected
         # seeds (same deterministic pivot idiom as sampled betweenness)
@@ -1401,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topological_levels": q_topological_levels,
         "leading_eigenvector": q_leading_eigenvector,
         "voronoi_cells": q_voronoi,
+        "core_periphery": q_core_periphery,
         "maximal_matching": q_maximal_matching,
         "edge_betweenness": q_edge_betweenness,
         "eccentricity": q_eccentricity,
@@ -4610,6 +4624,52 @@ FROM st, ks
 """
     )
 
+    # ---- Borgatti–Everett core–periphery phi from four scalars; core =
+    # top ⌊n/4⌋ by (degree desc, id)
+    cp_sql = (
+        "WITH " + _DET_PRELUDE + """,
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+nv AS (SELECT COUNT(*) AS n FROM deg),
+core AS (
+  SELECT id FROM (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY deg DESC, id) AS rn FROM deg), nv
+  WHERE rn <= nv.n // 4
+),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+em AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+         CAST(SUM(CASE WHEN a NOT IN (SELECT id FROM core)
+                        AND b NOT IN (SELECT id FROM core)
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS e_pp
+  FROM und
+),
+sc AS (
+  SELECT CAST(nv.n AS DOUBLE) AS n,
+         CAST((SELECT COUNT(*) FROM core) AS DOUBLE) AS n_core,
+         em.m, em.e_pp
+  FROM nv, em
+),
+ct AS (
+  SELECT *, n - n_core AS n_per, n * (n - 1) / 2 AS t,
+         (n - n_core) * (n - n_core - 1) / 2 AS t_pp
+  FROM sc
+),
+cells AS (
+  SELECT *, m - e_pp AS n11, e_pp AS n10,
+         t - t_pp - (m - e_pp) AS n01, t_pp - e_pp AS n00
+  FROM ct
+)
+SELECT CAST(n_core AS BIGINT) AS n_core, CAST(n_per AS BIGINT) AS n_periphery,
+       CAST(m AS BIGINT) AS n_edges, CAST(e_pp AS BIGINT) AS edges_pp,
+       ROUND(CASE WHEN (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00) > 0
+                  THEN (n11 * n00 - n10 * n01)
+                       / sqrt((n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00))
+             END, 6) AS phi
+FROM cells
+"""
+    )
+
     # ---- graph Voronoi: 3 unrolled multi-source BFS rings from the 4
     # md5-elected seeds; a vertex is assigned by the FIRST ring that
     # reaches it, same-ring ties to the smallest seed id
@@ -5128,6 +5188,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "k_core": kcore_sql, "khop_counts": khop_sql,
             "topological_levels": topo_sql,
             "voronoi_cells": voronoi_sql,
+            "core_periphery": cp_sql,
             "power_law_fit": plaw_sql,
             "eccentricity": ecc_sql,
             "sssp_weighted": sssp_sql,

@@ -3962,3 +3962,79 @@ def bipartiteness(spark, edges: DataFrame, ckpt: CheckpointManager | None = None
             F.min(F.col("two_sided").cast("int")).cast("boolean").alias("is_bipartite"),
         )
     )
+
+
+def core_periphery_fit(spark, edges: DataFrame, core: DataFrame) -> DataFrame:
+    """Borgatti–Everett (2000) discrete core–periphery fit: the phi
+    (Pearson) correlation between the observed adjacency and the ideal
+    pattern "every pair except periphery–periphery is tied", for a given
+    ``core`` vertex set (one column ``id``).  The correlation over all
+    C(|V|,2) dyads reduces to a closed form over FOUR scalars — |V|,
+    |core∩V|, |E|, and the periphery–periphery edge count — so nothing
+    pairwise is ever enumerated.  Returns one row
+    (n_core, n_periphery, n_edges, edges_pp, phi); phi is NULL when the
+    2×2 contingency degenerates (all-core or all-periphery).
+
+    Scale: one degree-table distinct, one semi-join to mark core
+    membership, one edge aggregate, 1-row scalars on broadcast cross
+    joins.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    verts = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    cset = verts.join(core.select("id").distinct(), "id", "left_semi")
+    nv = verts.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    nc = cset.agg(F.count(F.lit(1)).cast("double").alias("n_core"))
+    marked = (
+        und.join(cset.select(F.col("id").alias("a"), F.lit(1).alias("ca")), "a", "left")
+        .join(cset.select(F.col("id").alias("b"), F.lit(1).alias("cb")), "b", "left")
+    )
+    em = marked.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum(
+            (F.col("ca").isNull() & F.col("cb").isNull()).cast("double")
+        ).alias("e_pp"),
+    )
+    out = nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(em)).select(
+        "n", "n_core", "m", "e_pp",
+        (F.col("n") - F.col("n_core")).alias("n_per"),
+    )
+    # 2x2 dyad contingency from the four scalars: pattern-1 dyads are
+    # all pairs minus periphery-periphery pairs
+    out = out.select(
+        "*",
+        (F.col("n") * (F.col("n") - 1) / 2).alias("t"),
+        (F.col("n_per") * (F.col("n_per") - 1) / 2).alias("t_pp"),
+    ).select(
+        "*",
+        (F.col("m") - F.col("e_pp")).alias("n11"),
+        F.col("e_pp").alias("n10"),
+        (F.col("t") - F.col("t_pp") - (F.col("m") - F.col("e_pp"))).alias("n01"),
+        (F.col("t_pp") - F.col("e_pp")).alias("n00"),
+    )
+    den = F.sqrt(
+        (F.col("n11") + F.col("n10"))
+        * (F.col("n01") + F.col("n00"))
+        * (F.col("n11") + F.col("n01"))
+        * (F.col("n10") + F.col("n00"))
+    )
+    return out.select(
+        F.col("n_core").cast("long").alias("n_core"),
+        F.col("n_per").cast("long").alias("n_periphery"),
+        F.col("m").cast("long").alias("n_edges"),
+        F.col("e_pp").cast("long").alias("edges_pp"),
+        F.round(
+            F.when(
+                den > 0,
+                (F.col("n11") * F.col("n00") - F.col("n10") * F.col("n01")) / den,
+            ),
+            6,
+        ).alias("phi"),
+    )

@@ -1308,3 +1308,19 @@ def test_failure_vs_attack_contrast(spark):
     assert rnd[0.05].n_removed == 1
     if 0 not in {rnd[0.05].n_edges}:  # hub survived this seed
         assert rnd[0.05].n_edges == 18 and rnd[0.05].lcc_size == 19
+
+
+def test_core_periphery_fit_goldens(spark):
+    from leidenalg_spark.operators.kernels import core_periphery_fit
+
+    # ideal structure: core {0,1} complete + tied everywhere, periphery
+    # {2,3,4} independent -> phi = 1; swapping roles fits negatively
+    edges = [(0, 1)] + [(c, p) for c in (0, 1) for p in (2, 3, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    good = core_periphery_fit(spark, e, spark.createDataFrame([(0,), (1,)], "id long")).collect()[0]
+    assert good.phi == 1.0 and good.edges_pp == 0
+    bad = core_periphery_fit(spark, e, spark.createDataFrame([(2,), (3,), (4,)], "id long")).collect()[0]
+    assert bad.phi < 0
+    # degenerate: everyone core -> contingency collapses -> NULL phi
+    allc = core_periphery_fit(spark, e, spark.createDataFrame([(i,) for i in range(5)], "id long")).collect()[0]
+    assert allc.phi is None
