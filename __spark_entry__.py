@@ -683,6 +683,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         base = G.erdos_renyi_gnm(spark, 64, 200, seed=7).select("src", "dst")
         return K.maximal_matching(spark, base, seed=42)
 
+    def q_edge_clustering(spark, sf):
+        # Radicchi edge clustering coefficient on the transition graph —
+        # low values flag inter-community bridges
+        return K.edge_clustering(spark, _transition_ids(spark, sf)).orderBy("a", "b")
+
+    def q_molloy_reed(spark, sf):
+        # Molloy–Reed giant-component criterion + percolation threshold
+        return K.molloy_reed(spark, _bipartite_ids_det(spark, sf))
+
     def q_core_periphery(spark, sf):
         # Borgatti–Everett discrete core–periphery fit, core = top
         # quarter by degree (ties → smaller id): the phi correlation
@@ -1415,6 +1424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leading_eigenvector": q_leading_eigenvector,
         "voronoi_cells": q_voronoi,
         "core_periphery": q_core_periphery,
+        "edge_clustering": q_edge_clustering,
+        "molloy_reed": q_molloy_reed,
         "maximal_matching": q_maximal_matching,
         "edge_betweenness": q_edge_betweenness,
         "eccentricity": q_eccentricity,
@@ -4241,6 +4252,41 @@ SELECT n_mutual, n_asym,
 FROM ma, nv
 """
     )
+    # ---- Radicchi edge clustering on the transition graph: per-edge
+    # triangle counts from the canonical wedge join, (t+1)/(min(deg)-1)
+    radicchi_sql = (
+        "WITH " + ",\n".join(trans_prelude) + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM nedges WHERE src <> dst),
+deg AS (
+  SELECT id, COUNT(*) AS deg
+  FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+),
+per_edge AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS a, y AS b FROM tri
+    UNION ALL SELECT x, z FROM tri
+    UNION ALL SELECT y, z FROM tri
+  ) GROUP BY a, b
+)
+SELECT u.a, u.b,
+       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN LEAST(da.deg, db.deg) > 1
+                  THEN (COALESCE(p.n_triangles, 0) + 1.0)
+                       / (LEAST(da.deg, db.deg) - 1.0) END, 6) AS ecc
+FROM und u
+LEFT JOIN per_edge p ON p.a = u.a AND p.b = u.b
+JOIN deg da ON da.id = u.a
+JOIN deg db ON db.id = u.b
+ORDER BY u.a, u.b
+"""
+    )
+
     # ---- bipartiteness via the double cover: component = min cover
     # label // 2, two one-per-side copies ⇔ no odd cycle.
     # NB: under WITH RECURSIVE DuckDB parses any `name AS (X UNION Y)`
@@ -4596,6 +4642,20 @@ WHERE und.a IS NULL AND c.n_common >= 2
     # ---- truncated harmonic centrality (max_dist=2) on the simple
     # symmetrised graph: ring-1 neighbours at weight 1, fresh ring-2
     # vertices at weight 1/2
+    # ---- Molloy–Reed criterion: degree moments in one aggregate
+    mr_sql = (
+        "WITH " + _DET_PRELUDE + """,
+deg AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS k FROM sym GROUP BY src)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       ROUND(AVG(k), 6) AS mean_k,
+       ROUND(AVG(k * k), 6) AS mean_k2,
+       ROUND(AVG(k * k) / AVG(k), 6) AS kappa,
+       ROUND(CASE WHEN AVG(k * k) / AVG(k) > 2
+                  THEN 1.0 - 1.0 / (AVG(k * k) / AVG(k) - 1.0) END, 6) AS f_c
+FROM deg
+"""
+    )
+
     # ---- Clauset–Shalizi–Newman power-law MLE at fixed xmin=2 over the
     # bipartite degree sequence; KS vs the continuous-approx tail CCDF
     plaw_sql = (
@@ -5164,6 +5224,8 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "reciprocity": recip_sql,
             "dyad_census": dyad_sql,
             "bipartiteness": bip_sql,
+            "edge_clustering": radicchi_sql,
+            "molloy_reed": mr_sql,
             "triad_census": triad_sql,
             "bib_coupling": coupling_sql,
             "avg_neighbor_degree": knn_sql,

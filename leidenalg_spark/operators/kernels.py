@@ -4038,3 +4038,99 @@ def core_periphery_fit(spark, edges: DataFrame, core: DataFrame) -> DataFrame:
             6,
         ).alias("phi"),
     )
+
+
+def edge_clustering(spark, edges: DataFrame) -> DataFrame:
+    """Radicchi et al. (2004) edge clustering coefficient — the
+    weak-tie/bridge detector their divisive community method peels:
+    per undirected edge, ``(triangles_through_edge + 1) /
+    min(deg_a − 1, deg_b − 1)`` (the +1 is Radicchi's convention so
+    never-in-a-triangle edges still rank; degenerate min(...)=0 pairs —
+    pendant edges — return NULL, they cannot close a triangle).  Low
+    values mark inter-community bridges.  Returns (a, b, n_triangles,
+    ecc), 1e-6 rounded.
+
+    Scale: per-edge triangle counts come from the same oriented wedge
+    join as :func:`triangle_count` (bounded by oriented degree), then
+    one broadcast-friendly degree attach — no per-vertex windows.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # triangles (x<y<z): each contributes to its three edges
+    tri = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            und.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            "left_semi",
+        )
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    per_edge = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        und.join(per_edge, ["a", "b"], "left")
+        .na.fill({"n_triangles": 0})
+        .join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a", "b",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.least(F.col("da"), F.col("db")) > 1,
+                    (F.col("n_triangles") + 1.0)
+                    / (F.least(F.col("da"), F.col("db")) - 1.0),
+                ),
+                6,
+            ).alias("ecc"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out
+
+
+def molloy_reed(spark, edges: DataFrame) -> DataFrame:
+    """Molloy–Reed giant-component criterion: one row with the degree
+    moments ``<k>``, ``<k²>``, ``kappa = <k²>/<k>``, and the criterion
+    value ``kappa − 2`` (a giant component exists in the configuration
+    model iff it is positive; its inverse also governs the random-
+    failure percolation threshold f_c = 1 − 1/(kappa − 1), reported when
+    defined).  The network-science one-liner every robustness analysis
+    starts with.  Returns (n_vertices, mean_k, mean_k2, kappa, f_c).
+
+    Scale: one degree hash-aggregate + one 1-row moment aggregate.
+    """
+    deg = _sym_simple(edges).groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("k")
+    )
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.round(F.avg("k"), 6).alias("mean_k"),
+        F.round(F.avg(F.col("k") * F.col("k")), 6).alias("mean_k2"),
+        F.round(F.avg(F.col("k") * F.col("k")) / F.avg("k"), 6).alias("kappa"),
+        F.round(
+            F.when(
+                F.avg(F.col("k") * F.col("k")) / F.avg("k") > 2,
+                1.0 - 1.0 / (F.avg(F.col("k") * F.col("k")) / F.avg("k") - 1.0),
+            ),
+            6,
+        ).alias("f_c"),
+    )

@@ -1324,3 +1324,24 @@ def test_core_periphery_fit_goldens(spark):
     # degenerate: everyone core -> contingency collapses -> NULL phi
     allc = core_periphery_fit(spark, e, spark.createDataFrame([(i,) for i in range(5)], "id long")).collect()[0]
     assert allc.phi is None
+
+
+def test_edge_clustering_triangle_plus_pendant(spark):
+    from leidenalg_spark.operators.kernels import edge_clustering
+
+    # triangle 0-1-2 with pendant 2-3: triangle edges have t=1; edge
+    # (0,1): min(deg)=2 -> ecc = 2/1 = 2; (1,2)/(0,2): min(deg 2, 3)-1=1
+    # -> 2; pendant (2,3): min(deg)-1 = 0 -> NULL
+    e = spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], "src long, dst long")
+    got = {(r.a, r.b): (r.n_triangles, r.ecc) for r in edge_clustering(spark, e).collect()}
+    assert got == {(0, 1): (1, 2.0), (1, 2): (1, 2.0), (0, 2): (1, 2.0), (2, 3): (0, None)}
+
+
+def test_molloy_reed_star_golden(spark):
+    from leidenalg_spark.operators.kernels import molloy_reed
+
+    # star, 6 leaves: degrees [6,1×6]; <k>=12/7, <k2>=42/7=6, kappa=3.5
+    e = spark.createDataFrame([(0, i) for i in range(1, 7)], "src long, dst long")
+    r = molloy_reed(spark, e).collect()[0]
+    assert r.n_vertices == 7 and r.kappa == 3.5
+    assert r.f_c == 0.6  # 1 - 1/(3.5-1)
