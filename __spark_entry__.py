@@ -592,6 +592,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # igraph knn: degree-correlation diagnostic per vertex
         return K.avg_neighbor_degree(spark, _bipartite_ids_det(spark, sf))
 
+    def q_knnk(spark, sf):
+        # igraph knn()'s knnk curve: mean neighbour degree per degree value
+        return K.knnk(spark, _bipartite_ids_det(spark, sf)).orderBy("degree")
+
+    def q_degree_gini(spark, sf):
+        # attention inequality: exact Gini from the grouped degree histogram
+        return K.degree_gini(spark, _bipartite_ids_det(spark, sf))
+
     def q_vertex_diversity(spark, sf):
         # igraph diversity: normalised entropy of incident tie weights
         return K.vertex_diversity(spark, _bipartite_ids_det(spark, sf))
@@ -1426,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_periphery": q_core_periphery,
         "edge_clustering": q_edge_clustering,
         "molloy_reed": q_molloy_reed,
+        "knnk": q_knnk,
+        "degree_gini": q_degree_gini,
         "maximal_matching": q_maximal_matching,
         "edge_betweenness": q_edge_betweenness,
         "eccentricity": q_eccentricity,
@@ -5099,6 +5109,37 @@ FROM adj a JOIN deg nd ON nd.id = a.j JOIN deg d ON d.id = a.i
 GROUP BY d.id, d.degree
 """
     )
+    knnk_sql = (
+        "WITH " + _DET_PRELUDE + "," + _UND_ADJ + """,
+deg AS (SELECT i AS id, COUNT(*) AS degree FROM adj GROUP BY i),
+per_v AS (
+  SELECT d.id, d.degree, AVG(nd.degree) AS knn_v
+  FROM adj a JOIN deg nd ON nd.id = a.j JOIN deg d ON d.id = a.i
+  GROUP BY d.id, d.degree
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       ROUND(AVG(knn_v), 6) AS knnk
+FROM per_v GROUP BY degree ORDER BY degree
+"""
+    )
+    gini_sql = (
+        "WITH " + _DET_PRELUDE + """,
+deg AS (SELECT src AS id, COUNT(*) AS k FROM sym GROUP BY src),
+hist AS (SELECT k, COUNT(*) AS m FROM deg GROUP BY k),
+ranked AS (
+  SELECT k, m,
+         COALESCE(SUM(m) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_before
+  FROM hist
+)
+SELECT CAST(SUM(m) AS BIGINT) AS n_vertices,
+       ROUND(SUM(k * m) * 1.0 / SUM(m), 6) AS mean_k,
+       ROUND(2.0 * SUM(m * k * (cum_before + (m + 1.0) / 2.0))
+             / (SUM(m) * SUM(k * m)) - (SUM(m) + 1.0) / SUM(m), 6) AS gini
+FROM ranked
+"""
+    )
     diversity_sql = (
         "WITH " + _DET_PRELUDE + "," + _UND_ADJ + """,
 per AS (
@@ -5229,6 +5270,8 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "triad_census": triad_sql,
             "bib_coupling": coupling_sql,
             "avg_neighbor_degree": knn_sql,
+            "knnk": knnk_sql,
+            "degree_gini": gini_sql,
             "vertex_diversity": diversity_sql,
             "burt_constraint": burt_sql,
             "closed_triples": triples_sql,

@@ -4134,3 +4134,70 @@ def molloy_reed(spark, edges: DataFrame) -> DataFrame:
             6,
         ).alias("f_c"),
     )
+
+
+def knnk(spark, edges: DataFrame) -> DataFrame:
+    """Degree-correlation function k_nn(k) — the SECOND output of igraph
+    ``knn()`` (Barrat et al. 2004): for each degree value k, the mean
+    over degree-k vertices of their average-neighbour degree.  A rising
+    curve = assortative mixing, falling = hubs feed leaves; this is the
+    curve behind the scalar assortativity coefficient.  Returns
+    (degree, n_vertices, knnk), 1e-6 rounded.
+
+    Scale: the avg_neighbor_degree gather (degree agg + one adjacency⋈
+    degree join + per-vertex mean, all combinable) plus ONE more hash
+    aggregate keyed by degree — output ≤ max-degree rows.
+    """
+    und = _und_weighted(edges)
+    adj = und.select(F.col("a").alias("id"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("id"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    nb_deg = adj.join(
+        deg.select(F.col("id").alias("nb"), F.col("degree").alias("nd")), "nb"
+    )
+    per_v = nb_deg.groupBy("id").agg(F.avg("nd").alias("knn_v")).join(deg, "id")
+    return (
+        per_v.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.round(F.avg("knn_v"), 6).alias("knnk"),
+        )
+        .select(F.col("degree").cast("long").alias("degree"), "n_vertices", "knnk")
+    )
+
+
+def degree_gini(spark, edges: DataFrame) -> DataFrame:
+    """Gini coefficient of the degree distribution — the attention-
+    inequality scalar of a link graph (0 = egalitarian, →1 = a few hubs
+    hold every edge).  Computed exactly from the GROUPED degree
+    histogram: each degree value's individuals take consecutive ranks,
+    so Σ rank·k over individuals = m·k·(cum_before + (m+1)/2) and
+    ``G = 2·S/(n·T) − (n+1)/n``.  Returns one row (n_vertices, mean_k,
+    gini), 1e-6 rounded.
+
+    Scale: one degree hash-agg, one histogram hash-agg, then a window
+    over DISTINCT degree values (≤ max degree, bounded-side contract)
+    and a 1-row combine.
+    """
+    from pyspark.sql import Window
+
+    deg = _sym_simple(edges).groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    hist = deg.groupBy("k").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.withColumn("cum_before", F.coalesce(F.sum("m").over(w), F.lit(0)))
+    return ranked.agg(
+        F.sum("m").cast("long").alias("n_vertices"),
+        F.round(F.sum(F.col("k") * F.col("m")) / F.sum("m"), 6).alias("mean_k"),
+        F.round(
+            2.0
+            * F.sum(
+                F.col("m") * F.col("k") * (F.col("cum_before") + (F.col("m") + 1.0) / 2.0)
+            )
+            / (F.sum("m") * F.sum(F.col("k") * F.col("m")))
+            - (F.sum("m") + 1.0) / F.sum("m"),
+            6,
+        ).alias("gini"),
+    )

@@ -1345,3 +1345,26 @@ def test_molloy_reed_star_golden(spark):
     r = molloy_reed(spark, e).collect()[0]
     assert r.n_vertices == 7 and r.kappa == 3.5
     assert r.f_c == 0.6  # 1 - 1/(3.5-1)
+
+
+def test_knnk_star_golden(spark):
+    from leidenalg_spark.operators.kernels import knnk
+
+    # star, 5 leaves: leaves (deg 1) have knn 5; hub (deg 5) has knn 1
+    e = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1, 6)], "src long, dst long, weight double"
+    )
+    got = {r.degree: (r.n_vertices, r.knnk) for r in knnk(spark, e).collect()}
+    assert got == {1: (5, 5.0), 5: (1, 1.0)}
+
+
+def test_degree_gini_goldens(spark):
+    from leidenalg_spark.operators.kernels import degree_gini
+
+    # ring: all degrees equal -> gini 0
+    ring = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)], "src long, dst long")
+    assert degree_gini(spark, ring).collect()[0].gini == 0.0
+    # star, 6 leaves: degrees [1x6, 6] -> G = 2*63/(7*12) - 8/7 = 0.357143
+    star = spark.createDataFrame([(0, i) for i in range(1, 7)], "src long, dst long")
+    r = degree_gini(spark, star).collect()[0]
+    assert r.n_vertices == 7 and abs(r.gini - 0.357143) < 1e-6
