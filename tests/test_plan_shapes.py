@@ -97,6 +97,13 @@ DECLARATIVE = [
     "filter_funnel",
     "cross_source_dupes",
     "edge_drift",
+    "knnk",
+    "degree_gini",
+    "molloy_reed",
+    "dice_similarity",
+    "zipf_fit",
+    "vocab_growth",
+    "burstiness",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -134,6 +141,10 @@ SCALAR_CROSS = {
     "power_law_fit",
     # the corpus-total scalar rides a 1-row broadcast cross join
     "vocab_coverage",
+    # alpha/KS/type-count scalars ride 1-row broadcast cross joins
+    "zipf_fit",
+    # the quantile-threshold row rides a 1-row broadcast cross join
+    "vocab_growth",
 }
 
 
