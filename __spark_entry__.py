@@ -691,6 +691,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         base = G.erdos_renyi_gnm(spark, 64, 200, seed=7).select("src", "dst")
         return K.maximal_matching(spark, base, seed=42)
 
+    def q_balance_census(spark, sf):
+        # Heider structural-balance triangle census over the transition
+        # graph with deterministic md5 edge signs (the signed-layer
+        # diagnostic; signed Leiden splits these layers)
+        e = _transition_ids(spark, sf)
+        sgn = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-", F.lit("sg"),
+                            F.col("src").cast("string"), F.col("dst").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint") % 2
+        ) * 2 - 1
+        return K.balance_census(
+            spark, e.select("src", "dst", sgn.cast("double").alias("weight"))
+        )
+
     def q_edge_clustering(spark, sf):
         # Radicchi edge clustering coefficient on the transition graph —
         # low values flag inter-community bridges
@@ -1433,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi_cells": q_voronoi,
         "core_periphery": q_core_periphery,
         "edge_clustering": q_edge_clustering,
+        "balance_census": q_balance_census,
         "molloy_reed": q_molloy_reed,
         "knnk": q_knnk,
         "degree_gini": q_degree_gini,
@@ -4297,6 +4321,43 @@ ORDER BY u.a, u.b
 """
     )
 
+    # ---- Heider balance census: md5 edge signs, canonical signed wedge
+    # join, balanced = even negative count
+    balance_sql = (
+        "WITH " + ",\n".join(trans_prelude) + """,
+sg AS (
+  SELECT src, dst,
+         (('0x' || substr(md5('sg-' || src || '-' || dst), 1, 8))::BIGINT % 2) * 2 - 1 AS w
+  FROM nedges
+),
+su AS (
+  SELECT a, b, CASE WHEN w > 0 THEN 1 ELSE -1 END AS s FROM (
+    SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(w) AS w
+    FROM sg WHERE src <> dst GROUP BY 1, 2
+  ) WHERE w <> 0
+),
+tri AS (
+  SELECT e1.s AS s1, e2.s AS s2, e3.s AS s3
+  FROM su e1 JOIN su e2 ON e2.a = e1.b
+  JOIN su e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+cn AS (
+  SELECT (CASE WHEN s1 < 0 THEN 1 ELSE 0 END
+          + CASE WHEN s2 < 0 THEN 1 ELSE 0 END
+          + CASE WHEN s3 < 0 THEN 1 ELSE 0 END) AS n_neg
+  FROM tri
+)
+SELECT CAST(SUM(CASE WHEN n_neg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ppp,
+       CAST(SUM(CASE WHEN n_neg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ppm,
+       CAST(SUM(CASE WHEN n_neg = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pmm,
+       CAST(SUM(CASE WHEN n_neg = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_mmm,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       ROUND(SUM(CASE WHEN n_neg % 2 = 0 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+         AS balance_ratio
+FROM cn
+"""
+    )
+
     # ---- bipartiteness via the double cover: component = min cover
     # label // 2, two one-per-side copies ⇔ no odd cycle.
     # NB: under WITH RECURSIVE DuckDB parses any `name AS (X UNION Y)`
@@ -5267,6 +5328,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "bipartiteness": bip_sql,
             "edge_clustering": radicchi_sql,
             "molloy_reed": mr_sql,
+            "balance_census": balance_sql,
             "triad_census": triad_sql,
             "bib_coupling": coupling_sql,
             "avg_neighbor_degree": knn_sql,

@@ -4201,3 +4201,61 @@ def degree_gini(spark, edges: DataFrame) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def balance_census(spark, edges: DataFrame) -> DataFrame:
+    """Heider/Cartwright–Harary structural-balance census over a SIGNED
+    simple graph (the signed layers the reference splits for
+    positive/negative-layer Leiden, `functions.py` layer split): count
+    triangles by sign pattern (+++ / ++− / +−− / −−−); balanced
+    triangles have an EVEN number of negative edges, and the balance
+    ratio is their share.  Edge sign = sign of the summed weight per
+    canonical pair (ties/zeros dropped as unsigned).  Returns one row
+    (n_ppp, n_ppm, n_pmm, n_mmm, n_triangles, balance_ratio).
+
+    Scale: the canonical a<b<c wedge join of :func:`triangle_count`
+    carrying one extra sign column per side — same oriented-degree
+    bound, plus a 4-way conditional 1-row aggregate.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("weight").cast("double").alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .where(F.col("w") != 0)
+        .select("a", "b", F.signum("w").alias("s"))
+        .persist()
+    )
+    tri = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            und.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.s").alias("s1"), F.col("e2.s").alias("s2"), F.col("e3.s").alias("s3")
+        )
+    )
+    neg = (
+        (F.col("s1") < 0).cast("int")
+        + (F.col("s2") < 0).cast("int")
+        + (F.col("s3") < 0).cast("int")
+    )
+    out = tri.select(neg.alias("n_neg")).agg(
+        F.sum((F.col("n_neg") == 0).cast("long")).alias("n_ppp"),
+        F.sum((F.col("n_neg") == 1).cast("long")).alias("n_ppm"),
+        F.sum((F.col("n_neg") == 2).cast("long")).alias("n_pmm"),
+        F.sum((F.col("n_neg") == 3).cast("long")).alias("n_mmm"),
+        F.count(F.lit(1)).cast("long").alias("n_triangles"),
+        F.round(
+            F.sum((F.col("n_neg") % 2 == 0).cast("double")) / F.count(F.lit(1)), 6
+        ).alias("balance_ratio"),
+    )
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out

@@ -1368,3 +1368,27 @@ def test_degree_gini_goldens(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 7)], "src long, dst long")
     r = degree_gini(spark, star).collect()[0]
     assert r.n_vertices == 7 and abs(r.gini - 0.357143) < 1e-6
+
+
+def test_balance_census_goldens(spark):
+    from leidenalg_spark.operators.kernels import balance_census
+
+    # triangle with one negative edge: unbalanced (++-)
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, -1.0)], "src long, dst long, weight double"
+    )
+    r = balance_census(spark, e).collect()[0]
+    assert (r.n_ppp, r.n_ppm, r.n_pmm, r.n_mmm) == (0, 1, 0, 0)
+    assert r.balance_ratio == 0.0
+    # two-negative triangle is balanced (enemy of my enemy)
+    e2 = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, -1.0), (0, 2, -1.0)], "src long, dst long, weight double"
+    )
+    r2 = balance_census(spark, e2).collect()[0]
+    assert r2.n_pmm == 1 and r2.balance_ratio == 1.0
+    # opposite-direction signs cancel: the (0,1) pair drops, no triangle
+    e3 = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, -1.0), (1, 2, 1.0), (0, 2, 1.0)],
+        "src long, dst long, weight double",
+    )
+    assert balance_census(spark, e3).collect()[0].n_triangles == 0
