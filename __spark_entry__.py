@@ -760,6 +760,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         base = rmat(spark, scale=7, m=1000, seed=42).select("src", "dst")
         return K.clique_census(spark, base)
 
+    def q_lifecycle(spark, sf):
+        # growth accounting: new/retained/resurrected/churned per week
+        from leidenalg_spark.operators.events import lifecycle_accounting
+
+        return lifecycle_accounting(_events(spark, sf)).orderBy("bucket", "state")
+
     def q_periodicity(spark, sf):
         # daily-rhythm detection: lag-24 autocorrelation of the
         # zero-densified hourly count series, per event type
@@ -1470,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clique_census": q_clique_census,
         "burstiness": q_burstiness,
         "periodicity": q_periodicity,
+        "lifecycle_accounting": q_lifecycle,
         "vocab_coverage": q_vocab_coverage,
         "filter_funnel": q_filter_funnel,
         "zipf_fit": q_zipf_fit,
@@ -2820,6 +2827,34 @@ SELECT CAST(pair_id AS BIGINT) AS pair_id,
 FROM paired GROUP BY pair_id
 HAVING MIN(CASE WHEN side = 1 THEN v END) IS NOT NULL
 ORDER BY pair_id
+"""
+    sqls["lifecycle_accounting"] = """
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+  FROM events
+),
+first AS (SELECT u, MIN(wk) AS first_wk FROM act GROUP BY u),
+prev AS (SELECT u, wk + 1 AS wk FROM act),
+cur AS (
+  SELECT a.wk,
+         CASE WHEN a.wk = f.first_wk THEN 'new'
+              WHEN p.u IS NOT NULL THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM act a JOIN first f ON f.u = a.u
+  LEFT JOIN prev p ON p.u = a.u AND p.wk = a.wk
+),
+horizon AS (SELECT MAX(wk) AS max_wk FROM act),
+churn AS (
+  SELECT p.wk, 'churned' AS state
+  FROM prev p, horizon h
+  WHERE p.wk <= h.max_wk
+    AND NOT EXISTS (SELECT 1 FROM act a WHERE a.u = p.u AND a.wk = p.wk)
+)
+SELECT CAST(wk AS BIGINT) AS bucket, state, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (SELECT * FROM cur UNION ALL SELECT * FROM churn)
+GROUP BY wk, state
+ORDER BY bucket, state
 """
     sqls["periodicity"] = """
 WITH counts AS (

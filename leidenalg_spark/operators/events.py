@@ -440,3 +440,52 @@ def periodicity(
             F.round(F.when(den > 0, num / den), 6).alias("acf"),
         )
     )
+
+
+def lifecycle_accounting(
+    events: DataFrame, id_col: str = "user_id", ts_col: str = "ts", width_days: int = 7
+) -> DataFrame:
+    """Growth-accounting state machine (the WAU/MAU accounting every
+    product analyst draws): per ``width_days`` bucket, how many actors
+    are NEW (first-ever bucket), RETAINED (also active the previous
+    bucket), RESURRECTED (active, but last seen before the previous
+    bucket), and CHURNED (active the previous bucket, absent now).
+    Churn is attributed to the bucket the actor went missing, bounded by
+    the corpus horizon.  Returns (bucket, state, n_users) — buckets are
+    epoch-day indexes divided by ``width_days``.
+
+    Scale: one distinct (actor, bucket) aggregate, a min-bucket
+    aggregate, two self-joins on (actor, bucket−1) — all equality-keyed
+    and combinable; the horizon rides a 1-row broadcast cross join.
+    """
+    wk = (
+        F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date"))
+        / F.lit(int(width_days))
+    ).cast("long")
+    act = events.select(F.col(id_col).alias("u"), wk.alias("wk")).distinct()
+    first = act.groupBy("u").agg(F.min("wk").alias("first_wk"))
+    prev = act.select("u", (F.col("wk") + 1).alias("wk"), F.lit(1).alias("was_active"))
+    cur = (
+        act.join(first, "u")
+        .join(prev, ["u", "wk"], "left")
+        .select(
+            "wk",
+            F.when(F.col("wk") == F.col("first_wk"), F.lit("new"))
+            .when(F.col("was_active").isNotNull(), F.lit("retained"))
+            .otherwise(F.lit("resurrected"))
+            .alias("state"),
+        )
+    )
+    horizon = act.agg(F.max("wk").alias("max_wk"))
+    churn = (
+        prev.join(act, ["u", "wk"], "left_anti")
+        .crossJoin(F.broadcast(horizon))
+        .where(F.col("wk") <= F.col("max_wk"))
+        .select("wk", F.lit("churned").alias("state"))
+    )
+    return (
+        cur.unionByName(churn)
+        .groupBy("wk", "state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.col("wk").cast("long").alias("bucket"), "state", "n_users")
+    )

@@ -394,3 +394,29 @@ def test_periodicity_daily_rhythm(spark):
     got = {r.event_type: r for r in periodicity(ev, lag=24).collect()}
     assert got["daily"].acf == 1.0
     assert got["flat"].acf is None
+
+
+def test_lifecycle_accounting_states(spark):
+    import datetime as dt
+    from leidenalg_spark.operators.events import lifecycle_accounting
+
+    t0 = dt.datetime(2026, 1, 5)  # week boundary alignment irrelevant
+    W = dt.timedelta(days=7)
+    rows = []
+    # u1 active weeks 0,1,3 -> new@0, retained@1, churned@2, resurrected@3
+    for w in (0, 1, 3):
+        rows.append((len(rows), t0 + w * W, 1, "e", 0.0))
+    # u2 active week 1 only -> new@1, churned@2
+    rows.append((len(rows), t0 + W, 2, "e", 0.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {(r.bucket, r.state): r.n_users for r in lifecycle_accounting(ev).collect()}
+    w0 = min(b for b, _ in got)
+    rel = {(b - w0, s): n for (b, s), n in got.items()}
+    assert rel == {
+        (0, "new"): 1,
+        (1, "new"): 1, (1, "retained"): 1,
+        (2, "churned"): 2,
+        (3, "resurrected"): 1,
+    }
