@@ -613,6 +613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph: n_common = shared event types per user pair
         return K.cocitation(spark, _bipartite_ids_det(spark, sf), mode="coupling")
 
+    def q_butterfly_census(spark, sf):
+        # bipartite rectangle (2x2-biclique) census on the user→type
+        # graph — left-centered wedge join, the ParButterfly side-choice
+        return K.butterfly_census(spark, _bipartite_ids_det(spark, sf))
+
     def q_kmeans_outliers(spark, sf):
         # per-cell z-scored centroid distances over the deterministic
         # Lloyd run — embedding-space data-cleaning signal
@@ -1582,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_endings": q_conversation_endings,
         "turn_boilerplate": q_turn_boilerplate,
         "bib_coupling": q_bib_coupling,
+        "butterfly_census": q_butterfly_census,
         "kmeans_outliers": q_kmeans_outliers,
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "vertex_diversity": q_vertex_diversity,
@@ -5189,6 +5195,33 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 1
 """
     )
 
+    butterfly_sql = (
+        "WITH " + _DET_PRELUDE + """,
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+ldeg AS (SELECT src, COUNT(*) AS ld FROM de GROUP BY src),
+rdeg AS (SELECT dst, COUNT(*) AS rd FROM de GROUP BY dst),
+badj AS (SELECT de.src, de.dst FROM de JOIN ldeg USING (src) WHERE ld <= 100000),
+pairs AS (
+  SELECT l.dst AS t1, r.dst AS t2, COUNT(*) AS c
+  FROM badj l JOIN badj r ON r.src = l.src AND l.dst < r.dst
+  GROUP BY 1, 2
+),
+bfly AS (SELECT CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT) AS butterflies FROM pairs),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(COUNT(DISTINCT de.src) AS BIGINT) AS n_left,
+         CAST(COUNT(DISTINCT de.dst) AS BIGINT) AS n_right,
+         CAST(SUM((ld - 1) * (rd - 1)) AS BIGINT) AS caterpillars
+  FROM de JOIN ldeg USING (src) JOIN rdeg USING (dst)
+),
+wdg AS (SELECT CAST(COALESCE(SUM(ld * (ld - 1) / 2), 0) AS BIGINT) AS wedges FROM ldeg)
+SELECT n_left, n_right, n_edges, wedges, butterflies, caterpillars,
+       ROUND(CASE WHEN caterpillars > 0 THEN 4.0 * butterflies / caterpillars
+                  ELSE 0.0 END, 6) AS bcc
+FROM base CROSS JOIN wdg CROSS JOIN bfly
+"""
+    )
+
     # ---- igraph knn / diversity / Burt constraint on the undirected
     # weighted bipartite graph
     _UND_ADJ = """
@@ -5366,6 +5399,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "balance_census": balance_sql,
             "triad_census": triad_sql,
             "bib_coupling": coupling_sql,
+            "butterfly_census": butterfly_sql,
             "avg_neighbor_degree": knn_sql,
             "knnk": knnk_sql,
             "degree_gini": gini_sql,

@@ -1392,3 +1392,36 @@ def test_balance_census_goldens(spark):
         "src long, dst long, weight double",
     )
     assert balance_census(spark, e3).collect()[0].n_triangles == 0
+
+
+def test_butterfly_census_goldens(spark):
+    from leidenalg_spark.operators.kernels import butterfly_census
+
+    # complete 2x3 biclique: butterflies = C(3,2)=3 (pairs of right
+    # endpoints shared by the two left vertices); wedges = 2*C(3,2)=6;
+    # caterpillars = sum over 6 edges of (2-1)*(3-1)... ld=3, rd=2 →
+    # (3-1)*(2-1)=2 each → 12; bcc = 4*3/12 = 1.0 (fully clustered)
+    e = spark.createDataFrame(
+        [(0, 101), (0, 103), (0, 105), (2, 101), (2, 103), (2, 105)],
+        "src long, dst long",
+    )
+    r = butterfly_census(spark, e).collect()[0]
+    assert (r.n_left, r.n_right, r.n_edges) == (2, 3, 6)
+    assert r.butterflies == 3 and r.wedges == 6 and r.caterpillars == 12
+    assert r.bcc == 1.0
+
+    # star (one left hub, 4 right leaves): wedges exist, no butterfly
+    star = spark.createDataFrame(
+        [(0, 101), (0, 103), (0, 105), (0, 107)], "src long, dst long"
+    )
+    r2 = butterfly_census(spark, star).collect()[0]
+    assert r2.butterflies == 0 and r2.wedges == 6
+    assert r2.caterpillars == 0 and r2.bcc == 0.0
+
+    # duplicate arcs collapse before counting
+    dup = spark.createDataFrame(
+        [(0, 101), (0, 101), (0, 103), (2, 101), (2, 103), (2, 103)],
+        "src long, dst long",
+    )
+    r3 = butterfly_census(spark, dup).collect()[0]
+    assert r3.n_edges == 4 and r3.butterflies == 1 and r3.bcc == 1.0
