@@ -410,6 +410,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("src", "dst", "weight")
         )
 
+    def q_line_graph(spark, sf):
+        # igraph linegraph on the directed type-transition graph:
+        # arcs become vertices, (a→b)→(b→c) becomes the edge set
+        return K.line_graph(spark, _transition_ids(spark, sf))
+
     def q_reciprocity(spark, sf):
         return K.reciprocity(spark, _transition_ids(spark, sf))
 
@@ -1531,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "eigenvector_centrality": q_eigenvector,
         "reciprocity": q_reciprocity,
+        "line_graph": q_line_graph,
         "dyad_census": q_dyad_census,
         "bipartiteness": q_bipartiteness,
         "power_law_fit": q_power_law_fit,
@@ -4306,6 +4312,17 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
 FROM mk
 """
     )
+    linegraph_sql = (
+        "WITH " + ",\n".join(trans_prelude) + """,
+de AS (SELECT DISTINCT src, dst FROM nedges WHERE src <> dst),
+ind AS (SELECT dst AS via, COUNT(*) AS din FROM de GROUP BY dst),
+outd AS (SELECT src AS via, COUNT(*) AS dout FROM de GROUP BY src),
+ok AS (SELECT ind.via FROM ind JOIN outd USING (via)
+       WHERE din <= 100000 AND dout <= 100000)
+SELECT l.src AS a, l.dst AS b, r.dst AS c
+FROM de l JOIN ok ON ok.via = l.dst JOIN de r ON r.src = l.dst
+"""
+    )
     dyad_sql = (
         "WITH " + ",\n".join(trans_prelude) + """,
 de AS (SELECT DISTINCT src, dst FROM nedges WHERE src <> dst),
@@ -5392,6 +5409,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "hits": hits_sql,
             "eigenvector_centrality": eig_sql,
             "reciprocity": recip_sql,
+            "line_graph": linegraph_sql,
             "dyad_census": dyad_sql,
             "bipartiteness": bip_sql,
             "edge_clustering": radicchi_sql,

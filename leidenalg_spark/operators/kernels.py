@@ -4350,3 +4350,50 @@ def butterfly_census(
     out = out.localCheckpoint(eager=True)
     de.unpersist()
     return out
+
+
+def line_graph(
+    spark,
+    edges: DataFrame,
+    max_via_degree: int | None = 100_000,
+) -> DataFrame:
+    """Directed line graph (igraph ``linegraph``): each arc of G becomes
+    a vertex of L(G), and L(G) has an edge from arc (a→b) to arc (b→c)
+    — head-of-one meets tail-of-the-next.  Arcs are identified by their
+    endpoint pair rather than an opaque id, so the output schema is the
+    triple ``(a, b, c)`` = line-edge from (a,b) to (b,c); the reverse
+    hop c == a is included, exactly as igraph does.  Self-loops and
+    parallel arcs are dropped first (simple directed graph).
+
+    Scale shape: ONE equality self-join on the via vertex ``b`` — the
+    fan-out at b is indeg(b)·outdeg(b), so a tool-hub vertex with both
+    high in- and out-degree is quadratic; ``max_via_degree`` drops
+    those hubs from the VIA position only (they still appear as a/c
+    endpoints), mirroring the ``max_center_degree`` guard of the
+    linkpred kernels.  Everything else is a projection.
+    """
+    de = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if max_via_degree is not None:
+        ind = de.groupBy("dst").agg(F.count(F.lit(1)).alias("din"))
+        outd = de.groupBy("src").agg(F.count(F.lit(1)).alias("dout"))
+        ok = (
+            ind.join(outd, ind["dst"] == outd["src"])
+            .where((F.col("din") <= max_via_degree) & (F.col("dout") <= max_via_degree))
+            .select(F.col("dst").alias("via"))
+        )
+        left = de.join(ok, de["dst"] == ok["via"]).select("src", "dst")
+    else:
+        left = de
+    return (
+        left.alias("l")
+        .join(de.alias("r"), F.col("l.dst") == F.col("r.src"))
+        .select(
+            F.col("l.src").alias("a"),
+            F.col("l.dst").alias("b"),
+            F.col("r.dst").alias("c"),
+        )
+    )

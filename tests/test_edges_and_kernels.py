@@ -1425,3 +1425,25 @@ def test_butterfly_census_goldens(spark):
     )
     r3 = butterfly_census(spark, dup).collect()[0]
     assert r3.n_edges == 4 and r3.butterflies == 1 and r3.bcc == 1.0
+
+
+def test_line_graph_goldens(spark):
+    from leidenalg_spark.operators.kernels import line_graph
+
+    # path 1→2→3: exactly one line edge (1,2)→(2,3)
+    p = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert [tuple(r) for r in line_graph(spark, p).collect()] == [(1, 2, 3)]
+
+    # 2-cycle: (1,2)→(2,1) and (2,1)→(1,2) — the reverse hop included
+    c = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = sorted(tuple(r) for r in line_graph(spark, c).collect())
+    assert got == [(1, 2, 1), (2, 1, 2)]
+
+    # hub guard: via vertex with indeg or outdeg above the cap drops
+    # from the VIA slot (star through center 9: 2 in, 2 out → 4 line
+    # edges uncapped, 0 with cap=1)
+    star = spark.createDataFrame(
+        [(1, 9), (2, 9), (9, 3), (9, 4)], "src long, dst long"
+    )
+    assert line_graph(spark, star).count() == 4
+    assert line_graph(spark, star, max_via_degree=1).count() == 0

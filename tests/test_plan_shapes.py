@@ -104,6 +104,7 @@ DECLARATIVE = [
     "zipf_fit",
     "vocab_growth",
     "burstiness",
+    "line_graph",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
