@@ -415,6 +415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # arcs become vertices, (a→b)→(b→c) becomes the edge set
         return K.line_graph(spark, _transition_ids(spark, sf))
 
+    def q_salsa(spark, sf):
+        # Lempel–Moran SALSA hubs/authorities on the directed
+        # type-transition graph — degree-normalised HITS sibling
+        return K.salsa(spark, _transition_ids(spark, sf)).orderBy("id")
+
     def q_reciprocity(spark, sf):
         return K.reciprocity(spark, _transition_ids(spark, sf))
 
@@ -1537,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_centrality": q_eigenvector,
         "reciprocity": q_reciprocity,
         "line_graph": q_line_graph,
+        "salsa": q_salsa,
         "dyad_census": q_dyad_census,
         "bipartiteness": q_bipartiteness,
         "power_law_fit": q_power_law_fit,
@@ -4312,6 +4318,31 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
 FROM mk
 """
     )
+    ss = [
+        "sde AS (SELECT DISTINCT src, dst FROM nedges WHERE src <> dst)",
+        "soutd AS (SELECT src, COUNT(*) AS dout FROM sde GROUP BY src)",
+        "sind AS (SELECT dst, COUNT(*) AS din FROM sde GROUP BY dst)",
+        """sarcs AS (SELECT sde.src, sde.dst, dout, din
+  FROM sde JOIN soutd USING (src) JOIN sind USING (dst))""",
+        "sh0 AS (SELECT src AS id, 1.0 / (SELECT COUNT(*) FROM soutd) AS hub FROM soutd)",
+    ]
+    for t in range(1, 5):
+        ss.append(f"""sa{t} AS MATERIALIZED (
+  SELECT sarcs.dst AS id, SUM(h.hub / sarcs.dout) AS authority
+  FROM sarcs JOIN sh{t - 1} h ON h.id = sarcs.src GROUP BY sarcs.dst
+),
+sh{t} AS MATERIALIZED (
+  SELECT sarcs.src AS id, SUM(a.authority / sarcs.din) AS hub
+  FROM sarcs JOIN sa{t} a ON a.id = sarcs.dst GROUP BY sarcs.src
+)""")
+    salsa_sql = (
+        "WITH " + ",\n".join(trans_prelude) + ",\n" + ",\n".join(ss) + """
+SELECT v.id, ROUND(COALESCE(h.hub, 0.0), 6) AS hub,
+       ROUND(COALESCE(a.authority, 0.0), 6) AS authority
+FROM nverts v LEFT JOIN sh4 h ON h.id = v.id LEFT JOIN sa4 a ON a.id = v.id
+ORDER BY v.id
+"""
+    )
     linegraph_sql = (
         "WITH " + ",\n".join(trans_prelude) + """,
 de AS (SELECT DISTINCT src, dst FROM nedges WHERE src <> dst),
@@ -5410,6 +5441,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "eigenvector_centrality": eig_sql,
             "reciprocity": recip_sql,
             "line_graph": linegraph_sql,
+            "salsa": salsa_sql,
             "dyad_census": dyad_sql,
             "bipartiteness": bip_sql,
             "edge_clustering": radicchi_sql,

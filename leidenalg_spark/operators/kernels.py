@@ -4397,3 +4397,78 @@ def line_graph(
             F.col("r.dst").alias("c"),
         )
     )
+
+
+def salsa(
+    spark,
+    edges: DataFrame,
+    max_iter: int = 4,
+    ckpt: CheckpointManager | None = None,
+    ckpt_every: int = 2,
+) -> DataFrame:
+    """SALSA (Lempel & Moran 2001, "Stochastic Approach for Link-
+    Structure Analysis") — the stochastic sibling of HITS: authority
+    scores are propagated through the alternating bipartite random
+    walk hub→authority→hub with DEGREE-NORMALISED transitions
+    (a ← Aᵀ D_out⁻¹ h, h ← A D_in⁻¹ a) instead of HITS's raw adjacency
+    products, so hubs split their vote instead of multiplying it —
+    the TKC-effect fix.  Unweighted simple arcs, uniform start over
+    hub-side vertices, ``max_iter`` synchronous rounds.  Returns
+    (id, hub, authority) for every vertex, absent side = 0.0.
+
+    Scale shape: identical to :func:`hits` — two PageRank-shaped
+    join+aggregate exchanges per round, map-side combinable; the
+    column-stochastic transitions keep scores summing to 1, so no
+    normalisation cross join is ever needed; lineage truncates at
+    checkpoint barriers every ``ckpt_every`` rounds.
+    """
+    if max_iter < 1:
+        raise ValueError("max_iter must be positive")
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    de = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    outd = de.groupBy("src").agg(F.count(F.lit(1)).alias("dout"))
+    ind = de.groupBy("dst").agg(F.count(F.lit(1)).alias("din"))
+    # arcs decorated with both transition denominators, reused each round
+    arcs = de.join(outd, "src").join(ind, "dst").persist()
+    n_hubs = outd.count()
+    verts = _vertices(de).persist()
+    h = outd.select(F.col("src").alias("id"), F.lit(1.0 / n_hubs).alias("hub"))
+    a = None
+    for t in range(1, max_iter + 1):
+        a = (
+            arcs.join(h.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("hub") / F.col("dout")).alias("authority"))
+        )
+        barrier = t % ckpt_every == 0 or t == max_iter
+        if barrier:
+            a = ckpt.save(a, "salsa_auth", t)
+        h = (
+            arcs.join(a.select(F.col("id").alias("dst"), "authority"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.col("authority") / F.col("din")).alias("hub"))
+        )
+        if barrier:
+            h = ckpt.save(h, "salsa_hub", t)
+    out = (
+        verts.join(h, "id", "left")
+        .join(a, "id", "left")
+        .select(
+            "id",
+            F.round(F.coalesce("hub", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("authority", F.lit(0.0)), 6).alias("authority"),
+        )
+    )
+    if own_ckpt and ckpt.path is None:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    de.unpersist()
+    arcs.unpersist()
+    verts.unpersist()
+    return out

@@ -1447,3 +1447,28 @@ def test_line_graph_goldens(spark):
     )
     assert line_graph(spark, star).count() == 4
     assert line_graph(spark, star, max_via_degree=1).count() == 0
+
+
+def test_salsa_goldens(spark):
+    from leidenalg_spark.operators.kernels import salsa
+
+    # 2-cycle is already stationary: every score 0.5
+    c = spark.createDataFrame([(1, 2, 1.0), (2, 1, 1.0)], "src long, dst long, weight double")
+    got = {r.id: (r.hub, r.authority) for r in salsa(spark, c).collect()}
+    assert got == {1: (0.5, 0.5), 2: (0.5, 0.5)}
+
+    # in-star: the sink soaks ALL authority, hubs split it by the walk
+    s = spark.createDataFrame([(1, 9, 1.0), (2, 9, 1.0)], "src long, dst long, weight double")
+    got = {r.id: (r.hub, r.authority) for r in salsa(spark, s).collect()}
+    assert got[9] == (0.0, 1.0)
+    assert got[1] == (0.5, 0.0) and got[2] == (0.5, 0.0)
+
+    # scores are probability distributions: each side sums to 1
+    g = spark.createDataFrame(
+        [(1, 3, 1.0), (2, 3, 1.0), (1, 4, 1.0)], "src long, dst long, weight double"
+    )
+    rows = salsa(spark, g).collect()
+    assert abs(sum(r.hub for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r.authority for r in rows) - 1.0) < 1e-6
+    byid = {r.id: r for r in rows}
+    assert byid[3].authority > byid[4].authority  # indegree order preserved
