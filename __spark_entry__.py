@@ -781,6 +781,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return lifecycle_accounting(_events(spark, sf)).orderBy("bucket", "state")
 
+    def q_rfm_scores(spark, sf):
+        # recency/frequency/monetary actor segmentation — histogram
+        # quantile scores, no global per-row window
+        from leidenalg_spark.operators.events import rfm_scores
+
+        return rfm_scores(_events(spark, sf)).orderBy("user_id")
+
     def q_periodicity(spark, sf):
         # daily-rhythm detection: lag-24 autocorrelation of the
         # zero-densified hourly count series, per event type
@@ -1492,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "periodicity": q_periodicity,
         "lifecycle_accounting": q_lifecycle,
+        "rfm_scores": q_rfm_scores,
         "vocab_coverage": q_vocab_coverage,
         "filter_funnel": q_filter_funnel,
         "zipf_fit": q_zipf_fit,
@@ -2845,6 +2853,38 @@ SELECT CAST(pair_id AS BIGINT) AS pair_id,
 FROM paired GROUP BY pair_id
 HAVING MIN(CASE WHEN side = 1 THEN v END) IS NOT NULL
 ORDER BY pair_id
+"""
+    sqls["rfm_scores"] = """
+WITH per0 AS (
+  SELECT user_id AS u, MAX(CAST(ts AS DATE)) AS last_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         ROUND(SUM(value), 2) AS monetary
+  FROM events GROUP BY user_id
+),
+hz AS (SELECT MAX(CAST(ts AS DATE)) AS max_day,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events),
+per AS (
+  SELECT u, CAST(date_diff('day', last_day, max_day) AS BIGINT) AS recency_days,
+         frequency, monetary, n
+  FROM per0 CROSS JOIN hz
+),
+rh AS (SELECT recency_days, n, COUNT(*) AS c FROM per GROUP BY 1, 2),
+rt AS (SELECT recency_days,
+              CAST(ceil(5 * SUM(c) OVER (ORDER BY recency_days DESC) / n) AS BIGINT) AS r_score
+       FROM rh),
+fh AS (SELECT frequency, n, COUNT(*) AS c FROM per GROUP BY 1, 2),
+ft AS (SELECT frequency,
+              CAST(ceil(5 * SUM(c) OVER (ORDER BY frequency ASC) / n) AS BIGINT) AS f_score
+       FROM fh),
+mh AS (SELECT monetary, n, COUNT(*) AS c FROM per GROUP BY 1, 2),
+mt AS (SELECT monetary,
+              CAST(ceil(5 * SUM(c) OVER (ORDER BY monetary ASC) / n) AS BIGINT) AS m_score
+       FROM mh)
+SELECT per.u AS user_id, recency_days, frequency, ROUND(monetary, 6) AS monetary,
+       r_score, f_score, m_score,
+       CAST(100 * r_score + 10 * f_score + m_score AS BIGINT) AS rfm
+FROM per JOIN rt USING (recency_days) JOIN ft USING (frequency) JOIN mt USING (monetary)
+ORDER BY user_id
 """
     sqls["lifecycle_accounting"] = """
 WITH act AS (

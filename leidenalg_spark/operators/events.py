@@ -489,3 +489,76 @@ def lifecycle_accounting(
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .select(F.col("wk").cast("long").alias("bucket"), "state", "n_users")
     )
+
+
+def rfm_scores(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) scoring — the classic
+    actor-value segmentation (Hughes 1994): per actor, days since last
+    event (vs the corpus horizon), event count, and summed value, each
+    mapped to a 1..``n_tiles`` quantile score, plus the combined
+    ``rfm = 100·r + 10·f + m`` segment code.
+
+    Scores are HISTOGRAM quantiles, not per-row NTILE: score =
+    ceil(n_tiles · cum_n / n) where cum_n counts actors at-or-better
+    than the actor's metric VALUE — ties share a score, so no global
+    per-row window ever runs.  The only ordered windows run over the
+    grouped metric histograms: recency is bounded by the corpus
+    day-span, frequency by the max activity count, and monetary is
+    quantised to 2 decimals to keep its histogram bounded too.  Each
+    histogram rides back on a metric-value equality join; the corpus
+    horizon and actor count are 1-row broadcast cross joins.
+    """
+    from pyspark.sql import Window
+
+    per = events.groupBy(F.col(id_col).alias("u")).agg(
+        F.max(F.to_date(F.col(ts_col))).alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum(F.col(value_col)), 2).alias("monetary"),
+    )
+    horizon = events.agg(
+        F.max(F.to_date(F.col(ts_col))).alias("max_day"),
+        F.countDistinct(id_col).cast("long").alias("n"),
+    )
+    per = per.crossJoin(F.broadcast(horizon)).select(
+        "u",
+        F.datediff("max_day", "last_day").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+        "n",
+    )
+
+    def _tile(df, metric, best_high, out):
+        # cumulative actor count over the grouped metric histogram,
+        # ordered worst→best, so the best values take cum_n = n → top tile
+        order = F.col(metric).asc() if best_high else F.col(metric).desc()
+        hist = df.groupBy(metric, "n").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+        tiles = hist.select(
+            metric,
+            F.ceil(F.lit(n_tiles) * F.sum("c").over(w) / F.col("n"))
+            .cast("long")
+            .alias(out),
+        )
+        return df.join(tiles, metric)
+
+    out = _tile(per, "recency_days", False, "r_score")
+    out = _tile(out, "frequency", True, "f_score")
+    out = _tile(out, "monetary", True, "m_score")
+    return out.select(
+        F.col("u").alias(id_col),
+        "recency_days",
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (100 * F.col("r_score") + 10 * F.col("f_score") + F.col("m_score"))
+        .cast("long")
+        .alias("rfm"),
+    )

@@ -420,3 +420,29 @@ def test_lifecycle_accounting_states(spark):
         (2, "churned"): 2,
         (3, "resurrected"): 1,
     }
+
+
+def test_rfm_scores_goldens(spark):
+    from datetime import datetime
+
+    from leidenalg_spark.operators.events import rfm_scores
+
+    rows = [
+        # heavy fresh spender: best on all three axes
+        (1, datetime(2024, 1, 10), 50.0), (1, datetime(2024, 1, 10), 50.0),
+        (1, datetime(2024, 1, 10), 50.0),
+        # stale one-shot low spender: worst on all three
+        (2, datetime(2024, 1, 1), 1.0),
+        # middle
+        (3, datetime(2024, 1, 5), 10.0), (3, datetime(2024, 1, 6), 10.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r.user_id: r for r in rfm_scores(ev).collect()}
+    assert got[1].recency_days == 0 and got[2].recency_days == 9
+    assert got[1].frequency == 3 and got[1].monetary == 150.0
+    # histogram quantiles with n=3: best value -> ceil(5*3/3)=5,
+    # middle -> ceil(5*2/3)=4, worst -> ceil(5*1/3)=2
+    assert (got[1].r_score, got[1].f_score, got[1].m_score) == (5, 5, 5)
+    assert (got[2].r_score, got[2].f_score, got[2].m_score) == (2, 2, 2)
+    assert got[3].rfm == 444
+    assert got[1].rfm == 555 and got[2].rfm == 222

@@ -105,6 +105,7 @@ DECLARATIVE = [
     "vocab_growth",
     "burstiness",
     "line_graph",
+    "rfm_scores",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -146,6 +147,8 @@ SCALAR_CROSS = {
     "zipf_fit",
     # the quantile-threshold row rides a 1-row broadcast cross join
     "vocab_growth",
+    # the corpus-horizon row (max_day, n) rides a 1-row broadcast cross join
+    "rfm_scores",
 }
 
 
