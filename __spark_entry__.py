@@ -1161,6 +1161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # symmetric int8 vector quantization, exploded code table
         return S.quantize_embeddings(_embeddings(spark, sf))
 
+    def q_random_projection(spark, sf):
+        # Achlioptas JL sign projection 64→16 dims, md5-derived signs
+        return S.random_projection(spark, _embeddings(spark, sf)).orderBy("id", "j")
+
     def _named_comm_graph(spark, sf):
         # the community_stats deterministic (edges, membership) pair on
         # string vertex names — shared by the attribute-mixing queries
@@ -1500,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodicity": q_periodicity,
         "lifecycle_accounting": q_lifecycle,
         "rfm_scores": q_rfm_scores,
+        "random_projection": q_random_projection,
         "vocab_coverage": q_vocab_coverage,
         "filter_funnel": q_filter_funnel,
         "zipf_fit": q_zipf_fit,
@@ -3170,6 +3175,21 @@ SELECT id, CAST(i - 1 AS INT) AS i,
          AS code,
        scale
 FROM s, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+"""
+    sqls["random_projection"] = """
+WITH signs AS (
+  SELECT i, j,
+         1 - 2 * ((('0x' || substr(md5('42:' || CAST(i AS VARCHAR) || ':' ||
+                                    CAST(j AS VARCHAR)), 1, 8))::BIGINT) % 2) AS sign
+  FROM (SELECT unnest(range(0, 64)) AS i), (SELECT unnest(range(0, 16)) AS j)
+),
+expl AS (
+  SELECT vec_id AS id, ii - 1 AS i, CAST(embedding[ii] AS DOUBLE) AS x
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS ii)
+)
+SELECT id, j, ROUND(SUM(x * sign) / sqrt(16.0), 6) AS y
+FROM expl JOIN signs USING (i)
+GROUP BY id, j ORDER BY id, j
 """
     sqls["graph_summary"] = f"""
 WITH edges AS ({_BIP_EDGES}),

@@ -749,3 +749,64 @@ def kmeans_outliers(
         F.round(z, 6).alias("z"),
         F.coalesce(z >= z_thresh, F.lit(False)).alias("is_outlier"),
     )
+
+
+def random_projection(
+    spark,
+    emb: DataFrame,
+    k: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random sign projection (Achlioptas 2003,
+    "Database-friendly random projections"): y_j = Σ_i x_i·r_ij /√k
+    with r_ij ∈ {−1,+1} drawn from the md5 parity of (seed, i, j) —
+    the same engine-replayable hash family every sampler here uses.
+    Achlioptas's theorem: ±1 entries preserve pairwise distances with
+    the same JL guarantee as Gaussian entries, so this is the standard
+    cheap dimensionality-reduction front-end for LSH / clustering.
+    Returns the exploded projection ``(id, j, y)``.
+
+    Scale shape: the sign matrix is a GENERATED dim×k DataFrame
+    (spark.range × spark.range — never driver-side literal arrays, cf.
+    the ivf_assign centroid-inlining trap), broadcast into one
+    equality join against the posexploded vectors, then a map-side
+    combinable (id, j) sum.  At dim=4096, k=64 the broadcast is 262k
+    rows — trivially under any broadcast threshold.
+    """
+    import math
+
+    key = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("i").cast("string"),
+            F.lit(":"),
+            F.col("j").cast("string"),
+        )
+    )
+    signs = (
+        spark.range(dim)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(k).select(F.col("id").alias("j")))
+        .select(
+            "i",
+            "j",
+            (
+                1
+                - 2
+                * (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 2)
+            ).cast("int").alias("sign"),
+        )
+    )
+    expl = emb.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("i", "x")
+    ).select("id", F.col("i").cast("bigint").alias("i"), F.col("x").cast("double").alias("x"))
+    return (
+        expl.join(F.broadcast(signs), "i")
+        .groupBy("id", "j")
+        .agg(
+            F.round(F.sum(F.col("x") * F.col("sign")) / F.lit(math.sqrt(k)), 6).alias("y")
+        )
+    )

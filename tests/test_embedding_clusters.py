@@ -118,3 +118,29 @@ def test_knn_graph_planted_bundles(spark):
     a = edges.sort_values(["src", "dst"]).reset_index(drop=True)
     b = again.sort_values(["src", "dst"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_random_projection_properties(spark):
+    import numpy as np
+
+    from leidenalg_spark.operators.similarity import random_projection
+
+    rows = [
+        (0, [1.0] + [0.0] * 7),       # basis vector e_0
+        (1, [2.0] + [0.0] * 7),       # 2*e_0 — linearity probe
+        (2, [0.5] * 8),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = random_projection(spark, emb, k=4, dim=8).collect()
+    y = {}
+    for r in out:
+        y.setdefault(r.id, {})[r.j] = r.y
+    assert len(y[0]) == 4
+    # e_0 projects to sign(0, j)/sqrt(k): each |y_j| == 0.5 exactly
+    assert all(abs(v) == 0.5 for v in y[0].values())
+    # linearity: proj(2x) == 2*proj(x), componentwise
+    assert all(abs(y[1][j] - 2 * y[0][j]) < 1e-9 for j in y[0])
+    # norm preserved in expectation: ||x||=sqrt(2) for the constant
+    # vector; the JL estimate must be within 2x (loose, deterministic)
+    n2 = sum(v * v for v in y[2].values())
+    assert 0.5 * 2.0 < n2 < 2.0 * 2.0
