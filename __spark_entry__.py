@@ -415,6 +415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # arcs become vertices, (a→b)→(b→c) becomes the edge set
         return K.line_graph(spark, _transition_ids(spark, sf))
 
+    def q_markov_chain_stats(spark, sf):
+        # entropy rate / perplexity of the event-type transition chain
+        # — how predictable the behaviour sequences are
+        return K.markov_chain_stats(spark, _transition_ids(spark, sf))
+
     def q_salsa(spark, sf):
         # Lempel–Moran SALSA hubs/authorities on the directed
         # type-transition graph — degree-normalised HITS sibling
@@ -1556,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "line_graph": q_line_graph,
         "salsa": q_salsa,
+        "markov_chain_stats": q_markov_chain_stats,
         "dyad_census": q_dyad_census,
         "bipartiteness": q_bipartiteness,
         "power_law_fit": q_power_law_fit,
@@ -4403,6 +4409,31 @@ FROM nverts v LEFT JOIN sh4 h ON h.id = v.id LEFT JOIN sa4 a ON a.id = v.id
 ORDER BY v.id
 """
     )
+    markov_sql = (
+        "WITH " + ",\n".join(trans_prelude) + """,
+me AS (SELECT src, dst, SUM(weight) AS w FROM nedges GROUP BY src, dst),
+mout AS (SELECT src, SUM(w) AS ow FROM me GROUP BY src),
+mtot AS (SELECT SUM(w) AS tw FROM me),
+mstates AS (
+  SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_states
+  FROM (SELECT src AS id FROM me UNION ALL SELECT dst FROM me)
+),
+mrate AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS n_transitions,
+         -SUM((w / tw) * log2(w / ow)) AS h_rate
+  FROM me JOIN mout USING (src) CROSS JOIN mtot
+),
+mstat AS (
+  SELECT -SUM((ow / tw) * log2(ow / tw)) AS h_stat
+  FROM mout CROSS JOIN mtot
+)
+SELECT n_states, n_transitions,
+       ROUND(h_rate, 6) AS entropy_rate_bits,
+       ROUND(pow(2.0, h_rate), 6) AS perplexity,
+       ROUND(h_stat, 6) AS stationary_entropy_bits
+FROM mrate CROSS JOIN mstates CROSS JOIN mstat
+"""
+    )
     linegraph_sql = (
         "WITH " + ",\n".join(trans_prelude) + """,
 de AS (SELECT DISTINCT src, dst FROM nedges WHERE src <> dst),
@@ -5502,6 +5533,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "reciprocity": recip_sql,
             "line_graph": linegraph_sql,
             "salsa": salsa_sql,
+            "markov_chain_stats": markov_sql,
             "dyad_census": dyad_sql,
             "bipartiteness": bip_sql,
             "edge_clustering": radicchi_sql,

@@ -4472,3 +4472,65 @@ def salsa(
     arcs.unpersist()
     verts.unpersist()
     return out
+
+
+def markov_chain_stats(spark, edges: DataFrame) -> DataFrame:
+    """Plug-in Markov-chain information measures over a weighted
+    directed transition graph (weight = observed transition count):
+    the entropy RATE H = −Σ_ij p̂_i P̂_ij log₂ P̂_ij with p̂ the
+    empirical source distribution and P̂ the row-normalised counts —
+    i.e. bits per step needed to predict the next state (Cover &
+    Thomas ch. 4, the standard plug-in estimator), its perplexity
+    2^H (effective branching factor of the behaviour), and the
+    entropy of p̂ itself for contrast.  On transcript-derived
+    event-type chains this measures how predictable agent/tool
+    sequences are.  Returns one row: ``n_states, n_transitions,
+    entropy_rate_bits, perplexity, stationary_entropy_bits``.
+
+    Scale shape: one (src,dst) count aggregate, one src-keyed
+    normaliser join, three 1-row combines on broadcast cross joins —
+    no iteration, no windows, fully map-side combinable.
+    """
+    e = (
+        edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    tot = e.agg(F.sum("w").alias("tw"))
+    states = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .agg(F.countDistinct("id").cast("long").alias("n_states"))
+    )
+    rate = (
+        e.join(outw, "src")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum("w").cast("long").alias("n_transitions"),
+            (-F.sum((F.col("w") / F.col("tw")) * F.log2(F.col("w") / F.col("ow"))))
+            .alias("h_rate"),
+        )
+    )
+    stat = (
+        outw.crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum((F.col("ow") / F.col("tw")) * F.log2(F.col("ow") / F.col("tw"))))
+            .alias("h_stat")
+        )
+    )
+    out = (
+        rate.crossJoin(F.broadcast(states))
+        .crossJoin(F.broadcast(stat))
+        .select(
+            "n_states",
+            "n_transitions",
+            F.round("h_rate", 6).alias("entropy_rate_bits"),
+            F.round(F.pow(F.lit(2.0), F.col("h_rate")), 6).alias("perplexity"),
+            F.round("h_stat", 6).alias("stationary_entropy_bits"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

@@ -1472,3 +1472,25 @@ def test_salsa_goldens(spark):
     assert abs(sum(r.authority for r in rows) - 1.0) < 1e-6
     byid = {r.id: r for r in rows}
     assert byid[3].authority > byid[4].authority  # indegree order preserved
+
+
+def test_markov_chain_stats_goldens(spark):
+    from leidenalg_spark.operators.kernels import markov_chain_stats
+
+    # deterministic 2-cycle: next state is always known → 0 bits,
+    # perplexity 1; stationary is uniform over 2 states → 1 bit
+    c = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 1, 5.0)], "src long, dst long, weight double"
+    )
+    r = markov_chain_stats(spark, c).collect()[0]
+    assert (r.n_states, r.n_transitions) == (2, 10)
+    assert r.entropy_rate_bits == 0.0 and r.perplexity == 1.0
+    assert r.stationary_entropy_bits == 1.0
+
+    # fair coin from one state: 1 bit/step, perplexity 2
+    coin = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 3.0)], "src long, dst long, weight double"
+    )
+    r2 = markov_chain_stats(spark, coin).collect()[0]
+    assert r2.entropy_rate_bits == 1.0 and r2.perplexity == 2.0
+    assert r2.n_states == 3
