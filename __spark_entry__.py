@@ -255,6 +255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = docs.where(F.col("doc_id") % 17 == 3)
         return training_set(docs, bench, min_quality=0.5, langs=("en",))
 
+    def q_textrank(spark, sf):
+        # TextRank keyword extraction: pagerank over the adjacent-token
+        # co-occurrence graph, corpus top-15
+        return T.textrank_keywords(spark, _documents(spark, sf))
+
     def q_pmi_cooccurrence(spark, sf):
         # word-association edges: window-5 co-occurrence, PMI weights;
         # cap 950 exercises the stopword-drop path at sf0.01
@@ -1526,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": q_neardup_jaccard,
         "neardup_dedup": q_neardup_dedup,
         "pmi_cooccurrence": q_pmi_cooccurrence,
+        "textrank": q_textrank,
         "training_set": q_training_set,
         "kmeans": q_kmeans,
         "partition_compare": q_partition_compare,
@@ -3182,6 +3188,42 @@ SELECT id, CAST(i - 1 AS INT) AS i,
        scale
 FROM s, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
 """
+    _tr = [
+        f"""tpos AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS token
+  FROM (SELECT doc_id, {_doc_tokens("coalesce(text,'')")} AS tk FROM documents),
+       LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)
+  WHERE tk[i] <> ''
+)""",
+        """tw AS (
+  SELECT least(p1.token, p2.token) AS a, greatest(p1.token, p2.token) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM tpos p1 JOIN tpos p2
+    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  WHERE p1.token <> p2.token GROUP BY 1, 2
+)""",
+        "tsym AS (SELECT a AS src, b AS dst, w FROM tw UNION ALL SELECT b, a, w FROM tw)",
+        "touts AS (SELECT src, SUM(w) AS ow FROM tsym GROUP BY src)",
+        "tlinks AS MATERIALIZED (SELECT tsym.src, tsym.dst, w / ow AS share FROM tsym JOIN touts USING (src))",
+        "tverts AS (SELECT DISTINCT src AS id FROM tsym)",
+        "tn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tverts)",
+        "tr0 AS (SELECT id, 1.0 / (SELECT n FROM tn) AS rank FROM tverts)",
+    ]
+    for t in range(1, 7):
+        _tr.append(f"""tr{t} AS MATERIALIZED (
+  SELECT l.dst AS id,
+         0.15 / (SELECT n FROM tn) + 0.85 * SUM(l.share * r.rank) AS rank
+  FROM tlinks l JOIN tr{t - 1} r ON r.id = l.src GROUP BY l.dst
+)""")
+    sqls["textrank"] = (
+        "WITH " + ",\n".join(_tr) + """
+SELECT token, score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT id AS token, ROUND(rank, 6) AS score,
+         ROW_NUMBER() OVER (ORDER BY ROUND(rank, 6) DESC, id) AS rank
+  FROM tr6
+) WHERE rank <= 15
+"""
+    )
     sqls["random_projection"] = """
 WITH signs AS (
   SELECT i, j,

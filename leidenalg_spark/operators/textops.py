@@ -855,3 +855,67 @@ def vocab_growth(docs: DataFrame, n_points: int = 8, col: str = "text") -> DataF
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_types").cast("long").alias("n_types"),
     )
+
+
+def textrank_keywords(
+    spark,
+    docs: DataFrame,
+    col: str = "text",
+    top_k: int = 15,
+    max_iter: int = 6,
+    damping: float = 0.85,
+    max_token_freq: int | None = None,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the ADJACENT-token co-occurrence graph — tokens are vertices,
+    consecutive-position pairs are undirected weighted edges, and the
+    stationary rank is the keyword salience.  The graph-over-text
+    composition: the same :func:`..kernels.pagerank` superstep that
+    ranks the link graph ranks the vocabulary.  Returns the corpus
+    top-``top_k`` as ``(token, score, rank)`` with scores rounded
+    BEFORE ranking and token tie-breaks, so the cut is deterministic.
+
+    Scale shape: positional explode + ONE (doc, pos+1) equality
+    self-join (linear in corpus tokens — never a windowed cross join),
+    a map-side-combinable pair count, then the audited pagerank
+    superstep (tol=0, undirected → no dangling action, fixed
+    ``max_iter`` rounds); the final top-k compiles to
+    TakeOrderedAndProject, and the rank window runs over those k rows
+    only.  ``max_token_freq`` optionally drops stopword-grade hubs.
+    """
+    from .kernels import pagerank
+
+    toks = tokens_col(col)
+    pos = docs.select("doc_id", F.posexplode(toks).alias("pos", "token")).where(
+        F.col("token") != ""
+    )
+    if max_token_freq is not None:
+        occ_f = pos.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+        pos = pos.join(occ_f.where(F.col("f") <= max_token_freq), "token").select(
+            "doc_id", "pos", "token"
+        )
+    nxt = pos.select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("token").alias("ta"))
+    pairs = (
+        nxt.join(pos.select("doc_id", "pos", F.col("token").alias("tb")), ["doc_id", "pos"])
+        .where(F.col("ta") != F.col("tb"))
+        .select(F.least("ta", "tb").alias("src"), F.greatest("ta", "tb").alias("dst"))
+    )
+    e = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    pr = pagerank(
+        spark, e, damping=damping, max_iter=max_iter, tol=0.0, directed=False
+    )
+    from pyspark.sql import Window
+
+    top = (
+        pr.select(F.col("id").alias("token"), F.round("rank", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "token")
+        .limit(top_k)
+    )
+    return top.select(
+        "token",
+        "score",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "token"))
+        .cast("long")
+        .alias("rank"),
+    )

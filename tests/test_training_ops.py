@@ -669,3 +669,29 @@ def test_vocab_growth_prefix_golden(spark):
     rows = {r.point: (r.n_docs, r.n_tokens, r.n_types)
             for r in vocab_growth(docs, n_points=4).collect()}
     assert rows == {1: (1, 3, 3), 2: (2, 6, 4), 3: (3, 8, 5), 4: (4, 11, 6)}
+
+
+def test_textrank_keywords_goldens(spark):
+    from leidenalg_spark.operators.textops import textrank_keywords
+
+    # hub word "spark" bridges every sentence: it must rank first
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins tables"),
+            (2, "spark shuffles data"),
+            (3, "spark broadcasts data"),
+            (4, "tables hold data"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(spark, docs, top_k=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    # "spark" and "data" are the two degree-3 hubs bridging sentences
+    assert {out[0].token, out[1].token} == {"spark", "data"}
+    # the two hubs tie exactly (isomorphic neighbourhoods) and beat #3;
+    # the tie breaks on token, so ordering is still deterministic
+    assert out[0].score == out[1].score > out[2].score > 0
+
+    # determinism: same input, same full result
+    again = textrank_keywords(spark, docs, top_k=3).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
