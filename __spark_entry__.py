@@ -425,6 +425,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — how predictable the behaviour sequences are
         return K.markov_chain_stats(spark, _transition_ids(spark, sf))
 
+    def q_assortativity_numeric(spark, sf):
+        # numeric-attribute assortativity: do high-value event types
+        # transition to high-value event types?
+        from pyspark.sql import Window
+
+        der = E.events_to_type_transition_edges(_events(spark, sf))
+        names = (
+            der.select(F.col("src_name").alias("nm"))
+            .union(der.select("dst_name")).distinct()
+        )
+        tids = names.withColumn(
+            "tid", F.row_number().over(Window.orderBy("nm")).cast("long")
+        )
+        edges = (
+            der.join(tids.select(F.col("nm").alias("src_name"), F.col("tid").alias("src")), "src_name")
+            .join(tids.select(F.col("nm").alias("dst_name"), F.col("tid").alias("dst")), "dst_name")
+            .select("src", "dst", "weight")
+        )
+        vals = (
+            _events(spark, sf)
+            .groupBy(F.col("event_type").alias("nm"))
+            .agg(F.round(F.avg("value"), 6).alias("x"))
+            .join(tids, "nm")
+            .select(F.col("tid").alias("id"), "x")
+        )
+        return K.assortativity_numeric(spark, edges, vals)
+
     def q_salsa(spark, sf):
         # Lempel–Moran SALSA hubs/authorities on the directed
         # type-transition graph — degree-normalised HITS sibling
@@ -1568,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_graph": q_line_graph,
         "salsa": q_salsa,
         "markov_chain_stats": q_markov_chain_stats,
+        "assortativity_numeric": q_assortativity_numeric,
         "dyad_census": q_dyad_census,
         "bipartiteness": q_bipartiteness,
         "power_law_fit": q_power_law_fit,
@@ -4451,6 +4479,29 @@ FROM nverts v LEFT JOIN sh4 h ON h.id = v.id LEFT JOIN sa4 a ON a.id = v.id
 ORDER BY v.id
 """
     )
+    assnum_sql = (
+        "WITH " + ",\n".join(trans_prelude) + """,
+avals AS (SELECT event_type AS nm, ROUND(AVG(value), 6) AS x FROM events GROUP BY event_type),
+att AS (SELECT tid AS id, x FROM ntids JOIN avals USING (nm)),
+pe AS (
+  SELECT nedges.weight AS w, a.x AS xa, b.x AS xb
+  FROM nedges JOIN att a ON a.id = nedges.src JOIN att b ON b.id = nedges.dst
+),
+mm AS (
+  SELECT SUM(w) AS sw, SUM(w * xa) AS sx, SUM(w * xb) AS sy,
+         SUM(w * xa * xa) AS sxx, SUM(w * xb * xb) AS syy,
+         SUM(w * xa * xb) AS sxy
+  FROM pe
+)
+SELECT CASE WHEN (sxx / sw - (sx / sw) * (sx / sw)) > 0
+             AND (syy / sw - (sy / sw) * (sy / sw)) > 0
+       THEN ROUND((sxy / sw - (sx / sw) * (sy / sw))
+                  / sqrt((sxx / sw - (sx / sw) * (sx / sw))
+                         * (syy / sw - (sy / sw) * (sy / sw))), 6)
+       END AS assortativity
+FROM mm
+"""
+    )
     markov_sql = (
         "WITH " + ",\n".join(trans_prelude) + """,
 me AS (SELECT src, dst, SUM(weight) AS w FROM nedges GROUP BY src, dst),
@@ -5576,6 +5627,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "line_graph": linegraph_sql,
             "salsa": salsa_sql,
             "markov_chain_stats": markov_sql,
+            "assortativity_numeric": assnum_sql,
             "dyad_census": dyad_sql,
             "bipartiteness": bip_sql,
             "edge_clustering": radicchi_sql,

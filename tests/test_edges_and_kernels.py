@@ -1494,3 +1494,22 @@ def test_markov_chain_stats_goldens(spark):
     r2 = markov_chain_stats(spark, coin).collect()[0]
     assert r2.entropy_rate_bits == 1.0 and r2.perplexity == 2.0
     assert r2.n_states == 3
+
+
+def test_assortativity_numeric_goldens(spark):
+    from leidenalg_spark.operators.kernels import assortativity_numeric
+
+    def run(edges, vals):
+        e = spark.createDataFrame(edges, "src long, dst long, weight double")
+        v = spark.createDataFrame(vals, "id long, x double")
+        return assortativity_numeric(spark, e, v).collect()[0].assortativity
+
+    # perfectly assortative: like links to like
+    r = run([(1, 2, 1.0), (3, 4, 1.0)], [(1, 0.0), (2, 0.0), (3, 5.0), (4, 5.0)])
+    assert r == 1.0
+    # perfectly disassortative: high always links low
+    r = run([(1, 2, 1.0), (2, 1, 1.0)], [(1, 0.0), (2, 5.0)])
+    assert r == -1.0
+    # constant attribute: zero variance → NULL
+    r = run([(1, 2, 1.0), (2, 3, 1.0)], [(1, 7.0), (2, 7.0), (3, 7.0)])
+    assert r is None
