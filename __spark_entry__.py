@@ -255,6 +255,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = docs.where(F.col("doc_id") % 17 == 3)
         return training_set(docs, bench, min_quality=0.5, langs=("en",))
 
+    def q_source_divergence(spark, sf):
+        # pairwise Jensen–Shannon divergence between per-source unigram
+        # mixtures — the training-mixture overlap diagnostic
+        return T.source_divergence(_documents(spark, sf)).orderBy(
+            "source_a", "source_b"
+        )
+
     def q_textrank(spark, sf):
         # TextRank keyword extraction: pagerank over the adjacent-token
         # co-occurrence graph, corpus top-15
@@ -1559,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_dedup": q_neardup_dedup,
         "pmi_cooccurrence": q_pmi_cooccurrence,
         "textrank": q_textrank,
+        "source_divergence": q_source_divergence,
         "training_set": q_training_set,
         "kmeans": q_kmeans,
         "partition_compare": q_partition_compare,
@@ -3215,6 +3223,40 @@ SELECT id, CAST(i - 1 AS INT) AS i,
          AS code,
        scale
 FROM s, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+"""
+    sqls["source_divergence"] = f"""
+WITH stc AS (
+  SELECT source AS s, token, COUNT(*) AS c
+  FROM (SELECT source, unnest({_doc_tokens("coalesce(text,'')")}) AS token FROM documents)
+  WHERE token <> '' GROUP BY 1, 2
+),
+stot AS (SELECT s, SUM(c) AS n FROM stc GROUP BY s),
+sdist AS (SELECT stc.s, token, c / CAST(n AS DOUBLE) AS p FROM stc JOIN stot USING (s)),
+spair AS (
+  SELECT l.s AS source_a, r.s AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_tokens,
+         SUM(0.5 * (l.p * log2(2.0 * l.p / (l.p + r.p))
+                    + r.p * log2(2.0 * r.p / (l.p + r.p)))) AS js_inner,
+         SUM(l.p) AS p_shared, SUM(r.p) AS q_shared
+  FROM sdist l JOIN sdist r ON r.token = l.token AND l.s < r.s
+  GROUP BY 1, 2
+),
+sall AS (
+  SELECT a.s AS source_a, b.s AS source_b
+  FROM stot a JOIN stot b ON a.s < b.s
+),
+sfull AS (
+  SELECT sall.source_a, sall.source_b,
+         COALESCE(shared_tokens, 0) AS shared_tokens,
+         COALESCE(js_inner, 0.0) AS js_inner,
+         COALESCE(p_shared, 0.0) AS p_shared,
+         COALESCE(q_shared, 0.0) AS q_shared
+  FROM sall LEFT JOIN spair USING (source_a, source_b)
+)
+SELECT source_a, source_b, shared_tokens,
+       ROUND(js_inner + 0.5 * (1.0 - p_shared) + 0.5 * (1.0 - q_shared), 6) AS js_divergence,
+       ROUND(sqrt(greatest(js_inner + 0.5 * (1.0 - p_shared) + 0.5 * (1.0 - q_shared), 0.0)), 6) AS js_distance
+FROM sfull ORDER BY source_a, source_b
 """
     _tr = [
         f"""tpos AS (

@@ -919,3 +919,88 @@ def textrank_keywords(
         .cast("long")
         .alias("rank"),
     )
+
+
+def source_divergence(docs: DataFrame, col: str = "text", group_col: str = "source") -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the unigram
+    distributions of every pair of corpus sources — the standard
+    training-mixture diagnostic (how different is web text from chat
+    transcripts? is one dump a near-copy of another?).  JS(p,q) =
+    ½KL(p‖m) + ½KL(q‖m), m = ½(p+q), in bits: 0 = identical mixtures,
+    1 = disjoint vocabularies.  Returns (source_a, source_b,
+    shared_tokens, js_divergence, js_distance = √JS — the metric).
+
+    Sparse closed form: tokens present in only one source contribute
+    exactly ½·p(t)·log₂2 = ½p(t), so the missing side never needs
+    materialising — JS = Σ_shared ½(p·log₂(2p/(p+q)) + q·log₂(2q/(p+q)))
+    + ½(1−P_shared) + ½(1−Q_shared).
+
+    Scale shape: one (source, token) count aggregate, per-source
+    totals ON a broadcast (|sources| rows), one token-keyed self-join
+    whose fan-out per token is bounded by |sources|², then a
+    (source_a, source_b) 1-row-per-pair combine — linear in corpus
+    tokens, never quadratic in vocabulary.
+    """
+    toks = tokens_col(col)
+    tc = (
+        docs.select(F.col(group_col).alias("s"), F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("s", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tc.groupBy("s").agg(F.sum("c").alias("n"))
+    dist = tc.join(F.broadcast(tot), "s").select(
+        "s", "token", (F.col("c") / F.col("n")).alias("p")
+    )
+    shared = (
+        dist.alias("l")
+        .join(dist.alias("r"), "token")
+        .where(F.col("l.s") < F.col("r.s"))
+        .select(
+            F.col("l.s").alias("source_a"),
+            F.col("r.s").alias("source_b"),
+            F.col("l.p").alias("p"),
+            F.col("r.p").alias("q"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_tokens"),
+            F.sum(
+                0.5
+                * (
+                    F.col("p") * F.log2(2.0 * F.col("p") / (F.col("p") + F.col("q")))
+                    + F.col("q") * F.log2(2.0 * F.col("q") / (F.col("p") + F.col("q")))
+                )
+            ).alias("js_inner"),
+            F.sum("p").alias("p_shared"),
+            F.sum("q").alias("q_shared"),
+        )
+    )
+    # disjoint-vocabulary pairs produce no self-join rows at all, yet
+    # they're the most important output (JS exactly 1) — generate every
+    # source pair from the |sources|-row totals and left-join
+    all_pairs = (
+        tot.select(F.col("s").alias("source_a"))
+        .crossJoin(tot.select(F.col("s").alias("source_b")))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    full = all_pairs.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce("shared_tokens", F.lit(0)).cast("long").alias("shared_tokens"),
+        F.coalesce("js_inner", F.lit(0.0)).alias("js_inner"),
+        F.coalesce("p_shared", F.lit(0.0)).alias("p_shared"),
+        F.coalesce("q_shared", F.lit(0.0)).alias("q_shared"),
+    )
+    js = (
+        F.col("js_inner")
+        + 0.5 * (1.0 - F.col("p_shared"))
+        + 0.5 * (1.0 - F.col("q_shared"))
+    )
+    return full.select(
+        "source_a",
+        "source_b",
+        "shared_tokens",
+        F.round(js, 6).alias("js_divergence"),
+        F.round(F.sqrt(F.greatest(js, F.lit(0.0))), 6).alias("js_distance"),
+    )

@@ -695,3 +695,27 @@ def test_textrank_keywords_goldens(spark):
     # determinism: same input, same full result
     again = textrank_keywords(spark, docs, top_k=3).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_source_divergence_goldens(spark):
+    from leidenalg_spark.operators.textops import source_divergence
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "web"),
+            (2, "a b c", "chat"),       # identical mixture to web
+            (3, "x y z", "code"),       # disjoint vocabulary
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source_a, r.source_b): r for r in source_divergence(docs).collect()
+    }
+    # identical unigram mixtures → JS 0
+    assert got[("chat", "web")].js_divergence == 0.0
+    assert got[("chat", "web")].shared_tokens == 3
+    # disjoint vocabularies → JS 1 bit (maximum), distance 1
+    assert got[("chat", "code")].js_divergence == 1.0
+    assert got[("chat", "code")].js_distance == 1.0
+    assert got[("chat", "code")].shared_tokens == 0
+    assert got[("code", "web")].js_divergence == 1.0
