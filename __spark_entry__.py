@@ -1205,6 +1205,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # symmetric int8 vector quantization, exploded code table
         return S.quantize_embeddings(_embeddings(spark, sf))
 
+    def q_distance_histogram(spark, sf):
+        # cosine-similarity histogram over deterministic offset pairs —
+        # the near-dup threshold calibration chart
+        return S.distance_histogram(spark, _embeddings(spark, sf)).orderBy("bin")
+
     def q_random_projection(spark, sf):
         # Achlioptas JL sign projection 64→16 dims, md5-derived signs
         return S.random_projection(spark, _embeddings(spark, sf)).orderBy("id", "j")
@@ -1549,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lifecycle_accounting": q_lifecycle,
         "rfm_scores": q_rfm_scores,
         "random_projection": q_random_projection,
+        "distance_histogram": q_distance_histogram,
         "vocab_coverage": q_vocab_coverage,
         "filter_funnel": q_filter_funnel,
         "zipf_fit": q_zipf_fit,
@@ -3294,6 +3300,27 @@ SELECT token, score, CAST(rank AS BIGINT) AS rank FROM (
 ) WHERE rank <= 15
 """
     )
+    sqls["distance_histogram"] = """
+WITH dpairs AS (
+  SELECT l.embedding AS v, r.embedding AS w
+  FROM embeddings l
+  JOIN (SELECT unnest([1, 7, 41, 173]) AS off) o ON TRUE
+  JOIN embeddings r ON r.vec_id = l.vec_id + o.off
+),
+dcos AS (
+  SELECT list_sum(list_transform(list_zip(v, w),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(w, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+  FROM dpairs
+),
+dbin AS (
+  SELECT greatest(-20, least(19, CAST(floor(c * 20) AS BIGINT))) AS bin, c FROM dcos
+)
+SELECT bin, ROUND(bin / 20.0, 6) AS lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs, ROUND(AVG(c), 6) AS avg_cos
+FROM dbin GROUP BY bin ORDER BY bin
+"""
     sqls["random_projection"] = """
 WITH signs AS (
   SELECT i, j,

@@ -810,3 +810,51 @@ def random_projection(
             F.round(F.sum(F.col("x") * F.col("sign")) / F.lit(math.sqrt(k)), 6).alias("y")
         )
     )
+
+
+def distance_histogram(
+    spark,
+    emb: DataFrame,
+    offsets: tuple = (1, 7, 41, 173),
+    n_bins: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine-similarity histogram over a DETERMINISTIC sample of
+    vector pairs — the threshold-calibration chart every near-dup /
+    ANN pipeline needs before picking a cutoff (where does the
+    duplicate mode separate from the background mode?).  Pairs are
+    id-offset pairs: each vector pairs with the vectors at
+    ``id + offset`` for a handful of coprime strides, giving
+    |offsets|·n unbiased pairs without randomness, collection, or a
+    quadratic join.  Returns ``(bin, lo, n_pairs, avg_cos)`` where
+    ``bin`` = floor(cos·n_bins) clamped to [−n_bins, n_bins−1] and
+    ``lo`` = bin/n_bins, over cosine's [−1, 1] range.
+
+    Scale shape: one equality self-join per offset on ``id + offset``
+    (a pure co-partitioned merge under the same hash layout — never a
+    cross join), JVM ``F.aggregate`` dot products, one bounded
+    (≤ 2·n_bins rows) hash aggregate.
+    """
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    shifted = base.select(
+        F.col("id").alias("rid"), F.col("v").alias("w"),
+        F.explode(F.array(*[F.lit(int(o)) for o in offsets])).alias("off"),
+    ).select((F.col("rid") - F.col("off")).alias("id"), "w")
+    pairs = base.join(shifted, "id")
+    cos = (_dot(F.col("v"), F.col("w")) / (_norm(F.col("v")) * _norm(F.col("w")))).alias("cos")
+    binned = pairs.select(cos).select(
+        F.greatest(
+            F.lit(-n_bins),
+            F.least(F.lit(n_bins - 1), F.floor(F.col("cos") * n_bins).cast("long")),
+        ).alias("bin"),
+        "cos",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("cos"), 6).alias("avg_cos"),
+        )
+        .select("bin", F.round(F.col("bin") / F.lit(float(n_bins)), 6).alias("lo"), "n_pairs", "avg_cos")
+    )

@@ -144,3 +144,23 @@ def test_random_projection_properties(spark):
     # vector; the JL estimate must be within 2x (loose, deterministic)
     n2 = sum(v * v for v in y[2].values())
     assert 0.5 * 2.0 < n2 < 2.0 * 2.0
+
+
+def test_distance_histogram_goldens(spark):
+    from leidenalg_spark.operators.similarity import distance_histogram
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),   # cos(0,1) = 1 → clamped into the top bin
+            (2, [0.0, 1.0]),   # cos(1,2) = 0
+            (3, [-1.0, 0.0]),  # cos(2,3) = 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.bin: r for r in distance_histogram(spark, emb).collect()}
+    # only offset 1 produces pairs on 4 vectors
+    assert got[19].n_pairs == 1 and got[19].avg_cos == 1.0
+    assert got[19].lo == 0.95
+    assert got[0].n_pairs == 2 and got[0].avg_cos == 0.0
+    assert set(got) == {0, 19}
