@@ -255,6 +255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = docs.where(F.col("doc_id") % 17 == 3)
         return training_set(docs, bench, min_quality=0.5, langs=("en",))
 
+    def q_bigram_lm_score(spark, sf):
+        # Jelinek–Mercer interpolated bigram LM perplexity filter —
+        # the sequence-aware upgrade of the add-α unigram lm_score
+        return T.bigram_lm_score(_documents(spark, sf)).orderBy("doc_id")
+
     def q_source_divergence(spark, sf):
         # pairwise Jensen–Shannon divergence between per-source unigram
         # mixtures — the training-mixture overlap diagnostic
@@ -1573,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_cooccurrence": q_pmi_cooccurrence,
         "textrank": q_textrank,
         "source_divergence": q_source_divergence,
+        "bigram_lm_score": q_bigram_lm_score,
         "training_set": q_training_set,
         "kmeans": q_kmeans,
         "partition_compare": q_partition_compare,
@@ -3229,6 +3235,40 @@ SELECT id, CAST(i - 1 AS INT) AS i,
          AS code,
        scale
 FROM s, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+"""
+    sqls["bigram_lm_score"] = f"""
+WITH bpos AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS b
+  FROM (SELECT doc_id, {_doc_tokens("coalesce(text,'')")} AS tk FROM documents),
+       LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i)
+  WHERE tk[i] <> ''
+),
+buni AS (SELECT b, CAST(COUNT(*) AS DOUBLE) AS cb FROM bpos GROUP BY b),
+btot AS (SELECT SUM(cb) AS T, CAST(COUNT(*) AS DOUBLE) AS V FROM buni),
+bocc AS (
+  SELECT cur.doc_id, cur.b, prv.b AS a
+  FROM bpos cur LEFT JOIN bpos prv
+    ON prv.doc_id = cur.doc_id AND prv.pos = cur.pos - 1
+),
+bbi AS (SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS cab
+        FROM bocc WHERE a IS NOT NULL GROUP BY a, b),
+bctx AS (SELECT a, SUM(cab) AS ca FROM bbi GROUP BY a),
+bsc AS (
+  SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(ln(CASE WHEN o.a IS NOT NULL
+                     THEN 0.7 * bbi.cab / bctx.ca
+                          + 0.3 * (buni.cb + 1.0) / (btot.T + btot.V)
+                     ELSE (buni.cb + 1.0) / (btot.T + btot.V) END)) AS mlp
+  FROM bocc o JOIN buni ON buni.b = o.b
+  LEFT JOIN bbi ON bbi.a = o.a AND bbi.b = o.b
+  LEFT JOIN bctx ON bctx.a = o.a
+  CROSS JOIN btot GROUP BY o.doc_id
+)
+SELECT d.doc_id, COALESCE(n, 0) AS n_tokens,
+       ROUND(COALESCE(mlp, 0.0), 6) AS mean_logp,
+       ROUND(exp(-COALESCE(mlp, 0.0)), 6) AS perplexity
+FROM documents d LEFT JOIN bsc ON bsc.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
     sqls["source_divergence"] = f"""
 WITH stc AS (

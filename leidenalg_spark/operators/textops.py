@@ -1004,3 +1004,61 @@ def source_divergence(docs: DataFrame, col: str = "text", group_col: str = "sour
         F.round(js, 6).alias("js_divergence"),
         F.round(F.sqrt(F.greatest(js, F.lit(0.0))), 6).alias("js_distance"),
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame, col: str = "text", lam: float = 0.7, alpha: float = 1.0
+) -> DataFrame:
+    """Interpolated bigram language-model quality score (Jelinek–Mercer
+    smoothing): train corpus bigram + add-``alpha`` unigram models,
+    then score every document by its mean token log-probability under
+    p(w|v) = λ·c(vw)/c(v·) + (1−λ)·p_uni(w); document-initial tokens
+    score by the unigram alone.  The sequence-aware upgrade of
+    :func:`lm_score` — word-salad documents keep plausible unigrams
+    but crater on bigrams, which is exactly what LM-perplexity
+    filters (CCNet, Gopher) exploit.  Returns ``(doc_id, n_tokens,
+    mean_logp, perplexity)`` with perplexity = exp(−mean_logp), 0 / 1
+    for empty documents.
+
+    Scale shape: one positional explode feeds the unigram model, the
+    bigram model (via a (doc, pos+1) equality self-join — linear, the
+    pmi/textrank pattern), and the per-token rescore probe; all model
+    attaches are token- or pair-keyed equi-joins against grouped
+    aggregates, the two corpus scalars ride a 1-row broadcast cross
+    join, and every aggregate is map-side combinable.
+    """
+    pos = docs.select("doc_id", F.posexplode(tokens_col(col)).alias("pos", "b")).where(
+        F.col("b") != ""
+    )
+    uni = pos.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    tot = uni.agg(F.sum("cb").alias("T"), F.count(F.lit(1)).cast("double").alias("V"))
+    prev = pos.select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("b").alias("a"))
+    occ = pos.join(prev, ["doc_id", "pos"], "left")
+    bi = (
+        occ.where(F.col("a").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("cab"))
+    )
+    ctx = bi.groupBy("a").agg(F.sum("cab").alias("ca"))
+    p_uni = (F.col("cb") + F.lit(float(alpha))) / (
+        F.col("T") + F.lit(float(alpha)) * F.col("V")
+    )
+    p_tok = F.when(
+        F.col("a").isNotNull(),
+        F.lit(float(lam)) * F.col("cab") / F.col("ca")
+        + F.lit(1.0 - float(lam)) * p_uni,
+    ).otherwise(p_uni)
+    scored = (
+        occ.join(uni, "b")
+        .join(bi, ["a", "b"], "left")
+        .join(ctx, "a", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg(F.log(p_tok)).alias("mlp"))
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.coalesce("mlp", F.lit(0.0)), 6).alias("mean_logp"),
+        F.round(F.exp(-F.coalesce("mlp", F.lit(0.0))), 6).alias("perplexity"),
+    )

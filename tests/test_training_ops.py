@@ -719,3 +719,27 @@ def test_source_divergence_goldens(spark):
     assert got[("chat", "code")].js_distance == 1.0
     assert got[("chat", "code")].shared_tokens == 0
     assert got[("code", "web")].js_divergence == 1.0
+
+
+def test_bigram_lm_score_goldens(spark):
+    import math
+
+    from leidenalg_spark.operators.textops import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # stereotypical bigrams
+            (2, "b a b a b a"),   # same vocabulary, same chains
+            (3, "a a b b a b"),   # scrambled: rarer bigrams
+            (4, ""),              # degenerate
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    # word salad scores strictly worse than stereotypical text
+    assert got[3].mean_logp < got[1].mean_logp
+    assert got[3].perplexity > got[1].perplexity
+    assert got[4].n_tokens == 0 and got[4].mean_logp == 0.0 and got[4].perplexity == 1.0
+    assert got[1].n_tokens == 6
+    # perplexity really is exp(-mean_logp)
+    assert abs(got[1].perplexity - math.exp(-got[1].mean_logp)) < 1e-5
