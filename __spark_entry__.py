@@ -894,6 +894,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 1-row aggregates over this output
         return K.eccentricity(spark, _bipartite_ids_det(spark, sf), max_dist=2)
 
+    def q_graph_center(spark, sf):
+        # igraph radius()/center: argmin-eccentricity vertices under the
+        # same 2-ring truncation as the eccentricity query
+        return K.graph_center(spark, _bipartite_ids_det(spark, sf), max_dist=2).orderBy("id")
+
     def q_vocab_coverage(spark, sf):
         # tokenizer-design curve: share of all token occurrences covered
         # by the top-200 vocabulary types
@@ -1549,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_matching": q_maximal_matching,
         "edge_betweenness": q_edge_betweenness,
         "eccentricity": q_eccentricity,
+        "graph_center": q_graph_center,
         "sssp_weighted": q_sssp_weighted,
         "attack_curve": q_attack_curve,
         "failure_curve": q_failure_curve,
@@ -5772,6 +5778,13 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "core_periphery": cp_sql,
             "power_law_fit": plaw_sql,
             "eccentricity": ecc_sql,
+            "graph_center": f"""
+WITH eccq AS (SELECT * FROM ({ecc_sql})),
+cscal AS (SELECT CAST(MIN(ecc) AS BIGINT) AS radius,
+                 CAST(MAX(ecc) AS BIGINT) AS diameter_lb FROM eccq)
+SELECT id, radius, diameter_lb
+FROM eccq CROSS JOIN cscal WHERE ecc = radius ORDER BY id
+""",
             "sssp_weighted": sssp_sql,
             "leading_eigenvector": lev_sql,
             "attack_curve": attack_sql,

@@ -4574,3 +4574,32 @@ def assortativity_numeric(
             (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)
         ).alias("assortativity")
     )
+
+
+def graph_center(
+    spark,
+    edges: DataFrame,
+    max_dist: int = 3,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Graph radius and center (igraph ``radius()`` / center = argmin
+    eccentricity): the vertices from which the whole graph is nearest,
+    under the same ``max_dist`` truncation protocol as
+    :func:`eccentricity` (values below the cap exact, at the cap a
+    lower bound).  Returns one row per center vertex ``(id, radius,
+    diameter_lb)`` — radius = min ecc, diameter_lb = max ecc.
+
+    Scale: the eccentricity BFS plus one 1-row min/max combine riding
+    a broadcast cross join back onto the (id, ecc) table; the filter
+    keeps |center| rows.
+    """
+    ecc = eccentricity(spark, edges, max_dist=max_dist, ckpt=ckpt)
+    scal = ecc.agg(
+        F.min("ecc").cast("long").alias("radius"),
+        F.max("ecc").cast("long").alias("diameter_lb"),
+    )
+    return (
+        ecc.crossJoin(F.broadcast(scal))
+        .where(F.col("ecc") == F.col("radius"))
+        .select("id", "radius", "diameter_lb")
+    )

@@ -1513,3 +1513,21 @@ def test_assortativity_numeric_goldens(spark):
     # constant attribute: zero variance → NULL
     r = run([(1, 2, 1.0), (2, 3, 1.0)], [(1, 7.0), (2, 7.0), (3, 7.0)])
     assert r is None
+
+
+def test_graph_center_goldens(spark):
+    from leidenalg_spark.operators.kernels import graph_center
+
+    # path 1-2-3-4-5: center {3} with radius 2, diameter 4
+    p = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(1, 5)], "src long, dst long, weight double"
+    )
+    rows = graph_center(spark, p, max_dist=8).collect()
+    assert [(r.id, r.radius, r.diameter_lb) for r in rows] == [(3, 2, 4)]
+
+    # star: the hub is the unique center with radius 1
+    s = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1, 5)], "src long, dst long, weight double"
+    )
+    rows = graph_center(spark, s, max_dist=8).collect()
+    assert [(r.id, r.radius, r.diameter_lb) for r in rows] == [(0, 1, 2)]
