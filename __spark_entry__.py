@@ -1215,6 +1215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # symmetric int8 vector quantization, exploded code table
         return S.quantize_embeddings(_embeddings(spark, sf))
 
+    def q_centroid_classify(spark, sf):
+        # Rocchio nearest-centroid confusion matrix — the label
+        # separability probe over the embedding space
+        return S.centroid_classify(spark, _embeddings(spark, sf)).orderBy(
+            "label", "pred_label"
+        )
+
     def q_distance_histogram(spark, sf):
         # cosine-similarity histogram over deterministic offset pairs —
         # the near-dup threshold calibration chart
@@ -1566,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_scores": q_rfm_scores,
         "random_projection": q_random_projection,
         "distance_histogram": q_distance_histogram,
+        "centroid_classify": q_centroid_classify,
         "vocab_coverage": q_vocab_coverage,
         "filter_funnel": q_filter_funnel,
         "zipf_fit": q_zipf_fit,
@@ -3346,6 +3354,26 @@ SELECT token, score, CAST(rank AS BIGINT) AS rank FROM (
 ) WHERE rank <= 15
 """
     )
+    sqls["centroid_classify"] = """
+WITH cx AS (
+  SELECT vec_id AS id, label AS lbl, ii - 1 AS i, CAST(embedding[ii] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS ii)
+),
+ccent AS (SELECT lbl AS cand, i, ROUND(AVG(v), 9) AS c FROM cx GROUP BY 1, 2),
+cdists AS (
+  SELECT cx.id, cx.lbl, ccent.cand, ROUND(SUM((v - c) * (v - c)), 9) AS dist
+  FROM cx JOIN ccent USING (i)
+  GROUP BY 1, 2, 3
+),
+cdmin AS (SELECT id, MIN(dist) AS md FROM cdists GROUP BY id),
+cpred AS (
+  SELECT d.id, d.lbl, MIN(d.cand) AS pred
+  FROM cdists d JOIN cdmin ON cdmin.id = d.id AND d.dist = cdmin.md
+  GROUP BY d.id, d.lbl
+)
+SELECT lbl AS label, pred AS pred_label, CAST(COUNT(*) AS BIGINT) AS n
+FROM cpred GROUP BY 1, 2 ORDER BY 1, 2
+"""
     sqls["distance_histogram"] = """
 WITH dpairs AS (
   SELECT l.embedding AS v, r.embedding AS w

@@ -858,3 +858,53 @@ def distance_histogram(
         )
         .select("bin", F.round(F.col("bin") / F.lit(float(n_bins)), 6).alias("lo"), "n_pairs", "avg_cos")
     )
+
+
+def centroid_classify(
+    spark,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-class-centroid classification (Rocchio classifier) over a
+    labelled embedding table, reported as the confusion matrix — the
+    standard embedding-quality probe (how linearly separable are the
+    labels?).  Per-label mean vectors are TRAINED from the data (cf.
+    the ivf_train path; never random, never driver literals), every
+    vector is assigned to the closest centroid by squared L2, and the
+    output is ``(label, pred_label, n)``.  Distances round to 9dp with
+    label tie-breaks, so the argmin is deterministic and
+    engine-portable.
+
+    Scale shape: centroids = one (label, dim) mean aggregate — k·dim
+    rows, broadcast; scoring = posexplode ⋈ broadcast-centroids →
+    (id, candidate) partial-sum aggregate, O(n·dim·k) rows streamed
+    through map-side combine with k = |labels| bounded; the argmin is
+    a (rounded-dist, label) min-struct per id, no window; the
+    confusion matrix is a k²-cell hash agg.
+    """
+    x = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(vec_col).alias("i", "v"),
+    ).select("id", "lbl", "i", F.col("v").cast("double").alias("v"))
+    cent = (
+        x.groupBy(F.col("lbl").alias("cand"), "i")
+        .agg(F.round(F.avg("v"), 9).alias("c"))
+    )
+    dists = (
+        x.join(F.broadcast(cent), "i")
+        .groupBy("id", "lbl", "cand")
+        .agg(
+            F.round(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 9)
+            .alias("dist")
+        )
+    )
+    pred = dists.groupBy("id", "lbl").agg(
+        F.min(F.struct("dist", "cand")).alias("m")
+    ).select("lbl", F.col("m.cand").alias("pred"))
+    return (
+        pred.groupBy(F.col("lbl").alias("label"), F.col("pred").alias("pred_label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

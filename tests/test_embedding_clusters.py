@@ -164,3 +164,25 @@ def test_distance_histogram_goldens(spark):
     assert got[19].lo == 0.95
     assert got[0].n_pairs == 2 and got[0].avg_cos == 0.0
     assert set(got) == {0, 19}
+
+
+def test_centroid_classify_goldens(spark):
+    from leidenalg_spark.operators.similarity import centroid_classify
+
+    # two tight clusters + one vector mislabelled into the far cluster
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], 0),
+            (1, [0.1, 0.0], 0),
+            (2, [10.0, 10.0], 1),
+            (3, [10.1, 10.0], 1),
+            (4, [10.0, 10.1], 0),  # labelled 0, sits in cluster 1
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r.label, r.pred_label): r.n for r in centroid_classify(spark, emb).collect()}
+    # the two clean label-1 vectors predict 1; clean label-0 predict 0
+    assert got[(1, 1)] == 2 and got[(0, 0)] == 2
+    # the planted mislabel is confused into class 1
+    assert got[(0, 1)] == 1
+    assert sum(got.values()) == 5
