@@ -894,6 +894,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 1-row aggregates over this output
         return K.eccentricity(spark, _bipartite_ids_det(spark, sf), max_dist=2)
 
+    def q_graph_sparsify(spark, sf):
+        # unbiased degree-proportional edge sparsifier with the
+        # md5 coin — hub-hub bulk thins, bridges survive at p=1
+        return K.graph_sparsify(spark, _bipartite_ids_det(spark, sf), c=2.0).orderBy(
+            "src", "dst"
+        )
+
     def q_graph_center(spark, sf):
         # igraph radius()/center: argmin-eccentricity vertices under the
         # same 2-ring truncation as the eccentricity query
@@ -1562,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness": q_edge_betweenness,
         "eccentricity": q_eccentricity,
         "graph_center": q_graph_center,
+        "graph_sparsify": q_graph_sparsify,
         "sssp_weighted": q_sssp_weighted,
         "attack_curve": q_attack_curve,
         "failure_curve": q_failure_curve,
@@ -5570,6 +5578,24 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 1
 """
     )
 
+    sparsify_sql = (
+        "WITH " + _DET_PRELUDE + """,
+gund AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(weight) AS w
+         FROM edges WHERE src <> dst GROUP BY 1, 2),
+gdeg AS (SELECT id, CAST(COUNT(*) AS DOUBLE) AS d
+         FROM (SELECT a AS id FROM gund UNION ALL SELECT b FROM gund) GROUP BY id),
+gp AS (
+  SELECT a, b, w,
+         ROUND(least(1.0, 2.0 * (1.0 / da.d + 1.0 / db.d)), 9) AS p_keep,
+         (('0x' || substr(md5('42:' || CAST(a AS VARCHAR) || ':' ||
+                              CAST(b AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+           / 4294967296.0 AS u
+  FROM gund JOIN gdeg da ON da.id = gund.a JOIN gdeg db ON db.id = gund.b
+)
+SELECT a AS src, b AS dst, ROUND(w / p_keep, 6) AS weight, ROUND(p_keep, 6) AS p_keep
+FROM gp WHERE u <= p_keep ORDER BY src, dst
+"""
+    )
     butterfly_sql = (
         "WITH " + _DET_PRELUDE + """,
 de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
@@ -5779,6 +5805,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "triad_census": triad_sql,
             "bib_coupling": coupling_sql,
             "butterfly_census": butterfly_sql,
+            "graph_sparsify": sparsify_sql,
             "avg_neighbor_degree": knn_sql,
             "knnk": knnk_sql,
             "degree_gini": gini_sql,

@@ -4603,3 +4603,63 @@ def graph_center(
         .where(F.col("ecc") == F.col("radius"))
         .select("id", "radius", "diameter_lb")
     )
+
+
+def graph_sparsify(
+    spark,
+    edges: DataFrame,
+    c: float = 4.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Degree-proportional spectral-style edge sparsification: keep
+    edge (u,v) with probability p_uv = min(1, c·(1/d_u + 1/d_v)) and
+    reweight kept edges by w/p — the standard unbiased sparsifier
+    heuristic (1/d_u + 1/d_v upper-bounds effective resistance on
+    expanders, cf. Spielman–Srivastava; every cut's expected weight is
+    preserved).  Low-degree edges (bridges, leaves) survive with p=1;
+    only hub-hub bulk thins out.  The coin is the md5 of
+    (seed, u, v) — deterministic, replayable, append-stable.
+    Returns the sparsified ``(src, dst, weight, p_keep)``.
+
+    Scale shape: one degree aggregate + two id-keyed joins + a
+    filter — linear, no shuffle beyond the degree attach; the md5
+    coin keeps reruns and engine twins bit-identical.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("weight").cast("double").alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    key = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("a").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        )
+    )
+    u01 = (F.conv(F.substring(key, 1, 8), 16, 10).cast("double") + 1.0) / 4294967296.0
+    p = F.least(F.lit(1.0), F.lit(float(c)) * (1.0 / F.col("da") + 1.0 / F.col("db")))
+    return (
+        und.join(deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+        .select("a", "b", "w", F.round(p, 9).alias("p_keep"), u01.alias("u"))
+        .where(F.col("u") <= F.col("p_keep"))
+        .select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            F.round(F.col("w") / F.col("p_keep"), 6).alias("weight"),
+            F.round("p_keep", 6).alias("p_keep"),
+        )
+    )

@@ -1531,3 +1531,27 @@ def test_graph_center_goldens(spark):
     )
     rows = graph_center(spark, s, max_dist=8).collect()
     assert [(r.id, r.radius, r.diameter_lb) for r in rows] == [(0, 1, 2)]
+
+
+def test_graph_sparsify_goldens(spark):
+    from leidenalg_spark.operators.kernels import graph_sparsify
+
+    # path graph: every edge touches a degree<=2 endpoint, so with c=4
+    # p_keep = 1 everywhere — nothing drops, weights unchanged
+    p = spark.createDataFrame(
+        [(i, i + 1, 2.0) for i in range(1, 6)], "src long, dst long, weight double"
+    )
+    out = graph_sparsify(spark, p, c=4.0).collect()
+    assert len(out) == 5
+    assert all(r.p_keep == 1.0 and r.weight == 2.0 for r in out)
+
+    # dense hub-hub core with a tiny c: some edges drop, survivors are
+    # upweighted by exactly 1/p (unbiasedness), run is deterministic
+    k = [(i, j, 1.0) for i in range(20) for j in range(i + 1, 20)]
+    dense = spark.createDataFrame(k, "src long, dst long, weight double")
+    s1 = graph_sparsify(spark, dense, c=0.5).collect()
+    s2 = graph_sparsify(spark, dense, c=0.5).collect()
+    assert 0 < len(s1) < len(k)
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    for r in s1:
+        assert abs(r.weight * r.p_keep - 1.0) < 1e-5
