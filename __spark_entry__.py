@@ -1222,6 +1222,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # symmetric int8 vector quantization, exploded code table
         return S.quantize_embeddings(_embeddings(spark, sf))
 
+    def q_kcenter_coreset(spark, sf):
+        # Gonzalez greedy k-center: maximally-spread exemplar selection
+        # (diversity sampling for training-data curation)
+        return S.kcenter_coreset(spark, _embeddings(spark, sf), k=6).orderBy("rnd")
+
     def q_centroid_classify(spark, sf):
         # Rocchio nearest-centroid confusion matrix — the label
         # separability probe over the embedding space
@@ -1582,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "distance_histogram": q_distance_histogram,
         "centroid_classify": q_centroid_classify,
+        "kcenter_coreset": q_kcenter_coreset,
         "vocab_coverage": q_vocab_coverage,
         "filter_funnel": q_filter_funnel,
         "zipf_fit": q_zipf_fit,
@@ -3360,6 +3366,39 @@ SELECT token, score, CAST(rank AS BIGINT) AS rank FROM (
          ROW_NUMBER() OVER (ORDER BY ROUND(rank, 6) DESC, id) AS rank
   FROM tr6
 ) WHERE rank <= 15
+"""
+    )
+    def _kl2(a, b):
+        return (
+            f"ROUND(sqrt(list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+            "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))), 9)"
+        )
+
+    _kc = [
+        "kb AS (SELECT vec_id AS id, embedding AS v FROM embeddings)",
+        "kc0 AS (SELECT id, v FROM kb WHERE id = (SELECT MIN(id) FROM kb))",
+        f"""ks1 AS MATERIALIZED (
+  SELECT kb.id, kb.v, {_kl2('kb.v', 'kc0.v')} AS md
+  FROM kb CROSS JOIN kc0
+)""",
+        "kc1 AS (SELECT id, v, md FROM ks1 ORDER BY md DESC, id LIMIT 1)",
+    ]
+    for r in range(2, 6):
+        _kc.append(f"""ks{r} AS MATERIALIZED (
+  SELECT s.id, s.v, LEAST(s.md, {_kl2('s.v', 'c.v')}) AS md
+  FROM ks{r - 1} s CROSS JOIN kc{r - 1} c
+)""")
+        _kc.append(f"kc{r} AS (SELECT id, v, md FROM ks{r} ORDER BY md DESC, id LIMIT 1)")
+    sqls["kcenter_coreset"] = (
+        "WITH " + ",\n".join(_kc) + """
+SELECT CAST(0 AS BIGINT) AS rnd, id AS center_id, 0.0 AS radius FROM kc0
+UNION ALL SELECT 1, id, ROUND(md, 6) FROM kc1
+UNION ALL SELECT 2, id, ROUND(md, 6) FROM kc2
+UNION ALL SELECT 3, id, ROUND(md, 6) FROM kc3
+UNION ALL SELECT 4, id, ROUND(md, 6) FROM kc4
+UNION ALL SELECT 5, id, ROUND(md, 6) FROM kc5
+ORDER BY rnd
 """
     )
     sqls["centroid_classify"] = """

@@ -908,3 +908,73 @@ def centroid_classify(
         pred.groupBy(F.col("lbl").alias("label"), F.col("pred").alias("pred_label"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def kcenter_coreset(
+    spark,
+    emb: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985, the 2-approximation):
+    seed with the minimum id, then ``k−1`` times pick the vector
+    FARTHEST from every chosen center — the classic diversity /
+    coverage sampler for training-data selection (maximally spread
+    exemplars, the opposite failure mode of random sampling).
+    Returns ``(rnd, center_id, radius)`` where ``radius`` is the
+    chosen point's L2 distance to its nearest earlier center — the
+    non-increasing k-center objective curve (seed radius 0).
+
+    Determinism: distances round to 9dp and the argmax tie-breaks on
+    id, so the trajectory is engine-portable.
+
+    Scale shape: per round ONE broadcast of the single chosen center
+    row into a zip_with L2 update of the (id, min_dist) state and one
+    TakeOrdered(1) selection — k bounded, state linear in n, lineage
+    truncated per round; never a pairwise matrix.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
+    seed_id = base.agg(F.min("id")).first()[0]
+    seed = base.where(F.col("id") == seed_id)
+
+    def _l2(a, b):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        )
+
+    picks = [seed.select(F.lit(0).cast("long").alias("rnd"),
+                         F.col("id").alias("center_id"),
+                         F.lit(0.0).alias("radius"))]
+    cb = F.broadcast(seed.select(F.col("v").alias("cv")))
+    state = base.crossJoin(cb).select(
+        "id", "v", F.round(_l2(F.col("v"), F.col("cv")), 9).alias("md")
+    ).localCheckpoint(eager=True)
+    for r in range(1, k):
+        sel = state.orderBy(F.col("md").desc(), "id").limit(1).localCheckpoint(eager=True)
+        picks.append(
+            sel.select(
+                F.lit(r).cast("long").alias("rnd"),
+                F.col("id").alias("center_id"),
+                F.round("md", 6).alias("radius"),
+            )
+        )
+        if r < k - 1:
+            cb = F.broadcast(sel.select(F.col("v").alias("cv")))
+            state = state.crossJoin(cb).select(
+                "id",
+                "v",
+                F.least(F.col("md"), F.round(_l2(F.col("v"), F.col("cv")), 9)).alias("md"),
+            ).localCheckpoint(eager=True)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

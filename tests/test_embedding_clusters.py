@@ -186,3 +186,20 @@ def test_centroid_classify_goldens(spark):
     # the planted mislabel is confused into class 1
     assert got[(0, 1)] == 1
     assert sum(got.values()) == 5
+
+
+def test_kcenter_coreset_goldens(spark):
+    from leidenalg_spark.operators.similarity import kcenter_coreset
+
+    # 1-D line: seed = id 0 at x=0; farthest is x=100 (id 3); next is
+    # the midpoint x=50 (id 2); then x=10 (id 1)
+    emb = spark.createDataFrame(
+        [(0, [0.0]), (1, [10.0]), (2, [50.0]), (3, [100.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = kcenter_coreset(spark, emb, k=4).orderBy("rnd").collect()
+    assert [r.center_id for r in out] == [0, 3, 2, 1]
+    assert [r.radius for r in out] == [0.0, 100.0, 50.0, 10.0]
+    # the objective curve is non-increasing after the seed
+    radii = [r.radius for r in out[1:]]
+    assert radii == sorted(radii, reverse=True)
