@@ -830,6 +830,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return lifecycle_accounting(_events(spark, sf)).orderBy("bucket", "state")
 
+    def q_json_field_stats(spark, sf):
+        # JSON payload schema discovery: per-type stats of props.$.k
+        from leidenalg_spark.operators.events import json_field_stats
+
+        return json_field_stats(_events(spark, sf)).orderBy("event_type")
+
     def q_rfm_scores(spark, sf):
         # recency/frequency/monetary actor segmentation — histogram
         # quantile scores, no global per-row window
@@ -1584,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodicity": q_periodicity,
         "lifecycle_accounting": q_lifecycle,
         "rfm_scores": q_rfm_scores,
+        "json_field_stats": q_json_field_stats,
         "random_projection": q_random_projection,
         "distance_histogram": q_distance_histogram,
         "centroid_classify": q_centroid_classify,
@@ -2946,6 +2953,18 @@ SELECT CAST(pair_id AS BIGINT) AS pair_id,
 FROM paired GROUP BY pair_id
 HAVING MIN(CASE WHEN side = 1 THEN v END) IS NOT NULL
 ORDER BY pair_id
+"""
+    sqls["json_field_stats"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       ROUND(MIN(v), 6) AS vmin, ROUND(MAX(v), 6) AS vmax,
+       ROUND(AVG(v), 6) AS mean,
+       ROUND(quantile_cont(v, 0.5), 6) AS median
+FROM (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS DOUBLE) AS v
+      FROM events)
+GROUP BY event_type ORDER BY event_type
 """
     sqls["rfm_scores"] = """
 WITH per0 AS (

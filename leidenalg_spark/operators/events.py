@@ -562,3 +562,37 @@ def rfm_scores(
         .cast("long")
         .alias("rfm"),
     )
+
+
+def json_field_stats(
+    events: DataFrame,
+    field: str = "k",
+    json_col: str = "props",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Semi-structured payload profiling: extract one numeric field
+    from a JSON string column (``get_json_object`` — JVM-side JSON
+    path, no Python) and profile it per group — the schema-discovery
+    step every event pipeline runs before promoting a JSON property to
+    a real column.  Returns ``(group, n, n_missing, vmin, vmax, mean,
+    median)``; rows whose JSON lacks the field (or fails to parse)
+    count as missing.
+
+    Scale: ONE hash aggregate over the extracted column; the exact
+    median buffers per-group values (bounded group cardinality — same
+    contract as value_profile; use approx_percentile past that).
+    """
+    v = F.get_json_object(F.col(json_col), f"$.{field}").cast("double")
+    return (
+        events.select(F.col(group_col).alias("grp"), v.alias("v"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("v").isNull().cast("long")).alias("n_missing"),
+            F.round(F.min("v"), 6).alias("vmin"),
+            F.round(F.max("v"), 6).alias("vmax"),
+            F.round(F.avg("v"), 6).alias("mean"),
+            F.round(F.percentile("v", F.lit(0.5)), 6).alias("median"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
