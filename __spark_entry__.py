@@ -260,6 +260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the sequence-aware upgrade of the add-α unigram lm_score
         return T.bigram_lm_score(_documents(spark, sf)).orderBy("doc_id")
 
+    def q_script_profile(spark, sf):
+        # character-class mojibake/code-vs-prose detector
+        return T.script_profile(_documents(spark, sf)).orderBy("doc_id")
+
     def q_source_divergence(spark, sf):
         # pairwise Jensen–Shannon divergence between per-source unigram
         # mixtures — the training-mixture overlap diagnostic
@@ -1614,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "source_divergence": q_source_divergence,
         "bigram_lm_score": q_bigram_lm_score,
+        "script_profile": q_script_profile,
         "training_set": q_training_set,
         "kmeans": q_kmeans,
         "partition_compare": q_partition_compare,
@@ -3282,6 +3287,18 @@ SELECT id, CAST(i - 1 AS INT) AS i,
          AS code,
        scale
 FROM s, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+"""
+    sqls["script_profile"] = r"""
+WITH sp AS (SELECT doc_id, coalesce(text, '') AS t,
+                   CAST(length(coalesce(text, '')) AS DOUBLE) AS n
+            FROM documents)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+  ROUND(CASE WHEN n > 0 THEN (n - length(regexp_replace(t, '[A-Za-z]', '', 'g'))) / n ELSE 0.0 END, 6) AS letter_frac,
+  ROUND(CASE WHEN n > 0 THEN (n - length(regexp_replace(t, '[0-9]', '', 'g'))) / n ELSE 0.0 END, 6) AS digit_frac,
+  ROUND(CASE WHEN n > 0 THEN (n - length(regexp_replace(t, '[ \t\r\n]', '', 'g'))) / n ELSE 0.0 END, 6) AS space_frac,
+  ROUND(CASE WHEN n > 0 THEN (n - length(regexp_replace(t, '[!-/:-@\[-`{-~]', '', 'g'))) / n ELSE 0.0 END, 6) AS punct_frac,
+  ROUND(CASE WHEN n > 0 THEN 1.0 - (n - length(regexp_replace(t, '[A-Za-z0-9 \t\r\n!-/:-@\[-`{-~]', '', 'g'))) / n ELSE 0.0 END, 6) AS other_frac
+FROM sp ORDER BY doc_id
 """
     sqls["bigram_lm_score"] = f"""
 WITH bpos AS (

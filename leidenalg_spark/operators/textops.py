@@ -1062,3 +1062,51 @@ def bigram_lm_score(
         F.round(F.coalesce("mlp", F.lit(0.0)), 6).alias("mean_logp"),
         F.round(F.exp(-F.coalesce("mlp", F.lit(0.0))), 6).alias("perplexity"),
     )
+
+
+def script_profile(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Character-class profile per document — the cheap mojibake /
+    code-vs-prose / wrong-corpus detector that runs before any
+    language model sees a byte: fractions of ASCII letters, digits,
+    whitespace, punctuation/symbols, and everything else (non-ASCII —
+    CJK, Cyrillic, emoji, encoding damage).  Returns ``(doc_id,
+    n_chars, letter_frac, digit_frac, space_frac, punct_frac,
+    other_frac)``; empty docs report zeros.
+
+    Scale: one projection of regexp_replace length-differences — pure
+    JVM whole-stage codegen, no shuffle, scan pruned to (doc_id, text);
+    the character classes are plain ASCII ranges so the Java and RE2
+    regex engines agree byte-for-byte.
+    """
+    raw = F.coalesce(F.col(col), F.lit(""))
+    n = F.length(raw).cast("double")
+
+    def frac(pattern):
+        kept = n - F.length(F.regexp_replace(raw, pattern, ""))
+        return F.round(
+            F.when(n > 0, kept / n).otherwise(F.lit(0.0)), 6
+        )
+
+    letter = frac(r"[A-Za-z]")
+    digit = frac(r"[0-9]")
+    space = frac(r"[ \t\r\n]")
+    punct = frac(r"[!-/:-@\[-`{-~]")
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        letter.alias("letter_frac"),
+        digit.alias("digit_frac"),
+        space.alias("space_frac"),
+        punct.alias("punct_frac"),
+        F.round(
+            F.when(
+                n > 0,
+                1.0
+                - (
+                    (n - F.length(F.regexp_replace(raw, r"[A-Za-z0-9 \t\r\n!-/:-@\[-`{-~]", "")))
+                    / n
+                ),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("other_frac"),
+    )

@@ -106,6 +106,8 @@ DECLARATIVE = [
     "burstiness",
     "line_graph",
     "rfm_scores",
+    "script_profile",
+    "json_field_stats",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
