@@ -904,6 +904,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 1-row aggregates over this output
         return K.eccentricity(spark, _bipartite_ids_det(spark, sf), max_dist=2)
 
+    def q_onion_layers(spark, sf):
+        # onion decomposition: peel-wave refinement of the k-cores
+        # (6 waves — same truncation protocol as coreness/k_core)
+        return K.onion_layers(spark, _bipartite_ids_det(spark, sf), rounds=6).orderBy("id")
+
     def q_graph_sparsify(spark, sf):
         # unbiased degree-proportional edge sparsifier with the
         # md5 coin — hub-hub bulk thins, bridges survive at p=1
@@ -1585,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity": q_eccentricity,
         "graph_center": q_graph_center,
         "graph_sparsify": q_graph_sparsify,
+        "onion_layers": q_onion_layers,
         "sssp_weighted": q_sssp_weighted,
         "attack_curve": q_attack_curve,
         "failure_curve": q_failure_curve,
@@ -5653,6 +5659,37 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 1
 """
     )
 
+    _on = [
+        "ov0 AS (SELECT DISTINCT src AS id FROM sym)",
+        "oe0 AS (SELECT src, dst FROM sym)",
+        "ok0 AS (SELECT 0 AS k)",
+    ]
+    for r in range(1, 7):
+        _on.append(f"""od{r} AS MATERIALIZED (
+  SELECT v.id, COALESCE(d.d, 0) AS d
+  FROM ov{r - 1} v LEFT JOIN (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+                              FROM oe{r - 1} GROUP BY src) d USING (id)
+),
+ok{r} AS (SELECT GREATEST((SELECT k FROM ok{r - 1}),
+                          COALESCE((SELECT MIN(d) FROM od{r}),
+                                   (SELECT k FROM ok{r - 1}))) AS k),
+op{r} AS MATERIALIZED (
+  SELECT id, {r} AS layer, (SELECT k FROM ok{r}) AS kk
+  FROM od{r} WHERE d <= (SELECT k FROM ok{r})
+),
+ov{r} AS MATERIALIZED (SELECT id FROM od{r} WHERE d > (SELECT k FROM ok{r})),
+oe{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM oe{r - 1} e
+  JOIN ov{r} a ON a.id = e.src JOIN ov{r} b ON b.id = e.dst
+)""")
+    onion_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(_on) + """
+SELECT id, CAST(layer AS BIGINT) AS layer, CAST(kk AS BIGINT) AS k_at_peel FROM (
+  """ + "\n  UNION ALL ".join(f"SELECT * FROM op{r}" for r in range(1, 7)) + """
+  UNION ALL SELECT id, 7 AS layer, NULL AS kk FROM ov6
+)
+"""
+    )
     sparsify_sql = (
         "WITH " + _DET_PRELUDE + """,
 gund AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(weight) AS w
@@ -5881,6 +5918,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "bib_coupling": coupling_sql,
             "butterfly_census": butterfly_sql,
             "graph_sparsify": sparsify_sql,
+            "onion_layers": onion_sql,
             "avg_neighbor_degree": knn_sql,
             "knnk": knnk_sql,
             "degree_gini": gini_sql,

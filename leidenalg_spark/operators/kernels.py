@@ -4663,3 +4663,73 @@ def graph_sparsify(
             F.round("p_keep", 6).alias("p_keep"),
         )
     )
+
+
+def onion_layers(
+    spark,
+    edges: DataFrame,
+    rounds: int = 10,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016):
+    the peel-wave refinement of the k-core numbers — wave r removes
+    every vertex whose remaining degree is ≤ the running core
+    threshold k (k = max(k, current min degree)), so two vertices with
+    the same coreness can sit in very different layers (early = true
+    periphery, late = near the core's surface).  Returns ``(id,
+    layer, k_at_peel)``; vertices still unpeeled after ``rounds``
+    waves report layer = rounds+1 with NULL k (the same truncation
+    protocol as coreness/k_core — the DuckDB twin unrolls identical
+    waves).
+
+    Scale shape: per wave one degree aggregate over the remaining
+    graph, one 1-row min (the only driver action), one threshold
+    filter and two id-keyed semi-joins to contract the graph — the
+    k_core peel loop with a layer counter; per-wave lineage truncation
+    via the checkpoint.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    rem_e = sym
+    rem_v = sym.select(F.col("a").alias("id")).distinct()
+    k = 0
+    picks = []
+    for r in range(1, rounds + 1):
+        d = rem_e.groupBy(F.col("a").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        )
+        deg = rem_v.join(d, "id", "left").select(
+            "id", F.coalesce("d", F.lit(0)).cast("long").alias("d")
+        )
+        deg = ckpt.save(deg, "onion_deg", r)
+        mn = deg.agg(F.min("d")).first()[0]
+        if mn is None:
+            break
+        k = max(k, int(mn))
+        picks.append(
+            deg.where(F.col("d") <= k).select(
+                "id",
+                F.lit(r).cast("long").alias("layer"),
+                F.lit(k).cast("long").alias("k_at_peel"),
+            )
+        )
+        rem_v = ckpt.save(deg.where(F.col("d") > k).select("id"), "onion_verts", r)
+        rem_e = (
+            rem_e.join(rem_v.select(F.col("id").alias("a")), "a")
+            .join(rem_v.select(F.col("id").alias("b")), "b")
+        )
+        rem_e = ckpt.save(rem_e, "onion_edges", r)
+    leftovers = rem_v.select(
+        "id",
+        F.lit(rounds + 1).cast("long").alias("layer"),
+        F.lit(None).cast("long").alias("k_at_peel"),
+    )
+    out = leftovers
+    for p in picks:
+        out = out.unionByName(p)
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    if own_ckpt and ckpt.path is None:
+        ckpt.close()
+    return out

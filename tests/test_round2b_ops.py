@@ -46,3 +46,30 @@ def test_script_profile_goldens(spark):
     # the five fractions partition the characters
     s = r.letter_frac + r.digit_frac + r.space_frac + r.punct_frac + r.other_frac
     assert abs(s - 1.0) < 1e-5
+
+
+def test_onion_layers_goldens(spark):
+    from leidenalg_spark.operators.kernels import onion_layers
+
+    # star: leaves peel in wave 1 at k=1; the hub (degree 0 after) in wave 2
+    star = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1, 5)], "src long, dst long, weight double"
+    )
+    got = {r.id: (r.layer, r.k_at_peel) for r in onion_layers(spark, star).collect()}
+    assert all(got[i] == (1, 1) for i in range(1, 5))
+    assert got[0] == (2, 1)
+
+    # path 1-2-3-4: ends peel wave 1, the middle pair wave 2 (k stays 1) —
+    # all coreness 1, but onion layers separate periphery from interior
+    p = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)], "src long, dst long, weight double"
+    )
+    got = {r.id: r.layer for r in onion_layers(spark, p).collect()}
+    assert got[1] == got[4] == 1 and got[2] == got[3] == 2
+
+    # triangle: one wave at k=2
+    t = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0)], "src long, dst long, weight double"
+    )
+    rows = onion_layers(spark, t).collect()
+    assert all(r.layer == 1 and r.k_at_peel == 2 for r in rows)
