@@ -554,6 +554,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         write_lgl(named, path)
         return read_lgl(spark, path)
 
+    def q_dot_roundtrip(spark, sf):
+        # Graphviz DOT interchange: quoted edge statements, one per
+        # line; write is a pure projection, read a regex extraction
+        from leidenalg_spark.sources.dot import read_dot, write_dot
+
+        named = _bipartite_named(spark, sf).select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        path = f"/tmp/spark_graft_dot_{sf.replace('/', '_')}"
+        write_dot(named, path)
+        return read_dot(spark, path)
+
     def q_graph_setops(spark, sf):
         # igraph union/intersection/difference/symmetric_difference over
         # two overlapping md5-bucket halves of the bipartite graph; one
@@ -1727,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphml_roundtrip": q_graphml_roundtrip,
         "pajek_roundtrip": q_pajek_roundtrip,
         "gml_roundtrip": q_gml_roundtrip,
+        "dot_roundtrip": q_dot_roundtrip,
         "lgl_roundtrip": q_lgl_roundtrip,
         "graph_setops": q_graph_setops,
         "rmat_graph": q_rmat_graph,
@@ -2863,6 +2876,9 @@ SELECT src, dst, weight FROM ({_BIP_EDGES})
 SELECT src, dst, weight FROM ({_BIP_EDGES})
 """
     sqls["gml_roundtrip"] = f"""
+SELECT src, dst, weight FROM ({_BIP_EDGES})
+"""
+    sqls["dot_roundtrip"] = f"""
 SELECT src, dst, weight FROM ({_BIP_EDGES})
 """
     sqls["lgl_roundtrip"] = f"""

@@ -73,3 +73,28 @@ def test_onion_layers_goldens(spark):
     )
     rows = onion_layers(spark, t).collect()
     assert all(r.layer == 1 and r.k_at_peel == 2 for r in rows)
+
+
+def test_dot_roundtrip_and_validation(spark, tmp_path):
+    import pytest
+
+    from leidenalg_spark.sources.dot import read_dot, write_dot
+
+    e = spark.createDataFrame(
+        [("a", "b", 2.5), ("b", "c d", 1.0)], "src string, dst string, weight double"
+    )
+    p = str(tmp_path / "g.dot")
+    write_dot(e, p)
+    back = {(r.src, r.dst): r.weight for r in read_dot(spark, p).collect()}
+    assert back == {("a", "b"): 2.5, ("b", "c d"): 1.0}
+
+    # unweighted write → default weight on read
+    u = spark.createDataFrame([("x", "y")], "src string, dst string")
+    p2 = str(tmp_path / "u.dot")
+    write_dot(u, p2)
+    assert read_dot(spark, p2).collect()[0].weight == 1.0
+
+    # names with quotes are rejected at write
+    bad = spark.createDataFrame([('a"b', "c", 1.0)], "src string, dst string, weight double")
+    with pytest.raises(ValueError):
+        write_dot(bad, str(tmp_path / "bad.dot"))
