@@ -1009,7 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             seed=42, directed=True,
         )
 
-    def q_scc(spark, sf):
+    def _cyclic_ids(spark, sf):
         # deterministic DIRECTED graph with real cycles: user→tool edges
         # from even event_ids; tool→user return edges from odd event_ids
         # for every 5th user — the rest stay source-singleton SCCs
@@ -1028,9 +1028,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bwd = ev.where((F.col("event_id") % 2 == 1) & (F.col("user_id") % 5 == 0)).select(
             F.col("tid").cast("long").alias("src"), uid.alias("dst")
         )
-        edges = fwd.unionByName(bwd).distinct().withColumn("weight", F.lit(1.0))
-        scc = K.strongly_connected_components(spark, edges)
+        return fwd.unionByName(bwd).distinct().withColumn("weight", F.lit(1.0))
+
+    def q_scc(spark, sf):
+        scc = K.strongly_connected_components(spark, _cyclic_ids(spark, sf))
         return scc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
+    def q_bowtie(spark, sf):
+        # Broder web-graph bow-tie: giant SCC core + IN/OUT periphery
+        # on the same deterministic cyclic graph as the SCC query
+        return K.bowtie_decomposition(spark, _cyclic_ids(spark, sf)).orderBy("id")
 
     def q_simhash(spark, sf):
         return D.simhash(_documents(spark, sf))
@@ -1665,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "connected_components": q_connected_components,
         "strongly_connected_components": q_scc,
+        "bowtie": q_bowtie,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec,
         "hits": q_hits,
@@ -5080,8 +5088,7 @@ WHERE x.src IS NULL
     # ---- strongly connected components: directed events graph (even
     # event_ids forward, odd event_ids return for every 5th user);
     # SCC(v) via the mutual-reachability closure, label = min member id
-    scc_sql = """
-WITH RECURSIVE
+    _scc_ctes = """
 tids AS (
   SELECT event_type, 2 * ROW_NUMBER() OVER (ORDER BY event_type) + 1 AS tid
   FROM (SELECT DISTINCT event_type FROM events)
@@ -5094,7 +5101,8 @@ de AS (
   FROM events JOIN tids USING (event_type)
   WHERE event_id % 2 = 1 AND user_id % 5 = 0
 ),
-verts AS (SELECT DISTINCT src AS id FROM de UNION SELECT DISTINCT dst FROM de),
+verts AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM de UNION ALL SELECT dst FROM de)),
 reach(a, b) AS (
   SELECT src, dst FROM de
   UNION
@@ -5107,9 +5115,35 @@ comp AS (
   SELECT v.id, LEAST(v.id, COALESCE(MIN(m.u), v.id)) AS component
   FROM verts v LEFT JOIN mutual m ON m.v = v.id
   GROUP BY v.id
-)
+)"""
+    scc_sql = (
+        "WITH RECURSIVE" + _scc_ctes + """
 SELECT component, CAST(COUNT(*) AS BIGINT) AS size FROM comp GROUP BY component
 """
+    )
+    bowtie_sql = (
+        "WITH RECURSIVE" + _scc_ctes + """,
+giant AS (
+  SELECT component FROM (
+    SELECT component, COUNT(*) AS n FROM comp GROUP BY component
+    ORDER BY n DESC, component ASC LIMIT 1
+  )
+),
+incore AS (SELECT id FROM comp JOIN giant USING (component)),
+fwd AS (SELECT DISTINCT r.b AS id FROM reach r JOIN incore c ON r.a = c.id),
+bwd AS (SELECT DISTINCT r.a AS id FROM reach r JOIN incore c ON r.b = c.id)
+SELECT v.id,
+       CASE WHEN c.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'in'
+            WHEN f.id IS NOT NULL THEN 'out'
+            ELSE 'other' END AS cls
+FROM verts v
+LEFT JOIN incore c ON c.id = v.id
+LEFT JOIN bwd b ON b.id = v.id
+LEFT JOIN fwd f ON f.id = v.id
+ORDER BY v.id
+"""
+    )
 
     # ---- degree assortativity: Pearson corr of end degrees on the
     # symmetrised simple edge list
@@ -5916,6 +5950,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "ppr_sweep": sweep_sql, "katz_centrality": katz_sql,
             "shortest_path": shortest_sql,
             "strongly_connected_components": scc_sql,
+            "bowtie": bowtie_sql,
             "random_walks": walk_sql,
             "node2vec_walks": n2v_sql,
             "hits": hits_sql,

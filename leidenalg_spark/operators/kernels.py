@@ -4733,3 +4733,77 @@ def onion_layers(
     if own_ckpt and ckpt.path is None:
         ckpt.close()
     return out
+
+
+def bowtie_decomposition(
+    spark,
+    edges: DataFrame,
+    max_rounds: int = 20,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al. 2000,
+    "Graph structure in the Web" — THE web-graph macro-structure
+    statistic): the giant SCC is the CORE, vertices that reach it form
+    IN, vertices it reaches form OUT, everything else (tendrils,
+    tubes, disconnected) is OTHER.  Returns per-vertex ``(id, cls)``
+    with cls ∈ {core, in, out, other}; giant = largest SCC, ties by
+    smallest component label.
+
+    Scale shape: one SCC run (the Orzan coloring kernel), then two
+    frontier BFS sweeps seeded at the core (forward on arcs, backward
+    on reversed arcs) — each round one equality join + anti-join
+    dedup, geometrically shrinking frontier, per-round checkpoint
+    truncation; classification is three id-keyed left joins.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    de = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct().persist()
+    scc = strongly_connected_components(spark, de.withColumn("weight", F.lit(1.0)), ckpt=ckpt)
+    giant = (
+        scc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("component"))
+        .limit(1)
+        .select("component")
+    )
+    core = scc.join(F.broadcast(giant), "component").select("id")
+    core = ckpt.save(core, "bowtie_core", 0)
+
+    def _reach(arcs, tag):
+        visited = core
+        frontier = core
+        for r in range(1, max_rounds + 1):
+            nxt = (
+                arcs.join(frontier.select(F.col("id").alias("src")), "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited, "id", "left_anti")
+            )
+            nxt = ckpt.save(nxt, f"bowtie_{tag}_frontier", r)
+            if nxt.limit(1).count() == 0:
+                break
+            visited = ckpt.save(visited.unionByName(nxt), f"bowtie_{tag}_visited", r)
+            frontier = nxt
+        return visited
+
+    fwd = _reach(de, "fwd")
+    bwd = _reach(de.select(F.col("dst").alias("src"), F.col("src").alias("dst")), "bwd")
+    verts = _vertices(de.withColumn("weight", F.lit(1.0)))
+    out = (
+        verts.join(core.withColumn("c", F.lit(1)), "id", "left")
+        .join(bwd.withColumn("b", F.lit(1)).select("id", "b"), "id", "left")
+        .join(fwd.withColumn("f", F.lit(1)).select("id", "f"), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("c").isNotNull(), F.lit("core"))
+            .when(F.col("b").isNotNull(), F.lit("in"))
+            .when(F.col("f").isNotNull(), F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("cls"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    de.unpersist()
+    if own_ckpt and ckpt.path is None:
+        ckpt.close()
+    return out

@@ -98,3 +98,17 @@ def test_dot_roundtrip_and_validation(spark, tmp_path):
     bad = spark.createDataFrame([('a"b', "c", 1.0)], "src string, dst string, weight double")
     with pytest.raises(ValueError):
         write_dot(bad, str(tmp_path / "bad.dot"))
+
+
+def test_bowtie_decomposition_goldens(spark):
+    from leidenalg_spark.operators.kernels import bowtie_decomposition
+
+    # textbook bow-tie: 1→(2↔3 core cycle)→4, plus a disconnected 8-9
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 2, 1.0), (3, 4, 1.0), (8, 9, 1.0)],
+        "src long, dst long, weight double",
+    )
+    got = {r.id: r.cls for r in bowtie_decomposition(spark, e).collect()}
+    assert got[2] == got[3] == "core"
+    assert got[1] == "in" and got[4] == "out"
+    assert got[8] == "other" and got[9] == "other"
