@@ -1346,6 +1346,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = verts.select(F.col("name").alias("id"), comm.cast("long").alias("comm"))
         return partition_quality_report(e, m)
 
+    def q_community_cartography(spark, sf):
+        # Guimerà–Amaral roles: within-module z-score + participation
+        # coefficient on the deterministic membership
+        from leidenalg_spark.operators.community import community_cartography
+
+        named = _bipartite_named(spark, sf)
+        e = named.select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        verts = e.select(F.col("src").alias("name")).union(
+            e.select(F.col("dst").alias("name"))
+        ).distinct()
+        comm = F.when(
+            F.col("name").startswith("u:"), F.expr("CAST(substr(name, 3) AS BIGINT) % 8")
+        ).otherwise(F.length("name") % 8)
+        m = verts.select(F.col("name").alias("id"), comm.cast("long").alias("comm"))
+        return community_cartography(e, m).orderBy("id")
+
     def q_neighbor_sample(spark, sf):
         # GraphSAGE fanout sampling from every 50th user, fanouts (3, 2)
         from leidenalg_spark.operators.sampling import neighbor_sample
@@ -1658,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter": q_diameter,
         "neighbor_sample": q_neighbor_sample,
         "partition_quality": q_partition_quality,
+        "community_cartography": q_community_cartography,
         "degree_histogram": q_degree_histogram,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
@@ -3674,6 +3693,35 @@ sq AS (
 SELECT ROUND(CASE WHEN s < 1.0 THEN (diag / W - s) / (1.0 - s) END, 6)
          AS assortativity
 FROM eii, tot, sq
+"""
+    sqls["community_cartography"] = f"""
+WITH edges AS ({_BIP_EDGES}),
+cverts AS (
+  SELECT name,
+         CASE WHEN name LIKE 'u:%' THEN CAST(substr(name, 3) AS BIGINT) % 8
+              ELSE length(name) % 8 END AS comm
+  FROM (SELECT src AS name FROM edges UNION SELECT dst FROM edges)
+),
+cund AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM edges WHERE src <> dst),
+csym AS (SELECT a, b FROM cund UNION ALL SELECT b AS a, a AS b FROM cund),
+clab AS (
+  SELECT s.a, va.comm AS ca, vb.comm AS cb
+  FROM csym s JOIN cverts va ON s.a = va.name JOIN cverts vb ON s.b = vb.name
+),
+ckc AS (SELECT a AS id, ca AS comm, cb AS to_comm, CAST(COUNT(*) AS DOUBLE) AS k_c
+        FROM clab GROUP BY 1, 2, 3),
+cper AS (
+  SELECT id, comm, CAST(SUM(k_c) AS BIGINT) AS k,
+         ROUND(1.0 - SUM(k_c * k_c) / (SUM(k_c) * SUM(k_c)), 6) AS participation,
+         CAST(SUM(CASE WHEN to_comm = comm THEN k_c ELSE 0 END) AS BIGINT) AS k_in
+  FROM ckc GROUP BY id, comm
+),
+cst AS (SELECT comm, AVG(k_in) AS mu, stddev_pop(k_in) AS sd FROM cper GROUP BY comm)
+SELECT id, comm, k, k_in,
+       ROUND(CASE WHEN sd > 0 THEN (k_in - mu) / sd ELSE 0.0 END, 6) AS z,
+       participation
+FROM cper JOIN cst USING (comm) ORDER BY id
 """
     sqls["partition_quality"] = f"""
 WITH edges AS ({_BIP_EDGES}),

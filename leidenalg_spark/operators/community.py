@@ -547,3 +547,65 @@ def leading_eigenvector_split(
     sym.unpersist()
     k.unpersist()
     return out
+
+
+def community_cartography(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Guimerà–Amaral functional cartography (Nature 2005): per-vertex
+    community roles from two coordinates — the WITHIN-module degree
+    z-score ``z = (k_in − μ_comm) / σ_comm`` (how hub-like inside its
+    own community) and the PARTICIPATION COEFFICIENT
+    ``P = 1 − Σ_c (k_c / k)²`` (how spread its links are across
+    communities).  The standard hub/connector taxonomy on top of any
+    partition (Leiden output or a fixed labelling).  Returns ``(id,
+    comm, k, k_in, z, participation)``; z is 0 where a community has
+    zero variance (singleton or degree-regular).
+
+    Scale shape: one symmetrised edge list decorated with both
+    endpoint memberships (two id-keyed joins), ONE (vertex, comm)
+    hash aggregate for k_c, two grouped rollups (per-vertex k/P and
+    per-community μ/σ) and a final broadcast-sized comm-stats join —
+    all map-side combinable, no windows, no Python.
+    """
+    m = membership.select("id", "comm")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    lab = (
+        sym.join(m.select(F.col("id").alias("a"), F.col("comm").alias("ca")), "a")
+        .join(m.select(F.col("id").alias("b"), F.col("comm").alias("cb")), "b")
+    )
+    kc = lab.groupBy(F.col("a").alias("id"), F.col("ca").alias("comm"),
+                     F.col("cb").alias("to_comm")).agg(
+        F.count(F.lit(1)).cast("double").alias("k_c")
+    )
+    per_v = kc.groupBy("id", "comm").agg(
+        F.sum("k_c").cast("long").alias("k"),
+        F.round(1.0 - F.sum(F.col("k_c") * F.col("k_c")) / (F.sum("k_c") * F.sum("k_c")), 6)
+        .alias("participation"),
+        F.sum(F.when(F.col("to_comm") == F.col("comm"), F.col("k_c")).otherwise(0.0))
+        .cast("long")
+        .alias("k_in"),
+    )
+    cstats = per_v.groupBy("comm").agg(
+        F.avg("k_in").alias("mu"), F.stddev_pop("k_in").alias("sd")
+    )
+    return (
+        per_v.join(F.broadcast(cstats), "comm")
+        .select(
+            "id",
+            "comm",
+            "k",
+            "k_in",
+            F.round(
+                F.when(F.col("sd") > 0, (F.col("k_in") - F.col("mu")) / F.col("sd"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("z"),
+            "participation",
+        )
+    )

@@ -112,3 +112,30 @@ def test_bowtie_decomposition_goldens(spark):
     assert got[2] == got[3] == "core"
     assert got[1] == "in" and got[4] == "out"
     assert got[8] == "other" and got[9] == "other"
+
+
+def test_community_cartography_goldens(spark):
+    from leidenalg_spark.operators.community import community_cartography
+
+    # two triangles bridged by one edge; vertex 3 is the connector and
+    # carries an extra internal spoke (7) so its within-module degree
+    # stands out
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0), (3, 7, 1.0),
+         (4, 5, 1.0), (5, 6, 1.0), (4, 6, 1.0),
+         (3, 4, 1.0)],
+        "src long, dst long, weight double",
+    )
+    m = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (7, 0), (4, 1), (5, 1), (6, 1)], "id long, comm long"
+    )
+    got = {r.id: r for r in community_cartography(e, m).collect()}
+    # pure-internal vertices: participation 0
+    assert got[1].participation == 0.0 and got[5].participation == 0.0
+    # connector 3: k=4 (3 internal + 1 external) → P = 1 - (9+1)/16
+    assert got[3].k == 4 and got[3].k_in == 3
+    assert abs(got[3].participation - (1 - 10 / 16)) < 1e-6
+    # the spoked connector has the highest within-module z; the regular
+    # triangle community has zero variance → z = 0 for all members
+    assert got[3].z > got[1].z
+    assert got[4].z == got[5].z == got[6].z == 0.0
