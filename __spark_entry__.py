@@ -916,6 +916,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 1-row aggregates over this output
         return K.eccentricity(spark, _bipartite_ids_det(spark, sf), max_dist=2)
 
+    def q_s_core(spark, sf):
+        # weighted s-core peel waves (strength thresholds) — heavy-tie
+        # cores survive where raw degree would not
+        return K.s_core(spark, _bipartite_ids_det(spark, sf), rounds=6).orderBy("id")
+
     def q_onion_layers(spark, sf):
         # onion decomposition: peel-wave refinement of the k-cores
         # (6 waves — same truncation protocol as coreness/k_core)
@@ -1628,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_center": q_graph_center,
         "graph_sparsify": q_graph_sparsify,
         "onion_layers": q_onion_layers,
+        "s_core": q_s_core,
         "sssp_weighted": q_sssp_weighted,
         "attack_curve": q_attack_curve,
         "failure_curve": q_failure_curve,
@@ -5788,6 +5794,40 @@ SELECT id, CAST(layer AS BIGINT) AS layer, CAST(kk AS BIGINT) AS k_at_peel FROM 
 )
 """
     )
+    _sc = [
+        """sund AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(weight) AS w
+         FROM edges WHERE src <> dst GROUP BY 1, 2)""",
+        "ssym AS (SELECT a, b, w FROM sund UNION ALL SELECT b, a, w FROM sund)",
+        "sv0 AS (SELECT DISTINCT a AS id FROM ssym)",
+        "se0 AS (SELECT a, b, w FROM ssym)",
+        "sk0 AS (SELECT 0.0 AS s)",
+    ]
+    for r in range(1, 7):
+        _sc.append(f"""sd{r} AS MATERIALIZED (
+  SELECT v.id, COALESCE(d.s, 0.0) AS s
+  FROM sv{r - 1} v LEFT JOIN (SELECT a AS id, ROUND(SUM(w), 6) AS s
+                              FROM se{r - 1} GROUP BY a) d USING (id)
+),
+sk{r} AS (SELECT GREATEST((SELECT s FROM sk{r - 1}),
+                          COALESCE((SELECT MIN(s) FROM sd{r}),
+                                   (SELECT s FROM sk{r - 1}))) AS s),
+sp{r} AS MATERIALIZED (
+  SELECT id, {r} AS layer, ROUND((SELECT s FROM sk{r}), 6) AS ss
+  FROM sd{r} WHERE s <= (SELECT s FROM sk{r})
+),
+sv{r} AS MATERIALIZED (SELECT id FROM sd{r} WHERE s > (SELECT s FROM sk{r})),
+se{r} AS MATERIALIZED (
+  SELECT e.a, e.b, e.w FROM se{r - 1} e
+  JOIN sv{r} x ON x.id = e.a JOIN sv{r} y ON y.id = e.b
+)""")
+    score_sql = (
+        "WITH " + _DET_PRELUDE + ",\n" + ",\n".join(_sc) + """
+SELECT id, CAST(layer AS BIGINT) AS layer, ss AS s_at_peel FROM (
+  """ + "\n  UNION ALL ".join(f"SELECT * FROM sp{r}" for r in range(1, 7)) + """
+  UNION ALL SELECT id, 7 AS layer, NULL AS ss FROM sv6
+)
+"""
+    )
     sparsify_sql = (
         "WITH " + _DET_PRELUDE + """,
 gund AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b, SUM(weight) AS w
@@ -6018,6 +6058,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "butterfly_census": butterfly_sql,
             "graph_sparsify": sparsify_sql,
             "onion_layers": onion_sql,
+            "s_core": score_sql,
             "avg_neighbor_degree": knn_sql,
             "knnk": knnk_sql,
             "degree_gini": gini_sql,

@@ -4707,11 +4707,18 @@ def onion_layers(
         if mn is None:
             break
         k = max(k, int(mn))
+        # each pick materialises under its own per-round tag — the
+        # shared-tag keep window prunes steps older than 2, and the
+        # final union must still read every wave
         picks.append(
-            deg.where(F.col("d") <= k).select(
-                "id",
-                F.lit(r).cast("long").alias("layer"),
-                F.lit(k).cast("long").alias("k_at_peel"),
+            ckpt.save(
+                deg.where(F.col("d") <= k).select(
+                    "id",
+                    F.lit(r).cast("long").alias("layer"),
+                    F.lit(k).cast("long").alias("k_at_peel"),
+                ),
+                f"onion_pick_{r}",
+                0,
             )
         )
         rem_v = ckpt.save(deg.where(F.col("d") > k).select("id"), "onion_verts", r)
@@ -4804,6 +4811,93 @@ def bowtie_decomposition(
     )
     out = out.localCheckpoint(eager=True)
     de.unpersist()
+    if own_ckpt and ckpt.path is None:
+        ckpt.close()
+    return out
+
+
+def s_core(
+    spark,
+    edges: DataFrame,
+    rounds: int = 6,
+    scale: float = 1.0,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """s-core decomposition (Eidsaa & Almaas 2013, "s-core network
+    decomposition") — the weighted generalisation of the k-core peel:
+    wave r removes every vertex whose remaining STRENGTH (incident
+    weight sum) is ≤ the running threshold s (s = max(s, current min
+    strength)), so heavy-tie cores survive where sheer degree would
+    not.  ``scale`` multiplies weights before thresholding (use 1 for
+    raw weights).  Returns ``(id, layer, s_at_peel)`` with the same
+    truncation protocol as :func:`onion_layers` (layer rounds+1, NULL
+    threshold for the unpeeled rest).  Thresholds round to 6dp so the
+    peel trajectory is engine-portable.
+
+    Scale shape: identical to the onion loop — per wave one strength
+    aggregate, one 1-row min (the only driver action), a threshold
+    filter + two id-keyed semi-joins; per-wave checkpoint truncation.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            (F.col("weight").cast("double") * float(scale)).alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    ).persist()
+    rem_e = sym
+    rem_v = sym.select(F.col("a").alias("id")).distinct()
+    s = 0.0
+    picks = []
+    for r in range(1, rounds + 1):
+        st = rem_e.groupBy(F.col("a").alias("id")).agg(
+            F.round(F.sum("w"), 6).alias("s")
+        )
+        deg = rem_v.join(st, "id", "left").select(
+            "id", F.coalesce("s", F.lit(0.0)).alias("s")
+        )
+        deg = ckpt.save(deg, "score_deg", r)
+        mn = deg.agg(F.min("s")).first()[0]
+        if mn is None:
+            break
+        s = max(s, float(mn))
+        # per-round pick tags — see onion_layers: the shared-tag keep
+        # window would prune the early waves out from under the union
+        picks.append(
+            ckpt.save(
+                deg.where(F.col("s") <= s).select(
+                    "id",
+                    F.lit(r).cast("long").alias("layer"),
+                    F.round(F.lit(s), 6).alias("s_at_peel"),
+                ),
+                f"score_pick_{r}",
+                0,
+            )
+        )
+        rem_v = ckpt.save(deg.where(F.col("s") > s).select("id"), "score_verts", r)
+        rem_e = (
+            rem_e.join(rem_v.select(F.col("id").alias("a")), "a")
+            .join(rem_v.select(F.col("id").alias("b")), "b")
+        )
+        rem_e = ckpt.save(rem_e, "score_edges", r)
+    leftovers = rem_v.select(
+        "id",
+        F.lit(rounds + 1).cast("long").alias("layer"),
+        F.lit(None).cast("double").alias("s_at_peel"),
+    )
+    out = leftovers
+    for p in picks:
+        out = out.unionByName(p)
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
     if own_ckpt and ckpt.path is None:
         ckpt.close()
     return out

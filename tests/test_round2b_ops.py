@@ -139,3 +139,25 @@ def test_community_cartography_goldens(spark):
     # triangle community has zero variance → z = 0 for all members
     assert got[3].z > got[1].z
     assert got[4].z == got[5].z == got[6].z == 0.0
+
+
+def test_s_core_goldens(spark):
+    from leidenalg_spark.operators.kernels import s_core
+
+    # heavy triangle (w=5 each) + a light pendant: the pendant peels
+    # first at s=2, the triangle survives to a later wave at s=10
+    e = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 3, 5.0), (1, 3, 5.0), (3, 4, 2.0)],
+        "src long, dst long, weight double",
+    )
+    got = {r.id: r for r in s_core(spark, e).collect()}
+    assert got[4].layer == 1 and got[4].s_at_peel == 2.0
+    assert got[1].layer > 1 and got[1].s_at_peel == 10.0
+    assert got[1].layer == got[2].layer == got[3].layer
+
+    # unweighted-equivalent: s-core == degree peel when weights are 1
+    u = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    rows = {r.id: r.layer for r in s_core(spark, u).collect()}
+    assert rows[1] == rows[3] == 1 and rows[2] == 2
