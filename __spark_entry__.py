@@ -156,6 +156,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("lcc", 6).alias("lcc"),
         )
 
+    def q_avg_local_cc(spark, sf):
+        # igraph transitivity_avglocal_undirected: Watts–Strogatz mean
+        # local clustering (every vertex weighs equally — a DIFFERENT
+        # statistic from the global wedge-ratio `transitivity` query)
+        e = E.events_to_type_transition_edges(_events(spark, sf)).select(
+            F.col("src_name").alias("src"), F.col("dst_name").alias("dst"), "weight"
+        )
+        cc = K.clustering_coefficient(spark, e)
+        return cc.agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.round(F.avg(F.round("lcc", 6)), 6).alias("avg_local_cc"),
+            F.sum((F.col("degree") >= 2).cast("long")).alias("n_eligible"),
+        )
+
     def q_assortativity(spark, sf):
         out = K.degree_assortativity(spark, _bipartite_ids_det(spark, sf))
         return out.select(F.round("assortativity", 6).alias("assortativity"))
@@ -1599,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "triangle_count": q_triangles,
         "clustering_coefficient": q_clustering,
+        "avg_local_cc": q_avg_local_cc,
         "assortativity": q_assortativity,
         "k_core": q_k_core,
         "quality_modularity": quality_query("modularity"),
@@ -2778,6 +2793,14 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
         sqls[name] = _QUALITY_PRELUDE + tail
     # composed corpus filter: the twin is literally the composition of the
     # four component twins, so the pipeline is oracle-verified end-to-end
+    sqls["avg_local_cc"] = (
+        "WITH base AS (" + sqls["clustering_coefficient"] + """)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       ROUND(AVG(lcc), 6) AS avg_local_cc,
+       CAST(SUM(CASE WHEN degree >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_eligible
+FROM base
+"""
+    )
     sqls["training_set"] = f"""
 WITH keep AS ({sqls["dedup_exact"]}),
 lang AS ({sqls["lang_id"]}),

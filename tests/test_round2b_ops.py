@@ -161,3 +161,18 @@ def test_s_core_goldens(spark):
     )
     rows = {r.id: r.layer for r in s_core(spark, u).collect()}
     assert rows[1] == rows[3] == 1 and rows[2] == 2
+
+
+def test_avg_local_cc_vs_known(spark):
+    from leidenalg_spark.operators.kernels import clustering_coefficient
+
+    # triangle + pendant: lcc = (1, 1, 1/3, 0) → mean 0.583333
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0), (3, 4, 1.0)],
+        "src long, dst long, weight double",
+    )
+    cc = clustering_coefficient(spark, e).collect()
+    import pytest
+
+    got = sum(r.lcc for r in cc) / len(cc)
+    assert got == pytest.approx((1 + 1 + 1 / 3 + 0) / 4, abs=1e-6)
