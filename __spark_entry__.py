@@ -866,6 +866,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return json_field_stats(_events(spark, sf)).orderBy("event_type")
 
+    def q_ltv_cohorts(spark, sf):
+        # cohort LTV triangle: running cumulative value per first-seen
+        # week cohort — the revenue sibling of retention_cohorts
+        from leidenalg_spark.operators.events import ltv_cohorts
+
+        return ltv_cohorts(_events(spark, sf)).orderBy("cohort_start", "offset")
+
     def q_rfm_scores(spark, sf):
         # recency/frequency/monetary actor segmentation — histogram
         # quantile scores, no global per-row window
@@ -1659,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lifecycle_accounting": q_lifecycle,
         "rfm_scores": q_rfm_scores,
         "json_field_stats": q_json_field_stats,
+        "ltv_cohorts": q_ltv_cohorts,
         "random_projection": q_random_projection,
         "distance_histogram": q_distance_histogram,
         "centroid_classify": q_centroid_classify,
@@ -3036,6 +3044,30 @@ SELECT CAST(pair_id AS BIGINT) AS pair_id,
 FROM paired GROUP BY pair_id
 HAVING MIN(CASE WHEN side = 1 THEN v END) IS NOT NULL
 ORDER BY pair_id
+"""
+    sqls["ltv_cohorts"] = """
+WITH lfirst AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_start
+  FROM events GROUP BY user_id
+),
+lact AS (
+  SELECT e.user_id, date_trunc('week', e.ts) AS b, e.value AS v, f.cohort_start
+  FROM events e JOIN lfirst f USING (user_id)
+),
+lcell AS (
+  SELECT cohort_start,
+         CAST((epoch(b) - epoch(cohort_start)) / 604800 AS BIGINT) AS "offset",
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+         ROUND(SUM(v), 6) AS bucket_value
+  FROM lact GROUP BY 1, 2
+),
+lsize AS (SELECT cohort_start, n_active AS cohort_size FROM lcell WHERE "offset" = 0)
+SELECT c.cohort_start, c."offset" AS "offset", c.n_active, c.bucket_value,
+       ROUND(SUM(c.bucket_value) OVER (PARTITION BY c.cohort_start ORDER BY c."offset"), 6) AS cum_value,
+       ROUND(SUM(c.bucket_value) OVER (PARTITION BY c.cohort_start ORDER BY c."offset")
+             / s.cohort_size, 6) AS cum_value_per_user
+FROM lcell c JOIN lsize s USING (cohort_start)
+ORDER BY cohort_start, "offset"
 """
     sqls["json_field_stats"] = """
 SELECT event_type,

@@ -596,3 +596,61 @@ def json_field_stats(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def ltv_cohorts(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort LTV triangle — the revenue sibling of
+    :func:`retention_cohorts`: keys cohort by first-activity bucket,
+    and each (cohort, offset) cell reports that cohort's value in the
+    offset bucket plus the RUNNING cumulative value per surviving
+    member (the LTV curve every growth model fits).  Returns
+    (cohort_start, offset, n_active, bucket_value, cum_value,
+    cum_value_per_user) with cohort size = n_active at offset 0.
+
+    Scale shape: retention_cohorts' joins + ONE extra value sum; the
+    cumulative window runs per cohort over offsets — bounded by the
+    corpus bucket span, never by users.
+    """
+    from pyspark.sql import Window
+
+    tb = F.date_trunc(bucket, F.col(ts_col))
+    first = df.groupBy(key).agg(F.min(tb).alias("cohort_start"))
+    secs = {"week": 604800, "day": 86400, "hour": 3600}[bucket]
+    act = df.select(key, tb.alias("b"), F.col(value_col).alias("v")).join(first, key)
+    off = (
+        (F.unix_micros(F.col("b").cast("timestamp"))
+         - F.unix_micros(F.col("cohort_start").cast("timestamp"))) / F.lit(secs * 1e6)
+    ).cast("long")
+    cell = (
+        act.select(key, "cohort_start", off.alias("offset"), "v")
+        .groupBy("cohort_start", "offset")
+        .agg(
+            F.countDistinct(key).cast("long").alias("n_active"),
+            F.round(F.sum("v"), 6).alias("bucket_value"),
+        )
+    )
+    size = cell.where(F.col("offset") == 0).select(
+        "cohort_start", F.col("n_active").alias("cohort_size")
+    )
+    w = Window.partitionBy("cohort_start").orderBy("offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cell.join(F.broadcast(size), "cohort_start")
+        .select(
+            "cohort_start",
+            "offset",
+            "n_active",
+            "bucket_value",
+            F.round(F.sum("bucket_value").over(w), 6).alias("cum_value"),
+            F.round(
+                F.sum("bucket_value").over(w) / F.col("cohort_size"), 6
+            ).alias("cum_value_per_user"),
+        )
+    )

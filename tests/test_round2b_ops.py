@@ -176,3 +176,25 @@ def test_avg_local_cc_vs_known(spark):
 
     got = sum(r.lcc for r in cc) / len(cc)
     assert got == pytest.approx((1 + 1 + 1 / 3 + 0) / 4, abs=1e-6)
+
+
+def test_ltv_cohorts_goldens(spark):
+    from leidenalg_spark.operators.events import ltv_cohorts
+
+    ev = spark.createDataFrame(
+        [
+            # cohort week of Jan 1 2024 (Monday): user 1 spends 10 then 5
+            (1, datetime(2024, 1, 1), 1, "purchase", 10.0, None),
+            (2, datetime(2024, 1, 9), 1, "purchase", 5.0, None),
+            # user 2, same cohort, only week 0
+            (3, datetime(2024, 1, 2), 2, "purchase", 20.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r.offset: r for r in ltv_cohorts(ev).collect()}
+    assert got[0].n_active == 2 and got[0].bucket_value == 30.0
+    assert got[0].cum_value_per_user == 15.0
+    assert got[1].n_active == 1 and got[1].bucket_value == 5.0
+    assert got[1].cum_value == 35.0
+    # per-user LTV divides by the COHORT size, not the surviving count
+    assert got[1].cum_value_per_user == 17.5
