@@ -937,6 +937,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 1-row aggregates over this output
         return K.eccentricity(spark, _bipartite_ids_det(spark, sf), max_dist=2)
 
+    def q_truss_layers(spark, sf):
+        # truss decomposition peel waves on the type-transition graph
+        return K.truss_layers(spark, _transition_ids(spark, sf), rounds=5).orderBy(
+            "a", "b"
+        )
+
     def q_s_core(spark, sf):
         # weighted s-core peel waves (strength thresholds) — heavy-tie
         # cores survive where raw degree would not
@@ -1656,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sparsify": q_graph_sparsify,
         "onion_layers": q_onion_layers,
         "s_core": q_s_core,
+        "truss_layers": q_truss_layers,
         "sssp_weighted": q_sssp_weighted,
         "attack_curve": q_attack_curve,
         "failure_curve": q_failure_curve,
@@ -4867,6 +4874,40 @@ SELECT CASE WHEN (sxx / sw - (sx / sw) * (sx / sw)) > 0
 FROM mm
 """
     )
+    _tl = [
+        """te0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM nedges WHERE src <> dst)""",
+        "tk0 AS (SELECT 2 AS t)",
+    ]
+    for r in range(1, 6):
+        _tl.append(f"""tsym{r} AS (SELECT a AS u, b AS v FROM te{r - 1}
+          UNION ALL SELECT b, a FROM te{r - 1}),
+tsp{r} AS MATERIALIZED (
+  SELECT e.a, e.b, COALESCE(c.sup, 0) AS sup
+  FROM te{r - 1} e LEFT JOIN (
+    SELECT e2.a, e2.b, CAST(COUNT(*) AS BIGINT) AS sup
+    FROM te{r - 1} e2
+    JOIN tsym{r} s1 ON s1.u = e2.a
+    JOIN tsym{r} s2 ON s2.u = e2.b AND s2.v = s1.v
+    GROUP BY e2.a, e2.b
+  ) c ON c.a = e.a AND c.b = e.b
+),
+tk{r} AS (SELECT GREATEST((SELECT t FROM tk{r - 1}),
+                          COALESCE((SELECT MIN(sup) + 2 FROM tsp{r}),
+                                   (SELECT t FROM tk{r - 1}))) AS t),
+tp{r} AS MATERIALIZED (
+  SELECT a, b, {r} AS layer, (SELECT t FROM tk{r}) AS tn
+  FROM tsp{r} WHERE sup <= (SELECT t FROM tk{r}) - 2
+),
+te{r} AS MATERIALIZED (SELECT a, b FROM tsp{r} WHERE sup > (SELECT t FROM tk{r}) - 2)""")
+    trusslayers_sql = (
+        "WITH " + ",\n".join(trans_prelude) + ",\n" + ",\n".join(_tl) + """
+SELECT a, b, CAST(layer AS BIGINT) AS layer, CAST(tn AS BIGINT) AS trussness FROM (
+  """ + "\n  UNION ALL ".join(f"SELECT * FROM tp{r}" for r in range(1, 6)) + """
+  UNION ALL SELECT a, b, 6 AS layer, NULL AS tn FROM te5
+) ORDER BY a, b
+"""
+    )
     markov_sql = (
         "WITH " + ",\n".join(trans_prelude) + """,
 me AS (SELECT src, dst, SUM(weight) AS w FROM nedges GROUP BY src, dst),
@@ -6114,6 +6155,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "graph_sparsify": sparsify_sql,
             "onion_layers": onion_sql,
             "s_core": score_sql,
+            "truss_layers": trusslayers_sql,
             "avg_neighbor_degree": knn_sql,
             "knnk": knnk_sql,
             "degree_gini": gini_sql,

@@ -4901,3 +4901,86 @@ def s_core(
     if own_ckpt and ckpt.path is None:
         ckpt.close()
     return out
+
+
+def truss_layers(
+    spark,
+    edges: DataFrame,
+    rounds: int = 6,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Truss decomposition by synchronized peel waves — the edge
+    analogue of :func:`onion_layers` and the decomposition view of
+    :func:`k_truss` (PATRIC-style distributed peeling): wave r removes
+    every edge whose support (triangles through it in the CURRENT
+    graph) is ≤ t−2 with t = max(t, min support + 2), so an edge's
+    ``trussness`` is exactly the largest k whose k-truss contains it
+    (synchronized waves at a fixed t realise the cascade).  Returns
+    ``(a, b, layer, trussness)``; edges surviving ``rounds`` waves
+    report layer rounds+1 with NULL trussness (truncation protocol as
+    onion/coreness — the DuckDB twin unrolls identical waves).
+
+    Scale shape: per wave ONE wedge join for supports (bounded by
+    Σ deg·deg over surviving edges — the k_truss shape), a 1-row min
+    (the only driver action), a threshold filter; per-wave pick tags
+    sidestep the checkpoint keep window.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    e = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = ckpt.save(e, "truss_edges", 0)
+
+    def _sup(cur):
+        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("x"))
+        s2 = sym.select(F.col("u").alias("b"), F.col("v").alias("x"))
+        c = (
+            cur.join(s1, "a")
+            .join(s2, ["b", "x"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        return cur.join(c, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("sup", F.lit(0)).cast("long").alias("sup")
+        )
+
+    t = 2
+    picks = []
+    for r in range(1, rounds + 1):
+        sup = ckpt.save(_sup(e), "truss_sup", r)
+        mn = sup.agg(F.min("sup")).first()[0]
+        if mn is None:
+            break
+        t = max(t, int(mn) + 2)
+        picks.append(
+            ckpt.save(
+                sup.where(F.col("sup") <= t - 2).select(
+                    "a",
+                    "b",
+                    F.lit(r).cast("long").alias("layer"),
+                    F.lit(t).cast("long").alias("trussness"),
+                ),
+                f"truss_pick_{r}",
+                0,
+            )
+        )
+        e = ckpt.save(sup.where(F.col("sup") > t - 2).select("a", "b"), "truss_edges", r)
+    leftovers = e.select(
+        "a",
+        "b",
+        F.lit(rounds + 1).cast("long").alias("layer"),
+        F.lit(None).cast("long").alias("trussness"),
+    )
+    out = leftovers
+    for p in picks:
+        out = out.unionByName(p)
+    out = out.localCheckpoint(eager=True)
+    if own_ckpt and ckpt.path is None:
+        ckpt.close()
+    return out

@@ -198,3 +198,27 @@ def test_ltv_cohorts_goldens(spark):
     assert got[1].cum_value == 35.0
     # per-user LTV divides by the COHORT size, not the surviving count
     assert got[1].cum_value_per_user == 17.5
+
+
+def test_truss_layers_goldens(spark):
+    from leidenalg_spark.operators.kernels import truss_layers
+
+    # K4 (every edge in 2 triangles → trussness 4) plus a pendant edge
+    k4 = [(i, j, 1.0) for i in range(1, 5) for j in range(i + 1, 5)]
+    e = spark.createDataFrame(
+        k4 + [(4, 9, 1.0)], "src long, dst long, weight double"
+    )
+    got = {(r.a, r.b): r for r in truss_layers(spark, e).collect()}
+    assert got[(4, 9)].trussness == 2  # no triangle through the pendant
+    for a, b, _ in k4:
+        assert got[(a, b)].trussness == 4
+    # the pendant peels strictly before the K4 body
+    assert got[(4, 9)].layer < got[(1, 2)].layer
+
+    # triangle chain: the shared cascade — removing the outer wave at
+    # t=3 leaves the middle triangle intact, trussness 3 everywhere
+    tri = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0)], "src long, dst long, weight double"
+    )
+    rows = truss_layers(spark, tri).collect()
+    assert all(r.trussness == 3 for r in rows)
