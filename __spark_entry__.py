@@ -1617,8 +1617,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lbl = memb.groupBy("comm").agg(F.min("token").alias("topic"))
         return memb.join(lbl, "comm").select("token", "topic").orderBy("token")
 
+    def q_kaplan_meier(spark, sf):
+        # Kaplan–Meier survival over per-actor activity lifetimes with
+        # right-censoring at the corpus horizon
+        from leidenalg_spark.operators.events import kaplan_meier
+
+        # gap=1 day: users whose last event predates the horizon by a full
+        # day count as churned — exercises both death and censor branches
+        return kaplan_meier(_events(spark, sf), churn_gap_days=1).orderBy("t_days")
+
+    def q_ab_test(spark, sf):
+        # deterministic md5-parity A/B split + two-proportion z-test
+        from leidenalg_spark.operators.events import ab_test
+
+        # threshold 14 ≈ the per-actor median purchase count, so both
+        # variants land mid-range and the z denominator is well-defined
+        return ab_test(_events(spark, sf), min_conversions=14)
+
     return {
         "edge_derivation": q_edge_derivation,
+        "kaplan_meier": q_kaplan_meier,
+        "ab_test": q_ab_test,
         "topic_clusters": q_topic_clusters,
         "sessionize": q_sessionize,
         "doc_clusters": q_doc_clusters,
@@ -4200,6 +4219,67 @@ SELECT CAST(N AS BIGINT) AS n_vertices,
              ELSE 1.0 END, 6) AS adjusted_rand,
   CAST(2*N - ma - mb AS BIGINT) AS split_join
 FROM cc CROSS JOIN at CROSS JOIN bt
+"""
+    sqls["kaplan_meier"] = """
+WITH horizon AS (SELECT MAX(ts) AS h FROM events),
+per AS (
+  SELECT CAST(date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS BIGINT) AS t_days,
+         (date_diff('day', CAST(MAX(ts) AS DATE), CAST(h AS DATE)) >= 1) AS is_death
+  FROM events CROSS JOIN horizon GROUP BY user_id, h
+),
+cell AS (
+  SELECT t_days,
+         CAST(SUM(CASE WHEN is_death THEN 1 ELSE 0 END) AS BIGINT) AS n_death,
+         CAST(SUM(CASE WHEN is_death THEN 0 ELSE 1 END) AS BIGINT) AS n_censor
+  FROM per GROUP BY t_days
+),
+risk AS (
+  SELECT t_days, n_death, n_censor,
+         CAST(SUM(n_death + n_censor) OVER ()
+              - COALESCE(SUM(n_death + n_censor) OVER (
+                  ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM cell
+)
+SELECT t_days, n_risk, n_death, n_censor,
+       ROUND(CASE WHEN MAX(CASE WHEN n_death >= n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+             THEN 0.0
+             ELSE EXP(SUM(LN(1.0 - CAST(n_death AS DOUBLE) / n_risk))
+                      OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             END, 6) AS survival
+FROM risk ORDER BY t_days
+"""
+    sqls["ab_test"] = """
+WITH per AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1)
+              IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END AS variant,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted,
+         SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS conv_value
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b,
+    ROUND(SUM(CASE WHEN variant = 0 AND converted = 1 THEN conv_value END), 6) AS v_a,
+    ROUND(SUM(CASE WHEN variant = 1 AND converted = 1 THEN conv_value END), 6) AS v_b
+  FROM per
+)
+SELECT n_a, n_b, conv_a, conv_b,
+  ROUND(CAST(conv_a AS DOUBLE)/n_a, 6) AS rate_a,
+  ROUND(CAST(conv_b AS DOUBLE)/n_b, 6) AS rate_b,
+  ROUND(v_a/conv_a, 6) AS value_per_conv_a,
+  ROUND(v_b/conv_b, 6) AS value_per_conv_b,
+  ROUND(CAST(conv_b AS DOUBLE)/n_b - CAST(conv_a AS DOUBLE)/n_a, 6) AS lift_abs,
+  ROUND((CAST(conv_b AS DOUBLE)/n_b - CAST(conv_a AS DOUBLE)/n_a)
+        / SQRT((CAST(conv_a+conv_b AS DOUBLE)/(n_a+n_b))
+               * (1.0 - CAST(conv_a+conv_b AS DOUBLE)/(n_a+n_b))
+               * (1.0/n_a + 1.0/n_b)), 6) AS z_score
+FROM g
 """
     sqls.update(_kernel_oracles())
     return sqls

@@ -654,3 +654,137 @@ def ltv_cohorts(
             ).alias("cum_value_per_user"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    churn_gap_days: int = 7,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over per-actor activity lifetimes.
+
+    Lifetime of an actor = whole days between their first and last
+    event.  An actor whose last event falls within ``churn_gap_days``
+    of the corpus horizon (global max ts) is right-CENSORED — we have
+    not yet observed their churn, so they leave the risk set without
+    counting as a death, exactly the classic estimator:
+
+        S(t) = Π_{t_i ≤ t, death times} (1 − d_i / n_i)
+
+    with n_i = actors still at risk entering t_i (duration ≥ t_i) and
+    d_i = observed churns at t_i.  Returns one row per distinct
+    lifetime (t_days, n_risk, n_death, n_censor, survival).
+
+    Scale shape: one groupBy(key) (the only actor-cardinality shuffle),
+    one tiny groupBy(duration) — distinct whole-day lifetimes are
+    bounded by the corpus span, never by actors — and the running
+    product over that small table as exp(Σ log), a single-partition
+    window over at most a few thousand rows.
+    """
+    horizon = df.agg(F.max(ts_col).alias("h"))
+    per = (
+        df.groupBy(key)
+        .agg(F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.col("last_ts"), F.col("first_ts")).cast("long").alias("t_days"),
+            (
+                F.datediff(F.col("h"), F.col("last_ts")) >= F.lit(churn_gap_days)
+            ).alias("is_death"),
+        )
+    )
+    cell = per.groupBy("t_days").agg(
+        F.sum(F.col("is_death").cast("long")).alias("n_death"),
+        F.sum((~F.col("is_death")).cast("long")).alias("n_censor"),
+    )
+    w = Window.orderBy("t_days")
+    # risk set entering t = everyone whose lifetime is >= t: total minus
+    # all actors who exited strictly before t (running sum shifted by 1)
+    exited = F.coalesce(
+        F.sum(F.col("n_death") + F.col("n_censor")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    total = F.sum(F.col("n_death") + F.col("n_censor")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cell = cell.withColumn("n_risk", (total - exited).cast("long"))
+    # running product via exp(Σ log); a factor of exactly 0 (everyone at
+    # risk dies at t) zeroes the curve from t onward
+    factor = F.lit(1.0) - F.col("n_death") / F.col("n_risk")
+    logf = F.when(factor > 0, F.log(factor))
+    dead = F.max((factor <= 0).cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(logf).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return cell.select(
+        "t_days", "n_risk", "n_death", "n_censor", F.round(surv, 6).alias("survival")
+    )
+
+
+def ab_test(
+    df: DataFrame,
+    key: str = "user_id",
+    conversion_type: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    min_conversions: int = 1,
+) -> DataFrame:
+    """Deterministic A/B experiment readout with a two-proportion z-test.
+
+    Assigns every actor to variant A/B by md5 parity of the key — the
+    standard hash-bucket assignment, portable bit-for-bit to any SQL
+    engine (unlike xxhash64 seeds) so the oracle reproduces the split
+    exactly.  Conversion = the actor emitted ≥ ``min_conversions``
+    ``conversion_type`` events.  Returns ONE row: per-variant exposure and conversion
+    counts/rates, per-converting-actor mean value, absolute lift, and
+    the pooled two-proportion z statistic
+
+        z = (p_b − p_a) / sqrt( p̂(1−p̂) (1/n_a + 1/n_b) )
+
+    Scale shape: one groupBy(key) shuffle, then a single-row final
+    aggregate — no window, no join, no actor-cardinality state on the
+    driver.
+    """
+    # parity of the last md5 hex digit — an IN-list over odd hex digits
+    # evaluates identically in every SQL dialect (no base-conversion
+    # builtins needed on the oracle side)
+    variant = (
+        F.substring(F.md5(F.col(key).cast("string")), 32, 1)
+        .isin("1", "3", "5", "7", "9", "b", "d", "f")
+        .cast("int")
+    )
+    per = df.groupBy(key).agg(
+        (
+            F.sum(
+                F.when(F.col(type_col) == conversion_type, 1).otherwise(0)
+            ) >= F.lit(min_conversions)
+        ).cast("int").alias("converted"),
+        F.sum(
+            F.when(F.col(type_col) == conversion_type, F.col(value_col)).otherwise(0.0)
+        ).alias("conv_value"),
+    ).select(variant.alias("variant"), "converted", "conv_value")
+    g = per.groupBy().pivot("variant", [0, 1]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("c"),
+        F.round(F.sum(F.when(F.col("converted") == 1, F.col("conv_value"))), 6).alias("v"),
+    )
+    n_a, c_a = F.col("0_n").cast("long"), F.col("0_c").cast("long")
+    n_b, c_b = F.col("1_n").cast("long"), F.col("1_c").cast("long")
+    p_a, p_b = c_a / n_a, c_b / n_b
+    pool = (c_a + c_b) / (n_a + n_b)
+    denom = F.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    # degenerate experiments (0% or 100% pooled conversion) have no
+    # defined z — emit NULL rather than tripping ANSI divide-by-zero
+    z = F.when(denom > 0, (p_b - p_a) / denom)
+    return g.select(
+        n_a.alias("n_a"), n_b.alias("n_b"),
+        c_a.alias("conv_a"), c_b.alias("conv_b"),
+        F.round(p_a, 6).alias("rate_a"), F.round(p_b, 6).alias("rate_b"),
+        F.round(F.col("0_v") / F.nullif(c_a, F.lit(0)), 6).alias("value_per_conv_a"),
+        F.round(F.col("1_v") / F.nullif(c_b, F.lit(0)), 6).alias("value_per_conv_b"),
+        F.round(p_b - p_a, 6).alias("lift_abs"),
+        F.round(z, 6).alias("z_score"),
+    )
