@@ -44,6 +44,33 @@ def _bipartite_named(spark, sf_dir):
     return events_to_bipartite_edges(_events(spark, sf_dir))
 
 
+def _couser_edges(spark, sf_dir, min_weight=3):
+    """User–user co-activity graph: an edge when two users act in the
+    same (event_type, hour) bucket in ≥ min_weight distinct buckets.
+    Unlike the bipartite/type-transition graphs this one is triangle-
+    rich with real community structure — the fixture for the
+    triangle-based kernels (embeddedness, clique percolation).  Ids are
+    raw user_ids, so any SQL engine rebuilds it exactly."""
+    b = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type", F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+    )
+    return (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .groupBy(F.col("x.user_id").alias("src"), F.col("y.user_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_weight)
+        .select("src", "dst", F.col("cnt").cast("double").alias("weight"))
+    )
+
+
 def _bipartite_ids(spark, sf_dir):
     named = _bipartite_named(spark, sf_dir)
     return named.select(
@@ -1617,6 +1644,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lbl = memb.groupBy("comm").agg(F.min("token").alias("topic"))
         return memb.join(lbl, "comm").select("token", "topic").orderBy("token")
 
+    def q_edge_embeddedness(spark, sf):
+        # histogram of per-edge common-neighbour counts on the co-activity
+        # user graph; embeddedness-0 rows are the local bridges
+        emb = K.edge_embeddedness(spark, _couser_edges(spark, sf))
+        return (
+            emb.groupBy("embeddedness")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            .orderBy("embeddedness")
+        )
+
+    def q_clique_percolation(spark, sf):
+        # overlapping k=3 clique-percolation communities, 8 fixed
+        # label-propagation rounds (oracle comparability, like k_core)
+        return K.clique_percolation(spark, _couser_edges(spark, sf), rounds=8).orderBy(
+            "id", "community"
+        )
+
+    def q_ngram_novelty(spark, sf):
+        from leidenalg_spark.operators.dedup import ngram_novelty
+
+        return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
+
     def q_kaplan_meier(spark, sf):
         # Kaplan–Meier survival over per-actor activity lifetimes with
         # right-censoring at the corpus horizon
@@ -1638,6 +1687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_derivation": q_edge_derivation,
         "kaplan_meier": q_kaplan_meier,
         "ab_test": q_ab_test,
+        "edge_embeddedness": q_edge_embeddedness,
+        "clique_percolation": q_clique_percolation,
+        "ngram_novelty": q_ngram_novelty,
         "topic_clusters": q_topic_clusters,
         "sessionize": q_sessionize,
         "doc_clusters": q_doc_clusters,
@@ -4280,6 +4332,81 @@ SELECT n_a, n_b, conv_a, conv_b,
                * (1.0 - CAST(conv_a+conv_b AS DOUBLE)/(n_a+n_b))
                * (1.0/n_a + 1.0/n_b)), 6) AS z_score
 FROM g
+"""
+    couser_cte = """
+cob AS MATERIALIZED (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),
+cow AS MATERIALIZED (
+  SELECT x.user_id AS a, y.user_id AS b
+  FROM cob x JOIN cob y
+    ON x.event_type = y.event_type AND x.h = y.h AND x.user_id < y.user_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM cow e1 JOIN cow e2 ON e2.a = e1.b
+  JOIN cow e3 ON e3.a = e1.a AND e3.b = e2.b
+)"""
+    sqls["edge_embeddedness"] = f"""
+WITH {couser_cte},
+sides AS (
+  SELECT x AS a, y AS b FROM tri
+  UNION ALL SELECT x, z FROM tri
+  UNION ALL SELECT y, z FROM tri
+),
+emb AS (
+  SELECT c.a, c.b, COALESCE(s.c, 0) AS e
+  FROM cow c LEFT JOIN (SELECT a, b, COUNT(*) AS c FROM sides GROUP BY a, b) s
+  USING (a, b)
+)
+SELECT CAST(e AS BIGINT) AS embeddedness, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM emb GROUP BY e ORDER BY e
+"""
+    # each round references the previous one exactly ONCE (self-loops in
+    # mep carry the own label) — DuckDB inlines CTEs, so a two-reference
+    # round would expand 2^8 copies of the base scan
+    cp_rounds = []
+    for r in range(1, 9):
+        cp_rounds.append(f"""l{r} AS (
+  SELECT p.d AS e, MIN(x.l) AS l FROM mep p JOIN l{r - 1} x ON x.e = p.s GROUP BY p.d
+)""")
+    sqls["clique_percolation"] = f"""
+WITH {couser_cte},
+mn AS MATERIALIZED (
+  SELECT DISTINCT CAST(x AS VARCHAR) || '|' || CAST(y AS VARCHAR) AS e, x AS a, y AS b FROM tri
+  UNION SELECT CAST(x AS VARCHAR) || '|' || CAST(z AS VARCHAR), x, z FROM tri
+  UNION SELECT CAST(y AS VARCHAR) || '|' || CAST(z AS VARCHAR), y, z FROM tri
+),
+mpd AS (
+  SELECT CAST(x AS VARCHAR) || '|' || CAST(y AS VARCHAR) AS s,
+         CAST(y AS VARCHAR) || '|' || CAST(z AS VARCHAR) AS d FROM tri
+  UNION ALL SELECT CAST(x AS VARCHAR) || '|' || CAST(y AS VARCHAR),
+                   CAST(x AS VARCHAR) || '|' || CAST(z AS VARCHAR) FROM tri
+  UNION ALL SELECT CAST(y AS VARCHAR) || '|' || CAST(z AS VARCHAR),
+                   CAST(x AS VARCHAR) || '|' || CAST(z AS VARCHAR) FROM tri
+),
+mep AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (
+    SELECT s, d FROM mpd UNION ALL SELECT d, s FROM mpd
+    UNION ALL SELECT e, e FROM mn
+  )
+),
+l0 AS (SELECT e, e AS l FROM (SELECT DISTINCT e FROM mn)),
+{",".join(cp_rounds)},
+me AS (SELECT mn.a, mn.b, l8.l FROM mn JOIN l8 USING (e)),
+mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
+cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
+SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
+FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["ngram_novelty"] = f"""
+WITH {shingle_cte},
+firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS novelty
+FROM sh JOIN firsts f USING (shingle)
+GROUP BY sh.doc_id ORDER BY sh.doc_id
 """
     sqls.update(_kernel_oracles())
     return sqls

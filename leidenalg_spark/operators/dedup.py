@@ -440,3 +440,41 @@ def cross_source_dupes(docs: DataFrame, col: str = "text") -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_texts"))
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty — the incremental-contribution dual
+    of duplicate detection: what fraction of a doc's distinct word
+    n-grams appear here FIRST (no lower doc_id contains them)?  Low
+    novelty ⇒ the doc is largely recombined boilerplate even when no
+    single source passes a pairwise near-dup threshold — the curation
+    signal pairwise Jaccard misses.
+
+    Returns (doc_id, n_shingles, n_novel, novelty); docs whose text
+    yields no shingles are absent (novelty undefined).
+
+    Scale shape: one groupBy(shingle) for first-occurrence (map-side
+    partial min — a hub shingle costs one combiner cell, never a
+    quadratic bucket), one shingle-keyed join back, one groupBy(doc).
+    At 10^12 docs "first" stays well-defined because doc_id is a total
+    order — no tie-break ambiguity for the oracle to diverge on.
+    """
+    sh = shingles(docs, n, col).persist()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    out = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out

@@ -4984,3 +4984,129 @@ def truss_layers(
     if own_ckpt and ckpt.path is None:
         ckpt.close()
     return out
+
+
+def triangles_sorted(spark, edges: DataFrame) -> DataFrame:
+    """Enumerate every triangle once as a sorted triple (x < y < z).
+
+    Runs the degree-oriented wedge join of :func:`triangle_count` (work
+    bounded by Σ deg_out² on the orientation DAG, max out-degree ≈ √m)
+    and canonicalises each hit with ``array_sort`` — so the OUTPUT is
+    orientation-independent and reproducible by any engine that joins
+    the id-ordered edge table three ways.
+    """
+    o = oriented_edges(edges).persist()
+    wedges = o.alias("e1").join(
+        o.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(F.col("e1.u").alias("u"), F.col("e1.v").alias("m"), F.col("e2.v").alias("v"))
+    tri = wedges.join(
+        o.select(F.col("u").alias("tu"), F.col("v").alias("tv")),
+        (F.col("u") == F.col("tu")) & (F.col("v") == F.col("tv")),
+    )
+    t = tri.select(F.array_sort(F.array("u", "m", "v")).alias("t")).select(
+        F.col("t")[0].alias("x"), F.col("t")[1].alias("y"), F.col("t")[2].alias("z")
+    )
+    t = t.localCheckpoint(eager=True)
+    o.unpersist()
+    return t
+
+
+def edge_embeddedness(spark, edges: DataFrame) -> DataFrame:
+    """Per-edge embeddedness + Granovetter local-bridge flag.
+
+    Embeddedness of an edge = number of common neighbours of its
+    endpoints = triangles through the edge (Easley–Kleinberg ch. 3); an
+    edge with embeddedness 0 is a LOCAL BRIDGE — its endpoints' circles
+    don't overlap, the classic weak-tie signal.  Returns one row per
+    simple undirected edge (a, b, embeddedness, is_local_bridge).
+
+    Scale shape: one triangle enumeration (wedge-join bounded, see
+    :func:`triangles_sorted`) + one groupBy over its 3-edge explosion —
+    strictly cheaper than the naive per-edge adjacency double-join,
+    which re-gathers both endpoint neighbourhoods per edge.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    t = triangles_sorted(spark, edges)
+    sides = (
+        t.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionByName(t.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        .unionByName(t.select(F.col("y").alias("a"), F.col("z").alias("b")))
+    )
+    emb = sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("embeddedness"))
+    return (
+        und.join(emb, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce("embeddedness", F.lit(0)).cast("long").alias("embeddedness"),
+            (F.coalesce("embeddedness", F.lit(0)) == 0).alias("is_local_bridge"),
+        )
+    )
+
+
+def clique_percolation(spark, edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """k=3 clique-percolation communities (Palla et al., CFinder) —
+    OVERLAPPING community detection, the structure Leiden's partitions
+    cannot express: a vertex may belong to several communities.
+
+    Communities = connected components of the triangle-adjacency graph
+    (triangles joined when they share an edge), equivalently components
+    of the edge graph where two edges link iff they co-occur in a
+    triangle.  A vertex belongs to every community one of its triangle
+    edges lands in.  Returns distinct (id, community) pairs, community
+    labelled by its minimum member vertex id.
+
+    Distributed shape: triangle enumeration (wedge-bounded) → 3 meta
+    edges per triangle between string edge-keys → ``rounds`` synchronous
+    min-label-propagation supersteps (one groupBy + one join each, the
+    same gather-scatter as every other kernel here).  Fixed ``rounds``
+    keeps the result reproducible by an unrolled SQL twin; components
+    of real percolation graphs collapse in far fewer rounds than their
+    vertex diameter because every triangle is a 3-clique of shortcuts.
+    """
+    t = triangles_sorted(spark, edges)
+    ek = lambda u, v: F.concat_ws("|", F.col(u), F.col(v))  # noqa: E731
+    nodes = (
+        t.select(ek("x", "y").alias("e"), F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionByName(t.select(ek("x", "z").alias("e"), F.col("x").alias("a"), F.col("z").alias("b")))
+        .unionByName(t.select(ek("y", "z").alias("e"), F.col("y").alias("a"), F.col("z").alias("b")))
+        .distinct()
+        .persist()
+    )
+    pairs = (
+        t.select(ek("x", "y").alias("s"), ek("y", "z").alias("d"))
+        .unionByName(t.select(ek("x", "y").alias("s"), ek("x", "z").alias("d")))
+        .unionByName(t.select(ek("y", "z").alias("s"), ek("x", "z").alias("d")))
+    )
+    meta = (
+        pairs.unionByName(pairs.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .persist()
+    )
+    lbl = nodes.select("e", F.col("e").alias("l"))
+    for r in range(rounds):
+        nb = (
+            meta.join(lbl.select(F.col("e").alias("s"), F.col("l").alias("ln")), "s")
+            .groupBy("d")
+            .agg(F.min("ln").alias("nl"))
+        )
+        lbl = lbl.join(nb.withColumnRenamed("d", "e"), "e", "left").select(
+            "e", F.least(F.col("l"), F.coalesce("nl", F.col("l"))).alias("l")
+        )
+        if (r + 1) % 4 == 0:
+            # truncate the lazy join chain before it nests too deep
+            lbl = lbl.localCheckpoint(eager=True)
+    me = nodes.join(lbl, "e")
+    members = me.select("l", F.col("a").alias("v")).unionByName(
+        me.select("l", F.col("b").alias("v"))
+    )
+    cmin = members.groupBy("l").agg(F.min("v").alias("community"))
+    out = members.join(cmin, "l").select(F.col("v").alias("id"), "community").distinct()
+    out = out.localCheckpoint(eager=True)
+    nodes.unpersist()
+    meta.unpersist()
+    return out

@@ -1,0 +1,121 @@
+"""Goldens for the round-2 third-wave operators (fresh file so a long
+background pytest run never collides with appends)."""
+
+from datetime import datetime, timedelta
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def test_clique_percolation_two_overlapping_cliques(spark):
+    # K4 on {0,1,2,3} and K3 on {3,4,5} share vertex 3; a dangling edge
+    # (5,6) is in no triangle.  k=3 percolation: two communities, vertex 3
+    # in BOTH (overlap), 6 in none.
+    from leidenalg_spark.operators.kernels import clique_percolation
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k3 = [(3, 4), (3, 5), (4, 5)]
+    got = clique_percolation(spark, _edges(spark, k4 + k3 + [(5, 6)]), rounds=6).collect()
+    memb = {}
+    for r in got:
+        memb.setdefault(r.id, set()).add(r.community)
+    assert memb[0] == memb[1] == memb[2] == {0}
+    assert memb[4] == memb[5] == {3}
+    assert memb[3] == {0, 3}  # the overlap vertex
+    assert 6 not in memb
+
+
+def test_clique_percolation_triangle_chain_merges(spark):
+    # triangles (0,1,2) and (1,2,3) share edge (1,2) -> ONE community
+    from leidenalg_spark.operators.kernels import clique_percolation
+
+    got = clique_percolation(
+        spark, _edges(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]), rounds=6
+    ).collect()
+    assert {(r.id, r.community) for r in got} == {(v, 0) for v in (0, 1, 2, 3)}
+
+
+def test_edge_embeddedness_and_local_bridges(spark):
+    from leidenalg_spark.operators.kernels import edge_embeddedness
+
+    # triangle {0,1,2} plus a pendant bridge (2,3)
+    got = {
+        (r.a, r.b): r
+        for r in edge_embeddedness(
+            spark, _edges(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+        ).collect()
+    }
+    assert got[(0, 1)].embeddedness == 1 and not got[(0, 1)].is_local_bridge
+    assert got[(2, 3)].embeddedness == 0 and got[(2, 3)].is_local_bridge
+
+
+def test_ngram_novelty_first_doc_wins(spark):
+    from leidenalg_spark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # 2 trigrams, both first -> novelty 1
+            (2, "a b c x"),        # "a b c" seen in doc 1, "b c x" new -> 0.5
+            (3, "a b c d"),        # exact dup of doc 1 -> 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_novelty(docs, n=3).collect()}
+    assert (got[1].n_shingles, got[1].novelty) == (2, 1.0)
+    assert (got[2].n_novel, got[2].novelty) == (1, 0.5)
+    assert got[3].novelty == 0.0
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    # 4 actors: lifetimes 1d (death), 1d (censored), 2d (death),
+    # 3d (censored at horizon).  S(1)=1-1/4=0.75, S(2)=0.75*(1-1/2)=0.375
+    from leidenalg_spark.operators.events import kaplan_meier
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for uid, (span, last_gap) in enumerate(
+        [(1, 10), (1, 0), (2, 5), (3, 0)]
+    ):
+        rows.append((uid, t0))
+        rows.append((uid, t0 + timedelta(days=span)))
+    # horizon = max ts = uid3's last event at day 3... shift actors so the
+    # horizon lands at day 12: censoring gap measured from global max
+    ev = spark.createDataFrame(
+        [
+            (0, t0), (0, t0 + timedelta(days=1)),            # dies (gap 11)
+            (1, t0 + timedelta(days=10)), (1, t0 + timedelta(days=11)),  # censored (gap 1)
+            (2, t0), (2, t0 + timedelta(days=2)),            # dies (gap 10)
+            (3, t0 + timedelta(days=9)), (3, t0 + timedelta(days=12)),   # censored (gap 0)
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {r.t_days: r for r in kaplan_meier(ev, churn_gap_days=2).collect()}
+    assert (got[1].n_risk, got[1].n_death, got[1].n_censor) == (4, 1, 1)
+    assert abs(got[1].survival - 0.75) < 1e-9
+    assert (got[2].n_risk, got[2].n_death) == (2, 1)
+    assert abs(got[2].survival - 0.375) < 1e-9
+    assert got[3].n_censor == 1 and abs(got[3].survival - 0.375) < 1e-9
+
+
+def test_ab_test_split_and_z(spark):
+    from leidenalg_spark.operators.events import ab_test
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # 40 users; md5-parity split; users converting = those with uid % 4 == 0
+    for uid in range(40):
+        rows.append((uid, t0, "view", 1.0))
+        if uid % 4 == 0:
+            rows.append((uid, t0, "purchase", 10.0))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    r = ab_test(ev, min_conversions=1).collect()[0]
+    assert r.n_a + r.n_b == 40
+    assert r.conv_a + r.conv_b == 10
+    assert abs(r.rate_a - r.conv_a / r.n_a) < 1e-6  # rate is rounded to 6dp
+    assert r.value_per_conv_a == 10.0 and r.value_per_conv_b == 10.0
+    # z sign agrees with the lift
+    if r.lift_abs != 0:
+        assert (r.z_score > 0) == (r.lift_abs > 0)
