@@ -1666,6 +1666,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_graphlet_orbits(spark, sf):
+        # size-3 graphlet degree vector per vertex on the co-activity graph
+        return K.graphlet_orbits3(spark, _couser_edges(spark, sf)).orderBy("id")
+
+    def q_changepoint(spark, sf):
+        # AMOC single changepoint per event-type daily-count series
+        from leidenalg_spark.operators.events import changepoint
+
+        return changepoint(_events(spark, sf)).orderBy("event_type")
+
+    def q_quality_bipartite(spark, sf):
+        # Barber bipartite modularity of a deterministic 4-community
+        # membership over the user x event-type two-mode graph
+        from leidenalg_spark.functions.quality import quality_bipartite
+
+        e = _bipartite_ids_det(spark, sf)
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        memb = verts.select("id", (F.col("id") % 4).alias("comm"))
+        typs = verts.select("id", (F.col("id") % 2).alias("type"))
+        return quality_bipartite(e, memb, typs)
+
     def q_kaplan_meier(spark, sf):
         # Kaplan–Meier survival over per-actor activity lifetimes with
         # right-censoring at the corpus horizon
@@ -1690,6 +1715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_embeddedness": q_edge_embeddedness,
         "clique_percolation": q_clique_percolation,
         "ngram_novelty": q_ngram_novelty,
+        "graphlet_orbits": q_graphlet_orbits,
+        "changepoint": q_changepoint,
+        "quality_bipartite": q_quality_bipartite,
         "topic_clusters": q_topic_clusters,
         "sessionize": q_sessionize,
         "doc_clusters": q_doc_clusters,
@@ -4397,6 +4425,72 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["graphlet_orbits"] = f"""
+WITH {couser_cte},
+tv AS (
+  SELECT v, COUNT(*) AS t FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY v
+),
+gsym AS (SELECT a AS u, b AS v FROM cow UNION ALL SELECT b, a FROM cow),
+gdeg AS (SELECT u AS id, COUNT(*) AS d FROM gsym GROUP BY u),
+gnd AS (SELECT s.u AS id, SUM(d2.d) AS nds FROM gsym s JOIN gdeg d2 ON d2.id = s.v GROUP BY s.u)
+SELECT CAST(g.id AS BIGINT) AS id,
+       CAST(g.d AS BIGINT) AS o0_degree,
+       CAST(COALESCE(n.nds, 0) - g.d - 2 * COALESCE(tv.t, 0) AS BIGINT) AS o1_path_end,
+       CAST(g.d * (g.d - 1) / 2 - COALESCE(tv.t, 0) AS BIGINT) AS o2_wedge_center,
+       CAST(COALESCE(tv.t, 0) AS BIGINT) AS o3_triangle
+FROM gdeg g LEFT JOIN gnd n ON n.id = g.id LEFT JOIN tv ON tv.v = g.id
+ORDER BY id
+"""
+    sqls["changepoint"] = """
+WITH cnt AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS b, CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+run AS (
+  SELECT g, b, x,
+         SUM(x) OVER (PARTITION BY g ORDER BY b) AS s,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY b) AS t,
+         SUM(x) OVER (PARTITION BY g) AS tot,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM cnt
+),
+sc AS (
+  SELECT g, b, n,
+         ROUND(ABS(s / t - (tot - s) / (n - t)) * SQRT(t * (n - t) * 1.0 / n), 6) AS stat,
+         ROUND(s / t, 6) AS mean_before,
+         ROUND((tot - s) / (n - t), 6) AS mean_after
+  FROM run WHERE t < n
+)
+SELECT g AS event_type, b AS t_star, stat, mean_before, mean_after,
+       CAST(n AS BIGINT) AS n_buckets
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY stat DESC, b ASC) AS rk FROM sc)
+WHERE rk = 1 ORDER BY event_type
+"""
+    sqls["quality_bipartite"] = f"""
+WITH {_DET_PRELUDE.strip()},
+bk AS (
+  SELECT id, SUM(w) AS k FROM (
+    SELECT src AS id, weight AS w FROM edges
+    UNION ALL SELECT dst, weight FROM edges
+  ) GROUP BY id
+),
+bmm AS (SELECT id, id % 4 AS comm, id % 2 AS typ, k FROM bk),
+bintra AS (
+  SELECT src % 4 AS comm, SUM(weight) AS m_c FROM edges
+  WHERE src % 4 = dst % 4 GROUP BY 1
+),
+bkc AS (
+  SELECT comm,
+         SUM(CASE WHEN typ = 0 THEN k ELSE 0 END) AS k0,
+         SUM(CASE WHEN typ = 1 THEN k ELSE 0 END) AS k1
+  FROM bmm GROUP BY comm
+),
+bm AS (SELECT SUM(weight) AS m FROM edges)
+SELECT ROUND(SUM((COALESCE(i.m_c, 0) - c.k0 * c.k1 / bm.m) / bm.m), 6) AS value
+FROM bkc c LEFT JOIN bintra i USING (comm) CROSS JOIN bm
 """
     sqls["ngram_novelty"] = f"""
 WITH {shingle_cte},

@@ -203,3 +203,48 @@ def quality(
         q_exp = float(row["sp"] or 0.0) / pairs_tot
         return float(W * kl_div(np.float64(q), np.float64(q_exp)))
     raise AssertionError(method)
+
+
+def quality_bipartite(
+    edges: DataFrame, membership: DataFrame, types: DataFrame
+) -> DataFrame:
+    """Barber bipartite modularity (Barber 2007, Phys. Rev. E 76) — the
+    bipartite-correct sibling of the reference's Modularity (Q1): the
+    null model only allows edges BETWEEN the two vertex classes, so
+
+        Q_B = (1/m) Σ_c ( m_c − K_c^0 · K_c^1 / m )
+
+    with m_c = intra-community edge weight, K_c^0 / K_c^1 the summed
+    strengths of the community's class-0 / class-1 vertices.  The
+    reference approaches bipartite graphs via the CPM 3-layer trick
+    (``CPMVertexPartition.Bipartite``, VertexPartition.py:950-1105);
+    Q_B is the direct evaluator for a membership over a two-mode graph.
+
+    ``types``: (id, type) with type ∈ {0, 1}.  Returns one row (value).
+
+    Scale shape: identical to the other evaluators — two membership
+    equi-joins on vertex id + associative per-community aggregates +
+    a 1-row scalar combine; nothing new moves at 10^12 edges.
+    """
+    m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("c_src"))
+    m_dst = membership.select(F.col("id").alias("dst"), F.col("comm").alias("c_dst"))
+    intra = (
+        edges.join(m_src, "src").join(m_dst, "dst")
+        .where(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("comm"))
+        .agg(F.sum("weight").alias("m_c"))
+    )
+    k = vertex_strengths(edges).select("id", F.col("k_out").alias("k"))
+    kc = (
+        k.join(membership, "id").join(types, "id")
+        .groupBy("comm")
+        .agg(
+            F.sum(F.when(F.col("type") == 0, F.col("k")).otherwise(0.0)).alias("k0"),
+            F.sum(F.when(F.col("type") == 1, F.col("k")).otherwise(0.0)).alias("k1"),
+        )
+    )
+    m_tot = edges.agg(F.sum("weight").alias("m"))
+    per = kc.join(intra, "comm", "left").na.fill({"m_c": 0.0}).crossJoin(F.broadcast(m_tot))
+    return per.agg(
+        F.round(F.sum((F.col("m_c") - F.col("k0") * F.col("k1") / F.col("m")) / F.col("m")), 6).alias("value")
+    )

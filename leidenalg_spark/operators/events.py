@@ -788,3 +788,62 @@ def ab_test(
         F.round(p_b - p_a, 6).alias("lift_abs"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+def changepoint(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Single most-likely changepoint per series (AMOC binary
+    segmentation): for every split point t of the per-bucket count
+    series, score the CUSUM-type statistic
+
+        G(t) = |mean(x₁..t) − mean(x_{t+1}..T)| · sqrt(t(T−t)/T)
+
+    and report the argmax — the standard first step of binary
+    segmentation / the offline twin of the streaming anomaly detector.
+    Returns one row per group: (group, t_star, stat, mean_before,
+    mean_after, n_buckets), t_star = last bucket of the left segment.
+    Ties break to the earliest split.
+
+    Scale shape: one (group, bucket) hash aggregate — the only
+    data-proportional stage — then every window runs over per-group
+    BUCKET series (bounded by the corpus span, never by events);
+    argmax is one more bounded window, no self-join over splits.
+    """
+    cnt = (
+        df.groupBy(F.col(group_col).alias("g"), F.date_trunc(bucket, F.col(ts_col)).alias("b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    w = Window.partitionBy("g").orderBy("b")
+    run = cnt.select(
+        "g", "b", "x",
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+        F.row_number().over(w).alias("t"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("tot"),
+        F.count(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("n"),
+    ).where(F.col("t") < F.col("n"))
+    mb = F.col("s") / F.col("t")
+    ma = (F.col("tot") - F.col("s")) / (F.col("n") - F.col("t"))
+    g_stat = F.abs(mb - ma) * F.sqrt(F.col("t") * (F.col("n") - F.col("t")) / F.col("n"))
+    scored = run.select(
+        "g", "b", "n",
+        F.round(g_stat, 6).alias("stat"),
+        F.round(mb, 6).alias("mean_before"),
+        F.round(ma, 6).alias("mean_after"),
+    )
+    ww = Window.partitionBy("g").orderBy(F.col("stat").desc(), F.col("b").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(ww))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("b").alias("t_star"),
+            "stat",
+            "mean_before",
+            "mean_after",
+            F.col("n").cast("long").alias("n_buckets"),
+        )
+    )

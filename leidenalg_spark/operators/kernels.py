@@ -5110,3 +5110,46 @@ def clique_percolation(spark, edges: DataFrame, rounds: int = 8) -> DataFrame:
     nodes.unpersist()
     meta.unpersist()
     return out
+
+
+def graphlet_orbits3(spark, edges: DataFrame) -> DataFrame:
+    """Size-3 graphlet degree vector per vertex (orbits 0–3 of the
+    Pržulj GDV): o0 = degree, o1 = induced-P3 ends, o2 = induced-P3
+    centers, o3 = triangles — the cheapest structural feature vector
+    for node-level ML (GDV similarity, role discovery).
+
+    Closed forms from three associative aggregates — no graphlet is
+    ever enumerated beyond the triangle join:
+
+        o1(v) = Σ_{u∈N(v)} (deg(u) − 1) − 2·T(v)   (open walks minus
+                 the two per-triangle closures)
+        o2(v) = C(deg(v), 2) − T(v)
+        o3(v) = T(v)
+
+    Scale shape: the triangle pass of :func:`clustering_coefficient`
+    (oriented wedge join, Σ deg_out² bound) + ONE extra neighbour-
+    degree-sum gather (edges ⋈ degrees → groupBy vertex).
+    """
+    cc = clustering_coefficient(spark, edges).select("id", "n_triangles", "degree")
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    degs = cc.select(F.col("id").alias("b"), F.col("degree").alias("deg_b"))
+    nds = sym.join(degs, "b").groupBy("a").agg(F.sum("deg_b").alias("nd_sum"))
+    return (
+        cc.join(nds.withColumnRenamed("a", "id"), "id", "left")
+        .select(
+            "id",
+            F.col("degree").cast("long").alias("o0_degree"),
+            (
+                F.coalesce("nd_sum", F.lit(0)) - F.col("degree") - 2 * F.col("n_triangles")
+            ).cast("long").alias("o1_path_end"),
+            (
+                F.col("degree") * (F.col("degree") - 1) / 2 - F.col("n_triangles")
+            ).cast("long").alias("o2_wedge_center"),
+            F.col("n_triangles").cast("long").alias("o3_triangle"),
+        )
+    )

@@ -119,3 +119,62 @@ def test_ab_test_split_and_z(spark):
     # z sign agrees with the lift
     if r.lift_abs != 0:
         assert (r.z_score > 0) == (r.lift_abs > 0)
+
+
+def test_graphlet_orbits_path_and_triangle(spark):
+    from leidenalg_spark.operators.kernels import graphlet_orbits3
+
+    # path 0-1-2 plus triangle {3,4,5}
+    got = {
+        r.id: r
+        for r in graphlet_orbits3(
+            spark, _edges(spark, [(0, 1), (1, 2), (3, 4), (3, 5), (4, 5)])
+        ).collect()
+    }
+    # path center: degree 2, one wedge centered, no path-end role, no tri
+    assert (got[1].o0_degree, got[1].o1_path_end, got[1].o2_wedge_center, got[1].o3_triangle) == (2, 0, 1, 0)
+    # path end: one induced P3 as end
+    assert (got[0].o0_degree, got[0].o1_path_end, got[0].o2_wedge_center) == (1, 1, 0)
+    # triangle vertex: degree 2, no induced P3 (closed), one triangle
+    assert (got[3].o0_degree, got[3].o1_path_end, got[3].o2_wedge_center, got[3].o3_triangle) == (2, 0, 0, 1)
+
+
+def test_changepoint_step_series(spark):
+    from leidenalg_spark.operators.events import changepoint
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # 10 days: 2 events/day for days 0-4, then 8 events/day for days 5-9
+    for d in range(10):
+        for i in range(2 if d < 5 else 8):
+            rows.append((len(rows), t0 + timedelta(days=d, hours=i), 1, "click", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = changepoint(ev).collect()[0]
+    assert r.t_star == t0 + timedelta(days=4)  # last bucket of the left segment
+    assert r.mean_before == 2.0 and r.mean_after == 8.0
+    assert r.n_buckets == 10
+
+
+def test_quality_bipartite_perfect_vs_mixed(spark):
+    from leidenalg_spark.functions.quality import quality_bipartite
+
+    # two disjoint complete bipartite K_{2,2} blocks: users 0,1 + items 10,11
+    # and users 2,3 + items 12,13
+    e = _edges(
+        spark,
+        [(u, i) for u in (0, 1) for i in (10, 11)] + [(u, i) for u in (2, 3) for i in (12, 13)],
+    )
+    verts = [(v, 0 if v < 10 else 1) for v in (0, 1, 2, 3, 10, 11, 12, 13)]
+    typs = spark.createDataFrame(verts, "id long, type int")
+    perfect = spark.createDataFrame(
+        [(v, 0 if v in (0, 1, 10, 11) else 1) for v, _ in verts], "id long, comm long"
+    )
+    allone = spark.createDataFrame([(v, 0) for v, _ in verts], "id long, comm long")
+    q_perfect = quality_bipartite(e, perfect, typs).collect()[0].value
+    q_allone = quality_bipartite(e, allone, typs).collect()[0].value
+    # perfect split: m_c = 4 each, K0=K1=4, m=8 -> Q = 2*(4 - 16/8)/8 = 0.5
+    assert abs(q_perfect - 0.5) < 1e-9
+    assert abs(q_allone - 0.0) < 1e-9
+    assert q_perfect > q_allone
