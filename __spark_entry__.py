@@ -1666,6 +1666,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_langid_confusion(spark, sf):
+        # lang-id eval: confusion matrix vs the ground-truth lang column
+        return T.langid_confusion(_documents(spark, sf)).orderBy("lang", "lang_pred")
+
+    def q_embedding_drift(spark, sf):
+        # per-dimension SMD drift between the vec_id-parity cohorts
+        from leidenalg_spark.operators.similarity import embedding_drift
+
+        return embedding_drift(
+            _embeddings(spark, sf), split_col=(F.col("vec_id") % 2 == 1)
+        ).orderBy("dim")
+
     def q_graphlet_orbits(spark, sf):
         # size-3 graphlet degree vector per vertex on the co-activity graph
         return K.graphlet_orbits3(spark, _couser_edges(spark, sf)).orderBy("id")
@@ -1718,6 +1730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphlet_orbits": q_graphlet_orbits,
         "changepoint": q_changepoint,
         "quality_bipartite": q_quality_bipartite,
+        "langid_confusion": q_langid_confusion,
+        "embedding_drift": q_embedding_drift,
         "topic_clusters": q_topic_clusters,
         "sessionize": q_sessionize,
         "doc_clusters": q_doc_clusters,
@@ -4425,6 +4439,46 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["langid_confusion"] = f"""
+WITH lpred AS ({sqls["lang_id"]}),
+lcell AS (
+  SELECT COALESCE(d.lang, 'und') AS lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents d JOIN lpred p USING (doc_id) GROUP BY 1, 2
+)
+SELECT lang, lang_pred, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY lang), 6) AS frac_of_truth
+FROM lcell ORDER BY lang, lang_pred
+"""
+    sqls["embedding_drift"] = """
+WITH ex AS (
+  SELECT CAST(vec_id % 2 AS INT) AS g,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+ecell AS (
+  SELECT dim, g, AVG(v) AS mu, VAR_SAMP(v) AS s2, COUNT(*) AS n
+  FROM ex GROUP BY dim, g
+),
+epiv AS (
+  SELECT dim,
+         MAX(CASE WHEN g = 0 THEN mu END) AS mu0,
+         MAX(CASE WHEN g = 1 THEN mu END) AS mu1,
+         MAX(CASE WHEN g = 0 THEN s2 END) AS s20,
+         MAX(CASE WHEN g = 1 THEN s2 END) AS s21,
+         MAX(CASE WHEN g = 0 THEN n END) AS n0,
+         MAX(CASE WHEN g = 1 THEN n END) AS n1
+  FROM ecell GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       ROUND(mu0, 6) AS mean_a,
+       ROUND(mu1, 6) AS mean_b,
+       ROUND(SQRT(((n0 - 1) * s20 + (n1 - 1) * s21) / (n0 + n1 - 2)), 6) AS std_pooled,
+       ROUND(CASE WHEN ((n0 - 1) * s20 + (n1 - 1) * s21) > 0
+             THEN (mu1 - mu0) / SQRT(((n0 - 1) * s20 + (n1 - 1) * s21) / (n0 + n1 - 2))
+             END, 6) AS smd
+FROM epiv ORDER BY dim
 """
     sqls["graphlet_orbits"] = f"""
 WITH {couser_cte},

@@ -978,3 +978,46 @@ def kcenter_coreset(
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+def embedding_drift(
+    vecs: DataFrame, split_col, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension distribution drift between two embedding cohorts —
+    the monitoring primitive that catches encoder version skew or a
+    shifted data mix before it poisons retrieval: standardized mean
+    difference per dimension
+
+        smd_d = (mean_B[d] − mean_A[d]) / pooled_std[d]
+
+    ``split_col``: boolean Column (False → cohort A / reference, True →
+    cohort B / current).  Returns one row per dimension (dim, mean_a,
+    mean_b, std_pooled, smd), |dims| rows total.
+
+    Scale shape: posexplode fans each vector into |dims| rows and ONE
+    hash aggregate on (dim, cohort) reduces them map-side — state is
+    2·|dims| cells per task regardless of row count; the final pivot
+    and smd arithmetic run on a |dims|-row table.
+    """
+    ex = vecs.select(
+        split_col.cast("int").alias("g"), F.posexplode(vec_col).alias("dim", "v")
+    )
+    cell = ex.groupBy("dim", "g").agg(
+        F.avg("v").alias("mu"), F.var_samp("v").alias("s2"), F.count(F.lit(1)).alias("n")
+    )
+    piv = cell.groupBy("dim").pivot("g", [0, 1]).agg(
+        F.first("mu").alias("mu"), F.first("s2").alias("s2"), F.first("n").alias("n")
+    )
+    pooled = F.sqrt(
+        ((F.col("0_n") - 1) * F.col("0_s2") + (F.col("1_n") - 1) * F.col("1_s2"))
+        / (F.col("0_n") + F.col("1_n") - 2)
+    )
+    return piv.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round("0_mu", 6).alias("mean_a"),
+        F.round("1_mu", 6).alias("mean_b"),
+        F.round(pooled, 6).alias("std_pooled"),
+        F.round(
+            F.when(pooled > 0, (F.col("1_mu") - F.col("0_mu")) / pooled), 6
+        ).alias("smd"),
+    )

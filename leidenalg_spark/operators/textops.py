@@ -1110,3 +1110,28 @@ def script_profile(docs: DataFrame, col: str = "text") -> DataFrame:
             6,
         ).alias("other_frac"),
     )
+
+
+def langid_confusion(docs: DataFrame, truth_col="lang", col="text") -> DataFrame:
+    """Confusion matrix of the n-gram language detector against a
+    ground-truth label column — the eval loop that keeps a heuristic
+    lang-id honest as the corpus mix shifts.  Returns one row per
+    (truth, predicted) pair: (lang, lang_pred, n, frac_of_truth), where
+    frac_of_truth is the row-normalised rate (recall on the diagonal).
+
+    Scale shape: the detector is a pure JVM expression (no shuffle),
+    then ONE hash aggregate on (truth, pred) — |langs|² output rows —
+    and a broadcast-sized per-truth total join.
+    """
+    pred = language_id(docs, col).select("doc_id", "lang_pred")
+    lab = docs.select("doc_id", F.coalesce(F.col(truth_col), F.lit("und")).alias("lang"))
+    cell = (
+        lab.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n").alias("n_truth"))
+    return cell.join(F.broadcast(tot), "lang").select(
+        "lang", "lang_pred", "n",
+        F.round(F.col("n") / F.col("n_truth"), 6).alias("frac_of_truth"),
+    )

@@ -178,3 +178,40 @@ def test_quality_bipartite_perfect_vs_mixed(spark):
     assert abs(q_perfect - 0.5) < 1e-9
     assert abs(q_allone - 0.0) < 1e-9
     assert q_perfect > q_allone
+
+
+def test_langid_confusion_diagonal(spark):
+    from leidenalg_spark.operators.textops import langid_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house", "en"),
+            (2, "the one and only of it", "en"),
+            (3, "el perro y la casa de los gatos", "es"),
+            (4, None, None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {(r.lang, r.lang_pred): r for r in langid_confusion(docs).collect()}
+    assert got[("en", "en")].n == 2 and got[("en", "en")].frac_of_truth == 1.0
+    assert got[("es", "es")].n == 1
+    assert got[("und", "und")].n == 1  # null text + null truth both map to und
+
+
+def test_embedding_drift_planted_shift(spark):
+    from leidenalg_spark.operators.similarity import embedding_drift
+    from pyspark.sql import functions as F
+
+    # cohort A ~ 0.0, cohort B shifted +1.0 in dim 0 only
+    rows = []
+    for i in range(40):
+        base = [0.0, 5.0]
+        if i % 2 == 1:
+            base = [1.0, 5.0]
+        # deterministic jitter so variance is nonzero
+        rows.append((i, [base[0] + (i % 5) * 0.01, base[1] + (i % 7) * 0.01]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.dim: r for r in embedding_drift(vecs, split_col=(F.col("vec_id") % 2 == 1)).collect()}
+    assert abs(got[0].mean_b - got[0].mean_a - 1.0) < 0.05
+    assert got[0].smd > 10  # planted shift dwarfs the jitter
+    assert abs(got[1].smd) < 1.5  # no planted shift in dim 1
