@@ -1666,6 +1666,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_quality_decomposition(spark, sf):
+        # per-community P4–P7 administration + additive Modularity/CPM
+        # terms over the deterministic 4-community bipartite membership
+        from leidenalg_spark.functions.quality import quality_decomposition
+
+        e = _bipartite_ids_det(spark, sf)
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        memb = verts.select("id", (F.col("id") % 4).alias("comm"))
+        return quality_decomposition(e, memb, gamma=0.5).orderBy("comm")
+
+    def q_funnel_latency(spark, sf):
+        # latency profile of the same view->click->purchase funnel
+        from leidenalg_spark.operators.events import funnel_latency
+
+        return funnel_latency(
+            _events(spark, sf), ["view", "click", "purchase"], horizon_s=86400
+        ).orderBy("step_idx")
+
+    def q_source_length_emd(spark, sf):
+        # pairwise EMD between per-source doc-length CDFs on log2 bins
+        return T.source_length_emd(_documents(spark, sf)).orderBy("src_a", "src_b")
+
     def q_langid_confusion(spark, sf):
         # lang-id eval: confusion matrix vs the ground-truth lang column
         return T.langid_confusion(_documents(spark, sf)).orderBy("lang", "lang_pred")
@@ -1732,6 +1758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bipartite": q_quality_bipartite,
         "langid_confusion": q_langid_confusion,
         "embedding_drift": q_embedding_drift,
+        "quality_decomposition": q_quality_decomposition,
+        "funnel_latency": q_funnel_latency,
+        "source_length_emd": q_source_length_emd,
         "topic_clusters": q_topic_clusters,
         "sessionize": q_sessionize,
         "doc_clusters": q_doc_clusters,
@@ -4439,6 +4468,83 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["quality_decomposition"] = f"""
+WITH {_DET_PRELUDE.strip()},
+mv AS (SELECT id, id % 4 AS comm FROM verts),
+qk AS (
+  SELECT id, SUM(w) AS k FROM (
+    SELECT src AS id, weight AS w FROM edges UNION ALL SELECT dst, weight FROM edges
+  ) GROUP BY id
+),
+qintra AS (
+  SELECT src % 4 AS comm, SUM(weight) AS w_in FROM edges
+  WHERE src % 4 = dst % 4 GROUP BY 1
+),
+qpc AS (
+  SELECT mv.comm, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         CAST(COUNT(*) AS DOUBLE) AS n_size, SUM(COALESCE(qk.k, 0)) AS kk
+  FROM mv LEFT JOIN qk ON qk.id = mv.id GROUP BY 1
+),
+qW AS (SELECT SUM(weight) AS W FROM edges)
+SELECT comm, n_vertices, ROUND(n_size, 6) AS n_size,
+       ROUND(COALESCE(i.w_in, 0), 6) AS w_in,
+       ROUND(kk, 6) AS k_c,
+       ROUND(COALESCE(i.w_in, 0) / W - (kk * kk) / (4.0 * W * W), 6) AS term_modularity,
+       ROUND(COALESCE(i.w_in, 0) - 0.5 * n_size * (n_size - 1) / 2.0, 6) AS term_cpm
+FROM qpc LEFT JOIN qintra i USING (comm) CROSS JOIN qW ORDER BY comm
+"""
+    sqls["funnel_latency"] = """
+WITH f1 AS (
+  SELECT user_id, MIN(ts) AS t, MIN(ts) AS t0
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+f2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t, MIN(f1.t) AS tprev, MIN(f1.t0) AS t0
+  FROM events e JOIN f1 ON e.user_id = f1.user_id
+  WHERE e.event_type = 'click' AND e.ts > f1.t
+    AND epoch_us(e.ts) / 1000000.0 <= epoch_us(f1.t0) / 1000000.0 + 86400.0
+  GROUP BY e.user_id
+),
+f3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t, MIN(f2.t) AS tprev
+  FROM events e JOIN f2 ON e.user_id = f2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > f2.t
+    AND epoch_us(e.ts) / 1000000.0 <= epoch_us(f2.t0) / 1000000.0 + 86400.0
+  GROUP BY e.user_id
+)
+SELECT 1 AS step_idx, 'view' AS step,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM f1) AS n_keys,
+       CAST(NULL AS DOUBLE) AS mean_s, CAST(NULL AS DOUBLE) AS p50_s,
+       CAST(NULL AS DOUBLE) AS p90_s
+UNION ALL SELECT 2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM f2),
+       (SELECT ROUND(AVG((epoch_us(t) - epoch_us(tprev)) / 1000000.0), 6) FROM f2),
+       (SELECT ROUND(quantile_cont((epoch_us(t) - epoch_us(tprev)) / 1000000.0, 0.5), 6) FROM f2),
+       (SELECT ROUND(quantile_cont((epoch_us(t) - epoch_us(tprev)) / 1000000.0, 0.9), 6) FROM f2)
+UNION ALL SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM f3),
+       (SELECT ROUND(AVG((epoch_us(t) - epoch_us(tprev)) / 1000000.0), 6) FROM f3),
+       (SELECT ROUND(quantile_cont((epoch_us(t) - epoch_us(tprev)) / 1000000.0, 0.5), 6) FROM f3),
+       (SELECT ROUND(quantile_cont((epoch_us(t) - epoch_us(tprev)) / 1000000.0, 0.9), 6) FROM f3)
+ORDER BY step_idx
+"""
+    sqls["source_length_emd"] = """
+WITH lc AS (
+  SELECT source AS g,
+         LEAST(23, CAST(FLOOR(LOG2(GREATEST(CAST(LENGTH(COALESCE(text, '')) AS DOUBLE), 1.0))) AS INT)) AS bin
+  FROM documents
+),
+ecell AS (SELECT g, bin, COUNT(*) AS c FROM lc GROUP BY 1, 2),
+etot AS (SELECT g, SUM(c) AS n FROM ecell GROUP BY g),
+ebins AS (SELECT CAST(unnest(range(0, 24)) AS INT) AS bin),
+edense AS (
+  SELECT t.g, b.bin, COALESCE(c.c, 0) AS c, t.n
+  FROM etot t CROSS JOIN ebins b
+  LEFT JOIN ecell c ON c.g = t.g AND c.bin = b.bin
+),
+ecdf AS (SELECT g, bin, SUM(c) OVER (PARTITION BY g ORDER BY bin) * 1.0 / n AS fv FROM edense)
+SELECT a.g AS src_a, b2.g AS src_b, ROUND(SUM(ABS(a.fv - b2.fv)), 6) AS emd
+FROM ecdf a JOIN ecdf b2 ON a.bin = b2.bin AND a.g < b2.g
+GROUP BY 1, 2 ORDER BY 1, 2
 """
     sqls["langid_confusion"] = f"""
 WITH lpred AS ({sqls["lang_id"]}),

@@ -248,3 +248,47 @@ def quality_bipartite(
     return per.agg(
         F.round(F.sum((F.col("m_c") - F.col("k0") * F.col("k1") / F.col("m")) / F.col("m")), 6).alias("value")
     )
+
+
+def quality_decomposition(
+    edges: DataFrame,
+    membership: DataFrame,
+    gamma: float = 1.0,
+    directed: bool = False,
+) -> DataFrame:
+    """Per-community quality breakdown — the reference's P4–P7
+    administration (`total_weight_in_comm` / `total_weight_from_comm` /
+    `total_weight_to_comm`, VertexPartition.py:273-335) surfaced as ONE
+    table, plus each community's additive contribution to Modularity and
+    CPM(γ).  Summing the term columns reproduces `quality()` exactly —
+    the drill-down every "why did Q drop" investigation starts from.
+
+    Returns (comm, n_vertices, n_size, w_in, k_c, term_modularity,
+    term_cpm); k_c = community strength K_c (undirected) — directed mode
+    uses the Leicht–Newman k_out·k_in null and reports k_c = k_out+k_in.
+
+    Scale shape: exactly :func:`community_stats` (two membership
+    equi-joins + associative per-community aggregates) + a broadcast
+    1-row total-weight join; the term arithmetic is column math.
+    """
+    stats = community_stats(edges, membership, directed=directed)
+    m_tot = edges.agg(F.sum("weight").alias("W"))
+    out = stats.crossJoin(F.broadcast(m_tot))
+    pairs = F.col("n_size") * (F.col("n_size") - 1) / 2.0
+    if directed:
+        # Leicht–Newman: w_in/W − K_out·K_in/W²  (VertexPartition.py:410-417)
+        null = F.col("k_out") * F.col("k_in") / (F.col("W") * F.col("W"))
+        k_c = F.col("k_out") + F.col("k_in")
+    else:
+        # K_c²/4W² with K_c = Σ strengths — matches quality_onerow's Q1
+        null = (F.col("k_out") * F.col("k_out")) / (4.0 * F.col("W") * F.col("W"))
+        k_c = F.col("k_out")
+    return out.select(
+        "comm",
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        F.round("n_size", 6).alias("n_size"),
+        F.round("w_in", 6).alias("w_in"),
+        F.round(k_c, 6).alias("k_c"),
+        F.round(F.col("w_in") / F.col("W") - null, 6).alias("term_modularity"),
+        F.round(F.col("w_in") - F.lit(gamma) * pairs, 6).alias("term_cpm"),
+    )

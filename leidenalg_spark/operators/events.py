@@ -847,3 +847,75 @@ def changepoint(
             F.col("n").cast("long").alias("n_buckets"),
         )
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    label: str = "event_type",
+    horizon_s: float | None = None,
+) -> DataFrame:
+    """Per-step conversion-latency profile for the ordered funnel — the
+    "how long did step k take" companion of :func:`funnel` (identical
+    first-match / strictly-after / horizon semantics, so the two
+    reports never disagree on who converted).  For each step k ≥ 2,
+    reports the distribution of ``t_k − t_{k-1}`` over converting keys:
+    (step_idx, step, n_keys, mean_s, p50_s, p90_s); step 1 rows carry
+    NULL latencies (nothing precedes the entry step).
+
+    Scale shape: same k sequential equi-join + min-aggregate passes as
+    funnel; latency stats are one extra 1-row aggregate per step (exact
+    percentile over converting keys — bounded by funnel survivors).
+    """
+    if len(steps) < 1:
+        raise ValueError("at least one funnel step required")
+    ev = df.select(key, ts_col, label).where(F.col(label).isin(list(steps)))
+    ep = lambda c: F.unix_micros(F.col(c).cast("timestamp")) / 1e6  # noqa: E731
+    cur = (
+        ev.where(F.col(label) == steps[0])
+        .groupBy(key)
+        .agg(F.min(ts_col).alias("t"))
+        .withColumn("t0", F.col("t"))
+        .localCheckpoint(eager=True)
+    )
+    out_rows = [
+        cur.agg(F.count(F.lit(1)).alias("n_keys")).select(
+            F.lit(1).alias("step_idx"), F.lit(steps[0]).alias("step"), "n_keys",
+            F.lit(None).cast("double").alias("mean_s"),
+            F.lit(None).cast("double").alias("p50_s"),
+            F.lit(None).cast("double").alias("p90_s"),
+        )
+    ]
+    for k, name in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col(label) == name).join(
+            cur.select(key, F.col("t").alias("tprev"), "t0"), key
+        ).where(F.col(ts_col) > F.col("tprev"))
+        if horizon_s is not None:
+            nxt = nxt.where(ep(ts_col) <= ep("t0") + float(horizon_s))
+        cur = (
+            nxt.groupBy(key)
+            .agg(
+                F.min(ts_col).alias("t"),
+                F.min("tprev").alias("tprev"),
+                F.min("t0").alias("t0"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        lag = ep("t") - ep("tprev")
+        out_rows.append(
+            cur.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.round(F.avg(lag), 6).alias("mean_s"),
+                F.round(F.percentile(lag, F.lit(0.5)), 6).alias("p50_s"),
+                F.round(F.percentile(lag, F.lit(0.9)), 6).alias("p90_s"),
+            ).select(
+                F.lit(k).alias("step_idx"), F.lit(name).alias("step"),
+                "n_keys", "mean_s", "p50_s", "p90_s",
+            )
+        )
+    res = out_rows[0]
+    for r in out_rows[1:]:
+        res = res.unionByName(r)
+    return res

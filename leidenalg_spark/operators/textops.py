@@ -9,7 +9,7 @@ tokenisation by ``\\s+``, hashing by md5, ratios in double arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -1134,4 +1134,47 @@ def langid_confusion(docs: DataFrame, truth_col="lang", col="text") -> DataFrame
     return cell.join(F.broadcast(tot), "lang").select(
         "lang", "lang_pred", "n",
         F.round(F.col("n") / F.col("n_truth"), 6).alias("frac_of_truth"),
+    )
+
+
+def source_length_emd(docs: DataFrame, group_col="source", nbins=24) -> DataFrame:
+    """Pairwise earth-mover distance between per-source document-LENGTH
+    distributions over shared log₂ bins — the cheap scalar that flags a
+    source whose scrape truncated or whose boilerplate doubled, before
+    any content model runs.  1-D EMD with unit bin spacing is the L1
+    distance between the binned CDFs.  Returns (src_a, src_b, emd) for
+    every ordered pair src_a < src_b; emd is in "bins" (log₂ length
+    units).
+
+    Scale shape: one (source, bin) hash aggregate over the corpus — the
+    only data-proportional stage — then CDFs and the |sources|² pair
+    join live on a |sources|·nbins table.
+    """
+    ln = F.length(F.coalesce(F.col("text"), F.lit("")))
+    b = F.least(
+        F.lit(nbins - 1), F.floor(F.log2(F.greatest(ln.cast("double"), F.lit(1.0))))
+    ).cast("int")
+    cell = docs.groupBy(F.col(group_col).alias("g"), b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cell.groupBy("g").agg(F.sum("c").alias("n"))
+    # dense bin axis per source so CDFs align across sources
+    bins = cell.sparkSession.range(nbins).select(F.col("id").cast("int").alias("bin"))
+    dense = (
+        tot.crossJoin(F.broadcast(bins))
+        .join(cell, ["g", "bin"], "left")
+        .na.fill({"c": 0})
+    )
+    w = Window.partitionBy("g").orderBy("bin")
+    cdf = dense.select(
+        "g", "bin",
+        (F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)) / F.col("n")).alias("F"),
+    )
+    a = cdf.select(F.col("g").alias("src_a"), "bin", F.col("F").alias("fa"))
+    bb = cdf.select(F.col("g").alias("src_b"), "bin", F.col("F").alias("fb"))
+    return (
+        a.join(bb, "bin")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.sum(F.abs(F.col("fa") - F.col("fb"))), 6).alias("emd"))
     )

@@ -215,3 +215,54 @@ def test_embedding_drift_planted_shift(spark):
     assert abs(got[0].mean_b - got[0].mean_a - 1.0) < 0.05
     assert got[0].smd > 10  # planted shift dwarfs the jitter
     assert abs(got[1].smd) < 1.5  # no planted shift in dim 1
+
+
+def test_quality_decomposition_sums_to_quality(spark):
+    from leidenalg_spark.functions.quality import quality_decomposition, quality_onerow
+
+    # two triangles joined by one edge, split at the bridge
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)])
+    memb = spark.createDataFrame(
+        [(v, 0 if v < 3 else 1) for v in range(6)], "id long, comm long"
+    )
+    dec = quality_decomposition(e, memb, gamma=0.5).collect()
+    q_mod = quality_onerow(e, memb, "modularity").collect()[0].value
+    q_cpm = quality_onerow(e, memb, "cpm", gamma=0.5).collect()[0].value
+    assert abs(sum(r.term_modularity for r in dec) - q_mod) < 5e-6
+    assert abs(sum(r.term_cpm for r in dec) - q_cpm) < 5e-6
+
+
+def test_funnel_latency_matches_funnel_counts(spark):
+    from leidenalg_spark.operators.events import funnel, funnel_latency
+
+    t0 = datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (0, t0, "view"), (0, t0 + timedelta(seconds=10), "click"),
+            (0, t0 + timedelta(seconds=40), "purchase"),
+            (1, t0, "view"), (1, t0 + timedelta(seconds=20), "click"),
+            (2, t0, "view"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    ).withColumn("value", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(0.0))
+    steps = ["view", "click", "purchase"]
+    base = {r.step_idx: r.n_keys for r in funnel(ev, steps).collect()}
+    lat = {r.step_idx: r for r in funnel_latency(ev, steps).collect()}
+    assert {k: lat[k].n_keys for k in lat} == base
+    assert lat[1].p50_s is None
+    assert lat[2].p50_s == 15.0  # lags 10 and 20 -> median 15
+    assert lat[3].p50_s == 30.0  # single converter, lag 30
+
+
+def test_source_length_emd_identical_vs_shifted(spark):
+    from leidenalg_spark.operators.textops import source_length_emd
+
+    docs = spark.createDataFrame(
+        [(i, "x" * 16, "a") for i in range(10)]
+        + [(100 + i, "x" * 16, "b") for i in range(10)]
+        + [(200 + i, "x" * 256, "c") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    got = {(r.src_a, r.src_b): r.emd for r in source_length_emd(docs).collect()}
+    assert got[("a", "b")] == 0.0          # identical distributions
+    assert abs(got[("a", "c")] - 4.0) < 1e-9  # bins 4 vs 8: CDF gap of 1 over 4 bins
