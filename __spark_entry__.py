@@ -51,24 +51,9 @@ def _couser_edges(spark, sf_dir, min_weight=3):
     rich with real community structure — the fixture for the
     triangle-based kernels (embeddedness, clique percolation).  Ids are
     raw user_ids, so any SQL engine rebuilds it exactly."""
-    b = (
-        _events(spark, sf_dir)
-        .select("user_id", "event_type", F.date_trunc("hour", "ts").alias("h"))
-        .distinct()
-    )
-    return (
-        b.alias("x")
-        .join(
-            b.alias("y"),
-            (F.col("x.event_type") == F.col("y.event_type"))
-            & (F.col("x.h") == F.col("y.h"))
-            & (F.col("x.user_id") < F.col("y.user_id")),
-        )
-        .groupBy(F.col("x.user_id").alias("src"), F.col("y.user_id").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= min_weight)
-        .select("src", "dst", F.col("cnt").cast("double").alias("weight"))
-    )
+    from leidenalg_spark.operators.edges import events_to_coactivity_edges
+
+    return events_to_coactivity_edges(_events(spark, sf_dir), min_weight=min_weight)
 
 
 def _bipartite_ids(spark, sf_dir):
@@ -1666,6 +1651,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_merge_gain(spark, sf):
+        # CNM merge matrix: modularity gain of merging each adjacent
+        # community pair of the deterministic 4-community membership
+        from leidenalg_spark.operators.community import community_merge_gain
+
+        e = _bipartite_ids_det(spark, sf)
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        memb = verts.select("id", (F.col("id") % 4).alias("comm"))
+        return community_merge_gain(e, memb).orderBy("comm_a", "comm_b")
+
+    def q_centralization(spark, sf):
+        # Freeman degree centralization of the co-activity graph
+        return K.degree_centralization(spark, _couser_edges(spark, sf))
+
     def q_quality_decomposition(spark, sf):
         # per-community P4–P7 administration + additive Modularity/CPM
         # terms over the deterministic 4-community bipartite membership
@@ -1761,6 +1764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_decomposition": q_quality_decomposition,
         "funnel_latency": q_funnel_latency,
         "source_length_emd": q_source_length_emd,
+        "merge_gain": q_merge_gain,
+        "centralization": q_centralization,
         "topic_clusters": q_topic_clusters,
         "sessionize": q_sessionize,
         "doc_clusters": q_doc_clusters,
@@ -4468,6 +4473,44 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["merge_gain"] = f"""
+WITH {_DET_PRELUDE.strip()},
+mgk AS (
+  SELECT (id % 4) AS comm, SUM(w) AS K FROM (
+    SELECT src AS id, weight AS w FROM edges UNION ALL SELECT dst, weight FROM edges
+  ) GROUP BY 1
+),
+mgb AS (
+  SELECT LEAST(src % 4, dst % 4) AS comm_a, GREATEST(src % 4, dst % 4) AS comm_b,
+         SUM(weight) AS w_between
+  FROM edges WHERE src % 4 <> dst % 4 GROUP BY 1, 2
+),
+mgw AS (SELECT SUM(weight) AS W FROM edges)
+SELECT b.comm_a, b.comm_b, ROUND(b.w_between, 6) AS w_between,
+       ROUND(b.w_between / W - ka.K * kb.K / (2.0 * W * W), 6) AS dq_modularity
+FROM mgb b JOIN mgk ka ON ka.comm = b.comm_a JOIN mgk kb ON kb.comm = b.comm_b
+CROSS JOIN mgw ORDER BY comm_a, comm_b
+"""
+    sqls["centralization"] = """
+WITH cob2 AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),
+cow2 AS (
+  SELECT x.user_id AS a, y.user_id AS b
+  FROM cob2 x JOIN cob2 y
+    ON x.event_type = y.event_type AND x.h = y.h AND x.user_id < y.user_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+cdeg AS (
+  SELECT id, COUNT(*) AS d FROM (
+    SELECT a AS id FROM cow2 UNION ALL SELECT b FROM cow2
+  ) GROUP BY id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(MAX(d) AS BIGINT) AS max_degree,
+       ROUND(CASE WHEN COUNT(*) > 2
+             THEN (COUNT(*) * MAX(d) - SUM(d)) * 1.0 / ((COUNT(*) - 1) * (COUNT(*) - 2))
+             END, 6) AS centralization
+FROM cdeg
 """
     sqls["quality_decomposition"] = f"""
 WITH {_DET_PRELUDE.strip()},

@@ -609,3 +609,62 @@ def community_cartography(edges: DataFrame, membership: DataFrame) -> DataFrame:
             "participation",
         )
     )
+
+
+def community_merge_gain(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Modularity gain of merging each ADJACENT community pair — the
+    agglomerative post-processing matrix: after any partitioner runs,
+    a positive row here means the partition is not merge-optimal (the
+    classic CNM move), and the biggest negative rows are the strongest
+    separations.  For undirected modularity,
+
+        ΔQ(a,b) = w_ab / W − K_a·K_b / (2·W²)
+
+    (w_ab = inter-community weight, K_c = community strength, W = total
+    weight).  Returns (comm_a, comm_b, w_between, dq_modularity) for
+    every adjacent pair comm_a < comm_b.
+
+    Scale shape: the T3 coarsening aggregate (edges ⋈ membership ×2 →
+    groupBy pair) — rows bounded by adjacent community PAIRS, not
+    vertices; strengths ride a broadcast-sized per-community table.
+    """
+    m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("ca"))
+    m_dst = membership.select(F.col("id").alias("dst"), F.col("comm").alias("cb"))
+    tagged = edges.join(m_src, "src").join(m_dst, "dst")
+    between = (
+        tagged.where(F.col("ca") != F.col("cb"))
+        .groupBy(
+            F.least("ca", "cb").alias("comm_a"), F.greatest("ca", "cb").alias("comm_b")
+        )
+        .agg(F.sum("weight").alias("w_between"))
+    )
+    ends = edges.select(F.col("src").alias("id"), "weight").unionByName(
+        edges.select(F.col("dst").alias("id"), "weight")
+    )
+    k = (
+        ends.join(membership, "id")
+        .groupBy("comm")
+        .agg(F.sum("weight").alias("K"))
+    )
+    w_tot = edges.agg(F.sum("weight").alias("W"))
+    out = (
+        between.join(
+            F.broadcast(k.select(F.col("comm").alias("comm_a"), F.col("K").alias("ka"))),
+            "comm_a",
+        )
+        .join(
+            F.broadcast(k.select(F.col("comm").alias("comm_b"), F.col("K").alias("kb"))),
+            "comm_b",
+        )
+        .crossJoin(F.broadcast(w_tot))
+    )
+    return out.select(
+        "comm_a",
+        "comm_b",
+        F.round("w_between", 6).alias("w_between"),
+        F.round(
+            F.col("w_between") / F.col("W")
+            - F.col("ka") * F.col("kb") / (2.0 * F.col("W") * F.col("W")),
+            6,
+        ).alias("dq_modularity"),
+    )

@@ -5153,3 +5153,45 @@ def graphlet_orbits3(spark, edges: DataFrame) -> DataFrame:
             F.col("n_triangles").cast("long").alias("o3_triangle"),
         )
     )
+
+
+def degree_centralization(spark, edges: DataFrame) -> DataFrame:
+    """Freeman (1978) degree centralization — the graph-level scalar
+    igraph exposes as ``centralization_degree``: how star-like is the
+    graph?
+
+        C_D = Σ_v (d_max − d_v) / ((n−1)(n−2))
+
+    (1.0 for a star, 0.0 for any regular graph).  Returns one row
+    (n_vertices, max_degree, centralization); NULL centralization for
+    n < 3 where the normaliser vanishes.
+
+    Scale shape: one degree hash aggregate + one 1-row reduce.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id")).unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum("d").alias("sum_d"),
+    )
+    denom = (F.col("n_vertices") - 1) * (F.col("n_vertices") - 2)
+    return agg.select(
+        "n_vertices",
+        "max_degree",
+        F.round(
+            F.when(
+                denom > 0,
+                (F.col("n_vertices") * F.col("max_degree") - F.col("sum_d")) / denom,
+            ),
+            6,
+        ).alias("centralization"),
+    )

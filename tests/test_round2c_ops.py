@@ -266,3 +266,27 @@ def test_source_length_emd_identical_vs_shifted(spark):
     got = {(r.src_a, r.src_b): r.emd for r in source_length_emd(docs).collect()}
     assert got[("a", "b")] == 0.0          # identical distributions
     assert abs(got[("a", "c")] - 4.0) < 1e-9  # bins 4 vs 8: CDF gap of 1 over 4 bins
+
+
+def test_community_merge_gain_positive_when_split_too_fine(spark):
+    from leidenalg_spark.operators.community import community_merge_gain
+
+    # one triangle split into comms {0}, {1,2}: merging is clearly good
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2)])
+    memb = spark.createDataFrame([(0, 0), (1, 1), (2, 1)], "id long, comm long")
+    r = community_merge_gain(e, memb).collect()
+    assert len(r) == 1 and r[0].comm_a == 0 and r[0].comm_b == 1
+    # w_ab=2, W=3, Ka=2, Kb=4 -> dq = 2/3 - 8/18 = 0.222222
+    assert abs(r[0].dq_modularity - (2 / 3 - 8 / 18)) < 1e-6
+    assert r[0].dq_modularity > 0
+
+
+def test_degree_centralization_star_vs_ring(spark):
+    from leidenalg_spark.operators.kernels import degree_centralization
+
+    star = _edges(spark, [(0, i) for i in range(1, 6)])
+    ring = _edges(spark, [(i, (i + 1) % 6) for i in range(6)])
+    s = degree_centralization(spark, star).collect()[0]
+    r = degree_centralization(spark, ring).collect()[0]
+    assert s.centralization == 1.0   # perfect star
+    assert r.centralization == 0.0   # regular graph
