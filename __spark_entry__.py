@@ -1651,6 +1651,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_influence_cascade(spark, sf):
+        # deterministic IC diffusion from the two smallest co-activity
+        # vertices; md5 edge coins, 4 rounds (oracle comparability)
+        e = _couser_edges(spark, sf)
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+            .orderBy("id")
+            .limit(2)
+        )
+        return K.influence_cascade(spark, e, verts, p=0.3, rounds=4, seed=42).orderBy("id")
+
+    def q_stickiness(spark, sf):
+        # DAU / trailing-7-day WAU engagement ratio per day
+        from leidenalg_spark.operators.events import stickiness
+
+        return stickiness(_events(spark, sf)).orderBy("day")
+
     def q_merge_gain(spark, sf):
         # CNM merge matrix: modularity gain of merging each adjacent
         # community pair of the deterministic 4-community membership
@@ -1766,6 +1785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_length_emd": q_source_length_emd,
         "merge_gain": q_merge_gain,
         "centralization": q_centralization,
+        "influence_cascade": q_influence_cascade,
+        "stickiness": q_stickiness,
         "topic_clusters": q_topic_clusters,
         "sessionize": q_sessionize,
         "doc_clusters": q_doc_clusters,
@@ -4473,6 +4494,47 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    ic_rounds = []
+    for t in range(1, 5):
+        ic_rounds.append(f"""icn{t} AS MATERIALIZED (
+  SELECT DISTINCT l.dst AS id FROM ica{t - 1} f JOIN iclive l ON l.src = f.id
+  WHERE l.dst NOT IN (SELECT id FROM ica{t - 1})
+),
+ica{t} AS MATERIALIZED (
+  SELECT id, round FROM ica{t - 1}
+  UNION ALL SELECT id, CAST({t} AS BIGINT) FROM icn{t}
+)""")
+    sqls["influence_cascade"] = f"""
+WITH {couser_cte},
+icsym AS (SELECT a AS src, b AS dst FROM cow UNION ALL SELECT b, a FROM cow),
+iclive AS MATERIALIZED (
+  SELECT src, dst FROM icsym
+  WHERE ('0x' || substr(md5('42:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 8))::BIGINT
+        / 4294967296.0 < 0.3
+),
+icseeds AS (
+  SELECT id FROM (SELECT a AS id FROM cow UNION SELECT b FROM cow)
+  ORDER BY id LIMIT 2
+),
+ica0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS round FROM icseeds),
+{",".join(ic_rounds)}
+SELECT id, round FROM ica4 ORDER BY id
+"""
+    sqls["stickiness"] = """
+WITH sad AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+sdays AS (SELECT DISTINCT day FROM sad),
+sdau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM sad GROUP BY day),
+sfan AS (
+  SELECT user_id, day + to_days(CAST(k.k AS INT)) AS day
+  FROM sad, (SELECT unnest(range(7)) AS k) k
+),
+swau AS (
+  SELECT f.day, CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS wau
+  FROM sfan f JOIN sdays d ON d.day = f.day GROUP BY f.day
+)
+SELECT d.day, d.dau, w.wau, ROUND(d.dau * 1.0 / w.wau, 6) AS stickiness
+FROM sdau d JOIN swau w USING (day) ORDER BY day
 """
     sqls["merge_gain"] = f"""
 WITH {_DET_PRELUDE.strip()},

@@ -919,3 +919,49 @@ def funnel_latency(
     for r in out_rows[1:]:
         res = res.unionByName(r)
     return res
+
+
+def stickiness(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio every product
+    dashboard tracks: of the actors active in the trailing
+    ``window_days`` window ending at day d, what fraction was active ON
+    day d?  Returns (day, dau, wau, stickiness), days ordered.
+
+    Scale shape: one distinct (actor, day) projection (hash aggregate),
+    then the trailing-window distinct count expands each actor-day into
+    ≤ window_days (day, actor) rows via a bounded ``sequence`` explode —
+    state bounded by active-pairs × window, never actors × days — and
+    two small hash aggregates.
+    """
+    ad = df.select(key, F.date_trunc("day", F.col(ts_col)).alias("day")).distinct()
+    days = ad.select("day").distinct()
+    dau = ad.groupBy("day").agg(F.countDistinct(key).cast("long").alias("dau"))
+    # every (actor, day) contributes to the WAU of days day..day+w-1;
+    # explode that bounded range and count distinct actors per target day
+    fan = ad.select(
+        key,
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {int(window_days) - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    wau = (
+        fan.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct(key).cast("long").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

@@ -5195,3 +5195,66 @@ def degree_centralization(spark, edges: DataFrame) -> DataFrame:
             6,
         ).alias("centralization"),
     )
+
+
+def influence_cascade(
+    spark,
+    edges: DataFrame,
+    seeds: DataFrame,
+    p: float = 0.3,
+    rounds: int = 4,
+    seed: int = 42,
+    directed: bool = False,
+) -> DataFrame:
+    """Deterministic independent-cascade diffusion (Kempe–Kleinberg–
+    Tardos IC model) from a seed set — the evaluation primitive of
+    influence maximisation: each edge (u, v) carries ONE pre-committed
+    coin; when u first activates, v activates next round iff the coin
+    lands under ``p``.  Keying the coin by (seed, u, v) — never by
+    round — encodes the IC contract that an edge is attempted at most
+    once, and makes the whole cascade a pure function of (graph, seeds,
+    seed): retry-stable, append-stable, SQL-reproducible, like every
+    md5 sampler in this repo.  Returns (id, round) with seeds at
+    round 0.
+
+    Scale shape: per round one frontier⋈edges equi-join (frontier =
+    newly-activated only, so total touched edges ≤ |E| across ALL
+    rounds) + one anti-join against the activated set — the BFS shape,
+    O(rounds) jobs.
+    """
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.where(F.col("src") != F.col("dst")).distinct()
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)),
+                        F.col("src").cast("string"), F.col("dst").cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    live = e.where(coin < F.lit(float(p))).persist()
+    act = seeds.select(F.col("id"), F.lit(0).cast("long").alias("round")).localCheckpoint(
+        eager=True
+    )
+    frontier = act.select("id")
+    for t in range(1, rounds + 1):
+        new = (
+            frontier.join(live, frontier.id == live.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(act.select("id"), "id", "left_anti")
+            .select("id", F.lit(t).cast("long").alias("round"))
+        )
+        act = act.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("id")
+    live.unpersist()
+    return act

@@ -290,3 +290,33 @@ def test_degree_centralization_star_vs_ring(spark):
     r = degree_centralization(spark, ring).collect()[0]
     assert s.centralization == 1.0   # perfect star
     assert r.centralization == 0.0   # regular graph
+
+
+def test_influence_cascade_seed_and_reach(spark):
+    from leidenalg_spark.operators.kernels import influence_cascade
+
+    # path 0-1-2-3: with p=1.0 every edge fires, so activation round =
+    # BFS distance from the seed
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.round for r in influence_cascade(spark, e, seeds, p=1.0, rounds=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # p=0.0: nothing ever fires
+    got0 = {r.id: r.round for r in influence_cascade(spark, e, seeds, p=0.0, rounds=4).collect()}
+    assert got0 == {0: 0}
+
+
+def test_stickiness_bounds_and_exact_case(spark):
+    from leidenalg_spark.operators.events import stickiness
+
+    t0 = datetime(2024, 1, 1)
+    # user 0 active on days 0 and 3; user 1 active on day 3 only
+    ev = spark.createDataFrame(
+        [(0, t0), (0, t0 + timedelta(days=3)), (1, t0 + timedelta(days=3))],
+        "user_id long, ts timestamp",
+    )
+    got = {r.day: r for r in stickiness(ev, window_days=7).collect()}
+    d0, d3 = t0, t0 + timedelta(days=3)
+    assert (got[d0].dau, got[d0].wau) == (1, 1)          # only day-0 activity in window
+    assert (got[d3].dau, got[d3].wau) == (2, 2)          # both users inside the window
+    assert all(0 < r.stickiness <= 1 for r in got.values())
