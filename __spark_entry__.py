@@ -1651,6 +1651,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_lsh_recall(spark, sf):
+        # recall@5 of the LSH ANN against the exact top-k — the eval
+        # query that certifies the approximate index (both components
+        # are themselves oracle-checked; this composes them)
+        emb = _embeddings(spark, sf)
+        qset = emb.where(F.col("vec_id") < 8)
+        exact = S.cosine_topk(emb, qset, k=5).select("query_id", "neighbor_id")
+        approx = S.lsh_cosine_topk(emb, qset, k=5, n_planes=8).select(
+            "query_id", "neighbor_id"
+        )
+        hit = approx.join(exact, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit")
+        )
+        per = exact.groupBy("query_id").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        return (
+            per.join(hit, "query_id", "left")
+            .na.fill({"n_hit": 0})
+            .select(
+                "query_id", "n_exact", "n_hit",
+                F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+            )
+            .orderBy("query_id")
+        )
+
+    def q_doc_source_kl(spark, sf):
+        # per-doc token-distribution KL vs its source (content outliers)
+        return T.doc_source_kl(_documents(spark, sf)).orderBy("doc_id")
+
+    def q_label_centroid_sim(spark, sf):
+        # pairwise cosine between per-label embedding centroids
+        return S.label_centroid_sim(_embeddings(spark, sf)).orderBy("label_a", "label_b")
+
     def q_influence_cascade(spark, sf):
         # deterministic IC diffusion from the two smallest co-activity
         # vertices; md5 edge coins, 4 rounds (oracle comparability)
@@ -1787,6 +1819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centralization": q_centralization,
         "influence_cascade": q_influence_cascade,
         "stickiness": q_stickiness,
+        "lsh_recall": q_lsh_recall,
+        "doc_source_kl": q_doc_source_kl,
+        "label_centroid_sim": q_label_centroid_sim,
         "topic_clusters": q_topic_clusters,
         "sessionize": q_sessionize,
         "doc_clusters": q_doc_clusters,
@@ -4494,6 +4529,48 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["lsh_recall"] = f"""
+WITH lrx AS ({sqls["cosine_topk"]}),
+lra AS ({_lsh_topk_oracle()}),
+lrh AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM lra a JOIN lrx x ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+  GROUP BY a.query_id
+),
+lrp AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM lrx GROUP BY query_id)
+SELECT p.query_id, p.n_exact, COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       ROUND(COALESCE(h.n_hit, 0) * 1.0 / p.n_exact, 6) AS recall
+FROM lrp p LEFT JOIN lrh h USING (query_id) ORDER BY query_id
+"""
+    sqls["doc_source_kl"] = f"""
+WITH ktf AS (
+  SELECT doc_id, g, t FROM (
+    SELECT doc_id, source AS g, unnest({toks}) AS t FROM documents
+  ) WHERE length(t) > 0
+),
+kdtc AS (SELECT doc_id, g, t, COUNT(*) AS c FROM ktf GROUP BY 1, 2, 3),
+kdn AS (SELECT doc_id, SUM(c) AS dn FROM kdtc GROUP BY 1),
+kstc AS (SELECT g, t, COUNT(*) AS sc FROM ktf GROUP BY 1, 2),
+ksn AS (SELECT g, SUM(sc) AS sn FROM kstc GROUP BY 1)
+SELECT d.doc_id, d.g AS source, CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+       ROUND(SUM((d.c * 1.0 / n.dn) * LN((d.c * 1.0 / n.dn) / (s.sc * 1.0 / m.sn))), 6) AS kl
+FROM kdtc d JOIN kdn n USING (doc_id)
+JOIN kstc s ON s.g = d.g AND s.t = d.t
+JOIN ksn m ON m.g = d.g
+GROUP BY 1, 2 ORDER BY doc_id
+"""
+    sqls["label_centroid_sim"] = """
+WITH lcx AS (
+  SELECT label AS l, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+lcc AS (SELECT l, dim, AVG(v) AS m FROM lcx GROUP BY 1, 2)
+SELECT a.l AS label_a, b.l AS label_b,
+       ROUND(SUM(a.m * b.m) / (SQRT(SUM(a.m * a.m)) * SQRT(SUM(b.m * b.m))), 6) AS cos_sim
+FROM lcc a JOIN lcc b ON a.dim = b.dim AND a.l < b.l
+GROUP BY 1, 2 ORDER BY 1, 2
 """
     ic_rounds = []
     for t in range(1, 5):

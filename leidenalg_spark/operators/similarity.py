@@ -1021,3 +1021,37 @@ def embedding_drift(
             F.when(pooled > 0, (F.col("1_mu") - F.col("0_mu")) / pooled), 6
         ).alias("smd"),
     )
+
+
+def label_centroid_sim(vecs: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the label-space confusion map: two labels whose centroids nearly
+    coincide are candidates for merging (or for a mislabelled split).
+    Returns (label_a, label_b, cos_sim) for label_a < label_b.
+
+    Scale shape: posexplode → ONE (label, dim) hash aggregate (combiner
+    state = |labels|·|dims| cells); the pair matrix is a self-join on
+    dim over a |labels|·|dims| table — never touches raw vectors twice.
+    """
+    cent = (
+        vecs.select(F.col(label_col).alias("l"), F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("l", "dim")
+        .agg(F.avg("v").alias("m"))
+    )
+    a = cent.select(F.col("l").alias("label_a"), "dim", F.col("m").alias("ma"))
+    b = cent.select(F.col("l").alias("label_b"), "dim", F.col("m").alias("mb"))
+    return (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                ),
+                6,
+            ).alias("cos_sim")
+        )
+    )

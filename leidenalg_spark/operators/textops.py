@@ -1178,3 +1178,36 @@ def source_length_emd(docs: DataFrame, group_col="source", nbins=24) -> DataFram
         .groupBy("src_a", "src_b")
         .agg(F.round(F.sum(F.abs(F.col("fa") - F.col("fb"))), 6).alias("emd"))
     )
+
+
+def doc_source_kl(docs: DataFrame, group_col: str = "source", col: str = "text") -> DataFrame:
+    """Per-document KL divergence from the doc's own unigram token
+    distribution to its SOURCE's distribution — the content-outlier
+    score that flags a page that doesn't belong to its scrape (spam
+    injected into a forum dump, a navigation page inside an article
+    corpus).  KL(p_doc ‖ p_source) is exact and finite because every doc
+    token is, by construction, in its source's support.  Returns
+    (doc_id, source, n_tokens, kl).
+
+    Scale shape: token explode feeds TWO associative hash aggregates
+    (doc-level and source-level counts); the score join is keyed on
+    (source, token) — a hub token costs one aggregate cell and a
+    broadcast-sized source-distribution row, never a quadratic bucket.
+    """
+    tok = docs.select(
+        "doc_id", F.col(group_col).alias("g"), F.explode(tokens_col(col)).alias("t")
+    ).where(F.length("t") > 0)
+    dtc = tok.groupBy("doc_id", "g", "t").agg(F.count(F.lit(1)).alias("c"))
+    dn = dtc.groupBy("doc_id").agg(F.sum("c").alias("dn"))
+    stc = tok.groupBy("g", "t").agg(F.count(F.lit(1)).alias("sc"))
+    sn = stc.groupBy("g").agg(F.sum("sc").alias("sn"))
+    j = dtc.join(dn, "doc_id").join(stc, ["g", "t"]).join(F.broadcast(sn), "g")
+    p = F.col("c") / F.col("dn")
+    q = F.col("sc") / F.col("sn")
+    return (
+        j.groupBy("doc_id", F.col("g").alias(group_col))
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
+        )
+    )

@@ -320,3 +320,50 @@ def test_stickiness_bounds_and_exact_case(spark):
     assert (got[d0].dau, got[d0].wau) == (1, 1)          # only day-0 activity in window
     assert (got[d3].dau, got[d3].wau) == (2, 2)          # both users inside the window
     assert all(0 < r.stickiness <= 1 for r in got.values())
+
+
+def test_doc_source_kl_outlier_scores_highest(spark):
+    from leidenalg_spark.operators.textops import doc_source_kl
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple banana", "s"),
+            (2, "apple banana banana apple", "s"),
+            (3, "zebra quux zebra quux", "s"),   # content outlier
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.doc_id: r.kl for r in doc_source_kl(docs).collect()}
+    assert got[3] > got[1] and got[3] > got[2]
+    assert got[1] >= 0 and got[2] >= 0
+
+
+def test_label_centroid_sim_identical_labels(spark):
+    from leidenalg_spark.operators.similarity import label_centroid_sim
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 1),                     # same direction as label 0
+            (3, [0.0, 1.0], 2),                     # orthogonal
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {(r.label_a, r.label_b): r.cos_sim for r in label_centroid_sim(vecs).collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 0.0 and got[(1, 2)] == 0.0
+
+
+def test_lsh_recall_bounds(spark):
+    from leidenalg_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+    from pyspark.sql import functions as F
+
+    # deterministic embeddings; recall must be in [0, 1] and exact
+    # matches of the joined sets
+    rows = [(i, [((i * 7 + d * 3) % 11) / 11.0 + 0.1 for d in range(8)]) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = vecs.where(F.col("vec_id") < 3)
+    ex = cosine_topk(vecs, q, k=3).select("query_id", "neighbor_id")
+    ap = lsh_cosine_topk(vecs, q, k=3, n_planes=4).select("query_id", "neighbor_id")
+    inter = ap.join(ex, ["query_id", "neighbor_id"]).count()
+    assert 0 <= inter <= ex.count()
