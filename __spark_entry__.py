@@ -1651,6 +1651,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_seasonal_naive_error(spark, sf):
+        # lag-7 seasonal-naive forecast baseline error per event type
+        from leidenalg_spark.operators.events import seasonal_naive_error
+
+        return seasonal_naive_error(_events(spark, sf)).orderBy("event_type")
+
+    def q_type_affinity(spark, sf):
+        # actor x event-type specialization lift
+        from leidenalg_spark.operators.events import type_affinity
+
+        return type_affinity(_events(spark, sf)).orderBy("user_id", "event_type")
+
+    def q_square_count(spark, sf):
+        # global C4 census of the co-activity graph via codegree pairs
+        return K.square_count(spark, _couser_edges(spark, sf))
+
     def q_lsh_recall(spark, sf):
         # recall@5 of the LSH ANN against the exact top-k — the eval
         # query that certifies the approximate index (both components
@@ -1822,6 +1838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "doc_source_kl": q_doc_source_kl,
         "label_centroid_sim": q_label_centroid_sim,
+        "seasonal_naive_error": q_seasonal_naive_error,
+        "type_affinity": q_type_affinity,
+        "square_count": q_square_count,
         "topic_clusters": q_topic_clusters,
         "sessionize": q_sessionize,
         "doc_clusters": q_doc_clusters,
@@ -4529,6 +4548,42 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["seasonal_naive_error"] = """
+WITH scnt AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS d, CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+slag AS (
+  SELECT g, d, x, LAG(x, 7) OVER (PARTITION BY g ORDER BY d) AS pred FROM scnt
+)
+SELECT g AS event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(ABS(x - pred)), 6) AS mae,
+       ROUND(SQRT(AVG((x - pred) * (x - pred))), 6) AS rmse,
+       ROUND(AVG(ABS(x - pred) / x), 6) AS mape
+FROM slag WHERE pred IS NOT NULL GROUP BY 1 ORDER BY event_type
+"""
+    sqls["type_affinity"] = """
+WITH tpair AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+tk AS (SELECT user_id, SUM(n) AS nk FROM tpair GROUP BY 1),
+tl AS (SELECT event_type, SUM(n) AS nl FROM tpair GROUP BY 1),
+tt AS (SELECT SUM(n) AS nt FROM tpair)
+SELECT p.user_id, p.event_type, CAST(p.n AS BIGINT) AS n,
+       ROUND((p.n * 1.0 / k.nk) / (l.nl * 1.0 / t.nt), 6) AS lift
+FROM tpair p JOIN tk k USING (user_id) JOIN tl l USING (event_type) CROSS JOIN tt t
+ORDER BY user_id, event_type
+"""
+    sqls["square_count"] = f"""
+WITH {couser_cte},
+sqsym AS (SELECT a, b FROM cow UNION ALL SELECT b, a FROM cow),
+sqcd AS (
+  SELECT w1.b AS u, w2.b AS v, COUNT(*) AS cd
+  FROM sqsym w1 JOIN sqsym w2 ON w1.a = w2.a AND w1.b < w2.b
+  GROUP BY 1, 2
+)
+SELECT CAST(SUM(cd * (cd - 1) / 2) / 2 AS BIGINT) AS n_squares,
+       CAST(COUNT(*) AS BIGINT) AS n_codegree_pairs
+FROM sqcd
 """
     sqls["lsh_recall"] = f"""
 WITH lrx AS ({sqls["cosine_topk"]}),

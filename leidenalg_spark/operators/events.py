@@ -965,3 +965,71 @@ def stickiness(
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+def seasonal_naive_error(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    season_days: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast baseline error per series: predict each
+    day's count with the count ``season_days`` earlier and report MAE /
+    RMSE / MAPE over the evaluable days — the floor every real
+    forecasting model must beat, and the cheapest drift alarm when the
+    error suddenly doubles.  Returns (group, n_days, mae, rmse, mape).
+
+    Scale shape: one (group, day) count aggregate, one per-group lag
+    window over the bounded day series, one final hash aggregate.
+    """
+    cnt = (
+        df.groupBy(F.col(group_col).alias("g"), F.date_trunc("day", F.col(ts_col)).alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    w = Window.partitionBy("g").orderBy("d")
+    lagged = cnt.withColumn("pred", F.lag("x", season_days).over(w)).where(
+        F.col("pred").isNotNull()
+    )
+    err = F.col("x") - F.col("pred")
+    return (
+        lagged.groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg(F.abs(err)), 6).alias("mae"),
+            F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+            F.round(F.avg(F.abs(err) / F.col("x")), 6).alias("mape"),
+        )
+    )
+
+
+def type_affinity(
+    df: DataFrame,
+    key: str = "user_id",
+    label: str = "event_type",
+) -> DataFrame:
+    """Actor–label affinity lift: P(label | actor) / P(label) — the
+    specialization matrix (lift ≫ 1: the actor concentrates on that
+    label; ≪ 1: avoids it).  The same statistic as PMI's exp form,
+    over actors instead of token windows.  Returns
+    (key, label, n, lift) per observed pair.
+
+    Scale shape: two associative hash aggregates (pair counts, actor
+    totals) + one broadcast label-marginal join — |actors|·|labels|
+    output bound, never a self-join.
+    """
+    pair = df.groupBy(key, label).agg(F.count(F.lit(1)).alias("n"))
+    per_k = pair.groupBy(key).agg(F.sum("n").alias("nk"))
+    per_l = pair.groupBy(label).agg(F.sum("n").alias("nl"))
+    tot = pair.agg(F.sum("n").alias("nt"))
+    return (
+        pair.join(per_k, key)
+        .join(F.broadcast(per_l), label)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            key, label,
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                (F.col("n") / F.col("nk")) / (F.col("nl") / F.col("nt")), 6
+            ).alias("lift"),
+        )
+    )

@@ -5258,3 +5258,38 @@ def influence_cascade(
         frontier = new.select("id")
     live.unpersist()
     return act
+
+
+def square_count(spark, edges: DataFrame) -> DataFrame:
+    """Global 4-cycle (C4) census of the simple undirected graph — the
+    quadrangle sibling of triangle_count (igraph ``motifs``/C4 slice):
+
+        #C4 = ½ · Σ_{u<v} C(codeg(u, v), 2)
+
+    every 4-cycle is counted once per diagonal pair, hence the ½.
+    Returns one row (n_squares, n_codegree_pairs).
+
+    Scale shape: codegrees come from ONE wedge self-join on the
+    id-ordered adjacency grouped by endpoint pair (the butterfly-census
+    bound: Σ_w deg(w)² over wedge centers — cap hub centers at web
+    scale) + a 1-row reduce; no 4-vertex enumeration ever happens.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # wedges centered at w: pair (u, v) with u < v both adjacent to w
+    w1 = sym.select(F.col("a").alias("w"), F.col("b").alias("u"))
+    w2 = sym.select(F.col("a").alias("w"), F.col("b").alias("v"))
+    codeg = (
+        w1.join(w2, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cd"))
+    )
+    return codeg.agg(
+        (F.sum(F.col("cd") * (F.col("cd") - 1) / 2) / 2).cast("long").alias("n_squares"),
+        F.count(F.lit(1)).cast("long").alias("n_codegree_pairs"),
+    )

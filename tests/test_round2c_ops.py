@@ -367,3 +367,47 @@ def test_lsh_recall_bounds(spark):
     ap = lsh_cosine_topk(vecs, q, k=3, n_planes=4).select("query_id", "neighbor_id")
     inter = ap.join(ex, ["query_id", "neighbor_id"]).count()
     assert 0 <= inter <= ex.count()
+
+
+def test_square_count_c4_and_k4(spark):
+    from leidenalg_spark.operators.kernels import square_count
+
+    # plain 4-cycle: exactly one square
+    c4 = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 3)])
+    assert square_count(spark, c4).collect()[0].n_squares == 1
+    # K4 contains 3 distinct 4-cycles
+    k4 = _edges(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    assert square_count(spark, k4).collect()[0].n_squares == 3
+    # triangle has none
+    tri = _edges(spark, [(0, 1), (1, 2), (0, 2)])
+    assert square_count(spark, tri).collect()[0].n_squares == 0
+
+
+def test_seasonal_naive_error_perfect_seasonality(spark):
+    from leidenalg_spark.operators.events import seasonal_naive_error
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # perfectly 7-periodic: count(day d) = (d % 7) + 1  -> zero error
+    eid = 0
+    for d in range(14):
+        for _ in range((d % 7) + 1):
+            rows.append((eid, t0 + timedelta(days=d), 1, "click", 0.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = seasonal_naive_error(ev).collect()[0]
+    assert r.n_days == 7 and r.mae == 0.0 and r.rmse == 0.0 and r.mape == 0.0
+
+
+def test_type_affinity_lift_math(spark):
+    from leidenalg_spark.operators.events import type_affinity
+
+    t0 = datetime(2024, 1, 1)
+    # user 0: 3 clicks 1 view; user 1: 1 click 3 views
+    rows = [(0, t0, "click")] * 3 + [(0, t0, "view")] + [(1, t0, "click")] + [(1, t0, "view")] * 3
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {(r.user_id, r.event_type): r.lift for r in type_affinity(ev).collect()}
+    # P(click|0)=0.75, P(click)=0.5 -> lift 1.5
+    assert got[(0, "click")] == 1.5 and got[(1, "view")] == 1.5
+    assert got[(0, "view")] == 0.5 and got[(1, "click")] == 0.5
