@@ -44,6 +44,12 @@ def _bipartite_named(spark, sf_dir):
     return events_to_bipartite_edges(_events(spark, sf_dir))
 
 
+# deterministic bridge fixture: binary tree on 0..14 (every edge a
+# bridge) + 3 chords that each kill the two tree edges of their cycle —
+# shared between q_bridges and its brute-force reachability oracle
+_BRIDGE_FIXTURE = [((i - 1) // 2, i) for i in range(1, 15)] + [(1, 2), (7, 8), (13, 14)]
+
+
 def _couser_edges(spark, sf_dir, min_weight=3):
     """User–user co-activity graph: an edge when two users act in the
     same (event_type, hour) bucket in ≥ min_weight distinct buckets.
@@ -1651,6 +1657,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_bridges(spark, sf):
+        # XOR cycle-space bridge detection on the deterministic fixture
+        # (oracle = per-edge brute-force reachability, unrolled BFS)
+        e = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in _BRIDGE_FIXTURE], "src long, dst long, weight double"
+        )
+        return K.bridges(spark, e).orderBy("a", "b")
+
     def q_seasonal_naive_error(spark, sf):
         # lag-7 seasonal-naive forecast baseline error per event type
         from leidenalg_spark.operators.events import seasonal_naive_error
@@ -1841,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_error": q_seasonal_naive_error,
         "type_affinity": q_type_affinity,
         "square_count": q_square_count,
+        "bridges": q_bridges,
         "topic_clusters": q_topic_clusters,
         "sessionize": q_sessionize,
         "doc_clusters": q_doc_clusters,
@@ -4548,6 +4563,32 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    bedge_rows = ", ".join(f"({a}, {b})" for a, b in _BRIDGE_FIXTURE)
+    bprobe_rows = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(_BRIDGE_FIXTURE))
+    br_rounds = []
+    for t in range(1, 15):
+        br_rounds.append(f"""br{t} AS MATERIALIZED (
+  SELECT DISTINCT k, v FROM (
+    SELECT k, v FROM br{t - 1}
+    UNION ALL
+    SELECT j.k, e.dst AS v FROM br{t - 1} j JOIN bexsym e ON e.k = j.k AND e.src = j.v
+  )
+)""")
+    sqls["bridges"] = f"""
+WITH bedges(a, b) AS (VALUES {bedge_rows}),
+bprobes(k, u, w) AS (VALUES {bprobe_rows}),
+bsym AS (SELECT a AS src, b AS dst FROM bedges UNION ALL SELECT b, a FROM bedges),
+bexsym AS MATERIALIZED (
+  SELECT p.k, s.src, s.dst FROM bprobes p JOIN bsym s
+  ON NOT ((s.src = p.u AND s.dst = p.w) OR (s.src = p.w AND s.dst = p.u))
+),
+br0 AS (SELECT k, u AS v FROM bprobes),
+{",".join(br_rounds)}
+SELECT CAST(p.u AS BIGINT) AS a, CAST(p.w AS BIGINT) AS b,
+       (r.v IS NULL) AS is_bridge
+FROM bprobes p LEFT JOIN br14 r ON r.k = p.k AND r.v = p.w
+ORDER BY a, b
 """
     sqls["seasonal_naive_error"] = """
 WITH scnt AS (

@@ -5293,3 +5293,113 @@ def square_count(spark, edges: DataFrame) -> DataFrame:
         (F.sum(F.col("cd") * (F.col("cd") - 1) / 2) / 2).cast("long").alias("n_squares"),
         F.count(F.lit(1)).cast("long").alias("n_codegree_pairs"),
     )
+
+
+def bridges(spark, edges: DataFrame, max_depth: int = 32) -> DataFrame:
+    """Bridge (cut-edge) detection via the XOR cycle-space trick — the
+    distributed answer to igraph ``bridges()``:
+
+    1. grow a BFS spanning forest (parent + depth per vertex; roots =
+       per-component min id from :func:`connected_components`);
+    2. give every NON-tree edge a 60-bit md5 value and XOR it into both
+       endpoints' marks — a non-tree edge's fundamental cycle covers
+       exactly the tree edges with ONE endpoint inside the subtree, so
+       after an upward subtree-XOR sweep a tree edge's label is the XOR
+       of all cycle values covering it;
+    3. a tree edge is a bridge iff its subtree XOR is exactly 0 (a true
+       bridge is covered by nothing, so 0 is EXACT — the only failure
+       mode is a 2^-60 collision declaring a covered edge a bridge);
+       non-tree edges are never bridges.
+
+    Returns (a, b, is_bridge) for every simple undirected edge.
+
+    Scale shape: one CC run (O(log² n) rounds), one BFS (rounds =
+    forest depth — small on real graphs; pointer-double the sweep if a
+    pathological diameter shows up), marks = one hash aggregate, and
+    the upward sweep does one groupBy(parent)+join per depth level.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    comp = connected_components(spark, und.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    # BFS forest rooted at each component's min id
+    visited = comp.select("id", F.col("component").alias("root")).where(
+        F.col("id") == F.col("root")
+    ).select("id", F.lit(None).cast("long").alias("parent"), F.lit(0).alias("depth"))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited.select("id")
+    tree = []
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            frontier.join(sym, frontier.id == sym.a)
+            .select(F.col("b").alias("id"), F.col("a").alias("parent"))
+            .join(visited.select("id"), "id", "left_anti")
+            .groupBy("id")
+            .agg(F.min("parent").alias("parent"))
+            .withColumn("depth", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            depth -= 1
+            break
+        tree.append(nxt)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    tree_pairs = (
+        visited.where(F.col("parent").isNotNull())
+        .select(F.least("id", "parent").alias("a"), F.greatest("id", "parent").alias("b"))
+    )
+    nontree = und.join(tree_pairs, ["a", "b"], "left_anti")
+    val = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("a").cast("string"), F.col("b").cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    marks = (
+        nontree.select(val.alias("v"), F.col("a").alias("id"))
+        .unionByName(nontree.select(val.alias("v"), F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.expr("bit_xor(v)").alias("m"))
+    )
+    # acc(x) starts at mark(x); sweep depths bottom-up so each vertex has
+    # its full subtree XOR before pushing into its parent
+    acc = (
+        visited.join(marks, "id", "left")
+        .na.fill({"m": 0})
+        .select("id", "parent", "depth", F.col("m").alias("acc"))
+        .localCheckpoint(eager=True)
+    )
+    for d in range(depth, 0, -1):
+        kids = acc.where(F.col("depth") == d)
+        up = kids.groupBy(F.col("parent").alias("id")).agg(
+            F.expr("bit_xor(acc)").alias("push")
+        )
+        acc = (
+            acc.join(up, "id", "left")
+            .select(
+                "id", "parent", "depth",
+                F.when(
+                    F.col("push").isNotNull(),
+                    F.col("acc").bitwiseXOR(F.col("push")),
+                ).otherwise(F.col("acc")).alias("acc"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    tree_lbl = acc.where(F.col("parent").isNotNull()).select(
+        F.least("id", "parent").alias("a"),
+        F.greatest("id", "parent").alias("b"),
+        (F.col("acc") == 0).alias("is_bridge"),
+    )
+    out = tree_lbl.unionByName(
+        nontree.select("a", "b", F.lit(False).alias("is_bridge"))
+    ).localCheckpoint(eager=True)
+    und.unpersist()
+    return out

@@ -411,3 +411,33 @@ def test_type_affinity_lift_math(spark):
     # P(click|0)=0.75, P(click)=0.5 -> lift 1.5
     assert got[(0, "click")] == 1.5 and got[(1, "view")] == 1.5
     assert got[(0, "view")] == 0.5 and got[(1, "click")] == 0.5
+
+
+def test_bridges_planted(spark):
+    from leidenalg_spark.operators.kernels import bridges
+
+    # binary tree on 0..14 (all 14 edges bridges) + 3 chords that kill
+    # the 6 tree edges they cover
+    tree = [((i - 1) // 2, i) for i in range(1, 15)]
+    chords = [(1, 2), (7, 8), (13, 14)]
+    got = {(r.a, r.b): r.is_bridge for r in bridges(spark, _edges(spark, tree + chords)).collect()}
+    assert len(got) == 17
+    killed = {(0, 1), (0, 2), (3, 7), (3, 8), (6, 13), (6, 14)}
+    for (a, b), isb in got.items():
+        if (a, b) in killed or (a, b) in {tuple(sorted(c)) for c in chords}:
+            assert not isb, (a, b)
+        else:
+            assert isb, (a, b)
+
+
+def test_bridges_cycle_and_pendant(spark):
+    from leidenalg_spark.operators.kernels import bridges
+
+    # triangle (no bridges) + pendant edge (bridge); separate component
+    # path 10-11 (bridge)
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (10, 11)])
+    got = {(r.a, r.b): r.is_bridge for r in bridges(spark, e).collect()}
+    assert got == {
+        (0, 1): False, (1, 2): False, (0, 2): False,
+        (2, 3): True, (10, 11): True,
+    }
