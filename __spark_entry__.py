@@ -1657,6 +1657,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_containment_pairs(spark, sf):
+        # Broder containment (asymmetric near-dup: quotes/subsets)
+        return D.containment_pairs(_documents(spark, sf), n=3, threshold=0.8).orderBy(
+            "a", "b"
+        )
+
+    def q_intrinsic_dim(spark, sf):
+        # two-NN intrinsic dimension of the embedding table (exact pass)
+        from leidenalg_spark.operators.similarity import intrinsic_dim
+
+        return intrinsic_dim(_embeddings(spark, sf))
+
     def q_bridges(spark, sf):
         # XOR cycle-space bridge detection on the deterministic fixture
         # (oracle = per-edge brute-force reachability, unrolled BFS)
@@ -1856,6 +1868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_affinity": q_type_affinity,
         "square_count": q_square_count,
         "bridges": q_bridges,
+        "containment_pairs": q_containment_pairs,
+        "intrinsic_dim": q_intrinsic_dim,
         "topic_clusters": q_topic_clusters,
         "sessionize": q_sessionize,
         "doc_clusters": q_doc_clusters,
@@ -4563,6 +4577,47 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["containment_pairs"] = f"""
+WITH {shingle_cte},
+cshc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000) ok
+  USING (shingle)
+),
+csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM cshc GROUP BY doc_id),
+cinter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+  FROM cshc s1 JOIN cshc s2 ON s1.shingle = s2.shingle AND s1.doc_id <> s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(i * 1.0 / sa.n_sh, 6) AS containment,
+       ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM cinter JOIN csizes sa ON cinter.a = sa.doc_id JOIN csizes sb ON cinter.b = sb.doc_id
+WHERE ROUND(i * 1.0 / sa.n_sh, 6) >= 0.8 ORDER BY a, b
+"""
+    sqls["intrinsic_dim"] = """
+WITH ipairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         SQRT(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                 * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))) AS dist
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+),
+itwo AS (
+  SELECT src, dist, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rk
+  FROM ipairs
+),
+irt AS (
+  SELECT src, MAX(CASE WHEN rk = 1 THEN dist END) AS r1,
+         MAX(CASE WHEN rk = 2 THEN dist END) AS r2
+  FROM itwo WHERE rk <= 2 GROUP BY src
+),
+ilr AS (SELECT LN(r2 / r1) AS lr FROM irt WHERE r1 > 0 AND r2 IS NOT NULL)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(AVG(lr), 6) AS mean_log_ratio,
+       ROUND(COUNT(*) * 1.0 / SUM(lr), 6) AS intrinsic_dim
+FROM ilr
 """
     bedge_rows = ", ".join(f"({a}, {b})" for a, b in _BRIDGE_FIXTURE)
     bprobe_rows = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(_BRIDGE_FIXTURE))

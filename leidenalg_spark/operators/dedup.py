@@ -478,3 +478,50 @@ def ngram_novelty(docs: DataFrame, n: int = 3, col: str = "text") -> DataFrame:
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
     return out
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, col: str = "text",
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Broder CONTAINMENT near-dup pairs: c(a→b) = |Sₐ∩S_b| / |Sₐ| —
+    the asymmetric measure that catches quotation/subset duplication
+    (a short doc fully embedded in a long one scores ~1.0 where Jaccard
+    stays low).  Returns every ordered pair with c(a→b) ≥ threshold,
+    a ≠ b: (a, b, containment, jaccard) — Jaccard rides along free for
+    triage.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — one shared
+    shingle table, a shingle-bucket self-join with the hub-frequency
+    cap, per-doc sizes; only the final normalisation differs (divide by
+    |Sₐ| instead of the union).
+    """
+    sh = shingles(docs, n, col)
+    if max_shingle_freq:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        sh = sh.join(
+            freq.where(F.col("f") <= max_shingle_freq).select("shingle"), "shingle"
+        )
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a", "b",
+            F.round(F.col("i") / F.col("na"), 6).alias("containment"),
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out

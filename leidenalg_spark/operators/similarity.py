@@ -1055,3 +1055,68 @@ def label_centroid_sim(vecs: DataFrame, label_col: str = "label", vec_col: str =
             ).alias("cos_sim")
         )
     )
+
+
+def intrinsic_dim(
+    vecs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    neighbors: DataFrame | None = None,
+) -> DataFrame:
+    """Levina–Bickel two-NN intrinsic-dimension estimate (Facco et al.
+    2017): with r1 ≤ r2 the two nearest Euclidean distances per point,
+
+        d ≈ n / Σ ln(r2 / r1)
+
+    — the "how many degrees of freedom does this embedding actually
+    use" scalar that flags collapsed or under-trained encoders long
+    before retrieval quality shows it.  Returns one row
+    (n_points, mean_log_ratio, intrinsic_dim).
+
+    By default distances come from an EXACT all-pairs pass — quadratic,
+    for validation scale only; at web scale pass ``neighbors`` (e.g.
+    the LSH-bucketed :func:`knn_graph` output with ≥2 neighbours per
+    point, columns (src, dst, dist)) and the estimator runs on that
+    linear-size table instead.
+    """
+    if neighbors is None:
+        # double-cast BEFORE the subtraction so the arithmetic matches any
+        # float64 re-implementation bit-for-bit (float32 subtract-then-
+        # widen rounds differently)
+        a = vecs.select(
+            F.col(id_col).alias("src"), F.col(vec_col).cast("array<double>").alias("va")
+        )
+        b = vecs.select(
+            F.col(id_col).alias("dst"), F.col(vec_col).cast("array<double>").alias("vb")
+        )
+        neighbors = (
+            a.crossJoin(b)
+            .where(F.col("src") != F.col("dst"))
+            .select(
+                "src", "dst",
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda s, x: s + x,
+                    )
+                ).alias("dist"),
+            )
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    two = neighbors.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 2)
+    ratio = (
+        two.groupBy("src")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("dist"))).alias("r1"),
+            F.max(F.when(F.col("rk") == 2, F.col("dist"))).alias("r2"),
+        )
+        .where(F.col("r1") > 0)
+        .where(F.col("r2").isNotNull())
+        .select(F.log(F.col("r2") / F.col("r1")).alias("lr"))
+    )
+    return ratio.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.avg("lr"), 6).alias("mean_log_ratio"),
+        F.round(F.count(F.lit(1)) / F.sum("lr"), 6).alias("intrinsic_dim"),
+    )

@@ -441,3 +441,33 @@ def test_bridges_cycle_and_pendant(spark):
         (0, 1): False, (1, 2): False, (0, 2): False,
         (2, 3): True, (10, 11): True,
     }
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from leidenalg_spark.operators.dedup import containment_pairs
+
+    short = "a b c d e"                      # 3 trigrams, all inside long
+    long = "a b c d e f g h i j k l m n o"   # 13 trigrams
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    got = {(r.a, r.b): r for r in containment_pairs(docs, n=3, threshold=0.8).collect()}
+    r = got[(1, 2)]
+    assert r.containment == 1.0          # short fully contained in long
+    assert r.jaccard < 0.8               # Jaccard alone would miss it
+    assert (2, 1) not in got             # reverse direction below threshold
+
+
+def test_intrinsic_dim_recovers_line_dimension(spark):
+    from leidenalg_spark.operators.similarity import intrinsic_dim
+
+    # pseudo-random points on a 1-D line embedded in 4-D (the estimator
+    # assumes locally Poisson spacing — a regular grid would break it by
+    # making r1 = r2 everywhere)
+    rows = [
+        (i, [(i * 2654435761 % 9973) / 100.0, 0.0, 0.0, 0.0]) for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = intrinsic_dim(vecs).collect()[0]
+    assert r.n_points > 0
+    assert 0.5 < r.intrinsic_dim < 2.2
