@@ -1657,6 +1657,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_quality_moddensity(spark, sf):
+        # modularity density D of the deterministic bipartite membership
+        from leidenalg_spark.functions.quality import quality_modularity_density
+
+        e = _bipartite_ids_det(spark, sf)
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        memb = verts.select("id", (F.col("id") % 4).alias("comm"))
+        return quality_modularity_density(e, memb)
+
+    def q_collective_influence(spark, sf):
+        # Morone-Makse CI at radius 1 on the co-activity graph
+        return K.collective_influence(spark, _couser_edges(spark, sf), radius=1).orderBy(
+            "id"
+        )
+
+    def q_markov_accuracy(spark, sf):
+        # top-1 Markov next-event baseline accuracy per current type
+        from leidenalg_spark.operators.events import markov_accuracy
+
+        return markov_accuracy(_events(spark, sf)).orderBy("event_type")
+
     def q_containment_pairs(spark, sf):
         # Broder containment (asymmetric near-dup: quotes/subsets)
         return D.containment_pairs(_documents(spark, sf), n=3, threshold=0.8).orderBy(
@@ -1870,6 +1895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": q_bridges,
         "containment_pairs": q_containment_pairs,
         "intrinsic_dim": q_intrinsic_dim,
+        "quality_moddensity": q_quality_moddensity,
+        "collective_influence": q_collective_influence,
+        "markov_accuracy": q_markov_accuracy,
         "topic_clusters": q_topic_clusters,
         "sessionize": q_sessionize,
         "doc_clusters": q_doc_clusters,
@@ -4577,6 +4605,52 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["quality_moddensity"] = f"""
+WITH {_DET_PRELUDE.strip()},
+mdt AS (SELECT src % 4 AS ca, dst % 4 AS cb, weight FROM edges),
+mdi AS (SELECT ca AS comm, SUM(weight) AS w_in FROM mdt WHERE ca = cb GROUP BY 1),
+mdc AS (
+  SELECT comm, SUM(weight) AS w_out FROM (
+    SELECT ca AS comm, weight FROM mdt WHERE ca <> cb
+    UNION ALL SELECT cb, weight FROM mdt WHERE ca <> cb
+  ) GROUP BY comm
+),
+mds AS (SELECT id % 4 AS comm, COUNT(*) AS n_c FROM verts GROUP BY 1)
+SELECT ROUND(SUM((2.0 * COALESCE(i.w_in, 0) - COALESCE(c.w_out, 0)) / s.n_c), 6) AS value
+FROM mds s LEFT JOIN mdi i USING (comm) LEFT JOIN mdc c USING (comm)
+"""
+    sqls["collective_influence"] = f"""
+WITH {couser_cte},
+cisym AS (SELECT a, b FROM cow UNION ALL SELECT b, a FROM cow),
+cideg AS (SELECT a AS id, COUNT(*) AS k FROM cisym GROUP BY a),
+cis AS (
+  SELECT s.a AS v, SUM(d.k - 1) AS shell_sum
+  FROM cisym s JOIN cideg d ON d.id = s.b GROUP BY s.a
+)
+SELECT d.id, CAST(d.k AS BIGINT) AS degree,
+       CAST((d.k - 1) * COALESCE(c.shell_sum, 0) AS BIGINT) AS ci
+FROM cideg d LEFT JOIN cis c ON c.v = d.id ORDER BY id
+"""
+    sqls["markov_accuracy"] = """
+WITH mtr AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS nxt
+  FROM events
+),
+mtrf AS (SELECT cur, nxt FROM mtr WHERE nxt IS NOT NULL),
+mmat AS (SELECT cur, nxt, COUNT(*) AS c FROM mtrf GROUP BY 1, 2),
+mtop AS (
+  SELECT cur, nxt AS top_next FROM (
+    SELECT cur, nxt, ROW_NUMBER() OVER (PARTITION BY cur ORDER BY c DESC, nxt ASC) AS rk
+    FROM mmat
+  ) WHERE rk = 1
+)
+SELECT t.cur AS event_type, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       MIN(p.top_next) AS top_next,
+       ROUND(AVG(CASE WHEN t.nxt = p.top_next THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM mtrf t JOIN mtop p USING (cur)
+GROUP BY t.cur ORDER BY event_type
 """
     sqls["containment_pairs"] = f"""
 WITH {shingle_cte},

@@ -292,3 +292,47 @@ def quality_decomposition(
         F.round(F.col("w_in") / F.col("W") - null, 6).alias("term_modularity"),
         F.round(F.col("w_in") - F.lit(gamma) * pairs, 6).alias("term_cpm"),
     )
+
+
+def quality_modularity_density(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Modularity density D (Li et al. 2008) — the resolution-limit-free
+    sibling of Q1 the reference family doesn't include:
+
+        D = Σ_c (2·w_in_c − w_out_c) / n_c
+
+    with w_in_c the internal weight, w_out_c the cut weight leaving c,
+    and n_c the community size.  Dividing by n_c removes the preference
+    for merging small communities that gives plain modularity its
+    resolution limit.  Returns one row (value).
+
+    Scale shape: the standard evaluator plan — two membership
+    equi-joins + per-community associative aggregates + a scalar sum.
+    """
+    m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("ca"))
+    m_dst = membership.select(F.col("id").alias("dst"), F.col("comm").alias("cb"))
+    tagged = edges.join(m_src, "src").join(m_dst, "dst")
+    intra = tagged.where(F.col("ca") == F.col("cb")).groupBy(
+        F.col("ca").alias("comm")
+    ).agg(F.sum("weight").alias("w_in"))
+    cut = (
+        tagged.where(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("comm"), "weight")
+        .unionByName(
+            tagged.where(F.col("ca") != F.col("cb")).select(
+                F.col("cb").alias("comm"), "weight"
+            )
+        )
+        .groupBy("comm")
+        .agg(F.sum("weight").alias("w_out"))
+    )
+    size = membership.groupBy("comm").agg(F.count(F.lit(1)).alias("n_c"))
+    per = (
+        size.join(intra, "comm", "left")
+        .join(cut, "comm", "left")
+        .na.fill({"w_in": 0.0, "w_out": 0.0})
+    )
+    return per.agg(
+        F.round(
+            F.sum((2.0 * F.col("w_in") - F.col("w_out")) / F.col("n_c")), 6
+        ).alias("value")
+    )

@@ -1033,3 +1033,47 @@ def type_affinity(
             ).alias("lift"),
         )
     )
+
+
+def markov_accuracy(
+    df: DataFrame,
+    key: str = "user_id",
+    label: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Top-1 Markov next-event baseline: predict each transition's next
+    label with the corpus-wide argmax of P(next | current) and report
+    per-current-label accuracy — the floor any sequence model must
+    beat, and the quickest "is there signal in event order at all"
+    check.  (In-sample by design: it's a baseline, not a model eval.)
+    Returns (label, n_transitions, top_next, accuracy).
+
+    Scale shape: one per-key lead window (the sessionize exchange), one
+    (cur, next) hash aggregate, an argmax over the |labels|² matrix,
+    and one broadcast join back — nothing beyond the first window
+    touches raw events.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+    trans = (
+        df.select(key, F.col(label).alias("cur"), F.lead(label).over(w).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+    )
+    mat = trans.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    wa = Window.partitionBy("cur").orderBy(F.col("c").desc(), F.col("nxt").asc())
+    top = (
+        mat.withColumn("rk", F.row_number().over(wa))
+        .where(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("top_next"))
+    )
+    return (
+        trans.join(F.broadcast(top), "cur")
+        .groupBy(F.col("cur").alias(label))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.min("top_next").alias("top_next"),
+            F.round(
+                F.avg((F.col("nxt") == F.col("top_next")).cast("double")), 6
+            ).alias("accuracy"),
+        )
+    )

@@ -5403,3 +5403,59 @@ def bridges(spark, edges: DataFrame, max_depth: int = 32) -> DataFrame:
     ).localCheckpoint(eager=True)
     und.unpersist()
     return out
+
+
+def collective_influence(spark, edges: DataFrame, radius: int = 1) -> DataFrame:
+    """Morone–Makse collective influence (Nature 2015) — the optimal-
+    percolation influencer score:
+
+        CI_ℓ(v) = (k_v − 1) · Σ_{u ∈ ∂Ball(v, ℓ)} (k_u − 1)
+
+    summing reduced degrees over the frontier at EXACT distance ℓ.
+    High-CI vertices are the ones whose removal fragments the giant
+    component fastest — a sharper target list than raw degree or
+    k-core.  Returns (id, degree, ci).
+
+    Scale shape: one degree aggregate, then ℓ frontier joins to reach
+    the exact-distance shell (ℓ is 1 or 2 in practice — the paper's
+    own recommendation), one final gather of reduced degrees.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = (
+        sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("k"))
+    )
+    # shells: ball[r] = vertices at distance <= r from the center v
+    ball = deg.select(F.col("id").alias("v"), F.col("id").alias("u"))  # distance 0
+    shell = ball
+    for _ in range(radius):
+        nxt = (
+            shell.join(sym, shell.u == sym.a)
+            .select("v", F.col("b").alias("u"))
+            .distinct()
+            .join(ball, ["v", "u"], "left_anti")
+        )
+        ball = ball.unionByName(nxt).localCheckpoint(eager=True)
+        shell = nxt
+    ci = (
+        shell.join(deg.select(F.col("id").alias("u"), F.col("k").alias("ku")), "u")
+        .groupBy("v")
+        .agg(F.sum(F.col("ku") - 1).alias("s"))
+    )
+    out = (
+        deg.join(ci.withColumnRenamed("v", "id"), "id", "left")
+        .na.fill({"s": 0})
+        .select(
+            "id",
+            F.col("k").cast("long").alias("degree"),
+            ((F.col("k") - 1) * F.col("s")).cast("long").alias("ci"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out

@@ -471,3 +471,45 @@ def test_intrinsic_dim_recovers_line_dimension(spark):
     r = intrinsic_dim(vecs).collect()[0]
     assert r.n_points > 0
     assert 0.5 < r.intrinsic_dim < 2.2
+
+
+def test_modularity_density_prefers_true_split(spark):
+    from leidenalg_spark.functions.quality import quality_modularity_density
+
+    # two triangles + bridge: true split beats all-in-one
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)])
+    split = spark.createDataFrame([(v, 0 if v < 3 else 1) for v in range(6)], "id long, comm long")
+    lump = spark.createDataFrame([(v, 0) for v in range(6)], "id long, comm long")
+    q_split = quality_modularity_density(e, split).collect()[0].value
+    q_lump = quality_modularity_density(e, lump).collect()[0].value
+    # split: per comm (2*3 - 1)/3 = 5/3 each -> 10/3; lump: 2*7/6
+    assert abs(q_split - 10 / 3) < 1e-6
+    assert abs(q_lump - 14 / 6) < 1e-6
+    assert q_split > q_lump
+
+
+def test_collective_influence_star_center(spark):
+    from leidenalg_spark.operators.kernels import collective_influence
+
+    # star 0-{1..4} plus edge (1,2): center has k=4, CI=(4-1)*sum(k_u-1)
+    e = _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)])
+    got = {r.id: r for r in collective_influence(spark, e, radius=1).collect()}
+    # neighbors of 0: k = 2,2,1,1 -> sum(k-1) = 2 -> ci = 3*2 = 6
+    assert (got[0].degree, got[0].ci) == (4, 6)
+    # leaf 3: k=1 -> ci = 0
+    assert got[3].ci == 0
+
+
+def test_markov_accuracy_deterministic_chain(spark):
+    from leidenalg_spark.operators.events import markov_accuracy
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user sequences a->b->a->b: P(b|a)=1, P(a|b)=1 -> accuracy 1.0
+    for u in range(3):
+        for i, lab in enumerate(["a", "b", "a", "b"]):
+            rows.append((u * 10 + i, t0 + timedelta(minutes=i), u, lab))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.event_type: r for r in markov_accuracy(ev).collect()}
+    assert got["a"].top_next == "b" and got["a"].accuracy == 1.0
+    assert got["b"].top_next == "a" and got["b"].accuracy == 1.0
