@@ -1657,6 +1657,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_slice_layers(spark, sf):
+        # T1/T2 structural check: 3 temporal slices (10-day buckets) of
+        # the user×type graph → slices_to_layers_df → per-layer summary
+        # (interslice layer keyed -1); vertices counted on the hashed
+        # composite (slice, id) keys — cardinality-equal to the pairs
+        from pyspark.sql import Window
+
+        from leidenalg_spark.operators.multiplex import slices_to_layers_df
+
+        ev = _events(spark, sf)
+        sl = (F.datediff(F.col("ts"), F.lit("2024-01-01")) / 10).cast("int")
+        names = ev.select(F.col("event_type").alias("nm")).distinct()
+        tids = names.withColumn(
+            "dst", -F.row_number().over(Window.orderBy("nm")).cast("long")
+        )
+        slices = (
+            ev.select(sl.alias("slice"), F.col("user_id").alias("src"), "event_type")
+            .join(tids.select(F.col("nm").alias("event_type"), "dst"), "event_type")
+            .groupBy("slice", "src", "dst")
+            .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        )
+        lay = slices_to_layers_df(slices, interslice_weight=2.0)
+        key = F.coalesce(F.col("layer").cast("long"), F.lit(-1)).alias("layer_key")
+        eagg = lay.groupBy(key).agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.round(F.sum("weight"), 6).alias("total_weight"),
+        )
+        ends = lay.select(key, F.col("src").alias("v")).unionByName(
+            lay.select(key, F.col("dst").alias("v"))
+        )
+        vagg = ends.groupBy("layer_key").agg(
+            F.countDistinct("v").cast("long").alias("n_vertices")
+        )
+        return eagg.join(vagg, "layer_key").orderBy("layer_key")
+
+    def q_quality_multiplex(spark, sf):
+        # Σ λ_k Q_k over two REAL layers sharing one vertex space:
+        # layer 0 = user×type bipartite (modularity, λ=1), layer 1 =
+        # user–user co-activity mapped onto the same even ids
+        # (CPM γ=0.5, λ=0.5); deterministic id%4 membership
+        from leidenalg_spark.localcore import QualitySpec
+        from leidenalg_spark.operators.multiplex import quality_multiplex
+
+        e0 = _bipartite_ids_det(spark, sf).withColumn("layer", F.lit(0))
+        e1 = (
+            _couser_edges(spark, sf)
+            .select(
+                (F.col("src") * 2).alias("src"), (F.col("dst") * 2).alias("dst"), "weight"
+            )
+            .withColumn("layer", F.lit(1))
+        )
+        edges = e0.unionByName(e1).select("layer", "src", "dst", "weight")
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        memb = verts.select("id", (F.col("id") % 4).alias("comm"))
+        val = quality_multiplex(
+            edges,
+            memb,
+            [QualitySpec("modularity"), QualitySpec("cpm", gamma=0.5)],
+            layer_weights=[1.0, 0.5],
+        )
+        return spark.createDataFrame([(round(float(val), 6),)], "value double")
+
     def q_quality_moddensity(spark, sf):
         # modularity density D of the deterministic bipartite membership
         from leidenalg_spark.functions.quality import quality_modularity_density
@@ -1895,6 +1961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bridges": q_bridges,
         "containment_pairs": q_containment_pairs,
         "intrinsic_dim": q_intrinsic_dim,
+        "quality_multiplex": q_quality_multiplex,
+        "slice_layers": q_slice_layers,
         "quality_moddensity": q_quality_moddensity,
         "collective_influence": q_collective_influence,
         "markov_accuracy": q_markov_accuracy,
@@ -4605,6 +4673,89 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["slice_layers"] = """
+WITH slbase AS (
+  SELECT CAST(FLOOR(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 10.0) AS INT) AS slice,
+         user_id AS src, event_type
+  FROM events
+),
+sltid AS (
+  SELECT event_type, -CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS BIGINT) AS dst
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+sle AS (
+  SELECT slice, src, dst, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM slbase JOIN sltid USING (event_type) GROUP BY 1, 2, 3
+),
+slv AS (
+  SELECT DISTINCT slice, id FROM (
+    SELECT slice, src AS id FROM sle UNION ALL SELECT slice, dst FROM sle
+  )
+),
+slpair AS (
+  SELECT slice AS s_a, LEAD(slice) OVER (ORDER BY slice) AS s_b
+  FROM (SELECT DISTINCT slice FROM slv)
+  QUALIFY s_b IS NOT NULL
+),
+slcommon AS (
+  SELECT p.s_a, p.s_b, a.id
+  FROM slpair p JOIN slv a ON a.slice = p.s_a JOIN slv b ON b.slice = p.s_b AND b.id = a.id
+),
+intra AS (
+  SELECT CAST(slice AS BIGINT) AS layer_key, CAST(COUNT(*) AS BIGINT) AS n_edges,
+         ROUND(SUM(weight), 6) AS total_weight
+  FROM sle GROUP BY 1
+),
+intrav AS (
+  SELECT CAST(slice AS BIGINT) AS layer_key, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_vertices
+  FROM slv GROUP BY 1
+),
+interv AS (
+  SELECT CAST(COUNT(DISTINCT (s, id)) AS BIGINT) AS n_vertices FROM (
+    SELECT s_a AS s, id FROM slcommon UNION ALL SELECT s_b, id FROM slcommon
+  )
+),
+inter AS (
+  SELECT CAST(-1 AS BIGINT) AS layer_key, CAST(COUNT(*) AS BIGINT) AS n_edges,
+         ROUND(SUM(2.0), 6) AS total_weight
+  FROM slcommon
+)
+SELECT i.layer_key, i.n_edges, i.total_weight, v.n_vertices
+FROM intra i JOIN intrav v USING (layer_key)
+UNION ALL
+SELECT e.layer_key, e.n_edges, e.total_weight, ev2.n_vertices
+FROM inter e CROSS JOIN interv ev2
+ORDER BY layer_key
+"""
+    sqls["quality_multiplex"] = f"""
+WITH {_DET_PRELUDE.strip()},
+qmcob AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),
+qml1 AS (
+  SELECT x.user_id * 2 AS src, y.user_id * 2 AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM qmcob x JOIN qmcob y
+    ON x.event_type = y.event_type AND x.h = y.h AND x.user_id < y.user_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+qm0i AS (SELECT src % 4 AS comm, SUM(weight) AS w_in FROM edges WHERE src % 4 = dst % 4 GROUP BY 1),
+qm0k AS (
+  SELECT comm, SUM(w) AS k FROM (
+    SELECT src % 4 AS comm, weight AS w FROM edges
+    UNION ALL SELECT dst % 4, weight FROM edges
+  ) GROUP BY 1
+),
+qm0w AS (SELECT SUM(weight) AS W FROM edges),
+qmq0 AS (
+  SELECT SUM(COALESCE(i.w_in, 0) / W - k.k * k.k / (4.0 * W * W)) AS q0
+  FROM qm0k k LEFT JOIN qm0i i USING (comm) CROSS JOIN qm0w
+),
+qmsz AS (SELECT id % 4 AS comm, CAST(COUNT(*) AS DOUBLE) AS n_c FROM verts GROUP BY 1),
+qm1i AS (SELECT src % 4 AS comm, SUM(w) AS w_in FROM qml1 WHERE src % 4 = dst % 4 GROUP BY 1),
+qmq1 AS (
+  SELECT SUM(COALESCE(i.w_in, 0) - 0.5 * s.n_c * (s.n_c - 1) / 2.0) AS q1
+  FROM qmsz s LEFT JOIN qm1i i USING (comm)
+)
+SELECT ROUND(q0 + 0.5 * q1, 6) AS value FROM qmq0 CROSS JOIN qmq1
 """
     sqls["quality_moddensity"] = f"""
 WITH {_DET_PRELUDE.strip()},
