@@ -1657,6 +1657,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_barrat_clustering(spark, sf):
+        # weighted (Barrat) local clustering on the co-activity graph
+        return K.barrat_clustering(spark, _couser_edges(spark, sf)).orderBy("id")
+
+    def q_slo_burn(spark, sf):
+        # daily error-budget burn vs a 0.2 SLO target
+        from leidenalg_spark.operators.events import slo_burn
+
+        return slo_burn(_events(spark, sf), slo=0.2).orderBy("day")
+
     def q_slice_layers(spark, sf):
         # T1/T2 structural check: 3 temporal slices (10-day buckets) of
         # the user×type graph → slices_to_layers_df → per-layer summary
@@ -1963,6 +1973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intrinsic_dim": q_intrinsic_dim,
         "quality_multiplex": q_quality_multiplex,
         "slice_layers": q_slice_layers,
+        "barrat_clustering": q_barrat_clustering,
+        "slo_burn": q_slo_burn,
         "quality_moddensity": q_quality_moddensity,
         "collective_influence": q_collective_influence,
         "markov_accuracy": q_markov_accuracy,
@@ -4673,6 +4685,55 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["barrat_clustering"] = """
+WITH bcob AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),
+bcw AS (
+  SELECT x.user_id AS a, y.user_id AS b, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM bcob x JOIN bcob y
+    ON x.event_type = y.event_type AND x.h = y.h AND x.user_id < y.user_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+bdeg AS (
+  SELECT id, COUNT(*) AS k, SUM(w) AS s FROM (
+    SELECT a AS id, w FROM bcw UNION ALL SELECT b, w FROM bcw
+  ) GROUP BY id
+),
+btri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM bcw e1 JOIN bcw e2 ON e2.a = e1.b
+  JOIN bcw e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+binc AS (
+  SELECT x AS v, y AS p1, z AS p2 FROM btri
+  UNION ALL SELECT y, x, z FROM btri
+  UNION ALL SELECT z, x, y FROM btri
+),
+bw1 AS (
+  SELECT i.v, i.p2, w.w AS w1 FROM binc i
+  JOIN bcw w ON w.a = LEAST(i.v, i.p1) AND w.b = GREATEST(i.v, i.p1)
+),
+bsum AS (
+  SELECT v, SUM(w1 + w2) AS tw FROM (
+    SELECT b1.v, b1.w1, w.w AS w2 FROM bw1 b1
+    JOIN bcw w ON w.a = LEAST(b1.v, b1.p2) AND w.b = GREATEST(b1.v, b1.p2)
+  ) GROUP BY v
+)
+SELECT d.id, CAST(d.k AS BIGINT) AS degree, ROUND(d.s, 6) AS strength,
+       ROUND(CASE WHEN d.k > 1 AND d.s > 0
+             THEN COALESCE(t.tw, 0) / (d.s * (d.k - 1)) ELSE 0.0 END, 6) AS cw
+FROM bdeg d LEFT JOIN bsum t ON t.v = d.id ORDER BY id
+"""
+    sqls["slo_burn"] = """
+WITH bucnt AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT day, n, n_errors, ROUND(n_errors * 1.0 / n, 6) AS error_rate,
+       ROUND(SUM(n_errors * 1.0 / n - 0.2)
+             OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_burn
+FROM bucnt ORDER BY day
 """
     sqls["slice_layers"] = """
 WITH slbase AS (

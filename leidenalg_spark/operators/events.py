@@ -1077,3 +1077,32 @@ def markov_accuracy(
             ).alias("accuracy"),
         )
     )
+
+
+def slo_burn(
+    df: DataFrame,
+    error_type: str = "error",
+    slo: float = 0.2,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily error-budget burn against an SLO target: per day the error
+    fraction, its excess over the budget, and the RUNNING burn
+    Σ(error_rate − slo) — positive and rising means the budget is being
+    spent faster than it accrues, the page-someone signal.  Returns
+    (day, n, n_errors, error_rate, cum_burn).
+
+    Scale shape: one (day) hash aggregate over the stream; the running
+    window is over the bounded day series.
+    """
+    cnt = df.groupBy(F.date_trunc("day", F.col(ts_col)).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col(type_col) == error_type).cast("long")).alias("n_errors"),
+    )
+    rate = F.col("n_errors") / F.col("n")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return cnt.select(
+        "day", "n", "n_errors",
+        F.round(rate, 6).alias("error_rate"),
+        F.round(F.sum(rate - F.lit(float(slo))).over(w), 6).alias("cum_burn"),
+    )

@@ -513,3 +513,40 @@ def test_markov_accuracy_deterministic_chain(spark):
     got = {r.event_type: r for r in markov_accuracy(ev).collect()}
     assert got["a"].top_next == "b" and got["a"].accuracy == 1.0
     assert got["b"].top_next == "a" and got["b"].accuracy == 1.0
+
+
+def test_barrat_equals_unweighted_on_uniform_weights(spark):
+    from leidenalg_spark.operators.kernels import barrat_clustering, clustering_coefficient
+
+    # triangle + pendant: with unit weights Barrat == plain lcc
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    bw = {r.id: r.cw for r in barrat_clustering(spark, e).collect()}
+    cc = {r.id: round(r.lcc, 6) for r in clustering_coefficient(spark, e).collect()}
+    assert bw == cc
+    # weighted: strengthen one triangle edge at vertex 2 and cw(2) moves
+    e2 = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 10.0), (1, 2, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    bw2 = {r.id: r.cw for r in barrat_clustering(spark, e2).collect()}
+    # v=2: s=12, k=3, tri incident weights (10+1) -> 11/24
+    assert abs(bw2[2] - 11 / 24) < 1e-6
+
+
+def test_slo_burn_accumulates(spark):
+    from leidenalg_spark.operators.events import slo_burn
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # day 0: 1/10 errors (under budget), day 1: 5/10 (over)
+    for d, errs in [(0, 1), (1, 5)]:
+        for i in range(10):
+            rows.append((d * 10 + i, t0 + timedelta(days=d), 1,
+                         "error" if i < errs else "view", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.day: r for r in slo_burn(ev, slo=0.2).collect()}
+    d0, d1 = t0, t0 + timedelta(days=1)
+    assert got[d0].error_rate == 0.1 and abs(got[d0].cum_burn - (-0.1)) < 1e-9
+    assert got[d1].error_rate == 0.5 and abs(got[d1].cum_burn - 0.2) < 1e-9
