@@ -1657,6 +1657,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_knn_label_assortativity(spark, sf):
+        # embedding-quality signal: how label-assortative is the LSH
+        # k-NN graph? (composes two oracle-checked components)
+        from leidenalg_spark.operators.community import assortativity_nominal
+
+        emb = _embeddings(spark, sf)
+        g = S.knn_graph(spark, emb, k=3, n_planes=5, dim=64).select("src", "dst", "weight")
+        memb = emb.select(F.col("vec_id").alias("id"), F.col("label").alias("comm"))
+        return assortativity_nominal(g, memb)
+
     def q_barrat_clustering(spark, sf):
         # weighted (Barrat) local clustering on the co-activity graph
         return K.barrat_clustering(spark, _couser_edges(spark, sf)).orderBy("id")
@@ -1975,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_layers": q_slice_layers,
         "barrat_clustering": q_barrat_clustering,
         "slo_burn": q_slo_burn,
+        "knn_label_assortativity": q_knn_label_assortativity,
         "quality_moddensity": q_quality_moddensity,
         "collective_influence": q_collective_influence,
         "markov_accuracy": q_markov_accuracy,
@@ -4685,6 +4696,24 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["knn_label_assortativity"] = f"""
+WITH kg AS ({_knn_graph_oracle(k=3, n_planes=5)}),
+kund AS (SELECT DISTINCT src AS a, dst AS b FROM kg WHERE src <> dst),
+ksym AS (SELECT a, b FROM kund UNION ALL SELECT b, a FROM kund),
+klab AS (
+  SELECT va.label AS ca, vb.label AS cb
+  FROM ksym s JOIN embeddings va ON s.a = va.vec_id JOIN embeddings vb ON s.b = vb.vec_id
+),
+ke AS (SELECT ca, cb, CAST(COUNT(*) AS DOUBLE) AS w FROM klab GROUP BY 1, 2),
+ktot AS (SELECT SUM(w) AS W FROM ke),
+keii AS (SELECT COALESCE(SUM(CASE WHEN ca = cb THEN w END), 0) AS diag FROM ke),
+ksq AS (
+  SELECT SUM((ai / W) * (ai / W)) AS s
+  FROM (SELECT ca, SUM(w) AS ai FROM ke GROUP BY ca), ktot
+)
+SELECT ROUND(CASE WHEN s < 1.0 THEN (diag / W - s) / (1.0 - s) END, 6) AS assortativity
+FROM keii, ktot, ksq
 """
     sqls["barrat_clustering"] = """
 WITH bcob AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),

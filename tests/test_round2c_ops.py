@@ -550,3 +550,22 @@ def test_slo_burn_accumulates(spark):
     d0, d1 = t0, t0 + timedelta(days=1)
     assert got[d0].error_rate == 0.1 and abs(got[d0].cum_burn - (-0.1)) < 1e-9
     assert got[d1].error_rate == 0.5 and abs(got[d1].cum_burn - 0.2) < 1e-9
+
+
+def test_knn_label_assortativity_perfect_clusters(spark):
+    from pyspark.sql import functions as F
+
+    from leidenalg_spark.operators.community import assortativity_nominal
+    from leidenalg_spark.operators.similarity import knn_graph
+
+    # two tight, well-separated label clusters -> kNN edges stay within
+    # label -> assortativity ~ 1
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0 + (i % 5) * 0.01, 0.0, 0.0, 0.0], 0))
+        rows.append((100 + i, [0.0, 1.0 + (i % 5) * 0.01, 0.0, 0.0], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    g = knn_graph(spark, emb, k=2, n_planes=3, dim=4).select("src", "dst", "weight")
+    memb = emb.select(F.col("vec_id").alias("id"), F.col("label").alias("comm"))
+    r = assortativity_nominal(g, memb).collect()[0]
+    assert r.assortativity == 1.0
