@@ -1657,6 +1657,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_disparity_backbone(spark, sf):
+        # Serrano multiscale backbone of the weighted co-activity graph
+        return K.disparity_backbone(spark, _couser_edges(spark, sf), alpha=0.3).orderBy(
+            "a", "b"
+        )
+
+    def q_actor_behavior_kl(spark, sf):
+        # per-actor KL(type dist || corpus dist) — bot/outlier score
+        from leidenalg_spark.operators.events import actor_behavior_kl
+
+        return actor_behavior_kl(_events(spark, sf)).orderBy("user_id")
+
     def q_knn_label_assortativity(spark, sf):
         # embedding-quality signal: how label-assortative is the LSH
         # k-NN graph? (composes two oracle-checked components)
@@ -1986,6 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "barrat_clustering": q_barrat_clustering,
         "slo_burn": q_slo_burn,
         "knn_label_assortativity": q_knn_label_assortativity,
+        "disparity_backbone": q_disparity_backbone,
+        "actor_behavior_kl": q_actor_behavior_kl,
         "quality_moddensity": q_quality_moddensity,
         "collective_influence": q_collective_influence,
         "markov_accuracy": q_markov_accuracy,
@@ -4696,6 +4710,41 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["disparity_backbone"] = """
+WITH dcob AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),
+dcw AS (
+  SELECT x.user_id AS a, y.user_id AS b, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM dcob x JOIN dcob y
+    ON x.event_type = y.event_type AND x.h = y.h AND x.user_id < y.user_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+ddeg AS (
+  SELECT id, COUNT(*) AS k, SUM(w) AS s FROM (
+    SELECT a AS id, w FROM dcw UNION ALL SELECT b, w FROM dcw
+  ) GROUP BY id
+)
+SELECT c.a, c.b, ROUND(c.w, 6) AS weight,
+       ROUND(LEAST(
+         CASE WHEN da.k > 1 THEN POWER(1.0 - c.w / da.s, da.k - 1) ELSE 0.0 END,
+         CASE WHEN db.k > 1 THEN POWER(1.0 - c.w / db.s, db.k - 1) ELSE 0.0 END
+       ), 6) AS alpha_min,
+       ROUND(LEAST(
+         CASE WHEN da.k > 1 THEN POWER(1.0 - c.w / da.s, da.k - 1) ELSE 0.0 END,
+         CASE WHEN db.k > 1 THEN POWER(1.0 - c.w / db.s, db.k - 1) ELSE 0.0 END
+       ), 6) < 0.3 AS keep
+FROM dcw c JOIN ddeg da ON da.id = c.a JOIN ddeg db ON db.id = c.b
+ORDER BY a, b
+"""
+    sqls["actor_behavior_kl"] = """
+WITH apair AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+ak AS (SELECT user_id, SUM(c) AS nk FROM apair GROUP BY 1),
+al AS (SELECT event_type, SUM(c) AS nl FROM apair GROUP BY 1),
+at2 AS (SELECT SUM(c) AS nt FROM apair)
+SELECT p.user_id, CAST(SUM(p.c) AS BIGINT) AS n_events,
+       ROUND(SUM((p.c * 1.0 / k.nk) * LN((p.c * 1.0 / k.nk) / (l.nl * 1.0 / t.nt))), 6) AS kl
+FROM apair p JOIN ak k USING (user_id) JOIN al l USING (event_type) CROSS JOIN at2 t
+GROUP BY p.user_id ORDER BY user_id
 """
     sqls["knn_label_assortativity"] = f"""
 WITH kg AS ({_knn_graph_oracle(k=3, n_planes=5)}),

@@ -1106,3 +1106,36 @@ def slo_burn(
         F.round(rate, 6).alias("error_rate"),
         F.round(F.sum(rate - F.lit(float(slo))).over(w), 6).alias("cum_burn"),
     )
+
+
+def actor_behavior_kl(
+    df: DataFrame,
+    key: str = "user_id",
+    label: str = "event_type",
+) -> DataFrame:
+    """Per-actor behavioural outlier score: KL divergence from the
+    actor's own label distribution to the corpus-wide distribution —
+    the events twin of textops.doc_source_kl (bots, scripted accounts
+    and scrapers all concentrate probability mass the population
+    spreads out).  Exact and finite (actor support ⊆ corpus support).
+    Returns (key, n_events, kl).
+
+    Scale shape: two associative hash aggregates + one broadcast
+    |labels|-row marginal join.
+    """
+    pair = df.groupBy(key, label).agg(F.count(F.lit(1)).alias("c"))
+    per_k = pair.groupBy(key).agg(F.sum("c").alias("nk"))
+    marg = pair.groupBy(label).agg(F.sum("c").alias("nl"))
+    tot = pair.agg(F.sum("c").alias("nt"))
+    p = F.col("c") / F.col("nk")
+    q = F.col("nl") / F.col("nt")
+    return (
+        pair.join(per_k, key)
+        .join(F.broadcast(marg), label)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(key)
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
+        )
+    )

@@ -5535,3 +5535,54 @@ def barrat_clustering(spark, edges: DataFrame) -> DataFrame:
     )
     und.unpersist()
     return out
+
+
+def disparity_backbone(spark, edges: DataFrame, alpha: float = 0.05) -> DataFrame:
+    """Serrano–Boguñá–Vespignani multiscale backbone (PNAS 2009) — the
+    principled weighted-graph sparsifier: edge (i, j) survives iff its
+    weight is statistically significant against i's (or j's) null of
+    uniformly split strength,
+
+        α_ij = (1 − w_ij / s_i)^(k_i − 1)  <  α
+
+    (k_i = degree, s_i = strength; k = 1 pendant edges are kept — the
+    null is undefined).  Unlike a global weight threshold this keeps
+    locally-important weak edges and prunes locally-trivial strong
+    ones.  Returns (a, b, weight, alpha_min, keep).
+
+    Scale shape: one degree/strength aggregate + two broadcast-sized
+    joins + pure column math — a projection-shaped filter, no wedge
+    join, no iteration; THE cheap pre-pass before any triangle-family
+    kernel on a dense weighted graph.
+    """
+    und = (
+        edges.groupBy(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.sum("weight").alias("w"))
+        .where(F.col("a") != F.col("b"))
+    )
+    deg = (
+        und.select(F.col("a").alias("id"), "w")
+        .unionByName(und.select(F.col("b").alias("id"), "w"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("k"), F.sum("w").alias("s"))
+    )
+    j = und.join(
+        deg.select(F.col("id").alias("a"), F.col("k").alias("ka"), F.col("s").alias("sa")),
+        "a",
+    ).join(
+        deg.select(F.col("id").alias("b"), F.col("k").alias("kb"), F.col("s").alias("sb")),
+        "b",
+    )
+
+    def _alpha(k, s):
+        return F.when(k > 1, F.pow(1.0 - F.col("w") / s, k - 1)).otherwise(F.lit(0.0))
+
+    amin = F.least(_alpha(F.col("ka"), F.col("sa")), _alpha(F.col("kb"), F.col("sb")))
+    return j.select(
+        "a", "b",
+        F.round("w", 6).alias("weight"),
+        F.round(amin, 6).alias("alpha_min"),
+        (F.round(amin, 6) < F.lit(float(alpha))).alias("keep"),
+    )

@@ -569,3 +569,37 @@ def test_knn_label_assortativity_perfect_clusters(spark):
     memb = emb.select(F.col("vec_id").alias("id"), F.col("label").alias("comm"))
     r = assortativity_nominal(g, memb).collect()[0]
     assert r.assortativity == 1.0
+
+
+def test_disparity_backbone_keeps_significant_edges(spark):
+    from leidenalg_spark.operators.kernels import disparity_backbone
+
+    # hub 0 with one dominant edge (0,1,w=10) and 4 trivial edges (w=1):
+    # the dominant edge is significant, the uniform ones are not
+    e = spark.createDataFrame(
+        [(0, 1, 10.0)] + [(0, i, 1.0) for i in range(2, 6)],
+        "src long, dst long, weight double",
+    )
+    got = {(r.a, r.b): r for r in disparity_backbone(spark, e, alpha=0.05).collect()}
+    # alpha for (0,1) at hub: (1 - 10/14)^4 = 0.00666... < 0.05; the
+    # pendant side has k=1 -> alpha 0 -> keep regardless
+    assert got[(0, 1)].keep
+    # trivial edges: hub alpha (1-1/14)^4 = 0.743 but pendant k=1 -> 0
+    # -> kept via the pendant rule; so test the hub-side alpha directly
+    assert abs(got[(0, 2)].alpha_min - 0.0) < 1e-9  # pendant side wins
+
+
+def test_actor_behavior_kl_flags_specialist(spark):
+    from leidenalg_spark.operators.events import actor_behavior_kl
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # 4 balanced actors + 1 specialist doing only errors
+    for u in range(4):
+        for i, lab in enumerate(["click", "view", "purchase", "error"]):
+            rows.append((u * 10 + i, t0, u, lab))
+    for i in range(4):
+        rows.append((100 + i, t0, 9, "error"))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.user_id: r.kl for r in actor_behavior_kl(ev).collect()}
+    assert got[9] > max(got[u] for u in range(4))
