@@ -1657,6 +1657,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_hurst_variance(spark, sf):
+        # variance-time self-similarity (Hurst) per event type
+        from leidenalg_spark.operators.events import hurst_variance
+
+        return hurst_variance(_events(spark, sf)).orderBy("event_type")
+
+    def q_readability(spark, sf):
+        # Flesch-Kincaid grade proxy per document
+        return T.readability(_documents(spark, sf)).orderBy("doc_id")
+
     def q_disparity_backbone(spark, sf):
         # Serrano multiscale backbone of the weighted co-activity graph
         return K.disparity_backbone(spark, _couser_edges(spark, sf), alpha=0.3).orderBy(
@@ -2000,6 +2010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_assortativity": q_knn_label_assortativity,
         "disparity_backbone": q_disparity_backbone,
         "actor_behavior_kl": q_actor_behavior_kl,
+        "hurst_variance": q_hurst_variance,
+        "readability": q_readability,
         "quality_moddensity": q_quality_moddensity,
         "collective_influence": q_collective_influence,
         "markov_accuracy": q_markov_accuracy,
@@ -4710,6 +4722,38 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    hv_blocks = "\n    UNION ALL ".join(
+        f"""SELECT event_type AS g, {h}.0 AS scale, CAST(COUNT(*) AS DOUBLE) AS x
+    FROM events GROUP BY event_type, FLOOR(epoch_us(ts) / (3600000000.0 * {h}))"""
+        for h in (1, 2, 4, 8)
+    )
+    sqls["hurst_variance"] = f"""
+WITH hvx AS (
+    {hv_blocks}
+),
+hv AS (SELECT g, scale, VAR_SAMP(x / scale) AS v FROM hvx GROUP BY g, scale),
+hpts AS (SELECT g, LN(scale) AS lx, LN(v) AS ly FROM hv WHERE v > 0),
+hreg AS (
+  SELECT g, COUNT(*) AS n, AVG(lx) AS mx, AVG(ly) AS my,
+         SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+  FROM hpts GROUP BY g
+)
+SELECT g AS event_type,
+       ROUND((sxy - n * mx * my) / (sxx - n * mx * mx), 6) AS slope,
+       ROUND(1.0 + ((sxy - n * mx * my) / (sxx - n * mx * mx)) / 2.0, 6) AS hurst,
+       CAST(n AS BIGINT) AS n_scales
+FROM hreg ORDER BY event_type
+"""
+    sqls["readability"] = """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9'']+')) AS BIGINT) AS n_words,
+  CAST(GREATEST(len(regexp_extract_all(lower(COALESCE(text, '')), '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+  CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+  ROUND(CASE WHEN n_words > 0
+        THEN 0.39 * (n_words * 1.0 / n_sentences) + 11.8 * (n_syllables * 1.0 / n_words) - 15.59
+        END, 6) AS fk_grade
+FROM documents ORDER BY doc_id
 """
     sqls["disparity_backbone"] = """
 WITH dcob AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),

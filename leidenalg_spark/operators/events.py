@@ -1139,3 +1139,54 @@ def actor_behavior_kl(
             F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
         )
     )
+
+
+def hurst_variance(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    scales_hours: tuple = (1, 2, 4, 8),
+) -> DataFrame:
+    """Variance-time self-similarity estimate per series (the classic
+    Leland et al. long-range-dependence check): aggregate counts at
+    several time scales, regress log(var of per-bucket counts
+    NORMALISED to rate per base hour) on log(scale); slope β gives the
+    Hurst exponent H = 1 + β/2.  H ≈ 0.5 ⇒ Poisson-like; H → 1 ⇒
+    long-range-dependent (bursts at every scale — the traffic that
+    breaks naive capacity planning).  Returns (group, slope, hurst,
+    n_scales).
+
+    Scale shape: one (group, bucket) hash aggregate per scale (the
+    bucket is a pure column expression), variances over the bounded
+    bucket series, and an |groups|·|scales|-row closed-form regression.
+    """
+    outs = None
+    base = float(scales_hours[0])
+    for h in scales_hours:
+        b = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / (3600e6 * h))
+        cnt = df.groupBy(F.col(group_col).alias("g"), b.alias("bk")).agg(
+            F.count(F.lit(1)).alias("x")
+        )
+        v = cnt.groupBy("g").agg(
+            F.var_samp(F.col("x") / F.lit(h / base)).alias("v"),
+            F.lit(float(h)).alias("scale"),
+        )
+        outs = v if outs is None else outs.unionByName(v)
+    pts = outs.where(F.col("v") > 0).select(
+        "g", F.log("scale").alias("lx"), F.log("v").alias("ly")
+    )
+    reg = pts.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("lx").alias("mx"), F.avg("ly").alias("my"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
+        F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")
+    )
+    return reg.select(
+        F.col("g").alias(group_col),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.lit(1.0) + slope / 2.0, 6).alias("hurst"),
+        F.col("n").cast("long").alias("n_scales"),
+    )

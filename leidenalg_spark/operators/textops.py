@@ -1211,3 +1211,36 @@ def doc_source_kl(docs: DataFrame, group_col: str = "source", col: str = "text")
             F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
         )
     )
+
+
+def readability(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Flesch–Kincaid grade-level proxy per document — the classic
+    cheap fluency gate (too-low grade = listicles/boilerplate, absurdly
+    high = OCR garbage or run-on extraction errors):
+
+        FK = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+
+    with syllables approximated by vowel GROUPS ([aeiouy]+ runs, the
+    standard heuristic) and sentences by terminal-punctuation runs
+    (min 1).  Returns (doc_id, n_words, n_sentences, n_syllables,
+    fk_grade); empty docs are NULL-graded.
+
+    Scale shape: three regexp counts in one scan projection —
+    whole-stage codegen, no shuffle, no Python.
+    """
+    low = F.lower(F.coalesce(F.col(col), F.lit("")))
+    n_words = F.size(F.regexp_extract_all(low, F.lit(r"[a-z0-9']+"), F.lit(0)))
+    n_syll = F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), F.lit(0)))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    fk = (
+        0.39 * (n_words / n_sent) + 11.8 * (n_syll / n_words) - 15.59
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(F.when(n_words > 0, fk), 6).alias("fk_grade"),
+    )

@@ -603,3 +603,38 @@ def test_actor_behavior_kl_flags_specialist(spark):
     ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
     got = {r.user_id: r.kl for r in actor_behavior_kl(ev).collect()}
     assert got[9] > max(got[u] for u in range(4))
+
+
+def test_readability_simple_vs_polysyllabic(spark):
+    from leidenalg_spark.operators.textops import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat. the dog ran."),
+            (2, "extraordinarily complicated terminology necessitates understanding."),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in readability(docs).collect()}
+    assert got[1].n_sentences == 2 and got[1].n_words == 6
+    assert got[2].fk_grade > got[1].fk_grade  # polysyllabic scores harder
+    assert got[3].fk_grade is None and got[3].n_words == 0
+
+
+def test_hurst_poisson_like_near_half(spark):
+    from leidenalg_spark.operators.events import hurst_variance
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # deterministic pseudo-uniform arrivals over 64 hours: Poisson-like,
+    # variance roughly scale-invariant after rate normalisation -> H ~ 0.5
+    for i in range(4096):
+        off = (i * 2654435761 % (64 * 3600))
+        rows.append((i, t0 + timedelta(seconds=off), 1, "click", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = hurst_variance(ev).collect()[0]
+    assert r.n_scales == 4
+    assert 0.0 < r.hurst < 0.9  # far from the LRD regime H -> 1
