@@ -1657,6 +1657,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_benford_test(spark, sf):
+        # Benford first-digit audit of the event value column
+        from leidenalg_spark.operators.events import benford_test
+
+        return benford_test(_events(spark, sf)).orderBy("digit")
+
+    def q_balance_labels(spark, sf):
+        # exact-count class rebalance of the embeddings by md5 rank
+        from leidenalg_spark.operators.sampling import balance_labels
+
+        return balance_labels(_embeddings(spark, sf)).orderBy("label", "rk")
+
     def q_hurst_variance(spark, sf):
         # variance-time self-similarity (Hurst) per event type
         from leidenalg_spark.operators.events import hurst_variance
@@ -2012,6 +2024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "actor_behavior_kl": q_actor_behavior_kl,
         "hurst_variance": q_hurst_variance,
         "readability": q_readability,
+        "benford_test": q_benford_test,
+        "balance_labels": q_balance_labels,
         "quality_moddensity": q_quality_moddensity,
         "collective_influence": q_collective_influence,
         "markov_accuracy": q_markov_accuracy,
@@ -4722,6 +4736,34 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["benford_test"] = """
+WITH bpos AS (
+  SELECT CAST(FLOOR(value / POWER(10.0, FLOOR(LOG10(value)))) AS INT) AS digit
+  FROM events WHERE value > 0
+),
+bcell AS (SELECT digit, COUNT(*) AS n FROM bpos GROUP BY digit),
+btot AS (SELECT SUM(n) AS nt FROM bcell)
+SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / nt, 6) AS observed,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS expected,
+       ROUND(nt * (n * 1.0 / nt - LOG10(1.0 + 1.0 / digit))
+                * (n * 1.0 / nt - LOG10(1.0 + 1.0 / digit))
+                / LOG10(1.0 + 1.0 / digit), 6) AS chi2_term
+FROM bcell CROSS JOIN btot ORDER BY digit
+"""
+    sqls["balance_labels"] = """
+WITH bl AS (
+  SELECT vec_id, label,
+         ROW_NUMBER() OVER (
+           PARTITION BY label
+           ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id
+         ) AS rk
+  FROM embeddings
+),
+blmin AS (SELECT MIN(n) AS n_min FROM (SELECT COUNT(*) AS n FROM embeddings GROUP BY label))
+SELECT vec_id, label, CAST(rk AS BIGINT) AS rk
+FROM bl CROSS JOIN blmin WHERE rk <= n_min ORDER BY label, rk
 """
     hv_blocks = "\n    UNION ALL ".join(
         f"""SELECT event_type AS g, {h}.0 AS scale, CAST(COUNT(*) AS DOUBLE) AS x

@@ -1190,3 +1190,41 @@ def hurst_variance(
         F.round(F.lit(1.0) + slope / 2.0, 6).alias("hurst"),
         F.col("n").cast("long").alias("n_scales"),
     )
+
+
+def benford_test(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Benford first-digit audit of a value column — the forensic
+    data-quality check: organically-generated magnitudes follow
+    P(d) = log10(1 + 1/d); fabricated, clipped or unit-mixed values
+    don't.  Reports per first digit the observed share, Benford's
+    expectation, and the χ² contribution; Σ of the last column is the
+    test statistic (8 dof).  Rows with value ≤ 0 are excluded (Benford
+    applies to positive magnitudes).  Returns
+    (digit, n, observed, expected, chi2_term).
+
+    Scale shape: first digit is a pure column expression
+    (floor(v / 10^floor(log10 v))), then ONE 9-row hash aggregate.
+    """
+    v = F.col(value_col).cast("double")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    pos = df.where(v > 0).select(digit.alias("digit"))
+    cell = pos.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = cell.agg(F.sum("n").alias("nt"))
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    obs = F.col("n") / F.col("nt")
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.col("n").cast("long").alias("n"),
+            F.round(obs, 6).alias("observed"),
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                F.col("nt") * (obs - exp) * (obs - exp) / exp, 6
+            ).alias("chi2_term"),
+        )
+    )

@@ -297,3 +297,36 @@ def importance_sample(
         .limit(n)
         .select(id_col, "weight", F.round(F.col("_k"), 6).alias("sample_key"))
     )
+
+
+def balance_labels(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic class-balanced downsampling: keep exactly
+    ``min(class count)`` rows of EVERY class, electing survivors by
+    md5(seed, id) rank within the class — the classifier-training
+    rebalance that, unlike ``sampleBy`` fractions, is exact-count,
+    retry-stable and append-stable (a rerun or a backfill elects the
+    same rows).  Returns the input's (id, label) plus the rank key.
+
+    Scale shape: one class-count aggregate (broadcast), one md5
+    projection, one rank window PER CLASS (partitioned — no global
+    sort), one filter.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
+    floor_n = counts.agg(F.min("n").alias("n_min"))
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(label_col).orderBy(key, F.col(id_col))
+    ranked = df.select(id_col, label_col).withColumn(
+        "rk", F.row_number().over(w)
+    ).crossJoin(F.broadcast(floor_n))
+    return ranked.where(F.col("rk") <= F.col("n_min")).select(
+        id_col, label_col, F.col("rk").cast("long").alias("rk")
+    )

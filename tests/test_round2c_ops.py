@@ -638,3 +638,39 @@ def test_hurst_poisson_like_near_half(spark):
     r = hurst_variance(ev).collect()[0]
     assert r.n_scales == 4
     assert 0.0 < r.hurst < 0.9  # far from the LRD regime H -> 1
+
+
+def test_benford_exact_benford_sample(spark):
+    from leidenalg_spark.operators.events import benford_test
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # values 1..9 each appearing per Benford counts out of 1000 -> chi2 ~ 0
+    import math
+    eid = 0
+    for d in range(1, 10):
+        n = round(1000 * math.log10(1 + 1 / d))
+        for _ in range(n):
+            rows.append((eid, t0, 1, "view", float(d), "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = benford_test(ev).collect()
+    assert len(got) == 9
+    assert sum(r.chi2_term for r in got) < 0.1
+    assert abs(sum(r.observed for r in got) - 1.0) < 1e-5
+
+
+def test_balance_labels_exact_counts(spark):
+    from leidenalg_spark.operators.sampling import balance_labels
+
+    rows = [(i, [0.0], 0) for i in range(10)] + [(100 + i, [0.0], 1) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = balance_labels(df).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.label, []).append(r.vec_id)
+    assert len(by[0]) == 4 and len(by[1]) == 4  # both classes at the floor
+    # determinism: same election on rerun
+    again = {r.vec_id for r in balance_labels(df).collect()}
+    assert again == {r.vec_id for r in got}
