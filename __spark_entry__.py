@@ -1657,6 +1657,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_linkpred_eval(spark, sf):
+        # precision@k of Adamic-Adar on the co-activity graph against a
+        # deterministic md5 20% edge holdout (k = |holdout|) — the
+        # standard link-prediction eval loop, fully reproducible
+        e = _couser_edges(spark, sf)
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit("h42"),
+                            F.col("src").cast("string"), F.col("dst").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        )
+        test = e.where(coin < 0.2).select("src", "dst")
+        train = e.where(coin >= 0.2)
+        scores = K.adamic_adar(spark, train, min_common=1)
+        k = test.count()
+        top = scores.orderBy(F.desc("aa"), "src", "dst").limit(k)
+        hits = top.join(test, ["src", "dst"]).count()
+        return spark.createDataFrame(
+            [(k, hits, round(hits / k, 6) if k else None)],
+            "n_test long, n_hits long, precision double",
+        )
+
     def q_benford_test(spark, sf):
         # Benford first-digit audit of the event value column
         from leidenalg_spark.operators.events import benford_test
@@ -2026,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "benford_test": q_benford_test,
         "balance_labels": q_balance_labels,
+        "linkpred_eval": q_linkpred_eval,
         "quality_moddensity": q_quality_moddensity,
         "collective_influence": q_collective_influence,
         "markov_accuracy": q_markov_accuracy,
@@ -4736,6 +4768,38 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["linkpred_eval"] = f"""
+WITH {couser_cte},
+lpcoin AS (
+  SELECT a, b,
+         ('0x' || substr(md5('h42:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS c
+  FROM cow
+),
+lptest AS MATERIALIZED (SELECT a, b FROM lpcoin WHERE c < 0.2),
+lptrain AS MATERIALIZED (SELECT a, b FROM lpcoin WHERE c >= 0.2),
+lpadj AS (SELECT a AS w, b AS x FROM lptrain UNION ALL SELECT b, a FROM lptrain),
+lpdeg AS (SELECT w, COUNT(*) AS deg FROM lpadj GROUP BY w),
+lpc AS (
+  SELECT a.w, a.x, 1.0 / LN(d.deg) AS cw
+  FROM lpadj a JOIN lpdeg d USING (w) WHERE d.deg > 1 AND d.deg <= 100000
+),
+lpw AS (SELECT l.x AS src, r.x AS dst, l.cw FROM lpc l JOIN lpc r ON l.w = r.w AND l.x < r.x),
+lps AS (SELECT src, dst, COUNT(*) AS n_common, ROUND(SUM(cw), 6) AS aa FROM lpw GROUP BY 1, 2),
+lpnon AS (
+  SELECT s.* FROM lps s LEFT JOIN lptrain t ON t.a = s.src AND t.b = s.dst
+  WHERE t.a IS NULL
+),
+lptop AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (ORDER BY aa DESC, src, dst) AS rn FROM lpnon
+  ) WHERE rn <= (SELECT COUNT(*) FROM lptest)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lptest) AS n_test,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM lptest), 6) AS precision
+FROM lptop JOIN lptest t ON t.a = lptop.src AND t.b = lptop.dst
 """
     sqls["benford_test"] = """
 WITH bpos AS (
