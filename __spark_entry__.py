@@ -1657,6 +1657,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_activity_correlation(spark, sf):
+        # day-over-day Pearson r of per-actor activity (rank stability)
+        from leidenalg_spark.operators.events import activity_correlation
+
+        return activity_correlation(_events(spark, sf)).orderBy("day")
+
+    def q_peak_days(spark, sf):
+        # peaks vs a trailing-7-day median baseline per event type
+        from leidenalg_spark.operators.events import peak_days
+
+        return peak_days(_events(spark, sf)).orderBy("event_type", "day")
+
     def q_linkpred_eval(spark, sf):
         # precision@k of Adamic-Adar on the co-activity graph against a
         # deterministic md5 20% edge holdout (k = |holdout|) — the
@@ -2058,6 +2070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_test": q_benford_test,
         "balance_labels": q_balance_labels,
         "linkpred_eval": q_linkpred_eval,
+        "activity_correlation": q_activity_correlation,
+        "peak_days": q_peak_days,
         "quality_moddensity": q_quality_moddensity,
         "collective_influence": q_collective_influence,
         "markov_accuracy": q_markov_accuracy,
@@ -4768,6 +4782,44 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["activity_correlation"] = """
+WITH accnt AS (
+  SELECT user_id, date_trunc('day', ts) AS day, CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+acj AS (
+  SELECT a.day, a.x, b.x AS y
+  FROM accnt a JOIN accnt b
+    ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+),
+acagg AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_both,
+         AVG(x) AS mx, AVG(y) AS my, AVG(x * y) AS mxy,
+         AVG(x * x) AS mxx, AVG(y * y) AS myy
+  FROM acj GROUP BY day
+)
+SELECT day, day + INTERVAL 1 DAY AS next_day, n_both,
+       ROUND(CASE WHEN (mxx - mx * mx) > 0 AND (myy - my * my) > 0
+             THEN (mxy - mx * my) / SQRT((mxx - mx * mx) * (myy - my * my))
+             END, 6) AS r
+FROM acagg ORDER BY day
+"""
+    sqls["peak_days"] = """
+WITH pkc AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+pkb AS (
+  SELECT g, day, n,
+         CASE WHEN COUNT(*) OVER w >= 7 THEN MEDIAN(n) OVER w END AS baseline
+  FROM pkc
+  WINDOW w AS (PARTITION BY g ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT g AS event_type, day, CAST(n AS BIGINT) AS n,
+       ROUND(baseline, 6) AS baseline,
+       COALESCE(n > 1.5 * baseline, FALSE) AS is_peak
+FROM pkb ORDER BY event_type, day
 """
     sqls["linkpred_eval"] = f"""
 WITH {couser_cte},

@@ -1228,3 +1228,91 @@ def benford_test(
             ).alias("chi2_term"),
         )
     )
+
+
+def activity_correlation(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-over-day actor-rank stability: Pearson correlation of
+    per-actor event counts between consecutive days, over actors active
+    on BOTH days — near 1 means the same actors dominate every day
+    (stable workload / possible bot core), near 0 means churning
+    attention.  Returns (day, next_day, n_both, r).
+
+    Scale shape: one (actor, day) count aggregate, a self-join keyed on
+    (actor, day+1) — bounded by active actor-days, not events — and a
+    per-day-pair closed-form correlation aggregate.
+    """
+    cnt = df.groupBy(
+        key, F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    nxt = cnt.select(
+        key,
+        (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("x").alias("y"),
+    )
+    j = cnt.join(nxt, [key, "day"])
+    agg = j.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both"),
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    cov = F.col("mxy") - F.col("mx") * F.col("my")
+    vx = F.col("mxx") - F.col("mx") * F.col("mx")
+    vy = F.col("myy") - F.col("my") * F.col("my")
+    return agg.select(
+        "day",
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("next_day"),
+        "n_both",
+        F.round(F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6).alias("r"),
+    )
+
+
+def peak_days(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    factor: float = 1.5,
+    window_days: int = 7,
+) -> DataFrame:
+    """Peak detection against a trailing-median baseline: a day is a
+    peak when its count exceeds ``factor`` × the median of the previous
+    ``window_days`` days — the robust (outlier-immune) cousin of the
+    z-score anomaly flag.  Days without a full trailing window are
+    unscored (NULL baseline).  Returns (group, day, n, baseline,
+    is_peak).
+
+    Scale shape: one (group, day) hash aggregate; the rolling median is
+    an exact window aggregate over the bounded per-group day series.
+    """
+    cnt = df.groupBy(
+        F.col(group_col).alias("g"), F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.partitionBy("g").orderBy("day").rowsBetween(-window_days, -1)
+    # median via sorted frame collect: Spark's median/percentile
+    # aggregates reject window frames, but collect_list accepts them and
+    # the frame is bounded (<= window_days rows) by construction
+    arr = F.array_sort(F.collect_list("n").over(w))
+    mid = F.element_at(arr, int(window_days) // 2 + 1)
+    base = F.when(
+        F.size(arr) >= window_days,
+        F.when(
+            F.lit(window_days % 2 == 1), mid
+        ).otherwise((F.element_at(arr, int(window_days) // 2) + mid) / 2.0),
+    )
+    return cnt.select(
+        F.col("g").alias(group_col),
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round(base, 6).alias("baseline"),
+        # FALSE (not NULL) when unscored: a day without a full trailing
+        # window can never be claimed a peak, and NULL booleans stringify
+        # differently across engines in the comparison harness
+        F.coalesce(
+            F.col("n") > F.lit(float(factor)) * base, F.lit(False)
+        ).alias("is_peak"),
+    )

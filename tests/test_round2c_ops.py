@@ -674,3 +674,43 @@ def test_balance_labels_exact_counts(spark):
     # determinism: same election on rerun
     again = {r.vec_id for r in balance_labels(df).collect()}
     assert again == {r.vec_id for r in got}
+
+
+def test_peak_days_planted_spike(spark):
+    from leidenalg_spark.operators.events import peak_days
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 10 steady days of 4 events, then a spike day of 20
+    for d in range(10):
+        for _ in range(4):
+            rows.append((eid, t0 + timedelta(days=d), 1, "click", 0.0, "{}")); eid += 1
+    for _ in range(20):
+        rows.append((eid, t0 + timedelta(days=10), 1, "click", 0.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.day: r for r in peak_days(ev).collect()}
+    spike = got[t0 + timedelta(days=10)]
+    assert spike.baseline == 4.0 and spike.is_peak
+    assert not got[t0 + timedelta(days=9)].is_peak
+    assert got[t0 + timedelta(days=3)].baseline is None  # window not full yet
+
+
+def test_activity_correlation_identical_days(spark):
+    from leidenalg_spark.operators.events import activity_correlation
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # identical per-user activity two days running (perfect correlation);
+    # jitter in counts so variance is nonzero
+    for d in range(2):
+        for u in range(6):
+            for _ in range(u + 1):
+                rows.append((eid, t0 + timedelta(days=d), u)); eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = activity_correlation(ev).collect()
+    assert len(got) == 1
+    assert got[0].n_both == 6 and got[0].r == 1.0
