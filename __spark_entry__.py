@@ -1657,6 +1657,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_ttr_stats(spark, sf):
+        # per-doc type-token ratio + hapax fraction
+        return T.ttr_stats(_documents(spark, sf)).orderBy("doc_id")
+
+    def q_wilson_error_rates(spark, sf):
+        # per-actor error rate with Wilson CI; flag actors whose lower
+        # bound clears the population rate
+        from leidenalg_spark.operators.events import wilson_error_rates
+
+        return wilson_error_rates(_events(spark, sf)).orderBy("user_id")
+
     def q_activity_correlation(spark, sf):
         # day-over-day Pearson r of per-actor activity (rank stability)
         from leidenalg_spark.operators.events import activity_correlation
@@ -2072,6 +2083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred_eval": q_linkpred_eval,
         "activity_correlation": q_activity_correlation,
         "peak_days": q_peak_days,
+        "ttr_stats": q_ttr_stats,
+        "wilson_error_rates": q_wilson_error_rates,
         "quality_moddensity": q_quality_moddensity,
         "collective_influence": q_collective_influence,
         "markov_accuracy": q_markov_accuracy,
@@ -4782,6 +4795,48 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["ttr_stats"] = f"""
+WITH ttok AS (
+  SELECT doc_id, t FROM (SELECT doc_id, unnest({toks}) AS t FROM documents)
+  WHERE length(t) > 0
+),
+ttc AS (SELECT doc_id, t, COUNT(*) AS c FROM ttok GROUP BY 1, 2),
+tper AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM ttc GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_types, 0) AS n_types,
+       ROUND(CASE WHEN p.n_tokens > 0 THEN p.n_types * 1.0 / p.n_tokens END, 6) AS ttr,
+       ROUND(CASE WHEN p.n_types > 0 THEN p.n_hapax * 1.0 / p.n_types END, 6) AS hapax_frac
+FROM documents d LEFT JOIN tper p USING (doc_id) ORDER BY doc_id
+"""
+    sqls["wilson_error_rates"] = """
+WITH wper AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM events GROUP BY user_id
+),
+wg AS (
+  SELECT SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS g
+  FROM events
+)
+SELECT user_id, n, n_errors,
+       ROUND(n_errors * 1.0 / n, 6) AS rate,
+       ROUND(((n_errors * 1.0 / n) + 3.8416 / (2 * n)) / (1.0 + 3.8416 / n)
+             - 1.96 * SQRT((n_errors * 1.0 / n) * (1.0 - n_errors * 1.0 / n) / n
+                           + 3.8416 / (4.0 * n * n)) / (1.0 + 3.8416 / n), 6) AS wilson_low,
+       ROUND(((n_errors * 1.0 / n) + 3.8416 / (2 * n)) / (1.0 + 3.8416 / n)
+             + 1.96 * SQRT((n_errors * 1.0 / n) * (1.0 - n_errors * 1.0 / n) / n
+                           + 3.8416 / (4.0 * n * n)) / (1.0 + 3.8416 / n), 6) AS wilson_high,
+       ROUND(((n_errors * 1.0 / n) + 3.8416 / (2 * n)) / (1.0 + 3.8416 / n)
+             - 1.96 * SQRT((n_errors * 1.0 / n) * (1.0 - n_errors * 1.0 / n) / n
+                           + 3.8416 / (4.0 * n * n)) / (1.0 + 3.8416 / n), 6) > g AS is_elevated
+FROM wper CROSS JOIN wg ORDER BY user_id
 """
     sqls["activity_correlation"] = """
 WITH accnt AS (

@@ -1316,3 +1316,50 @@ def peak_days(
             F.col("n") > F.lit(float(factor)) * base, F.lit(False)
         ).alias("is_peak"),
     )
+
+
+def wilson_error_rates(
+    df: DataFrame,
+    key: str = "user_id",
+    error_type: str = "error",
+    type_col: str = "event_type",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-actor error rate with a Wilson score interval and an
+    elevated-vs-population flag: the actor is flagged iff the interval's
+    LOWER bound clears the global error rate — the small-sample-honest
+    version of "error rate above average" (a 1-for-1 actor never flags;
+    a 40-for-50 actor does).  Returns (key, n, n_errors, rate,
+    wilson_low, wilson_high, is_elevated).
+
+    Scale shape: one groupBy(actor) + a broadcast 1-row global rate;
+    the interval is pure column arithmetic.
+    """
+    per = df.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col(type_col) == error_type).cast("long")).alias("n_errors"),
+    )
+    glob = df.agg(
+        (
+            F.sum((F.col(type_col) == error_type).cast("long")) / F.count(F.lit(1))
+        ).alias("g")
+    )
+    p = F.col("n_errors") / F.col("n")
+    z2 = float(z) * float(z)
+    denom = 1.0 + z2 / F.col("n")
+    center = (p + z2 / (2 * F.col("n"))) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (1 - p) / F.col("n") + z2 / (4 * F.col("n") * F.col("n")))
+        / denom
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            key, "n", "n_errors",
+            F.round(p, 6).alias("rate"),
+            F.round(center - half, 6).alias("wilson_low"),
+            F.round(center + half, 6).alias("wilson_high"),
+            (F.round(center - half, 6) > F.col("g")).alias("is_elevated"),
+        )
+    )

@@ -1244,3 +1244,36 @@ def readability(docs: DataFrame, col: str = "text") -> DataFrame:
         n_syll.cast("long").alias("n_syllables"),
         F.round(F.when(n_words > 0, fk), 6).alias("fk_grade"),
     )
+
+
+def ttr_stats(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document lexical-diversity profile: type-token ratio and
+    hapax fraction — the two standard "is this text degenerate" lexical
+    signals (near-0 TTR = loops/boilerplate, near-1 hapax on long docs
+    = OCR noise or ciphertext).  Returns (doc_id, n_tokens, n_types,
+    ttr, hapax_frac); empty docs carry NULL ratios.
+
+    Scale shape: one explode → (doc, token) hash aggregate (map-side
+    combinable) → one per-doc aggregate; no windows, no joins.
+    """
+    tok = docs.select("doc_id", F.explode(tokens_col(col)).alias("t")).where(
+        F.length("t") > 0
+    )
+    tc = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    per = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+    )
+    out = docs.select("doc_id").join(per, "doc_id", "left").na.fill(
+        {"n_tokens": 0, "n_types": 0, "n_hapax": 0}
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_types",
+        F.round(
+            F.when(F.col("n_tokens") > 0, F.col("n_types") / F.col("n_tokens")), 6
+        ).alias("ttr"),
+        F.round(
+            F.when(F.col("n_types") > 0, F.col("n_hapax") / F.col("n_types")), 6
+        ).alias("hapax_frac"),
+    )

@@ -714,3 +714,45 @@ def test_activity_correlation_identical_days(spark):
     got = activity_correlation(ev).collect()
     assert len(got) == 1
     assert got[0].n_both == 6 and got[0].r == 1.0
+
+
+def test_ttr_stats_degenerate_vs_diverse(spark):
+    from leidenalg_spark.operators.textops import ttr_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "one two three four"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ttr_stats(docs).collect()}
+    assert (got[1].n_tokens, got[1].n_types, got[1].ttr, got[1].hapax_frac) == (4, 1, 0.25, 0.0)
+    assert got[2].ttr == 1.0 and got[2].hapax_frac == 1.0
+    assert got[3].n_tokens == 0 and got[3].ttr is None
+
+
+def test_wilson_small_sample_honesty(spark):
+    from leidenalg_spark.operators.events import wilson_error_rates
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # population baseline: 20 users, 1 error in 10 events each (10%)
+    for u in range(20):
+        for i in range(10):
+            rows.append((eid, t0, u, "error" if i == 0 else "view", 0.0, "{}")); eid += 1
+    # small-sample 100% user: 1-for-1 — must NOT flag
+    rows.append((eid, t0, 100, "error", 0.0, "{}")); eid += 1
+    # large-sample high-rate user: 40 errors in 50 — must flag
+    for i in range(50):
+        rows.append((eid, t0, 200, "error" if i < 40 else "view", 0.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.user_id: r for r in wilson_error_rates(ev).collect()}
+    assert got[100].rate == 1.0 and not got[100].is_elevated
+    assert got[200].is_elevated
+    assert not got[0].is_elevated
+    assert got[200].wilson_low < got[200].rate < got[200].wilson_high
