@@ -111,7 +111,8 @@ def run_queries(spark, sf_dir: str) -> dict:
         "neardup_jaccard", "minhash_signature", "cosine_topk",
         "leiden_communities", "token_count", "doc_quality",
         "lm_score", "bipartite_project", "kmeans", "neighbor_sample",
-        "duplicate_spans", "coreness",
+        "duplicate_spans", "coreness", "kaplan_meier", "readability",
+        "ttr_stats", "disparity_backbone",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
     return out
