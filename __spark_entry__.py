@@ -1657,6 +1657,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_fisher_ratio(spark, sf):
+        # per-dimension Fisher discriminant of the labelled embeddings
+        from leidenalg_spark.operators.similarity import fisher_ratio
+
+        return fisher_ratio(_embeddings(spark, sf)).orderBy("dim")
+
+    def q_hhi_concentration(spark, sf):
+        # Herfindahl concentration of per-label activity across actors
+        from leidenalg_spark.operators.events import hhi_concentration
+
+        return hhi_concentration(_events(spark, sf)).orderBy("event_type")
+
     def q_ttr_stats(spark, sf):
         # per-doc type-token ratio + hapax fraction
         return T.ttr_stats(_documents(spark, sf)).orderBy("doc_id")
@@ -2085,6 +2097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_days": q_peak_days,
         "ttr_stats": q_ttr_stats,
         "wilson_error_rates": q_wilson_error_rates,
+        "fisher_ratio": q_fisher_ratio,
+        "hhi_concentration": q_hhi_concentration,
         "quality_moddensity": q_quality_moddensity,
         "collective_influence": q_collective_influence,
         "markov_accuracy": q_markov_accuracy,
@@ -4795,6 +4809,31 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["fisher_ratio"] = """
+WITH fex AS (
+  SELECT label AS l, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+fcell AS (SELECT l, dim, AVG(v) AS mu, VAR_SAMP(v) AS s2 FROM fex GROUP BY l, dim),
+fagg AS (SELECT dim, VAR_SAMP(mu) AS between_var, AVG(s2) AS within_var FROM fcell GROUP BY dim)
+SELECT CAST(dim AS BIGINT) AS dim,
+       ROUND(between_var, 6) AS between_var,
+       ROUND(within_var, 6) AS within_var,
+       ROUND(CASE WHEN within_var > 0 THEN between_var / within_var END, 6) AS fisher
+FROM fagg ORDER BY dim
+"""
+    sqls["hhi_concentration"] = """
+WITH hcell AS (SELECT event_type AS g, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2),
+htot AS (SELECT g, SUM(c) AS n FROM hcell GROUP BY g)
+SELECT c.g AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_actors,
+       CAST(MAX(t.n) AS BIGINT) AS n_events,
+       ROUND(SUM((c.c * 1.0 / t.n) * (c.c * 1.0 / t.n)), 6) AS hhi,
+       ROUND(1.0 / SUM((c.c * 1.0 / t.n) * (c.c * 1.0 / t.n)), 6) AS effective_actors
+FROM hcell c JOIN htot t USING (g)
+GROUP BY c.g ORDER BY event_type
 """
     sqls["ttr_stats"] = f"""
 WITH ttok AS (

@@ -1363,3 +1363,35 @@ def wilson_error_rates(
             (F.round(center - half, 6) > F.col("g")).alias("is_elevated"),
         )
     )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col: str = "event_type",
+    key: str = "user_id",
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration of activity per label: Σ over
+    actors of their squared share of the label's events — 1/n_actors
+    for perfectly spread activity, → 1 when one actor dominates (the
+    single-scalar "is this event type one bot?" check).  Also reports
+    the effective actor count 1/HHI.  Returns
+    (group, n_actors, n_events, hhi, effective_actors).
+
+    Scale shape: one (label, actor) hash aggregate, one per-label
+    rollup — both map-side combinable.
+    """
+    cell = df.groupBy(F.col(group_col).alias("g"), F.col(key)).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cell.groupBy("g").agg(F.sum("c").alias("n"))
+    hhi = F.sum((F.col("c") / F.col("n")) * (F.col("c") / F.col("n")))
+    return (
+        cell.join(F.broadcast(tot), "g")
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_actors"),
+            F.max("n").cast("long").alias("n_events"),
+            F.round(hhi, 6).alias("hhi"),
+            F.round(1.0 / hhi, 6).alias("effective_actors"),
+        )
+    )

@@ -1120,3 +1120,39 @@ def intrinsic_dim(
         F.round(F.avg("lr"), 6).alias("mean_log_ratio"),
         F.round(F.count(F.lit(1)) / F.sum("lr"), 6).alias("intrinsic_dim"),
     )
+
+
+def fisher_ratio(vecs: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension Fisher discriminant ratio — between-class variance
+    of the label means over mean within-class variance:
+
+        F_d = Var_labels(μ_{l,d}) / mean_labels(σ²_{l,d})
+
+    the dimension-level "does this axis separate the labels at all"
+    score (the diagonal ingredient of LDA).  Near-0 dimensions carry no
+    label signal and are pruning candidates.  Returns
+    (dim, between_var, within_var, fisher).
+
+    Scale shape: posexplode → ONE (label, dim) hash aggregate
+    (|labels|·|dims| combiner cells), then the ratio runs on that tiny
+    table — raw vectors are scanned once.
+    """
+    ex = vecs.select(
+        F.col(label_col).alias("l"), F.posexplode(vec_col).alias("dim", "v")
+    )
+    cell = ex.groupBy("l", "dim").agg(
+        F.avg("v").alias("mu"), F.var_samp("v").alias("s2")
+    )
+    agg = cell.groupBy("dim").agg(
+        F.var_samp("mu").alias("between_var"),
+        F.avg("s2").alias("within_var"),
+    )
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round("between_var", 6).alias("between_var"),
+        F.round("within_var", 6).alias("within_var"),
+        F.round(
+            F.when(F.col("within_var") > 0, F.col("between_var") / F.col("within_var")),
+            6,
+        ).alias("fisher"),
+    )

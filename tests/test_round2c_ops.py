@@ -756,3 +756,37 @@ def test_wilson_small_sample_honesty(spark):
     assert got[200].is_elevated
     assert not got[0].is_elevated
     assert got[200].wilson_low < got[200].rate < got[200].wilson_high
+
+
+def test_fisher_ratio_discriminative_dimension(spark):
+    from leidenalg_spark.operators.similarity import fisher_ratio
+
+    rows = []
+    # dim 0 separates labels (0 vs 10), dim 1 is pure jitter
+    for i in range(20):
+        lab = i % 2
+        rows.append((i, [lab * 10.0 + (i % 5) * 0.1, (i % 7) * 0.1], lab))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r.dim: r for r in fisher_ratio(vecs).collect()}
+    assert got[0].fisher > 100        # planted separation dominates jitter
+    assert got[1].fisher < 5          # no label signal
+
+
+def test_hhi_single_actor_dominance(spark):
+    from leidenalg_spark.operators.events import hhi_concentration
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 'spread': 10 actors x 1 event; 'bot': one actor with 9 events + 1 other
+    for u in range(10):
+        rows.append((eid, t0, u, "spread", 0.0, "{}")); eid += 1
+    for _ in range(9):
+        rows.append((eid, t0, 99, "bot", 0.0, "{}")); eid += 1
+    rows.append((eid, t0, 1, "bot", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.event_type: r for r in hhi_concentration(ev).collect()}
+    assert got["spread"].hhi == 0.1 and got["spread"].effective_actors == 10.0
+    assert got["bot"].hhi == 0.82  # 0.9^2 + 0.1^2
