@@ -1657,6 +1657,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ngram_novelty(_documents(spark, sf), n=3).orderBy("doc_id")
 
+    def q_activity_heatmap(spark, sf):
+        # weekday x hour load shape with corpus share per cell
+        from leidenalg_spark.operators.events import activity_heatmap
+
+        return activity_heatmap(_events(spark, sf)).orderBy("dow", "hour")
+
     def q_fisher_ratio(spark, sf):
         # per-dimension Fisher discriminant of the labelled embeddings
         from leidenalg_spark.operators.similarity import fisher_ratio
@@ -2099,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilson_error_rates": q_wilson_error_rates,
         "fisher_ratio": q_fisher_ratio,
         "hhi_concentration": q_hhi_concentration,
+        "activity_heatmap": q_activity_heatmap,
         "quality_moddensity": q_quality_moddensity,
         "collective_influence": q_collective_influence,
         "markov_accuracy": q_markov_accuracy,
@@ -4809,6 +4816,17 @@ mem AS (SELECT l, a AS v FROM me UNION ALL SELECT l, b FROM me),
 cm AS (SELECT l, MIN(v) AS community FROM mem GROUP BY l)
 SELECT DISTINCT CAST(v AS BIGINT) AS id, CAST(community AS BIGINT) AS community
 FROM mem JOIN cm USING (l) ORDER BY id, community
+"""
+    sqls["activity_heatmap"] = """
+WITH ahc AS (
+  SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+         CAST(date_part('hour', ts) AS INT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+aht AS (SELECT SUM(n) AS nt FROM ahc)
+SELECT dow, hour, n, ROUND(n * 1.0 / nt, 6) AS share
+FROM ahc CROSS JOIN aht ORDER BY dow, hour
 """
     sqls["fisher_ratio"] = """
 WITH fex AS (

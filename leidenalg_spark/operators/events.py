@@ -1395,3 +1395,23 @@ def hhi_concentration(
             F.round(1.0 / hhi, 6).alias("effective_actors"),
         )
     )
+
+
+def activity_heatmap(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Weekday × hour activity heatmap: counts and corpus share per
+    (dow, hour) cell — the load-shape table behind every capacity /
+    on-call staffing chart, and the quickest tz-misconfiguration
+    detector (a "nocturnal" corpus usually means wrong timezone).
+    dow is 0=Sunday..6=Saturday.  Returns (dow, hour, n, share).
+
+    Scale shape: one 168-cell hash aggregate; the share divides by a
+    broadcast 1-row total.
+    """
+    cell = df.groupBy(
+        (F.dayofweek(F.col(ts_col)) - 1).cast("int").alias("dow"),
+        F.hour(F.col(ts_col)).cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cell.agg(F.sum("n").alias("nt"))
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "dow", "hour", "n", F.round(F.col("n") / F.col("nt"), 6).alias("share")
+    )
