@@ -5029,8 +5029,11 @@ def edge_embeddedness(spark, edges: DataFrame) -> DataFrame:
         edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    t = triangles_sorted(spark, edges)
+    t = triangles_sorted(
+        spark, und.select(F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight"))
+    )
     sides = (
         t.select(F.col("x").alias("a"), F.col("y").alias("b"))
         .unionByName(t.select(F.col("x").alias("a"), F.col("z").alias("b")))
@@ -5135,6 +5138,7 @@ def graphlet_orbits3(spark, edges: DataFrame) -> DataFrame:
         edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     degs = cc.select(F.col("id").alias("b"), F.col("degree").alias("deg_b"))
@@ -5555,12 +5559,16 @@ def disparity_backbone(spark, edges: DataFrame, alpha: float = 0.05) -> DataFram
     join, no iteration; THE cheap pre-pass before any triangle-family
     kernel on a dense weighted graph.
     """
+    # materialise the canonical weighted edge table ONCE: it feeds the
+    # degree/strength aggregate and both endpoint joins — without this
+    # the upstream build (here: the co-activity pair join) replays 3x
     und = (
         edges.groupBy(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .agg(F.sum("weight").alias("w"))
         .where(F.col("a") != F.col("b"))
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("id"), "w")
