@@ -5355,6 +5355,15 @@ def bridges(spark, edges: DataFrame, max_depth: int = 32) -> DataFrame:
         tree.append(nxt)
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("id")
+    # coverage guard: an unvisited vertex (diameter > max_depth) would
+    # silently dump its tree edges into the non-tree set and corrupt the
+    # cycle labels — refuse instead of misclassifying
+    n_unvisited = comp.count() - visited.count()
+    if n_unvisited > 0:
+        raise ValueError(
+            f"bridges: BFS forest left {n_unvisited} vertices uncovered "
+            f"within max_depth={max_depth}; raise max_depth"
+        )
     tree_pairs = (
         visited.where(F.col("parent").isNotNull())
         .select(F.least("id", "parent").alias("a"), F.greatest("id", "parent").alias("b"))
