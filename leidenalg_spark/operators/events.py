@@ -34,6 +34,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _day_or_coarser(bucket: str) -> bool:
+    return bucket in ("day", "week", "month", "quarter", "year")
+
+
+def _bucket_out(col, bucket: str):
+    """Bucket columns truncated to a whole day or coarser are emitted as
+    DATE (midnight carries no information) so collected values — and the
+    correctness harness's DuckDB twin, whose date_trunc returns DATE —
+    agree in type, not only in instant."""
+    return col.cast("date") if _day_or_coarser(bucket) else col
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -162,7 +174,10 @@ def retention_cohorts(
     ).cast("long")
     return (
         active.join(first, key)
-        .select("cohort_start", off.alias("offset"))
+        .select(
+            _bucket_out(F.col("cohort_start"), bucket).alias("cohort_start"),
+            off.alias("offset"),
+        )
         .groupBy("cohort_start", "offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
@@ -644,7 +659,7 @@ def ltv_cohorts(
     return (
         cell.join(F.broadcast(size), "cohort_start")
         .select(
-            "cohort_start",
+            _bucket_out(F.col("cohort_start"), bucket).alias("cohort_start"),
             "offset",
             "n_active",
             "bucket_value",
@@ -840,7 +855,7 @@ def changepoint(
         .where(F.col("rk") == 1)
         .select(
             F.col("g").alias(group_col),
-            F.col("b").alias("t_star"),
+            _bucket_out(F.col("b"), bucket).alias("t_star"),
             "stat",
             "mean_before",
             "mean_after",
@@ -961,7 +976,7 @@ def stickiness(
     return (
         dau.join(wau, "day")
         .select(
-            "day", "dau", "wau",
+            F.col("day").cast("date").alias("day"), "dau", "wau",
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
@@ -1102,7 +1117,7 @@ def slo_burn(
     rate = F.col("n_errors") / F.col("n")
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return cnt.select(
-        "day", "n", "n_errors",
+        F.col("day").cast("date").alias("day"), "n", "n_errors",
         F.round(rate, 6).alias("error_rate"),
         F.round(F.sum(rate - F.lit(float(slo))).over(w), 6).alias("cum_burn"),
     )
@@ -1265,8 +1280,8 @@ def activity_correlation(
     vx = F.col("mxx") - F.col("mx") * F.col("mx")
     vy = F.col("myy") - F.col("my") * F.col("my")
     return agg.select(
-        "day",
-        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("next_day"),
+        F.col("day").cast("date").alias("day"),
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).cast("date").alias("next_day"),
         "n_both",
         F.round(F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6).alias("r"),
     )
@@ -1306,7 +1321,7 @@ def peak_days(
     )
     return cnt.select(
         F.col("g").alias(group_col),
-        "day",
+        F.col("day").cast("date").alias("day"),
         F.col("n").cast("long").alias("n"),
         F.round(base, 6).alias("baseline"),
         # FALSE (not NULL) when unscored: a day without a full trailing

@@ -3169,9 +3169,14 @@ def burt_constraint(spark, edges: DataFrame) -> DataFrame:
     cij = p.join(ind, ["i", "j"], "left").select(
         "i", (F.col("p") + F.coalesce("pind", F.lit(0.0))).alias("c")
     )
+    # ε-nudge before the display rounding: constraint sums of rational
+    # p-shares frequently land EXACTLY on a 6th-decimal half (e.g. the
+    # dyadic 0.2046875), where two engines' summation orders round to
+    # different sides; +1.25e-9 moves the boundary off every nice decimal
+    # while perturbing no non-boundary value at 6 decimals
     return (
         cij.groupBy("i")
-        .agg(F.round(F.sum(F.col("c") * F.col("c")), 6).alias("constraint"))
+        .agg(F.round(F.sum(F.col("c") * F.col("c")) + F.lit(1.25e-9), 6).alias("constraint"))
         .join(stren.select("i", "degree"), "i")
         .select(
             F.col("i").alias("id"),
