@@ -52,6 +52,28 @@ def build_transcript_graph(spark, sf: float, seed=42):
     return edges, m
 
 
+def _prewarm_python_workers(spark):
+    """Spawn one Arrow Python worker per core before any timed query.
+
+    The first Python-UDF stage in a session pays a per-worker spawn cost
+    that grows with the JVM's resident set (~0.5s/worker after a large
+    cached run vs ~0.1s on a fresh JVM, and the spawns serialise) — a
+    one-time session tax, not engine throughput.  Workers are reused for
+    the rest of the session, so one throwaway mapInPandas here removes a
+    10-45s artifact from whichever timed query happens to touch Python
+    first (the Leiden refinement stage, in bench order)."""
+    from pyspark.sql import functions as F
+
+    n = spark.sparkContext.defaultParallelism
+
+    def _ident(batches):
+        for b in batches:
+            yield b
+
+    (spark.range(n).repartition(n, "id")
+     .mapInPandas(_ident, "id long").count())
+
+
 def run_queries(spark, sf_dir: str) -> dict:
     """Headline per-query wall-clock seconds."""
     from pyspark.sql import functions as F
@@ -78,6 +100,7 @@ def run_queries(spark, sf_dir: str) -> dict:
     # iterative kernels run first and were swinging +-50% run to run)
     leiden(spark, edges.limit(20_000), method="modularity", n_iterations=1,
            seed=1, local_threshold=0, max_supersteps=1, finish=False)
+    _prewarm_python_workers(spark)
 
     def leiden_supersteps():
         res = leiden(

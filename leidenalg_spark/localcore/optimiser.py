@@ -131,8 +131,177 @@ def _candidates(P, v, comms_neigh, mode, rng, allow_empty):
     return np.unique(cands)
 
 
+# methods whose ΔQ is pure +-*/ arithmetic: the scalar fast path below is
+# bit-identical to the vectorised one for these (no libm calls, whose NumPy
+# SIMD kernels may differ from math.* in the last ulp)
+_FAST_METHODS = frozenset({"modularity", "rbconfiguration", "rber", "cpm"})
+
+
+def _pp_s(n, directed, csl):
+    """Scalar twin of quality.possible_pairs (same op order)."""
+    p = n * n / 2.0 if csl else n * (n - 1.0) / 2.0
+    return p * 2.0 if directed else p
+
+
+def _best_move_fast(P, v, opts, constrained, allow_empty):
+    """Scalar fast path of :func:`_best_move` for the dominant case:
+    single layer, ALL_NEIGH_COMMS, linear-family method, no size
+    constraints.  Bit-identical to the vectorised path — the gather
+    accumulates per community in neighbour order (np.bincount's
+    accumulation order), every ΔQ expression mirrors
+    ``QualitySpec.comm_contrib`` term for term (IEEE doubles, same op
+    order), and the arg-max keeps the first (lowest-id) strict maximum,
+    the lexsort tie-break.  At degree ~10 each vertex visit costs ~30
+    small-array NumPy calls in the vectorised path, all dominated by
+    dispatch overhead; plain dict/float arithmetic is ~5x faster end to
+    end, which matters because this loop IS the single-node engine (every
+    coarse finish of the distributed Leiden, every sub-threshold graph).
+    """
+    g = P.graphs[0]
+    spec = P.specs[0]
+    lw = float(P.layer_weights[0])
+    mvec = P.membership
+    a = int(mvec[v])
+    lo, hi = int(g.adj_ptr[v]), int(g.adj_ptr[v + 1])
+    nbr = g.adj_nbr[lo:hi]
+    directed = g.directed
+    cl = mvec[nbr].tolist()
+    wo_l = g.adj_wout[lo:hi].tolist()
+    acc_o = {}
+    acc_i = {} if directed else None
+    if constrained is None:
+        for j, c in enumerate(cl):
+            acc_o[c] = acc_o.get(c, 0.0) + wo_l[j]
+        if directed:
+            wi_l = g.adj_win[lo:hi].tolist()
+            for j, c in enumerate(cl):
+                acc_i[c] = acc_i.get(c, 0.0) + wi_l[j]
+    else:
+        keep = (constrained[nbr] == constrained[v]).tolist()
+        for j, c in enumerate(cl):
+            if keep[j]:
+                acc_o[c] = acc_o.get(c, 0.0) + wo_l[j]
+        if directed:
+            wi_l = g.adj_win[lo:hi].tolist()
+            for j, c in enumerate(cl):
+                if keep[j]:
+                    acc_i[c] = acc_i.get(c, 0.0) + wi_l[j]
+    cands = sorted(acc_o)
+    if allow_empty and P.count_c[a] > 1:
+        import bisect
+
+        bisect.insort(cands, P.empty_slot())
+    if not cands:
+        return None, 0.0
+
+    # v's weight to its own community — same sources as the vectorised
+    # path: the gathered row when present, the full-neighbour scan when a
+    # constrained gather excluded it, literal 0.0 when v simply has no
+    # neighbours in a (what _weight_to would return, at no cost)
+    if a in acc_o:
+        w_va = acc_o[a] + acc_i[a] if directed else acc_o[a]
+    elif constrained is not None:
+        w_va = float(P._weight_to(v, a, 0))
+    else:
+        w_va = 0.0
+
+    w_in, ko_c, ki_c, ns_c = P.w_in[0], P.kout_c[0], P.kin_c[0], P.nsize_c[0]
+    loop = float(g.self_loop[v])
+    kvo, kvi = float(g.k_out[v]), float(g.k_in[v])
+    sv = float(g.node_size[v])
+    W = g.total_weight
+    method, gamma, csl = spec.method, spec.gamma, spec.correct_self_loops
+
+    # the gathered per-community weights double as the move administration's
+    # inputs (partition.move reuses them through this hint instead of
+    # re-scanning v's adjacency) — only valid unfiltered, i.e. unconstrained
+    P._gather_hint = (v, acc_o, acc_i) if constrained is None else None
+
+    # per-method inlined candidate loops — scalar twins of
+    # QualitySpec.comm_contrib with identical op order (bit-identical to
+    # the vectorised path); inlining skips a closure call and the unused
+    # stat fetches per candidate, the hot ~30% of this function
+    best_c, best_dq = None, 0.0
+    if method == "modularity" or method == "rbconfiguration":
+        if W <= 0:
+            return None, 0.0
+        wa, koa = float(w_in[a]), float(ko_c[a])
+        if method == "modularity":
+            if directed:
+                kia = float(ki_c[a])
+                a_term = ((wa - w_va - loop) / W - ((koa - kvo) * (kia - kvi)) / (W * W)) \
+                    - (wa / W - (koa * kia) / (W * W))
+            else:
+                a_term = ((wa - w_va - loop) / W - ((koa - kvo) * (koa - kvo)) / (4.0 * W * W)) \
+                    - (wa / W - (koa * koa) / (4.0 * W * W))
+        else:
+            if directed:
+                kia = float(ki_c[a])
+                a_term = ((wa - w_va - loop) - gamma * ((koa - kvo) * (kia - kvi)) / W) \
+                    - (wa - gamma * (koa * kia) / W)
+            else:
+                a_term = ((wa - w_va - loop) - gamma * ((koa - kvo) * (koa - kvo)) / (4.0 * W)) \
+                    - (wa - gamma * (koa * koa) / (4.0 * W))
+        W2 = W * W
+        for c in cands:
+            if c == a:
+                continue
+            rm = acc_o.get(c, 0.0) + acc_i.get(c, 0.0) if directed else acc_o.get(c, 0.0)
+            wb, kob = float(w_in[c]), float(ko_c[c])
+            if method == "modularity":
+                if directed:
+                    kib = float(ki_c[c])
+                    gb = ((wb + rm + loop) / W - ((kob + kvo) * (kib + kvi)) / W2) \
+                        - (wb / W - (kob * kib) / W2)
+                else:
+                    gb = ((wb + rm + loop) / W - ((kob + kvo) * (kob + kvo)) / (4.0 * W2)) \
+                        - (wb / W - (kob * kob) / (4.0 * W2))
+            else:
+                if directed:
+                    kib = float(ki_c[c])
+                    gb = ((wb + rm + loop) - gamma * ((kob + kvo) * (kib + kvi)) / W) \
+                        - (wb - gamma * (kob * kib) / W)
+                else:
+                    gb = ((wb + rm + loop) - gamma * ((kob + kvo) * (kob + kvo)) / (4.0 * W)) \
+                        - (wb - gamma * (kob * kob) / (4.0 * W))
+            dq = lw * (a_term + gb)
+            if best_c is None or dq > best_dq:
+                best_c, best_dq = c, dq
+    else:  # rber / cpm: only (w, n) enter the contribution
+        if method == "rber":
+            pt = _pp_s(g.total_size, directed, csl)
+            coef = gamma * (W / pt if pt > 0 else 0.0)
+        else:
+            coef = gamma
+        nsa = float(ns_c[a])
+        wa = float(w_in[a])
+        a_term = ((wa - w_va - loop) - coef * _pp_s(nsa - sv, directed, csl)) \
+            - (wa - coef * _pp_s(nsa, directed, csl))
+        for c in cands:
+            if c == a:
+                continue
+            rm = acc_o.get(c, 0.0) + acc_i.get(c, 0.0) if directed else acc_o.get(c, 0.0)
+            wb, nsb = float(w_in[c]), float(ns_c[c])
+            gb = ((wb + rm + loop) - coef * _pp_s(nsb + sv, directed, csl)) \
+                - (wb - coef * _pp_s(nsb, directed, csl))
+            dq = lw * (a_term + gb)
+            if best_c is None or dq > best_dq:
+                best_c, best_dq = c, dq
+    if best_c is not None and best_dq > EPSQ:
+        return int(best_c), float(best_dq)
+    return None, 0.0
+
+
 def _best_move(P, v, mode, rng, opts, constrained, allow_empty):
     """Evaluate candidates for v; return (best_comm, gain) or (None, 0)."""
+    if (
+        mode == ALL_NEIGH_COMMS
+        and len(P.graphs) == 1
+        and P.specs[0].method in _FAST_METHODS
+        and not opts.min_comm_size
+        and not opts.max_comm_size
+    ):
+        return _best_move_fast(P, v, opts, constrained, allow_empty)
     comms, wouts, wins = P.gather(v, constrained)
     cands = _candidates(P, v, comms, mode, rng, allow_empty)
     if constrained is not None and mode != ALL_NEIGH_COMMS:
@@ -185,6 +354,7 @@ def move_nodes(P, is_membership_fixed=None, consider_comms=ALL_NEIGH_COMMS, opts
             for u in nbr[(P.membership[nbr] != b) & ~in_queue[nbr] & ~fixed[nbr]]:
                 queue.append(int(u))
                 in_queue[u] = True
+    P._gather_hint = None  # nothing may linger past the optimisation pass
     return total
 
 
@@ -203,6 +373,7 @@ def merge_nodes(P, is_membership_fixed=None, consider_comms=ALL_NEIGH_COMMS, opt
         if b is not None:
             P.move(v, b)
             total += gain
+    P._gather_hint = None  # nothing may linger past the optimisation pass
     return total
 
 

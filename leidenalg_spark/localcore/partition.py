@@ -76,7 +76,9 @@ class LocalPartition:
             internal = m[g.src] == m[g.dst]
             np.add.at(self.w_in[i], m[g.src[internal]], g.weight[internal])
         self.free_slots = [c for c in range(self.cap) if self.count_c[c] == 0]
-        # per-layer global sums for Surprise (O(1) diffs)
+        # per-layer global sums for Surprise (O(1) diffs); only Surprise
+        # reads them, so moves skip the 4-possible_pairs update otherwise
+        self._track_pairs = any(s.method == "surprise" for s in self.specs)
         self._refresh_global_sums()
 
     def _refresh_global_sums(self):
@@ -239,6 +241,24 @@ class LocalPartition:
         b = int(b)
         if a == b:
             return
+        # gather reuse: the optimiser's scalar fast path stashes v's
+        # per-community weights (unconstrained gathers only) so the
+        # administration update skips a second adjacency scan
+        hint = getattr(self, "_gather_hint", None)
+        if hint is not None and hint[0] == v and len(self.graphs) == 1:
+            self._gather_hint = None  # one-shot: stale hints must never apply
+            acc_o, acc_i = hint[1], hint[2]
+            g = self.graphs[0]
+            w_va_o = acc_o.get(a, 0.0)
+            w_vb_o = acc_o.get(b, 0.0)
+            if g.directed:
+                w_va_i, w_vb_i = acc_i.get(a, 0.0), acc_i.get(b, 0.0)
+                rm_a, add_b = w_va_o + w_va_i, w_vb_o + w_vb_i
+            else:
+                rm_a, add_b = w_va_o, w_vb_o
+            self._apply_layer_move(0, g, v, a, b, rm_a, add_b)
+            self._finish_move(v, a, b)
+            return
         for i, g in enumerate(self.graphs):
             nbr, wo, wi = g.neighbours(v)
             c = self.membership[nbr]
@@ -250,6 +270,12 @@ class LocalPartition:
                 rm_a, add_b = w_va_o + w_va_i, w_vb_o + w_vb_i
             else:
                 rm_a, add_b = w_va_o, w_vb_o
+            self._apply_layer_move(i, g, v, a, b, rm_a, add_b)
+        self._finish_move(v, a, b)
+
+    def _apply_layer_move(self, i, g, v, a, b, rm_a, add_b):
+        loop = g.self_loop[v]
+        if self._track_pairs:
             pp = lambda x: possible_pairs(x, g.directed, self.specs[i].correct_self_loops)
             self.sum_pairs[i] += (
                 pp(self.nsize_c[i, a] - g.node_size[v])
@@ -257,15 +283,17 @@ class LocalPartition:
                 + pp(self.nsize_c[i, b] + g.node_size[v])
                 - pp(self.nsize_c[i, b])
             )
-            self.w_in[i, a] -= rm_a + loop
-            self.w_in[i, b] += add_b + loop
-            self.sum_w_in[i] += add_b - rm_a
-            self.kout_c[i, a] -= g.k_out[v]
-            self.kout_c[i, b] += g.k_out[v]
-            self.kin_c[i, a] -= g.k_in[v]
-            self.kin_c[i, b] += g.k_in[v]
-            self.nsize_c[i, a] -= g.node_size[v]
-            self.nsize_c[i, b] += g.node_size[v]
+        self.w_in[i, a] -= rm_a + loop
+        self.w_in[i, b] += add_b + loop
+        self.sum_w_in[i] += add_b - rm_a
+        self.kout_c[i, a] -= g.k_out[v]
+        self.kout_c[i, b] += g.k_out[v]
+        self.kin_c[i, a] -= g.k_in[v]
+        self.kin_c[i, b] += g.k_in[v]
+        self.nsize_c[i, a] -= g.node_size[v]
+        self.nsize_c[i, b] += g.node_size[v]
+
+    def _finish_move(self, v, a, b):
         self.count_c[a] -= 1
         self.count_c[b] += 1
         self.csize_c[a] -= self.constraint_size[v]
@@ -278,6 +306,7 @@ class LocalPartition:
     def set_membership(self, membership):
         """Overwrite membership and refresh the administration (reference
         ``set_membership``, VertexPartition.py:104-107)."""
+        self._gather_hint = None
         self.membership = np.asarray(membership, dtype=np.int64).copy()
         self._init_stats()
 
