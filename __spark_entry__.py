@@ -278,6 +278,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_neardup_jaccard(spark, sf):
         return D.ngram_jaccard_pairs(_documents(spark, sf), n=3, threshold=0.1)
 
+    def q_jaccard_prefix(spark, sf):
+        # lossless prefix-filtered exact Jaccard join (PPJoin-family);
+        # oracle = the uncapped exact join at the same threshold
+        return D.jaccard_prefix_pairs(_documents(spark, sf), n=3, threshold=0.1)
+
+    def q_hard_negatives(spark, sf):
+        emb = _embeddings(spark, sf)
+        anchors = emb.where(F.col("vec_id") < 8)
+        return S.hard_negatives(emb, anchors, k=5)
+
+    def q_k_anonymity(spark, sf):
+        from leidenalg_spark.operators.sampling import k_anonymity
+
+        return k_anonymity(_documents(spark, sf), ["source", "lang"], k=5)
+
+    def q_calibration(spark, sf):
+        # calibrate a pseudo-scorer: min-max-normalised event value as the
+        # predicted probability that the event is a purchase
+        from leidenalg_spark.operators.events import calibration_curve
+
+        ev = _events(spark, sf)
+        mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        scored = ev.crossJoin(F.broadcast(mm)).select(
+            ((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias("score"),
+            (F.col("event_type") == "purchase").cast("int").alias("label"),
+        )
+        return calibration_curve(scored, bins=10).orderBy("bin")
+
     def q_training_set(spark, sf):
         # the composed corpus filter: dedup keeper AND lang=en AND
         # quality>=0.5 AND not contaminated by the every-17th benchmark
@@ -2182,6 +2210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "neardup_jaccard": q_neardup_jaccard,
+        "jaccard_prefix": q_jaccard_prefix,
+        "hard_negatives": q_hard_negatives,
+        "k_anonymity": q_k_anonymity,
+        "calibration_curve": q_calibration,
         "neardup_dedup": q_neardup_dedup,
         "pmi_cooccurrence": q_pmi_cooccurrence,
         "textrank": q_textrank,
@@ -5675,6 +5707,52 @@ SELECT sh.doc_id,
        ROUND(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS novelty
 FROM sh JOIN firsts f USING (shingle)
 GROUP BY sh.doc_id ORDER BY sh.doc_id
+"""
+    sqls["jaccard_prefix"] = f"""
+WITH {shingle_cte},
+psizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pinter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS i
+  FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM pinter JOIN psizes sa ON pinter.a = sa.doc_id JOIN psizes sb ON pinter.b = sb.doc_id
+WHERE ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) >= 0.1
+"""
+    sqls["hard_negatives"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         list_sum(list_transform(list_zip(q.qv, e.embedding),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cs
+  FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlab
+)
+SELECT query_id, neighbor_id, neighbor_label, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, neighbor_label, ROUND(cs, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY ROUND(cs, 6) DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+    sqls["k_anonymity"] = """
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS class_size,
+       COUNT(*) >= 5 AS meets_k
+FROM documents GROUP BY source, lang
+"""
+    sqls["calibration_curve"] = """
+WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+cs AS (SELECT (value - lo) / (hi - lo) AS score,
+              CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+       FROM events CROSS JOIN mm),
+cb AS (SELECT GREATEST(LEAST(CAST(FLOOR(score * 10) AS INT), 9), 0) AS bin, score, y FROM cs)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(score), 6) AS mean_score,
+       ROUND(AVG(y), 6) AS pos_rate,
+       ROUND(ABS(AVG(score) - AVG(y)), 6) AS abs_gap
+FROM cb GROUP BY bin ORDER BY bin
 """
     sqls.update(_kernel_oracles())
     return sqls

@@ -525,3 +525,83 @@ def containment_pairs(
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
     return out
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame, n=3, threshold=0.8, col="text"
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard join via prefix filtering — the
+    PPJoin-family technique (Chaudhuri et al., "A Primitive Operator for
+    Similarity Joins"; Xiao et al., "Efficient Similarity Joins for Near
+    Duplicate Detection"): order every doc's shingles by ascending global
+    frequency (rarest first) and keep only the first
+    ``|x| - ceil(t*|x|) + 1`` as its *prefix*.  ``J(x,y) >= t`` forces
+    ``|x n y| >= ceil(t*|x|)``, and x's suffix holds only
+    ``ceil(t*|x|) - 1`` shingles — so at least one COMMON shingle sits in
+    x's prefix (pigeonhole), and probing the prefixes against the full
+    inverted list finds every qualifying pair.  The hub shingles that
+    make :func:`ngram_jaccard_pairs` quadratic are exactly the ones
+    frequency ordering pushes OUT of the prefixes, so a hub bucket costs
+    ``prefix_freq x full_freq`` with a near-zero prefix side instead of
+    ``full_freq**2``.  Unlike the ``max_shingle_freq`` cap this is
+    LOSSLESS: output equals the uncapped exact join.
+
+    Returns (a, b, jaccard), a < b, jaccard rounded to 6.
+
+    Scale shape: one frequency aggregate, one per-doc window to rank
+    shingles (hash-partitioned by doc), the prefix-vs-list equality join,
+    then intersection counting restricted to candidate pairs —
+    candidates x doc-size rows, never |bucket|² of a hub shingle.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(docs, n, col).persist()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("f"), F.asc("shingle"))
+            ),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    t = float(threshold)
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .where(F.col("r") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
+        .select("doc_id", "shingle")
+    )
+    pa = prefix.select(F.col("doc_id").alias("p"), "shingle")
+    full_b = sh.select(F.col("doc_id").alias("q"), "shingle")
+    cand = (
+        pa.join(full_b, "shingle")
+        .where(F.col("p") != F.col("q"))
+        .select(
+            F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+        )
+        .distinct()
+    )
+    # intersection sizes for CANDIDATES only: expand each candidate pair by
+    # a's full shingle set, probe b's — sum(|a|) over candidates, linear
+    sh_a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(sh_a, "a")
+        .join(sh_b, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    out = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out

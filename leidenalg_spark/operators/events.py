@@ -1430,3 +1430,49 @@ def activity_heatmap(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return cell.crossJoin(F.broadcast(tot)).select(
         "dow", "hour", "n", F.round(F.col("n") / F.col("nt"), 6).alias("share")
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability curve for a probabilistic scorer (the quality-filter /
+    toxicity / dedup-confidence models a training pipeline gates on):
+    bucket predictions into ``bins`` equal-width score bins over [0, 1]
+    and report, per bin, the count, mean predicted score, and observed
+    positive rate — plus the bin's |gap|, whose count-weighted average is
+    the Expected Calibration Error (Guo et al. 2017).  A well-calibrated
+    filter has pos_rate ~ mean_score in every bin; systematic gaps mean
+    the gating threshold does not mean what it says.
+
+    Returns (bin, n, mean_score, pos_rate, abs_gap), bin = 0..bins-1;
+    ECE = sum(n * abs_gap) / sum(n) downstream.
+
+    Scale shape: one projection + one ``bins``-ary hash aggregate
+    (map-side combinable); no windows, no joins.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * bins).cast("int"), F.lit(int(bins) - 1)
+    )
+    b = F.greatest(b, F.lit(0))
+    agg = (
+        df.select(
+            b.alias("bin"),
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("double").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg("s").alias("ms"),
+            F.avg("y").alias("pr"),
+        )
+    )
+    return agg.select(
+        "bin", "n",
+        F.round(F.col("ms"), 6).alias("mean_score"),
+        F.round(F.col("pr"), 6).alias("pos_rate"),
+        F.round(F.abs(F.col("ms") - F.col("pr")), 6).alias("abs_gap"),
+    )

@@ -330,3 +330,33 @@ def balance_labels(
     return ranked.where(F.col("rk") <= F.col("n_min")).select(
         id_col, label_col, F.col("rk").cast("long").alias("rk")
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols, k: int = 5
+) -> DataFrame:
+    """k-anonymity profile over a set of quasi-identifier columns
+    (Sweeney 2002): group rows by their quasi-identifier combination and
+    report every equivalence class with its size and whether it meets
+    the ``k`` bar — the standard release-safety audit before a dataset
+    (or a training corpus's metadata) leaves a trust boundary.  A class
+    below ``k`` means those rows are re-identifiable by linking the
+    quasi-identifiers alone.
+
+    Returns one row per equivalence class:
+    (*quasi_cols, class_size, meets_k) — the share of at-risk ROWS is
+    ``sum(class_size where !meets_k) / sum(class_size)`` downstream.
+
+    Scale shape: ONE hash aggregate over the quasi columns (map-side
+    partial agg); no joins, no windows.
+    """
+    quasi = list(quasi_cols)
+    return (
+        df.groupBy(*quasi)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            *quasi,
+            F.col("class_size").cast("long").alias("class_size"),
+            (F.col("class_size") >= k).alias("meets_k"),
+        )
+    )

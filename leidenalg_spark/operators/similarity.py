@@ -1156,3 +1156,50 @@ def fisher_ratio(vecs: DataFrame, label_col: str = "label", vec_col: str = "embe
             6,
         ).alias("fisher"),
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / metric-learning training
+    sets: for every query (anchor) vector, the top-k most-similar vectors
+    carrying a DIFFERENT label — the negatives closest to the decision
+    boundary, which dominate the gradient signal in triplet/InfoNCE
+    losses (Schroff et al., FaceNet; common retrieval practice).
+
+    Returns (query_id, neighbor_id, neighbor_label, cos_sim, rank),
+    rank 1..k per query, deterministic ties (cos desc, neighbor_id asc).
+
+    Scale shape: anchors arrive per training batch, so the query side is
+    small and broadcast — one scan of the corpus, JVM-side ``F.aggregate``
+    dot products, a bounded per-anchor window.  For whole-corpus mining
+    route the corpus through :func:`lsh_bucket_ids` and run this within
+    buckets, trading recall for the linear shuffle (same trade as
+    :func:`lsh_cosine_topk`).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlab"),
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col("qlab") != F.col("neighbor_label"))
+        .select(
+            "query_id", "neighbor_id", "neighbor_label",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -743,3 +743,88 @@ def test_bigram_lm_score_goldens(spark):
     assert got[1].n_tokens == 6
     # perplexity really is exp(-mean_logp)
     assert abs(got[1].perplexity - math.exp(-got[1].mean_logp)) < 1e-5
+
+
+# ---------------------------------------------------------- round-2 additions
+def test_jaccard_prefix_equals_uncapped_exact_join(spark, docs):
+    """Prefix filtering is LOSSLESS: output == the uncapped exact join at
+    the same threshold (same pairs, same rounded jaccard values)."""
+    for t in (0.3, 0.8):
+        exact = {
+            (r.a, r.b): r.jaccard
+            for r in D.ngram_jaccard_pairs(
+                docs, n=3, threshold=t, max_shingle_freq=None
+            ).collect()
+        }
+        pref = {
+            (r.a, r.b): r.jaccard
+            for r in D.jaccard_prefix_pairs(docs, n=3, threshold=t).collect()
+        }
+        assert pref == exact and len(exact) > 0
+
+
+def test_jaccard_prefix_hub_shingle_no_spurious_pairs(spark):
+    """A shingle shared by EVERY doc lands at the end of the frequency
+    order (outside most prefixes) and must neither create spurious pairs
+    nor lose the planted near-dup."""
+    hub = "common common common"
+    rows = [
+        (0, f"alpha beta gamma delta epsilon {hub}"),
+        (1, f"alpha beta gamma delta zeta {hub}"),       # near-dup of 0
+        (2, f"one two three four five {hub}"),
+        (3, f"six seven eight nine ten {hub}"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a, r.b): r.jaccard for r in D.jaccard_prefix_pairs(d, n=3, threshold=0.3).collect()}
+    exact = {
+        (r.a, r.b): r.jaccard
+        for r in D.ngram_jaccard_pairs(d, n=3, threshold=0.3, max_shingle_freq=None).collect()
+    }
+    assert got == exact
+    assert (0, 1) in got and all(p == (0, 1) for p in got)
+
+
+def test_hard_negatives_planted_geometry(spark):
+    """Anchor [1,0,0,0]: nearest same-label vec must NOT appear; the
+    nearest different-label vec must be rank 1."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # anchor
+        (1, [0.99, 0.14, 0.0, 0.0], 0),  # same label, closest overall
+        (2, [0.9, 0.43, 0.0, 0.0], 1),   # different label, closest negative
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = S.hard_negatives(emb, emb.where(F.col("vec_id") == 0), k=3).collect()
+    assert all(r.query_id == 0 for r in out)
+    assert all(r.neighbor_label != 0 for r in out)       # no same-label rows
+    ranks = {r.rank: r.neighbor_id for r in out}
+    assert ranks[1] == 2 and ranks[2] == 3 and ranks[3] == 4
+    assert len(out) == 3
+
+
+def test_k_anonymity_class_sizes(spark):
+    from leidenalg_spark.operators.sampling import k_anonymity
+
+    rows = [(i, "a", "en") for i in range(5)] + [(9, "a", "de"), (10, "b", "en"), (11, "b", "en")]
+    df = spark.createDataFrame(rows, "id long, source string, lang string")
+    got = {(r.source, r.lang): (r.class_size, r.meets_k) for r in k_anonymity(df, ["source", "lang"], k=3).collect()}
+    assert got == {("a", "en"): (5, True), ("a", "de"): (1, False), ("b", "en"): (2, False)}
+
+
+def test_calibration_curve_perfect_and_clipped(spark):
+    from leidenalg_spark.operators.events import calibration_curve
+
+    rows = []
+    # bin 2 (scores 0.25): 4 rows, 1 positive -> pos_rate 0.25, gap 0
+    rows += [(0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0)]
+    # bin 7 (scores 0.75): 4 rows, 3 positive -> gap 0
+    rows += [(0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0)]
+    # score exactly 1.0 clips into bin 9, not bin 10
+    rows += [(1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r.bin: r for r in calibration_curve(df, bins=10).collect()}
+    assert set(got) == {2, 7, 9}
+    assert got[2].n == 4 and got[2].pos_rate == 0.25 and got[2].abs_gap == 0.0
+    assert got[7].pos_rate == 0.75 and got[7].abs_gap == 0.0
+    assert got[9].n == 1 and got[9].mean_score == 1.0 and got[9].pos_rate == 1.0
