@@ -293,6 +293,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return k_anonymity(_documents(spark, sf), ["source", "lang"], k=5)
 
+    def q_wl_kernel_drift(spark, sf):
+        # day-over-day structural drift of the user x event-type
+        # interaction graph, scored with the WL subtree kernel
+        from leidenalg_spark.operators.kernels import wl_kernel_drift
+
+        ev = _events(spark, sf)
+        tid = -F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10).cast("long")
+        slices = ev.select(
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000.0)).cast("long").alias("slice"),
+            F.col("user_id").alias("src"),
+            tid.alias("dst"),
+        ).distinct()
+        return wl_kernel_drift(slices, rounds=2).orderBy("slice_a")
+
     def q_calibration(spark, sf):
         # calibrate a pseudo-scorer: min-max-normalised event value as the
         # predicted probability that the event is a purchase
@@ -2214,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "k_anonymity": q_k_anonymity,
         "calibration_curve": q_calibration,
+        "wl_kernel_drift": q_wl_kernel_drift,
         "neardup_dedup": q_neardup_dedup,
         "pmi_cooccurrence": q_pmi_cooccurrence,
         "textrank": q_textrank,
@@ -5741,6 +5756,58 @@ SELECT query_id, neighbor_id, neighbor_label, cos_sim, rank FROM (
 SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS class_size,
        COUNT(*) >= 5 AS meets_k
 FROM documents GROUP BY source, lang
+"""
+    sqls["wl_kernel_drift"] = """
+WITH wsl AS (
+  SELECT DISTINCT CAST(FLOOR(epoch_us(ts) / 86400000000.0) AS BIGINT) AS slice,
+         user_id AS src,
+         -CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT) AS dst
+  FROM events
+),
+wsym AS (
+  SELECT DISTINCT slice, a, b FROM (
+    SELECT slice, src AS a, dst AS b FROM wsl
+    UNION ALL SELECT slice, dst AS a, src AS b FROM wsl
+  ) WHERE a <> b
+),
+wc0 AS (SELECT DISTINCT slice, a AS id, '0' AS color FROM wsym),
+ws1 AS (SELECT wsym.slice, wsym.a AS id, string_agg(c.color, ',' ORDER BY c.color) AS sig
+        FROM wsym JOIN wc0 c ON c.slice = wsym.slice AND c.id = wsym.b
+        GROUP BY wsym.slice, wsym.a),
+wc1 AS (SELECT wc0.slice, wc0.id, md5(wc0.color || '|' || coalesce(ws1.sig, '')) AS color
+        FROM wc0 LEFT JOIN ws1 ON ws1.slice = wc0.slice AND ws1.id = wc0.id),
+ws2 AS (SELECT wsym.slice, wsym.a AS id, string_agg(c.color, ',' ORDER BY c.color) AS sig
+        FROM wsym JOIN wc1 c ON c.slice = wsym.slice AND c.id = wsym.b
+        GROUP BY wsym.slice, wsym.a),
+wc2 AS (SELECT wc1.slice, wc1.id, md5(wc1.color || '|' || coalesce(ws2.sig, '')) AS color
+        FROM wc1 LEFT JOIN ws2 ON ws2.slice = wc1.slice AND ws2.id = wc1.id),
+whist AS (
+  SELECT slice, 0 AS round, color, CAST(COUNT(*) AS BIGINT) AS n FROM wc0 GROUP BY 1, 3
+  UNION ALL
+  SELECT slice, 1, color, CAST(COUNT(*) AS BIGINT) FROM wc1 GROUP BY 1, color
+  UNION ALL
+  SELECT slice, 2, color, CAST(COUNT(*) AS BIGINT) FROM wc2 GROUP BY 1, color
+),
+wsizes AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS nv FROM wc0 GROUP BY slice),
+wpairs AS (
+  SELECT slice AS sa, lead(slice) OVER (ORDER BY slice) AS sb FROM wsizes
+),
+wshared AS (
+  SELECT p.sa, p.sb, SUM(LEAST(ha.n, hb.n)) AS m
+  FROM wpairs p
+  JOIN whist ha ON ha.slice = p.sa
+  JOIN whist hb ON hb.slice = p.sb AND hb.round = ha.round AND hb.color = ha.color
+  WHERE p.sb IS NOT NULL
+  GROUP BY p.sa, p.sb
+)
+SELECT p.sa AS slice_a, p.sb AS slice_b, za.nv AS n_vertices_a, zb.nv AS n_vertices_b,
+       ROUND(COALESCE(w.m, 0) / 3.0 / GREATEST(za.nv, zb.nv), 6) AS wl_similarity
+FROM wpairs p
+LEFT JOIN wshared w ON w.sa = p.sa AND w.sb = p.sb
+JOIN wsizes za ON za.slice = p.sa
+JOIN wsizes zb ON zb.slice = p.sb
+WHERE p.sb IS NOT NULL
+ORDER BY slice_a
 """
     sqls["calibration_curve"] = """
 WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),

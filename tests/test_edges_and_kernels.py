@@ -1555,3 +1555,49 @@ def test_graph_sparsify_goldens(spark):
     assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
     for r in s1:
         assert abs(r.weight * r.p_keep - 1.0) < 1e-5
+
+
+def test_wl_kernel_drift_isomorphism_and_churn(spark):
+    """WL-kernel slice similarity: identical structure scores exactly 1.0,
+    an id-relabelled ISOMORPHIC copy still scores 1.0 (the kernel sees
+    structure, not ids), and a rewired slice scores < 1."""
+    from pyspark.sql import functions as F
+
+    from leidenalg_spark.operators.kernels import wl_kernel_drift
+
+    tri = [(0, 1), (1, 2), (2, 0)]            # triangle
+    path = [(0, 1), (1, 2)]                   # path (same vertex count lives in slice)
+    rows = []
+    rows += [(0, a, b) for a, b in tri]                      # slice 0: triangle
+    rows += [(1, a + 100, b + 100) for a, b in tri]          # slice 1: relabelled triangle
+    rows += [(2, a, b) for a, b in path] + [(2, 3, 4)]       # slice 2: path + extra edge
+    sl = spark.createDataFrame(rows, "slice long, src long, dst long")
+    got = {(r.slice_a, r.slice_b): r for r in wl_kernel_drift(sl, rounds=2).collect()}
+    assert got[(0, 1)].wl_similarity == 1.0                  # isomorphic, relabelled
+    assert got[(1, 2)].wl_similarity < 1.0                   # structure changed
+    assert got[(0, 1)].n_vertices_a == 3 and got[(0, 1)].n_vertices_b == 3
+    assert got[(1, 2)].n_vertices_b == 5
+
+
+def test_wl_kernel_drift_degree_preserving_rewire_detected(spark):
+    """Same degree sequence, different deeper structure: P6 vs
+    (triangle + P3) share the degree histogram (four 2s, two 1s) so
+    round 1 agrees fully; round 2 must separate them.  Also pin the
+    classic 1-WL blind spot: two triangles vs a 6-cycle are 2-regular
+    and WL-INDISTINGUISHABLE — similarity exactly 1.0 by design."""
+    from leidenalg_spark.operators.kernels import wl_kernel_drift
+
+    p6 = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+    tri_p3 = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5)]
+    rows = [(0, a, b) for a, b in p6] + [(1, a, b) for a, b in tri_p3]
+    sl = spark.createDataFrame(rows, "slice long, src long, dst long")
+    r = wl_kernel_drift(sl, rounds=2).collect()[0]
+    # rounds 0 and 1 fully agree (6 + 6), round 2 shares 4 of 6 colors
+    assert abs(r.wl_similarity - (6 + 6 + 4) / 3.0 / 6.0) < 1e-6  # output rounds to 6dp
+
+    tri2 = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]
+    cyc6 = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0)]
+    rows = [(0, a, b) for a, b in tri2] + [(1, a, b) for a, b in cyc6]
+    sl = spark.createDataFrame(rows, "slice long, src long, dst long")
+    r = wl_kernel_drift(sl, rounds=2).collect()[0]
+    assert r.wl_similarity == 1.0  # 2-regular pair: 1-WL cannot separate
