@@ -307,6 +307,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).distinct()
         return wl_kernel_drift(slices, rounds=2).orderBy("slice_a")
 
+    def q_temporal_motifs(spark, sf):
+        from leidenalg_spark.operators.events import temporal_motifs
+
+        return temporal_motifs(_events(spark, sf), delta_s=3600).orderBy("a", "b", "c")
+
     def q_calibration(spark, sf):
         # calibrate a pseudo-scorer: min-max-normalised event value as the
         # predicted probability that the event is a purchase
@@ -2229,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "calibration_curve": q_calibration,
         "wl_kernel_drift": q_wl_kernel_drift,
+        "temporal_motifs": q_temporal_motifs,
         "neardup_dedup": q_neardup_dedup,
         "pmi_cooccurrence": q_pmi_cooccurrence,
         "textrank": q_textrank,
@@ -5808,6 +5814,21 @@ JOIN wsizes za ON za.slice = p.sa
 JOIN wsizes zb ON zb.slice = p.sb
 WHERE p.sb IS NOT NULL
 ORDER BY slice_a
+"""
+    sqls["temporal_motifs"] = """
+WITH tmseq AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER w AS b,
+         lead(event_type, 2) OVER w AS c,
+         ts AS t0,
+         lead(ts, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
+FROM tmseq
+WHERE c IS NOT NULL AND epoch_us(t2) - epoch_us(t0) <= CAST(3600 AS BIGINT) * 1000000
+GROUP BY a, b, c ORDER BY a, b, c
 """
     sqls["calibration_curve"] = """
 WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),

@@ -1476,3 +1476,47 @@ def calibration_curve(
         F.round(F.col("pr"), 6).alias("pos_rate"),
         F.round(F.abs(F.col("ms") - F.col("pr")), 6).alias("abs_gap"),
     )
+
+
+def temporal_motifs(
+    df: DataFrame,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    delta_s: int = 3600,
+) -> DataFrame:
+    """delta-windowed temporal 3-event motif census (Paranjape, Benson &
+    Leskovec, "Motifs in Temporal Networks", WSDM 2017 — the
+    consecutive-event specialisation): count, per ordered type triple
+    (a, b, c), the occurrences of three CONSECUTIVE events of one actor
+    whose total span fits in ``delta_s`` seconds.  The temporal
+    fingerprint of behaviour: `view->click->purchase` vs
+    `error->error->error` populate different cells, and motif-histogram
+    shifts catch behavioural drift that per-pair transition matrices
+    (first-order Markov) miss.
+
+    Returns (a, b, c, n), n = motif occurrences corpus-wide.
+
+    Scale shape: ONE hash exchange on the actor + a sorted per-actor
+    window (two leads — sorted runs, no self-joins over the time axis),
+    then a |types|³-bounded hash aggregate.  Ordering ties break on the
+    event id, so the census is deterministic and engine-portable.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    seq = df.select(
+        F.col(type_col).alias("a"),
+        F.lead(type_col, 1).over(w).alias("b"),
+        F.lead(type_col, 2).over(w).alias("c"),
+        F.col(ts_col).cast("timestamp").alias("t0"),
+        F.lead(F.col(ts_col).cast("timestamp"), 2).over(w).alias("t2"),
+    )
+    span_ok = (
+        (F.unix_micros(F.col("t2")) - F.unix_micros(F.col("t0")))
+        <= F.lit(int(delta_s) * 1_000_000)
+    )
+    return (
+        seq.where(F.col("c").isNotNull() & span_ok)
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

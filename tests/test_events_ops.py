@@ -446,3 +446,40 @@ def test_rfm_scores_goldens(spark):
     assert (got[2].r_score, got[2].f_score, got[2].m_score) == (2, 2, 2)
     assert got[3].rfm == 444
     assert got[1].rfm == 555 and got[2].rfm == 222
+
+
+def test_temporal_motifs_window_and_order(spark):
+    """Planted sequence: user 0 emits view->click->purchase twice inside
+    the window and once spanning beyond delta; user 1 interleaves (no
+    cross-user motifs).  Ordering ties break on event_id."""
+    from datetime import datetime, timedelta
+
+    from leidenalg_spark.operators.events import temporal_motifs
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 0: two in-window v->c->p runs back to back
+        (0, t0 + timedelta(seconds=0), 0, "view"),
+        (1, t0 + timedelta(seconds=10), 0, "click"),
+        (2, t0 + timedelta(seconds=20), 0, "purchase"),
+        (3, t0 + timedelta(seconds=30), 0, "view"),
+        (4, t0 + timedelta(seconds=40), 0, "click"),
+        (5, t0 + timedelta(seconds=50), 0, "purchase"),
+        # user 0: a run whose span exceeds delta -> NOT a motif
+        (6, t0 + timedelta(seconds=10_000), 0, "view"),
+        (7, t0 + timedelta(seconds=10_010), 0, "click"),
+        (8, t0 + timedelta(seconds=13_700), 0, "purchase"),
+        # user 1: only two events -> no triple
+        (9, t0 + timedelta(seconds=0), 1, "view"),
+        (10, t0 + timedelta(seconds=5), 1, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, et, 0.0, "{}") for i, ts, u, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {(r.a, r.b, r.c): r.n for r in temporal_motifs(ev, delta_s=3600).collect()}
+    assert got[("view", "click", "purchase")] == 2
+    # the intermediate overlapping triples of user 0's back-to-back runs
+    assert got[("click", "purchase", "view")] == 1
+    assert got[("purchase", "view", "click")] == 1
+    assert ("click", "purchase", "view") in got and len(got) == 3
