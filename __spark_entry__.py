@@ -1927,6 +1927,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a", "b"
         )
 
+    def q_tfidf_cosine(spark, sf):
+        # sparse tf-idf cosine similarity join (vector-space IR twin of
+        # the embedding cosine join)
+        return D.tfidf_cosine_pairs(_documents(spark, sf), threshold=0.85).orderBy(
+            "a", "b"
+        )
+
     def q_intrinsic_dim(spark, sf):
         # two-NN intrinsic dimension of the embedding table (exact pass)
         from leidenalg_spark.operators.similarity import intrinsic_dim
@@ -2133,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "square_count": q_square_count,
         "bridges": q_bridges,
         "containment_pairs": q_containment_pairs,
+        "tfidf_cosine": q_tfidf_cosine,
         "intrinsic_dim": q_intrinsic_dim,
         "quality_multiplex": q_quality_multiplex,
         "slice_layers": q_slice_layers,
@@ -5329,6 +5337,31 @@ SELECT a, b, ROUND(i * 1.0 / sa.n_sh, 6) AS containment,
        ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
 FROM cinter JOIN csizes sa ON cinter.a = sa.doc_id JOIN csizes sb ON cinter.b = sb.doc_id
 WHERE ROUND(i * 1.0 / sa.n_sh, 6) >= 0.8 ORDER BY a, b
+"""
+    sqls["tfidf_cosine"] = """
+WITH tctok AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, string_split_regex(lower(trim(coalesce(text,''))), '\\s+') AS tk FROM documents),
+       LATERAL (SELECT unnest(tk) AS tok)
+  WHERE tok <> ''
+),
+tctf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM tctok GROUP BY 1, 2),
+tcdf AS (SELECT tok, COUNT(*) AS df FROM tctf GROUP BY tok),
+tcn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+tcw AS (
+  SELECT t.doc_id, t.tok, d.df, t.tf * LN(n.n_docs / d.df) AS w
+  FROM tctf t JOIN tcdf d USING (tok) CROSS JOIN tcn n
+),
+tcnorm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM tcw GROUP BY doc_id),
+tcdot AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, SUM(x.w * y.w) AS dot
+  FROM tcw x JOIN tcw y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  WHERE x.df <= 1000 AND y.df <= 1000
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM tcdot JOIN tcnorm na ON tcdot.a = na.doc_id JOIN tcnorm nb ON tcdot.b = nb.doc_id
+WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.85 ORDER BY a, b
 """
     sqls["intrinsic_dim"] = """
 WITH ipairs AS (

@@ -605,3 +605,65 @@ def jaccard_prefix_pairs(
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
     return out
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame, threshold: float = 0.3, col: str = "text",
+    max_token_df: int | None = 1000,
+) -> DataFrame:
+    """tf-idf-weighted cosine similarity join over the word-token
+    inverted index — the sparse-vector twin of the embedding cosine
+    join and the classic IR "more-like-this" operator (Salton's vector
+    space model).  Weight = tf · ln(N/df); returns every unordered pair
+    with cosine ≥ threshold as (a, b, cosine), a < b, rounded to 6.
+
+    Unlike n-gram Jaccard (set overlap) this scores REPEATED shared
+    vocabulary and down-weights corpus-common words, so it catches
+    topically-duplicated docs whose shingle sets barely intersect.
+
+    Scale shape: candidate generation is an inverted-index equality
+    self-join on the token — quadratic only within one token's posting
+    list, and ``max_token_df`` caps the worst list (the stopword hub
+    guard; a token in >cap docs carries near-zero idf, so dropping it
+    from the dot product loses a bounded, near-zero term).  Norms are
+    exact over ALL tokens.  The per-doc weight table is built once and
+    persisted across the norm and dot consumers; corpus size N rides a
+    1-row broadcast cross join, never a driver action.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(col)).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    ndocs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id", "token", "df",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+        .persist()
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    wcap = w if max_token_df is None else w.where(F.col("df") <= max_token_df)
+    a = wcap.select(F.col("doc_id").alias("a"), "token", F.col("w").alias("wa"))
+    b = wcap.select(F.col("doc_id").alias("b"), "token", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "token")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    out = (
+        dots.join(norms.select(F.col("doc_id").alias("a"), F.col("norm").alias("na")), "a")
+        .join(norms.select(F.col("doc_id").alias("b"), F.col("norm").alias("nb")), "b")
+        .select(
+            "a", "b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    out = out.localCheckpoint(eager=True)
+    w.unpersist()
+    return out

@@ -790,3 +790,42 @@ def test_hhi_single_actor_dominance(spark):
     got = {r.event_type: r for r in hhi_concentration(ev).collect()}
     assert got["spread"].hhi == 0.1 and got["spread"].effective_actors == 10.0
     assert got["bot"].hhi == 0.82  # 0.9^2 + 0.1^2
+
+
+def test_tfidf_cosine_planted_geometry(spark):
+    """Hand-computed golden: docs sharing only the corpus-wide token get
+    cosine 0 (idf ln(N/N)=0 zeroes the shared coordinate); identical
+    docs score 1; topical overlap scores between.  Hub cap: a token in
+    > max_token_df docs is excluded from the dot product."""
+    from math import isclose, log, sqrt
+
+    from leidenalg_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common alpha beta"),
+            (2, "common alpha beta"),       # identical to 1
+            (3, "common alpha gamma"),      # shares alpha with 1/2
+            (4, "common delta epsilon"),    # shares only the hub token
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.a, r.b): r.cosine for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()}
+    # 'common' has df=N=4 -> idf=0 -> contributes nothing anywhere
+    assert isclose(got[(1, 2)], 1.0, abs_tol=1e-6)
+    # alpha df=3 (docs 1,2,3), beta df=2 (identical docs 1,2), gamma df=1
+    wa, wbeta, wgamma = log(4 / 3), log(4 / 2), log(4.0)
+    expect = wa * wa / (sqrt(wa**2 + wbeta**2) * sqrt(wa**2 + wgamma**2))
+    assert isclose(got[(1, 3)], expect, abs_tol=1e-6)
+    assert (1, 4) not in got or got[(1, 4)] == 0.0
+
+    # hub cap: with max_token_df=2, alpha (df=3) leaves the dot product
+    # but stays in the (exact) norms — capped cosine is a lower bound
+    capped = {
+        (r.a, r.b): r.cosine
+        for r in tfidf_cosine_pairs(docs, threshold=0.0, max_token_df=2).collect()
+    }
+    assert (1, 3) not in capped or capped[(1, 3)] == 0.0
+    expect_capped = wbeta**2 / (wa**2 + wbeta**2)
+    assert isclose(capped[(1, 2)], expect_capped, abs_tol=1e-6)
+    assert capped[(1, 2)] < got[(1, 2)]
