@@ -407,6 +407,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = leiden(spark, _bipartite_ids(spark, sf), method="modularity", n_iterations=2, seed=42)
         return res.membership.groupBy("comm").agg(F.count(F.lit(1)).alias("size"))
 
+    def q_consensus_communities(spark, sf):
+        # Lancichinetti-Fortunato consensus over 3 seeded Leiden runs
+        # (rows-only: iterative); report community sizes + mean edge
+        # agreement so instability would surface as row/value drift
+        from leidenalg_spark.operators.community import consensus_communities
+
+        membership, agreement = consensus_communities(
+            spark, _couser_edges(spark, sf), n_runs=3, threshold=0.5, seed=7
+        )
+        sizes = membership.groupBy("comm").agg(F.count(F.lit(1)).alias("size"))
+        return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_comms")).orderBy("size")
+
     def q_pagerank(spark, sf):
         # fixed 8 iterations (tol=0) on the deterministic-id graph so the
         # unrolled-CTE DuckDB oracle reproduces ranks bit-for-round
@@ -2274,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "cosine_topk": q_cosine_topk,
         "leiden_communities": q_leiden_communities,
+        "consensus_communities": q_consensus_communities,
         "pagerank": q_pagerank,
         "personalized_pagerank": q_personalized_pagerank,
         "connected_components": q_connected_components,
@@ -4975,7 +4988,7 @@ acagg AS (
          AVG(x * x) AS mxx, AVG(y * y) AS myy
   FROM acj GROUP BY day
 )
-SELECT CAST(day AS DATE) AS day, CAST(day + INTERVAL 1 DAY AS DATE) AS next_day, n_both,
+SELECT day, day + INTERVAL 1 DAY AS next_day, n_both,
        ROUND(CASE WHEN (mxx - mx * mx) > 0 AND (myy - my * my) > 0
              THEN (mxy - mx * my) / SQRT((mxx - mx * mx) * (myy - my * my))
              END, 6) AS r

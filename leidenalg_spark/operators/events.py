@@ -976,7 +976,7 @@ def stickiness(
     return (
         dau.join(wau, "day")
         .select(
-            F.col("day").cast("date").alias("day"), "dau", "wau",
+            "day", "dau", "wau",
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
@@ -1117,7 +1117,7 @@ def slo_burn(
     rate = F.col("n_errors") / F.col("n")
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return cnt.select(
-        F.col("day").cast("date").alias("day"), "n", "n_errors",
+        "day", "n", "n_errors",
         F.round(rate, 6).alias("error_rate"),
         F.round(F.sum(rate - F.lit(float(slo))).over(w), 6).alias("cum_burn"),
     )
@@ -1279,9 +1279,12 @@ def activity_correlation(
     cov = F.col("mxy") - F.col("mx") * F.col("my")
     vx = F.col("mxx") - F.col("mx") * F.col("mx")
     vy = F.col("myy") - F.col("my") * F.col("my")
+    # midnight timestamps, not DATE: both engines then surface the column
+    # as datetime64 (the peak_days convention), so driver value-compares
+    # agree byte-for-byte
     return agg.select(
-        F.col("day").cast("date").alias("day"),
-        (F.col("day") + F.expr("INTERVAL 1 DAY")).cast("date").alias("next_day"),
+        "day",
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("next_day"),
         "n_both",
         F.round(F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6).alias("r"),
     )
@@ -1321,7 +1324,7 @@ def peak_days(
     )
     return cnt.select(
         F.col("g").alias(group_col),
-        F.col("day").cast("date").alias("day"),
+        "day",
         F.col("n").cast("long").alias("n"),
         F.round(base, 6).alias("baseline"),
         # FALSE (not NULL) when unscored: a day without a full trailing

@@ -213,3 +213,24 @@ def test_leading_eigenvector_splits_two_cliques(spark):
     a = {v for v in sides if sides[v] == sides[0]}
     assert a == set(range(6)) or a == set(range(6, 12)) == set(sides) - a
     assert len(sides) == 12
+
+
+def test_consensus_communities_two_cliques(spark):
+    """Two K5s joined by one bridge: every seed recovers the cliques, so
+    intra-clique agreement is 1.0, the bridge washes out to 0.0, and the
+    consensus membership is exactly the two cliques."""
+    from leidenalg_spark.operators.community import consensus_communities
+
+    k5a = [(a, b, 1.0) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(a + 5, b + 5, 1.0) for a in range(5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(k5a + k5b + [(4, 5, 1.0)], "src long, dst long, weight double")
+    membership, agreement = consensus_communities(
+        spark, e, n_runs=3, threshold=0.5, local_threshold=10**6
+    )
+    comms = {r.id: r.comm for r in membership.collect()}
+    assert len({comms[i] for i in range(5)}) == 1
+    assert len({comms[i] for i in range(5, 10)}) == 1
+    assert comms[0] != comms[5]
+    ag = {(r.src, r.dst): r.agree for r in agreement.collect()}
+    assert ag[(4, 5)] == 0.0
+    assert all(v == 1.0 for (s, d), v in ag.items() if (s, d) != (4, 5))
