@@ -39,11 +39,13 @@ def _day_or_coarser(bucket: str) -> bool:
 
 
 def _bucket_out(col, bucket: str):
-    """Bucket columns truncated to a whole day or coarser are emitted as
-    DATE (midnight carries no information) so collected values — and the
-    correctness harness's DuckDB twin, whose date_trunc returns DATE —
-    agree in type, not only in instant."""
-    return col.cast("date") if _day_or_coarser(bucket) else col
+    """Bucket columns stay midnight TIMESTAMPs at every granularity: both
+    engines' date_trunc returns timestamp, so collected values surface as
+    datetime64 on both sides of the correctness harness (the peak_days /
+    stickiness convention) and value-compares agree byte-for-byte.  A DATE
+    cast here would collect as python ``date`` objects (pandas object
+    dtype) and string-compare differently from the oracle's datetime64."""
+    return col
 
 
 def asof_join(

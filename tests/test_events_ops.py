@@ -206,7 +206,7 @@ def test_retention_cohorts_hand_computed(spark):
     ]
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
     out = {
-        (r["cohort_start"].isoformat(), r["offset"]): r["n_active"]
+        (r["cohort_start"].date().isoformat(), r["offset"]): r["n_active"]
         for r in retention_cohorts(ev).collect()
     }
     assert out == {

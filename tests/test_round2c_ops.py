@@ -152,7 +152,7 @@ def test_changepoint_step_series(spark):
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
     r = changepoint(ev).collect()[0]
-    assert r.t_star == (t0 + timedelta(days=4)).date()  # last bucket of the left segment
+    assert r.t_star == t0 + timedelta(days=4)  # last bucket of the left segment
     assert r.mean_before == 2.0 and r.mean_after == 8.0
     assert r.n_buckets == 10
 
