@@ -205,6 +205,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return q
 
+    def q_community_conductance(spark, sf):
+        # per-community cut audit of the deterministic 8-way membership
+        # over the bipartite interaction graph (NCP-style statistics)
+        from leidenalg_spark.operators.community import community_conductance
+
+        return community_conductance(
+            _bipartite_ids(spark, sf), _bipartite_membership(spark, sf)
+        ).orderBy("comm")
+
+    def q_edge_lift(spark, sf):
+        # configuration-model edge lift (graph PMI) on the det-id graph
+        from leidenalg_spark.operators.kernels import edge_lift
+
+        return edge_lift(_bipartite_ids_det(spark, sf))
+
     def q_token_count(spark, sf):
         return T.token_count(_documents(spark, sf))
 
@@ -2186,6 +2201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_local_cc": q_avg_local_cc,
         "assortativity": q_assortativity,
         "k_core": q_k_core,
+        "community_conductance": q_community_conductance,
+        "edge_lift": q_edge_lift,
         "quality_modularity": quality_query("modularity"),
         "quality_cpm": quality_query("cpm", gamma=0.5),
         "quality_rber": quality_query("rber", gamma=0.5),
@@ -5887,6 +5904,57 @@ SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(AVG(y), 6) AS pos_rate,
        ROUND(ABS(AVG(score) - AVG(y)), 6) AS abs_gap
 FROM cb GROUP BY bin ORDER BY bin
+"""
+    sqls["community_conductance"] = _QUALITY_PRELUDE + """,
+dec AS (
+  SELECT e.weight AS w, v1.comm AS ca, v2.comm AS cb
+  FROM edges e JOIN verts v1 ON e.src = v1.name JOIN verts v2 ON e.dst = v2.name
+),
+contrib AS (
+  SELECT ca AS comm,
+         CASE WHEN ca = cb THEN w ELSE 0 END AS wi,
+         CASE WHEN ca <> cb THEN w ELSE 0 END AS wc
+  FROM dec
+  UNION ALL
+  SELECT cb, 0, w FROM dec WHERE ca <> cb
+),
+agg AS (SELECT comm, SUM(wi) AS w_in, SUM(wc) AS w_cut FROM contrib GROUP BY comm),
+nv AS (SELECT comm, CAST(COUNT(*) AS DOUBLE) AS n FROM verts GROUP BY comm),
+ctot AS (SELECT 2.0 * SUM(w) AS vol_tot FROM dec),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS N FROM verts)
+SELECT nv.comm,
+       CAST(nv.n AS BIGINT) AS n_vertices,
+       ROUND(COALESCE(agg.w_in, 0), 6) AS w_in,
+       ROUND(COALESCE(agg.w_cut, 0), 6) AS w_cut,
+       ROUND(2 * COALESCE(agg.w_in, 0) + COALESCE(agg.w_cut, 0), 6) AS volume,
+       ROUND(CASE WHEN LEAST(2 * COALESCE(agg.w_in, 0) + COALESCE(agg.w_cut, 0),
+                             vol_tot - 2 * COALESCE(agg.w_in, 0) - COALESCE(agg.w_cut, 0)) > 0
+             THEN COALESCE(agg.w_cut, 0)
+                  / LEAST(2 * COALESCE(agg.w_in, 0) + COALESCE(agg.w_cut, 0),
+                          vol_tot - 2 * COALESCE(agg.w_in, 0) - COALESCE(agg.w_cut, 0))
+             END, 6) AS conductance,
+       ROUND(CASE WHEN nv.n > 1 THEN 2 * COALESCE(agg.w_in, 0) / (nv.n * (nv.n - 1)) END, 6)
+         AS internal_density,
+       ROUND(COALESCE(agg.w_cut, 0) / nv.n, 6) AS expansion,
+       ROUND(CASE WHEN nn.N > nv.n THEN COALESCE(agg.w_cut, 0) / (nv.n * (nn.N - nv.n)) END, 6)
+         AS cut_ratio
+FROM nv LEFT JOIN agg ON nv.comm = agg.comm CROSS JOIN ctot CROSS JOIN nn
+ORDER BY nv.comm
+"""
+    sqls["edge_lift"] = f"""
+WITH {_DET_PRELUDE.strip()},
+k AS (
+  SELECT id, SUM(weight) AS k FROM (
+    SELECT src AS id, weight FROM edges
+    UNION ALL SELECT dst, weight FROM edges
+  ) GROUP BY id
+),
+tot AS (SELECT 2.0 * SUM(weight) AS W FROM edges)
+SELECT e.src, e.dst, e.weight,
+       ROUND(ks.k * kd.k / W, 6) AS expected,
+       ROUND(e.weight * W / (ks.k * kd.k), 6) AS lift,
+       ROUND(log2(e.weight * W / (ks.k * kd.k)), 6) AS log2_lift
+FROM edges e JOIN k ks ON e.src = ks.id JOIN k kd ON e.dst = kd.id CROSS JOIN tot
 """
     sqls.update(_kernel_oracles())
     return sqls

@@ -747,3 +747,83 @@ def consensus_communities(
         .select("id", F.coalesce("comm", "id").alias("comm"))
     )
     return membership, agreement
+
+
+def community_conductance(
+    edges: DataFrame, membership: DataFrame, weight_col: str = "weight"
+) -> DataFrame:
+    """Per-community cut-quality audit (the Leskovec–Lang–Dasgupta–Mahoney
+    "network community profile" statistics, WWW 2008): for every community
+    of an undirected weighted graph report
+
+    - ``n_vertices``, ``w_in`` (intra-community edge weight, each edge
+      once), ``w_cut`` (weight crossing the boundary), ``volume``
+      (= 2·w_in + w_cut, the summed member strength),
+    - ``conductance``  φ = w_cut / min(vol, 2W − vol)  — the standard
+      cut score every community-detection evaluation reports alongside
+      the objective value,
+    - ``internal_density``  2·w_in / (n·(n−1)),
+    - ``expansion``  w_cut / n,  and  ``cut_ratio``  w_cut / (n·(N−n)).
+
+    Scores ANY membership (Leiden output or a fixed labelling) — the
+    structural complement of the scalar quality functions: those say how
+    good the partition is, this says WHICH communities are well-separated.
+    Denominator-degenerate cells (singleton density, whole-graph
+    conductance) are NULL, never ±inf.  Self-loops are ignored: they can
+    never be cut, and keeping them out makes volume = 2·w_in + w_cut an
+    exact identity.
+
+    Scale shape: two id-keyed membership joins decorate the edge list,
+    ONE comm-keyed hash aggregate (map-side combinable) folds both the
+    intra and the two boundary contributions per edge — no per-community
+    subgraphs, no windows; the 1-row totals attach via broadcast cross
+    join.  Output is |communities| rows.
+    """
+    m = membership.select("id", "comm")
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.col(weight_col).alias("w"))
+        .join(m.select(F.col("id").alias("src"), F.col("comm").alias("ca")), "src")
+        .join(m.select(F.col("id").alias("dst"), F.col("comm").alias("cb")), "dst")
+    )
+    intra = F.col("ca") == F.col("cb")
+    contrib = e.select(
+        F.col("ca").alias("comm"),
+        F.when(intra, F.col("w")).otherwise(F.lit(0.0)).alias("wi"),
+        F.when(~intra, F.col("w")).otherwise(F.lit(0.0)).alias("wc"),
+    ).unionByName(
+        e.where(~intra).select(
+            F.col("cb").alias("comm"), F.lit(0.0).alias("wi"), F.col("w").alias("wc")
+        )
+    )
+    agg = contrib.groupBy("comm").agg(
+        F.sum("wi").alias("w_in"), F.sum("wc").alias("w_cut")
+    )
+    nv = m.groupBy("comm").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # total volume = Σ_v strength(v) = 2·(total edge weight): every edge
+    # contributes to both endpoints' strengths, cut or not
+    tot = e.agg(
+        (F.lit(2.0) * F.coalesce(F.sum("w"), F.lit(0.0))).alias("vol_tot")
+    )
+    n_tot = m.agg(F.count(F.lit(1)).cast("double").alias("nv_total"))
+    base = (
+        nv.join(agg, "comm", "left").na.fill({"w_in": 0.0, "w_cut": 0.0})
+        .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(n_tot))
+    )
+    vol = 2.0 * F.col("w_in") + F.col("w_cut")
+    n = F.col("n")
+    den_cond = F.least(vol, F.col("vol_tot") - vol)
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    return base.select(
+        "comm",
+        n.cast("long").alias("n_vertices"),
+        r6(F.col("w_in")).alias("w_in"),
+        r6(F.col("w_cut")).alias("w_cut"),
+        r6(vol).alias("volume"),
+        r6(F.when(den_cond > 0, F.col("w_cut") / den_cond)).alias("conductance"),
+        r6(F.when(n > 1, 2.0 * F.col("w_in") / (n * (n - 1.0)))).alias("internal_density"),
+        r6(F.col("w_cut") / n).alias("expansion"),
+        r6(
+            F.when(F.col("nv_total") > n, F.col("w_cut") / (n * (F.col("nv_total") - n)))
+        ).alias("cut_ratio"),
+    )

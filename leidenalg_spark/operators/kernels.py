@@ -5729,3 +5729,60 @@ def wl_kernel_drift(slices: DataFrame, rounds: int = 2) -> DataFrame:
     for c in cached:
         c.unpersist()
     return out
+
+
+def edge_lift(
+    edges: DataFrame, directed: bool = False, min_lift: float | None = None,
+) -> DataFrame:
+    """Configuration-model edge lift — the graph twin of token PMI: each
+    edge's observed weight against its expectation under the weighted
+    configuration null,
+
+        undirected:  E[w_uv] = k_u · k_v / (2W)      (k = strength)
+        directed:    E[w_uv] = k_out(u) · k_in(v) / W
+
+    Returns (src, dst, weight, expected, lift, log2_lift) with
+    lift = w/E — edges whose weight far exceeds the degree-product null
+    are the "surprising" links (association mining on interaction
+    graphs; the GLOBAL-null complement of the per-vertex
+    :func:`disparity_backbone`).  ``min_lift`` filters in-plan so the
+    output can be pruned before it is ever materialised.  Self-loops
+    are excluded: the null model's self-expectation convention differs
+    per formulation, and loops carry no association signal.
+
+    Scale shape: one strength aggregate (map-side combinable), two
+    id-keyed joins to decorate each edge, the 1-row total via broadcast
+    cross join — output ≤ |E| rows, no shuffle beyond the decoration
+    joins.
+    """
+    e = edges.where(F.col("src") != F.col("dst"))
+    if directed:
+        ks = e.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("k_src"))
+        kd = e.groupBy(F.col("dst").alias("id")).agg(F.sum("weight").alias("k_dst"))
+        wtot = e.agg(F.sum("weight").alias("W"))
+        denom = F.col("W")
+    else:
+        ends = e.select(F.col("src").alias("id"), "weight").unionByName(
+            e.select(F.col("dst").alias("id"), "weight")
+        )
+        k = ends.groupBy("id").agg(F.sum("weight").alias("k"))
+        ks = k.select("id", F.col("k").alias("k_src"))
+        kd = k.select("id", F.col("k").alias("k_dst"))
+        wtot = e.agg((F.lit(2.0) * F.sum("weight")).alias("W"))
+        denom = F.col("W")
+    dec = (
+        e.join(ks.withColumnRenamed("id", "src"), "src")
+        .join(kd.withColumnRenamed("id", "dst"), "dst")
+        .crossJoin(F.broadcast(wtot))
+    )
+    expected = F.col("k_src") * F.col("k_dst") / denom
+    lift = F.col("weight") / expected
+    out = dec.select(
+        "src", "dst", "weight",
+        F.round(expected, 6).alias("expected"),
+        F.round(lift, 6).alias("lift"),
+        F.round(F.log2(lift), 6).alias("log2_lift"),
+    )
+    if min_lift is not None:
+        out = out.where(F.col("lift") >= float(min_lift))
+    return out

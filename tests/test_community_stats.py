@@ -234,3 +234,45 @@ def test_consensus_communities_two_cliques(spark):
     ag = {(r.src, r.dst): r.agree for r in agreement.collect()}
     assert ag[(4, 5)] == 0.0
     assert all(v == 1.0 for (s, d), v in ag.items() if (s, d) != (4, 5))
+
+
+def test_community_conductance_two_triangles(spark):
+    """Two triangles joined by one bridge, hand-computed: per side
+    w_in=3, w_cut=1, vol=7, conductance=1/7, density=1, expansion=1/3,
+    cut_ratio=1/9."""
+    from leidenalg_spark.operators.community import community_conductance
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+         (3, 4, 1.0), (4, 5, 1.0), (3, 5, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    m = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, comm long"
+    )
+    rows = {r.comm: r for r in community_conductance(e, m).collect()}
+    for c in (0, 1):
+        r = rows[c]
+        assert r.n_vertices == 3 and r.w_in == 3.0 and r.w_cut == 1.0
+        assert r.volume == 7.0
+        assert abs(r.conductance - 1.0 / 7.0) < 1e-6
+        assert r.internal_density == 1.0
+        assert abs(r.expansion - 1.0 / 3.0) < 1e-6
+        assert abs(r.cut_ratio - 1.0 / 9.0) < 1e-6
+
+
+def test_community_conductance_degenerates_null(spark):
+    """Single community holding the whole graph: min(vol, 2W-vol)=0 →
+    conductance NULL; singleton community → density NULL, cut_ratio keyed
+    on N-n>0 still defined."""
+    from leidenalg_spark.operators.community import community_conductance
+
+    e = spark.createDataFrame([(0, 1, 2.0)], "src long, dst long, weight double")
+    one = spark.createDataFrame([(0, 0), (1, 0)], "id long, comm long")
+    r = community_conductance(e, one).collect()[0]
+    assert r.conductance is None and r.w_cut == 0.0 and r.w_in == 2.0
+    split = spark.createDataFrame([(0, 0), (1, 1)], "id long, comm long")
+    rows = {x.comm: x for x in community_conductance(e, split).collect()}
+    assert rows[0].internal_density is None
+    assert rows[0].conductance == 1.0  # w_cut=2 / min(2, 2)
+    assert rows[0].cut_ratio == 2.0  # 2 / (1*(2-1))

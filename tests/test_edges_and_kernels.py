@@ -1601,3 +1601,36 @@ def test_wl_kernel_drift_degree_preserving_rewire_detected(spark):
     sl = spark.createDataFrame(rows, "slice long, src long, dst long")
     r = wl_kernel_drift(sl, rounds=2).collect()[0]
     assert r.wl_similarity == 1.0  # 2-regular pair: 1-WL cannot separate
+
+
+def test_edge_lift_triangle_golden(spark):
+    """Weighted triangle, hand-computed configuration-model lifts."""
+    from leidenalg_spark.operators.kernels import edge_lift
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 2.0)], "src long, dst long, weight double"
+    )
+    out = {(r.src, r.dst): r for r in edge_lift(e).collect()}
+    # strengths k0=3, k1=2, k2=3, 2W=8
+    assert abs(out[(0, 1)].expected - 0.75) < 1e-6
+    assert abs(out[(0, 1)].lift - 1.0 / 0.75) < 1e-6
+    assert abs(out[(0, 2)].expected - 1.125) < 1e-6
+    assert abs(out[(0, 2)].lift - 2.0 / 1.125) < 1e-6
+    import math
+    assert abs(out[(1, 2)].log2_lift - math.log2(1.0 / 0.75)) < 1e-5
+    assert len(edge_lift(e, min_lift=1.5).collect()) == 1
+
+
+def test_edge_lift_directed(spark):
+    """Directed null uses k_out(u)·k_in(v)/W and ignores self-loops."""
+    from leidenalg_spark.operators.kernels import edge_lift
+
+    e = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 2, 5.0)],
+        "src long, dst long, weight double",
+    )
+    out = {(r.src, r.dst): r for r in edge_lift(e, directed=True).collect()}
+    assert (2, 2) not in out
+    # W=4 (loop dropped); k_out(0)=3, k_in(1)=2 → E=1.5, lift=2/1.5
+    assert abs(out[(0, 1)].expected - 1.5) < 1e-6
+    assert abs(out[(0, 1)].lift - 2.0 / 1.5) < 1e-6
