@@ -1376,6 +1376,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_semantic_dedup(spark, sf):
+        # SemDeDup: Lloyd cells (same det. kmeans as q_kmeans) bound the
+        # quadratic pair search; greedy min-id keep above cos 0.8
+        return S.semantic_dedup(spark, _embeddings(spark, sf), k=4, iters=2, threshold=0.8)
+
+    def q_knn_label_noise(spark, sf):
+        # exact-kNN label-agreement noise audit on a bounded id block
+        return S.knn_label_noise(_embeddings(spark, sf), k=10, max_id=200)
+
     def q_quantize(spark, sf):
         # symmetric int8 vector quantization, exploded code table
         return S.quantize_embeddings(_embeddings(spark, sf))
@@ -2280,6 +2289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "training_set": q_training_set,
         "kmeans": q_kmeans,
+        "semantic_dedup": q_semantic_dedup,
+        "knn_label_noise": q_knn_label_noise,
         "partition_compare": q_partition_compare,
         "lm_score": q_lm_score,
         "rich_club": q_rich_club,
@@ -3412,6 +3423,62 @@ WHERE keep.is_kept AND NOT cont.contaminated
   AND lang.lang_pred IN ('en') AND qual.quality_score >= 0.5
 """
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
+    # SemDeDup: composed on the SAME Lloyd CTE chain; cell-bounded pair
+    # search, cos rounded to 6 BEFORE the threshold (the Spark contract)
+    sqls["semantic_dedup"] = _kmeans_ctes(k=4, iters=2) + """,
+asg AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a3 WHERE rn = 1),
+pr AS (
+  SELECT b.vec_id AS vid, a.vec_id AS dup_of,
+         ROUND(
+           list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cs
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       JOIN embeddings ea ON ea.vec_id = a.vec_id
+       JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+best AS (
+  SELECT vid, dup_of, cs,
+         row_number() OVER (PARTITION BY vid ORDER BY cs DESC, dup_of ASC) AS rn
+  FROM pr WHERE cs >= 0.8
+)
+SELECT asg.vec_id, asg.cell, best.dup_of, best.cs AS cos_sim,
+       best.dup_of IS NOT NULL AS is_dup
+FROM asg LEFT JOIN (SELECT * FROM best WHERE rn = 1) best ON asg.vec_id = best.vid
+"""
+    sqls["knn_label_noise"] = """
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 200),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cs
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+),
+top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= 10
+),
+agg AS (
+  SELECT t.query_id AS vec_id, qa.label,
+         CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+         CAST(SUM(CASE WHEN qb.label = qa.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM top t JOIN q qa ON qa.vec_id = t.query_id JOIN q qb ON qb.vec_id = t.neighbor_id
+  GROUP BY 1, 2
+)
+SELECT vec_id, label, n_neighbors, n_agree,
+       ROUND(1 - CAST(n_agree AS DOUBLE) / n_neighbors, 6) AS noise_score,
+       ROUND(1 - CAST(n_agree AS DOUBLE) / n_neighbors, 6) >= 0.5 AS flagged
+FROM agg
+"""
     sqls["kmeans_silhouette"] = _silhouette_oracle(k=4, iters=2)
     sqls["kmeans_outliers"] = _kmeans_outliers_oracle(k=4, iters=2)
     sqls["diameter"] = _diameter_oracle(depth=6)

@@ -1203,3 +1203,122 @@ def hard_negatives(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    spark,
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.9,
+    seed: int = 42,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then mark as
+    duplicates items whose cosine to a LOWER-id member of the SAME
+    cluster exceeds ``threshold`` — the quadratic pair search runs only
+    within a cluster, never across the corpus.  Keep policy is greedy
+    first-wins in id order (deterministic, engine-reproducible):
+    ``dup_of`` = the most-similar lower-id in-cluster match (ties to the
+    smallest id), NULL for survivors.
+
+    Returns (``id_col``, cell, dup_of, cos_sim, is_dup) — one row per
+    vector; ``WHERE NOT is_dup`` is the deduplicated corpus.
+
+    Contrast :func:`embedding_clusters` (LSH-pair graph + Leiden = topic
+    bucketing): this one answers "which rows do I DROP", with the paper's
+    cluster-bounded cost model.
+
+    Scale shape: the Lloyd assignment is one broadcast-codebook pass
+    (:func:`kmeans_embeddings`); the pair stage is a cell-keyed self-join
+    — quadratic ONLY within a cell, so ``k`` should grow with the corpus
+    (the paper's ~n/1000 regime) to bound cells; the per-item argmax is
+    one bounded window.  No driver loop beyond the k·d centroid syncs.
+    """
+    asg = kmeans_embeddings(
+        spark, embeddings, k=k, iters=iters, seed=seed, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("vid"), "cell")
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).join(asg, "vid")
+    a = e.select(F.col("vid").alias("dup_of"), F.col("v").alias("av"), "cell")
+    b = e.select(F.col("vid").alias("vid"), F.col("v").alias("bv"), "cell")
+    cos = _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv")))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("dup_of") < F.col("vid"))
+        .select("vid", "cell", "dup_of", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= float(threshold))
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cos_sim"), F.asc("dup_of"))
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vid", "dup_of", "cos_sim")
+    )
+    return (
+        asg.join(best, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            "dup_of",
+            "cos_sim",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def knn_label_noise(
+    embeddings: DataFrame,
+    k: int = 10,
+    flag_threshold: float = 0.5,
+    id_col="vec_id",
+    vec_col="embedding",
+    label_col="label",
+    neighbors: DataFrame | None = None,
+    max_id=None,
+) -> DataFrame:
+    """Neighborhood label-agreement noise score (the k-NN heart of
+    confident-learning / deep-kNN label audits): for every labelled
+    vector, the fraction of its k nearest cosine neighbours whose label
+    DISAGREES with its own — items whose neighbourhood votes against
+    their label are likely mislabelled (or sit on a class boundary).
+
+    Returns (``id_col``, label, n_neighbors, n_agree, noise_score,
+    flagged) with noise_score = 1 − agree/k and ``flagged`` when the
+    score ≥ ``flag_threshold`` (majority disagreement by default).
+
+    Scale shape: by default the neighbour lists come from the exact
+    :func:`cosine_topk` (broadcast query side — validation scale, or a
+    bounded ``max_id`` block); at corpus scale pass ``neighbors`` = the
+    LSH-bucketed :func:`knn_graph` output ((query_id, neighbor_id, …))
+    and this function is two id-keyed label joins + one per-item hash
+    aggregate — linear, no pairwise stage.
+    """
+    e = embeddings
+    if max_id is not None:
+        e = e.where(F.col(id_col) < max_id)
+    nb = neighbors if neighbors is not None else cosine_topk(
+        e, e, k=k, id_col=id_col, vec_col=vec_col
+    )
+    own = e.select(F.col(id_col).alias("query_id"), F.col(label_col).alias("own_label"))
+    nlab = e.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nb_label"))
+    agg = (
+        nb.join(own, "query_id").join(nlab, "neighbor_id")
+        .groupBy("query_id", "own_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum((F.col("nb_label") == F.col("own_label")).cast("long")).alias("n_agree"),
+        )
+    )
+    noise = 1.0 - F.col("n_agree") / F.col("n_neighbors")
+    return agg.select(
+        F.col("query_id").alias(id_col),
+        F.col("own_label").alias(label_col),
+        "n_neighbors",
+        "n_agree",
+        F.round(noise, 6).alias("noise_score"),
+        (F.round(noise, 6) >= float(flag_threshold)).alias("flagged"),
+    )

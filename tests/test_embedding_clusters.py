@@ -203,3 +203,36 @@ def test_kcenter_coreset_goldens(spark):
     # the objective curve is non-increasing after the seed
     radii = [r.radius for r in out[1:]]
     assert radii == sorted(radii, reverse=True)
+
+
+def test_semantic_dedup_planted_pair(spark):
+    """One near-identical pair + one far vector, single cluster: the
+    higher id of the pair is dropped, greedy first-wins in id order."""
+    from leidenalg_spark.operators.similarity import semantic_dedup
+
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.999, 0.02]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(spark, e, k=1, iters=1, threshold=0.95).collect()}
+    assert out[1].is_dup and out[1].dup_of == 0 and out[1].cos_sim > 0.95
+    assert not out[0].is_dup and out[0].dup_of is None
+    assert not out[2].is_dup
+
+
+def test_knn_label_noise_flags_flipped_label(spark):
+    """Two tight label clusters; one point's label flipped: only it is
+    flagged at k=1 (its nearest neighbour disagrees)."""
+    from leidenalg_spark.operators.similarity import knn_label_noise
+
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0),
+         (2, [0.0, 1.0], 1), (3, [0.1, 0.9], 0)],  # 3's true cluster is 1
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.vec_id: r for r in knn_label_noise(e, k=1).collect()}
+    assert out[0].noise_score == 0.0 and not out[0].flagged
+    assert out[1].noise_score == 0.0
+    assert out[3].noise_score == 1.0 and out[3].flagged
+    # 2's nearest neighbour is 3 which CLAIMS label 0 → 2 is also noisy
+    assert out[2].flagged
