@@ -1376,6 +1376,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_source_minhash_overlap(spark, sf):
+        # per-source KMV bottom-k sketch overlap (k=128, trigram shingles)
+        from leidenalg_spark.operators.dedup import source_minhash_overlap
+
+        return source_minhash_overlap(_documents(spark, sf), n=3, k=128)
+
+    def q_effective_diameter(spark, sf):
+        # ANF neighbourhood function + interpolated 90% effective diameter
+        from leidenalg_spark.operators.kernels import effective_diameter
+
+        return effective_diameter(spark, _bipartite_ids_det(spark, sf), q=0.9, max_dist=3)
+
     def q_semantic_dedup(spark, sf):
         # SemDeDup: Lloyd cells (same det. kmeans as q_kmeans) bound the
         # quadratic pair search; greedy min-id keep above cos 0.8
@@ -2291,6 +2303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
         "knn_label_noise": q_knn_label_noise,
+        "source_minhash_overlap": q_source_minhash_overlap,
+        "effective_diameter": q_effective_diameter,
         "partition_compare": q_partition_compare,
         "lm_score": q_lm_score,
         "rich_club": q_rich_club,
@@ -3447,6 +3461,74 @@ best AS (
 SELECT asg.vec_id, asg.cell, best.dup_of, best.cs AS cos_sim,
        best.dup_of IS NOT NULL AS is_dup
 FROM asg LEFT JOIN (SELECT * FROM best WHERE rn = 1) best ON asg.vec_id = best.vid
+"""
+    sqls["source_minhash_overlap"] = f"""
+WITH {shingle_cte.strip().lstrip(",").strip()},
+ss AS (
+  SELECT DISTINCT d.source,
+         ('0x' || substr(md5(sh.shingle), 1, 8))::BIGINT AS h
+  FROM sh JOIN documents d USING (doc_id)
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM ss
+  ) WHERE rk <= 128
+),
+ps AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM (SELECT DISTINCT source FROM sk) a, (SELECT DISTINCT source FROM sk) b
+  WHERE a.source < b.source
+),
+m AS (
+  SELECT source_a, source_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT ps.source_a, ps.source_b, sk.h, 1 AS in_a, 0 AS in_b
+    FROM ps JOIN sk ON sk.source = ps.source_a
+    UNION ALL
+    SELECT ps.source_a, ps.source_b, sk.h, 0, 1
+    FROM ps JOIN sk ON sk.source = ps.source_b
+  ) GROUP BY 1, 2, 3
+),
+u AS (
+  SELECT *, row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rk FROM m
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS k_used,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter,
+       ROUND(CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*), 6) AS est_jaccard
+FROM u WHERE rk <= 128 GROUP BY 1, 2
+"""
+    sqls["effective_diameter"] = f"""
+WITH {_DET_PRELUDE.strip()},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+s AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+r1 AS (SELECT a AS id, b AS v FROM s),
+r2 AS (SELECT DISTINCT id, v FROM (
+  SELECT * FROM r1
+  UNION ALL SELECT r1.id, s.b FROM r1 JOIN s ON s.a = r1.v WHERE s.b <> r1.id)),
+r3 AS (SELECT DISTINCT id, v FROM (
+  SELECT * FROM r2
+  UNION ALL SELECT r2.id, s.b FROM r2 JOIN s ON s.a = r2.v WHERE s.b <> r2.id)),
+nf AS (
+  SELECT 1 AS dist, (SELECT CAST(COUNT(*) AS DOUBLE) FROM r1) AS np
+  UNION ALL SELECT 2, (SELECT CAST(COUNT(*) AS DOUBLE) FROM r2)
+  UNION ALL SELECT 3, (SELECT CAST(COUNT(*) AS DOUBLE) FROM r3)
+),
+tot AS (SELECT MAX(np) AS mx FROM nf),
+pick AS (SELECT MIN(dist) AS d FROM nf CROSS JOIN tot WHERE np >= 0.9 * mx),
+eff AS (
+  SELECT ROUND(CASE WHEN cur > prev
+               THEN (d - 1) + (0.9 * mx - prev) / (cur - prev)
+               ELSE CAST(d AS DOUBLE) END, 6) AS ed
+  FROM pick CROSS JOIN tot
+  CROSS JOIN LATERAL (
+    SELECT (SELECT np FROM nf WHERE dist = d) AS cur,
+           COALESCE((SELECT np FROM nf WHERE dist = d - 1), 0) AS prev
+  )
+)
+SELECT CAST(nf.dist AS BIGINT) AS dist, CAST(np AS BIGINT) AS n_pairs,
+       ROUND(np / mx, 6) AS frac, ed AS effective_diameter
+FROM nf CROSS JOIN tot CROSS JOIN eff ORDER BY dist
 """
     sqls["knn_label_noise"] = """
 WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 200),

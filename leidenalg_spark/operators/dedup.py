@@ -20,7 +20,7 @@ SQL-expressible operator here has an exact DuckDB twin for the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textops import tokens_col
@@ -667,3 +667,76 @@ def tfidf_cosine_pairs(
     out = out.localCheckpoint(eager=True)
     w.unpersist()
     return out
+
+
+def source_minhash_overlap(
+    docs: DataFrame, n: int = 3, k: int = 128, col: str = "text"
+) -> DataFrame:
+    """Estimated shingle-set Jaccard between every SOURCE pair from
+    bottom-k (KMV) sketches — "how much do two feeds overlap textually"
+    at catalog granularity, without ever joining the two corpora.  Each
+    source's shingle UNION is sketched by its k smallest md5-derived
+    hash values; for a pair, the estimate is the classic KMV
+    intersection rate within the k smallest of the merged sketch:
+    Ĵ = |sketch_a ∩ sketch_b ∩ bottomk(a ∪ b)| / k_used.  When a pair's
+    union fits inside k the estimate is EXACT — which is also what makes
+    the operator SQL-twinnable: the sketch is a deterministic function
+    of the data, not a random sample.
+
+    Complements :func:`cross_source_dupes` (exact WHOLE-doc duplication
+    counts): this one sees partial textual overlap, at sketch cost.
+
+    Returns (source_a, source_b, k_used, n_inter, est_jaccard) with
+    source_a < source_b.
+
+    Scale shape: one shingle pass → distinct (source, h) — both
+    map-side combinable — one per-source bottom-k window over ≤
+    |sources|·|distinct h| rows, then all remaining stages run on the
+    k·|sources|-row sketch table (driver-free, broadcast-sized).  The
+    32-bit md5 prefix is the repo-wide cross-engine hash convention;
+    collisions merge sketch elements identically in both engines.
+    """
+    sh = shingles(docs, n=n, col=col)
+    src = docs.select("doc_id", "source")
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    sset = (
+        sh.join(src, "doc_id")
+        .select("source", h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        sset.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("source", "h")
+    )
+    srcs = sk.select("source").distinct()
+    ps = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    m = (
+        ps.join(sk.select(F.col("source").alias("source_a"), "h"), "source_a")
+        .select("source_a", "source_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            ps.join(sk.select(F.col("source").alias("source_b"), "h"), "source_b")
+            .select("source_a", "source_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("source_a", "source_b").orderBy("h")
+    both = (
+        m.withColumn("rk", F.row_number().over(wu))
+        .where(F.col("rk") <= k)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+        )
+    )
+    return both.select(
+        "source_a", "source_b", "k_used", "n_inter",
+        F.round(F.col("n_inter") / F.col("k_used"), 6).alias("est_jaccard"),
+    )

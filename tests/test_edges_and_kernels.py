@@ -1634,3 +1634,22 @@ def test_edge_lift_directed(spark):
     # W=4 (loop dropped); k_out(0)=3, k_in(1)=2 → E=1.5, lift=2/1.5
     assert abs(out[(0, 1)].expected - 1.5) < 1e-6
     assert abs(out[(0, 1)].lift - 2.0 / 1.5) < 1e-6
+
+
+def test_effective_diameter_path_graph(spark):
+    """Path 0-1-2-3: NF = [6, 10, 12] ordered pairs; 90% target 10.8 →
+    interpolated effective diameter 2 + 0.8/2 = 2.4."""
+    from leidenalg_spark.operators.kernels import effective_diameter
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    rows = {r.dist: r for r in effective_diameter(spark, e, q=0.9, max_dist=3).collect()}
+    assert [rows[d].n_pairs for d in (1, 2, 3)] == [6, 10, 12]
+    assert abs(rows[1].effective_diameter - 2.4) < 1e-6
+    assert abs(rows[3].frac - 1.0) < 1e-6
+    # HLL path: counts are exact at this size (datasketches early modes)
+    rows_h = {r.dist: r for r in
+              effective_diameter(spark, e, q=0.9, max_dist=3, method="hll").collect()}
+    assert [rows_h[d].n_pairs for d in (1, 2, 3)] == [6, 10, 12]
+    assert abs(rows_h[1].effective_diameter - 2.4) < 1e-6

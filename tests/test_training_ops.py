@@ -828,3 +828,33 @@ def test_calibration_curve_perfect_and_clipped(spark):
     assert got[2].n == 4 and got[2].pos_rate == 0.25 and got[2].abs_gap == 0.0
     assert got[7].pos_rate == 0.75 and got[7].abs_gap == 0.0
     assert got[9].n == 1 and got[9].mean_score == 1.0 and got[9].pos_rate == 1.0
+
+
+def test_source_minhash_overlap_exact_when_union_fits(spark):
+    """Unions under k make the KMV estimate exact: token sets
+    {a,b,c,d} vs {a,b,x} → J = 2/5."""
+    from leidenalg_spark.operators.dedup import source_minhash_overlap
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d", "A"), (1, "a b x", "B")],
+        "doc_id long, text string, source string",
+    )
+    r = source_minhash_overlap(docs, n=1, k=128).collect()[0]
+    assert (r.source_a, r.source_b) == ("A", "B")
+    assert r.k_used == 5 and r.n_inter == 2
+    assert abs(r.est_jaccard - 0.4) < 1e-6
+
+
+def test_source_minhash_overlap_sketch_bounded(spark):
+    """k smaller than the union: k_used caps at k and the estimate stays
+    in [0, 1]."""
+    from leidenalg_spark.operators.dedup import source_minhash_overlap
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"tok{i}" for i in range(60)), "A"),
+         (1, " ".join(f"tok{i}" for i in range(30, 90)), "B")],
+        "doc_id long, text string, source string",
+    )
+    r = source_minhash_overlap(docs, n=1, k=16).collect()[0]
+    assert r.k_used == 16
+    assert 0.0 <= r.est_jaccard <= 1.0
