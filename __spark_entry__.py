@@ -1376,6 +1376,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_interarrival_ks(spark, sf):
+        # per-actor KS distance vs the matched-mean exponential
+        from leidenalg_spark.operators.events import interarrival_ks
+
+        return interarrival_ks(_events(spark, sf), min_gaps=5)
+
+    def q_l_diversity(spark, sf):
+        # attribute-disclosure audit: (event_type, day) classes vs user_id
+        from leidenalg_spark.operators.sampling import l_diversity
+
+        ev = _events(spark, sf).withColumn("day", F.date_trunc("day", "ts"))
+        return l_diversity(ev, ["event_type", "day"], "user_id", l=5)
+
+    def q_triangle_significance(spark, sf):
+        # observed triangles vs exact configuration-model expectation
+        from leidenalg_spark.operators.kernels import triangle_significance
+
+        return triangle_significance(spark, _couser_edges(spark, sf))
+
     def q_source_minhash_overlap(spark, sf):
         # per-source KMV bottom-k sketch overlap (k=128, trigram shingles)
         from leidenalg_spark.operators.dedup import source_minhash_overlap
@@ -2305,6 +2324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_noise": q_knn_label_noise,
         "source_minhash_overlap": q_source_minhash_overlap,
         "effective_diameter": q_effective_diameter,
+        "interarrival_ks": q_interarrival_ks,
+        "l_diversity": q_l_diversity,
+        "triangle_significance": q_triangle_significance,
         "partition_compare": q_partition_compare,
         "lm_score": q_lm_score,
         "rich_club": q_rich_club,
@@ -3461,6 +3483,38 @@ best AS (
 SELECT asg.vec_id, asg.cell, best.dup_of, best.cs AS cos_sim,
        best.dup_of IS NOT NULL AS is_dup
 FROM asg LEFT JOIN (SELECT * FROM best WHERE rn = 1) best ON asg.vec_id = best.vid
+"""
+    sqls["interarrival_ks"] = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))) / 1e6 AS gap
+  FROM events
+),
+g2 AS (SELECT * FROM g WHERE gap IS NOT NULL),
+st AS (
+  SELECT user_id, COUNT(*) AS n_gaps, AVG(gap) AS mean_gap
+  FROM g2 GROUP BY user_id HAVING COUNT(*) >= 5
+),
+r AS (
+  SELECT g2.user_id, gap, n_gaps, mean_gap,
+         row_number() OVER (PARTITION BY g2.user_id ORDER BY gap) AS i
+  FROM g2 JOIN st USING (user_id)
+),
+d AS (
+  SELECT user_id, n_gaps, mean_gap,
+         GREATEST(CAST(i AS DOUBLE) / n_gaps - f, f - (CAST(i AS DOUBLE) - 1) / n_gaps) AS dev
+  FROM (SELECT *, CASE WHEN mean_gap > 0 THEN 1 - exp(-gap / mean_gap) ELSE 1.0 END AS f FROM r)
+)
+SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+       ROUND(mean_gap, 6) AS mean_gap_s, ROUND(MAX(dev), 6) AS ks_stat
+FROM d GROUP BY user_id, n_gaps, mean_gap
+"""
+    sqls["l_diversity"] = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+       COUNT(DISTINCT user_id) >= 5 AS meets_l
+FROM events GROUP BY 1, 2
 """
     sqls["source_minhash_overlap"] = f"""
 WITH {shingle_cte.strip().lstrip(",").strip()},
@@ -5008,6 +5062,28 @@ tri AS MATERIALIZED (
   FROM cow e1 JOIN cow e2 ON e2.a = e1.b
   JOIN cow e3 ON e3.a = e1.a AND e3.b = e2.b
 )"""
+    sqls["triangle_significance"] = f"""
+WITH {couser_cte.strip()},
+deg AS (
+  SELECT id, CAST(COUNT(*) AS DOUBLE) AS k
+  FROM (SELECT a AS id FROM cow UNION ALL SELECT b FROM cow) GROUP BY id
+),
+mom AS (
+  SELECT SUM(POWER(k, 2)) AS p1, SUM(POWER(k, 4)) AS p2, SUM(POWER(k, 6)) AS p3,
+         SUM(k) / 2.0 AS m
+  FROM deg
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri),
+x AS (
+  SELECT n_triangles,
+         (POWER(p1, 3) - 3 * p1 * p2 + 2 * p3) / 6 / POWER(2 * m, 3) AS et
+  FROM t CROSS JOIN mom
+)
+SELECT n_triangles, ROUND(et, 6) AS expected_config,
+       ROUND(CASE WHEN et > 0 THEN n_triangles / et END, 6) AS ratio,
+       ROUND(CASE WHEN et > 0 THEN (n_triangles - et) / sqrt(et) END, 6) AS z_poisson
+FROM x
+"""
     sqls["edge_embeddedness"] = f"""
 WITH {couser_cte},
 sides AS (

@@ -1525,3 +1525,62 @@ def temporal_motifs(
         .groupBy("a", "b", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def interarrival_ks(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gaps: int = 5,
+) -> DataFrame:
+    """Per-actor Kolmogorov–Smirnov distance between the empirical
+    inter-event-gap distribution and the exponential fit with the same
+    mean — the distributional sibling of :func:`burstiness`: B compresses
+    the gap shape into one moment ratio, the KS statistic says how far
+    the whole CDF is from memoryless Poisson arrivals (bots and schedules
+    score high, organic activity low).
+
+        D = max_i max(i/n − F(g_(i)),  F(g_(i)) − (i−1)/n),
+        F(x) = 1 − exp(−x / mean_gap)
+
+    over the actor's sorted gaps g_(1..n).  Actors with fewer than
+    ``min_gaps`` gaps are dropped (the statistic is meaningless on 2
+    points).  Returns (``id_col``, n_gaps, mean_gap_s, ks_stat).
+
+    Scale shape: gaps via one per-actor lag window (partition-bounded by
+    actor event counts), the mean joins back as a per-actor aggregate,
+    the CDF ranks are a second per-actor window — nothing global, no
+    driver actions, output = |actors| rows.
+    """
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp")) / 1e6
+    w = Window.partitionBy(id_col).orderBy("t")
+    gaps = (
+        events.select(id_col, ep.alias("t"))
+        .withColumn("gap", F.col("t") - F.lag("t").over(w))
+        .where(F.col("gap").isNotNull())
+        .select(id_col, "gap")
+    )
+    stats = gaps.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"), F.avg("gap").alias("mean_gap"),
+    ).where(F.col("n_gaps") >= int(min_gaps))
+    wr = Window.partitionBy(id_col).orderBy("gap", "rid")
+    ranked = (
+        gaps.withColumn("rid", F.monotonically_increasing_id())
+        .join(stats, id_col)
+        .withColumn("i", F.row_number().over(wr))
+    )
+    fexp = F.when(
+        F.col("mean_gap") > 0, 1.0 - F.exp(-F.col("gap") / F.col("mean_gap"))
+    ).otherwise(F.lit(1.0))
+    dev = F.greatest(
+        F.col("i") / F.col("n_gaps") - fexp,
+        fexp - (F.col("i") - 1) / F.col("n_gaps"),
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.first("n_gaps").alias("n_gaps"),
+            F.round(F.first("mean_gap"), 6).alias("mean_gap_s"),
+            F.round(F.max(dev), 6).alias("ks_stat"),
+        )
+    )

@@ -360,3 +360,29 @@ def k_anonymity(
             (F.col("class_size") >= k).alias("meets_k"),
         )
     )
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols, sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007) — the attribute-disclosure
+    companion of :func:`k_anonymity`: a quasi-identifier equivalence class
+    can be large (k-anonymous) yet still leak if every row in it shares
+    the same SENSITIVE value.  Per class, reports the row count, the
+    number of distinct sensitive values, and whether it meets the ``l``
+    bar.  Returns (*quasi_cols, class_size, n_sensitive, meets_l).
+
+    Scale shape: ONE hash aggregate over the quasi columns with a
+    distinct-count on the sensitive column (partial aggregation applies;
+    for approximate audits at extreme cardinality swap in
+    approx_count_distinct) — no joins, no windows.
+    """
+    cols = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    return (
+        df.groupBy(*cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+        )
+        .withColumn("meets_l", F.col("n_sensitive") >= int(l))
+    )

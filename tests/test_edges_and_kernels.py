@@ -1653,3 +1653,20 @@ def test_effective_diameter_path_graph(spark):
               effective_diameter(spark, e, q=0.9, max_dist=3, method="hll").collect()}
     assert [rows_h[d].n_pairs for d in (1, 2, 3)] == [6, 10, 12]
     assert abs(rows_h[1].effective_diameter - 2.4) < 1e-6
+
+
+def test_triangle_significance_k4_golden(spark):
+    """K4: T=4, all degrees 3, m=6 → e3 = C(4,3)·9³ = 2916,
+    E[T] = 2916/12³ = 1.6875, ratio = 2.370370."""
+    from leidenalg_spark.operators.kernels import triangle_significance
+
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long, weight double",
+    )
+    r = triangle_significance(spark, e).collect()[0]
+    assert r.n_triangles == 4
+    assert abs(r.expected_config - 1.6875) < 1e-6
+    assert abs(r.ratio - round(4 / 1.6875, 6)) < 1e-6
+    import math
+    assert abs(r.z_poisson - round((4 - 1.6875) / math.sqrt(1.6875), 6)) < 1e-6

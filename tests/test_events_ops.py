@@ -483,3 +483,22 @@ def test_temporal_motifs_window_and_order(spark):
     assert got[("click", "purchase", "view")] == 1
     assert got[("purchase", "view", "click")] == 1
     assert ("click", "purchase", "view") in got and len(got) == 3
+
+
+def test_interarrival_ks_periodic_actor(spark):
+    """Perfectly periodic gaps (all 10s, n=5): KS vs the matched
+    exponential is F(10)=1-1/e at i=1 → 0.632121; short actors drop."""
+    from datetime import datetime, timedelta
+
+    from leidenalg_spark.operators.events import interarrival_ks
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, t0 + timedelta(seconds=10 * i)) for i in range(6)]
+    rows += [(2, t0), (2, t0 + timedelta(seconds=5))]  # 1 gap → dropped
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.user_id: r for r in interarrival_ks(ev, min_gaps=5).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r.n_gaps == 5 and r.mean_gap_s == 10.0
+    import math
+    assert abs(r.ks_stat - round(1 - math.exp(-1), 6)) < 1e-6

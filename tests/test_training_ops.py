@@ -858,3 +858,15 @@ def test_source_minhash_overlap_sketch_bounded(spark):
     r = source_minhash_overlap(docs, n=1, k=16).collect()[0]
     assert r.k_used == 16
     assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    from leidenalg_spark.operators.sampling import l_diversity
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 1), ("b", 2)],
+        "quasi string, sensitive int",
+    )
+    out = {r.quasi: r for r in l_diversity(df, ["quasi"], "sensitive", l=2).collect()}
+    assert out["a"].class_size == 3 and out["a"].n_sensitive == 1 and not out["a"].meets_l
+    assert out["b"].n_sensitive == 2 and out["b"].meets_l
