@@ -1376,6 +1376,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_session_concurrency(spark, sf):
+        # interval-sweep concurrency over the same session table as
+        # q_sessionize (gap 7200, event_id tiebreak)
+        from leidenalg_spark.operators.sessions import session_concurrency
+
+        return session_concurrency(
+            _events(spark, sf), gap_s=7200.0, tiebreak="event_id"
+        )
+
+    def q_leadlag_correlation(spark, sf):
+        # ordered type-pair lead-lag Pearson over the dense day grid
+        from leidenalg_spark.operators.events import leadlag_correlation
+
+        return leadlag_correlation(_events(spark, sf), max_lag=3)
+
+    def q_landmark_distances(spark, sf):
+        # multi-source BFS from 4 md5-priority landmarks, 3 hops
+        from leidenalg_spark.operators.kernels import landmark_distances
+
+        return landmark_distances(
+            spark, _bipartite_ids_det(spark, sf), n_landmarks=4, max_dist=3
+        )
+
     def q_interarrival_ks(spark, sf):
         # per-actor KS distance vs the matched-mean exponential
         from leidenalg_spark.operators.events import interarrival_ks
@@ -2327,6 +2350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_ks": q_interarrival_ks,
         "l_diversity": q_l_diversity,
         "triangle_significance": q_triangle_significance,
+        "session_concurrency": q_session_concurrency,
+        "leadlag_correlation": q_leadlag_correlation,
+        "landmark_distances": q_landmark_distances,
         "partition_compare": q_partition_compare,
         "lm_score": q_lm_score,
         "rich_club": q_rich_club,
@@ -3483,6 +3509,89 @@ best AS (
 SELECT asg.vec_id, asg.cell, best.dup_of, best.cs AS cos_sim,
        best.dup_of IS NOT NULL AS is_dup
 FROM asg LEFT JOIN (SELECT * FROM best WHERE rn = 1) best ON asg.vec_id = best.vid
+"""
+    sqls["session_concurrency"] = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 7200.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_ord
+  FROM marked
+),
+stbl AS (
+  SELECT user_id, session_ord, MIN(ts) AS s, MAX(ts) AS e
+  FROM sess GROUP BY user_id, session_ord
+),
+b AS (
+  SELECT t, CAST(SUM(d) AS BIGINT) AS n_delta FROM (
+    SELECT s AS t, 1 AS d FROM stbl UNION ALL SELECT e, -1 FROM stbl
+  ) GROUP BY t
+)
+SELECT t, n_delta,
+       CAST(SUM(n_delta) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+FROM b
+"""
+    sqls["leadlag_correlation"] = """
+WITH cnt AS (
+  SELECT event_type AS lbl, date_trunc('day', ts) AS b, CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM cnt),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS b FROM span
+),
+lbls AS (SELECT DISTINCT lbl FROM cnt),
+dense AS (
+  SELECT l.lbl, g.b, COALESCE(c.x, 0.0) AS x
+  FROM grid g CROSS JOIN lbls l LEFT JOIN cnt c ON c.lbl = l.lbl AND c.b = g.b
+),
+lags AS (SELECT unnest([0, 1, 2, 3]) AS lag),
+j AS (
+  SELECT a.lbl AS label_a, bb.lbl AS label_b, lags.lag, a.x AS xa, bb.x AS xb
+  FROM dense a CROSS JOIN lags
+  JOIN dense bb ON bb.b = a.b + lags.lag * INTERVAL 1 DAY
+),
+agg AS (
+  SELECT label_a, label_b, lag, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         AVG(xa) AS ma, AVG(xb) AS mb, AVG(xa * xb) AS mab,
+         AVG(xa * xa) AS maa, AVG(xb * xb) AS mbb
+  FROM j GROUP BY 1, 2, 3
+)
+SELECT label_a, label_b, CAST(lag AS BIGINT) AS lag, n_buckets,
+       ROUND(CASE WHEN (maa - ma * ma) > 0 AND (mbb - mb * mb) > 0
+             THEN (mab - ma * mb) / SQRT((maa - ma * ma) * (mbb - mb * mb))
+             END, 6) AS r
+FROM agg
+"""
+    sqls["landmark_distances"] = f"""
+WITH {_DET_PRELUDE.strip()},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+s AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+lms AS (
+  SELECT id AS lm FROM (
+    SELECT id, ('0x' || substr(md5('lm:' || CAST(id AS VARCHAR)), 1, 8))::BIGINT AS pri
+    FROM verts
+  ) ORDER BY pri, id LIMIT 4
+),
+c0 AS (SELECT lm, lm AS id, 0 AS dist FROM lms),
+n1 AS (SELECT DISTINCT c0.lm, s.b AS id FROM c0 JOIN s ON s.a = c0.id),
+d1 AS (SELECT n1.lm, n1.id, 1 AS dist FROM n1 ANTI JOIN c0 ON c0.lm = n1.lm AND c0.id = n1.id),
+c1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM d1),
+n2 AS (SELECT DISTINCT d1.lm, s.b AS id FROM d1 JOIN s ON s.a = d1.id),
+d2 AS (SELECT n2.lm, n2.id, 2 AS dist FROM n2 ANTI JOIN c1 ON c1.lm = n2.lm AND c1.id = n2.id),
+c2 AS (SELECT * FROM c1 UNION ALL SELECT * FROM d2),
+n3 AS (SELECT DISTINCT d2.lm, s.b AS id FROM d2 JOIN s ON s.a = d2.id),
+d3 AS (SELECT n3.lm, n3.id, 3 AS dist FROM n3 ANTI JOIN c2 ON c2.lm = n3.lm AND c2.id = n3.id),
+c3 AS (SELECT * FROM c2 UNION ALL SELECT * FROM d3)
+SELECT id, lm AS landmark, CAST(dist AS BIGINT) AS dist FROM c3
 """
     sqls["interarrival_ks"] = """
 WITH g AS (

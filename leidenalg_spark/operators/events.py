@@ -1584,3 +1584,76 @@ def interarrival_ks(
             F.round(F.max(dev), 6).alias("ks_stat"),
         )
     )
+
+
+def leadlag_correlation(
+    df: DataFrame,
+    label_col: str = "event_type",
+    ts_col: str = "ts",
+    max_lag: int = 3,
+    bucket: str = "day",
+) -> DataFrame:
+    """Lead–lag cross-correlation between per-label activity series:
+    for every ORDERED label pair (a, b) and lag 0..``max_lag``, the
+    Pearson correlation of (count_a(t), count_b(t + lag)) over the full
+    bucket grid — "does activity in a lead activity in b", the
+    cross-series companion of :func:`activity_correlation` (which
+    correlates actors day-over-day within one series).  Series are
+    zero-filled over the corpus' [min, max] bucket span before
+    correlating — a day with no events IS a zero observation, not a
+    missing one.  Undefined correlations (a constant series in the
+    overlap) are NULL.  Returns (label_a, label_b, lag, n_buckets, r).
+
+    Scale shape: one (label, bucket) hash aggregate is the only
+    event-proportional stage; the dense grid is |labels| × |buckets|
+    (corpus-span bounded), the lag join is an equi-join on the shifted
+    bucket, and the output is |labels|² · (max_lag+1) rows — catalog
+    sized.  No windows over data, no driver loops.
+    """
+    secs = {"week": 604800, "day": 86400, "hour": 3600}[bucket]
+    tb = F.date_trunc(bucket, F.col(ts_col))
+    cnt = (
+        df.groupBy(F.col(label_col).alias("lbl"), tb.alias("b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    span = cnt.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    grid_b = span.select(
+        F.explode(
+            F.sequence(
+                "lo", "hi",
+                F.expr(f"INTERVAL {secs} SECONDS"),
+            )
+        ).alias("b")
+    )
+    labels = cnt.select("lbl").distinct()
+    dense = (
+        grid_b.crossJoin(F.broadcast(labels))
+        .join(cnt, ["lbl", "b"], "left")
+        .na.fill({"x": 0.0})
+    )
+    lag_rows = F.explode(F.array(*[F.lit(i) for i in range(max_lag + 1)])).alias("lag")
+    a = dense.select(F.col("lbl").alias("label_a"), "b", F.col("x").alias("xa"))
+    bshift = dense.select(
+        F.col("lbl").alias("label_b"),
+        F.col("b").alias("b_lead"),
+        F.col("x").alias("xb"),
+    )
+    j = (
+        a.select("label_a", "b", "xa", lag_rows)
+        .withColumn("b_lead", F.col("b") + F.col("lag") * F.expr(f"INTERVAL {secs} SECONDS"))
+        .join(bshift, "b_lead")
+    )
+    agg = j.groupBy("label_a", "label_b", "lag").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.avg("xa").alias("ma"), F.avg("xb").alias("mb"),
+        F.avg(F.col("xa") * F.col("xb")).alias("mab"),
+        F.avg(F.col("xa") * F.col("xa")).alias("maa"),
+        F.avg(F.col("xb") * F.col("xb")).alias("mbb"),
+    )
+    cov = F.col("mab") - F.col("ma") * F.col("mb")
+    va = F.col("maa") - F.col("ma") * F.col("ma")
+    vb = F.col("mbb") - F.col("mb") * F.col("mb")
+    return agg.select(
+        "label_a", "label_b", F.col("lag").cast("long").alias("lag"), "n_buckets",
+        F.round(F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb)), 6).alias("r"),
+    )

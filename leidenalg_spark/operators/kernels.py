@@ -5911,3 +5911,67 @@ def triangle_significance(spark, edges: DataFrame) -> DataFrame:
             ).alias("z_poisson"),
         )
     )
+
+
+def landmark_distances(
+    spark,
+    edges: DataFrame,
+    n_landmarks: int = 4,
+    max_dist: int = 3,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Landmark (pivot) BFS distance table — the standard shortest-path
+    ORACLE structure at web scale (Potamias 2009 landmark embedding):
+    exact hop distances from ``n_landmarks`` deterministically chosen
+    vertices to every vertex within ``max_dist`` hops.  Any pair query
+    then answers d(u,v) ≤ min_l d(u,l) + d(l,v) from two index lookups —
+    the triangle-inequality upper bound — without touching the graph.
+    Landmarks are the ``n_landmarks`` smallest md5-priority vertices
+    (the repo-wide deterministic-selection convention, engine- and
+    SQL-reproducible; degree-weighted selection is a caller-side swap).
+
+    Returns (id, landmark, dist), dist 0..max_dist, one row per reached
+    (vertex, landmark) pair.
+
+    Scale shape: ONE multi-source BFS — the frontier carries (landmark,
+    vertex) composite state, so all landmarks advance in the same
+    gather join per round (max_dist rounds total, the PageRank shuffle
+    pattern); per-round state is bounded by n_landmarks · |V|, and the
+    anti-join against the settled set keeps frontiers shrinking.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    sym = _sym_simple(edges).persist()
+    verts = sym.select(F.col("a").alias("id")).distinct()
+    pri = F.conv(
+        F.substring(F.md5(F.concat(F.lit("lm:"), F.col("id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    lms = (
+        verts.select("id", pri.alias("pri"))
+        .orderBy("pri", "id")
+        .limit(int(n_landmarks))
+        .select(F.col("id").alias("landmark"))
+    )
+    settled = lms.select(
+        F.col("landmark").alias("lm"), F.col("landmark").alias("id"), F.lit(0).alias("dist")
+    )
+    settled = ckpt.save(settled, "landmark_bfs", 0)
+    frontier = settled
+    for d in range(1, max_dist + 1):
+        nxt = (
+            frontier.join(sym.withColumnRenamed("a", "id"), "id")
+            .select("lm", F.col("b").alias("id"), F.lit(d).alias("dist"))
+            .distinct()
+            .join(settled.select("lm", "id"), ["lm", "id"], "left_anti")
+        )
+        settled = ckpt.save(settled.unionByName(nxt), "landmark_bfs", d)
+        frontier = settled.where(F.col("dist") == d)
+    sym.unpersist()
+    out = settled.select(
+        "id", F.col("lm").alias("landmark"), F.col("dist").cast("long").alias("dist")
+    )
+    if own_ckpt:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    return out

@@ -427,3 +427,41 @@ def turn_boilerplate(transcripts: DataFrame, min_convs: int = 2) -> DataFrame:
         )
         .where(F.col("n_convs") >= min_convs)
     )
+
+
+def session_concurrency(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: float = 1800.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Concurrent-session timeline: sessionize, then sweep the session
+    intervals — +1 at each start, −1 at each end, half-open [start, end)
+    so a session ending exactly when another starts never overlaps it —
+    and report the number of simultaneously OPEN sessions after every
+    boundary instant.  The capacity-planning / account-sharing view of
+    the session table: peaks are load, sustained high plateaus from one
+    tenant are shared credentials.  Returns (t, n_delta, concurrent)
+    ordered by t; max(concurrent) is peak load.
+
+    Scale shape: the sweep runs on the SESSION table (two rows per
+    session), not on events; boundaries aggregate per instant (map-side
+    combinable) and the running sum is one global-ordered window over
+    |distinct boundary instants| rows — bounded by 2·|sessions|, the
+    only non-partitioned stage, itself bounded far below the event
+    count.  For a per-tenant timeline partition the window by tenant.
+    """
+    s = sessionize(df, key=key, ts_col=ts_col, gap_s=gap_s, tiebreak=tiebreak)
+    b = (
+        s.select(F.col("session_start").alias("t"), F.lit(1).alias("d"))
+        .unionByName(s.select(F.col("session_end").alias("t"), F.lit(-1).alias("d")))
+        .groupBy("t")
+        .agg(F.sum("d").alias("n_delta"))
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return b.select(
+        "t",
+        F.col("n_delta").cast("long").alias("n_delta"),
+        F.sum("n_delta").over(w).cast("long").alias("concurrent"),
+    )

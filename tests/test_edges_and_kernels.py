@@ -1670,3 +1670,18 @@ def test_triangle_significance_k4_golden(spark):
     assert abs(r.ratio - round(4 / 1.6875, 6)) < 1e-6
     import math
     assert abs(r.z_poisson - round((4 - 1.6875) / math.sqrt(1.6875), 6)) < 1e-6
+
+
+def test_landmark_distances_path_all_landmarks(spark):
+    """Path 0-1-2-3-4 with every vertex a landmark, max_dist 2: exact
+    hop distances, 19 reached pairs."""
+    from leidenalg_spark.operators.kernels import landmark_distances
+
+    e = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(4)], "src long, dst long, weight double"
+    )
+    rows = landmark_distances(spark, e, n_landmarks=5, max_dist=2).collect()
+    d = {(r.id, r.landmark): r.dist for r in rows}
+    assert len(rows) == 19
+    assert d[(0, 0)] == 0 and d[(2, 0)] == 2 and (3, 0) not in d
+    assert d[(1, 3)] == 2 and d[(4, 2)] == 2

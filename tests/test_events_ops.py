@@ -502,3 +502,44 @@ def test_interarrival_ks_periodic_actor(spark):
     assert r.n_gaps == 5 and r.mean_gap_s == 10.0
     import math
     assert abs(r.ks_stat - round(1 - math.exp(-1), 6)) < 1e-6
+
+
+def test_session_concurrency_sweep(spark):
+    """Two overlapping sessions: concurrency rises to 2 inside the
+    overlap, half-open ends release before the outer session closes."""
+    from datetime import datetime, timedelta
+
+    from leidenalg_spark.operators.sessions import session_concurrency
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1), (1, t0 + timedelta(seconds=100), 2),
+        (2, t0 + timedelta(seconds=50), 3), (2, t0 + timedelta(seconds=60), 4),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    out = {r.t: (r.n_delta, r.concurrent)
+           for r in session_concurrency(ev, gap_s=1800.0, tiebreak="event_id").collect()}
+    assert out[t0] == (1, 1)
+    assert out[t0 + timedelta(seconds=50)] == (1, 2)
+    assert out[t0 + timedelta(seconds=60)] == (-1, 1)
+    assert out[t0 + timedelta(seconds=100)] == (-1, 0)
+
+
+def test_leadlag_correlation_planted_shift(spark):
+    """Type b is exactly type a shifted one day: r=1 at lag 1 (a leads
+    b), r=-0.2 at lag 0 on the 4-day dense grid."""
+    from datetime import datetime, timedelta
+
+    from leidenalg_spark.operators.events import leadlag_correlation
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    counts_a = [1, 2, 3, 0]
+    for d, c in enumerate(counts_a):
+        rows += [("a", t0 + timedelta(days=d, hours=i + 1)) for i in range(c)]
+        rows += [("b", t0 + timedelta(days=d, hours=i + 12)) for i in range(counts_a[d - 1] if d > 0 else 0)]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {(r.label_a, r.label_b, r.lag): r for r in leadlag_correlation(ev, max_lag=1).collect()}
+    r_ab1 = out[("a", "b", 1)]
+    assert r_ab1.n_buckets == 3 and abs(r_ab1.r - 1.0) < 1e-6
+    assert abs(out[("a", "b", 0)].r - (-0.2)) < 1e-6
