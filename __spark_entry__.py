@@ -1376,6 +1376,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_attribution(spark, sf):
+        # linear multi-touch credit for 'purchase' within a 24h window
+        from leidenalg_spark.operators.events import attribution
+
+        return attribution(_events(spark, sf), "purchase", window_s=86400.0, model="linear")
+
+    def q_dim_truncation(spark, sf):
+        # Matryoshka truncation fidelity over the det. offset-pair sample
+        return S.dim_truncation_fidelity(
+            spark, _embeddings(spark, sf), dims=(8, 16, 32)
+        ).orderBy("dim")
+
     def q_session_concurrency(spark, sf):
         # interval-sweep concurrency over the same session table as
         # q_sessionize (gap 7200, event_id tiebreak)
@@ -2350,6 +2362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_ks": q_interarrival_ks,
         "l_diversity": q_l_diversity,
         "triangle_significance": q_triangle_significance,
+        "attribution": q_attribution,
+        "dim_truncation": q_dim_truncation,
         "session_concurrency": q_session_concurrency,
         "leadlag_correlation": q_leadlag_correlation,
         "landmark_distances": q_landmark_distances,
@@ -3509,6 +3523,68 @@ best AS (
 SELECT asg.vec_id, asg.cell, best.dup_of, best.cs AS cos_sim,
        best.dup_of IS NOT NULL AS is_dup
 FROM asg LEFT JOIN (SELECT * FROM best WHERE rn = 1) best ON asg.vec_id = best.vid
+"""
+    sqls["attribution"] = """
+WITH conv AS (
+  SELECT DISTINCT user_id AS k, epoch_us(ts) / 1e6 AS ct
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id AS k, epoch_us(ts) / 1e6 AS tt, event_type AS lbl
+  FROM events WHERE event_type <> 'purchase'
+),
+paired AS (
+  SELECT c.k, c.ct, t.lbl
+  FROM conv c JOIN touch t ON t.k = c.k AND t.tt < c.ct AND t.tt >= c.ct - 86400.0
+),
+scored AS (
+  SELECT k, ct, lbl, 1.0 / COUNT(*) OVER (PARTITION BY k, ct) AS credit FROM paired
+),
+unat AS (
+  SELECT c.k, c.ct, NULL AS lbl, 1.0 AS credit
+  FROM conv c ANTI JOIN (SELECT DISTINCT k, ct FROM paired) p
+       ON p.k = c.k AND p.ct = c.ct
+)
+SELECT lbl AS label,
+       CAST(COUNT(DISTINCT (k, ct)) AS BIGINT) AS n_conversions_touched,
+       ROUND(SUM(credit), 6) AS credit
+FROM (SELECT * FROM scored UNION ALL SELECT * FROM unat) GROUP BY lbl
+"""
+    dt_cos = lambda x, y: (  # noqa: E731
+        f"list_sum(list_transform(list_zip({x}, {y}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({x}, q -> CAST(q AS DOUBLE) * CAST(q AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({y}, q -> CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))))"
+    )
+    dt_rows = "\n  UNION ALL ".join(
+        f"SELECT {d} AS dim, ROUND({dt_cos('av', 'bv')}, 6) AS cf,"
+        f" ROUND({dt_cos(f'av[1:{d}]', f'bv[1:{d}]')}, 6) AS ct FROM p"
+        for d in (8, 16, 32)
+    )
+    dt_pairs = "\n  UNION ALL ".join(
+        f"SELECT a.embedding AS av, b.embedding AS bv FROM embeddings a"
+        f" JOIN embeddings b ON b.vec_id = a.vec_id + {o}"
+        for o in (1, 7, 41, 173)
+    )
+    sqls["dim_truncation"] = f"""
+WITH p AS (
+  {dt_pairs}
+),
+sc AS (
+  {dt_rows}
+),
+agg AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         AVG(cf) AS mf, AVG(ct) AS mt, AVG(cf * ct) AS mft,
+         AVG(cf * cf) AS mff, AVG(ct * ct) AS mtt,
+         AVG(ABS(cf - ct)) AS mae
+  FROM sc GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, n_pairs,
+       ROUND(CASE WHEN (mff - mf * mf) > 0 AND (mtt - mt * mt) > 0
+             THEN (mft - mf * mt) / SQRT((mff - mf * mf) * (mtt - mt * mt))
+             END, 6) AS pearson_r,
+       ROUND(mae, 6) AS mae
+FROM agg ORDER BY dim
 """
     sqls["session_concurrency"] = """
 WITH marked AS (

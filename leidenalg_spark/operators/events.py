@@ -1657,3 +1657,73 @@ def leadlag_correlation(
         "label_a", "label_b", F.col("lag").cast("long").alias("lag"), "n_buckets",
         F.round(F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb)), 6).alias("r"),
     )
+
+
+def attribution(
+    df: DataFrame,
+    conversion_type: str,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    label_col: str = "event_type",
+    window_s: float = 86400.0,
+    model: str = "last",
+) -> DataFrame:
+    """Multi-touch conversion attribution: every ``conversion_type``
+    event distributes one unit of credit over the SAME key's preceding
+    non-conversion touchpoints within ``window_s`` seconds —
+
+    - ``model='last'``: the most recent touch gets the unit,
+    - ``model='first'``: the earliest in-window touch gets it,
+    - ``model='linear'``: the unit splits 1/n over all in-window touches
+
+    — the standard channel-credit triple.  Conversions with no in-window
+    touch are reported under label NULL ("unattributed"), so
+    Σ credit = #conversions for every model (a conservation law the
+    tests assert).  Returns (label, n_conversions_touched, credit).
+
+    Scale shape: touchpoints and conversions are two filtered scans; the
+    pairing is one per-key equi-join bounded by the window predicate in
+    plan (the per-key fan-out is the key's in-window touch count, not
+    the corpus), the per-conversion rank/count is a conversion-keyed
+    window, and the final rollup is a label hash aggregate.
+    """
+    if model not in ("last", "first", "linear"):
+        raise ValueError(model)
+    ep = lambda c: F.unix_micros(F.col(c).cast("timestamp")) / 1e6  # noqa: E731
+    conv = (
+        df.where(F.col(label_col) == conversion_type)
+        .select(F.col(key).alias("k"), ep(ts_col).alias("ct"))
+        .withColumn("cid", F.concat_ws(":", "k", F.col("ct").cast("string")))
+        .distinct()
+    )
+    touch = (
+        df.where(F.col(label_col) != conversion_type)
+        .select(F.col(key).alias("k"), ep(ts_col).alias("tt"), F.col(label_col).alias("lbl"))
+    )
+    paired = conv.join(touch, "k").where(
+        (F.col("tt") < F.col("ct")) & (F.col("tt") >= F.col("ct") - float(window_s))
+    )
+    w = Window.partitionBy("cid")
+    if model == "linear":
+        credit = F.lit(1.0) / F.count(F.lit(1)).over(w)
+        scored = paired.select("cid", "lbl", credit.alias("credit"))
+    else:
+        # last: latest touch (ties → label asc); first: earliest touch
+        ordc = [F.desc("tt"), F.asc("lbl")] if model == "last" else [F.asc("tt"), F.asc("lbl")]
+        rn = F.row_number().over(Window.partitionBy("cid").orderBy(*ordc))
+        scored = (
+            paired.withColumn("rn", rn).where(F.col("rn") == 1)
+            .select("cid", "lbl", F.lit(1.0).alias("credit"))
+        )
+    unattributed = (
+        conv.join(paired.select("cid").distinct(), "cid", "left_anti")
+        .select("cid", F.lit(None).cast("string").alias("lbl"), F.lit(1.0).alias("credit"))
+    )
+    return (
+        scored.unionByName(unattributed)
+        .groupBy(F.col("lbl").alias("label"))
+        .agg(
+            F.countDistinct("cid").alias("n_conversions_touched"),
+            F.round(F.sum("credit"), 6).alias("credit"),
+        )
+    )

@@ -1322,3 +1322,66 @@ def knn_label_noise(
         F.round(noise, 6).alias("noise_score"),
         (F.round(noise, 6) >= float(flag_threshold)).alias("flagged"),
     )
+
+
+def dim_truncation_fidelity(
+    spark,
+    emb: DataFrame,
+    dims: tuple = (8, 16, 32),
+    offsets: tuple = (1, 7, 41, 173),
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation fidelity: over the SAME
+    deterministic id-offset pair sample as :func:`distance_histogram`,
+    compare each pair's full-dimension cosine with its first-``d``-dims
+    cosine for every ``d`` in ``dims`` — per d, report the Pearson
+    correlation and mean absolute error between the two similarity
+    scores.  The "can I keep only the first d dims" calibration table:
+    high correlation at small d means the index (ANN, dedup, retrieval)
+    can run truncated at a fraction of the memory.  Returns
+    (dim, n_pairs, pearson_r, mae).
+
+    Scale shape: |offsets|·n pairs (no sampling RNG, no crossJoin);
+    per-pair work is |dims|+1 JVM ``aggregate`` dot products over
+    sliced arrays; the rollup is one |dims|-row hash aggregate.
+    """
+    e = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("av"))
+    pairs = None
+    for off in offsets:
+        p = e.join(
+            emb.select(
+                (F.col(id_col) - F.lit(int(off))).alias("a"),
+                F.col(vec_col).alias("bv"),
+            ),
+            "a",
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    full = _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv")))
+    rows = []
+    base = pairs.withColumn("cf", F.round(full, 6))
+    for d in dims:
+        sa, sb = F.slice("av", 1, int(d)), F.slice("bv", 1, int(d))
+        ct = _dot(sa, sb) / (_norm(sa) * _norm(sb))
+        rows.append(
+            base.select(F.lit(int(d)).alias("dim"), "cf", F.round(ct, 6).alias("ct"))
+        )
+    allr = rows[0]
+    for r in rows[1:]:
+        allr = allr.unionByName(r)
+    agg = allr.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg("cf").alias("mf"), F.avg("ct").alias("mt"),
+        F.avg(F.col("cf") * F.col("ct")).alias("mft"),
+        F.avg(F.col("cf") * F.col("cf")).alias("mff"),
+        F.avg(F.col("ct") * F.col("ct")).alias("mtt"),
+        F.avg(F.abs(F.col("cf") - F.col("ct"))).alias("mae"),
+    )
+    cov = F.col("mft") - F.col("mf") * F.col("mt")
+    vf = F.col("mff") - F.col("mf") * F.col("mf")
+    vt = F.col("mtt") - F.col("mt") * F.col("mt")
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"), "n_pairs",
+        F.round(F.when((vf > 0) & (vt > 0), cov / F.sqrt(vf * vt)), 6).alias("pearson_r"),
+        F.round("mae", 6).alias("mae"),
+    )

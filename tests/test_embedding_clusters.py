@@ -236,3 +236,17 @@ def test_knn_label_noise_flags_flipped_label(spark):
     assert out[3].noise_score == 1.0 and out[3].flagged
     # 2's nearest neighbour is 3 which CLAIMS label 0 → 2 is also noisy
     assert out[2].flagged
+
+
+def test_dim_truncation_fidelity_exact_when_tail_zero(spark):
+    """Vectors with all mass in the first 2 dims: the 2-dim truncated
+    cosine equals the full cosine → MAE 0, Pearson 1."""
+    from leidenalg_spark.operators.similarity import dim_truncation_fidelity
+
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.6, 0.8, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    r = dim_truncation_fidelity(spark, e, dims=(2,), offsets=(1,)).collect()[0]
+    assert r.dim == 2 and r.n_pairs == 2
+    assert r.mae == 0.0 and abs(r.pearson_r - 1.0) < 1e-6

@@ -543,3 +543,29 @@ def test_leadlag_correlation_planted_shift(spark):
     r_ab1 = out[("a", "b", 1)]
     assert r_ab1.n_buckets == 3 and abs(r_ab1.r - 1.0) < 1e-6
     assert abs(out[("a", "b", 0)].r - (-0.2)) < 1e-6
+
+
+def test_attribution_models_conserve_credit(spark):
+    """Hand-computed: last → email, first → ad, linear → ½/½; the
+    touchless conversion lands in the NULL bucket; Σcredit = #conversions
+    for every model."""
+    from datetime import datetime, timedelta
+
+    from leidenalg_spark.operators.events import attribution
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "ad"), (1, t0 + timedelta(seconds=10), "email"),
+        (1, t0 + timedelta(seconds=20), "purchase"),
+        (2, t0, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    for model, want in (
+        ("last", {"email": 1.0, None: 1.0}),
+        ("first", {"ad": 1.0, None: 1.0}),
+        ("linear", {"ad": 0.5, "email": 0.5, None: 1.0}),
+    ):
+        out = {r.label: r.credit for r in
+               attribution(ev, "purchase", model=model).collect()}
+        assert out == want, (model, out)
+        assert abs(sum(out.values()) - 2.0) < 1e-9
