@@ -1376,6 +1376,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_simrank(spark, sf):
+        # two-iteration structural-context similarity on the det graph
+        from leidenalg_spark.operators.kernels import simrank
+
+        return simrank(spark, _bipartite_ids_det(spark, sf))
+
+    def q_bipartite_newman(spark, sf):
+        # Newman collaboration-weighted one-mode projection (user side)
+        return E.bipartite_project(
+            _bipartite_ids_det(spark, sf), side="src", weighting="newman"
+        )
+
     def q_attribution(spark, sf):
         # linear multi-touch credit for 'purchase' within a 24h window
         from leidenalg_spark.operators.events import attribution
@@ -2364,6 +2376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_significance": q_triangle_significance,
         "attribution": q_attribution,
         "dim_truncation": q_dim_truncation,
+        "simrank": q_simrank,
+        "bipartite_newman": q_bipartite_newman,
         "session_concurrency": q_session_concurrency,
         "leadlag_correlation": q_leadlag_correlation,
         "landmark_distances": q_landmark_distances,
@@ -3523,6 +3537,47 @@ best AS (
 SELECT asg.vec_id, asg.cell, best.dup_of, best.cs AS cos_sim,
        best.dup_of IS NOT NULL AS is_dup
 FROM asg LEFT JOIN (SELECT * FROM best WHERE rn = 1) best ON asg.vec_id = best.vid
+"""
+    sqls["simrank"] = f"""
+WITH {_DET_PRELUDE.strip()},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+s AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+deg AS (SELECT a AS id, CAST(COUNT(*) AS DOUBLE) AS d FROM s GROUP BY a),
+common AS (
+  SELECT l.a AS x, r.a AS y, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM s l JOIN s r ON l.b = r.b AND l.a <> r.a GROUP BY 1, 2
+),
+p1 AS (
+  SELECT x, y, 0.8 * cnt / (dx.d * dy.d) AS sv
+  FROM common JOIN deg dx ON dx.id = x JOIN deg dy ON dy.id = y
+),
+off AS (
+  SELECT ex.b AS x, ey.b AS y, SUM(sv) AS s_off
+  FROM p1 JOIN s ex ON ex.a = p1.x JOIN s ey ON ey.a = p1.y
+  WHERE ex.b <> ey.b GROUP BY 1, 2
+),
+s2 AS (
+  SELECT x, y,
+         0.8 * (COALESCE(o.s_off, 0) + COALESCE(c.cnt, 0)) / (dx.d * dy.d) AS sv
+  FROM common c FULL JOIN off o USING (x, y)
+  JOIN deg dx ON dx.id = x JOIN deg dy ON dy.id = y
+)
+SELECT x AS src, y AS dst, ROUND(sv, 6) AS simrank
+FROM s2 WHERE x < y AND ROUND(sv, 6) > 0
+"""
+    sqls["bipartite_newman"] = f"""
+WITH {_DET_PRELUDE.strip()},
+e AS (SELECT dst AS anchor, src AS node FROM edges),
+nd AS (SELECT anchor, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY anchor),
+p AS (
+  SELECT l.node AS a, r.node AS b, nd.d
+  FROM e l JOIN e r ON l.anchor = r.anchor AND l.node < r.node
+  JOIN nd ON nd.anchor = l.anchor
+  WHERE nd.d > 1
+)
+SELECT a AS src, b AS dst, ROUND(SUM(1.0 / (d - 1)), 6) AS weight
+FROM p GROUP BY 1, 2
 """
     sqls["attribution"] = """
 WITH conv AS (

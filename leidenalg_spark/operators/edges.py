@@ -170,7 +170,10 @@ def bipartite_project(
 
     ``weighting``: ``"count"`` = number of shared anchors;
     ``"product"`` = Σ_anchor w_a·w_b (the adjacency-matrix product
-    B·Bᵀ off-diagonal).
+    B·Bᵀ off-diagonal); ``"newman"`` = Σ_anchor 1/(deg(anchor) − 1)
+    (Newman's collaboration weighting, PRE 64 2001: an anchor shared
+    with few others certifies a stronger tie than a crowd anchor —
+    degree-1 anchors contribute nothing and are dropped).
 
     Scale shape: one self-equi-join keyed on the anchor — pair rows are
     bounded by Σ_anchor deg(anchor)², so a super-hub anchor (a stop-word
@@ -189,13 +192,22 @@ def bipartite_project(
         deg = e.groupBy("anchor").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") <= max_anchor_degree).select("anchor")
         e = e.join(keep, "anchor", "semi")
-    l = e.select("anchor", F.col("node").alias("a"), F.col("weight").alias("wa"))
+    if weighting == "newman":
+        # ride the anchor degree on the join input; the same degree
+        # aggregate the hub cap used (re-derived post-filter so capped
+        # anchors don't shift surviving anchors' weights)
+        nd = e.groupBy("anchor").agg(F.count(F.lit(1)).alias("anchor_deg"))
+        e = e.join(nd.where(F.col("anchor_deg") > 1), "anchor")
+    l = e.select("anchor", F.col("node").alias("a"), F.col("weight").alias("wa"),
+                 *(["anchor_deg"] if weighting == "newman" else []))
     r = e.select("anchor", F.col("node").alias("b"), F.col("weight").alias("wb"))
     pairs = l.join(r, "anchor").where(F.col("a") < F.col("b"))
     if weighting == "product":
         wexpr = F.sum(F.col("wa") * F.col("wb"))
     elif weighting == "count":
         wexpr = F.count(F.lit(1)).cast("double")
+    elif weighting == "newman":
+        wexpr = F.sum(1.0 / (F.col("anchor_deg") - 1.0))
     else:
         raise ValueError(weighting)
     return pairs.groupBy(F.col("a").alias("src"), F.col("b").alias("dst")).agg(

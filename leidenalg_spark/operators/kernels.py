@@ -5975,3 +5975,83 @@ def landmark_distances(
         out = out.localCheckpoint(eager=True)
         ckpt.close()
     return out
+
+
+def simrank(
+    spark, edges: DataFrame, c: float = 0.8, min_sim: float | None = None,
+) -> DataFrame:
+    """Two-iteration SimRank (Jeh & Widom 2002): "two vertices are
+    similar when their neighbourhoods are similar", the structural-
+    context score that sees what direct-overlap measures (cocitation,
+    Jaccard) cannot — similarity THROUGH similar, not shared,
+    neighbours.  With s₀ = identity the closed forms are
+
+        s₁(a,b) = C·|N(a)∩N(b)| / (|N(a)|·|N(b)|)
+        s₂(a,b) = C·(Σ_{na∈N(a),nb∈N(b), na≠nb} s₁(na,nb) + |N(a)∩N(b)|)
+                  / (|N(a)|·|N(b)|)
+
+    over the symmetrised simple graph.  Returns (src, dst, simrank)
+    with src < dst for every pair with a non-zero score (pairs whose
+    2-hop neighbourhoods touch); on a bipartite graph only same-side
+    pairs score, as the theory requires.  Two fixed iterations is the
+    standard truncation — scores at deeper k shrink by C per level.
+
+    Scale shape: s₁ is the cocitation join (pair rows bounded by
+    Σ_anchor deg², the bipartite_project bound); the s₂ propagation is
+    two id-keyed joins fanning each s₁ pair to its adjacent pairs —
+    Σ_pairs deg·deg rows, the documented cost of exact SimRank; at web
+    scale prune with ``min_sim`` (s₁ entries below it cannot lift s₂
+    above min_sim/C) before propagating.
+    """
+    sym = _sym_simple(edges)
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    # |N(a) ∩ N(b)| via the shared-anchor join (both orders kept: the
+    # propagation below needs symmetric lookup)
+    l = sym.select(F.col("b").alias("anchor"), F.col("a").alias("x"))
+    r = sym.select(F.col("b").alias("anchor"), F.col("a").alias("y"))
+    common = (
+        l.join(r, "anchor").where(F.col("x") != F.col("y"))
+        .groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dx = deg.select(F.col("id").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("id").alias("y"), F.col("d").alias("dy"))
+    p1 = (
+        common.join(dx, "x").join(dy, "y")
+        .select("x", "y", (F.lit(float(c)) * F.col("cnt") / (F.col("dx") * F.col("dy"))).alias("s"))
+    )
+    if min_sim is not None:
+        p1 = p1.where(F.col("s") >= float(min_sim) / float(c))
+    p1 = p1.persist()
+    # propagate each s1 pair to every adjacent pair: (x,y,s) → (a,b,s)
+    # for a ∈ N(x), b ∈ N(y)
+    ex = sym.select(F.col("a").alias("x"), F.col("b").alias("pa"))
+    ey = sym.select(F.col("a").alias("y"), F.col("b").alias("pb"))
+    off = (
+        p1.join(ex, "x").join(ey, "y")
+        .where(F.col("pa") != F.col("pb"))
+        .groupBy(F.col("pa").alias("x"), F.col("pb").alias("y"))
+        .agg(F.sum("s").alias("s_off"))
+    )
+    s2 = (
+        common.join(off, ["x", "y"], "full")
+        .na.fill({"cnt": 0, "s_off": 0.0})
+        .join(dx, "x").join(dy, "y")
+        .select(
+            "x", "y",
+            (F.lit(float(c)) * (F.col("s_off") + F.col("cnt"))
+             / (F.col("dx") * F.col("dy"))).alias("s2"),
+        )
+    )
+    out = (
+        s2.where(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("src"), F.col("y").alias("dst"),
+            F.round("s2", 6).alias("simrank"),
+        )
+        .where(F.col("simrank") > 0)
+    )
+    if min_sim is not None:
+        out = out.where(F.col("simrank") >= float(min_sim))
+    out = out.localCheckpoint(eager=True)
+    p1.unpersist()
+    return out

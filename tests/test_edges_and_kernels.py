@@ -1685,3 +1685,32 @@ def test_landmark_distances_path_all_landmarks(spark):
     assert len(rows) == 19
     assert d[(0, 0)] == 0 and d[(2, 0)] == 2 and (3, 0) not in d
     assert d[(1, 3)] == 2 and d[(4, 2)] == 2
+
+
+def test_simrank_square_golden(spark):
+    """4-cycle: opposite corners share both neighbours → s1 = 0.4,
+    s2 = 0.8·(0.4+0.4+2)/4 = 0.56; adjacent pairs stay 0 (dropped)."""
+    from leidenalg_spark.operators.kernels import simrank
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    out = {(r.src, r.dst): r.simrank for r in simrank(spark, e).collect()}
+    assert set(out) == {(0, 2), (1, 3)}
+    assert abs(out[(0, 2)] - 0.56) < 1e-6 and abs(out[(1, 3)] - 0.56) < 1e-6
+
+
+def test_bipartite_project_newman_weighting(spark):
+    """Anchors X{1,2,3}, Y{1,2}, Z{1}: w(1,2) = 1/2 + 1/1 = 1.5,
+    w(1,3) = w(2,3) = 0.5; the degree-1 anchor contributes nothing."""
+    from leidenalg_spark.operators.edges import bipartite_project
+
+    e = spark.createDataFrame(
+        [(1, 100, 1.0), (2, 100, 1.0), (3, 100, 1.0),
+         (1, 200, 1.0), (2, 200, 1.0), (1, 300, 1.0)],
+        "src long, dst long, weight double",
+    )
+    out = {(r.src, r.dst): r.weight for r in
+           bipartite_project(e, side="src", weighting="newman").collect()}
+    assert out == {(1, 2): 1.5, (1, 3): 0.5, (2, 3): 0.5}
