@@ -1376,6 +1376,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_winnowing(spark, sf):
+        # MOSS winnowing partial-copy candidates (k=5, w=4)
+        from leidenalg_spark.operators.dedup import winnowing_pairs
+
+        return winnowing_pairs(_documents(spark, sf), min_shared=2)
+
     def q_simrank(spark, sf):
         # two-iteration structural-context similarity on the det graph
         from leidenalg_spark.operators.kernels import simrank
@@ -2378,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_truncation": q_dim_truncation,
         "simrank": q_simrank,
         "bipartite_newman": q_bipartite_newman,
+        "winnowing": q_winnowing,
         "session_concurrency": q_session_concurrency,
         "leadlag_correlation": q_leadlag_correlation,
         "landmark_distances": q_landmark_distances,
@@ -3537,6 +3544,28 @@ best AS (
 SELECT asg.vec_id, asg.cell, best.dup_of, best.cs AS cos_sim,
        best.dup_of IS NOT NULL AS is_dup
 FROM asg LEFT JOIN (SELECT * FROM best WHERE rn = 1) best ON asg.vec_id = best.vid
+"""
+    sqls["winnowing"] = f"""
+WITH pos AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(array_to_string((tk)[i+1:i+5], ' ')), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id, {toks} AS tk FROM documents),
+       LATERAL (SELECT unnest(range(0, greatest(len(tk) - 5, 0) + 1)) AS i)
+  WHERE length(array_to_string((tk)[i+1:i+5], ' ')) > 0
+),
+sel AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_kg
+  FROM pos
+),
+fp AS (SELECT DISTINCT doc_id, wmin AS fp FROM sel WHERE pos <= greatest(n_kg - 4, 0)),
+keepfp AS (SELECT fp FROM (SELECT fp, COUNT(*) AS nf FROM fp GROUP BY fp) WHERE nf <= 1000),
+f2 AS (SELECT doc_id, fp FROM fp WHERE fp IN (SELECT fp FROM keepfp))
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM f2 l JOIN f2 r ON l.fp = r.fp AND l.doc_id < r.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
     sqls["simrank"] = f"""
 WITH {_DET_PRELUDE.strip()},

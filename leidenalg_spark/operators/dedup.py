@@ -711,9 +711,11 @@ def source_minhash_overlap(
         .select("source", "h")
     )
     srcs = sk.select("source").distinct()
+    # catalog-sized pair frame: broadcast one side so the planner emits a
+    # broadcast nested-loop, never a shuffled cartesian
     ps = (
         srcs.select(F.col("source").alias("source_a"))
-        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("source_b"))))
         .where(F.col("source_a") < F.col("source_b"))
     )
     m = (
@@ -739,4 +741,80 @@ def source_minhash_overlap(
     return both.select(
         "source_a", "source_b", "k_used", "n_inter",
         F.round(F.col("n_inter") / F.col("k_used"), 6).alias("est_jaccard"),
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 5, w: int = 4, col: str = "text"
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every positional token
+    k-gram, slide a window of ``w`` consecutive hashes, and keep each
+    window's MINIMUM — the guarantee is that any shared substring of
+    length ≥ k + w − 1 tokens yields at least one shared fingerprint,
+    while only ~2/(w+1) of all k-grams are kept.  The fingerprint SET is
+    independent of the rightmost-tie position rule (ties pick the same
+    hash value), which keeps the operator engine-reproducible.  Short
+    documents (< w k-grams) keep their single window's minimum.  Returns
+    distinct (doc_id, fp).
+
+    Contrast :func:`shingles`+minhash (set-similarity estimates) and
+    :func:`duplicate_spans` (exact k-gram census): winnowing gives
+    position-robust partial-copy DETECTION with a coverage guarantee at
+    a fraction of the k-gram volume.
+
+    Scale shape: one positional explode, one per-doc ordered window of
+    fixed width w (partition-bounded by doc length), one distinct —
+    all linear in corpus token count, no joins.
+    """
+    toks = tokens_col(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    kg = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    pos = (
+        docs.select("doc_id", F.posexplode(kg).alias("pos", "kgram"))
+        .where(F.length("kgram") > 0)
+    )
+    h = F.conv(F.substring(F.md5("kgram"), 1, 8), 16, 10).cast("long")
+    wf = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    wn = Window.partitionBy("doc_id")
+    sel = (
+        pos.select("doc_id", "pos", h.alias("h"))
+        .withColumn("wmin", F.min("h").over(wf))
+        .withColumn("n_kg", F.count(F.lit(1)).over(wn))
+        .where(F.col("pos") <= F.greatest(F.col("n_kg") - w, F.lit(0)))
+    )
+    return sel.select("doc_id", F.col("wmin").alias("fp")).distinct()
+
+
+def winnowing_pairs(
+    docs: DataFrame, k: int = 5, w: int = 4, min_shared: int = 2,
+    max_fp_freq: int | None = 1000, col: str = "text",
+) -> DataFrame:
+    """Partial-copy candidate pairs from shared winnowing fingerprints:
+    (doc_a, doc_b, n_shared) with doc_a < doc_b and n_shared ≥
+    ``min_shared`` shared fingerprints — each shared fingerprint
+    certifies a shared token run of length ≥ k (and any shared run of
+    ≥ k + w − 1 tokens is guaranteed to surface).  ``max_fp_freq`` drops
+    boilerplate fingerprints carried by more docs than the cap (the
+    ngram_jaccard hub-shingle convention): a fingerprint in thousands of
+    docs is template text and costs deg² pair rows for no signal.
+
+    Scale shape: the fingerprint table is ~2/(w+1) of the k-gram volume;
+    the pair stage is one fp-keyed self-join, quadratic only within one
+    fingerprint's (capped) posting list.
+    """
+    fp = winnowing_fingerprints(docs, k=k, w=w, col=col)
+    if max_fp_freq is not None:
+        freq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("nf"))
+        fp = fp.join(freq.where(F.col("nf") <= max_fp_freq).select("fp"), "fp", "semi")
+    l = fp.select("fp", F.col("doc_id").alias("doc_a"))
+    r = fp.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        l.join(r, "fp").where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
     )

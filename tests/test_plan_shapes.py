@@ -108,6 +108,21 @@ DECLARATIVE = [
     "rfm_scores",
     "script_profile",
     "json_field_stats",
+    "community_conductance",
+    "edge_lift",
+    "knn_label_noise",
+    "semantic_dedup",
+    "source_minhash_overlap",
+    "interarrival_ks",
+    "l_diversity",
+    "triangle_significance",
+    "leadlag_correlation",
+    "session_concurrency",
+    "attribution",
+    "dim_truncation",
+    "simrank",
+    "bipartite_newman",
+    "winnowing",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -151,6 +166,21 @@ SCALAR_CROSS = {
     "vocab_growth",
     # the corpus-horizon row (max_day, n) rides a 1-row broadcast cross join
     "rfm_scores",
+    # volume/vertex-count 1-row scalars ride broadcast cross joins
+    "community_conductance",
+    # the 1-row total-weight scalar rides a broadcast cross join
+    "edge_lift",
+    # exact-kNN baseline broadcasts the bounded id block (the cosine_topk
+    # pattern: build side is the broadcast exchange, never a shuffle)
+    "knn_label_noise",
+    # the k-row centroid table attaches via broadcast nested-loop (kmeans)
+    "semantic_dedup",
+    # the catalog-sized source-pair frame assembles via broadcast joins
+    "source_minhash_overlap",
+    # the dense grid assembles via a broadcast label-list cross join
+    "leadlag_correlation",
+    # the 1-row degree-moment scalars ride a broadcast cross join
+    "triangle_significance",
 }
 
 

@@ -870,3 +870,36 @@ def test_l_diversity_flags_homogeneous_class(spark):
     out = {r.quasi: r for r in l_diversity(df, ["quasi"], "sensitive", l=2).collect()}
     assert out["a"].class_size == 3 and out["a"].n_sensitive == 1 and not out["a"].meets_l
     assert out["b"].n_sensitive == 2 and out["b"].meets_l
+
+
+def test_winnowing_identical_docs_share_all_fingerprints(spark):
+    """Identical texts produce identical fingerprint sets; a disjoint
+    text shares none; fingerprint volume ≤ window count."""
+    from leidenalg_spark.operators.dedup import (
+        winnowing_fingerprints, winnowing_pairs,
+    )
+
+    t = " ".join(f"w{i % 7}x{i % 3}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (3, other)], "doc_id long, text string"
+    )
+    fps = winnowing_fingerprints(docs).groupBy("doc_id").count().collect()
+    n_fp = {r.doc_id: r["count"] for r in fps}
+    assert n_fp[1] == n_fp[2] and 0 < n_fp[1] <= 40 - 5 + 1
+    pairs = {(r.doc_a, r.doc_b): r.n_shared for r in
+             winnowing_pairs(docs, min_shared=1).collect()}
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] == n_fp[1]
+
+
+def test_winnowing_guarantee_on_planted_overlap(spark):
+    """A shared run of ≥ k+w−1 tokens must yield ≥ 1 shared fingerprint."""
+    from leidenalg_spark.operators.dedup import winnowing_pairs
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 > 5+4-1
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f " + shared), (2, shared + " q r s t u v")],
+        "doc_id long, text string",
+    )
+    pairs = winnowing_pairs(docs, min_shared=1).collect()
+    assert len(pairs) == 1 and pairs[0].n_shared >= 1
