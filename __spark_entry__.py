@@ -1376,6 +1376,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_label_separation_auc(spark, sf):
+        # Mann-Whitney AUC of same- vs different-label pair cosine
+        return S.label_separation_auc(spark, _embeddings(spark, sf))
+
+    def q_nestedness(spark, sf):
+        # NODF nestedness of the user x event-type interaction matrix
+        from leidenalg_spark.operators.kernels import nestedness_nodf
+
+        return nestedness_nodf(spark, _bipartite_ids_det(spark, sf))
+
     def q_winnowing(spark, sf):
         # MOSS winnowing partial-copy candidates (k=5, w=4)
         from leidenalg_spark.operators.dedup import winnowing_pairs
@@ -2385,6 +2395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank": q_simrank,
         "bipartite_newman": q_bipartite_newman,
         "winnowing": q_winnowing,
+        "label_separation_auc": q_label_separation_auc,
+        "nestedness": q_nestedness,
         "session_concurrency": q_session_concurrency,
         "leadlag_correlation": q_leadlag_correlation,
         "landmark_distances": q_landmark_distances,
@@ -3545,6 +3557,74 @@ SELECT asg.vec_id, asg.cell, best.dup_of, best.cs AS cos_sim,
        best.dup_of IS NOT NULL AS is_dup
 FROM asg LEFT JOIN (SELECT * FROM best WHERE rn = 1) best ON asg.vec_id = best.vid
 """
+    dt_cos = lambda x, y: (  # noqa: E731
+        f"list_sum(list_transform(list_zip({x}, {y}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({x}, q -> CAST(q AS DOUBLE) * CAST(q AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({y}, q -> CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))))"
+    )
+    lsa_pairs = "\n  UNION ALL ".join(
+        f"SELECT a.embedding AS av, b.embedding AS bv,"
+        f" CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS pos"
+        f" FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + {o}"
+        for o in (1, 7, 41, 173)
+    )
+    sqls["label_separation_auc"] = f"""
+WITH p AS (
+  {lsa_pairs}
+),
+sc AS (
+  SELECT pos, ROUND({dt_cos('av', 'bv')}, 6) AS cs FROM p
+),
+rk AS (
+  SELECT pos,
+         RANK() OVER (ORDER BY cs)
+           + (CAST(COUNT(*) OVER (PARTITION BY cs) AS DOUBLE) - 1) / 2 AS r
+  FROM sc
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(pos) AS DOUBLE) AS n_same,
+         SUM(CASE WHEN pos = 1 THEN r END) AS rsum
+  FROM rk
+)
+SELECT n_pairs, CAST(n_same AS BIGINT) AS n_same,
+       CAST(n_pairs - n_same AS BIGINT) AS n_diff,
+       ROUND(CASE WHEN n_same > 0 AND n_pairs - n_same > 0
+             THEN (rsum - n_same * (n_same + 1) / 2) / (n_same * (n_pairs - n_same))
+             END, 6) AS auc
+FROM agg
+"""
+    sqls["nestedness"] = f"""
+WITH {_DET_PRELUDE.strip()},
+su AS (SELECT DISTINCT src AS node, dst AS anchor FROM edges),
+sv AS (SELECT DISTINCT dst AS node, src AS anchor FROM edges),
+du AS (SELECT node, CAST(COUNT(*) AS DOUBLE) AS d FROM su GROUP BY node),
+dv AS (SELECT node, CAST(COUNT(*) AS DOUBLE) AS d FROM sv GROUP BY node),
+ovu AS (
+  SELECT l.node AS u, r.node AS v, CAST(COUNT(*) AS DOUBLE) AS ov
+  FROM su l JOIN su r ON l.anchor = r.anchor AND l.node <> r.node GROUP BY 1, 2
+),
+ovv AS (
+  SELECT l.node AS u, r.node AS v, CAST(COUNT(*) AS DOUBLE) AS ov
+  FROM sv l JOIN sv r ON l.anchor = r.anchor AND l.node <> r.node GROUP BY 1, 2
+),
+ssrc AS (
+  SELECT COALESCE(SUM(ov / b.d), 0) AS s FROM ovu
+  JOIN du a ON a.node = ovu.u JOIN du b ON b.node = ovu.v WHERE a.d > b.d
+),
+sdst AS (
+  SELECT COALESCE(SUM(ov / b.d), 0) AS s FROM ovv
+  JOIN dv a ON a.node = ovv.u JOIN dv b ON b.node = ovv.v WHERE a.d > b.d
+),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM du),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM dv)
+SELECT ROUND(100 * (ssrc.s + sdst.s)
+             / (ns.n * (ns.n - 1) / 2 + nd.n * (nd.n - 1) / 2), 6) AS nodf,
+       ROUND(CASE WHEN ns.n > 1 THEN 100 * ssrc.s / (ns.n * (ns.n - 1) / 2) END, 6) AS nodf_src,
+       ROUND(CASE WHEN nd.n > 1 THEN 100 * sdst.s / (nd.n * (nd.n - 1) / 2) END, 6) AS nodf_dst,
+       CAST(ns.n AS BIGINT) AS n_src, CAST(nd.n AS BIGINT) AS n_dst
+FROM ssrc CROSS JOIN sdst CROSS JOIN ns CROSS JOIN nd
+"""
     sqls["winnowing"] = f"""
 WITH pos AS (
   SELECT doc_id, i AS pos,
@@ -3634,11 +3714,6 @@ SELECT lbl AS label,
        ROUND(SUM(credit), 6) AS credit
 FROM (SELECT * FROM scored UNION ALL SELECT * FROM unat) GROUP BY lbl
 """
-    dt_cos = lambda x, y: (  # noqa: E731
-        f"list_sum(list_transform(list_zip({x}, {y}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-        f" / (sqrt(list_sum(list_transform({x}, q -> CAST(q AS DOUBLE) * CAST(q AS DOUBLE))))"
-        f" * sqrt(list_sum(list_transform({y}, q -> CAST(q AS DOUBLE) * CAST(q AS DOUBLE)))))"
-    )
     dt_rows = "\n  UNION ALL ".join(
         f"SELECT {d} AS dim, ROUND({dt_cos('av', 'bv')}, 6) AS cf,"
         f" ROUND({dt_cos(f'av[1:{d}]', f'bv[1:{d}]')}, 6) AS ct FROM p"

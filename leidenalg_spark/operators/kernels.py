@@ -6055,3 +6055,65 @@ def simrank(
     out = out.localCheckpoint(eager=True)
     p1.unpersist()
     return out
+
+
+def nestedness_nodf(spark, edges: DataFrame) -> DataFrame:
+    """Bipartite nestedness by overlap and decreasing fill (NODF,
+    Almeida-Neto 2008): for every ordered vertex pair (u, v) on the SAME
+    side with deg(u) > deg(v), the paired-overlap score
+    |N(u)∩N(v)| / deg(v); NODF = 100 · Σ scores / (C(n_src,2) +
+    C(n_dst,2)).  High NODF = specialists interact with subsets of what
+    generalists interact with — the interaction-matrix "triangle" shape
+    ecology and trade networks test for; equal-degree pairs score 0 by
+    definition.  Returns one row: (nodf, nodf_src, nodf_dst,
+    n_src, n_dst).
+
+    Scale shape: only pairs with NON-ZERO overlap carry score, so the
+    sum rides the shared-anchor (cocitation) join — Σ_anchor deg²
+    bounded, never the full C(n,2) pair space, which enters only as the
+    closed-form denominator.
+    """
+    src_side = edges.select(F.col("src").alias("node"), F.col("dst").alias("anchor"))
+    dst_side = edges.select(F.col("dst").alias("node"), F.col("src").alias("anchor"))
+
+    def side_sum(tbl):
+        e = tbl.distinct()
+        deg = e.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+        l = e.select("anchor", F.col("node").alias("u"))
+        r = e.select("anchor", F.col("node").alias("v"))
+        ov = (
+            l.join(r, "anchor").where(F.col("u") != F.col("v"))
+            .groupBy("u", "v").agg(F.count(F.lit(1)).alias("ov"))
+        )
+        du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+        dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+        s = (
+            ov.join(du, "u").join(dv, "v")
+            .where(F.col("du") > F.col("dv"))
+            .agg(F.coalesce(F.sum(F.col("ov") / F.col("dv")), F.lit(0.0)).alias("s"))
+        )
+        n = deg.agg(F.count(F.lit(1)).alias("n"))
+        return s.crossJoin(F.broadcast(n))
+
+    a = side_sum(src_side).select(F.col("s").alias("s_src"), F.col("n").alias("n_src"))
+    b = side_sum(dst_side).select(F.col("s").alias("s_dst"), F.col("n").alias("n_dst"))
+    pairs = lambda n: n * (n - 1.0) / 2.0  # noqa: E731
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            F.round(
+                100.0 * (F.col("s_src") + F.col("s_dst"))
+                / (pairs(F.col("n_src")) + pairs(F.col("n_dst"))), 6
+            ).alias("nodf"),
+            F.round(
+                F.when(F.col("n_src") > 1,
+                       100.0 * F.col("s_src") / pairs(F.col("n_src"))), 6
+            ).alias("nodf_src"),
+            F.round(
+                F.when(F.col("n_dst") > 1,
+                       100.0 * F.col("s_dst") / pairs(F.col("n_dst"))), 6
+            ).alias("nodf_dst"),
+            F.col("n_src").cast("long").alias("n_src"),
+            F.col("n_dst").cast("long").alias("n_dst"),
+        )
+    )

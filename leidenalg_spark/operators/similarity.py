@@ -1385,3 +1385,72 @@ def dim_truncation_fidelity(
         F.round(F.when((vf > 0) & (vt > 0), cov / F.sqrt(vf * vt)), 6).alias("pearson_r"),
         F.round("mae", 6).alias("mae"),
     )
+
+
+def label_separation_auc(
+    spark,
+    emb: DataFrame,
+    offsets: tuple = (1, 7, 41, 173),
+    id_col="vec_id",
+    vec_col="embedding",
+    label_col="label",
+) -> DataFrame:
+    """Label-separability AUC of an embedding space: over the
+    deterministic id-offset pair sample (the :func:`distance_histogram`
+    convention), the probability that a SAME-label pair scores higher
+    cosine than a DIFFERENT-label pair — the Mann–Whitney U / ROC-AUC of
+    "is this pair same-class" ranked by similarity, with the standard
+    midrank tie correction.  0.5 = labels invisible to the geometry,
+    1.0 = perfectly separated; the single-number screening twin of
+    :func:`fisher_ratio` (which scores dimensions, not pair ranking).
+    Returns one row: (n_pairs, n_same, n_diff, auc).
+
+    Scale shape: |offsets|·n pairs, no RNG, no crossJoin; midranks come
+    from two global cumulative windows over the pair scores (bounded by
+    the pair sample, not the corpus), then one 1-row aggregate.
+    """
+    e = emb.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("av"), F.col(label_col).alias("la")
+    )
+    pairs = None
+    for off in offsets:
+        p = e.join(
+            emb.select(
+                (F.col(id_col) - F.lit(int(off))).alias("a"),
+                F.col(vec_col).alias("bv"),
+                F.col(label_col).alias("lb"),
+            ),
+            "a",
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cs = _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv")))
+    scored = pairs.select(
+        F.round(cs, 6).alias("cs"),
+        (F.col("la") == F.col("lb")).cast("int").alias("pos"),
+    )
+    # midrank = rank() + (#ties − 1)/2: rank() yields 1 + #strictly-below
+    # (the min rank of a tie group), so adding half the tie-group excess
+    # gives the Mann–Whitney average rank — engine-portable (RANGE frames
+    # are value-offset-based in both engines, NOT "strictly below")
+    wr = Window.orderBy("cs")
+    weq = Window.partitionBy("cs")
+    ranked = scored.select(
+        "pos",
+        (
+            F.rank().over(wr) + (F.count(F.lit(1)).over(weq) - 1.0) / 2.0
+        ).alias("r"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("pos").alias("n_same"),
+        F.sum(F.when(F.col("pos") == 1, F.col("r"))).alias("rsum"),
+    )
+    n_same = F.col("n_same").cast("double")
+    n_diff = (F.col("n_pairs") - F.col("n_same")).cast("double")
+    auc = (F.col("rsum") - n_same * (n_same + 1.0) / 2.0) / (n_same * n_diff)
+    return agg.select(
+        "n_pairs",
+        F.col("n_same").cast("long").alias("n_same"),
+        (F.col("n_pairs") - F.col("n_same")).cast("long").alias("n_diff"),
+        F.round(F.when((n_same > 0) & (n_diff > 0), auc), 6).alias("auc"),
+    )

@@ -1714,3 +1714,18 @@ def test_bipartite_project_newman_weighting(spark):
     out = {(r.src, r.dst): r.weight for r in
            bipartite_project(e, side="src", weighting="newman").collect()}
     assert out == {(1, 2): 1.5, (1, 3): 0.5, (2, 3): 0.5}
+
+
+def test_nestedness_nodf_perfectly_nested(spark):
+    """Fully nested bipartite ({A,B,C} ⊃ {A,B} ⊃ {A}): NODF = 100 on
+    both sides."""
+    from leidenalg_spark.operators.kernels import nestedness_nodf
+
+    e = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 1.0), (1, 30, 1.0),
+         (2, 10, 1.0), (2, 20, 1.0), (3, 10, 1.0)],
+        "src long, dst long, weight double",
+    )
+    r = nestedness_nodf(spark, e).collect()[0]
+    assert r.nodf == 100.0 and r.nodf_src == 100.0 and r.nodf_dst == 100.0
+    assert r.n_src == 3 and r.n_dst == 3

@@ -250,3 +250,17 @@ def test_dim_truncation_fidelity_exact_when_tail_zero(spark):
     r = dim_truncation_fidelity(spark, e, dims=(2,), offsets=(1,)).collect()[0]
     assert r.dim == 2 and r.n_pairs == 2
     assert r.mae == 0.0 and abs(r.pearson_r - 1.0) < 1e-6
+
+
+def test_label_separation_auc_perfect(spark):
+    """Same-label pair outranks both different-label pairs → AUC 1."""
+    from leidenalg_spark.operators.similarity import label_separation_auc
+
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0),
+         (2, [0.0, 1.0], 1), (3, [-1.0, 0.1], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = label_separation_auc(spark, e, offsets=(1,)).collect()[0]
+    assert r.n_pairs == 3 and r.n_same == 1 and r.n_diff == 2
+    assert abs(r.auc - 1.0) < 1e-6

@@ -123,6 +123,8 @@ DECLARATIVE = [
     "simrank",
     "bipartite_newman",
     "winnowing",
+    "label_separation_auc",
+    "nestedness",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -181,6 +183,8 @@ SCALAR_CROSS = {
     "leadlag_correlation",
     # the 1-row degree-moment scalars ride a broadcast cross join
     "triangle_significance",
+    # 1-row side sums / counts assemble via broadcast cross joins
+    "nestedness",
 }
 
 
