@@ -316,7 +316,7 @@ def test_stickiness_bounds_and_exact_case(spark):
         "user_id long, ts timestamp",
     )
     got = {r.day: r for r in stickiness(ev, window_days=7).collect()}
-    d0, d3 = t0.date(), (t0 + timedelta(days=3)).date()
+    d0, d3 = t0, t0 + timedelta(days=3)  # midnight timestamps (engine convention)
     assert (got[d0].dau, got[d0].wau) == (1, 1)          # only day-0 activity in window
     assert (got[d3].dau, got[d3].wau) == (2, 2)          # both users inside the window
     assert all(0 < r.stickiness <= 1 for r in got.values())
@@ -547,7 +547,7 @@ def test_slo_burn_accumulates(spark):
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
     got = {r.day: r for r in slo_burn(ev, slo=0.2).collect()}
-    d0, d1 = t0.date(), (t0 + timedelta(days=1)).date()
+    d0, d1 = t0, t0 + timedelta(days=1)  # midnight timestamps (engine convention)
     assert got[d0].error_rate == 0.1 and abs(got[d0].cum_burn - (-0.1)) < 1e-9
     assert got[d1].error_rate == 0.5 and abs(got[d1].cum_burn - 0.2) < 1e-9
 
@@ -692,10 +692,10 @@ def test_peak_days_planted_spike(spark):
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     )
     got = {r.day: r for r in peak_days(ev).collect()}
-    spike = got[(t0 + timedelta(days=10)).date()]
+    spike = got[t0 + timedelta(days=10)]
     assert spike.baseline == 4.0 and spike.is_peak
-    assert not got[(t0 + timedelta(days=9)).date()].is_peak
-    assert got[(t0 + timedelta(days=3)).date()].baseline is None  # window not full yet
+    assert not got[t0 + timedelta(days=9)].is_peak
+    assert got[t0 + timedelta(days=3)].baseline is None  # window not full yet
 
 
 def test_activity_correlation_identical_days(spark):
