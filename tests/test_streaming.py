@@ -226,3 +226,57 @@ def test_streaming_anomaly_incremental_runs_match_one_shot(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, exp)
     assert bool(got.loc[got["n"] == 40, "is_anomaly"].iloc[0])
+
+
+def test_streaming_attribution_matches_batch_and_is_incremental(spark, tmp_path):
+    """Stream-stream interval join equals the batch predicate join, and
+    a second availableNow run over appended files emits only new pairs
+    (exactly-once across restarts)."""
+    from datetime import datetime, timedelta
+
+    from leidenalg_spark.streaming.attribution import (
+        batch_attribution_pairs, run_streaming_attribution,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    in_path = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def ev(uid, secs, typ, eid):
+        return (uid, t0 + timedelta(seconds=secs), typ, eid, 0.0)
+
+    first = [
+        ev(1, 0, "ad", 1), ev(1, 100, "email", 2), ev(1, 200, "purchase", 3),
+        ev(2, 0, "ad", 4),              # never converts
+        ev(3, 0, "ad", 5), ev(3, 5000, "purchase", 6),  # outside 3600s window
+    ]
+    sch = "user_id long, ts timestamp, event_type string, event_id long, value double"
+    spark.createDataFrame(first, sch).write.mode("append").parquet(in_path)
+    pairs_path = run_streaming_attribution(spark, in_path, ck, out)
+
+    def got():
+        return {
+            (r.user_id, r.conv_ts, r.touch_ts, r.touch_type)
+            for r in spark.read.parquet(pairs_path).collect()
+        }
+
+    def want():
+        return {
+            (r.user_id, r.conv_ts, r.touch_ts, r.touch_type)
+            for r in batch_attribution_pairs(spark.read.parquet(in_path)).collect()
+        }
+
+    assert got() == want()
+    assert len(got()) == 2  # user 1's two touches; user 3 out of window
+
+    # append new data AHEAD of the advanced watermark (the first run
+    # moved it to the max seen event time; with watermark "0 seconds"
+    # anything at-or-behind it is dropped as late by contract): the new
+    # in-window pair emits, the first run's pairs do NOT re-emit
+    second = [ev(4, 6000, "ad", 7), ev(4, 6050, "purchase", 8)]
+    spark.createDataFrame(second, sch).write.mode("append").parquet(in_path)
+    run_streaming_attribution(spark, in_path, ck, out)
+    after = got()
+    assert (4, t0 + timedelta(seconds=6050), t0 + timedelta(seconds=6000), "ad") in after
+    assert len(after) == 3  # the first run's pairs exactly once
