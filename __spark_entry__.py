@@ -1376,6 +1376,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_rrf_fuse(spark, sf):
+        # fuse the exact full-dim ranking with the truncated-8-dim
+        # shortlist (the cheap-index + exact-reranker fusion scenario)
+        emb = _embeddings(spark, sf)
+        qs_ = emb.where(F.col("vec_id") < 8)
+        full = S.cosine_topk(emb, qs_, k=10)
+        tr = lambda df: df.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))  # noqa: E731
+        short = S.cosine_topk(tr(emb), tr(qs_), k=10)
+        return S.rrf_fuse([full, short], topk=10)
+
     def q_label_separation_auc(spark, sf):
         # Mann-Whitney AUC of same- vs different-label pair cosine
         return S.label_separation_auc(spark, _embeddings(spark, sf))
@@ -2397,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "label_separation_auc": q_label_separation_auc,
         "nestedness": q_nestedness,
+        "rrf_fuse": q_rrf_fuse,
         "session_concurrency": q_session_concurrency,
         "leadlag_correlation": q_leadlag_correlation,
         "landmark_distances": q_landmark_distances,
@@ -3593,6 +3604,41 @@ SELECT n_pairs, CAST(n_same AS BIGINT) AS n_same,
              THEN (rsum - n_same * (n_same + 1) / 2) / (n_same * (n_pairs - n_same))
              END, 6) AS auc
 FROM agg
+"""
+    def _ctopk_cte(vecexpr, name):
+        return f"""
+{name}_sc AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({dt_cos(f'({vecexpr.format(t="q.qv")})', f'({vecexpr.format(t="e.embedding")})')}, 6) AS cs
+  FROM embeddings e CROSS JOIN
+       (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8) q
+  WHERE e.vec_id <> q.query_id
+),
+{name} AS (
+  SELECT query_id, neighbor_id, rnk FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+    FROM {name}_sc
+  ) WHERE rnk <= 10
+)"""
+
+    sqls["rrf_fuse"] = f"""
+WITH {_ctopk_cte('{t}', 'full_rank').strip().rstrip()},
+{_ctopk_cte('({t})[1:8]', 'short_rank').strip()},
+u AS (
+  SELECT query_id, neighbor_id, 1.0 / (60 + rnk) AS sc FROM full_rank
+  UNION ALL
+  SELECT query_id, neighbor_id, 1.0 / (60 + rnk) AS sc FROM short_rank
+),
+fused AS (
+  SELECT query_id, neighbor_id, ROUND(SUM(sc), 6) AS rrf_score
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rrf_score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, neighbor_id) AS rank
+  FROM fused
+) WHERE rank <= 10
 """
     sqls["nestedness"] = f"""
 WITH {_DET_PRELUDE.strip()},

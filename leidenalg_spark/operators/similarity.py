@@ -1454,3 +1454,49 @@ def label_separation_auc(
         (F.col("n_pairs") - F.col("n_same")).cast("long").alias("n_diff"),
         F.round(F.when((n_same > 0) & (n_diff > 0), auc), 6).alias("auc"),
     )
+
+
+def rrf_fuse(
+    rankings: list,
+    k: int = 60,
+    topk: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack–Clarke–Buettcher, SIGIR 2009):
+    combine any number of per-query rankings into one by summing
+    1/(k + rank) across lists — the score-free fusion that beats most
+    learned combinations and needs NO calibration between rankers
+    (cosine indexes, BM25, truncated-dim shortlists, LSH candidates all
+    speak "rank").  A document missing from a list simply contributes
+    nothing — no imputation.  Ties in the fused score break by doc id.
+    Returns (query_col, doc_col, rrf_score, rank) with rank ≤ ``topk``.
+
+    Scale shape: one union of the (already small) per-query top-k
+    tables, one (query, doc) hash aggregate, one per-query window over
+    ≤ Σ list depths rows — fusion cost is output-proportional, never
+    corpus-proportional.
+    """
+    if not rankings:
+        raise ValueError("at least one ranking required")
+    parts = [
+        r.select(
+            F.col(query_col).alias("q"), F.col(doc_col).alias("d"),
+            (1.0 / (F.lit(float(k)) + F.col(rank_col))).alias("sc"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("q", "d").agg(F.round(F.sum("sc"), 6).alias("rrf_score"))
+    w = Window.partitionBy("q").orderBy(F.desc("rrf_score"), F.asc("d"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(topk))
+        .select(
+            F.col("q").alias(query_col), F.col("d").alias(doc_col),
+            "rrf_score", F.col("rank").cast("long").alias("rank"),
+        )
+    )

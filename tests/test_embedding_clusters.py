@@ -264,3 +264,20 @@ def test_label_separation_auc_perfect(spark):
     r = label_separation_auc(spark, e, offsets=(1,)).collect()[0]
     assert r.n_pairs == 3 and r.n_same == 1 and r.n_diff == 2
     assert abs(r.auc - 1.0) < 1e-6
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two 2-deep lists: doc ranked 1st+2nd beats docs seen once; scores
+    are Σ 1/(60+rank)."""
+    from leidenalg_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, neighbor_id long, rank long"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, neighbor_id long, rank long"
+    )
+    out = {r.neighbor_id: r for r in rrf_fuse([r1, r2]).collect()}
+    assert abs(out[11].rrf_score - round(1 / 61 + 1 / 62, 6)) < 1e-9
+    assert abs(out[10].rrf_score - round(1 / 61, 6)) < 1e-9
+    assert out[11].rank == 1 and out[10].rank == 2 and out[12].rank == 3

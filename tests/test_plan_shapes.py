@@ -125,6 +125,7 @@ DECLARATIVE = [
     "winnowing",
     "label_separation_auc",
     "nestedness",
+    "rrf_fuse",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -185,6 +186,8 @@ SCALAR_CROSS = {
     "triangle_significance",
     # 1-row side sums / counts assemble via broadcast cross joins
     "nestedness",
+    # both fused rankings broadcast their 8-query block (cosine_topk pattern)
+    "rrf_fuse",
 }
 
 
