@@ -1376,6 +1376,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_decayed_edges(spark, sf):
+        # recency-weighted transition edges (1-week half-life)
+        return E.events_to_decayed_edges(_events(spark, sf), half_life_s=604800.0)
+
+    def q_disparate_impact(spark, sf):
+        # four-fifths-rule audit: long-doc rate per source
+        from leidenalg_spark.operators.sampling import disparate_impact
+
+        return disparate_impact(
+            _documents(spark, sf), "source", F.col("n_chars") >= 300
+        )
+
     def q_rrf_fuse(spark, sf):
         # fuse the exact full-dim ranking with the truncated-8-dim
         # shortlist (the cheap-index + exact-reranker fusion scenario)
@@ -2408,6 +2420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_separation_auc": q_label_separation_auc,
         "nestedness": q_nestedness,
         "rrf_fuse": q_rrf_fuse,
+        "decayed_edges": q_decayed_edges,
+        "disparate_impact": q_disparate_impact,
         "session_concurrency": q_session_concurrency,
         "leadlag_correlation": q_leadlag_correlation,
         "landmark_distances": q_landmark_distances,
@@ -3622,6 +3636,31 @@ FROM agg
   ) WHERE rnk <= 10
 )"""
 
+    sqls["decayed_edges"] = """
+WITH t AS (
+  SELECT event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+h AS (SELECT MAX(ts) AS horizon FROM events)
+SELECT prev_type AS src_name, event_type AS dst_name,
+       ROUND(SUM(POWER(2.0, -((epoch_us(horizon) - epoch_us(ts)) / 1e6) / 604800.0)), 6) AS weight,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM t CROSS JOIN h WHERE prev_type IS NOT NULL GROUP BY 1, 2
+"""
+    sqls["disparate_impact"] = """
+WITH g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+  FROM documents GROUP BY source
+),
+r AS (SELECT *, ROUND(CAST(n_positive AS DOUBLE) / n, 6) AS rate FROM g),
+mx AS (SELECT MAX(rate) AS max_rate FROM r)
+SELECT source, n, n_positive, rate,
+       ROUND(CASE WHEN max_rate > 0 THEN rate / max_rate END, 6) AS impact_ratio,
+       COALESCE(CASE WHEN max_rate > 0 THEN rate / max_rate END < 0.8, FALSE) AS adverse
+FROM r CROSS JOIN mx
+"""
     sqls["rrf_fuse"] = f"""
 WITH {_ctopk_cte('{t}', 'full_rank').strip().rstrip()},
 {_ctopk_cte('({t})[1:8]', 'short_rank').strip()},

@@ -377,3 +377,44 @@ def events_to_coactivity_edges(
         .where(F.col("cnt") >= min_weight)
         .select("src", "dst", F.col("cnt").cast("double").alias("weight"))
     )
+
+
+def events_to_decayed_edges(
+    events: DataFrame, half_life_s: float = 604800.0
+) -> DataFrame:
+    """Recency-weighted type-transition edges: the same consecutive-event
+    derivation as :func:`events_to_type_transition_edges`, but each
+    transition contributes ``2^(−age / half_life_s)`` instead of 1,
+    with age measured from the corpus horizon (global max ts) to the
+    transition's later event.  The standard exponential-decay edge
+    construction for evolving interaction graphs — a year-old link decays
+    toward 0 while the graph stays ONE table, so downstream Leiden /
+    PageRank track the CURRENT structure without hard slice cutoffs
+    (the continuous-time alternative to slices_to_layers).
+
+    Returns (src_name, dst_name, weight, n_transitions) — the raw count
+    rides along so callers can tell "fresh but rare" from "stale but
+    frequent".
+
+    Scale shape: identical to the count derivation (one per-user lag
+    window + one hash aggregate); the horizon is a 1-row broadcast cross
+    join; the decay is pure column arithmetic inside the aggregate's
+    map side.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.withColumn("prev_type", F.lag("event_type").over(w))
+    hor = events.agg(F.max("ts").alias("horizon"))
+    age = (
+        F.unix_micros(F.col("horizon").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / 1e6
+    decay = F.pow(F.lit(2.0), -age / F.lit(float(half_life_s)))
+    return (
+        t.where(F.col("prev_type").isNotNull())
+        .crossJoin(F.broadcast(hor))
+        .groupBy(F.col("prev_type").alias("src_name"), F.col("event_type").alias("dst_name"))
+        .agg(
+            F.round(F.sum(decay), 6).alias("weight"),
+            F.count(F.lit(1)).alias("n_transitions"),
+        )
+    )

@@ -386,3 +386,40 @@ def l_diversity(
         )
         .withColumn("meets_l", F.col("n_sensitive") >= int(l))
     )
+
+
+def disparate_impact(
+    df: DataFrame, group_col: str, outcome_col, threshold: float = 0.8
+) -> DataFrame:
+    """Disparate-impact audit (the EEOC four-fifths rule): per group, the
+    positive-outcome rate and its ratio to the MOST-favoured group's
+    rate; a ratio below ``threshold`` (0.8 by default) flags adverse
+    impact — the first-line fairness screen on any labelled or filtered
+    dataset (e.g. "does the quality filter pass one source's docs at
+    half the rate of another's?").  ``outcome_col`` may be a column name
+    or a boolean Column expression.  Returns (group, n, n_positive,
+    rate, impact_ratio, adverse) sorted by group.
+
+    Scale shape: ONE hash aggregate over the group column (map-side
+    combinable) + a 1-row max-rate broadcast cross join — no windows,
+    no self-joins.
+    """
+    out = F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    g = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out.cast("long")).alias("n_positive"),
+        )
+        .withColumn("rate", F.round(F.col("n_positive") / F.col("n"), 6))
+    )
+    mx = g.agg(F.max("rate").alias("max_rate"))
+    ratio = F.when(F.col("max_rate") > 0, F.round(F.col("rate") / F.col("max_rate"), 6))
+    return (
+        g.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("grp").alias(group_col), "n", "n_positive", "rate",
+            ratio.alias("impact_ratio"),
+            F.coalesce(ratio < float(threshold), F.lit(False)).alias("adverse"),
+        )
+    )

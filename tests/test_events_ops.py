@@ -569,3 +569,23 @@ def test_attribution_models_conserve_credit(spark):
                attribution(ev, "purchase", model=model).collect()}
         assert out == want, (model, out)
         assert abs(sum(out.values()) - 2.0) < 1e-9
+
+
+def test_decayed_edges_half_life(spark):
+    """Transitions at age 100s and 0s with half-life 100s → weights
+    0.5 and 1.0."""
+    from datetime import datetime, timedelta
+
+    from leidenalg_spark.operators.edges import events_to_decayed_edges
+
+    t0 = datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0, "a", 1), (1, t0 + timedelta(seconds=100), "b", 2),
+         (1, t0 + timedelta(seconds=200), "c", 3)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    out = {(r.src_name, r.dst_name): r for r in
+           events_to_decayed_edges(ev, half_life_s=100.0).collect()}
+    assert abs(out[("a", "b")].weight - 0.5) < 1e-6
+    assert abs(out[("b", "c")].weight - 1.0) < 1e-6
+    assert out[("a", "b")].n_transitions == 1

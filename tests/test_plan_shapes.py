@@ -126,6 +126,8 @@ DECLARATIVE = [
     "label_separation_auc",
     "nestedness",
     "rrf_fuse",
+    "decayed_edges",
+    "disparate_impact",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -188,6 +190,10 @@ SCALAR_CROSS = {
     "nestedness",
     # both fused rankings broadcast their 8-query block (cosine_topk pattern)
     "rrf_fuse",
+    # the 1-row corpus horizon rides a broadcast cross join
+    "decayed_edges",
+    # the 1-row max-rate scalar rides a broadcast cross join
+    "disparate_impact",
 }
 
 

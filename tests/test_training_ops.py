@@ -903,3 +903,14 @@ def test_winnowing_guarantee_on_planted_overlap(spark):
     )
     pairs = winnowing_pairs(docs, min_shared=1).collect()
     assert len(pairs) == 1 and pairs[0].n_shared >= 1
+
+
+def test_disparate_impact_four_fifths_rule(spark):
+    from leidenalg_spark.operators.sampling import disparate_impact
+    from pyspark.sql import functions as F
+
+    rows = [("A", i < 8) for i in range(10)] + [("B", i < 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, kept boolean")
+    out = {r.grp: r for r in disparate_impact(df, "grp", "kept").collect()}
+    assert out["A"].rate == 0.8 and out["A"].impact_ratio == 1.0 and not out["A"].adverse
+    assert out["B"].rate == 0.2 and out["B"].impact_ratio == 0.25 and out["B"].adverse
