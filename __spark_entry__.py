@@ -1376,6 +1376,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_population_stability(spark, sf):
+        # PSI drift between the corpus' first and second time halves
+        from leidenalg_spark.operators.events import population_stability
+
+        return population_stability(_events(spark, sf))
+
+    def q_retrieval_ndcg(spark, sf):
+        # position-weighted label-retrieval quality on the bounded block
+        return S.retrieval_ndcg(spark, _embeddings(spark, sf), k=10, max_id=200)
+
+    def q_two_edge_components(spark, sf):
+        # link-failure-robust partition (rows-only: iterative BFS + CC)
+        from leidenalg_spark.operators.kernels import two_edge_components
+
+        comp = two_edge_components(spark, _bipartite_ids_det(spark, sf))
+        return comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
     def q_decayed_edges(spark, sf):
         # recency-weighted transition edges (1-week half-life)
         return E.events_to_decayed_edges(_events(spark, sf), half_life_s=604800.0)
@@ -2422,6 +2439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fuse": q_rrf_fuse,
         "decayed_edges": q_decayed_edges,
         "disparate_impact": q_disparate_impact,
+        "population_stability": q_population_stability,
+        "retrieval_ndcg": q_retrieval_ndcg,
+        "two_edge_components": q_two_edge_components,
         "session_concurrency": q_session_concurrency,
         "leadlag_correlation": q_leadlag_correlation,
         "landmark_distances": q_landmark_distances,
@@ -3636,6 +3656,65 @@ FROM agg
   ) WHERE rnk <= 10
 )"""
 
+    sqls["population_stability"] = """
+WITH span AS (
+  SELECT (epoch_us(MIN(ts)) / 1e6 + epoch_us(MAX(ts)) / 1e6) / 2.0 AS mid FROM events
+),
+h AS (
+  SELECT event_type AS lbl,
+         CASE WHEN epoch_us(ts) / 1e6 >= mid THEN 1 ELSE 0 END AS half
+  FROM events CROSS JOIN span
+),
+cnt AS (SELECT lbl, SUM(1 - half) AS n1, SUM(half) AS n2 FROM h GROUP BY lbl),
+tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM cnt),
+per AS (
+  SELECT lbl,
+         ROUND(CAST(n1 AS DOUBLE) / t1, 6) AS p_first,
+         ROUND(CAST(n2 AS DOUBLE) / t2, 6) AS p_second,
+         ROUND((GREATEST(CAST(n2 AS DOUBLE) / t2, 1e-6) - GREATEST(CAST(n1 AS DOUBLE) / t1, 1e-6))
+               * ln(GREATEST(CAST(n2 AS DOUBLE) / t2, 1e-6)
+                    / GREATEST(CAST(n1 AS DOUBLE) / t1, 1e-6)), 6) AS psi
+  FROM cnt CROSS JOIN tot
+)
+SELECT lbl AS event_type, p_first, p_second, psi FROM per
+UNION ALL
+SELECT NULL, ROUND(SUM(p_first), 6), ROUND(SUM(p_second), 6), ROUND(SUM(psi), 6) FROM per
+"""
+    sqls["retrieval_ndcg"] = f"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 200),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND({dt_cos('a.embedding', 'b.embedding')}, 6) AS cs
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+),
+top AS (
+  SELECT query_id, neighbor_id, rk FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= 10
+),
+dcg AS (
+  SELECT t.query_id,
+         SUM(CASE WHEN qb.label = qa.label THEN 1.0 / log2(t.rk + 1.0) ELSE 0 END) AS dcg
+  FROM top t JOIN q qa ON qa.vec_id = t.query_id JOIN q qb ON qb.vec_id = t.neighbor_id
+  GROUP BY 1
+),
+ln_ AS (SELECT label, COUNT(*) AS n_l FROM q GROUP BY label),
+sz AS (SELECT q.vec_id AS query_id, n_l - 1 AS n_rel FROM q JOIN ln_ USING (label)),
+cum AS (
+  SELECT i, SUM(1.0 / log2(i + 1.0)) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS idcg
+  FROM (SELECT unnest(range(1, 11)) AS i)
+),
+per AS (
+  SELECT d.query_id, d.dcg / c.idcg AS ndcg
+  FROM dcg d JOIN sz USING (query_id) JOIN cum c ON LEAST(sz.n_rel, 10) = c.i
+  WHERE sz.n_rel >= 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, CAST(10 AS INTEGER) AS k,
+       ROUND(AVG(ndcg), 6) AS mean_ndcg
+FROM per
+"""
     sqls["decayed_edges"] = """
 WITH t AS (
   SELECT event_type, ts,

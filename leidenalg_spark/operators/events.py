@@ -1727,3 +1727,57 @@ def attribution(
             F.round(F.sum("credit"), 6).alias("credit"),
         )
     )
+
+
+def population_stability(
+    events: DataFrame,
+    label_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Population stability index between the corpus' first and second
+    time halves (split at the midpoint of [min ts, max ts]): per label,
+    the share in each half and its PSI contribution
+    (p₂ − p₁)·ln(p₂/p₁); one TOTAL row (label NULL) carries Σ — the
+    ML-ops drift gauge (<0.1 stable, 0.1–0.25 drifting, >0.25 shifted)
+    for "did the event mix change", the distribution-level complement of
+    :func:`changepoint` (which localises WHEN one series jumped).
+    Labels absent from a half get the standard ε = 1e-6 floor so the
+    log stays finite.  Returns (label, p_first, p_second, psi).
+
+    Scale shape: one (half, label) hash aggregate — the only
+    event-proportional stage — then catalog-sized arithmetic; the
+    midpoint rides a 1-row broadcast cross join.
+    """
+    ep = lambda c: F.unix_micros(c.cast("timestamp")) / 1e6  # noqa: E731
+    span = events.agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    ).select(((ep(F.col("lo")) + ep(F.col("hi"))) / 2.0).alias("mid"))
+    halved = events.crossJoin(F.broadcast(span)).select(
+        F.col(label_col).alias("lbl"),
+        (ep(F.col(ts_col)) >= F.col("mid")).cast("int").alias("half"),
+    )
+    cnt = halved.groupBy("lbl").agg(
+        F.sum(1 - F.col("half")).alias("n1"), F.sum("half").alias("n2")
+    )
+    tot = cnt.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    eps = 1e-6
+    p1 = F.greatest(F.col("n1") / F.col("t1"), F.lit(eps))
+    p2 = F.greatest(F.col("n2") / F.col("t2"), F.lit(eps))
+    per = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "lbl",
+            F.round(F.col("n1") / F.col("t1"), 6).alias("p_first"),
+            F.round(F.col("n2") / F.col("t2"), 6).alias("p_second"),
+            F.round((p2 - p1) * F.log(p2 / p1), 6).alias("psi"),
+        )
+    )
+    total = per.agg(
+        F.lit(None).cast("string").alias("lbl"),
+        F.round(F.sum("p_first"), 6).alias("p_first"),
+        F.round(F.sum("p_second"), 6).alias("p_second"),
+        F.round(F.sum("psi"), 6).alias("psi"),
+    )
+    return per.unionByName(total).select(
+        F.col("lbl").alias(label_col), "p_first", "p_second", "psi"
+    )

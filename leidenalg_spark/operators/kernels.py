@@ -6117,3 +6117,40 @@ def nestedness_nodf(spark, edges: DataFrame) -> DataFrame:
             F.col("n_dst").cast("long").alias("n_dst"),
         )
     )
+
+
+def two_edge_components(spark, edges: DataFrame, ckpt: CheckpointManager | None = None) -> DataFrame:
+    """2-edge-connected components: remove every bridge (the XOR
+    cycle-space sweep of :func:`bridges`) and take connected components
+    of what remains — vertices in the same component survive ANY single
+    link failure together, the link-layer robustness partition
+    (igraph's biconnected-flavoured decomposition for edges).  Isolated
+    endpoints keep singleton components (their own id, the CC labelling
+    convention).  Returns (id, component).
+
+    Scale shape: the bridge sweep's documented plan (CC + BFS forest +
+    per-depth XOR rollup) plus ONE more log²-round CC on the
+    bridge-free edge set — both reuse the shared checkpoint manager.
+    """
+    own_ckpt = ckpt is None
+    ckpt = ckpt or CheckpointManager(spark)
+    br = bridges(spark, edges)
+    keep = (
+        br.where(~F.col("is_bridge"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .withColumn("weight", F.lit(1.0))
+    )
+    comp = connected_components(spark, keep, ckpt=ckpt)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out = (
+        verts.join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    if own_ckpt:
+        out = out.localCheckpoint(eager=True)
+        ckpt.close()
+    return out

@@ -1500,3 +1500,78 @@ def rrf_fuse(
             "rrf_score", F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def retrieval_ndcg(
+    spark,
+    emb: DataFrame,
+    k: int = 10,
+    max_id=200,
+    id_col="vec_id",
+    vec_col="embedding",
+    label_col="label",
+) -> DataFrame:
+    """nDCG@k of label retrieval by cosine: treat every vector (in the
+    bounded id block) as a query, its same-label neighbours as the
+    relevant set, and score the exact top-k cosine ranking with the
+    standard log2 discount — DCG@k / IDCG@k where IDCG assumes the
+    min(k, #relevant-retrievable) best arrangement.  The RANKED-ORDER
+    embedding-quality eval completing the trio: recall (coverage),
+    AUC (pairwise order), nDCG (position-weighted order).  Queries with
+    no same-label neighbour in the block are dropped (IDCG undefined).
+    Returns one row: (n_queries, k, mean_ndcg).
+
+    Scale shape: the exact top-k is the broadcast-query cosine_topk on
+    the bounded block (at corpus scale substitute the LSH
+    :func:`knn_graph` output); gains/discounts are per-(query, rank)
+    column arithmetic; one final 1-row mean.
+    """
+    e = emb
+    if max_id is not None:
+        e = e.where(F.col(id_col) < max_id)
+    nb = cosine_topk(e, e, k=k, id_col=id_col, vec_col=vec_col)
+    own = e.select(F.col(id_col).alias("query_id"), F.col(label_col).alias("ql"))
+    nlab = e.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nl"))
+    dcg = (
+        nb.join(own, "query_id").join(nlab, "neighbor_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ql") == F.col("nl"), 1.0 / F.log2(F.col("rank") + 1.0))
+                .otherwise(F.lit(0.0))
+            ).alias("dcg")
+        )
+    )
+    # relevant-retrievable count per query = same-label others in the block
+    sizes = (
+        own.join(e.select(F.col(label_col).alias("ql")).groupBy("ql")
+                 .agg(F.count(F.lit(1)).alias("n_l")), "ql")
+        .select("query_id", (F.col("n_l") - 1).alias("n_rel"))
+    )
+    # IDCG for r relevant in top-k: Σ_{i=1..min(r,k)} 1/log2(i+1), via a
+    # k-row cumulative helper cum[i] = Σ_{j<=i} 1/log2(j+1)
+    cum = (
+        spark.range(1, k + 1)
+        .select(F.col("id").alias("i"), (1.0 / F.log2(F.col("id") + 1.0)).alias("g"))
+        .withColumn(
+            "idcg",
+            F.sum("g").over(
+                Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("i", "idcg")
+    )
+    per = (
+        dcg.join(sizes, "query_id")
+        .where(F.col("n_rel") >= 1)
+        .join(
+            F.broadcast(cum),
+            F.least(F.col("n_rel"), F.lit(k)) == F.col("i"),
+        )
+        .select("query_id", (F.col("dcg") / F.col("idcg")).alias("ndcg"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(int(k)).alias("k"),
+        F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
+    )

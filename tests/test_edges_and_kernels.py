@@ -1729,3 +1729,19 @@ def test_nestedness_nodf_perfectly_nested(spark):
     r = nestedness_nodf(spark, e).collect()[0]
     assert r.nodf == 100.0 and r.nodf_src == 100.0 and r.nodf_dst == 100.0
     assert r.n_src == 3 and r.n_dst == 3
+
+
+def test_two_edge_components_bridge_split(spark):
+    """Two triangles joined by a bridge: the bridge separates them into
+    two 2-edge-connected components."""
+    from leidenalg_spark.operators.kernels import two_edge_components
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+         (3, 4, 1.0), (4, 5, 1.0), (3, 5, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    comp = {r.id: r.component for r in two_edge_components(spark, e).collect()}
+    assert comp[0] == comp[1] == comp[2]
+    assert comp[3] == comp[4] == comp[5]
+    assert comp[0] != comp[3]

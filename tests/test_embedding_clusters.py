@@ -281,3 +281,18 @@ def test_rrf_fuse_hand_computed(spark):
     assert abs(out[11].rrf_score - round(1 / 61 + 1 / 62, 6)) < 1e-9
     assert abs(out[10].rrf_score - round(1 / 61, 6)) < 1e-9
     assert out[11].rank == 1 and out[10].rank == 2 and out[12].rank == 3
+
+
+def test_retrieval_ndcg_perfect_and_degraded(spark):
+    """Two tight label clusters: every query's same-label vectors
+    outrank the rest → mean nDCG 1.0 at k=3."""
+    from leidenalg_spark.operators.similarity import retrieval_ndcg
+
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.99, 0.05], 0), (2, [0.98, 0.08], 0),
+         (3, [0.0, 1.0], 1), (4, [0.05, 0.99], 1), (5, [0.08, 0.98], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = retrieval_ndcg(spark, e, k=3, max_id=None).collect()[0]
+    assert r.n_queries == 6
+    assert abs(r.mean_ndcg - 1.0) < 1e-6

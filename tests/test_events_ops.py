@@ -589,3 +589,35 @@ def test_decayed_edges_half_life(spark):
     assert abs(out[("a", "b")].weight - 0.5) < 1e-6
     assert abs(out[("b", "c")].weight - 1.0) < 1e-6
     assert out[("a", "b")].n_transitions == 1
+
+
+def test_population_stability_planted_shift(spark):
+    """First half all 'a', second half all 'b': each label contributes
+    (1−ε)·ln((1−ε)/ε)-ish; total PSI is large; shares sum to 1."""
+    from datetime import datetime, timedelta
+
+    from leidenalg_spark.operators.events import population_stability
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("a", t0 + timedelta(hours=i)) for i in range(10)]
+    rows += [("b", t0 + timedelta(hours=100 + i)) for i in range(10)]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r.event_type: r for r in population_stability(ev).collect()}
+    assert out["a"].p_first == 1.0 and out["a"].p_second == 0.0
+    assert out["b"].p_first == 0.0 and out["b"].p_second == 1.0
+    assert out[None].psi > 10  # ≈ 2·ln(1e6)
+    assert abs(out[None].p_first - 1.0) < 1e-6
+
+
+def test_population_stability_stable_mix(spark):
+    from datetime import datetime, timedelta
+
+    from leidenalg_spark.operators.events import population_stability
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for h in range(20):
+        rows += [("a", t0 + timedelta(hours=h)), ("b", t0 + timedelta(hours=h, minutes=30))]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r.event_type: r for r in population_stability(ev).collect()}
+    assert abs(out[None].psi) < 0.01  # unchanged mix

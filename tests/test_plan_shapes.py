@@ -128,6 +128,8 @@ DECLARATIVE = [
     "rrf_fuse",
     "decayed_edges",
     "disparate_impact",
+    "population_stability",
+    "retrieval_ndcg",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -194,6 +196,10 @@ SCALAR_CROSS = {
     "decayed_edges",
     # the 1-row max-rate scalar rides a broadcast cross join
     "disparate_impact",
+    # the 1-row midpoint / totals ride broadcast cross joins
+    "population_stability",
+    # broadcast query block (cosine_topk) + broadcast k-row IDCG helper
+    "retrieval_ndcg",
 }
 
 
