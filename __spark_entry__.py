@@ -1376,6 +1376,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_table_expectations(spark, sf):
+        # single-pass expectation suite over the events ingest
+        from leidenalg_spark.operators.validate import table_expectations
+
+        return table_expectations(_events(spark, sf), {
+            "event_id_not_null": F.col("event_id").isNotNull(),
+            "ts_not_null": F.col("ts").isNotNull(),
+            "value_nonneg": F.col("value") >= 0,
+            "type_nonempty": F.length("event_type") > 0,
+        }).orderBy("rule")
+
+    def q_referential_integrity(spark, sf):
+        # FK audit: lineitem.l_orderkey -> orders.o_orderkey
+        from leidenalg_spark.operators.validate import referential_integrity
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf}/orders.parquet")
+        return referential_integrity(li, od, "l_orderkey", "o_orderkey")
+
     def q_population_stability(spark, sf):
         # PSI drift between the corpus' first and second time halves
         from leidenalg_spark.operators.events import population_stability
@@ -2440,6 +2459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_edges": q_decayed_edges,
         "disparate_impact": q_disparate_impact,
         "population_stability": q_population_stability,
+        "table_expectations": q_table_expectations,
+        "referential_integrity": q_referential_integrity,
         "retrieval_ndcg": q_retrieval_ndcg,
         "two_edge_components": q_two_edge_components,
         "session_concurrency": q_session_concurrency,
@@ -3656,6 +3677,38 @@ FROM agg
   ) WHERE rnk <= 10
 )"""
 
+    sqls["table_expectations"] = """
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_eid,
+         CAST(SUM(CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_ts,
+         CAST(SUM(CASE WHEN COALESCE(value >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS c_val,
+         CAST(SUM(CASE WHEN COALESCE(length(event_type) > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS c_typ
+  FROM events
+),
+st AS (
+  SELECT 'event_id_not_null' AS rule, n_rows, c_eid AS n_pass FROM base
+  UNION ALL SELECT 'ts_not_null', n_rows, c_ts FROM base
+  UNION ALL SELECT 'value_nonneg', n_rows, c_val FROM base
+  UNION ALL SELECT 'type_nonempty', n_rows, c_typ FROM base
+)
+SELECT rule, n_rows, n_pass,
+       ROUND(CASE WHEN n_rows > 0 THEN CAST(n_pass AS DOUBLE) / n_rows END, 6) AS pass_rate,
+       n_pass = n_rows AS ok
+FROM st ORDER BY rule
+"""
+    sqls["referential_integrity"] = """
+WITH pk AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey IS NOT NULL),
+j AS (SELECT l.l_orderkey AS ck, pk.k AS pkk FROM lineitem l LEFT JOIN pk ON l.l_orderkey = pk.k)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(SUM(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
+       CAST(SUM(CASE WHEN ck IS NOT NULL AND pkk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+       ROUND(CASE WHEN COUNT(*) > 0
+             THEN CAST(SUM(CASE WHEN ck IS NOT NULL AND pkk IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             END, 6) AS orphan_rate,
+       SUM(CASE WHEN ck IS NOT NULL AND pkk IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+FROM j
+"""
     sqls["population_stability"] = """
 WITH span AS (
   SELECT (epoch_us(MIN(ts)) / 1e6 + epoch_us(MAX(ts)) / 1e6) / 2.0 AS mid FROM events

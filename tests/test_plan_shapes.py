@@ -130,6 +130,8 @@ DECLARATIVE = [
     "disparate_impact",
     "population_stability",
     "retrieval_ndcg",
+    "table_expectations",
+    "referential_integrity",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,

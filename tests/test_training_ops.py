@@ -914,3 +914,31 @@ def test_disparate_impact_four_fifths_rule(spark):
     out = {r.grp: r for r in disparate_impact(df, "grp", "kept").collect()}
     assert out["A"].rate == 0.8 and out["A"].impact_ratio == 1.0 and not out["A"].adverse
     assert out["B"].rate == 0.2 and out["B"].impact_ratio == 0.25 and out["B"].adverse
+
+
+def test_table_expectations_null_counts_as_fail(spark):
+    from pyspark.sql import functions as F
+
+    from leidenalg_spark.operators.validate import table_expectations
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id long, v double"
+    )
+    out = {r.rule: r for r in table_expectations(df, {
+        "id_not_null": F.col("id").isNotNull(),
+        "v_nonneg": F.col("v") >= 0,
+    }).collect()}
+    assert out["id_not_null"].n_pass == 3 and out["id_not_null"].ok
+    # -1 fails, NULL comparison yields NULL -> counted as fail
+    assert out["v_nonneg"].n_pass == 1 and not out["v_nonneg"].ok
+    assert abs(out["v_nonneg"].pass_rate - 1 / 3) < 1e-5
+
+
+def test_referential_integrity_orphans_and_nulls(spark):
+    from leidenalg_spark.operators.validate import referential_integrity
+
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    child = spark.createDataFrame([(1,), (1,), (9,), (None,)], "fk long")
+    r = referential_integrity(child, parent, "fk", "k").collect()[0]
+    assert (r.n_child, r.n_null_key, r.n_orphan) == (4, 1, 1)
+    assert r.orphan_rate == 0.25 and not r.ok
