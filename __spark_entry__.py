@@ -1194,6 +1194,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "media_type", "n_bytes", "checksum"
         )
 
+    def q_media_dedup(spark, sf):
+        # codec-free binary dedup on the opaque payload column
+        from leidenalg_spark.operators.multimodal import media_dedup, synthetic_media
+
+        return media_dedup(synthetic_media(spark, 100))
+
     def q_embedding_neardup(spark, sf):
         # LSH-routed candidates + exact-cosine verify (the 100-TB path);
         # the oracle twins the exact same hyperplane buckets in SQL
@@ -2518,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
+        "media_dedup": q_media_dedup,
         "embedding_neardup": q_embedding_neardup,
         "temporal_communities": q_temporal_communities,
         "resolution_profile": q_resolution_profile,

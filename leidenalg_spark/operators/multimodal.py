@@ -120,3 +120,28 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     vids = media.where(F.col("media_type") == "video")
     ts = F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
     return vids.select("media_id", F.explode(ts).alias("frame_ms"))
+
+
+def media_dedup(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Exact media deduplication on the opaque binary column: md5 of the
+    raw payload bytes (codec-free — identical files dedup regardless of
+    whether a decoder exists in the environment), smallest ``media_id``
+    kept per group, the :func:`leidenalg_spark.operators.dedup.
+    dedup_exact` contract ported to binary.  NULL payloads fingerprint
+    as the empty blob so they group together instead of vanishing from
+    the equi-join.  Returns (media_id, media_type, content_hash,
+    group_size, is_kept).
+
+    Scale shape: one hash-groupBy on the 16-byte digest (map-side
+    combinable — the petabyte of payload bytes never shuffles, only
+    digests do) + one broadcast-sized keep-id attach.
+    """
+    h = F.md5(F.coalesce(F.col(payload_col), F.lit(b"")))
+    with_fp = media.select("media_id", "media_type", h.alias("content_hash"))
+    grp = with_fp.groupBy("content_hash").agg(
+        F.min("media_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return with_fp.join(grp, "content_hash").select(
+        "media_id", "media_type", "content_hash", "group_size",
+        (F.col("media_id") == F.col("keep_id")).alias("is_kept"),
+    )

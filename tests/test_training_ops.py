@@ -942,3 +942,17 @@ def test_referential_integrity_orphans_and_nulls(spark):
     r = referential_integrity(child, parent, "fk", "k").collect()[0]
     assert (r.n_child, r.n_null_key, r.n_orphan) == (4, 1, 1)
     assert r.orphan_rate == 0.25 and not r.ok
+
+
+def test_media_dedup_planted_binary_dupes(spark):
+    """Two identical payloads collapse to one kept row; NULL payloads
+    group as the empty blob instead of vanishing."""
+    from leidenalg_spark.operators.multimodal import media_dedup
+
+    rows = [(1, "image", b"abc"), (2, "image", b"abc"), (3, "audio", b"xyz"),
+            (4, "video", None), (5, "video", None)]
+    m = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    out = {r.media_id: r for r in media_dedup(m).collect()}
+    assert out[1].is_kept and not out[2].is_kept and out[2].group_size == 2
+    assert out[3].is_kept and out[3].group_size == 1
+    assert out[4].is_kept and not out[5].is_kept  # NULLs grouped, not dropped
