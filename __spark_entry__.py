@@ -1382,6 +1382,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_kmeans_elbow(spark, sf):
+        # inertia sweep over the deterministic Lloyd fits
+        return S.kmeans_elbow(spark, _embeddings(spark, sf), ks=(2, 4, 8)).orderBy("k")
+
+    def q_product_quantize(spark, sf):
+        # PQ codes + reconstruction error (rows-only: m Lloyd fits)
+        return S.product_quantize(spark, _embeddings(spark, sf), m=2, k=16)
+
+    def q_heavy_user_share(spark, sf):
+        # whale concentration: share of events from the top-p% actors
+        from leidenalg_spark.operators.events import heavy_user_share
+
+        return heavy_user_share(_events(spark, sf), pcts=(0.01, 0.05, 0.10))
+
     def q_table_expectations(spark, sf):
         # single-pass expectation suite over the events ingest
         from leidenalg_spark.operators.validate import table_expectations
@@ -2467,6 +2481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "population_stability": q_population_stability,
         "table_expectations": q_table_expectations,
         "referential_integrity": q_referential_integrity,
+        "kmeans_elbow": q_kmeans_elbow,
+        "product_quantize": q_product_quantize,
+        "heavy_user_share": q_heavy_user_share,
         "retrieval_ndcg": q_retrieval_ndcg,
         "two_edge_components": q_two_edge_components,
         "session_concurrency": q_session_concurrency,
@@ -3684,6 +3701,34 @@ FROM agg
   ) WHERE rnk <= 10
 )"""
 
+    elbow_parts = "\nUNION ALL\n".join(
+        f"""SELECT * FROM (
+{_kmeans_ctes(k, 2)}
+SELECT {k} AS k, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(SUM(POWER(ROUND(sqrt(d2), 6), 2)), 6) AS inertia,
+       ROUND(AVG(ROUND(sqrt(d2), 6)), 6) AS mean_dist
+FROM a3 WHERE rn = 1
+)"""
+        for k in (2, 4, 8)
+    )
+    sqls["kmeans_elbow"] = elbow_parts + "\nORDER BY k"
+    sqls["heavy_user_share"] = """
+WITH cnt AS (SELECT user_id AS k2, COUNT(*) AS n FROM events GROUP BY user_id),
+rkd AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, k2) AS rk,
+         SUM(n) OVER (ORDER BY n DESC, k2 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cnt
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, SUM(n) AS n_events FROM rkd),
+ps AS (SELECT unnest([0.01, 0.05, 0.10]) AS pct),
+px AS (
+  SELECT pct, CAST(CEIL(pct * n_users) AS BIGINT) AS n_top_users, n_users, n_events
+  FROM ps CROSS JOIN tot
+)
+SELECT pct, n_top_users, n_users,
+       ROUND(CAST(cum AS DOUBLE) / n_events, 6) AS share
+FROM px JOIN rkd ON rkd.rk = px.n_top_users ORDER BY pct
+"""
     sqls["table_expectations"] = """
 WITH base AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

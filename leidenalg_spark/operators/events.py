@@ -1781,3 +1781,47 @@ def population_stability(
     return per.unionByName(total).select(
         F.col("lbl").alias(label_col), "p_first", "p_second", "psi"
     )
+
+
+def heavy_user_share(
+    events: DataFrame,
+    key: str = "user_id",
+    pcts: tuple = (0.01, 0.05, 0.10),
+) -> DataFrame:
+    """Whale-concentration profile: for each percentile p, the share of
+    ALL events produced by the top-⌈p·n⌉ most-active actors (ranked by
+    event count, id-tiebroken) — the "1% of users generate X% of load"
+    number behind capacity planning, abuse triage, and the decision to
+    salt a hub.  Returns one row per p: (pct, n_top_users, n_users,
+    share).
+
+    Scale shape: one key hash aggregate (the only event-proportional
+    stage) + one rank window over |actors| rows + a |pcts|-row explode
+    joined against the cumulative counts — never touches raw events
+    twice.
+    """
+    cnt = events.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("k"))
+    ranked = cnt.select(
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("n").alias("n_events")
+    )
+    rows = [
+        tot.select(F.lit(float(p)).alias("pct"), "n_users", "n_events") for p in pcts
+    ]
+    ps = rows[0]
+    for r in rows[1:]:
+        ps = ps.unionByName(r)
+    ps = ps.withColumn("n_top_users", F.ceil(F.col("pct") * F.col("n_users")).cast("long"))
+    return (
+        ps.join(ranked, ps["n_top_users"] == ranked["rk"])
+        .select(
+            "pct", "n_top_users", "n_users",
+            F.round(F.col("cum") / F.col("n_events"), 6).alias("share"),
+        )
+        .orderBy("pct")
+    )

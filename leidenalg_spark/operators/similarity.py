@@ -1575,3 +1575,93 @@ def retrieval_ndcg(
         F.lit(int(k)).alias("k"),
         F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
     )
+
+
+def kmeans_elbow(
+    spark,
+    embeddings: DataFrame,
+    ks: tuple = (2, 4, 8),
+    iters: int = 2,
+    seed: int = 42,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """Elbow sweep for the deterministic Lloyd clustering: total inertia
+    (Σ dist², from the same 6-decimal-rounded assignment distances as
+    :func:`kmeans_embeddings`) for each candidate ``k`` — the standard
+    "pick k where the curve bends" diagnostic, engine-reproducible
+    because every run shares the md5-priority init and rounding
+    contract.  Returns one row per k: (k, n_vectors, inertia,
+    mean_dist).
+
+    Scale shape: one independent Lloyd fit per candidate k (each a
+    broadcast-codebook scan per iteration); the sweep is |ks| fits —
+    embarrassingly sequential driver-side, each fully distributed.
+    """
+    outs = []
+    for k in ks:
+        asg = kmeans_embeddings(
+            spark, embeddings, k=int(k), iters=iters, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        outs.append(
+            asg.agg(
+                F.lit(int(k)).alias("k"),
+                F.count(F.lit(1)).alias("n_vectors"),
+                F.round(F.sum(F.col("dist") * F.col("dist")), 6).alias("inertia"),
+                F.round(F.avg("dist"), 6).alias("mean_dist"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def product_quantize(
+    spark,
+    embeddings: DataFrame,
+    m: int = 2,
+    k: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    id_col="vec_id",
+    vec_col="embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Product quantization (Jégou 2011 — the ANN memory workhorse):
+    split each vector into ``m`` contiguous subvectors, run the
+    deterministic Lloyd fit per subspace (k codewords each), and emit
+    each vector's code tuple plus its reconstruction error — m·log2(k)
+    bits replace the float vector, with ``recon_err`` quantifying the
+    loss (the IVF-PQ index decides its re-rank depth from exactly this
+    number).  Returns (``id_col``, codes array<int> of length m,
+    recon_err) with recon_err = √(Σ_sub dist²) over the per-subspace
+    assignment distances.
+
+    Scale shape: m independent Lloyd fits over SLICED vectors (the
+    slice is a zero-copy column expression, no reshuffle); the code
+    assembly is m id-keyed joins of (id, cell, dist) tables — at
+    production m, assemble via one groupBy(id) pivot instead.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    out = None
+    for j in range(m):
+        sliced = embeddings.select(
+            F.col(id_col), F.slice(vec_col, j * sub + 1, sub).alias(vec_col)
+        )
+        asg = kmeans_embeddings(
+            spark, sliced, k=int(k), iters=iters, seed=seed + 101 * j,
+            id_col=id_col, vec_col=vec_col,
+        ).select(
+            id_col, F.col("cell").alias(f"c{j}"),
+            (F.col("dist") * F.col("dist")).alias(f"d{j}"),
+        )
+        out = asg if out is None else out.join(asg, id_col)
+    codes = F.array(*[F.col(f"c{j}").cast("int") for j in range(m)])
+    err = F.sqrt(sum(F.col(f"d{j}") for j in range(m)))
+    return out.select(id_col, codes.alias("codes"), F.round(err, 6).alias("recon_err"))

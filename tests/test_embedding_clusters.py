@@ -296,3 +296,33 @@ def test_retrieval_ndcg_perfect_and_degraded(spark):
     r = retrieval_ndcg(spark, e, k=3, max_id=None).collect()[0]
     assert r.n_queries == 6
     assert abs(r.mean_ndcg - 1.0) < 1e-6
+
+
+def test_kmeans_elbow_inertia_decreases(spark):
+    from leidenalg_spark.operators.similarity import kmeans_elbow
+
+    import numpy as np
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(4):
+        base = np.zeros(4); base[c] = 4.0
+        for i in range(12):
+            rows.append((c * 12 + i, (base + rng.normal(0, 0.05, 4)).tolist()))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.k: r.inertia for r in kmeans_elbow(spark, e, ks=(1, 2, 4)).collect()}
+    assert out[1] > out[2] > out[4]
+    assert out[4] < 0.1 * out[1]  # true k collapses inertia
+
+
+def test_product_quantize_identical_vectors_share_codes(spark):
+    from leidenalg_spark.operators.similarity import product_quantize
+
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 2.0]), (1, [1.0, 0.0, 0.0, 2.0]),
+         (2, [0.0, 3.0, 4.0, 0.0]), (3, [0.01, 2.9, 4.1, 0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in product_quantize(spark, e, m=2, k=2).collect()}
+    assert out[0].codes == out[1].codes and out[0].recon_err == out[1].recon_err
+    assert len(out[0].codes) == 2
+    assert out[2].codes == out[3].codes  # near-identical land in same cells

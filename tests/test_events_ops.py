@@ -621,3 +621,19 @@ def test_population_stability_stable_mix(spark):
     ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
     out = {r.event_type: r for r in population_stability(ev).collect()}
     assert abs(out[None].psi) < 0.01  # unchanged mix
+
+
+def test_heavy_user_share_concentration(spark):
+    """10 users: one whale with 91 events, nine with 1 → top-10% share
+    = 0.91."""
+    from datetime import datetime, timedelta
+
+    from leidenalg_spark.operators.events import heavy_user_share
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(0, t0 + timedelta(seconds=i)) for i in range(91)]
+    rows += [(u, t0) for u in range(1, 10)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.pct: r for r in heavy_user_share(ev, pcts=(0.1, 0.5)).collect()}
+    assert out[0.1].n_top_users == 1 and out[0.1].share == 0.91
+    assert out[0.5].n_top_users == 5 and out[0.5].share == 0.95
