@@ -1382,6 +1382,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_mixing_parameter(spark, sf):
+        # per-vertex LFR mixing parameter over the det membership
+        from leidenalg_spark.operators.community import mixing_parameter
+
+        return mixing_parameter(
+            _bipartite_ids(spark, sf), _bipartite_membership(spark, sf)
+        ).select("comm", "strength", "w_external", "mu")
+
+    def q_session_entries_exits(spark, sf):
+        # landing/exit/bounce census over 2h-gap sessions
+        from leidenalg_spark.operators.sessions import session_entries_exits
+
+        return session_entries_exits(
+            _events(spark, sf), gap_s=7200.0, tiebreak="event_id"
+        )
+
     def q_kmeans_elbow(spark, sf):
         # inertia sweep over the deterministic Lloyd fits
         return S.kmeans_elbow(spark, _embeddings(spark, sf), ks=(2, 4, 8)).orderBy("k")
@@ -2482,6 +2498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_expectations": q_table_expectations,
         "referential_integrity": q_referential_integrity,
         "kmeans_elbow": q_kmeans_elbow,
+        "mixing_parameter": q_mixing_parameter,
+        "session_entries_exits": q_session_entries_exits,
         "product_quantize": q_product_quantize,
         "heavy_user_share": q_heavy_user_share,
         "retrieval_ndcg": q_retrieval_ndcg,
@@ -3701,6 +3719,55 @@ FROM agg
   ) WHERE rnk <= 10
 )"""
 
+    sqls["mixing_parameter"] = _QUALITY_PRELUDE + """,
+sym AS (SELECT src AS a, dst AS b, weight FROM edges
+        UNION ALL SELECT dst, src, weight FROM edges),
+dec AS (
+  SELECT s.a AS name, s.weight AS w,
+         CASE WHEN v1.comm <> v2.comm THEN s.weight ELSE 0 END AS w_ext
+  FROM sym s JOIN verts v1 ON s.a = v1.name JOIN verts v2 ON s.b = v2.name
+),
+vagg AS (SELECT name, SUM(w) AS strength, SUM(w_ext) AS w_external FROM dec GROUP BY name)
+SELECT v.comm, ROUND(strength, 6) AS strength, ROUND(w_external, 6) AS w_external,
+       ROUND(CASE WHEN strength > 0 THEN w_external / strength END, 6) AS mu
+FROM vagg a JOIN verts v ON a.name = v.name
+"""
+    sqls["session_entries_exits"] = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 7200.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+fl AS (
+  SELECT event_type AS label,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_entry,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, sid ORDER BY ts DESC, event_id DESC) = 1
+              THEN 1 ELSE 0 END AS is_exit,
+         CASE WHEN COUNT(*) OVER (PARTITION BY user_id, sid) = 1 THEN 1 ELSE 0 END AS is_single
+  FROM sess
+),
+agg AS (
+  SELECT label, CAST(SUM(is_entry) AS BIGINT) AS n_entries,
+         CAST(SUM(is_exit) AS BIGINT) AS n_exits,
+         CAST(SUM(is_entry * is_single) AS BIGINT) AS n_bounces
+  FROM fl GROUP BY label
+),
+tot AS (SELECT SUM(n_entries) AS n_sessions FROM agg)
+SELECT label, n_entries, n_exits, n_bounces,
+       ROUND(CAST(n_entries AS DOUBLE) / n_sessions, 6) AS entry_share,
+       ROUND(CAST(n_exits AS DOUBLE) / n_sessions, 6) AS exit_share
+FROM agg CROSS JOIN tot
+"""
     elbow_parts = "\nUNION ALL\n".join(
         f"""SELECT * FROM (
 {_kmeans_ctes(k, 2)}

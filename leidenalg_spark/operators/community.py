@@ -768,6 +768,11 @@ def community_conductance(
     Scores ANY membership (Leiden output or a fixed labelling) — the
     structural complement of the scalar quality functions: those say how
     good the partition is, this says WHICH communities are well-separated.
+    Extends :func:`community_stats` (which reports edge-count density and
+    0-filled degenerate cells) with the NCP trio the sweep literature
+    plots — expansion, cut ratio, WEIGHTED internal density — and NULL
+    (not 0) for denominator-degenerate cells, so a singleton is
+    distinguishable from a perfectly sparse community.
     Denominator-degenerate cells (singleton density, whole-graph
     conductance) are NULL, never ±inf.  Self-loops are ignored: they can
     never be cut, and keeping them out makes volume = 2·w_in + w_cut an
@@ -826,4 +831,53 @@ def community_conductance(
         r6(
             F.when(F.col("nv_total") > n, F.col("w_cut") / (n * (F.col("nv_total") - n)))
         ).alias("cut_ratio"),
+    )
+
+
+def mixing_parameter(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Per-vertex mixing parameter μ (the LFR benchmark's knob, made
+    empirical): the weighted fraction of a vertex's incident edges that
+    leave its community — μ̄ is THE community-strength scalar every
+    benchmark sweep is parameterised by (detectable structure needs
+    μ < (N−n_c)/N, in practice ≲ 0.5), and the per-vertex values rank
+    boundary vertices.  Self-loops are internal by definition.  Returns
+    (id, comm, strength, w_external, mu) — one row per vertex with at
+    least one edge; μ is NULL only for zero-strength vertices.
+
+    Scale shape: symmetrise, decorate each edge end with both
+    memberships (two id-keyed joins), ONE per-vertex hash aggregate —
+    the evaluator plan community_stats already runs, reporting at vertex
+    rather than community granularity.
+    """
+    m = membership.select("id", "comm")
+    sym = edges.where(F.col("src") != F.col("dst"))
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    loops = edges.where(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("id"), (2.0 * F.col("weight")).alias("w"), F.lit(0.0).alias("w_ext")
+    )
+    dec = (
+        sym.join(m.select(F.col("id").alias("src"), F.col("comm").alias("ca")), "src")
+        .join(m.select(F.col("id").alias("dst"), F.col("comm").alias("cb")), "dst")
+        .select(
+            F.col("src").alias("id"),
+            F.col("weight").alias("w"),
+            F.when(F.col("ca") != F.col("cb"), F.col("weight")).otherwise(F.lit(0.0)).alias("w_ext"),
+        )
+        .unionByName(loops)
+    )
+    agg = dec.groupBy("id").agg(
+        F.sum("w").alias("strength"), F.sum("w_ext").alias("w_external")
+    )
+    return (
+        agg.join(m, "id")
+        .select(
+            "id", "comm",
+            F.round("strength", 6).alias("strength"),
+            F.round("w_external", 6).alias("w_external"),
+            F.round(
+                F.when(F.col("strength") > 0, F.col("w_external") / F.col("strength")), 6
+            ).alias("mu"),
+        )
     )

@@ -465,3 +465,69 @@ def session_concurrency(
         F.col("n_delta").cast("long").alias("n_delta"),
         F.sum("n_delta").over(w).cast("long").alias("concurrent"),
     )
+
+
+def session_entries_exits(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    label_col: str = "event_type",
+    gap_s: float = 1800.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Entry/exit census per label over gap-split sessions: for each
+    label, how many sessions START with it, END with it, and are
+    single-event BOUNCES of it — the landing/exit-page report that
+    tells a funnel where journeys begin and die.  Shares are of the
+    total session count so rows are comparable.  Returns (label,
+    n_entries, n_exits, n_bounces, entry_share, exit_share).
+
+    Scale shape: ONE per-key ordered window pass derives the session
+    ordinal AND first/last flags together (no join back to sessionize's
+    aggregate), then a label hash aggregate; the 1-row session total
+    broadcasts.
+    """
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp")) / 1e6
+    marked = df.select(
+        key, F.col(label_col).alias("lbl"), ep.alias("t"),
+        *( [F.col(tiebreak).alias("_tb")] if tiebreak else [] ),
+    ).withColumn(
+        "new_s",
+        F.when(
+            F.lag("t").over(
+                Window.partitionBy(key).orderBy(*(["t"] + (["_tb"] if tiebreak else [])))
+            ).isNull()
+            | (F.col("t") - F.lag("t").over(
+                Window.partitionBy(key).orderBy(*(["t"] + (["_tb"] if tiebreak else [])))
+            ) > float(gap_s)),
+            1,
+        ).otherwise(0),
+    )
+    w2 = Window.partitionBy(key).orderBy(*(["t"] + (["_tb"] if tiebreak else []))).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = marked.withColumn("sid", F.sum("new_s").over(w2))
+    w3 = Window.partitionBy(key, "sid").orderBy(*(["t"] + (["_tb"] if tiebreak else [])))
+    flagged = sess.select(
+        "lbl",
+        (F.row_number().over(w3) == 1).cast("long").alias("is_entry"),
+        (F.row_number().over(
+            Window.partitionBy(key, "sid").orderBy(
+                *([F.desc("t")] + ([F.desc("_tb")] if tiebreak else []))
+            )
+        ) == 1).cast("long").alias("is_exit"),
+        (F.count(F.lit(1)).over(Window.partitionBy(key, "sid")) == 1).cast("long").alias("is_single"),
+    )
+    agg = flagged.groupBy(F.col("lbl").alias("label")).agg(
+        F.sum("is_entry").alias("n_entries"),
+        F.sum("is_exit").alias("n_exits"),
+        F.sum(F.col("is_entry") * F.col("is_single")).alias("n_bounces"),
+    )
+    tot = agg.agg(F.sum("n_entries").alias("n_sessions"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "label", "n_entries", "n_exits", "n_bounces",
+        F.round(F.col("n_entries") / F.col("n_sessions"), 6).alias("entry_share"),
+        F.round(F.col("n_exits") / F.col("n_sessions"), 6).alias("exit_share"),
+    )

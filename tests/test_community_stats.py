@@ -276,3 +276,23 @@ def test_community_conductance_degenerates_null(spark):
     assert rows[0].internal_density is None
     assert rows[0].conductance == 1.0  # w_cut=2 / min(2, 2)
     assert rows[0].cut_ratio == 2.0  # 2 / (1*(2-1))
+
+
+def test_mixing_parameter_two_triangles_bridge(spark):
+    """Two triangles + bridge: bridge endpoints have μ = 1/3, interior
+    vertices μ = 0."""
+    from leidenalg_spark.operators.community import mixing_parameter
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+         (3, 4, 1.0), (4, 5, 1.0), (3, 5, 1.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    m = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, comm long"
+    )
+    out = {r.id: r for r in mixing_parameter(e, m).collect()}
+    assert abs(out[2].mu - 1 / 3) < 1e-6 and abs(out[3].mu - 1 / 3) < 1e-6
+    for v in (0, 1, 4, 5):
+        assert out[v].mu == 0.0
+    assert out[2].strength == 3.0 and out[2].w_external == 1.0

@@ -637,3 +637,26 @@ def test_heavy_user_share_concentration(spark):
     out = {r.pct: r for r in heavy_user_share(ev, pcts=(0.1, 0.5)).collect()}
     assert out[0.1].n_top_users == 1 and out[0.1].share == 0.91
     assert out[0.5].n_top_users == 5 and out[0.5].share == 0.95
+
+
+def test_session_entries_exits_census(spark):
+    """Two sessions for one user (view->click, then view alone) plus a
+    single-event click session for another: entry/exit/bounce counts."""
+    from datetime import datetime, timedelta
+
+    from leidenalg_spark.operators.sessions import session_entries_exits
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "view", 1), (1, t0 + timedelta(seconds=10), "click", 2),
+        (1, t0 + timedelta(hours=2), "view", 3),     # new session, bounce
+        (2, t0, "click", 4),                          # bounce
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long")
+    out = {r.label: r for r in
+           session_entries_exits(ev, gap_s=1800.0, tiebreak="event_id").collect()}
+    assert out["view"].n_entries == 2 and out["view"].n_exits == 1
+    assert out["view"].n_bounces == 1
+    assert out["click"].n_entries == 1 and out["click"].n_exits == 2
+    assert out["click"].n_bounces == 1
+    assert abs(out["view"].entry_share - 2 / 3) < 1e-6

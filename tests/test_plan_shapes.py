@@ -132,6 +132,10 @@ DECLARATIVE = [
     "retrieval_ndcg",
     "table_expectations",
     "referential_integrity",
+    "mixing_parameter",
+    "session_entries_exits",
+    "heavy_user_share",
+    "kmeans_elbow",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -202,6 +206,11 @@ SCALAR_CROSS = {
     "population_stability",
     # broadcast query block (cosine_topk) + broadcast k-row IDCG helper
     "retrieval_ndcg",
+    # 1-row session-total / pct-frame scalars ride broadcast cross joins
+    "session_entries_exits",
+    "heavy_user_share",
+    # the k-row centroid tables attach via broadcast nested-loop (kmeans)
+    "kmeans_elbow",
 }
 
 
