@@ -1382,6 +1382,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_sbm_graph(spark, sf):
+        # deterministic planted-partition generator: per-block-pair edge
+        # census (the md5 draw is SQL-reproducible, so the oracle
+        # regenerates the identical graph)
+        from leidenalg_spark.sources.generators import sbm_graph
+
+        return (
+            sbm_graph(spark, 200, n_blocks=4, p_in=0.3, p_out=0.02, seed=7)
+            .groupBy("block_src", "block_dst")
+            .agg(F.count(F.lit(1)).alias("n_edges"))
+        )
+
     def q_mixing_parameter(spark, sf):
         # per-vertex LFR mixing parameter over the det membership
         from leidenalg_spark.operators.community import mixing_parameter
@@ -2499,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_integrity": q_referential_integrity,
         "kmeans_elbow": q_kmeans_elbow,
         "mixing_parameter": q_mixing_parameter,
+        "sbm_graph": q_sbm_graph,
         "session_entries_exits": q_session_entries_exits,
         "product_quantize": q_product_quantize,
         "heavy_user_share": q_heavy_user_share,
@@ -3719,6 +3732,23 @@ FROM agg
   ) WHERE rnk <= 10
 )"""
 
+    sqls["sbm_graph"] = """
+WITH pairs AS (
+  SELECT a.i AS src, b.i AS dst
+  FROM (SELECT unnest(range(0, 200)) AS i) a
+  JOIN (SELECT unnest(range(0, 200)) AS i) b ON b.i > a.i
+),
+d AS (
+  SELECT src, dst,
+         ('0x' || substr(md5('7:' || src || ':' || dst), 1, 8))::BIGINT / 4294967296.0 AS u
+  FROM pairs
+)
+SELECT CAST(src % 4 AS BIGINT) AS block_src, CAST(dst % 4 AS BIGINT) AS block_dst,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM d
+WHERE u < CASE WHEN src % 4 = dst % 4 THEN 0.3 ELSE 0.02 END
+GROUP BY 1, 2
+"""
     sqls["mixing_parameter"] = _QUALITY_PRELUDE + """,
 sym AS (SELECT src AS a, dst AS b, weight FROM edges
         UNION ALL SELECT dst, src, weight FROM edges),

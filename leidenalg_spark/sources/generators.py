@@ -252,3 +252,64 @@ def tree(spark: SparkSession, n: int, children: int = 2) -> DataFrame:
             F.col("id").alias("dst"),
         )
     )
+
+
+def sbm_graph(
+    spark: SparkSession,
+    n: int,
+    n_blocks: int = 4,
+    p_in: float = 0.3,
+    p_out: float = 0.02,
+    seed: int = 42,
+    max_vertices: int = 20_000,
+) -> DataFrame:
+    """Deterministic planted-partition / stochastic block model: vertex v
+    belongs to block ``v % n_blocks``; each unordered pair (u < v) draws
+    an md5-uniform in [0, 1) (the repo-wide no-Python-RNG convention —
+    the SAME graph regenerates on every engine and every retry) and the
+    edge exists when the draw is under ``p_in`` (same block) or
+    ``p_out`` (different blocks).  THE community-detection benchmark
+    family: detectability has a known threshold in (p_in − p_out)·n/k,
+    so planted-recovery tests can dial the signal.  Returns
+    (src, dst, weight, block_src, block_dst) with weight 1.0.
+
+    Scale shape: the pair enumeration is one per-vertex
+    ``explode(sequence(v+1, n−1))`` — index-derived, zero-shuffle,
+    O(n²) rows in the scan but filtered map-side to the O(p·n²) edges;
+    guarded like :func:`full` because the PAIR SPACE is quadratic by
+    construction (web-scale SBMs sample per-vertex degree lists
+    instead).
+    """
+    if n > max_vertices:
+        raise ValueError(
+            f"sbm on {n} vertices scans {n*(n-1)//2:,} pairs; raise max_vertices explicitly"
+        )
+    pairs = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.when(
+                    F.col("id") < n - 1, F.sequence(F.col("id") + 1, F.lit(n - 1))
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("dst"),
+        )
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed), F.col("src"), F.col("dst"))), 1, 8
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(2 ** 32))
+    )
+    bs, bd = F.col("src") % n_blocks, F.col("dst") % n_blocks
+    p = F.when(bs == bd, F.lit(float(p_in))).otherwise(F.lit(float(p_out)))
+    return (
+        pairs.where(draw < p)
+        .select(
+            "src", "dst", F.lit(1.0).alias("weight"),
+            bs.cast("long").alias("block_src"), bd.cast("long").alias("block_dst"),
+        )
+    )

@@ -106,3 +106,30 @@ def test_watts_strogatz_p_zero_is_lattice(spark):
 
     g = watts_strogatz(spark, n=20, k=2, p=0.0, seed=1)
     assert all((r.src + r.o) % 20 == r.dst and not r.rewired for r in g.collect())
+
+
+def test_sbm_planted_recovery_and_determinism(spark):
+    """Strong-signal SBM: edge counts concentrate (in-block density >>
+    out-block), regeneration is bit-identical, and Leiden recovers the
+    planted blocks exactly."""
+    from pyspark.sql import functions as F
+
+    from leidenalg_spark.sources.generators import sbm_graph
+
+    g = sbm_graph(spark, 60, n_blocks=3, p_in=0.8, p_out=0.02, seed=7)
+    e = g.collect()
+    assert e == sbm_graph(spark, 60, n_blocks=3, p_in=0.8, p_out=0.02, seed=7).collect()
+    n_in = sum(1 for r in e if r.block_src == r.block_dst)
+    n_out = len(e) - n_in
+    # 3 blocks x C(20,2) = 570 in-pairs at 0.8; 1200 out-pairs at 0.02
+    assert 400 < n_in < 570 and n_out < 80
+
+    from leidenalg_spark.operators.leiden import leiden
+
+    res = leiden(spark, g.select("src", "dst", "weight"), seed=1)
+    memb = {r.id: r.comm for r in res.membership.collect()}
+    blocks = {}
+    for v, c in memb.items():
+        blocks.setdefault(v % 3, set()).add(c)
+    assert all(len(cs) == 1 for cs in blocks.values())
+    assert len({next(iter(cs)) for cs in blocks.values()}) == 3
