@@ -1382,6 +1382,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_embedding_curation(spark, sf):
+        # composed vector-curation funnel (dedup ∧ label-noise ∧ outlier)
+        return S.embedding_curation(
+            spark, _embeddings(spark, sf), k=4, iters=2,
+            dedup_threshold=0.8, knn_k=10,
+        )
+
     def q_sbm_graph(spark, sf):
         # deterministic planted-partition generator: per-block-pair edge
         # census (the md5 draw is SQL-reproducible, so the oracle
@@ -2512,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_elbow": q_kmeans_elbow,
         "mixing_parameter": q_mixing_parameter,
         "sbm_graph": q_sbm_graph,
+        "embedding_curation": q_embedding_curation,
         "session_entries_exits": q_session_entries_exits,
         "product_quantize": q_product_quantize,
         "heavy_user_share": q_heavy_user_share,
@@ -3732,6 +3740,59 @@ FROM agg
   ) WHERE rnk <= 10
 )"""
 
+    # composed funnel: the SAME Lloyd chain feeds the dedup cells and the
+    # outlier z-scores, the full-table kNN feeds the noise flag — the
+    # whole pipeline oracle-verified end-to-end (pipeline.py convention)
+    sqls["embedding_curation"] = _kmeans_ctes(k=4, iters=2) + f""",
+asg AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a3 WHERE rn = 1),
+dpr AS (
+  SELECT b.vec_id AS vid, a.vec_id AS dup_of,
+         ROUND({dt_cos('ea.embedding', 'eb.embedding')}, 6) AS cs
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       JOIN embeddings ea ON ea.vec_id = a.vec_id
+       JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+dupf AS (SELECT DISTINCT vid FROM dpr WHERE cs >= 0.8),
+nsc AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND({dt_cos('a.embedding', 'b.embedding')}, 6) AS cs
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ntop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+    FROM nsc
+  ) WHERE rk <= 10
+),
+nagg AS (
+  SELECT t.query_id AS vec_id,
+         COUNT(*) AS n_nb,
+         SUM(CASE WHEN qb.label = qa.label THEN 1 ELSE 0 END) AS n_agree
+  FROM ntop t JOIN embeddings qa ON qa.vec_id = t.query_id
+       JOIN embeddings qb ON qb.vec_id = t.neighbor_id
+  GROUP BY 1
+),
+odist AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell, ROUND(sqrt(d2), 6) AS dist
+          FROM a3 WHERE rn = 1),
+ost AS (SELECT cell, AVG(dist) AS mu, STDDEV_SAMP(dist) AS sd FROM odist GROUP BY cell),
+ofl AS (
+  SELECT o.vec_id,
+         COALESCE(CASE WHEN sd > 0 THEN (dist - mu) / sd END >= 2.0, FALSE) AS outlier
+  FROM odist o JOIN ost USING (cell)
+)
+SELECT asg.vec_id, asg.cell,
+       dupf.vid IS NOT NULL AS is_dup,
+       ROUND(1 - CAST(n_agree AS DOUBLE) / n_nb, 6) >= 0.5 AS noisy,
+       ofl.outlier,
+       (dupf.vid IS NULL)
+         AND NOT (ROUND(1 - CAST(n_agree AS DOUBLE) / n_nb, 6) >= 0.5)
+         AND NOT ofl.outlier AS keep
+FROM asg
+LEFT JOIN dupf ON dupf.vid = asg.vec_id
+JOIN nagg ON nagg.vec_id = asg.vec_id
+JOIN ofl ON ofl.vec_id = asg.vec_id
+"""
     sqls["sbm_graph"] = """
 WITH pairs AS (
   SELECT a.i AS src, b.i AS dst

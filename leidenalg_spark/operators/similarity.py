@@ -1665,3 +1665,59 @@ def product_quantize(
     codes = F.array(*[F.col(f"c{j}").cast("int") for j in range(m)])
     err = F.sqrt(sum(F.col(f"d{j}") for j in range(m)))
     return out.select(id_col, codes.alias("codes"), F.round(err, 6).alias("recon_err"))
+
+
+def embedding_curation(
+    spark,
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    dedup_threshold: float = 0.8,
+    knn_k: int = 10,
+    noise_threshold: float = 0.5,
+    z_thresh: float = 2.0,
+    seed: int = 42,
+    id_col="vec_id",
+    vec_col="embedding",
+    label_col="label",
+) -> DataFrame:
+    """Composed embedding-curation funnel — the vector-side twin of
+    :func:`leidenalg_spark.operators.pipeline.training_set`: one keep
+    decision per vector from three independent screens,
+
+    - ``is_dup``   — :func:`semantic_dedup` (cluster-bounded SemDeDup,
+      greedy min-id keep above ``dedup_threshold`` cosine),
+    - ``noisy``    — :func:`knn_label_noise` (majority of the ``knn_k``
+      nearest neighbours disagree with the label),
+    - ``outlier``  — :func:`kmeans_outliers` (cell-fringe distance
+      z ≥ ``z_thresh``),
+
+    ``keep = ¬dup ∧ ¬noisy ∧ ¬outlier``.  Composition matters: the three
+    screens share ONE deterministic Lloyd fit family (same seed/rounding
+    contract), so the whole funnel — not just the parts — is
+    oracle-verifiable, the `pipeline.py` convention.  Returns
+    (``id_col``, cell, is_dup, noisy, outlier, keep).
+
+    Scale shape: the union of the component plans (each documented at
+    its definition); the final assembly is two id-keyed joins of |V|-row
+    flag tables.
+    """
+    dup = semantic_dedup(
+        spark, embeddings, k=k, iters=iters, threshold=dedup_threshold,
+        seed=seed, id_col=id_col, vec_col=vec_col,
+    ).select(id_col, "cell", "is_dup")
+    noise = knn_label_noise(
+        embeddings, k=knn_k, flag_threshold=noise_threshold,
+        id_col=id_col, vec_col=vec_col, label_col=label_col,
+    ).select(id_col, F.col("flagged").alias("noisy"))
+    out = kmeans_outliers(
+        spark, embeddings, k=k, iters=iters, seed=seed, z_thresh=z_thresh,
+        id_col=id_col, vec_col=vec_col,
+    ).select(id_col, F.col("is_outlier").alias("outlier"))
+    return (
+        dup.join(noise, id_col).join(out, id_col)
+        .select(
+            id_col, "cell", "is_dup", "noisy", "outlier",
+            (~F.col("is_dup") & ~F.col("noisy") & ~F.col("outlier")).alias("keep"),
+        )
+    )

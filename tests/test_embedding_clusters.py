@@ -326,3 +326,31 @@ def test_product_quantize_identical_vectors_share_codes(spark):
     assert out[0].codes == out[1].codes and out[0].recon_err == out[1].recon_err
     assert len(out[0].codes) == 2
     assert out[2].codes == out[3].codes  # near-identical land in same cells
+
+
+def test_embedding_curation_composes_screens(spark):
+    """The composed funnel agrees with its three component screens
+    row-for-row, and keep = ¬dup ∧ ¬noisy ∧ ¬outlier."""
+    from leidenalg_spark.operators.similarity import (
+        embedding_curation, kmeans_outliers, knn_label_noise, semantic_dedup,
+    )
+
+    import numpy as np
+    rng = np.random.default_rng(3)
+    rows = []
+    for c in range(2):
+        base = np.zeros(4); base[c] = 3.0
+        for i in range(10):
+            rows.append((c * 10 + i, (base + rng.normal(0, 0.05, 4)).tolist(), c))
+    rows.append((20, rows[0][1], 0))          # planted duplicate of vec 0
+    rows.append((21, [2.0, 2.0, 2.0, 2.0], 1))  # off-manifold outlier
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cur = {r.vec_id: r for r in
+           embedding_curation(spark, e, k=2, knn_k=3, dedup_threshold=0.95).collect()}
+    assert cur[20].is_dup and not cur[20].keep
+    dup = {r.vec_id: r.is_dup for r in semantic_dedup(spark, e, k=2, threshold=0.95).collect()}
+    noi = {r.vec_id: r.flagged for r in knn_label_noise(e, k=3).collect()}
+    outl = {r.vec_id: r.is_outlier for r in kmeans_outliers(spark, e, k=2).collect()}
+    for v, r in cur.items():
+        assert r.is_dup == dup[v] and r.noisy == noi[v] and r.outlier == outl[v]
+        assert r.keep == (not r.is_dup and not r.noisy and not r.outlier)

@@ -136,6 +136,7 @@ DECLARATIVE = [
     "session_entries_exits",
     "heavy_user_share",
     "kmeans_elbow",
+    "embedding_curation",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
@@ -211,6 +212,8 @@ SCALAR_CROSS = {
     "heavy_user_share",
     # the k-row centroid tables attach via broadcast nested-loop (kmeans)
     "kmeans_elbow",
+    # kmeans centroid broadcasts + the full-table kNN query-side broadcast
+    "embedding_curation",
 }
 
 
