@@ -136,6 +136,12 @@ def run_queries(spark, sf_dir: str) -> dict:
         "lm_score", "bipartite_project", "kmeans", "neighbor_sample",
         "duplicate_spans", "coreness", "kaplan_meier", "readability",
         "ttr_stats", "disparity_backbone",
+        # round-2 additions: partial-copy detection, concurrency sweep,
+        # whale concentration.  embedding_curation stays OUT of the
+        # headline loop: its exact-kNN noise screen is the documented
+        # validation-scale path (88s at sf0.1); the bench measures the
+        # production shapes, CORRECTNESS covers the funnel at sf0.01.
+        "winnowing", "session_concurrency", "heavy_user_share",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
     return out

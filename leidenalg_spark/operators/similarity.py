@@ -1680,6 +1680,7 @@ def embedding_curation(
     id_col="vec_id",
     vec_col="embedding",
     label_col="label",
+    neighbors: DataFrame | None = None,
 ) -> DataFrame:
     """Composed embedding-curation funnel — the vector-side twin of
     :func:`leidenalg_spark.operators.pipeline.training_set`: one keep
@@ -1700,7 +1701,10 @@ def embedding_curation(
 
     Scale shape: the union of the component plans (each documented at
     its definition); the final assembly is two id-keyed joins of |V|-row
-    flag tables.
+    flag tables.  The default noise screen is the EXACT full-table kNN
+    — quadratic, the validation-scale / oracle-truth path; at corpus
+    scale pass ``neighbors`` = the LSH :func:`knn_graph` output and the
+    noise stage becomes linear (the :func:`knn_label_noise` contract).
     """
     dup = semantic_dedup(
         spark, embeddings, k=k, iters=iters, threshold=dedup_threshold,
@@ -1709,6 +1713,7 @@ def embedding_curation(
     noise = knn_label_noise(
         embeddings, k=knn_k, flag_threshold=noise_threshold,
         id_col=id_col, vec_col=vec_col, label_col=label_col,
+        neighbors=neighbors,
     ).select(id_col, F.col("flagged").alias("noisy"))
     out = kmeans_outliers(
         spark, embeddings, k=k, iters=iters, seed=seed, z_thresh=z_thresh,
