@@ -1382,6 +1382,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_markov_absorption(spark, sf):
+        # conversion probability from each state (rows-only: the
+        # fundamental-matrix solve runs on the catalog-sized chain)
+        from leidenalg_spark.operators.events import markov_absorption
+
+        return markov_absorption(_events(spark, sf), ["purchase"])
+
     def q_embedding_curation(spark, sf):
         # composed vector-curation funnel (dedup ∧ label-noise ∧ outlier)
         return S.embedding_curation(
@@ -2520,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixing_parameter": q_mixing_parameter,
         "sbm_graph": q_sbm_graph,
         "embedding_curation": q_embedding_curation,
+        "markov_absorption": q_markov_absorption,
         "session_entries_exits": q_session_entries_exits,
         "product_quantize": q_product_quantize,
         "heavy_user_share": q_heavy_user_share,

@@ -1825,3 +1825,73 @@ def heavy_user_share(
         )
         .orderBy("pct")
     )
+
+
+def markov_absorption(
+    events: DataFrame,
+    absorbing: list,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    label_col: str = "event_type",
+    tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """Absorption probabilities of the first-order event-type Markov
+    chain: from each transient state, the probability of eventually
+    reaching each absorbing state — ``absorbing`` labels (e.g.
+    ``["purchase"]``) plus the implicit ``END`` state entered after a
+    key's last event.  This is the fundamental-matrix answer
+    B = (I − Q)⁻¹ R to "what fraction of journeys that touch state s
+    eventually convert", the model-based generalisation of the funnel's
+    observed rates (it credits multi-step indirect paths the funnel's
+    fixed step order cannot).  Returns (state, absorbing_state,
+    probability), rows for transient states only, probabilities summing
+    to 1 per state.
+
+    Scale shape: the DATA-side work is one per-key lag window + one
+    (from, to) hash aggregate — the Markov-chain plan; the transition
+    matrix is catalog-sized (|labels|²), so the linear solve runs on the
+    driver in NumPy — the localcore convention for provably-tiny state,
+    never a driver loop over DATA.
+    """
+    import numpy as np
+
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    nxt = events.select(
+        key, F.col(label_col).alias("s"),
+        F.lead(label_col).over(w).alias("t"),
+    ).select("s", F.coalesce("t", F.lit("END")).alias("t"))
+    cnt = nxt.groupBy("s", "t").agg(F.count(F.lit(1)).alias("n")).collect()
+    absorbing_set = set(map(str, absorbing)) | {"END"}
+    states = sorted({r["s"] for r in cnt} - absorbing_set)
+    targets = sorted(absorbing_set)
+    si = {s: i for i, s in enumerate(states)}
+    ti = {t: i for i, t in enumerate(targets)}
+    n = len(states)
+    Q = np.zeros((n, n))
+    R = np.zeros((n, len(targets)))
+    totals = np.zeros(n)
+    for r in cnt:
+        if r["s"] in si:
+            totals[si[r["s"]]] += r["n"]
+    for r in cnt:
+        if r["s"] not in si:
+            continue
+        i = si[r["s"]]
+        p = r["n"] / totals[i]
+        if r["t"] in si:
+            Q[i, si[r["t"]]] += p
+        else:
+            # transitions into absorbing labels OR into states that only
+            # ever appear as targets (never as sources) — the latter are
+            # terminal in the observed chain, fold them into END
+            R[i, ti.get(r["t"], ti["END"])] += p
+    B = np.linalg.solve(np.eye(n) - Q, R)
+    spark = events.sparkSession
+    rows = [
+        (states[i], targets[j], round(float(B[i, j]), 6))
+        for i in range(n) for j in range(len(targets))
+    ]
+    return spark.createDataFrame(
+        rows, "state string, absorbing_state string, probability double"
+    )

@@ -660,3 +660,30 @@ def test_session_entries_exits_census(spark):
     assert out["click"].n_entries == 1 and out["click"].n_exits == 2
     assert out["click"].n_bounces == 1
     assert abs(out["view"].entry_share - 2 / 3) < 1e-6
+
+
+def test_markov_absorption_hand_computed(spark):
+    """Chain: from 'a', half the journeys go a->b, half a->END;
+    from 'b', all go to purchase.  P(a->purchase) = 0.5, P(b->purchase)=1."""
+    from datetime import datetime, timedelta
+
+    from leidenalg_spark.operators.events import markov_absorption
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "a", 1), (1, t0 + timedelta(seconds=1), "b", 2),
+        (1, t0 + timedelta(seconds=2), "purchase", 3),
+        (2, t0, "a", 4),  # ends after a
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long")
+    out = {(r.state, r.absorbing_state): r.probability
+           for r in markov_absorption(ev, ["purchase"]).collect()}
+    assert abs(out[("a", "purchase")] - 0.5) < 1e-6
+    assert abs(out[("a", "END")] - 0.5) < 1e-6
+    assert abs(out[("b", "purchase")] - 1.0) < 1e-6
+    # per-state probabilities sum to 1
+    import collections
+    sums = collections.Counter()
+    for (s, _), p in out.items():
+        sums[s] += p
+    assert all(abs(v - 1.0) < 1e-6 for v in sums.values())
