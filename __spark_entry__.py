@@ -1382,6 +1382,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-table Lloyd k-means, 2 rounds, md5-priority init (seed 42)
         return S.kmeans_embeddings(spark, _embeddings(spark, sf), k=4, iters=2)
 
+    def q_adoption_curve(spark, sf):
+        # contagion exposure curve for 'purchase' over the co-user graph
+        from leidenalg_spark.operators.events import adoption_curve
+
+        return adoption_curve(_events(spark, sf), "purchase", min_weight=3)
+
     def q_markov_absorption(spark, sf):
         # conversion probability from each state (rows-only: the
         # fundamental-matrix solve runs on the catalog-sized chain)
@@ -2528,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sbm_graph": q_sbm_graph,
         "embedding_curation": q_embedding_curation,
         "markov_absorption": q_markov_absorption,
+        "adoption_curve": q_adoption_curve,
         "session_entries_exits": q_session_entries_exits,
         "product_quantize": q_product_quantize,
         "heavy_user_share": q_heavy_user_share,
@@ -5862,6 +5869,29 @@ SELECT n_triangles, ROUND(et, 6) AS expected_config,
        ROUND(CASE WHEN et > 0 THEN n_triangles / et END, 6) AS ratio,
        ROUND(CASE WHEN et > 0 THEN (n_triangles - et) / sqrt(et) END, 6) AS z_poisson
 FROM x
+"""
+    sqls["adoption_curve"] = f"""
+WITH {couser_cte.strip()},
+csym AS (SELECT a AS u, b AS v FROM cow UNION ALL SELECT b, a FROM cow),
+ad AS (SELECT user_id AS id, MIN(ts) AS at FROM events
+       WHERE event_type = 'purchase' GROUP BY user_id),
+cverts AS (SELECT DISTINCT u AS id FROM csym),
+adec AS (
+  SELECT s.u,
+         CASE WHEN av.at IS NOT NULL AND (au.at IS NULL OR av.at < au.at)
+              THEN 1 ELSE 0 END AS ex,
+         au.at AS at_u
+  FROM csym s LEFT JOIN ad au ON au.id = s.u LEFT JOIN ad av ON av.id = s.v
+),
+pu AS (SELECT u AS id, SUM(ex) AS exposure, MAX(at_u) AS at_u FROM adec GROUP BY u),
+fl AS (SELECT v.id, COALESCE(pu.exposure, 0) AS exposure, pu.at_u
+       FROM cverts v LEFT JOIN pu USING (id))
+SELECT CAST(exposure AS BIGINT) AS exposure,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN at_u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_adopters,
+       ROUND(CAST(SUM(CASE WHEN at_u IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS adoption_rate
+FROM fl GROUP BY exposure ORDER BY exposure
 """
     sqls["edge_embeddedness"] = f"""
 WITH {couser_cte},

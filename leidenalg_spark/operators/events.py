@@ -1895,3 +1895,68 @@ def markov_absorption(
     return spark.createDataFrame(
         rows, "state string, absorbing_state string, probability double"
     )
+
+
+def adoption_curve(
+    events: DataFrame,
+    label: str,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    label_col: str = "event_type",
+    min_weight: int = 3,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Social-contagion adoption curve (the Backstrom-et-al descriptive):
+    probability of adopting ``label`` as a function of the number of
+    already-adopting neighbours in the co-activity graph.  Exposure of
+    an adopter = neighbours whose FIRST ``label`` event precedes their
+    own (strictly); exposure of a non-adopter = adopter neighbours ever
+    (they were exposed and still didn't).  Returns one row per exposure
+    count: (exposure, n_users, n_adopters, adoption_rate) — a rising
+    curve is the contagion signature (with the usual homophily caveat,
+    which this operator reports, not resolves).
+
+    Scale shape: the co-activity derivation (or a caller-supplied
+    ``edges`` (src, dst, …) user graph), ONE first-adoption aggregate,
+    two id-keyed joins to decorate each edge end with adoption times,
+    one per-user exposure aggregate, one |exposures|-row rollup.
+    """
+    if edges is None:
+        from .edges import events_to_coactivity_edges
+
+        edges = events_to_coactivity_edges(events, min_weight=min_weight)
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    adopts = (
+        events.where(F.col(label_col) == label)
+        .groupBy(F.col(key).alias("id"))
+        .agg(F.min(ts_col).alias("at"))
+    )
+    verts = sym.select(F.col("u").alias("id")).distinct()
+    dec = (
+        sym.join(adopts.select(F.col("id").alias("u"), F.col("at").alias("at_u")), "u", "left")
+        .join(adopts.select(F.col("id").alias("v"), F.col("at").alias("at_v")), "v", "left")
+    )
+    exposed = F.when(
+        F.col("at_v").isNotNull()
+        & (F.col("at_u").isNull() | (F.col("at_v") < F.col("at_u"))),
+        1,
+    ).otherwise(0)
+    per_user = (
+        dec.groupBy(F.col("u").alias("id"))
+        .agg(F.sum(exposed).alias("exposure"), F.first("at_u").alias("at_u"))
+    )
+    full = verts.join(per_user, "id", "left").na.fill({"exposure": 0})
+    return (
+        full.groupBy("exposure")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("at_u").isNotNull().cast("long")).alias("n_adopters"),
+        )
+        .select(
+            F.col("exposure").cast("long").alias("exposure"), "n_users", "n_adopters",
+            F.round(F.col("n_adopters") / F.col("n_users"), 6).alias("adoption_rate"),
+        )
+        .orderBy("exposure")
+    )

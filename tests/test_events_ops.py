@@ -687,3 +687,28 @@ def test_markov_absorption_hand_computed(spark):
     for (s, _), p in out.items():
         sums[s] += p
     assert all(abs(v - 1.0) < 1e-6 for v in sums.values())
+
+
+def test_adoption_curve_exposure_counts(spark):
+    """Star graph: center adopts last after both leaves -> exposure 2;
+    leaves adopt first/never -> exposures 0 and 1."""
+    from datetime import datetime, timedelta
+
+    from leidenalg_spark.operators.events import adoption_curve
+
+    t0 = datetime(2024, 1, 1)
+    e = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 3.0), (0, 3, 3.0)], "src long, dst long, weight double"
+    )
+    ev = spark.createDataFrame(
+        [(1, t0, "buy", 1), (2, t0 + timedelta(hours=1), "buy", 2),
+         (0, t0 + timedelta(hours=2), "buy", 3)],
+        "user_id long, ts timestamp, event_type string, event_id long",
+    )
+    out = {r.exposure: r for r in adoption_curve(ev, "buy", edges=e).collect()}
+    # center (0): both 1 and 2 adopted earlier -> exposure 2, adopter
+    assert out[2].n_users == 1 and out[2].n_adopters == 1
+    # leaves 1,2: their only neighbour (0) adopted AFTER them -> exposure 0
+    # leaf 3: never adopts, neighbour 0 adopted ever -> exposure 1, rate 0
+    assert out[0].n_users == 2 and out[0].n_adopters == 2
+    assert out[1].n_users == 1 and out[1].n_adopters == 0 and out[1].adoption_rate == 0.0

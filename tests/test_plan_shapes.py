@@ -137,6 +137,7 @@ DECLARATIVE = [
     "heavy_user_share",
     "kmeans_elbow",
     "embedding_curation",
+    "adoption_curve",
 ]
 
 # the quality evaluators attach global scalars (total edge weight m,
