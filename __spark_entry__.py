@@ -2204,6 +2204,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return K.bridges(spark, e).orderBy("a", "b")
 
+    def q_articulation_points(spark, sf):
+        # block-cut structure on the same fixture (oracle = per-vertex
+        # removal + min-label flooding of G−v)
+        e = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in _BRIDGE_FIXTURE], "src long, dst long, weight double"
+        )
+        return K.articulation_points(spark, e).orderBy("id")
+
     def q_seasonal_naive_error(spark, sf):
         # lag-7 seasonal-naive forecast baseline error per event type
         from leidenalg_spark.operators.events import seasonal_naive_error
@@ -2395,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_affinity": q_type_affinity,
         "square_count": q_square_count,
         "bridges": q_bridges,
+        "articulation_points": q_articulation_points,
         "containment_pairs": q_containment_pairs,
         "tfidf_cosine": q_tfidf_cosine,
         "intrinsic_dim": q_intrinsic_dim,
@@ -6475,6 +6484,42 @@ SELECT CAST(p.u AS BIGINT) AS a, CAST(p.w AS BIGINT) AS b,
        (r.v IS NULL) AS is_bridge
 FROM bprobes p LEFT JOIN br14 r ON r.k = p.k AND r.v = p.w
 ORDER BY a, b
+"""
+    # articulation_points: brute-force per-vertex removal on the same
+    # fixture — min-label propagation over G−v (14 rounds ≥ any G−v
+    # diameter on 15 vertices); a vertex's block count = the number of
+    # distinct G−v component labels among its neighbours
+    ap_vrows = ", ".join(
+        f"({v})" for v in sorted({x for e in _BRIDGE_FIXTURE for x in e})
+    )
+    ap_rounds = []
+    for t in range(1, 15):
+        ap_rounds.append(f"""ap{t} AS MATERIALIZED (
+  SELECT u.v, u.node, MIN(u.lbl) AS lbl FROM (
+    SELECT v, node, lbl FROM ap{t - 1}
+    UNION ALL
+    SELECT e.v, e.dst AS node, l.lbl FROM apexsym e
+    JOIN ap{t - 1} l ON l.v = e.v AND l.node = e.src
+  ) u GROUP BY u.v, u.node
+)""")
+    sqls["articulation_points"] = f"""
+WITH apedges(a, b) AS (VALUES {bedge_rows}),
+apverts(v) AS (VALUES {ap_vrows}),
+apsym AS (SELECT a AS src, b AS dst FROM apedges UNION ALL SELECT b, a FROM apedges),
+apexsym AS MATERIALIZED (
+  SELECT p.v, s.src, s.dst FROM apverts p JOIN apsym s
+  ON s.src <> p.v AND s.dst <> p.v
+),
+ap0 AS (SELECT p.v, n.v AS node, n.v AS lbl FROM apverts p JOIN apverts n ON n.v <> p.v),
+{",".join(ap_rounds)}
+SELECT CAST(p.v AS BIGINT) AS id,
+       CAST(COUNT(DISTINCT l.lbl) AS BIGINT) AS n_blocks,
+       (COUNT(DISTINCT l.lbl) >= 2) AS is_articulation
+FROM apverts p
+JOIN apsym s ON s.src = p.v
+JOIN ap14 l ON l.v = p.v AND l.node = s.dst
+GROUP BY p.v
+ORDER BY id
 """
     sqls["seasonal_naive_error"] = """
 WITH scnt AS (

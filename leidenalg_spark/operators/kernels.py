@@ -5304,6 +5304,53 @@ def square_count(spark, edges: DataFrame) -> DataFrame:
     )
 
 
+def _bfs_spanning_forest(spark, und: DataFrame, max_depth: int, caller: str):
+    """BFS spanning forest over a canonical simple edge table (a, b)
+    (a < b, deduped), rooted at each component's min id.  Returns
+    ``(visited, depth)`` where visited is (id, parent, depth) covering
+    every vertex and depth is the deepest level reached.  Shared by the
+    connectivity kernels (:func:`bridges`,
+    :func:`biconnected_components`): rounds = forest depth, each round
+    one frontier join + anti-join + min-parent aggregate.
+
+    Raises when ``max_depth`` leaves vertices uncovered — an uncovered
+    vertex would silently dump its tree edges into the non-tree set and
+    corrupt downstream cycle labels, so refusing beats misclassifying.
+    """
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    comp = connected_components(spark, und.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    # BFS forest rooted at each component's min id
+    visited = comp.select("id", F.col("component").alias("root")).where(
+        F.col("id") == F.col("root")
+    ).select("id", F.lit(None).cast("long").alias("parent"), F.lit(0).alias("depth"))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited.select("id")
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            frontier.join(sym, frontier.id == sym.a)
+            .select(F.col("b").alias("id"), F.col("a").alias("parent"))
+            .join(visited.select("id"), "id", "left_anti")
+            .groupBy("id")
+            .agg(F.min("parent").alias("parent"))
+            .withColumn("depth", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            depth -= 1
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    n_unvisited = comp.count() - visited.count()
+    if n_unvisited > 0:
+        raise ValueError(
+            f"{caller}: BFS forest left {n_unvisited} vertices uncovered "
+            f"within max_depth={max_depth}; raise max_depth"
+        )
+    return visited, depth
+
+
 def bridges(spark, edges: DataFrame, max_depth: int = 32) -> DataFrame:
     """Bridge (cut-edge) detection via the XOR cycle-space trick — the
     distributed answer to igraph ``bridges()``:
@@ -5333,42 +5380,7 @@ def bridges(spark, edges: DataFrame, max_depth: int = 32) -> DataFrame:
         .distinct()
         .persist()
     )
-    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    comp = connected_components(spark, und.select(F.col("a").alias("src"), F.col("b").alias("dst")))
-    # BFS forest rooted at each component's min id
-    visited = comp.select("id", F.col("component").alias("root")).where(
-        F.col("id") == F.col("root")
-    ).select("id", F.lit(None).cast("long").alias("parent"), F.lit(0).alias("depth"))
-    visited = visited.localCheckpoint(eager=True)
-    frontier = visited.select("id")
-    tree = []
-    depth = 0
-    while depth < max_depth:
-        depth += 1
-        nxt = (
-            frontier.join(sym, frontier.id == sym.a)
-            .select(F.col("b").alias("id"), F.col("a").alias("parent"))
-            .join(visited.select("id"), "id", "left_anti")
-            .groupBy("id")
-            .agg(F.min("parent").alias("parent"))
-            .withColumn("depth", F.lit(depth))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            depth -= 1
-            break
-        tree.append(nxt)
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("id")
-    # coverage guard: an unvisited vertex (diameter > max_depth) would
-    # silently dump its tree edges into the non-tree set and corrupt the
-    # cycle labels — refuse instead of misclassifying
-    n_unvisited = comp.count() - visited.count()
-    if n_unvisited > 0:
-        raise ValueError(
-            f"bridges: BFS forest left {n_unvisited} vertices uncovered "
-            f"within max_depth={max_depth}; raise max_depth"
-        )
+    visited, depth = _bfs_spanning_forest(spark, und, max_depth, caller="bridges")
     tree_pairs = (
         visited.where(F.col("parent").isNotNull())
         .select(F.least("id", "parent").alias("a"), F.greatest("id", "parent").alias("b"))
@@ -6154,3 +6166,130 @@ def two_edge_components(spark, edges: DataFrame, ckpt: CheckpointManager | None 
         out = out.localCheckpoint(eager=True)
         ckpt.close()
     return out
+
+
+def biconnected_components(spark, edges: DataFrame, max_depth: int = 32) -> DataFrame:
+    """Biconnected components (blocks) of the undirected simple graph —
+    the distributed answer to igraph ``biconnected_components()``
+    (reference scope: the connectivity family around ``bridges()``;
+    vertex-cut structure is the one member round 1 lacked).
+
+    Tarjan–Vishkin equivalence over a BFS spanning forest: two edges are
+    in the same block iff they lie on a common fundamental cycle,
+    transitively.  Pipeline:
+
+    1. BFS spanning forest (shared :func:`_bfs_spanning_forest`);
+    2. every vertex's root-path edge list via parent-pointer climbing —
+       ``depth`` rounds, O(n·depth) rows total;
+    3. a non-tree edge's fundamental cycle = the symmetric difference of
+       its endpoints' root paths (shared ancestor edges appear twice and
+       cancel under ``HAVING count = 1``) — star-link each cycle tree
+       edge to the chord's key;
+    4. connected components over that edge-key auxiliary graph; blocks =
+       aux components, uncovered tree edges (bridges) stay singletons.
+
+    Returns (a, b, block) for every simple undirected edge, ``block`` =
+    a deterministic 64-bit key shared by all edges of one block.
+
+    Scale shape: one CC run (log² rounds), one BFS (depth rounds), depth
+    climb rounds each a merge join against the n-row forest, ONE
+    m·depth-row shuffle for the symmetric difference, and a second CC on
+    the aux graph whose size is Σ cycle lengths ≤ m·2·depth.  Depth is
+    small on small-world transcript graphs; a pathological diameter
+    fails fast via the forest coverage guard rather than degrading.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    visited, depth = _bfs_spanning_forest(spark, und, max_depth, caller="biconnected_components")
+
+    # ---- root-path edge lists: climb(owner, cur) emits the tree edge
+    # (cur, parent(cur)) each round, then steps cur := parent(cur)
+    ekey = lambda a, b: F.xxhash64(F.least(a, b), F.greatest(a, b))  # noqa: E731
+    climb = visited.select(F.col("id").alias("owner"), F.col("id").alias("cur"))
+    path_chunks = []
+    for _ in range(depth):
+        step = (
+            climb.join(
+                visited.select(F.col("id").alias("cur"), "parent"), "cur"
+            )
+            .where(F.col("parent").isNotNull())
+            .select(
+                "owner",
+                F.least("cur", "parent").alias("pa"),
+                F.greatest("cur", "parent").alias("pb"),
+                F.col("parent").alias("nxt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if step.isEmpty():
+            break
+        path_chunks.append(step.select("owner", "pa", "pb"))
+        climb = step.select("owner", F.col("nxt").alias("cur"))
+    if path_chunks:
+        paths = path_chunks[0]
+        for c in path_chunks[1:]:
+            paths = paths.unionByName(c)
+    else:
+        paths = und.limit(0).select(
+            F.col("a").alias("owner"), F.col("a").alias("pa"), F.col("b").alias("pb")
+        )
+
+    # ---- fundamental-cycle star links: chord key ↔ each cycle tree edge
+    tree_pairs = visited.where(F.col("parent").isNotNull()).select(
+        F.least("id", "parent").alias("a"), F.greatest("id", "parent").alias("b")
+    )
+    nontree = und.join(tree_pairs, ["a", "b"], "left_anti")
+    chord = nontree.select(ekey(F.col("a"), F.col("b")).alias("ck"), "a", "b")
+    side_a = chord.join(paths, chord.a == paths.owner).select("ck", "pa", "pb")
+    side_b = chord.join(paths, chord.b == paths.owner).select("ck", "pa", "pb")
+    cyc = (
+        side_a.unionByName(side_b)
+        .groupBy("ck", "pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") == 1)  # shared root-path prefix cancels
+        .select(F.col("ck").alias("src"), ekey(F.col("pa"), F.col("pb")).alias("dst"))
+    )
+    aux = cyc.withColumn("weight", F.lit(1.0)).localCheckpoint(eager=True)
+    comp = (
+        connected_components(spark, aux)
+        .select(F.col("id").alias("k"), F.col("component").alias("block"))
+        if not aux.isEmpty()
+        else None
+    )
+    keyed = und.select("a", "b", ekey(F.col("a"), F.col("b")).alias("k"))
+    if comp is None:
+        out = keyed.select("a", "b", F.col("k").alias("block"))
+    else:
+        out = (
+            keyed.join(comp, "k", "left")
+            .select("a", "b", F.coalesce("block", F.col("k")).alias("block"))
+        )
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out
+
+
+def articulation_points(spark, edges: DataFrame, max_depth: int = 32) -> DataFrame:
+    """Articulation (cut) vertices — igraph ``articulation_points()`` at
+    scale: a vertex is a cut vertex iff it belongs to ≥ 2 blocks of the
+    block-cut tree (:func:`biconnected_components`; bridge edges count
+    as their own blocks).  Returns (id, n_blocks, is_articulation) for
+    every vertex of the simple graph.
+
+    Scale shape: the block pipeline plus one explode + distinct + count
+    aggregate — all map-side-combinable.
+    """
+    blocks = biconnected_components(spark, edges, max_depth=max_depth)
+    memb = (
+        blocks.select(F.col("a").alias("id"), "block")
+        .unionByName(blocks.select(F.col("b").alias("id"), "block"))
+        .distinct()
+    )
+    return memb.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        (F.count(F.lit(1)) >= 2).alias("is_articulation"),
+    )
