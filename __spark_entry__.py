@@ -3116,7 +3116,7 @@ WITH first AS (
   FROM events GROUP BY user_id
 ),
 active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS b FROM events)
-SELECT f.cohort_start,
+SELECT CAST(f.cohort_start AS TIMESTAMP) AS cohort_start,
        CAST((epoch(a.b) - epoch(f.cohort_start)) / 604800 AS BIGINT) AS offset,
        CAST(COUNT(*) AS BIGINT) AS n_active
 FROM active a JOIN first f ON f.user_id = a.user_id
@@ -3902,7 +3902,7 @@ rkd AS (
   FROM cnt
 ),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, SUM(n) AS n_events FROM rkd),
-ps AS (SELECT unnest([0.01, 0.05, 0.10]) AS pct),
+ps AS (SELECT CAST(unnest([0.01, 0.05, 0.10]) AS DOUBLE) AS pct),
 px AS (
   SELECT pct, CAST(CEIL(pct * n_users) AS BIGINT) AS n_top_users, n_users, n_events
   FROM ps CROSS JOIN tot
@@ -4305,7 +4305,7 @@ SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
 FROM d GROUP BY user_id, n_gaps, mean_gap
 """
     sqls["l_diversity"] = """
-SELECT event_type, date_trunc('day', ts) AS day,
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        CAST(COUNT(*) AS BIGINT) AS class_size,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_sensitive,
        COUNT(DISTINCT user_id) >= 5 AS meets_l
@@ -4648,7 +4648,7 @@ lcell AS (
   FROM lact GROUP BY 1, 2
 ),
 lsize AS (SELECT cohort_start, n_active AS cohort_size FROM lcell WHERE "offset" = 0)
-SELECT c.cohort_start, c."offset" AS "offset", c.n_active, c.bucket_value,
+SELECT CAST(c.cohort_start AS TIMESTAMP) AS cohort_start, c."offset" AS "offset", c.n_active, c.bucket_value,
        ROUND(SUM(c.bucket_value) OVER (PARTITION BY c.cohort_start ORDER BY c."offset"), 6) AS cum_value,
        ROUND(SUM(c.bucket_value) OVER (PARTITION BY c.cohort_start ORDER BY c."offset")
              / s.cohort_size, 6) AS cum_value_per_user
@@ -6048,7 +6048,7 @@ acagg AS (
          AVG(x * x) AS mxx, AVG(y * y) AS myy
   FROM acj GROUP BY day
 )
-SELECT day, day + INTERVAL 1 DAY AS next_day, n_both,
+SELECT CAST(day AS TIMESTAMP) AS day, CAST(day + INTERVAL 1 DAY AS TIMESTAMP) AS next_day, n_both,
        ROUND(CASE WHEN (mxx - mx * mx) > 0 AND (myy - my * my) > 0
              THEN (mxy - mx * my) / SQRT((mxx - mx * mx) * (myy - my * my))
              END, 6) AS r
@@ -6065,7 +6065,7 @@ pkb AS (
   FROM pkc
   WINDOW w AS (PARTITION BY g ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 )
-SELECT g AS event_type, day, CAST(n AS BIGINT) AS n,
+SELECT g AS event_type, CAST(day AS TIMESTAMP) AS day, CAST(n AS BIGINT) AS n,
        ROUND(baseline, 6) AS baseline,
        COALESCE(n > 1.5 * baseline, FALSE) AS is_peak
 FROM pkb ORDER BY event_type, day
@@ -6259,7 +6259,7 @@ WITH bucnt AS (
          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
   FROM events GROUP BY 1
 )
-SELECT day, n, n_errors, ROUND(n_errors * 1.0 / n, 6) AS error_rate,
+SELECT CAST(day AS TIMESTAMP) AS day, n, n_errors, ROUND(n_errors * 1.0 / n, 6) AS error_rate,
        ROUND(SUM(n_errors * 1.0 / n - 0.2)
              OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_burn
 FROM bucnt ORDER BY day
@@ -6637,7 +6637,7 @@ swau AS (
   SELECT f.day, CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS wau
   FROM sfan f JOIN sdays d ON d.day = f.day GROUP BY f.day
 )
-SELECT d.day, d.dau, w.wau, ROUND(d.dau * 1.0 / w.wau, 6) AS stickiness
+SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau, ROUND(d.dau * 1.0 / w.wau, 6) AS stickiness
 FROM sdau d JOIN swau w USING (day) ORDER BY day
 """
     sqls["merge_gain"] = f"""
@@ -6833,7 +6833,7 @@ sc AS (
          ROUND((tot - s) / (n - t), 6) AS mean_after
   FROM run WHERE t < n
 )
-SELECT g AS event_type, b AS t_star, stat, mean_before, mean_after,
+SELECT g AS event_type, CAST(b AS TIMESTAMP) AS t_star, stat, mean_before, mean_after,
        CAST(n AS BIGINT) AS n_buckets
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY stat DESC, b ASC) AS rk FROM sc)
 WHERE rk = 1 ORDER BY event_type
