@@ -2050,6 +2050,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hurst_variance(_events(spark, sf)).orderBy("event_type")
 
+    def q_gopher_rules(spark, sf):
+        # Gopher A1 per-rule quality signals + admission flag
+        return T.gopher_rules(_documents(spark, sf)).orderBy("doc_id")
+
     def q_readability(spark, sf):
         # Flesch-Kincaid grade proxy per document
         return T.readability(_documents(spark, sf)).orderBy("doc_id")
@@ -2416,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "actor_behavior_kl": q_actor_behavior_kl,
         "hurst_variance": q_hurst_variance,
         "readability": q_readability,
+        "gopher_rules": q_gopher_rules,
         "benford_test": q_benford_test,
         "balance_labels": q_balance_labels,
         "linkpred_eval": q_linkpred_eval,
@@ -6151,6 +6156,34 @@ SELECT g AS event_type,
        ROUND(1.0 + ((sxy - n * mx * my) / (sxx - n * mx * mx)) / 2.0, 6) AS hurst,
        CAST(n AS BIGINT) AS n_scales
 FROM hreg ORDER BY event_type
+"""
+    sqls["gopher_rules"] = """
+WITH gw AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+  FROM documents
+),
+gs AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CASE WHEN len(words) > 0 THEN ROUND(list_aggregate(list_transform(words, x -> CAST(length(x) AS DOUBLE)), 'sum') / len(words), 6) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(words) > 0 THEN ROUND((length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              + length(text) - length(replace(text, '…', ''))) * 1.0 / len(words), 6) ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN len(words) > 0 THEN ROUND(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(words), 6) ELSE 0.0 END AS alpha_word_frac,
+         len(list_filter(words, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) AS n_stopwords,
+         CASE WHEN len(lines) > 0 THEN ROUND(len(list_filter(lines, x -> substr(x, 1, 1) IN ('-','*','•'))) * 1.0 / len(lines), 6) ELSE 0.0 END AS bullet_line_frac,
+         CASE WHEN len(lines) > 0 THEN ROUND(len(list_filter(lines, x -> right(x, 3) = '...' OR right(x, 1) = '…')) * 1.0 / len(lines), 6) ELSE 0.0 END AS ellipsis_line_frac
+  FROM gw
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len, symbol_ratio,
+       alpha_word_frac, CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       bullet_line_frac, ellipsis_line_frac,
+       (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8 AND n_stopwords >= 2) AS passes_gopher
+FROM gs ORDER BY doc_id
 """
     sqls["readability"] = """
 SELECT doc_id,

@@ -1277,3 +1277,110 @@ def ttr_stats(docs: DataFrame, col: str = "text") -> DataFrame:
             F.when(F.col("n_types") > 0, F.col("n_hapax") / F.col("n_types")), 6
         ).alias("hapax_frac"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, appendix A1 —
+    public heuristics; the per-rule companion to the composite
+    :func:`quality_score` and the A1 repetition half in
+    :func:`repetition_stats`): word-count window, mean-word-length
+    window, symbol-to-word ratio (``#`` and ellipses), bullet-start /
+    ellipsis-end line fractions, alphabetic-word fraction, and the
+    required-stopword count.  Returns per doc the measured signals plus
+    the overall ``passes_gopher`` admission flag (AND of all rules).
+
+    Scale: ONE projection — every signal is a JVM higher-order-function
+    expression over the split word/line arrays (no explode, no shuffle,
+    no Python); the whole operator pipelines inside the parquet scan's
+    codegen stage.  Degenerate docs (zero words) fail the word-count
+    rule and report zeroed ratios rather than dividing by zero (ANSI
+    mode throws on x/0).
+    """
+    words = F.filter(F.split(F.col(col), r"\s+"), lambda w: w != "")
+    nw = F.size(words)
+    nw_d = nw.cast("double")
+    total_len = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+    )
+    mean_len = F.when(nw > 0, F.round(total_len / nw_d, 6)).otherwise(F.lit(0.0))
+    t = F.col(col)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ) + F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    symbol_ratio = F.when(
+        nw > 0, F.round((n_hash + n_ell).cast("double") / nw_d, 6)
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    nl = F.size(lines)
+    bullet_frac = F.when(
+        nl > 0,
+        F.round(
+            F.size(
+                F.filter(lines, lambda l: F.substring(l, 1, 1).isin("-", "*", "•"))
+            ).cast("double") / nl.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    ell_end_frac = F.when(
+        nl > 0,
+        F.round(
+            F.size(
+                F.filter(
+                    lines,
+                    lambda l: l.endswith(F.lit("...")) | l.endswith(F.lit("…")),
+                )
+            ).cast("double") / nl.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        nw > 0,
+        F.round(
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+            / nw_d,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(*GOPHER_STOPWORDS))
+    )
+    out = docs.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_end_frac.alias("ellipsis_line_frac"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return out.withColumn("passes_gopher", passes)
