@@ -1578,6 +1578,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _events(spark, sf).withColumn("day", F.date_trunc("day", "ts"))
         return l_diversity(ev, ["event_type", "day"], "user_id", l=5)
 
+    def q_t_closeness(spark, sf):
+        # distribution-disclosure audit: per-day event_type mix vs global
+        from leidenalg_spark.operators.sampling import t_closeness
+
+        ev = _events(spark, sf).withColumn("day", F.date_trunc("day", "ts"))
+        return t_closeness(ev, ["day"], "event_type", t=0.2).orderBy("day")
+
     def q_triangle_significance(spark, sf):
         # observed triangles vs exact configuration-model expectation
         from leidenalg_spark.operators.kernels import triangle_significance
@@ -2529,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": q_effective_diameter,
         "interarrival_ks": q_interarrival_ks,
         "l_diversity": q_l_diversity,
+        "t_closeness": q_t_closeness,
         "triangle_significance": q_triangle_significance,
         "attribution": q_attribution,
         "dim_truncation": q_dim_truncation,
@@ -4308,6 +4316,29 @@ d AS (
 SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
        ROUND(mean_gap, 6) AS mean_gap_s, ROUND(MAX(dev), 6) AS ks_stat
 FROM d GROUP BY user_id, n_gaps, mean_gap
+"""
+    sqls["t_closeness"] = """
+WITH tcg AS (
+  SELECT event_type, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events) AS p_g
+  FROM events GROUP BY event_type
+),
+tcc AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_vs
+  FROM events GROUP BY 1, 2
+),
+tcs AS (SELECT day, SUM(n_vs) AS class_size FROM tcc GROUP BY day),
+tcd AS (
+  SELECT c.day, s.class_size,
+         SUM(ABS(c.n_vs / s.class_size - g.p_g)) AS dev_in,
+         SUM(g.p_g) AS mass_in
+  FROM tcc c JOIN tcs s USING (day) JOIN tcg g USING (event_type)
+  GROUP BY c.day, s.class_size
+)
+SELECT day, CAST(class_size AS BIGINT) AS class_size,
+       ROUND(0.5 * (dev_in + 1.0 - mass_in), 6) AS tvd,
+       (ROUND(0.5 * (dev_in + 1.0 - mass_in), 6) <= 0.2) AS meets_t
+FROM tcd ORDER BY day
 """
     sqls["l_diversity"] = """
 SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

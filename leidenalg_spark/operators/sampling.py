@@ -423,3 +423,45 @@ def disparate_impact(
             F.coalesce(ratio < float(threshold), F.lit(False)).alias("adverse"),
         )
     )
+
+
+def t_closeness(
+    df: DataFrame, quasi_cols, sensitive_col: str, t: float = 0.2
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    distribution-level member of the privacy trio after
+    :func:`k_anonymity` and :func:`l_diversity`: an equivalence class
+    can be large AND diverse yet still leak when its sensitive-value
+    MIX differs sharply from the corpus-wide one (e.g. one day's events
+    are 90% 'error' against a 5% base rate).  For a categorical
+    sensitive attribute under the uniform ground distance the EMD
+    reduces to the total variation distance; values absent from a class
+    contribute their global mass analytically
+    (``1 − Σ_{v∈class} p_global(v)``), so the zero cells never
+    materialise.  Returns (*quasi_cols, class_size, tvd, meets_t).
+
+    Scale shape: one (quasi, sensitive) hash aggregate + one
+    |sensitive|-row broadcast of the global distribution + one
+    per-class re-aggregate — no windows, no self-joins, no outer join
+    against the value domain.
+    """
+    cols = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    cell = df.groupBy(*cols, sensitive_col).agg(F.count(F.lit(1)).alias("n_vs"))
+    glob = (
+        df.groupBy(sensitive_col)
+        .agg(F.count(F.lit(1)).alias("n_v"))
+        .crossJoin(F.broadcast(df.agg(F.count(F.lit(1)).alias("n_tot"))))
+        .select(sensitive_col, (F.col("n_v") / F.col("n_tot")).alias("p_g"))
+    )
+    cls = cell.groupBy(*cols).agg(F.sum("n_vs").alias("class_size"))
+    per_cell = cell.join(cls, cols).join(F.broadcast(glob), sensitive_col)
+    agg = per_cell.groupBy(*cols).agg(
+        F.first("class_size").cast("long").alias("class_size"),
+        F.sum(F.abs(F.col("n_vs") / F.col("class_size") - F.col("p_g"))).alias("dev_in"),
+        F.sum("p_g").alias("mass_in"),
+    )
+    return agg.select(
+        *cols,
+        "class_size",
+        F.round(0.5 * (F.col("dev_in") + 1.0 - F.col("mass_in")), 6).alias("tvd"),
+    ).withColumn("meets_t", F.col("tvd") <= float(t))

@@ -829,3 +829,30 @@ def test_tfidf_cosine_planted_geometry(spark):
     expect_capped = wbeta**2 / (wa**2 + wbeta**2)
     assert isclose(capped[(1, 2)], expect_capped, abs_tol=1e-6)
     assert capped[(1, 2)] < got[(1, 2)]
+
+
+def test_t_closeness_planted_skew(spark):
+    """A class matching the global mix scores tvd≈0; a single-value
+    class scores 1 − p_global(v); absent values enter analytically."""
+    from leidenalg_spark.operators.sampling import t_closeness
+
+    rows = []
+    # class A: 8 x, 2 y  — matches global-ish mix; class B: 10 x only
+    rows += [("A", "x")] * 8 + [("A", "y")] * 2
+    rows += [("B", "x")] * 10
+    df = spark.createDataFrame(rows, "cls string, v string")
+    got = {r["cls"]: r.asDict() for r in t_closeness(df, ["cls"], "v", t=0.2).collect()}
+    # global: x 18/20, y 2/20
+    assert got["A"]["class_size"] == 10 and got["B"]["class_size"] == 10
+    # A: 0.5*(|0.8-0.9| + |0.2-0.1|) = 0.1
+    assert got["A"]["tvd"] == 0.1 and got["A"]["meets_t"]
+    # B: 0.5*(|1-0.9| + 0.1 absent-y mass) = 0.1 — wait, same by symmetry
+    assert got["B"]["tvd"] == 0.1
+    # sharper skew: class C all-y against a y-rare global
+    rows2 = [("A", "x")] * 90 + [("A", "y")] * 10 + [("C", "y")] * 10
+    df2 = spark.createDataFrame(rows2, "cls string, v string")
+    got2 = {r["cls"]: r.asDict() for r in t_closeness(df2, ["cls"], "v", t=0.2).collect()}
+    # global: x 90/110, y 20/110; C: all y → tvd = 0.5*(|1-20/110| + 90/110)
+    import pytest as _pt
+    assert got2["C"]["tvd"] == _pt.approx(round(0.5 * ((1 - 20 / 110) + 90 / 110), 6))
+    assert not got2["C"]["meets_t"]
