@@ -1585,6 +1585,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = _events(spark, sf).withColumn("day", F.date_trunc("day", "ts"))
         return t_closeness(ev, ["day"], "event_type", t=0.2).orderBy("day")
 
+    def q_sbm_fit(spark, sf):
+        # block-model rate matrix + likelihoods for a deterministic
+        # 4-block membership of the co-activity user graph
+        from leidenalg_spark.operators.community import sbm_fit
+
+        e = _couser_edges(spark, sf)
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        memb = verts.select("id", F.pmod(F.col("id"), F.lit(4)).alias("comm"))
+        return sbm_fit(e, memb).orderBy("comm_a", "comm_b")
+
     def q_triangle_significance(spark, sf):
         # observed triangles vs exact configuration-model expectation
         from leidenalg_spark.operators.kernels import triangle_significance
@@ -2537,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_ks": q_interarrival_ks,
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
+        "sbm_fit": q_sbm_fit,
         "triangle_significance": q_triangle_significance,
         "attribution": q_attribution,
         "dim_truncation": q_dim_truncation,
@@ -6225,6 +6240,49 @@ SELECT doc_id,
         THEN 0.39 * (n_words * 1.0 / n_sentences) + 11.8 * (n_syllables * 1.0 / n_words) - 15.59
         END, 6) AS fk_grade
 FROM documents ORDER BY doc_id
+"""
+    sqls["sbm_fit"] = """
+WITH sbcob AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),
+sbe AS (
+  SELECT x.user_id AS a, y.user_id AS b
+  FROM sbcob x JOIN sbcob y
+    ON x.event_type = y.event_type AND x.h = y.h AND x.user_id < y.user_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+sbv AS (SELECT DISTINCT id FROM (SELECT a AS id FROM sbe UNION ALL SELECT b FROM sbe)),
+sbm AS (SELECT id, id % 4 AS comm FROM sbv),
+sbp AS (
+  SELECT LEAST(ma.comm, mb.comm) AS comm_a, GREATEST(ma.comm, mb.comm) AS comm_b,
+         CAST(COUNT(*) AS DOUBLE) AS m
+  FROM sbe e JOIN sbm ma ON ma.id = e.a JOIN sbm mb ON mb.id = e.b
+  GROUP BY 1, 2
+),
+sbd AS (
+  SELECT id, CAST(COUNT(*) AS DOUBLE) AS k FROM (
+    SELECT a AS id FROM sbe UNION ALL SELECT b FROM sbe
+  ) GROUP BY id
+),
+sbb AS (
+  SELECT m.comm, CAST(COUNT(*) AS DOUBLE) AS n, SUM(COALESCE(d.k, 0)) AS kappa
+  FROM sbm m LEFT JOIN sbd d ON d.id = m.id GROUP BY m.comm
+),
+sbj AS (
+  SELECT p.comm_a, p.comm_b, p.m,
+         CASE WHEN p.comm_a = p.comm_b THEN ba.n * (ba.n - 1) / 2
+              ELSE ba.n * bb.n END AS n_pairs,
+         ba.kappa AS kap_a, bb.kappa AS kap_b,
+         CASE WHEN p.comm_a = p.comm_b THEN 2.0 * p.m ELSE p.m END AS m_dc
+  FROM sbp p JOIN sbb ba ON ba.comm = p.comm_a JOIN sbb bb ON bb.comm = p.comm_b
+)
+SELECT CAST(comm_a AS BIGINT) AS comm_a, CAST(comm_b AS BIGINT) AS comm_b,
+       CAST(m AS BIGINT) AS m_ab, CAST(n_pairs AS BIGINT) AS n_pairs,
+       ROUND(m / n_pairs, 6) AS p_ab,
+       ROUND(CASE WHEN m > 0 THEN m * LN(m / n_pairs) ELSE 0 END
+             + CASE WHEN n_pairs - m > 0 THEN (n_pairs - m) * LN(1.0 - m / n_pairs) ELSE 0 END,
+             6) AS ll_bern,
+       ROUND(CASE WHEN kap_a > 0 AND kap_b > 0 AND m > 0
+             THEN m_dc * LN(m_dc / (kap_a * kap_b)) ELSE 0 END, 6) AS ll_dc
+FROM sbj ORDER BY comm_a, comm_b
 """
     sqls["disparity_backbone"] = """
 WITH dcob AS (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h FROM events),

@@ -856,3 +856,40 @@ def test_t_closeness_planted_skew(spark):
     import pytest as _pt
     assert got2["C"]["tvd"] == _pt.approx(round(0.5 * ((1 - 20 / 110) + 90 / 110), 6))
     assert not got2["C"]["meets_t"]
+
+
+def test_sbm_fit_planted_two_blocks(spark):
+    """Two planted blocks: dense within (triangles), one cross edge —
+    hand-computed rate matrix and likelihood contributions."""
+    import math
+
+    from leidenalg_spark.operators.community import sbm_fit
+
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "src long, dst long, weight double"
+    )
+    memb = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, comm long"
+    )
+    got = {(r["comm_a"], r["comm_b"]): r.asDict() for r in sbm_fit(e, memb).collect()}
+    assert set(got) == {(0, 0), (0, 1), (1, 1)}
+    # within blocks: 3 of 3 pairs -> p = 1, ll_bern = 3 ln 1 + 0 = 0
+    assert got[(0, 0)]["m_ab"] == 3 and got[(0, 0)]["n_pairs"] == 3
+    assert got[(0, 0)]["p_ab"] == 1.0 and got[(0, 0)]["ll_bern"] == 0.0
+    # across: 1 of 9 pairs
+    x = got[(0, 1)]
+    assert x["m_ab"] == 1 and x["n_pairs"] == 9
+    assert x["ll_bern"] == round(math.log(1 / 9) + 8 * math.log(8 / 9), 6)
+    # degree-corrected: kappa = 7 per block (deg 2,2,3 / 3,2,2);
+    # within contribution 2m ln(2m/49) with m=3
+    assert got[(0, 0)]["ll_dc"] == round(6 * math.log(6 / 49), 6)
+    assert x["ll_dc"] == round(math.log(1 / 49), 6)
+    # likelihoods identical under block-label permutation
+    memb2 = spark.createDataFrame(
+        [(i, 7 if i < 3 else 2) for i in range(6)], "id long, comm long"
+    )
+    got2 = {(r["comm_a"], r["comm_b"]): r.asDict() for r in sbm_fit(e, memb2).collect()}
+    assert sorted(r["ll_bern"] for r in got.values()) == sorted(
+        r["ll_bern"] for r in got2.values()
+    )
