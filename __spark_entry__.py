@@ -2237,6 +2237,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return K.articulation_points(spark, e).orderBy("id")
 
+    def q_shortest_cycles(spark, sf):
+        # per-edge shortest cycle length on the fixture (min = girth 3;
+        # oracle = per-probe BFS with the probe edge removed)
+        e = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in _BRIDGE_FIXTURE], "src long, dst long, weight double"
+        )
+        return K.shortest_cycles(spark, e).orderBy("a", "b")
+
     def q_seasonal_naive_error(spark, sf):
         # lag-7 seasonal-naive forecast baseline error per event type
         from leidenalg_spark.operators.events import seasonal_naive_error
@@ -2429,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "square_count": q_square_count,
         "bridges": q_bridges,
         "articulation_points": q_articulation_points,
+        "shortest_cycles": q_shortest_cycles,
         "containment_pairs": q_containment_pairs,
         "tfidf_cosine": q_tfidf_cosine,
         "intrinsic_dim": q_intrinsic_dim,
@@ -6642,6 +6651,119 @@ JOIN apsym s ON s.src = p.v
 JOIN ap14 l ON l.v = p.v AND l.node = s.dst
 GROUP BY p.v
 ORDER BY id
+"""
+    sqls["shortest_cycles"] = f"""
+WITH gcedges(a, b) AS (VALUES {bedge_rows}),
+gcprobes(k, u, w) AS (VALUES {bprobe_rows}),
+gcsym AS (SELECT a AS src, b AS dst FROM gcedges UNION ALL SELECT b, a FROM gcedges),
+gcexsym AS MATERIALIZED (
+  SELECT p.k, s.src, s.dst FROM gcprobes p JOIN gcsym s
+  ON NOT ((s.src = p.u AND s.dst = p.w) OR (s.src = p.w AND s.dst = p.u))
+),
+gc0 AS (SELECT k, u AS v, 0 AS d FROM gcprobes),
+gc1 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc0
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc0 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+),gc2 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc1
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc1 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+),gc3 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc2
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc2 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+),gc4 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc3
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc3 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+),gc5 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc4
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc4 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+),gc6 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc5
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc5 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+),gc7 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc6
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc6 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+),gc8 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc7
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc7 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+),gc9 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc8
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc8 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+),gc10 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc9
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc9 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+),gc11 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc10
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc10 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+),gc12 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc11
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc11 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+),gc13 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc12
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc12 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+),gc14 AS MATERIALIZED (
+  SELECT u.k, u.v, MIN(u.d) AS d FROM (
+    SELECT k, v, d FROM gc13
+    UNION ALL
+    SELECT j.k, e.dst AS v, j.d + 1 AS d FROM gc13 j
+    JOIN gcexsym e ON e.k = j.k AND e.src = j.v
+  ) u GROUP BY u.k, u.v
+)
+SELECT CAST(p.u AS BIGINT) AS a, CAST(p.w AS BIGINT) AS b,
+       CAST(r.d + 1 AS BIGINT) AS cycle_len
+FROM gcprobes p LEFT JOIN gc14 r ON r.k = p.k AND r.v = p.w
+ORDER BY a, b
 """
     sqls["seasonal_naive_error"] = """
 WITH scnt AS (

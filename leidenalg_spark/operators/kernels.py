@@ -6293,3 +6293,96 @@ def articulation_points(spark, edges: DataFrame, max_depth: int = 32) -> DataFra
         F.count(F.lit(1)).alias("n_blocks"),
         (F.count(F.lit(1)) >= 2).alias("is_articulation"),
     )
+
+
+def shortest_cycles(
+    spark, edges: DataFrame, probe_edges: DataFrame | None = None, max_depth: int = 32
+) -> DataFrame:
+    """Shortest cycle THROUGH each probe edge — and thereby the graph's
+    girth (igraph ``girth()``): for probe (a, b), remove that edge and
+    BFS from ``a``; the shortest surviving a→b path plus the edge is the
+    shortest cycle containing it.  ``min(cycle_len)`` over all edges is
+    the exact girth; over a sampled probe subset it is an upper bound
+    (the scale mode — girth probes are independent, so sample size buys
+    confidence linearly).  Returns (a, b, cycle_len) per probe,
+    ``cycle_len`` NULL when the probe is a bridge (no cycle through it).
+
+    Scale shape: one labelled multi-source BFS — frontier rows keyed by
+    probe, one join + min-dist aggregate per round, probes retire from
+    the frontier the round their target is reached; rounds ≤ half the
+    longest chordless cycle, total rows O(|probes|·n) worst case but
+    probe-local in practice (the BFS floods only until the target).
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    probes = (
+        probe_edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+        if probe_edges is not None
+        else und
+    ).select(F.xxhash64("a", "b").alias("pk"), "a", "b").persist()
+    sym = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).persist()
+
+    # visited(pk, id, d): multi-source BFS from each probe's a-endpoint
+    visited = probes.select("pk", F.col("a").alias("id"), F.lit(0).alias("d"))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    found = []
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier.id == sym.src)
+            .join(probes.select("pk", "a", "b"), "pk")
+            # the probe edge itself is removed from its own BFS
+            .where(
+                ~(
+                    ((F.col("id") == F.col("a")) & (F.col("dst") == F.col("b")))
+                    | ((F.col("id") == F.col("b")) & (F.col("dst") == F.col("a")))
+                )
+            )
+            .select("pk", F.col("dst").alias("id"), F.lit(depth).alias("d"))
+            .join(visited.select("pk", "id"), ["pk", "id"], "left_anti")
+            .groupBy("pk", "id")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        hit = nxt.join(
+            probes.select("pk", F.col("b").alias("id")), ["pk", "id"]
+        ).select("pk", "d")
+        found.append(hit)
+        # retire found probes: their frontier rows stop flooding
+        done = hit.select("pk")
+        visited = visited.unionByName(nxt).join(done, "pk", "left_anti")
+        visited = visited.localCheckpoint(eager=True)
+        frontier = nxt.join(done, "pk", "left_anti")
+    if found:
+        hits = found[0]
+        for h in found[1:]:
+            hits = hits.unionByName(h)
+        hits = hits.groupBy("pk").agg(F.min("d").alias("d"))
+    else:
+        hits = probes.limit(0).select("pk", F.lit(0).alias("d"))
+    out = (
+        probes.join(hits, "pk", "left")
+        .select("a", "b", (F.col("d") + 1).cast("long").alias("cycle_len"))
+        .localCheckpoint(eager=True)
+    )
+    probes.unpersist()
+    sym.unpersist()
+    return out
+
+
+def girth(spark, edges: DataFrame, probe_edges: DataFrame | None = None,
+          max_depth: int = 32) -> DataFrame:
+    """Graph girth (length of the shortest cycle) — exact with full
+    probes, an upper bound on a sample; NULL for forests.  One row
+    (girth).  See :func:`shortest_cycles` for the plan."""
+    sc = shortest_cycles(spark, edges, probe_edges=probe_edges, max_depth=max_depth)
+    return sc.agg(F.min("cycle_len").alias("girth"))

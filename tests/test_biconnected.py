@@ -159,3 +159,63 @@ def test_random_graphs_match_brute_force(spark, seed):
         if a != b
     })
     _check(spark, edges)
+
+
+# ---------------------------------------------------------------- girth
+def _cycles(spark, edge_list, probes=None):
+    from leidenalg_spark.operators.kernels import girth, shortest_cycles
+
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edge_list], "src long, dst long, weight double"
+    )
+    p = (
+        spark.createDataFrame([(a, b, 1.0) for a, b in probes],
+                              "src long, dst long, weight double")
+        if probes is not None else None
+    )
+    sc = {(r["a"], r["b"]): r["cycle_len"]
+          for r in shortest_cycles(spark, df, probe_edges=p).collect()}
+    g = girth(spark, df, probe_edges=p).first()["girth"]
+    return sc, g
+
+
+def test_girth_petersen_is_5(spark):
+    outer = [(i, (i + 1) % 5) for i in range(5)]
+    inner = [(5 + i, 5 + (i + 2) % 5) for i in range(5)]
+    spokes = [(i, i + 5) for i in range(5)]
+    sc, g = _cycles(spark, outer + inner + spokes)
+    assert g == 5
+    assert all(v == 5 for v in sc.values()) and len(sc) == 15
+
+
+def test_girth_cycle_and_chord(spark):
+    n = 8
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    sc, g = _cycles(spark, ring)
+    assert g == 8 and all(v == 8 for v in sc.values())
+    # a chord 0-4 splits the 8-ring into two 5-cycles
+    sc2, g2 = _cycles(spark, ring + [(0, 4)])
+    assert g2 == 5 and sc2[(0, 4)] == 5 and sc2[(0, 1)] == 5 and sc2[(1, 2)] == 5
+
+
+def test_girth_tree_is_null(spark):
+    sc, g = _cycles(spark, [(0, 1), (1, 2), (1, 3), (3, 4)])
+    assert g is None and all(v is None for v in sc.values())
+
+
+def test_girth_bridge_fixture(spark):
+    sc, g = _cycles(spark, FIXTURE)
+    assert g == 3
+    # tree edges into the three chorded triangles ride 3-cycles;
+    # bridges (e.g. 0-1's sibling edges outside any cycle) are NULL
+    assert sc[(1, 2)] == 3 and sc[(7, 8)] == 3 and sc[(13, 14)] == 3
+    assert sc[(0, 1)] == 3 and sc[(3, 7)] == 3
+    assert sc[(1, 3)] is None and sc[(2, 5)] is None
+
+
+def test_girth_sampled_probe_upper_bound(spark):
+    ring = [(i, (i + 1) % 6) for i in range(6)]
+    sc, g = _cycles(spark, ring + [(0, 2)], probes=[(3, 4)])
+    # probing only a far edge sees the 6-ring... through (3,4) the
+    # shortest cycle is the ring shortcut via chord: 3-4-5-0-2-3 = 5
+    assert list(sc) == [(3, 4)] and g == sc[(3, 4)] == 5
