@@ -2071,6 +2071,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hurst_variance(_events(spark, sf)).orderBy("event_type")
 
+    def q_neardup_online(spark, sf):
+        # greedy first-wins-by-id near-dup admission (batch twin of the
+        # streaming gate; iterative greedy -> rows-only, goldens +
+        # batch-equality tests carry correctness)
+        from leidenalg_spark.operators.dedup import online_neardup_filter
+
+        return online_neardup_filter(_documents(spark, sf)).orderBy("doc_id")
+
     def q_gopher_rules(spark, sf):
         # Gopher A1 per-rule quality signals + admission flag
         return T.gopher_rules(_documents(spark, sf)).orderBy("doc_id")
@@ -2451,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hurst_variance": q_hurst_variance,
         "readability": q_readability,
         "gopher_rules": q_gopher_rules,
+        "neardup_online": q_neardup_online,
         "benford_test": q_benford_test,
         "balance_labels": q_balance_labels,
         "linkpred_eval": q_linkpred_eval,

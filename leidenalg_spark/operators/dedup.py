@@ -818,3 +818,96 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= int(min_shared))
     )
+
+
+def minhash_band_keys(docs: DataFrame, n=3, num_hashes=32, bands=8, col="text") -> DataFrame:
+    """(doc_id, band, key) LSH band-key table — the shared candidate
+    currency of :func:`minhash_lsh_candidates`, the online greedy filter
+    and the streaming near-dup state (same md5 hash family, portable to
+    plain SQL)."""
+    signatures = minhash_signatures(docs, n, num_hashes, col)
+    rows = max(1, num_hashes // bands)
+    return signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bd).alias("band"),
+                    F.md5(F.concat_ws("|", F.slice("sig", bd * rows + 1, rows))).alias("key"),
+                )
+                for bd in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def online_neardup_filter(
+    docs: DataFrame, n=3, num_hashes=32, bands=8, col="text",
+    seen: DataFrame | None = None, max_rounds: int = 64,
+) -> DataFrame:
+    """Greedy first-wins-by-id near-dup ADMISSION — the online semantics
+    of a streaming dedup gate, distinct from the transitive collapse of
+    :func:`neardup_dedup`: scanning docs in ``doc_id`` order, admit a
+    doc iff it shares no LSH band key with any ALREADY-ADMITTED doc (or
+    with the optional ``seen`` (band, key) history).  In a chain A–B–C
+    where only adjacent pairs collide, greedy admits {A, C} (no admitted
+    pair is a near-dup) while the transitive collapse keeps only A.
+    Returns (doc_id, admitted).
+
+    The sequential scan is simulated in rounds (greedy-MIS style): a doc
+    whose every band key it is the minimum remaining holder of is safe
+    to admit; docs colliding with this round's admissions drop; repeat.
+    Each round admits at least the smallest remaining id, and chains
+    longer than a few hops are vanishingly rare at real thresholds —
+    rounds, each one aggregate + two joins, not passes over the corpus.
+    """
+    bk = minhash_band_keys(docs, n, num_hashes, bands, col).persist()
+    dropped_chunks = []
+    if seen is not None:
+        hist = bk.join(seen.select("band", "key"), ["band", "key"], "semi")
+        hit = hist.select("doc_id").distinct()
+        dropped_chunks.append(hit)
+        remaining = bk.join(hit, "doc_id", "left_anti").localCheckpoint(eager=True)
+    else:
+        remaining = bk
+    admitted_chunks = []
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        wmin = remaining.groupBy("band", "key").agg(F.min("doc_id").alias("w"))
+        safe = (
+            remaining.join(wmin, ["band", "key"])
+            .groupBy("doc_id")
+            .agg(F.min((F.col("w") == F.col("doc_id")).cast("int")).alias("ok"))
+            .where(F.col("ok") == 1)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        admitted_chunks.append(safe)
+        taken = remaining.join(safe, "doc_id", "semi").select("band", "key").distinct()
+        conflicted = (
+            remaining.join(taken, ["band", "key"], "semi")
+            .select("doc_id").distinct()
+            .join(safe, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        dropped_chunks.append(conflicted)
+        remaining = (
+            remaining.join(safe, "doc_id", "left_anti")
+            .join(conflicted, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not remaining.isEmpty():
+            raise RuntimeError(
+                f"online_neardup_filter: greedy did not converge in {max_rounds} rounds"
+            )
+    ids = docs.select("doc_id")
+    adm = admitted_chunks[0] if admitted_chunks else ids.limit(0)
+    for c in admitted_chunks[1:]:
+        adm = adm.unionByName(c)
+    out = ids.join(
+        adm.select("doc_id", F.lit(True).alias("admitted")), "doc_id", "left"
+    ).na.fill({"admitted": False}).localCheckpoint(eager=True)
+    bk.unpersist()
+    return out
