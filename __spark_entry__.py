@@ -1474,11 +1474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.retrieval_ndcg(spark, _embeddings(spark, sf), k=10, max_id=200)
 
     def q_two_edge_components(spark, sf):
-        # link-failure-robust partition (rows-only: iterative BFS + CC)
+        # link-failure-robust partition (oracle: brute-force bridges
+        # via per-probe excluded-edge reachability + CC on the rest)
         from leidenalg_spark.operators.kernels import two_edge_components
 
-        comp = two_edge_components(spark, _bipartite_ids_det(spark, sf))
-        return comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+        return two_edge_components(spark, _bipartite_ids_det(spark, sf)).orderBy("id")
 
     def q_decayed_edges(spark, sf):
         # recency-weighted transition edges (1-week half-life)
@@ -7767,6 +7767,38 @@ FROM (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
 GROUP BY component
 """
     )
+    # ---- two-edge components: per-probe excluded-edge reachability
+    # (brute-force bridges), then reachability CC over the bridge-free
+    # edge set — same det-id graph, component = min vertex id
+    tec_sql = (
+        "WITH RECURSIVE " + _DET_PRELUDE + """,
+tund AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges),
+tprobes AS (SELECT ROW_NUMBER() OVER (ORDER BY a, b) AS k, a AS u, b AS w FROM tund),
+tsym AS (SELECT a AS src, b AS dst FROM tund UNION ALL SELECT b, a FROM tund),
+tex AS (
+  SELECT p.k, s.src, s.dst FROM tprobes p JOIN tsym s
+  ON NOT ((s.src = p.u AND s.dst = p.w) OR (s.src = p.w AND s.dst = p.u))
+),
+treach(k, v) AS (
+  SELECT k, u FROM tprobes
+  UNION
+  SELECT e.k, e.dst FROM treach r JOIN tex e ON e.k = r.k AND e.src = r.v
+),
+tbr AS (
+  SELECT p.u AS a, p.w AS b, (r.v IS NULL) AS is_bridge
+  FROM tprobes p LEFT JOIN treach r ON r.k = p.k AND r.v = p.w
+),
+tkeep AS (SELECT a, b FROM tbr WHERE NOT is_bridge),
+tksym AS (SELECT a AS src, b AS dst FROM tkeep UNION ALL SELECT b, a FROM tkeep),
+tallv AS (SELECT DISTINCT src AS id FROM tsym),
+treach2(id, lbl) AS (
+  SELECT id, id FROM tallv
+  UNION
+  SELECT s.dst, r.lbl FROM treach2 r JOIN tksym s ON s.src = r.id
+)
+SELECT id, MIN(lbl) AS component FROM treach2 GROUP BY id ORDER BY id
+"""
+    )
     # ---- random walks: 3 unrolled hops, A-Res weighted choice keyed by
     # md5(seed:walk_id:step:dst) — byte-identical selection on both sides
     def _walk_key(step):
@@ -9263,7 +9295,8 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "dice_similarity": dice_sql,
             "label_propagation": lpa_sql,
             "label_spreading": lspread_sql,
-            "connected_components": cc_sql, "assortativity": assort_sql,
+            "connected_components": cc_sql, "two_edge_components": tec_sql,
+            "assortativity": assort_sql,
             "k_core": kcore_sql, "khop_counts": khop_sql,
             "topological_levels": topo_sql,
             "voronoi_cells": voronoi_sql,
