@@ -434,6 +434,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sizes = membership.groupBy("comm").agg(F.count(F.lit(1)).alias("size"))
         return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_comms")).orderBy("size")
 
+    def q_temporal_pagerank(spark, sf):
+        # PageRank over the recency-decayed transition graph — the
+        # continuous-time "current structure" composition (decayed_edges
+        # and the unrolled-PR oracle are each independently checked; this
+        # chains them end to end).  Names ranked lexicographically to a
+        # DuckDB-reproducible id space.
+        from pyspark.sql import Window
+
+        de = E.events_to_decayed_edges(_events(spark, sf))
+        names = (
+            de.select(F.col("src_name").alias("name"))
+            .unionByName(de.select(F.col("dst_name").alias("name")))
+            .distinct()
+            .withColumn("nid", F.row_number().over(Window.orderBy("name")))
+        )
+        e = (
+            de.join(names.select(F.col("name").alias("src_name"), F.col("nid").alias("src")), "src_name")
+            .join(names.select(F.col("name").alias("dst_name"), F.col("nid").alias("dst")), "dst_name")
+            .select("src", "dst", "weight")
+        )
+        pr = K.pagerank(spark, e, directed=False, max_iter=8, tol=0.0)
+        return (
+            pr.join(names.select(F.col("nid").alias("id"), "name"), "id")
+            .select("name", F.round("rank", 6).alias("rank"))
+            .orderBy("name")
+        )
+
     def q_pagerank(spark, sf):
         # fixed 8 iterations (tol=0) on the deterministic-id graph so the
         # unrolled-CTE DuckDB oracle reproduces ranks bit-for-round
@@ -2623,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leiden_communities": q_leiden_communities,
         "consensus_communities": q_consensus_communities,
         "pagerank": q_pagerank,
+        "temporal_pagerank": q_temporal_pagerank,
         "personalized_pagerank": q_personalized_pagerank,
         "connected_components": q_connected_components,
         "strongly_connected_components": q_scc,
@@ -4372,6 +4400,91 @@ SELECT day, CAST(class_size AS BIGINT) AS class_size,
        ROUND(0.5 * (dev_in + 1.0 - mass_in), 6) AS tvd,
        (ROUND(0.5 * (dev_in + 1.0 - mass_in), 6) <= 0.2) AS meets_t
 FROM tcd ORDER BY day
+"""
+    sqls["temporal_pagerank"] = """
+WITH tpt AS (
+  SELECT event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+tph AS (SELECT MAX(ts) AS horizon FROM events),
+tpde AS (
+  SELECT prev_type AS src_name, event_type AS dst_name,
+         SUM(POWER(2.0, -((epoch_us(horizon) - epoch_us(ts)) / 1e6) / 604800.0)) AS weight
+  FROM tpt CROSS JOIN tph WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tpnames AS (
+  SELECT name, ROW_NUMBER() OVER (ORDER BY name) AS nid
+  FROM (SELECT DISTINCT src_name AS name FROM tpde UNION SELECT DISTINCT dst_name FROM tpde)
+),
+tpe AS (
+  SELECT a.nid AS src, b.nid AS dst, e.weight
+  FROM tpde e JOIN tpnames a ON a.name = e.src_name JOIN tpnames b ON b.name = e.dst_name
+),
+tpsym AS (SELECT src, dst, weight FROM tpe UNION ALL SELECT dst, src, weight FROM tpe),
+tpverts AS (SELECT DISTINCT src AS id FROM tpsym),
+tpoutw AS (SELECT src, SUM(weight) AS w FROM tpsym GROUP BY src),
+tplinks AS (SELECT s.src, s.dst, s.weight / o.w AS share FROM tpsym s JOIN tpoutw o ON s.src = o.src),
+tpnn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tpverts),
+tpr0 AS (SELECT id, 1.0 / (SELECT n FROM tpnn) AS rank FROM tpverts),
+tpr1 AS (
+  SELECT v.id, 0.15 / (SELECT n FROM tpnn) + 0.85 * COALESCE(t.c, 0) AS rank
+  FROM tpverts v LEFT JOIN (
+    SELECT l.dst AS id, SUM(l.share * r.rank) AS c
+    FROM tplinks l JOIN tpr0 r ON r.id = l.src GROUP BY l.dst
+  ) t ON t.id = v.id
+),
+tpr2 AS (
+  SELECT v.id, 0.15 / (SELECT n FROM tpnn) + 0.85 * COALESCE(t.c, 0) AS rank
+  FROM tpverts v LEFT JOIN (
+    SELECT l.dst AS id, SUM(l.share * r.rank) AS c
+    FROM tplinks l JOIN tpr1 r ON r.id = l.src GROUP BY l.dst
+  ) t ON t.id = v.id
+),
+tpr3 AS (
+  SELECT v.id, 0.15 / (SELECT n FROM tpnn) + 0.85 * COALESCE(t.c, 0) AS rank
+  FROM tpverts v LEFT JOIN (
+    SELECT l.dst AS id, SUM(l.share * r.rank) AS c
+    FROM tplinks l JOIN tpr2 r ON r.id = l.src GROUP BY l.dst
+  ) t ON t.id = v.id
+),
+tpr4 AS (
+  SELECT v.id, 0.15 / (SELECT n FROM tpnn) + 0.85 * COALESCE(t.c, 0) AS rank
+  FROM tpverts v LEFT JOIN (
+    SELECT l.dst AS id, SUM(l.share * r.rank) AS c
+    FROM tplinks l JOIN tpr3 r ON r.id = l.src GROUP BY l.dst
+  ) t ON t.id = v.id
+),
+tpr5 AS (
+  SELECT v.id, 0.15 / (SELECT n FROM tpnn) + 0.85 * COALESCE(t.c, 0) AS rank
+  FROM tpverts v LEFT JOIN (
+    SELECT l.dst AS id, SUM(l.share * r.rank) AS c
+    FROM tplinks l JOIN tpr4 r ON r.id = l.src GROUP BY l.dst
+  ) t ON t.id = v.id
+),
+tpr6 AS (
+  SELECT v.id, 0.15 / (SELECT n FROM tpnn) + 0.85 * COALESCE(t.c, 0) AS rank
+  FROM tpverts v LEFT JOIN (
+    SELECT l.dst AS id, SUM(l.share * r.rank) AS c
+    FROM tplinks l JOIN tpr5 r ON r.id = l.src GROUP BY l.dst
+  ) t ON t.id = v.id
+),
+tpr7 AS (
+  SELECT v.id, 0.15 / (SELECT n FROM tpnn) + 0.85 * COALESCE(t.c, 0) AS rank
+  FROM tpverts v LEFT JOIN (
+    SELECT l.dst AS id, SUM(l.share * r.rank) AS c
+    FROM tplinks l JOIN tpr6 r ON r.id = l.src GROUP BY l.dst
+  ) t ON t.id = v.id
+),
+tpr8 AS (
+  SELECT v.id, 0.15 / (SELECT n FROM tpnn) + 0.85 * COALESCE(t.c, 0) AS rank
+  FROM tpverts v LEFT JOIN (
+    SELECT l.dst AS id, SUM(l.share * r.rank) AS c
+    FROM tplinks l JOIN tpr7 r ON r.id = l.src GROUP BY l.dst
+  ) t ON t.id = v.id
+)
+SELECT n.name, ROUND(r.rank, 6) AS rank
+FROM tpr8 r JOIN tpnames n ON n.nid = r.id ORDER BY name
 """
     sqls["l_diversity"] = """
 SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
