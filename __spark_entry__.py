@@ -1221,6 +1221,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "media_type", "n_bytes", "checksum"
         )
 
+    def q_media_neardup(spark, sf):
+        # codec-free binary NEAR-dup (byte-shingle MinHash) on document
+        # bytes standing in for opaque payloads — DuckDB rebuilds the
+        # identical hex windows, md5 minhash family and band keys
+        from leidenalg_spark.operators.multimodal import media_neardup_pairs
+
+        media = _documents(spark, sf).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload"),
+        )
+        return media_neardup_pairs(media, threshold=0.5).orderBy("a", "b")
+
     def q_media_dedup(spark, sf):
         # codec-free binary dedup on the opaque payload column
         from leidenalg_spark.operators.multimodal import media_dedup, synthetic_media
@@ -2679,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "media_dedup": q_media_dedup,
+        "media_neardup": q_media_neardup,
         "embedding_neardup": q_embedding_neardup,
         "temporal_communities": q_temporal_communities,
         "resolution_profile": q_resolution_profile,
@@ -4485,6 +4498,40 @@ tpr8 AS (
 )
 SELECT n.name, ROUND(r.rank, 6) AS rank
 FROM tpr8 r JOIN tpnames n ON n.nid = r.id ORDER BY name
+"""
+    sqls["media_neardup"] = """
+WITH mbh AS (
+  SELECT doc_id, lower(hex(CAST(COALESCE(text, '') AS BLOB))) AS hx FROM documents
+),
+mbsh AS (
+  SELECT DISTINCT doc_id, substr(hx, i * 2 + 1, 16) AS shingle
+  FROM mbh, LATERAL (SELECT unnest(range(0, greatest((length(hx) - 16) // 2, 0) + 1)) AS i)
+  WHERE length(substr(hx, i * 2 + 1, 16)) > 0
+),
+mbmh AS (
+  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS m
+  FROM mbsh CROSS JOIN (SELECT unnest(range(16)) AS i) GROUP BY doc_id, i
+),
+mbband AS (
+  SELECT doc_id, i // 4 AS bd, md5(string_agg(m, '|' ORDER BY i)) AS key
+  FROM mbmh GROUP BY doc_id, i // 4
+),
+mbcand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM mbband x JOIN mbband y ON x.bd = y.bd AND x.key = y.key AND x.doc_id < y.doc_id
+),
+mbsz AS (SELECT doc_id, COUNT(*) AS n FROM mbsh GROUP BY doc_id),
+mbint AS (
+  SELECT c.a, c.b, CAST(COUNT(*) AS DOUBLE) AS ni
+  FROM mbcand c
+  JOIN mbsh sa ON sa.doc_id = c.a
+  JOIN mbsh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT a, b, ROUND(ni / (za.n + zb.n - ni), 6) AS jaccard
+FROM mbint JOIN mbsz za ON za.doc_id = a JOIN mbsz zb ON zb.doc_id = b
+WHERE ROUND(ni / (za.n + zb.n - ni), 6) >= 0.5
+ORDER BY a, b
 """
     sqls["l_diversity"] = """
 SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

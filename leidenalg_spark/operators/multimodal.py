@@ -145,3 +145,68 @@ def media_dedup(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         "media_id", "media_type", "content_hash", "group_size",
         (F.col("media_id") == F.col("keep_id")).alias("is_kept"),
     )
+
+
+def media_byte_shingles(media: DataFrame, k: int = 8, payload_col: str = "payload",
+                        id_col: str = "media_id") -> DataFrame:
+    """Distinct byte k-gram shingles of the raw payload — the codec-free
+    unit of media NEAR-dup detection (exact dedup hashes whole blobs;
+    re-encoded-with-appended-metadata copies need window overlap).
+    Computed on the hex encoding (2 chars/byte, byte-aligned steps) so
+    the whole shingler is JVM string expressions, portable to SQL, and
+    never ships payload bytes through Python.  Returns (doc_id, shingle).
+    """
+    hx = F.lower(F.hex(F.coalesce(F.col(payload_col), F.lit(b""))))
+    n = 2 * k
+    idx = F.sequence(F.lit(0), F.greatest(F.length(hx) - n, F.lit(0)), F.lit(2))
+    sh = F.transform(idx, lambda i: hx.substr(i + 1, F.lit(n)))
+    return (
+        media.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.length("shingle") > 0)
+    )
+
+
+def media_neardup_pairs(
+    media: DataFrame, k: int = 8, num_hashes: int = 16, bands: int = 4,
+    threshold: float = 0.5, payload_col: str = "payload", id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate media pairs (a < b, byte-shingle Jaccard ≥
+    threshold) via the shared MinHash+LSH machinery of
+    :mod:`leidenalg_spark.operators.dedup` over :func:`media_byte_shingles`
+    — banded candidate generation (equality joins, linear shuffle), then
+    EXACT Jaccard verification on the candidates only.  The companion to
+    :func:`media_dedup` for payloads that differ by a few bytes
+    (truncated tails, appended metadata) rather than not at all.
+
+    Scale shape: shingle explode + the dedup module's banded join;
+    verification joins shingle sets only for candidate pairs, never
+    all-pairs; payload bytes themselves never shuffle — 16-char hex
+    windows do.
+    """
+    from .dedup import minhash_lsh_candidates, minhash_signatures
+
+    sh = media_byte_shingles(media, k, payload_col, id_col).persist()
+    sig = minhash_signatures(media.select(F.col(id_col).alias("doc_id")),
+                             num_hashes=num_hashes, _sh=sh)
+    cand = minhash_lsh_candidates(sig, bands=bands)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
+    )
+    sh.unpersist()
+    return out

@@ -354,3 +354,32 @@ def test_embedding_curation_composes_screens(spark):
     for v, r in cur.items():
         assert r.is_dup == dup[v] and r.noisy == noi[v] and r.outlier == outl[v]
         assert r.keep == (not r.is_dup and not r.noisy and not r.outlier)
+
+
+def test_media_byte_neardup_planted(spark):
+    """Planted binary near-dups: a payload, the same with a short
+    appended tail (high window overlap), and unrelated bytes."""
+    from leidenalg_spark.operators.multimodal import (
+        media_byte_shingles, media_neardup_pairs,
+    )
+
+    base = bytes(range(200)) * 3
+    rows = [
+        (1, base),
+        (2, base + b"tail-metadata"),  # near-dup of 1
+        (3, bytes(reversed(base)) + b"\x00" * 37),  # different content
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in media_neardup_pairs(media, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.9
+    assert all({a, b} == {1, 2} for a, b in pairs)
+    # shingles are byte-aligned 16-hex-char windows
+    sh = media_byte_shingles(media.where("media_id = 1"))
+    one = sh.limit(1).first()["shingle"]
+    assert len(one) == 16
+    # NULL payload fingerprints as empty and produces no shingles
+    empty = spark.createDataFrame([(9, None)], "media_id long, payload binary")
+    assert media_byte_shingles(empty).count() == 0
