@@ -453,8 +453,15 @@ def t_closeness(
         .crossJoin(F.broadcast(df.agg(F.count(F.lit(1)).alias("n_tot"))))
         .select(sensitive_col, (F.col("n_v") / F.col("n_tot")).alias("p_g"))
     )
-    cls = cell.groupBy(*cols).agg(F.sum("n_vs").alias("class_size"))
-    per_cell = cell.join(cls, cols).join(F.broadcast(glob), sensitive_col)
+    from pyspark.sql import Window
+
+    # class size via a window over the |cells|-row aggregate — not a
+    # second scan of the corpus (the cell subtree would otherwise be
+    # recomputed for an uncached two-consumer plan)
+    cell = cell.withColumn(
+        "class_size", F.sum("n_vs").over(Window.partitionBy(*cols))
+    )
+    per_cell = cell.join(F.broadcast(glob), sensitive_col)
     agg = per_cell.groupBy(*cols).agg(
         F.first("class_size").cast("long").alias("class_size"),
         F.sum(F.abs(F.col("n_vs") / F.col("class_size") - F.col("p_g"))).alias("dev_in"),
