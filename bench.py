@@ -113,7 +113,12 @@ def run_queries(spark, sf_dir: str) -> dict:
         sup = [m for m in res.metrics
                if m.get("name") == "leiden_superstep" and m.get("level", 0) == 0]
         if sup:
-            eps = sum(s["edges_per_sec"] for s in sup) / len(sup)
+            # median, not mean: single-box virtualisation jitter can put a
+            # 3-4x spike on one superstep of an otherwise steady run, and
+            # the mean of 4-5 samples follows the spike
+            import statistics
+
+            eps = statistics.median(s["edges_per_sec"] for s in sup)
             out["leiden_superstep_edges_per_sec"] = round(eps, 1)
 
     timed("leiden_supersteps_transcripts", leiden_supersteps)
