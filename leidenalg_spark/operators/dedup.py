@@ -906,6 +906,11 @@ def online_neardup_filter(
     adm = admitted_chunks[0] if admitted_chunks else ids.limit(0)
     for c in admitted_chunks[1:]:
         adm = adm.unionByName(c)
+    # shingle-less docs (empty / sub-n-gram text) carry no band keys, so
+    # they can collide with nothing: vacuously admitted (exact dedup is
+    # the gate for byte-identical empties, not the near-dup filter)
+    no_shingles = ids.join(bk.select("doc_id"), "doc_id", "left_anti")
+    adm = adm.unionByName(no_shingles)
     out = ids.join(
         adm.select("doc_id", F.lit(True).alias("admitted")), "doc_id", "left"
     ).na.fill({"admitted": False}).localCheckpoint(eager=True)

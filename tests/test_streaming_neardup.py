@@ -84,3 +84,14 @@ def test_replay_is_idempotent(spark, tmp_path):
         (r["doc_id"], r["admitted"]) for r in spark.read.parquet(out).collect()
     )
     assert after == before
+
+
+def test_shingleless_docs_vacuously_admitted(spark):
+    flags = {
+        r["doc_id"]: r["admitted"]
+        for r in online_neardup_filter(
+            _docs(spark, [(1, ""), (2, "   "), (3, BASE), (4, BASE + " x")])
+        ).collect()
+    }
+    assert flags[1] and flags[2]  # nothing to collide with
+    assert flags[3] and not flags[4]
