@@ -461,6 +461,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("name")
         )
 
+    def q_assortativity_directed(spark, sf):
+        # out-deg(src) vs in-deg(dst) Pearson over directed det edges
+        from leidenalg_spark.operators.kernels import degree_assortativity_directed
+
+        return degree_assortativity_directed(spark, _bipartite_ids_det(spark, sf))
+
     def q_pagerank(spark, sf):
         # fixed 8 iterations (tol=0) on the deterministic-id graph so the
         # unrolled-CTE DuckDB oracle reproduces ranks bit-for-round
@@ -2663,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consensus_communities": q_consensus_communities,
         "pagerank": q_pagerank,
         "temporal_pagerank": q_temporal_pagerank,
+        "assortativity_directed": q_assortativity_directed,
         "personalized_pagerank": q_personalized_pagerank,
         "connected_components": q_connected_components,
         "strongly_connected_components": q_scc,
@@ -4532,6 +4539,18 @@ SELECT a, b, ROUND(ni / (za.n + zb.n - ni), 6) AS jaccard
 FROM mbint JOIN mbsz za ON za.doc_id = a JOIN mbsz zb ON zb.doc_id = b
 WHERE ROUND(ni / (za.n + zb.n - ni), 6) >= 0.5
 ORDER BY a, b
+"""
+    sqls["assortativity_directed"] = f"""
+WITH {_DET_PRELUDE.strip()},
+ade AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+adout AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS dout FROM ade GROUP BY src),
+adin AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS din FROM ade GROUP BY dst),
+adp AS (
+  SELECT o.dout, i.din FROM ade e JOIN adout o ON o.src = e.src JOIN adin i ON i.dst = e.dst
+)
+SELECT ROUND(CASE WHEN stddev_pop(dout) > 0 AND stddev_pop(din) > 0
+       THEN covar_pop(dout, din) / (stddev_pop(dout) * stddev_pop(din)) END, 6) AS assortativity
+FROM adp
 """
     sqls["l_diversity"] = """
 SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -6386,3 +6386,41 @@ def girth(spark, edges: DataFrame, probe_edges: DataFrame | None = None,
     (girth).  See :func:`shortest_cycles` for the plan."""
     sc = shortest_cycles(spark, edges, probe_edges=probe_edges, max_depth=max_depth)
     return sc.agg(F.min("cycle_len").alias("girth"))
+
+
+def degree_assortativity_directed(spark, edges: DataFrame) -> DataFrame:
+    """Directed degree assortativity (Newman 2002; igraph
+    ``assortativity_degree(directed=True)``): the Pearson correlation of
+    (out-degree of source, in-degree of target) over the distinct
+    directed edges.  Pearson is shift-invariant, so the excess-degree
+    (k−1) convention yields the identical value.  Returns a 1-row
+    DataFrame (assortativity — NULL when either endpoint degree is
+    constant, where the correlation is undefined).
+
+    Scale: two degree aggregates + two co-keyed joins into one global
+    covariance reduction — the directed twin of
+    :func:`degree_assortativity`.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct().persist()
+    outd = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("dout"))
+    ind = e.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("din"))
+    paired = (
+        e.join(outd.select(F.col("id").alias("src"), "dout"), "src")
+        .join(ind.select(F.col("id").alias("dst"), "din"), "dst")
+    )
+    stats = paired.agg(
+        F.covar_pop(F.col("dout").cast("double"), F.col("din").cast("double")).alias("cov"),
+        F.stddev_pop(F.col("dout").cast("double")).alias("sa"),
+        F.stddev_pop(F.col("din").cast("double")).alias("sb"),
+    )
+    out = stats.select(
+        F.round(
+            F.when(
+                (F.col("sa") > 0) & (F.col("sb") > 0),
+                F.col("cov") / (F.col("sa") * F.col("sb")),
+            ),
+            6,
+        ).alias("assortativity")
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    return out

@@ -219,3 +219,25 @@ def test_girth_sampled_probe_upper_bound(spark):
     # probing only a far edge sees the 6-ring... through (3,4) the
     # shortest cycle is the ring shortcut via chord: 3-4-5-0-2-3 = 5
     assert list(sc) == [(3, 4)] and g == sc[(3, 4)] == 5
+
+
+def test_directed_assortativity_star_vs_chain(spark):
+    from leidenalg_spark.operators.kernels import degree_assortativity_directed
+
+    # star out of a hub: every edge pairs (dout=3, din=1) — zero variance
+    star = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0)], "src long, dst long, weight double"
+    )
+    assert degree_assortativity_directed(spark, star).first()["assortativity"] is None
+    # hand-computed mixed graph: edges (0→1),(0→2),(1→2),(3→2)
+    g = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0), (3, 2, 1.0)],
+        "src long, dst long, weight double",
+    )
+    import numpy as np
+
+    x = np.array([2.0, 2.0, 1.0, 1.0])  # out-deg of src per edge
+    y = np.array([1.0, 3.0, 3.0, 3.0])  # in-deg of dst per edge
+    want = round(float(np.corrcoef(x, y)[0, 1]), 6)
+    got = degree_assortativity_directed(spark, g).first()["assortativity"]
+    assert got == want
