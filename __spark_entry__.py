@@ -4429,8 +4429,11 @@ WITH tpt AS (
 ),
 tph AS (SELECT MAX(ts) AS horizon FROM events),
 tpde AS (
+  -- ROUND(...,6) mirrors events_to_decayed_edges (edges.py) exactly: the
+  -- Spark side feeds 6-decimal weights into pagerank, and unrounded decay
+  -- sums differ at ~1e-6 relative — enough to flip 6-decimal rank hashes
   SELECT prev_type AS src_name, event_type AS dst_name,
-         SUM(POWER(2.0, -((epoch_us(horizon) - epoch_us(ts)) / 1e6) / 604800.0)) AS weight
+         ROUND(SUM(POWER(2.0, -((epoch_us(horizon) - epoch_us(ts)) / 1e6) / 604800.0)), 6) AS weight
   FROM tpt CROSS JOIN tph WHERE prev_type IS NOT NULL GROUP BY 1, 2
 ),
 tpnames AS (

@@ -825,6 +825,12 @@ def minhash_band_keys(docs: DataFrame, n=3, num_hashes=32, bands=8, col="text") 
     currency of :func:`minhash_lsh_candidates`, the online greedy filter
     and the streaming near-dup state (same md5 hash family, portable to
     plain SQL)."""
+    if bands > num_hashes:
+        # out-of-range F.slice returns [], every doc would share the
+        # md5('') band key, and the downstream greedy/streaming gates
+        # would silently reject everything but the minimum id
+        # (mirror of the minhash_lsh_candidates check)
+        raise ValueError(f"bands={bands} > num_hashes={num_hashes}")
     signatures = minhash_signatures(docs, n, num_hashes, col)
     rows = max(1, num_hashes // bands)
     return signatures.select(
@@ -862,11 +868,9 @@ def online_neardup_filter(
     rounds, each one aggregate + two joins, not passes over the corpus.
     """
     bk = minhash_band_keys(docs, n, num_hashes, bands, col).persist()
-    dropped_chunks = []
     if seen is not None:
         hist = bk.join(seen.select("band", "key"), ["band", "key"], "semi")
         hit = hist.select("doc_id").distinct()
-        dropped_chunks.append(hit)
         remaining = bk.join(hit, "doc_id", "left_anti").localCheckpoint(eager=True)
     else:
         remaining = bk
@@ -891,7 +895,6 @@ def online_neardup_filter(
             .join(safe, "doc_id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        dropped_chunks.append(conflicted)
         remaining = (
             remaining.join(safe, "doc_id", "left_anti")
             .join(conflicted, "doc_id", "left_anti")

@@ -6362,6 +6362,21 @@ def shortest_cycles(
         visited = visited.unionByName(nxt).join(done, "pk", "left_anti")
         visited = visited.localCheckpoint(eager=True)
         frontier = nxt.join(done, "pk", "left_anti")
+    else:
+        # loop exhausted with live frontiers: those probes' shortest cycle
+        # (if any) exceeds max_depth+1, and reporting NULL would be
+        # indistinguishable from a true bridge — refuse, don't misclassify
+        # (the _bfs_spanning_forest coverage convention)
+        if not frontier.isEmpty():
+            probes.unpersist()
+            sym.unpersist()
+            raise ValueError(
+                f"shortest_cycles: BFS truncated at max_depth={max_depth} with "
+                "unresolved probes still expanding — their shortest cycle "
+                "exceeds max_depth+1 and would be misreported as a bridge "
+                "(cycle_len NULL).  Raise max_depth (rounds needed ≈ the "
+                "longest shortest-cycle length minus one)."
+            )
     if found:
         hits = found[0]
         for h in found[1:]:

@@ -93,6 +93,39 @@ class LeidenResult:
     metrics: list = field(default_factory=list)
 
 
+# ------------------------------------------------------------ T5 renumber
+def renumber_membership(membership: DataFrame) -> DataFrame:
+    """Distributed ``renumber_communities`` (T5; reference
+    ``VertexPartition.py:259-267``): relabel communities to dense
+    ``0..C-1`` by decreasing size, ties broken by smallest member id —
+    the same fixed tie-break the local core uses
+    (``localcore/optimiser.py:renumber_communities``; the reference sort
+    is documented unstable, SURVEY §7.3.5), so local and distributed
+    paths produce identical labels on identical partitions.
+
+    Scale shape: one |V|-row hash aggregate to (comm, size, min_id),
+    one |C|-row single-partition ``row_number`` window (|C| ≪ |V| after
+    optimisation — the same rows a driver-side relabel would hold, kept
+    JVM-side; at pathological |C| swap in a two-phase partial-count +
+    prefix-sum rank, the kernels' dense-rank note), and one remap join
+    back onto |V| that AQE converts to broadcast when the remap table is
+    small (the normal case).
+    """
+    from pyspark.sql import Window
+
+    stats = membership.groupBy("comm").agg(
+        F.count(F.lit(1)).alias("sz"), F.min("id").alias("mn")
+    )
+    w = Window.orderBy(F.desc("sz"), F.asc("mn"))
+    remap = stats.select(
+        "comm", (F.row_number().over(w) - 1).cast("long").alias("new_comm")
+    )
+    cols = [c for c in membership.columns if c != "comm"]
+    return membership.join(remap, "comm").select(
+        *cols, F.col("new_comm").alias("comm")
+    )
+
+
 # ------------------------------------------------------------------ ΔQ SQL
 def _pairs_col(n, directed, csl):
     p = n * n / 2.0 if csl else n * (n - F.lit(1.0)) / 2.0
@@ -136,14 +169,18 @@ def _method_eff(spec):
     return spec.method, spec.gamma
 
 
-def _stat_needs(method_eff, directed, constrained=False):
+def _stat_needs(method_eff, directed, constrained=False, mode=None):
     """Which per-community aggregates the method's ΔQ actually reads.
 
     The ``w`` (internal weight) terms cancel in the ΔQ difference for every
     linear method, so only Significance carries them; pruning keeps the
     per-superstep edge shuffle rows narrow.  Size constraints (O10) need
-    the community node mass ``n`` regardless of method.
+    the community node mass ``n`` regardless of method, and so does
+    RAND_COMM (O8): its sampling weight is the community node count
+    (reference Optimiser.py:104-106).
     """
+    from ..localcore.optimiser import RAND_COMM
+
     if method_eff in ("modularity", "rbconfiguration"):
         needs = {"K_out", "K_in"} if directed else {"K_out"}
     elif method_eff in ("rber", "cpm"):
@@ -152,7 +189,7 @@ def _stat_needs(method_eff, directed, constrained=False):
         needs = {"n", "w"}
     else:
         raise ValueError(method_eff)
-    if constrained:
+    if constrained or mode == RAND_COMM:
         needs = needs | {"n"}
     return needs
 
@@ -197,9 +234,31 @@ def _empty_comm_id(step):
     return F.xxhash64(F.lit("empty_comm"), F.col("id"), F.lit(int(step)))
 
 
-def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed, n_shuffle, opts):
+def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed,
+                     n_shuffle, opts, comm_stats=None):
     """One distributed local-move superstep → the unfiltered per-vertex
     candidate table (winners).
+
+    ``opts.consider_comms`` selects the O8 candidate mode (reference
+    Optimiser.py:77-112), all four distributed:
+
+    - ``ALL_NEIGH_COMMS`` (default): neighbour communities via the gather.
+    - ``ALL_COMMS``: every community — ``comm_stats`` (the per-community
+      stats table, required) joins in as the candidate set, broadcast
+      when ≤ ``_BCAST_COMMS`` rows; gathered edge weight attaches by
+      left join (0 for non-neighbour communities).  |V|·|C| candidate
+      rows — the mode the reference needs for negative-weight layers,
+      viable at scale once coarsening has collapsed |C|.
+    - ``RAND_NEIGH_COMM``: ONE random neighbour community per vertex,
+      P(c) ∝ #neighbours in c — an Efraimidis–Spirakis weighted argmax
+      (``log(u)/w`` with a per-(vertex, cand, step) hash uniform) over
+      the gathered rows, so no driver-side RNG and bit-reproducible.
+    - ``RAND_COMM``: ONE random community, P(c) ∝ community node count —
+      the same ES argmax over the ALL_COMMS candidate rows.
+
+    In every mode the O9 empty candidate still joins the comparison set
+    and the move commits only when ΔQ > 0 (localcore ``_candidates``
+    parity).
 
     ΔQ is computed against frozen stats: exact for a single move, an
     approximation for a committed batch — the monotone-commit guard in the
@@ -221,9 +280,15 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     expression on the aggregate row — no own-community join, no
     empty-candidate join, no final fuse join.
     """
+    from ..localcore.optimiser import ALL_COMMS, ALL_NEIGH_COMMS, RAND_COMM, RAND_NEIGH_COMM
+
     method_eff, gamma_eff = _method_eff(spec)
     constrained = bool(opts.min_comm_size or opts.max_comm_size)
-    needs = _stat_needs(method_eff, directed, constrained)
+    mode = getattr(opts, "consider_comms", ALL_NEIGH_COMMS)
+    cross = mode in (ALL_COMMS, RAND_COMM)
+    if cross and comm_stats is None:
+        raise ValueError(f"consider_comms={mode!r} needs the community stats table")
+    needs = _stat_needs(method_eff, directed, constrained, mode=mode)
     zero = F.lit(0.0)
     b_cols = []  # (gather output name, aug source column)
     if "K_out" in needs:
@@ -237,10 +302,12 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
 
     # gather join: edges_sym is cached hash(dst)-partitioned and sorted —
     # the edge side (the heavy one) never re-exchanges; the n-row m_dst
-    # side exchanges/sorts to meet it each superstep
+    # side exchanges/sorts to meet it each superstep.  Cross modes pull
+    # candidate stats from the comm_stats side instead, so m_dst ships
+    # only (dst, cand).
     m_dst = aug.select(
         F.col("id").alias("dst"), F.col("comm").alias("cand"),
-        *[F.col(src).alias(dst_name) for dst_name, src in b_cols],
+        *([] if cross else [F.col(src).alias(dst_name) for dst_name, src in b_cols]),
     ).hint("merge")
     joined = edges_sym.join(m_dst, "dst")
     # ONE edge-proportional exchange per superstep: repartition the gathered
@@ -252,17 +319,36 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
         .groupBy(F.col("src").alias("id"), "cand")
         .agg(
             F.sum("weight").alias("w_vc"),
-            *[F.first(name).alias(name) for name, _ in b_cols],
+            # RAND_NEIGH_COMM sampling weight: #neighbours in the community
+            *([F.count(F.lit(1)).cast("double").alias("n_nb")]
+              if mode == RAND_NEIGH_COMM else []),
+            *([] if cross else [F.first(name).alias(name) for name, _ in b_cols]),
         )
     )
-    # RIGHT join: vertices with no gathered neighbour rows (pure self-loop
-    # coarse nodes, fully internal vertices) still ride through with a null
-    # cand, so the O9 empty candidate below covers every vertex.  NOT
-    # persisted: its single consumer is the per-vertex aggregate below —
-    # caching an edge-proportional table for one read costs a full
-    # memory-bandwidth pass per superstep (and at large inputs evicts the
-    # edge cache, a core-count-independent tax that wrecks scaling).
-    g = gather.join(aug.hint("merge"), "id", "right")
+    if cross:
+        # ALL_COMMS / RAND_COMM: the candidate set is EVERY community —
+        # |V|·|C| rows.  Broadcast the (comm, stats) side when small (the
+        # normal regime: post-coarsening |C| is tiny); gathered edge
+        # weight attaches by left join, 0 for non-neighbour communities.
+        comms_b = comm_stats.select(
+            F.col("comm").alias("cand"),
+            *[F.col(src).alias(dst_name) for dst_name, src in b_cols],
+        )
+        g = (
+            aug.crossJoin(F.broadcast(comms_b))
+            .join(gather.select("id", "cand", "w_vc"), ["id", "cand"], "left")
+            .withColumn("w_vc", F.coalesce("w_vc", zero))
+        )
+    else:
+        # RIGHT join: vertices with no gathered neighbour rows (pure
+        # self-loop coarse nodes, fully internal vertices) still ride
+        # through with a null cand, so the O9 empty candidate below covers
+        # every vertex.  NOT persisted: its single consumer is the
+        # per-vertex aggregate below — caching an edge-proportional table
+        # for one read costs a full memory-bandwidth pass per superstep
+        # (and at large inputs evicts the edge cache, a core-count-
+        # independent tax that wrecks scaling).
+        g = gather.join(aug.hint("merge"), "id", "right")
 
     present = {"Ka_out": "K_out", "Kb_out": "K_out", "Ka_in": "K_in", "Kb_in": "K_in",
                "na": "n", "nb": "n", "wa": "w", "wb": "w"}
@@ -310,6 +396,26 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     else:
         tie = -F.col("cand")
     is_x = F.col("cand").isNotNull() & (F.col("cand") != F.col("comm"))
+    if mode in (RAND_COMM, RAND_NEIGH_COMM):
+        # Efraimidis–Spirakis one-sample weighted pick: argmax log(u)/w
+        # over candidates ⇔ P(pick c) ∝ w_c, with u a per-(vertex, cand,
+        # step, seed) hash uniform — driver-RNG-free and reproducible.
+        # The chosen candidate still carries its true gb; the ΔQ > 0 gate
+        # and the O9 empty comparison below are unchanged (localcore
+        # _candidates semantics: best-of {random pick, empty}).
+        wsamp = F.col("nb") if mode == RAND_COMM else F.col("n_nb")
+        _m = 2147483647
+        u = (
+            F.pmod(
+                F.xxhash64(F.col("id"), F.col("cand"), F.lit(int(step)), F.lit(int(seed))),
+                F.lit(_m),
+            ).cast("double")
+            + 0.5
+        ) / float(_m)
+        pick = F.log(u) / F.greatest(wsamp, F.lit(1e-300))
+        order = F.struct(pick.alias("gb"), tie.alias("tie"))
+    else:
+        order = F.struct(gb.alias("gb"), tie.alias("tie"))
     a_names = ["comm", "k_out"] + (["k_in"] if directed else []) \
         + ["loop", "node_size"] + [src for _, src in b_cols]
     per_v = g.groupBy("id").agg(
@@ -320,7 +426,7 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
         ).alias("w_va"),
         F.max_by(
             F.when(is_x, F.struct(F.col("cand").alias("cand"), gb.alias("gb"))),
-            F.when(is_x, F.struct(gb.alias("gb"), tie.alias("tie"))),
+            F.when(is_x, order),
         ).alias("best"),
     )
 
@@ -848,7 +954,9 @@ def _move_phase(
     """
     method_eff, _ = _method_eff(spec)
     constrained = bool(opts.min_comm_size or opts.max_comm_size)
-    needs = _stat_needs(method_eff, directed, constrained)
+    needs = _stat_needs(
+        method_eff, directed, constrained, mode=getattr(opts, "consider_comms", None)
+    )
     edges_sym, vstats, W, n_tot, loop_tot, n_verts = _level_setup(
         spark, edges, directed, node_sizes, hub_salt, n_shuffle
     )
@@ -955,14 +1063,25 @@ def _move_phase(
                 .repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
             )
         if hub_salt > 1:
+            from ..localcore.optimiser import ALL_NEIGH_COMMS as _DEFAULT_MODE
+
+            if getattr(opts, "consider_comms", _DEFAULT_MODE) != _DEFAULT_MODE:
+                raise ValueError(
+                    "hub_salt > 1 supports consider_comms=ALL_NEIGH_COMMS only "
+                    "(the salted gather splits one vertex across tasks; run the "
+                    "other O8 modes unsalted)"
+                )
             winners = _superstep_moves_salted(
                 edges_sym, aug, spec, directed, W, p_global,
                 n_tot, ckpt_idx + 1, seed, n_shuffle, hub_salt, opts,
             )
         else:
+            # cross modes (ALL_COMMS / RAND_COMM) read the plain persisted
+            # cstats — not cstats_o: the Observation must fire exactly once,
+            # through the aug attach
             winners = _superstep_moves(
                 edges_sym, aug, spec, directed, W, p_global,
-                n_tot, ckpt_idx + 1, seed, n_shuffle, opts,
+                n_tot, ckpt_idx + 1, seed, n_shuffle, opts, comm_stats=cstats,
             )
         if fixed is not None:
             winners = winners.join(
@@ -1215,6 +1334,31 @@ def _descend(
         # coarse.n == cur.n) and the graph is too big for an exact finish —
         # this level is stable; keep its membership
         ckpt.log(name="leiden_level_stable", level=level, coarse_vertices=int(n_coarse_v))
+        if spec.method == "surprise":
+            # the distributed move phase optimises an RBER(γ=1) surrogate
+            # for Surprise; normally the exact local finish re-optimises the
+            # true objective, but a stalled level never reaches it — score
+            # the exact evaluator so the caller sees the true quality, and
+            # warn that raising local_finish_threshold buys exactness
+            import warnings
+
+            q_exact = df_quality(
+                edges, membership, "surprise", spec.gamma, directed,
+                node_sizes=node_sizes, correct_self_loops=spec.correct_self_loops,
+            )
+            ckpt.log(
+                name="leiden_surprise_stall", level=level,
+                coarse_edges=int(n_coarse_edges), q_surprise_exact=float(q_exact),
+            )
+            warnings.warn(
+                "surprise: refinement stalled above local_finish_threshold "
+                f"({n_coarse_edges} coarse edges > {local_finish_threshold}); "
+                "the exact Surprise objective was never locally re-optimised "
+                f"at this level (exact quality {q_exact:.6g} logged as "
+                "leiden_surprise_stall).  Raise local_finish_threshold to "
+                "let the exact finish run.",
+                stacklevel=2,
+            )
         refined.unpersist()
         coarse_nodes.unpersist()
         coarse_edges.unpersist()
@@ -1495,6 +1639,13 @@ def leiden(
     q = df_quality(edges, membership, method, gamma, directed,
                    node_sizes=node_sizes, correct_self_loops=correct_self_loops)
     edges.unpersist()
+    if finish and fixed is None:
+        # T5: dense size-ordered labels, matching the local path's
+        # renumber (reference renumbers after every optimise; fixed runs
+        # keep their labels — test_Optimiser.py:145-164 semantics).
+        # finish=False is the throughput-measurement mode and returns the
+        # raw move-phase labels unchanged.
+        membership = renumber_membership(membership)
     if own_ckpt and ckpt.path is None:
         # a caller-invisible ephemeral manager: barrier the result off the
         # tmpdir parquet, then free the tmpdir immediately (repeated calls

@@ -534,6 +534,7 @@ def leiden_multiplex(
     finish: bool = True,
     fixed: DataFrame | None = None,
     initial_membership: DataFrame | None = None,
+    opts=None,
 ):
     """Distributed multiplex Leiden (O3/O14 at scale): one shared membership
     over L layers, ``edges`` = (src, dst, weight, layer:int 0..L-1),
@@ -618,7 +619,7 @@ def leiden_multiplex(
             mask = np.array([int(v) in fs for v in ids], dtype=bool)
         optimise_partition(
             P, n_iterations=n_iterations, is_membership_fixed=mask,
-            opts=OptimiserOpts(seed=seed),
+            opts=opts if opts is not None else OptimiserOpts(seed=seed),
         )
         memb = P.membership
         if mask is not None and uniq is not None:
@@ -785,6 +786,10 @@ def leiden_multiplex(
         )
     else:
         membership = varr.select("id", F.col("id").alias("comm"))
+    from ..localcore.optimiser import ALL_COMMS, ALL_NEIGH_COMMS, RAND_COMM, RAND_NEIGH_COMM
+
+    _mode = getattr(opts, "consider_comms", None) or ALL_NEIGH_COMMS
+    _cross = _mode in (ALL_COMMS, RAND_COMM)
     step_idx = 0
     membership = ckpt.save(membership, "mx_membership", step_idx)
     import time as _time
@@ -828,19 +833,40 @@ def leiden_multiplex(
                 mv.join(carr.hint("merge"), "comm")
                 .repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
             )
+        # O8 candidate modes (same contract as leiden._superstep_moves):
+        # cross modes take the whole community table as candidates, with
+        # gathered intra weight attached by left join (0 for communities
+        # the vertex has no edge into — the negative-weight-layer case
+        # ALL_COMMS exists for, reference Optimiser.py:94-97)
         m_dst = aug.select(
             F.col("id").alias("dst"), F.col("comm").alias("cand"),
-            F.col("Ka").alias("Kb"), F.col("na").alias("nb"),
+            *([] if _cross else [F.col("Ka").alias("Kb"), F.col("na").alias("nb")]),
         ).hint("merge")
         gather = (
             edges_w.join(m_dst, "dst")
             .repartition(n_shuffle, "src")
             .groupBy(F.col("src").alias("id"), "cand")
-            .agg(F.sum("wpart").alias("wadd"), F.first("Kb").alias("Kb"), F.first("nb").alias("nb"))
+            .agg(
+                F.sum("wpart").alias("wadd"),
+                *([F.count(F.lit(1)).cast("double").alias("n_nb")]
+                  if _mode == RAND_NEIGH_COMM else []),
+                *([] if _cross
+                  else [F.first("Kb").alias("Kb"), F.first("nb").alias("nb")]),
+            )
         )
         from pyspark.sql import Window
 
-        g = gather.join(aug.hint("merge"), "id")
+        if _cross:
+            comms_b = carr.select(
+                F.col("comm").alias("cand"), F.col("Ka").alias("Kb"), F.col("na").alias("nb")
+            )
+            g = (
+                aug.crossJoin(F.broadcast(comms_b))
+                .join(gather.select("id", "cand", "wadd"), ["id", "cand"], "left")
+                .na.fill({"wadd": 0.0})
+            )
+        else:
+            g = gather.join(aug.hint("merge"), "id")
         w_id = Window.partitionBy("id")
         g = g.withColumn(
             "w_va",
@@ -864,13 +890,37 @@ def leiden_multiplex(
         cands = g.where(F.col("cand") != F.col("comm")).withColumn(
             "dq", (F.col("wadd") - F.col("w_va")) - pen
         )
+        if _mode in (RAND_COMM, RAND_NEIGH_COMM):
+            # Efraimidis–Spirakis one-sample weighted pick (see
+            # leiden._superstep_moves): the RANDOM candidate is chosen
+            # first, the ΔQ > 0 gate applies after — reference semantics
+            # RAND_COMM weight: the community's total node mass across
+            # layers (reference: number of nodes; nb is the per-layer array)
+            _w = (
+                F.aggregate(F.col("nb"), F.lit(0.0), lambda a, x: a + x)
+                if _mode == RAND_COMM else F.col("n_nb")
+            )
+            _mmod = 2147483647
+            _u = (
+                F.pmod(
+                    F.xxhash64(F.col("id"), F.col("cand"), F.lit(int(step)), F.lit(int(seed))),
+                    F.lit(_mmod),
+                ).cast("double")
+                + 0.5
+            ) / float(_mmod)
+            _order = F.struct(
+                (F.log(_u) / F.greatest(_w, F.lit(1e-300))).alias("dq"),
+                (-F.col("cand")).alias("tie"),
+            )
+        else:
+            _order = F.struct(F.col("dq"), (-F.col("cand")).alias("tie"))
         winners = (
-            cands.where(F.col("dq") > EPSQ)
-            .groupBy("id")
+            cands.groupBy("id")
             .agg(
-                F.max_by(F.struct(F.col("cand"), F.col("dq")), F.struct(F.col("dq"), -F.col("cand"))).alias("best"),
+                F.max_by(F.struct(F.col("cand"), F.col("dq")), _order).alias("best"),
                 F.first("comm").alias("comm"),
             )
+            .where(F.col("best.dq") > EPSQ)
             .select("id", "comm", F.col("best.cand").alias("new_comm"))
             .withColumn(
                 "gated",
@@ -978,6 +1028,9 @@ def leiden_multiplex(
     varr.unpersist()
     edges_w.unpersist()
     edges.unpersist()
-    from .leiden import LeidenResult
+    from .leiden import LeidenResult, renumber_membership
 
+    if finish and fixed is None:
+        # T5 dense size-ordered relabel, same contract as leiden()
+        membership = renumber_membership(membership)
     return LeidenResult(membership, q, "multiplex", 0.0, supersteps=step_idx, levels=2, metrics=ckpt.metrics)

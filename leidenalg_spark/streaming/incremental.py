@@ -92,50 +92,42 @@ def run_incremental(
     not O(total accumulated), and untouched buckets are never rewritten.
 
     ``foreachBatch`` is at-least-once: a crash between the data overwrite
-    and the streaming-checkpoint commit replays the batch.  A per-batch
-    commit marker (written AFTER the overwrite) makes the replay a no-op,
-    so weights are not double-counted on restart.  The marker narrows the
-    at-least-once window to the overwrite-vs-marker gap; true exactly-once
-    needs a transactional sink (in production this merge is an Iceberg
-    ``MERGE INTO``, whose snapshot commit closes that gap)."""
+    and the streaming-checkpoint commit replays the batch.  Two sinks:
+
+    - **parquet path** (``out_path`` contains ``/``): a per-batch commit
+      marker written AFTER the overwrite makes a replay a no-op.  The
+      marker narrows the at-least-once window to the overwrite-vs-marker
+      gap — a crash exactly between them double-counts on replay
+      (documented residual; see the crash-injection tests).
+    - **Iceberg table ref** (``catalog.db.table``): exactly-once.  The
+      batch id rides the SAME atomic snapshot as the data — the
+      ``overwritePartitions`` commit carries a
+      ``snapshot-property.streaming-batch-id`` write option, so "data
+      committed" and "batch marked done" cannot diverge; the replay
+      check reads the committed ``{ref}.snapshots`` metadata.  (Not
+      ``MERGE INTO``: SQL merge cannot attach snapshot properties, so
+      its commit and any marker would again be two operations — the
+      very gap being closed.  ``overwritePartitions`` over bucketed
+      keys expresses the identical upsert row-set atomically.)
+    """
     import os
 
     edge_events = streaming_edges(read_transcript_stream(spark, in_path))
+    from ..sources.tables import is_table_ref
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        marker = os.path.join(out_path, "_commits", f"{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed batch (at-least-once retry) — already merged
         inc = (
             batch_df.groupBy("src_name", "dst_name")
             .agg(F.count(F.lit(1)).cast("double").alias("weight"))
             .withColumn(
                 "bucket", F.pmod(F.xxhash64("src_name", "dst_name"), F.lit(n_buckets))
             )
-        ).persist()
-        touched = [int(r["bucket"]) for r in inc.select("bucket").distinct().collect()]
-        merged = inc
-        if touched and os.path.exists(out_path):
-            old = sess.read.parquet(out_path).where(F.col("bucket").isin(touched))
-            merged = (
-                old.select("src_name", "dst_name", "weight", "bucket")
-                .unionByName(inc)
-                .groupBy("bucket", "src_name", "dst_name")
-                .agg(F.sum("weight").alias("weight"))
-            )
-        # break the read-from-out_path lineage before overwriting it
-        merged = merged.localCheckpoint(eager=True)
-        prev_mode = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
-        finally:
-            sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-        inc.unpersist()
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as f:
-            f.write("committed\n")
+        )
+        if is_table_ref(out_path):
+            _merge_batch_iceberg(sess, inc, out_path, batch_id, n_buckets)
+        else:
+            _merge_batch_parquet(sess, inc, out_path, batch_id)
 
     q = (
         edge_events.writeStream.foreachBatch(merge_batch)
@@ -145,6 +137,112 @@ def run_incremental(
     )
     q.awaitTermination()
     return q
+
+
+def _merge_batch_parquet(
+    sess: SparkSession, inc: DataFrame, out_path: str, batch_id: int,
+    _crash_before_marker: bool = False,
+) -> None:
+    """Marker-guarded bucketed upsert of one micro-batch (parquet sink).
+
+    ``_crash_before_marker`` is the crash-injection hook for tests: raise
+    after the data overwrite but before the marker — the documented
+    at-least-once window of this sink."""
+    import os
+
+    marker = os.path.join(out_path, "_commits", f"{batch_id}")
+    if os.path.exists(marker):
+        return  # replayed batch (at-least-once retry) — already merged
+    inc = inc.persist()
+    touched = [int(r["bucket"]) for r in inc.select("bucket").distinct().collect()]
+    merged = inc
+    if touched and os.path.exists(out_path):
+        old = sess.read.parquet(out_path).where(F.col("bucket").isin(touched))
+        merged = (
+            old.select("src_name", "dst_name", "weight", "bucket")
+            .unionByName(inc)
+            .groupBy("bucket", "src_name", "dst_name")
+            .agg(F.sum("weight").alias("weight"))
+        )
+    # break the read-from-out_path lineage before overwriting it
+    merged = merged.localCheckpoint(eager=True)
+    prev_mode = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    finally:
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    inc.unpersist()
+    if _crash_before_marker:
+        raise RuntimeError("injected crash between overwrite and marker")
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
+        f.write("committed\n")
+
+
+BATCH_ID_PROP = "streaming-batch-id"
+
+
+def iceberg_batch_committed(sess: SparkSession, ref: str, batch_id: int) -> bool:
+    """True when a snapshot of ``ref`` already carries this batch id in its
+    summary — i.e. the batch's merge COMMITTED before a crash/replay."""
+    if not sess.catalog.tableExists(ref):
+        return False
+    n = (
+        sess.sql(f"SELECT summary FROM {ref}.snapshots")
+        .where(F.element_at(F.col("summary"), BATCH_ID_PROP) == str(int(batch_id)))
+        .count()
+    )
+    return n > 0
+
+
+def _merge_batch_iceberg(
+    sess: SparkSession, inc: DataFrame, ref: str, batch_id: int, n_buckets: int
+) -> None:
+    """Exactly-once upsert of one micro-batch into an Iceberg table.
+
+    The accumulated table is partitioned by the same ``bucket`` column as
+    the parquet sink, so the merge stays O(touched buckets + batch):
+    read back only the touched buckets (snapshot-isolated), re-aggregate,
+    ``overwritePartitions`` — ONE atomic snapshot commit that also
+    carries ``snapshot-property.streaming-batch-id=<id>``, making the
+    replay check (:func:`iceberg_batch_committed`) transactional with the
+    data.  A crash at ANY point either left no snapshot (replay redoes
+    the whole merge against the pre-batch snapshot — same result) or a
+    snapshot with the batch id (replay is a no-op): no double-count
+    window exists, unlike the parquet marker."""
+    if iceberg_batch_committed(sess, ref, batch_id):
+        return
+    inc = inc.persist()
+    touched = [int(r["bucket"]) for r in inc.select("bucket").distinct().collect()]
+    merged = inc
+    if sess.catalog.tableExists(ref):
+        old = sess.read.table(ref).where(F.col("bucket").isin(touched))
+        merged = (
+            old.select("src_name", "dst_name", "weight", "bucket")
+            .unionByName(inc)
+            .groupBy("bucket", "src_name", "dst_name")
+            .agg(F.sum("weight").alias("weight"))
+        )
+        # Iceberg reads are snapshot-isolated, but break the self-read
+        # lineage anyway so the overwrite never races its own scan
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.select("src_name", "dst_name", "weight", "bucket")
+            .writeTo(ref)
+            .option(f"snapshot-property.{BATCH_ID_PROP}", str(int(batch_id)))
+            .overwritePartitions()
+        )
+    else:
+        (
+            merged.select("src_name", "dst_name", "weight", "bucket")
+            .writeTo(ref)
+            .partitionedBy(F.col("bucket"))
+            .option(f"snapshot-property.{BATCH_ID_PROP}", str(int(batch_id)))
+            .using("iceberg")
+            .create()
+        )
+    inc.unpersist()
 
 
 def run_streaming_decontaminate(

@@ -280,3 +280,69 @@ def test_streaming_attribution_matches_batch_and_is_incremental(spark, tmp_path)
     after = got()
     assert (4, t0 + timedelta(seconds=6050), t0 + timedelta(seconds=6000), "ad") in after
     assert len(after) == 3  # the first run's pairs exactly once
+
+
+def test_merge_batch_parquet_crash_injection(spark, tmp_path):
+    """Crash-injection for the parquet sink's at-least-once contract:
+    (a) crash AFTER marker -> replay is a no-op (no double count);
+    (b) crash BETWEEN overwrite and marker -> replay double-counts —
+    the documented residual window the Iceberg sink closes."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from leidenalg_spark.streaming.incremental import _merge_batch_parquet
+
+    out = str(tmp_path / "acc")
+
+    def inc_df():
+        return spark.createDataFrame(
+            [("a", "b", 1.0, 0), ("c", "d", 2.0, 1)],
+            "src_name string, dst_name string, weight double, bucket long",
+        )
+
+    def total():
+        return (
+            spark.read.parquet(out).agg(F.sum("weight")).first()[0]
+        )
+
+    _merge_batch_parquet(spark, inc_df(), out, batch_id=0)
+    assert total() == 3.0
+    # (a) marker exists -> replay no-op
+    _merge_batch_parquet(spark, inc_df(), out, batch_id=0)
+    assert total() == 3.0
+    # (b) the gap: overwrite lands, marker does not
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        _merge_batch_parquet(spark, inc_df(), out, batch_id=1, _crash_before_marker=True)
+    assert total() == 6.0  # data landed
+    _merge_batch_parquet(spark, inc_df(), out, batch_id=1)  # replay
+    assert total() == 9.0, "parquet sink double-counts in the gap (documented)"
+
+
+def test_merge_batch_iceberg_exactly_once(spark, tmp_path):
+    """Exactly-once on the Iceberg sink: the batch id rides the data
+    snapshot, so a replay at ANY crash point is either a full redo
+    against the pre-batch snapshot or a no-op.  Runs only when an
+    Iceberg catalog is configured (no runtime jar in this sandbox)."""
+    import pytest as _pytest
+
+    from leidenalg_spark.sources.tables import iceberg_available
+    from leidenalg_spark.streaming.incremental import (
+        _merge_batch_iceberg,
+        iceberg_batch_committed,
+    )
+
+    ref = "ice.db.edges_acc"
+    if not iceberg_available(spark, ref):
+        _pytest.skip("no Iceberg catalog configured in this environment")
+    from pyspark.sql import functions as F
+
+    def inc_df():
+        return spark.createDataFrame(
+            [("a", "b", 1.0, 0)],
+            "src_name string, dst_name string, weight double, bucket long",
+        )
+
+    _merge_batch_iceberg(spark, inc_df(), ref, batch_id=0, n_buckets=4)
+    assert iceberg_batch_committed(spark, ref, 0)
+    _merge_batch_iceberg(spark, inc_df(), ref, batch_id=0, n_buckets=4)  # replay
+    assert spark.read.table(ref).agg(F.sum("weight")).first()[0] == 1.0
