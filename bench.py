@@ -74,20 +74,34 @@ def _prewarm_python_workers(spark):
      .mapInPandas(_ident, "id long").count())
 
 
-def run_queries(spark, sf_dir: str) -> dict:
-    """Headline per-query wall-clock seconds."""
+def run_queries(spark, sf_dir: str, repeats: int = 3) -> tuple[dict, dict]:
+    """Headline per-query wall-clock seconds.
+
+    Every query runs ``repeats`` times inside the same session and reports
+    the MEDIAN, with min/max recorded alongside — single-shot timings on a
+    shared virtualised box mis-rank regressions (round-2 lesson: half the
+    apparent per-query regressions were one-off scheduler/GC spikes, and
+    the one real regression hid among them).  The query list is stable
+    round-over-round; additions append.
+    """
+    import statistics
+
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entrymod
 
     sf = sf_of(sf_dir)
-    out = {}
+    out, spread = {}, {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        fn()
-        out[name] = round(time.time() - t0, 3)
-        log(f"  {name}: {out[name]}s")
+    def timed(name, fn, n=repeats):
+        runs = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            runs.append(round(time.time() - t0, 3))
+        out[name] = round(statistics.median(runs), 3)
+        spread[name] = {"runs": runs, "min": min(runs), "max": max(runs)}
+        log(f"  {name}: {out[name]}s (runs {runs})")
 
     edges, m_edges = build_transcript_graph(spark, sf)
     log(f"transcript graph: {m_edges} edges")
@@ -121,7 +135,10 @@ def run_queries(spark, sf_dir: str) -> dict:
             eps = statistics.median(s["edges_per_sec"] for s in sup)
             out["leiden_superstep_edges_per_sec"] = round(eps, 1)
 
-    timed("leiden_supersteps_transcripts", leiden_supersteps)
+    # n=1: the superstep loop already reports its MEDIAN superstep
+    # throughput internally, and 3 full move phases would triple the
+    # dominant bench cost for a number that is already spike-robust
+    timed("leiden_supersteps_transcripts", leiden_supersteps, n=1)
     timed("pagerank_transcripts", lambda: K.pagerank(spark, edges, directed=False, max_iter=10, tol=0.0).count())
     timed("connected_components_transcripts", lambda: K.connected_components(spark, edges).count())
     timed("triangle_count_transcripts", lambda: K.triangle_count(spark, edges).collect())
@@ -148,8 +165,8 @@ def run_queries(spark, sf_dir: str) -> dict:
         # production shapes, CORRECTNESS covers the funnel at sf0.01.
         "winnowing", "session_concurrency", "heavy_user_share",
     ]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
-    return out
+        timed(name, lambda q=name: qs[q](spark, sf_dir).count())
+    return out, spread
 
 
 def superstep_throughput_job(cores: int, sf: float, supersteps=6, seed=1) -> dict:
@@ -288,13 +305,15 @@ def main():
     spark = get_spark(app="leidenalg-bench", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
-    queries = run_queries(spark, sf_dir)
+    queries, spread = run_queries(spark, sf_dir)
     total = round(time.time() - t0, 3)
     print(json.dumps({
         "metric": "headline_queries_total_seconds",
         "value": total,
         "unit": "sec",
-        "queries": queries,
+        "queries": queries,          # per-query MEDIAN of 3 in-session runs
+        "query_spread": spread,      # raw runs + min/max, for artifact triage
+        "repeats": 3,
         "sf": sf,
         "cores": cpus,
     }))

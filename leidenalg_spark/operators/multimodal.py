@@ -68,16 +68,39 @@ def synthetic_media(spark, n=200, seed=42) -> DataFrame:
     return df
 
 
-def _decode_stub(payload: bytes, media_type: str, decode_real: bool) -> np.ndarray:
-    if decode_real:
-        # the real implementation would call PIL / soundfile / pyav here
-        raise NotImplementedError(
-            "real media decode requires image/audio libraries not present "
-            "in this environment; use decode_real=False for the "
-            "deterministic fake featureizer"
-        )
-    # deterministic fake feature: 8 moments of the byte distribution
-    arr = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float64)
+def available_decoders() -> dict:
+    """Which real media decoders this environment can import — the
+    optional-extra gate for ``decode_real=True`` (PIL for images, soundfile
+    or the stdlib ``wave`` RIFF reader for audio, PyAV for video).  Import
+    probes only; nothing is decoded here."""
+    d = {}
+    try:
+        import PIL.Image  # noqa: F401
+
+        d["image"] = "pillow"
+    except ImportError:
+        pass
+    try:
+        import soundfile  # noqa: F401
+
+        d["audio"] = "soundfile"
+    except ImportError:
+        d["audio"] = "wave"  # stdlib: RIFF/WAV payloads only
+    try:
+        import av  # noqa: F401
+
+        d["video"] = "pyav"
+    except ImportError:
+        pass
+    return d
+
+
+def _moments(arr: np.ndarray) -> np.ndarray:
+    """8 deterministic moments of a 1-D sample array (shared by the fake
+    and the real featureizers so downstream schema/consumers never care
+    which decoder produced a row)."""
+    if len(arr) == 0:
+        arr = np.zeros(1)
     return np.array(
         [
             arr.mean(),
@@ -93,14 +116,68 @@ def _decode_stub(payload: bytes, media_type: str, decode_real: bool) -> np.ndarr
     )
 
 
+def _decode_real(payload: bytes, media_type: str, decoders: dict) -> np.ndarray:
+    impl = decoders.get(media_type)
+    if impl is None:
+        raise NotImplementedError(
+            f"no decoder importable for media_type={media_type!r} "
+            "(install pillow for images / pyav for video), or use "
+            "decode_real=False for the deterministic fake featureizer"
+        )
+    import io
+
+    if media_type == "image":  # impl == "pillow"
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+        px = np.asarray(img, dtype=np.float64).ravel() / 255.0
+        return np.concatenate([_moments(px), px.astype(np.float32)])
+    if media_type == "audio":
+        if impl == "soundfile":
+            import soundfile
+
+            samples, _sr = soundfile.read(io.BytesIO(payload), dtype="float64")
+            samples = np.atleast_2d(samples).mean(axis=-1).ravel()
+        else:  # stdlib wave: 16-bit PCM RIFF/WAV
+            import wave
+
+            with wave.open(io.BytesIO(payload)) as w:
+                raw = w.readframes(w.getnframes())
+            samples = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+        return _moments(samples)
+    # video / pyav: first-frame luma moments
+    import av
+
+    with av.open(io.BytesIO(payload)) as container:
+        frame = next(container.decode(video=0))
+        px = frame.to_ndarray(format="gray").astype(np.float64).ravel() / 255.0
+    return _moments(px)
+
+
+def _decode_stub(payload: bytes, media_type: str, decode_real: bool, decoders=None) -> np.ndarray:
+    if decode_real:
+        return _decode_real(payload or b"", media_type, decoders or {})
+    # deterministic fake feature: 8 moments of the byte distribution
+    arr = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float64)
+    return _moments(arr)
+
+
 def extract_features(media: DataFrame, decode_real: bool = False, batch_size: int = 256) -> DataFrame:
     """Decode/feature-extract via ``mapInPandas`` — Arrow batches in,
     Arrow batches out; the per-batch loop is NumPy over byte buffers,
-    never per-row Python object churn in the plan itself."""
+    never per-row Python object churn in the plan itself.
+
+    ``decode_real=True`` uses whatever decoders this environment can
+    import (:func:`available_decoders`: pillow / soundfile / stdlib wave /
+    pyav); a media_type with no importable decoder raises
+    ``NotImplementedError`` at task time.  The decoder table is resolved
+    ONCE on the driver and ships with the closure, so availability is
+    decided where the job is launched, not per executor."""
+    decoders = available_decoders() if decode_real else None
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_stub(p, t, decode_real) for p, t in zip(pdf["payload"], pdf["media_type"])]
+            feats = [_decode_stub(p, t, decode_real, decoders) for p, t in zip(pdf["payload"], pdf["media_type"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
