@@ -1523,6 +1523,24 @@ def leiden(
     o = opts or OptimiserOpts(seed=seed)
     if local_finish_threshold is None:
         local_finish_threshold = max(local_threshold, LOCAL_FINISH_EDGES)
+    # toPandas ceiling guard: the local/finish paths pull up to
+    # max(local_threshold, local_finish_threshold) EDGES to the driver
+    # (~100 B/edge after pandas conversion) — a user-supplied 500M-edge
+    # "local finish" OOMs the driver long before the solve starts.  Warn
+    # at 10× the default (≈5 GB driver resident) rather than hard-fail:
+    # big-driver deployments are legitimate, silent ones are not.
+    _ceiling = max(int(local_threshold), int(local_finish_threshold))
+    if _ceiling > 10 * LOCAL_FINISH_EDGES:
+        import warnings
+
+        warnings.warn(
+            f"local_threshold/local_finish_threshold={_ceiling:,} edges will "
+            f"be collected to the driver for the exact finish (~"
+            f"{_ceiling * 100 / 1e9:.1f} GB resident as pandas) — make sure "
+            "spark.driver.memory covers it, or lower the threshold to let "
+            "another distributed level run instead.",
+            stacklevel=2,
+        )
     edges = edges.persist()
     ecount = edges.count()
 

@@ -208,3 +208,91 @@ def test_surprise_stall_warns_and_logs_exact_quality(spark):
         )
     stall = [m for m in res.metrics if m.get("name") == "leiden_surprise_stall"]
     assert stall and "q_surprise_exact" in stall[0]
+
+
+# ------------------------------------------------- betweenness + warm-start PR
+def _brandes_exact(adj, nodes):
+    """Pure-Python exact Brandes (undirected, unweighted) for the golden."""
+    from collections import deque
+
+    bc = {v: 0.0 for v in nodes}
+    for s in nodes:
+        dist = {s: 0}
+        sigma = {v: 0.0 for v in nodes}
+        sigma[s] = 1.0
+        order = []
+        preds = {v: [] for v in nodes}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist.get(w) == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in nodes}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: x / 2.0 for v, x in bc.items()}
+
+
+def test_betweenness_exact_matches_brandes(spark):
+    import collections
+
+    from leidenalg_spark.operators.kernels import betweenness_centrality
+
+    # two triangles joined by a path through a cut vertex — asymmetric bc
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    e = spark.createDataFrame([(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double")
+    nodes = sorted({x for p in pairs for x in p})
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    exp = _brandes_exact(adj, nodes)
+    allv = spark.createDataFrame([(v,) for v in nodes], "id long")
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(spark, e, sources=allv).collect()
+    }
+    for v in nodes:
+        assert abs(got[v] - exp[v]) < 1e-9, (v, got[v], exp[v])
+
+
+def test_betweenness_sampled_runs_and_scales(spark):
+    from leidenalg_spark.operators.kernels import betweenness_centrality
+
+    e = _planted_two(spark)
+    got = betweenness_centrality(spark, e, n_pivots=8, seed=3)
+    assert got.count() == 40
+    # deterministic pivots -> bit-identical re-run
+    got2 = betweenness_centrality(spark, e, n_pivots=8, seed=3)
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, got2.collect()))
+    assert a == b
+
+
+def test_pagerank_warm_start_same_fixed_point(spark):
+    from leidenalg_spark.operators.kernels import pagerank
+
+    e = _planted_two(spark)
+    cold = pagerank(spark, e, directed=False, max_iter=60, tol=1e-10)
+    warm = pagerank(spark, e, directed=False, max_iter=5, tol=1e-10, init_ranks=cold)
+    j = cold.withColumnRenamed("rank", "rc").join(warm, "id")
+    diff = j.agg(F.max(F.abs(F.col("rank") - F.col("rc")))).first()[0]
+    assert diff < 1e-9  # warm start converges to the identical fixed point
+
+
+def test_local_finish_ceiling_warns(spark):
+    """A user-supplied threshold that implies a multi-GB driver collect
+    must warn up front (VERDICT r2 'What's wrong' #4)."""
+    e = _planted_two(spark)
+    with pytest.warns(UserWarning, match="collected to the driver"):
+        leiden(spark, e, method="modularity", n_iterations=1, seed=1,
+               local_finish_threshold=100_000_000)
