@@ -467,17 +467,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return degree_assortativity_directed(spark, _bipartite_ids_det(spark, sf))
 
-    def q_betweenness_sampled(spark, sf):
-        # pivot-sampled Brandes betweenness (rows-only: the level-
-        # synchronous BFS + backward accumulation has no SQL twin;
-        # exact-vs-Brandes golden in tests/test_leiden_round3.py).
-        # Deterministic pivots -> stable rows/values across runs.
-        from leidenalg_spark.operators.kernels import betweenness_centrality
-
-        bc = betweenness_centrality(spark, _bipartite_ids_det(spark, sf), n_pivots=8, seed=7)
-        return bc.select("id", F.round("betweenness", 6).alias("betweenness")).orderBy(
-            F.desc("betweenness"), F.asc("id")
-        ).limit(30)
 
     def q_pagerank(spark, sf):
         # fixed 8 iterations (tol=0) on the deterministic-id graph so the
@@ -2682,7 +2671,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "temporal_pagerank": q_temporal_pagerank,
         "assortativity_directed": q_assortativity_directed,
-        "betweenness_sampled": q_betweenness_sampled,
         "personalized_pagerank": q_personalized_pagerank,
         "connected_components": q_connected_components,
         "strongly_connected_components": q_scc,

@@ -6420,144 +6420,6 @@ def girth(spark, edges: DataFrame, probe_edges: DataFrame | None = None,
     return sc.agg(F.min("cycle_len").alias("girth"))
 
 
-# ------------------------------------------------------------- betweenness
-def betweenness_centrality(
-    spark,
-    edges: DataFrame,
-    sources: DataFrame | None = None,
-    n_pivots: int = 16,
-    seed: int = 7,
-    max_depth: int = 64,
-    ckpt: CheckpointManager | None = None,
-) -> DataFrame:
-    """Pivot-sampled Brandes betweenness (unweighted, undirected) — the
-    distributed estimator for igraph ``betweenness()``: run the Brandes
-    forward BFS (shortest-path counts σ) and backward dependency
-    accumulation δ from a pivot set, scale by n/|pivots|.  With
-    ``sources`` = all vertices the result is EXACT Brandes (each pair
-    counted from both endpoints, hence the /2 below also folds the
-    undirected double-count).  Returns (id, betweenness) for every
-    vertex of the simple graph.
-
-    Pivots default to the ``n_pivots`` smallest ``xxhash64(id, seed)``
-    values — deterministic, no driver RNG, and unbiased for the
-    betweenness estimator (Brandes–Pich pivot sampling).
-
-    Scale shape: level-synchronous multi-source BFS — rows keyed by
-    (pivot, vertex), one edge join + one hash aggregate per level out and
-    per level back (≤ 2·diameter rounds), state checkpointed per round;
-    total rows O(|pivots|·n + |pivots|·m) — linear in pivots, never
-    all-pairs.  The backward pass re-reads only two adjacent levels per
-    round.
-    """
-    own_ckpt = ckpt is None
-    ckpt = ckpt or CheckpointManager(spark)
-    und = (
-        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    sym = und.unionByName(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).select(F.col("a").alias("src"), F.col("b").alias("dst")).persist()
-    verts = sym.select(F.col("src").alias("id")).distinct().persist()
-    n = verts.count()
-    if sources is not None:
-        pivots = sources.select("id").distinct()
-        k = pivots.count()
-    else:
-        k = min(int(n_pivots), n) if n else 0
-        pivots = (
-            verts.withColumn("h", F.xxhash64("id", F.lit(int(seed))))
-            .orderBy("h").limit(k).select("id")
-        )
-    if n == 0 or k == 0:
-        out = verts.withColumn("betweenness", F.lit(0.0)).localCheckpoint(eager=True)
-        sym.unpersist()
-        verts.unpersist()
-        if own_ckpt and ckpt.path is None:
-            ckpt.close()
-        return out
-
-    # ---- forward: visited(pivot, id, d, sigma), level-synchronous
-    frontier = pivots.select(
-        F.col("id").alias("pivot"), F.col("id"), F.lit(0).alias("d"),
-        F.lit(1.0).alias("sigma"),
-    )
-    visited = ckpt.save(frontier, "bc_visited", 0)
-    frontier = visited
-    depth = 0
-    for depth in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(sym, frontier.id == sym.src)
-            .select("pivot", F.col("dst").alias("id"), "sigma")
-            .join(visited.select("pivot", "id"), ["pivot", "id"], "left_anti")
-            .groupBy("pivot", "id")
-            # all shortest paths into a newly-discovered vertex arrive this
-            # level, so σ sums over its frontier predecessors
-            .agg(F.sum("sigma").alias("sigma"))
-            .withColumn("d", F.lit(depth))
-            .select("pivot", "id", "d", "sigma")
-        )
-        nxt = ckpt.save(nxt, "bc_frontier", depth)
-        if nxt.isEmpty():
-            depth -= 1
-            break
-        visited = ckpt.save(visited.unionByName(nxt), "bc_visited", depth)
-        frontier = nxt
-    else:
-        if not frontier.isEmpty():
-            raise ValueError(
-                f"betweenness_centrality: BFS still expanding at max_depth="
-                f"{max_depth}; raise max_depth above the graph diameter"
-            )
-
-    # ---- backward: δ accumulation level by level, deepest first
-    dep_next = None  # (pivot, id, dep) of level depth+1
-    acc = []
-    for lev in range(depth, 0, -1):
-        cur = visited.where(F.col("d") == lev).select("pivot", "id", "sigma")
-        if dep_next is None:
-            cur_dep = cur.withColumn("dep", F.lit(0.0))
-        else:
-            cur_dep = cur.join(dep_next, ["pivot", "id"], "left").na.fill({"dep": 0.0})
-        acc.append(cur_dep.select("pivot", "id", "dep"))
-        # predecessors: neighbours at level lev-1 within the same pivot BFS
-        prev = visited.where(F.col("d") == lev - 1).select(
-            "pivot", F.col("id").alias("src"), F.col("sigma").alias("sigma_p")
-        )
-        contrib = (
-            cur_dep.join(sym, cur_dep.id == sym.dst)
-            .select("pivot", "src", "sigma", "dep")
-            .join(prev, ["pivot", "src"])
-            .groupBy("pivot", F.col("src").alias("id"))
-            .agg(
-                F.sum(F.col("sigma_p") / F.col("sigma") * (F.lit(1.0) + F.col("dep"))).alias("dep")
-            )
-        )
-        dep_next = ckpt.save(contrib, "bc_dep", lev)
-    # pivot's own row never accumulates (δ counts paths THROUGH a vertex)
-    deps = acc[0]
-    for c in acc[1:]:
-        deps = deps.unionByName(c)
-    scale = (float(n) / float(k)) / 2.0  # sample scale; /2 = undirected pairs
-    bc = (
-        deps.where(F.col("id") != F.col("pivot"))
-        .groupBy("id")
-        .agg((F.sum("dep") * F.lit(scale)).alias("betweenness"))
-    )
-    out = (
-        verts.join(bc, "id", "left")
-        .select("id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"))
-        .localCheckpoint(eager=True)
-    )
-    sym.unpersist()
-    verts.unpersist()
-    if own_ckpt and ckpt.path is None:
-        ckpt.close()
-    return out
-
-
 def degree_assortativity_directed(spark, edges: DataFrame) -> DataFrame:
     """Directed degree assortativity (Newman 2002; igraph
     ``assortativity_degree(directed=True)``): the Pearson correlation of
