@@ -83,7 +83,20 @@ def test_leiden_checkpoint_resume_artifacts(spark, tmp_path):
     assert latest is not None and latest > 0
     reloaded = ckpt.load("membership", latest).toPandas().sort_values("id")
     final = res.membership.toPandas().sort_values("id")
-    assert (reloaded["comm"].to_numpy() == final["comm"].to_numpy()).all()
+    # the returned membership is the T5-renumbered view of the latest
+    # checkpoint: identical partition, labels remapped to dense 0..C-1
+    # by decreasing size — assert the label bijection, then the dense
+    # size-ordered canonical form
+    import pandas as pd
+
+    m = pd.DataFrame({
+        "ck": reloaded["comm"].to_numpy(), "fin": final["comm"].to_numpy()
+    })
+    assert m.groupby("ck")["fin"].nunique().eq(1).all()
+    assert m.groupby("fin")["ck"].nunique().eq(1).all()
+    sizes = final.groupby("comm")["id"].count().sort_index()
+    assert list(sizes.index) == list(range(len(sizes)))
+    assert list(sizes.to_numpy()) == sorted(sizes.to_numpy(), reverse=True)
     assert (tmp_path / "metrics.jsonl").exists()
 
 
