@@ -217,6 +217,49 @@ class CheckpointManager:
                 total += int(info.memSize()) + int(info.diskSize())
         return total
 
+    def _cap_stats(self, out: DataFrame) -> DataFrame:
+        """Bound the size statistic a localCheckpoint carries forward.
+
+        ``Dataset.localCheckpoint`` propagates the origin plan's
+        estimated ``sizeInBytes`` into the resulting LogicalRDD.  In an
+        iterative kernel the next superstep's plan JOINS the checkpointed
+        state several times, and Catalyst's size-only estimator
+        MULTIPLIES child sizes through every join — so the carried
+        statistic is raised to a power per superstep, its DIGIT COUNT
+        grows geometrically (measured ×3/superstep in the multiplex
+        loop), and by step ~15 the driver melts down doing Toom-Cook
+        BigInt multiplication inside stats estimation (the parquet
+        ephemeral mode never hit this because re-reading files derives
+        fresh stats from file size).  Once the estimate exceeds
+        Long.MaxValue it is meaningless for planning anyway, so past
+        2^62 we rewrap the SAME checkpointed internal RDD via
+        ``internalCreateDataFrame`` — no recompute, no extra blocks —
+        whose LogicalRDD carries no origin stats (leaf falls back to
+        ``defaultSizeInBytes``); explicit broadcast/merge hints and AQE's
+        runtime sizes drive the join strategy from there."""
+        exploded = True
+        try:
+            # py4j converts the scala BigInt to a Python int; a ValueError
+            # (the CPython 4300-digit str-conversion guard) IS the signal
+            # the estimate exploded
+            sz = out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            exploded = int(sz) > (1 << 62)
+        except ValueError:
+            exploded = True
+        except Exception:
+            return out  # stats API drift: cap is an optimisation only
+        if not exploded:
+            return out
+        try:
+            jdf = self.spark._jsparkSession.internalCreateDataFrame(
+                out._jdf.queryExecution().toRdd(), out._jdf.schema(), False
+            )
+            return DataFrame(jdf, self.spark)
+        except Exception:
+            # private-API drift tolerance: the cap is a planner-cost
+            # optimisation, never a correctness requirement
+            return out
+
     def close(self) -> None:
         """Release an ephemeral manager's storage (checkpoint blocks +
         tmpdir) now instead of at process exit.  Only valid once every
@@ -266,6 +309,7 @@ class CheckpointManager:
         else:
             before = self._persistent_ids()
             out = df.localCheckpoint(eager=True)
+            out = self._cap_stats(out)
             new_ids = self._persistent_ids() - before
             self._lc_steps.setdefault(name, []).append((step, new_ids))
             self._retire_lc(name, step - 2)

@@ -285,3 +285,23 @@ def test_local_finish_ceiling_warns(spark):
     with pytest.warns(UserWarning, match="collected to the driver"):
         leiden(spark, e, method="modularity", n_iterations=1, seed=1,
                local_finish_threshold=100_000_000)
+
+
+@pytest.mark.parametrize("mode", [RAND_NEIGH_COMM, RAND_COMM])
+def test_rand_modes_multiplex_distributed_converge(spark, mode):
+    rows = []
+    random.seed(11)
+    for c in range(2):
+        ids = list(range(c * 15, c * 15 + 15))
+        for a, b in itertools.combinations(ids, 2):
+            if random.random() < 0.7:
+                rows.append((a, b, 1.0, 0))
+    for _ in range(5):
+        rows.append((random.randrange(0, 15), random.randrange(15, 30), 1.0, 0))
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double, layer int")
+    res = leiden_multiplex(
+        spark, edges, [QualitySpec("modularity")], n_iterations=6, seed=5,
+        local_threshold=0, max_supersteps=60,
+        opts=OptimiserOpts(seed=5, consider_comms=mode),
+    )
+    assert res.membership.select("comm").distinct().count() == 2
