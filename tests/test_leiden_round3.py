@@ -305,3 +305,31 @@ def test_rand_modes_multiplex_distributed_converge(spark, mode):
         opts=OptimiserOpts(seed=5, consider_comms=mode),
     )
     assert res.membership.select("comm").distinct().count() == 2
+
+
+def test_ephemeral_checkpoint_stats_stay_bounded(spark):
+    """localCheckpoint carries origin sizeInBytes; joining the state k
+    times per step raises it to the k-th power — without the cap the
+    digit count grows geometrically until BigInt stats estimation melts
+    the driver (the round-3 multiplex hang).  Assert the carried
+    estimate stays bounded across a triple-self-join save chain."""
+    from leidenalg_spark.operators.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(spark)
+    m = spark.range(200).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    for step in range(8):
+        big = (
+            m.join(m.withColumnRenamed("v", "w"), "id")
+            .join(m.withColumnRenamed("v", "u"), "id")
+            .select("id", "v")
+        )
+        m = cm.save(big, "stats_chain", step)
+    try:
+        sz = int(m._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        digits = len(str(sz))
+    except ValueError:
+        digits = 10_000  # >4300-digit conversion guard tripped: exploded
+    assert digits <= 25, f"carried sizeInBytes exploded to {digits} digits"
+    assert m.count() == 200
+    m.localCheckpoint(eager=True)
+    cm.close()
