@@ -6313,7 +6313,8 @@ def articulation_points(spark, edges: DataFrame, max_depth: int = 32) -> DataFra
 
 
 def shortest_cycles(
-    spark, edges: DataFrame, probe_edges: DataFrame | None = None, max_depth: int = 32
+    spark, edges: DataFrame, probe_edges: DataFrame | None = None, max_depth: int = 32,
+    strict: bool = True,
 ) -> DataFrame:
     """Shortest cycle THROUGH each probe edge — and thereby the graph's
     girth (igraph ``girth()``): for probe (a, b), remove that edge and
@@ -6323,6 +6324,16 @@ def shortest_cycles(
     (the scale mode — girth probes are independent, so sample size buys
     confidence linearly).  Returns (a, b, cycle_len) per probe,
     ``cycle_len`` NULL when the probe is a bridge (no cycle through it).
+
+    ``max_depth`` truncation: a probe whose BFS is still expanding at
+    ``max_depth`` is ambiguous — it may be a true bridge inside a
+    component whose radius exceeds ``max_depth``, or may sit on a cycle
+    longer than ``max_depth + 1``.  With ``strict=True`` (default) the
+    call refuses rather than misclassify; with ``strict=False`` it
+    returns results with ``cycle_len`` NULL for the unresolved probes,
+    i.e. NULL then means "bridge OR cycle longer than max_depth+1" —
+    the cost-bounded mode for callers that tuned ``max_depth`` as a
+    work cap on large-diameter graphs.
 
     Scale shape: one labelled multi-source BFS — frontier rows keyed by
     probe, one join + min-dist aggregate per round, probes retire from
@@ -6380,19 +6391,22 @@ def shortest_cycles(
         visited = visited.localCheckpoint(eager=True)
         frontier = nxt.join(done, "pk", "left_anti")
     else:
-        # loop exhausted with live frontiers: those probes' shortest cycle
-        # (if any) exceeds max_depth+1, and reporting NULL would be
-        # indistinguishable from a true bridge — refuse, don't misclassify
-        # (the _bfs_spanning_forest coverage convention)
-        if not frontier.isEmpty():
+        # loop exhausted with live frontiers: those probes are ambiguous
+        # (true bridge in a >max_depth-radius component, or cycle longer
+        # than max_depth+1).  strict refuses rather than misclassify (the
+        # _bfs_spanning_forest coverage convention); non-strict reports
+        # them as NULL under the documented widened meaning.
+        if strict and not frontier.isEmpty():
             probes.unpersist()
             sym.unpersist()
             raise ValueError(
                 f"shortest_cycles: BFS truncated at max_depth={max_depth} with "
                 "unresolved probes still expanding — their shortest cycle "
-                "exceeds max_depth+1 and would be misreported as a bridge "
-                "(cycle_len NULL).  Raise max_depth (rounds needed ≈ the "
-                "longest shortest-cycle length minus one)."
+                "exceeds max_depth+1 (or they are bridges in a component of "
+                "radius > max_depth) and NULL would misreport them as plain "
+                "bridges.  Raise max_depth (rounds needed ≈ the longest "
+                "shortest-cycle length minus one), or pass strict=False to "
+                "accept NULL = 'bridge or cycle > max_depth+1'."
             )
     if found:
         hits = found[0]
@@ -6412,11 +6426,13 @@ def shortest_cycles(
 
 
 def girth(spark, edges: DataFrame, probe_edges: DataFrame | None = None,
-          max_depth: int = 32) -> DataFrame:
+          max_depth: int = 32, strict: bool = True) -> DataFrame:
     """Graph girth (length of the shortest cycle) — exact with full
     probes, an upper bound on a sample; NULL for forests.  One row
-    (girth).  See :func:`shortest_cycles` for the plan."""
-    sc = shortest_cycles(spark, edges, probe_edges=probe_edges, max_depth=max_depth)
+    (girth).  See :func:`shortest_cycles` for the plan and the
+    ``strict``/``max_depth`` truncation contract."""
+    sc = shortest_cycles(spark, edges, probe_edges=probe_edges, max_depth=max_depth,
+                         strict=strict)
     return sc.agg(F.min("cycle_len").alias("girth"))
 
 

@@ -154,43 +154,52 @@ def _contrib(method, gamma, directed, W, p_global, csl, w, ko, ki, n):
     raise ValueError(method)
 
 
-def _method_eff(spec):
-    """Effective (method, gamma) of the distributed move phase.
-
-    Surprise's global-KL objective is not separable per-row against frozen
-    totals; the distributed phase uses the RBER(gamma=1) gradient — "join
-    groups denser than the global density", the same local argmax direction
-    as Surprise — and the exact local finish at the bottom of the descent
-    re-optimises under true Surprise.  The monotone-commit guard therefore
-    also monitors the effective (RBER) objective for this method.
-    """
-    if spec.method == "surprise":
-        return "rber", 1.0
-    return spec.method, spec.gamma
+def _kl_col(x, y):
+    """Binary KL divergence D(x||y) as a Column — the Spark twin of
+    localcore.quality.kl_div (reference VertexPartition.py:484,:572):
+    each term counts only on its valid domain and contributes 0 outside."""
+    one = F.lit(1.0)
+    t1 = F.when((x > 0) & (y > 0), x * F.log(x / y)).otherwise(F.lit(0.0))
+    t2 = F.when(
+        (x < 1) & (y < 1), (one - x) * F.log((one - x) / (one - y))
+    ).otherwise(F.lit(0.0))
+    return t1 + t2
 
 
-def _stat_needs(method_eff, directed, constrained=False, mode=None):
+def _stat_needs(method, directed, constrained=False, mode=None):
     """Which per-community aggregates the method's ΔQ actually reads.
 
     The ``w`` (internal weight) terms cancel in the ΔQ difference for every
-    linear method, so only Significance carries them; pruning keeps the
-    per-superstep edge shuffle rows narrow.  Size constraints (O10) need
-    the community node mass ``n`` regardless of method, and so does
-    RAND_COMM (O8): its sampling weight is the community node count
-    (reference Optimiser.py:104-106).
+    linear method, so only the KL objectives carry them — Significance
+    per-row (its ΔQ reads the candidate community's internal weight),
+    Surprise only on the cstats/guard side (its ΔQ reads the two GLOBAL
+    scalars Σw_in and Σpairs, shipped as per-superstep literals, never
+    per-row); pruning keeps the per-superstep edge shuffle rows narrow.
+    Size constraints (O10) need the community node mass ``n`` regardless
+    of method; RAND_COMM (O8) needs the community node COUNT ``cnt`` —
+    its sampling weight is the number of member vertices, not their mass
+    (reference Optimiser.py:104-106, localcore ``count_c``).
     """
     from ..localcore.optimiser import RAND_COMM
 
-    if method_eff in ("modularity", "rbconfiguration"):
+    if method in ("modularity", "rbconfiguration"):
         needs = {"K_out", "K_in"} if directed else {"K_out"}
-    elif method_eff in ("rber", "cpm"):
+    elif method in ("rber", "cpm"):
         needs = {"n"}
-    elif method_eff == "significance":
+    elif method == "significance":
         needs = {"n", "w"}
+    elif method == "surprise":
+        # per-ROW needs only: Surprise's ΔQ reads the candidate size nb
+        # plus the two global KL scalars — the per-community internal
+        # weight stays on the cstats/guard side (``_move_phase`` computes
+        # it there) and never rides the edge-proportional gather shuffle
+        needs = {"n"}
     else:
-        raise ValueError(method_eff)
-    if constrained or mode == RAND_COMM:
+        raise ValueError(method)
+    if constrained:
         needs = needs | {"n"}
+    if mode == RAND_COMM:
+        needs = needs | {"cnt"}
     return needs
 
 
@@ -235,7 +244,7 @@ def _empty_comm_id(step):
 
 
 def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed,
-                     n_shuffle, opts, comm_stats=None):
+                     n_shuffle, opts, comm_stats=None, n_comm=None, kl_scalars=None):
     """One distributed local-move superstep → the unfiltered per-vertex
     candidate table (winners).
 
@@ -245,15 +254,20 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     - ``ALL_NEIGH_COMMS`` (default): neighbour communities via the gather.
     - ``ALL_COMMS``: every community — ``comm_stats`` (the per-community
       stats table, required) joins in as the candidate set, broadcast
-      when ≤ ``_BCAST_COMMS`` rows; gathered edge weight attaches by
-      left join (0 for non-neighbour communities).  |V|·|C| candidate
-      rows — the mode the reference needs for negative-weight layers,
-      viable at scale once coarsening has collapsed |C|.
+      when ``n_comm`` ≤ ``_BCAST_COMMS`` rows and shuffled (cartesian
+      tasks stream the stats side from shuffle blocks, nothing is
+      collected to one JVM) above that — at level 0 of a singleton init
+      |C| ≈ |V|, and a forced vertex-scale broadcast is an OOM, not a
+      slow plan; gathered edge weight attaches by left join (0 for
+      non-neighbour communities).  |V|·|C| candidate rows — the mode the
+      reference needs for negative-weight layers, viable at scale once
+      coarsening has collapsed |C|.
     - ``RAND_NEIGH_COMM``: ONE random neighbour community per vertex,
       P(c) ∝ #neighbours in c — an Efraimidis–Spirakis weighted argmax
       (``log(u)/w`` with a per-(vertex, cand, step) hash uniform) over
       the gathered rows, so no driver-side RNG and bit-reproducible.
-    - ``RAND_COMM``: ONE random community, P(c) ∝ community node count —
+    - ``RAND_COMM``: ONE random community, P(c) ∝ community node COUNT
+      (reference Optimiser.py:104-106 — member vertices, not node mass) —
       the same ES argmax over the ALL_COMMS candidate rows.
 
     In every mode the O9 empty candidate still joins the comparison set
@@ -263,6 +277,14 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     ΔQ is computed against frozen stats: exact for a single move, an
     approximation for a committed batch — the monotone-commit guard in the
     driver loop verifies the realised quality and rolls back otherwise.
+    For the linear family and Significance it splits into a candidate-side
+    half (the arg-max key) plus a per-vertex constant; for Surprise
+    (reference VertexPartition.py:470-492, localcore ``_surprise_diff``)
+    the EXACT global-KL ΔQ is evaluated per row against the frozen
+    per-superstep scalars ``kl_scalars = (Σ_c w_in_c, Σ_c pairs(n_c))``
+    (shipped as literals — they are two driver floats, not a table), with
+    v's own-community weight recovered by a ``Window.partitionBy(id)`` max
+    over the already-id-clustered gather (no exchange, one sort).
 
     ``aug`` = membership ⋈ vertex stats ⋈ own-community aggregates
     (id, comm, k_out, k_in, loop, node_size, Ka_*/na/wa as the method
@@ -282,7 +304,10 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     """
     from ..localcore.optimiser import ALL_COMMS, ALL_NEIGH_COMMS, RAND_COMM, RAND_NEIGH_COMM
 
-    method_eff, gamma_eff = _method_eff(spec)
+    method_eff, gamma_eff = spec.method, spec.gamma
+    surprise = method_eff == "surprise"
+    if surprise and kl_scalars is None:
+        raise ValueError("method='surprise' needs the (Σw_in, Σpairs) kl_scalars")
     constrained = bool(opts.min_comm_size or opts.max_comm_size)
     mode = getattr(opts, "consider_comms", ALL_NEIGH_COMMS)
     cross = mode in (ALL_COMMS, RAND_COMM)
@@ -299,6 +324,8 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
         b_cols.append(("nb", "na"))
     if "w" in needs:
         b_cols.append(("wb", "wa"))
+    if "cnt" in needs:
+        b_cols.append(("cntb", "cnta"))
 
     # gather join: edges_sym is cached hash(dst)-partitioned and sorted —
     # the edge side (the heavy one) never re-exchanges; the n-row m_dst
@@ -327,15 +354,22 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     )
     if cross:
         # ALL_COMMS / RAND_COMM: the candidate set is EVERY community —
-        # |V|·|C| rows.  Broadcast the (comm, stats) side when small (the
-        # normal regime: post-coarsening |C| is tiny); gathered edge
-        # weight attaches by left join, 0 for non-neighbour communities.
+        # |V|·|C| rows.  Broadcast the (comm, stats) side only when small
+        # (the normal regime: post-coarsening |C| is tiny); at level 0 of
+        # a singleton init |C| ≈ |V| and a forced broadcast is a
+        # driver/executor OOM — above the gate the cartesian tasks stream
+        # the stats side from shuffle blocks instead.  The |V|·|C| row
+        # count itself is the user's explicit mode choice; the broadcast
+        # must not be.  Gathered edge weight attaches by left join, 0 for
+        # non-neighbour communities.
         comms_b = comm_stats.select(
             F.col("comm").alias("cand"),
             *[F.col(src).alias(dst_name) for dst_name, src in b_cols],
         )
+        if n_comm is None or n_comm <= _BCAST_COMMS:
+            comms_b = F.broadcast(comms_b)
         g = (
-            aug.crossJoin(F.broadcast(comms_b))
+            aug.crossJoin(comms_b)
             .join(gather.select("id", "cand", "w_vc"), ["id", "cand"], "left")
             .withColumn("w_vc", F.coalesce("w_vc", zero))
         )
@@ -351,7 +385,7 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
         g = gather.join(aug.hint("merge"), "id", "right")
 
     present = {"Ka_out": "K_out", "Kb_out": "K_out", "Ka_in": "K_in", "Kb_in": "K_in",
-               "na": "n", "nb": "n", "wa": "w", "wb": "w"}
+               "na": "n", "nb": "n", "wa": "w", "wb": "w", "cnta": "cnt", "cntb": "cnt"}
 
     def col_of(name):
         return F.col(name) if present[name] in needs else zero
@@ -362,24 +396,60 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     sv = F.col("node_size")
     vk_in = F.col("k_in") if directed else F.col("k_out")
 
-    # ---- candidate-side ΔQ term, computable per gathered row (no w_va
-    # dependence): the vertex-side term is constant across one vertex's
-    # candidates, so the arg-max needs only this half + the b-side
-    # constraint penalty.  The whole superstep tail is then ONE hash
-    # aggregation over the cached gather — no own-community join, no
-    # empty-candidate union/join, no final fuse join.
+    # ---- candidate-side ΔQ term per gathered row.  Linear family /
+    # Significance: no w_va dependence — the vertex-side term is constant
+    # across one vertex's candidates, so the arg-max needs only this half
+    # + the b-side constraint penalty, and the whole superstep tail is ONE
+    # hash aggregation over the cached gather (no own-community join, no
+    # empty-candidate union/join, no final fuse join).  Surprise: the
+    # EXACT global-KL ΔQ (localcore._surprise_diff twin) — q_old/e_old are
+    # per-superstep literals, the per-row part reads (w_vc, nb) plus the
+    # per-vertex (w_va, na, node_size), with w_va recovered by a window
+    # max over the id-clustered gather output.
     kb_out, kb_in, nb, wb = col_of("Kb_out"), col_of("Kb_in"), col_of("nb"), col_of("wb")
     if not directed:
         # undirected strengths are symmetric; K_in mirrors K_out so the
         # directed formulas stay valid without shipping a second column
         kb_in = kb_out
-    gb_old = _contrib(method_eff, gamma_eff, w=wb, ko=kb_out, ki=kb_in, n=nb, **args)
-    gb_new = _contrib(
-        method_eff, gamma_eff,
-        w=wb + F.col("w_vc") + F.col("loop"), ko=kb_out + F.col("k_out"),
-        ki=kb_in + vk_in, n=nb + sv, **args,
-    )
-    gb = gb_new - gb_old
+    if surprise:
+        from pyspark.sql import Window as _Wnd
+
+        from ..localcore.quality import kl_div as _kl_np, possible_pairs
+
+        sw0, sp0 = float(kl_scalars[0]), float(kl_scalars[1])
+        pairs_tot = float(possible_pairs(n_tot, directed, csl))
+        g = g.withColumn(
+            "w_va_r",
+            F.coalesce(
+                F.max(F.when(F.col("cand") == F.col("comm"), F.col("w_vc")))
+                .over(_Wnd.partitionBy("id")),
+                zero,
+            ),
+        )
+        if W > 0 and pairs_tot > 0:
+            q_old = min(max(sw0 / W, 0.0), 1.0)
+            const_q = float(W) * float(_kl_np(q_old, sp0 / pairs_tot))
+            na_c = col_of("na")
+            d_sw = F.col("w_vc") - F.col("w_va_r")
+            d_sp = (
+                _pairs_col(na_c - sv, directed, csl) - _pairs_col(na_c, directed, csl)
+                + _pairs_col(nb + sv, directed, csl) - _pairs_col(nb, directed, csl)
+            )
+            q_new = F.least(
+                F.greatest((F.lit(sw0) + d_sw) / F.lit(float(W)), zero), F.lit(1.0)
+            )
+            e_new = (F.lit(sp0) + d_sp) / F.lit(pairs_tot)
+            gb = F.lit(float(W)) * _kl_col(q_new, e_new) - F.lit(const_q)
+        else:
+            gb = zero
+    else:
+        gb_old = _contrib(method_eff, gamma_eff, w=wb, ko=kb_out, ki=kb_in, n=nb, **args)
+        gb_new = _contrib(
+            method_eff, gamma_eff,
+            w=wb + F.col("w_vc") + F.col("loop"), ko=kb_out + F.col("k_out"),
+            ki=kb_in + vk_in, n=nb + sv, **args,
+        )
+        gb = gb_new - gb_old
     if (mn or mx) and enf > 0:
         gb = gb - F.lit(float(enf)) * (_viol(nb + sv, mn, mx) - _viol(nb, mn, mx))
     elif mx:
@@ -403,7 +473,10 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
         # The chosen candidate still carries its true gb; the ΔQ > 0 gate
         # and the O9 empty comparison below are unchanged (localcore
         # _candidates semantics: best-of {random pick, empty}).
-        wsamp = F.col("nb") if mode == RAND_COMM else F.col("n_nb")
+        # RAND_COMM: community node COUNT (reference Optimiser.py:104-106,
+        # localcore count_c), not node mass — the two differ whenever
+        # node_sizes != 1 (every coarse level)
+        wsamp = F.col("cntb") if mode == RAND_COMM else F.col("n_nb")
         _m = 2147483647
         u = (
             F.pmod(
@@ -430,18 +503,24 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
         ).alias("best"),
     )
 
-    # ---- vertex-side term, exact, on the n-row aggregate
+    # ---- vertex-side term, exact, on the n-row aggregate.  Surprise's
+    # per-row gb is already the FULL ΔQ (own-community pairs change
+    # included in the KL), so its a_term carries only the a-side
+    # constraint-penalty half.
     ka_out, ka_in, na, wa = col_of("Ka_out"), col_of("Ka_in"), col_of("na"), col_of("wa")
     if not directed:
         ka_in = ka_out
     rm = F.col("w_va") + F.col("loop")
-    ga_old = _contrib(method_eff, gamma_eff, w=wa, ko=ka_out, ki=ka_in, n=na, **args)
-    ga_new = _contrib(
-        method_eff, gamma_eff,
-        w=wa - rm, ko=ka_out - F.col("k_out"),
-        ki=ka_in - vk_in, n=na - sv, **args,
-    )
-    a_term = ga_new - ga_old
+    if surprise:
+        a_term = zero
+    else:
+        ga_old = _contrib(method_eff, gamma_eff, w=wa, ko=ka_out, ki=ka_in, n=na, **args)
+        ga_new = _contrib(
+            method_eff, gamma_eff,
+            w=wa - rm, ko=ka_out - F.col("k_out"),
+            ki=ka_in - vk_in, n=na - sv, **args,
+        )
+        a_term = ga_new - ga_old
     if (mn or mx) and enf > 0:
         a_term = a_term - F.lit(float(enf)) * (_viol(na - sv, mn, mx) - _viol(na, mn, mx))
     dq_x = F.col("best.gb") + a_term
@@ -451,10 +530,26 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
         # target stats) evaluated inline on the aggregate row — same
         # (dq, smaller-new_comm) preference a union into the arg-max would
         # give
-        gb_e = _contrib(
-            method_eff, gamma_eff,
-            w=F.col("loop"), ko=F.col("k_out"), ki=vk_in, n=sv, **args,
-        )
+        if surprise:
+            if W > 0 and pairs_tot > 0:
+                d_sw_e = -F.col("w_va")
+                d_sp_e = (
+                    _pairs_col(na - sv, directed, csl) - _pairs_col(na, directed, csl)
+                    + _pairs_col(sv, directed, csl)
+                )
+                q_new_e = F.least(
+                    F.greatest((F.lit(sw0) + d_sw_e) / F.lit(float(W)), zero),
+                    F.lit(1.0),
+                )
+                e_new_e = (F.lit(sp0) + d_sp_e) / F.lit(pairs_tot)
+                gb_e = F.lit(float(W)) * _kl_col(q_new_e, e_new_e) - F.lit(const_q)
+            else:
+                gb_e = zero
+        else:
+            gb_e = _contrib(
+                method_eff, gamma_eff,
+                w=F.col("loop"), ko=F.col("k_out"), ki=vk_in, n=sv, **args,
+            )
         dq_e = a_term + gb_e
         if (mn or mx) and enf > 0:
             dq_e = dq_e - F.lit(float(enf)) * _viol(sv, mn, mx)
@@ -517,8 +612,28 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
     v's static stats ride the edge cache; candidate-community aggregates
     ride the gather; v's own-community row is recovered from the same
     gathered table (``cand == comm``) at no extra scan.
+
+    O8 modes: ``ALL_NEIGH_COMMS`` and ``RAND_NEIGH_COMM`` both work
+    salted — the RAND Efraimidis–Spirakis key (``log(u)/n_nb``) is fully
+    computable per ``(id, salt3, cand)`` group, because salt3 is a
+    function of cand so no candidate group is split across salts, and a
+    two-level max over the SAME key equals the unsalted one-level max
+    (same seed ⇒ bit-identical picks).  The cross modes
+    (ALL_COMMS/RAND_COMM) and Surprise are refused by the caller: the
+    cross candidate set does not ride the gather, and Surprise's arg-max
+    key needs the per-vertex w_va before the partial stage, which salting
+    splits.
     """
-    method_eff, gamma_eff = _method_eff(spec)
+    from ..localcore.optimiser import RAND_NEIGH_COMM
+
+    method_eff, gamma_eff = spec.method, spec.gamma
+    if method_eff == "surprise":
+        raise ValueError(
+            "hub_salt > 1 does not support method='surprise': its arg-max "
+            "key reads the per-vertex own-community weight, which the "
+            "salted partial stage cannot see (run surprise unsalted)"
+        )
+    rand_mode = getattr(opts, "consider_comms", None) == RAND_NEIGH_COMM
     constrained = bool(opts.min_comm_size or opts.max_comm_size)
     needs = _stat_needs(method_eff, directed, constrained)
     zero = F.lit(0.0)
@@ -554,6 +669,10 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
         .groupBy(F.col("src").alias("id"), "salt3", "cand")
         .agg(
             F.sum("weight").alias("w_vc"),
+            # RAND_NEIGH_COMM sampling weight: #neighbours in the
+            # community — complete within one salt3 group (salt3 is a
+            # function of cand), so the ES key below is exact
+            *([F.count(F.lit(1)).cast("double").alias("n_nb")] if rand_mode else []),
             *[F.first(c).alias(c) for c in statics],
             *[F.first(name).alias(name) for name, _ in b_cols],
         )
@@ -604,17 +723,48 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
         if constrained else -F.col("cand")
     )
     is_x = F.col("cand") != F.col("comm")
-    pick = F.max_by(
-        F.when(is_x, F.struct(F.col("cand").alias("cand"), gb.alias("gb"))),
-        F.when(is_x, F.struct(gb.alias("gb"), tie.alias("tie"))),
-    )
-    tie2 = (
-        F.xxhash64(F.col("id"), F.col("best.cand"), F.lit(int(step)))
-        if constrained else -F.col("best.cand")
-    )
-    pick2 = F.max_by(
-        F.col("best"), F.struct(F.col("best.gb").alias("gb"), tie2.alias("tie")),
-    )
+    if rand_mode:
+        # Efraimidis–Spirakis one-sample pick (see the unsalted path):
+        # the key log(u)/n_nb is a per-(id, cand) value — u hashes
+        # (id, cand, step, seed), identical salted or not — and a
+        # two-level max over the same key equals the one-level max, so a
+        # salted RAND_NEIGH run is bit-identical to the unsalted one.
+        # The key rides the partial's best struct (``ok``) into level 2.
+        _m = 2147483647
+        u = (
+            F.pmod(
+                F.xxhash64(F.col("id"), F.col("cand"), F.lit(int(step)), F.lit(int(seed))),
+                F.lit(_m),
+            ).cast("double")
+            + 0.5
+        ) / float(_m)
+        ok = F.log(u) / F.greatest(F.col("n_nb"), F.lit(1e-300))
+        pick = F.max_by(
+            F.when(
+                is_x,
+                F.struct(F.col("cand").alias("cand"), gb.alias("gb"), ok.alias("ok")),
+            ),
+            F.when(is_x, F.struct(ok.alias("ok"), tie.alias("tie"))),
+        )
+        tie2 = (
+            F.xxhash64(F.col("id"), F.col("best.cand"), F.lit(int(step)))
+            if constrained else -F.col("best.cand")
+        )
+        pick2 = F.max_by(
+            F.col("best"), F.struct(F.col("best.ok").alias("ok"), tie2.alias("tie")),
+        )
+    else:
+        pick = F.max_by(
+            F.when(is_x, F.struct(F.col("cand").alias("cand"), gb.alias("gb"))),
+            F.when(is_x, F.struct(gb.alias("gb"), tie.alias("tie"))),
+        )
+        tie2 = (
+            F.xxhash64(F.col("id"), F.col("best.cand"), F.lit(int(step)))
+            if constrained else -F.col("best.cand")
+        )
+        pick2 = F.max_by(
+            F.col("best"), F.struct(F.col("best.gb").alias("gb"), tie2.alias("tie")),
+        )
     # two-level arg-max; v's own-community weight (the cand == comm row —
     # it lives in exactly one salt3 group) rides the same aggregations
     partial = g.groupBy("id", "salt3").agg(
@@ -877,8 +1027,22 @@ def _guard_exprs(spec, directed, W, p_global, opts):
       ``max_comm_size``, because those moves lower the *unconstrained*
       quality on purpose.
     """
-    method_eff, gamma_eff = _method_eff(spec)
+    method_eff, gamma_eff = spec.method, spec.gamma
     csl = spec.correct_self_loops
+    if method_eff == "surprise":
+        # the guard reads the same (Σw_in, Σpairs) scalars the superstep's
+        # exact ΔQ freezes — _move_phase aggregates them as q_sw/q_sp in
+        # the same dedicated cstats job, so no extra exprs here
+        exprs = []
+        if opts is not None and (opts.min_comm_size or opts.max_comm_size) \
+                and opts.community_constraint_enforcement > 0:
+            exprs.append(
+                F.coalesce(
+                    F.sum(_viol(F.col("na"), opts.min_comm_size, opts.max_comm_size)),
+                    F.lit(0.0),
+                ).alias("q_viol")
+            )
+        return exprs
     if method_eff == "significance":
         pen = -_contrib(
             method_eff, gamma_eff, directed=directed, W=W, p_global=p_global, csl=csl,
@@ -910,19 +1074,28 @@ def _guard_exprs(spec, directed, W, p_global, opts):
     return exprs
 
 
-def _quality_from_guard_row(row, own, spec, directed, W, loop_tot, opts):
+def _quality_from_guard_row(row, own, spec, directed, W, loop_tot, opts,
+                            pairs_tot=None):
     """Realised quality of the current membership (monotone-commit guard)
     from the combined cstats aggregate values + (linear family only) the
     own-community weight sum gathered by the caller — no extra edge scan.
 
-    Measured in the *effective* objective (`_method_eff`), which is what
-    the supersteps optimise, minus the soft O10 penalty when active.
+    Measured in the objective the supersteps optimise (exact for every
+    method, Surprise included), minus the soft O10 penalty when active.
     ``row`` is a plain dict (from a collected Row or an Observation).
     """
-    method_eff, _ = _method_eff(spec)
+    method_eff = spec.method
     constraint_pen = 0.0
     if "q_viol" in row:
         constraint_pen = float(opts.community_constraint_enforcement) * float(row["q_viol"])
+    if method_eff == "surprise":
+        from ..localcore.quality import kl_div
+
+        sw, sp = float(row["q_sw"]), float(row["q_sp"])
+        if W <= 0 or not pairs_tot:
+            return 0.0 - constraint_pen
+        q = min(max(sw / W, 0.0), 1.0)
+        return float(W) * float(kl_div(q, sp / pairs_tot)) - constraint_pen
     if method_eff == "significance":
         return -float(row["q_pen"]) - constraint_pen
     # the gather table is symmetrised in both modes, so Σ_v w_va counts
@@ -952,7 +1125,8 @@ def _move_phase(
     guard state (q_prev, fraction, good checkpoint index) rides the
     durable resume state, so a resumed run replays identically.
     """
-    method_eff, _ = _method_eff(spec)
+    method_eff = spec.method
+    surprise = method_eff == "surprise"
     constrained = bool(opts.min_comm_size or opts.max_comm_size)
     needs = _stat_needs(
         method_eff, directed, constrained, mode=getattr(opts, "consider_comms", None)
@@ -1009,10 +1183,14 @@ def _move_phase(
             agg_cols.append(F.sum("k_in").alias("Ka_in"))
         if "n" in needs:
             agg_cols.append(F.sum("node_size").alias("na"))
+        if "cnt" in needs:
+            # RAND_COMM sampling weight: member-vertex count, not mass
+            agg_cols.append(F.count(F.lit(1)).cast("double").alias("cnta"))
         cstats = mstats.groupBy("comm").agg(*agg_cols)
-        if "w" in needs:
-            # only the KL objective needs per-community internal weight
-            # in its dQ; for the linear family the w terms cancel
+        if "w" in needs or surprise:
+            # only the KL objectives need per-community internal weight —
+            # Significance in its per-row dQ, Surprise on the guard side
+            # (the Σw_in scalar); for the linear family the w terms cancel
             m_src = membership.select(F.col("id").alias("src"), F.col("comm").alias("cs"))
             m_dst = membership.select(F.col("id").alias("dst"), F.col("comm").alias("cd"))
             w_in = (
@@ -1036,11 +1214,14 @@ def _move_phase(
         # quality terms ride the gather pipeline as an Observation — the
         # guard costs no dedicated cstats job, only the own-community sum
         # over the cached gather (which is also what materialises it).
-        # Significance (w in needs): its guard reads cstats alone and must
-        # be known BEFORE the commit, so it keeps the dedicated aggregate.
+        # The KL objectives keep the dedicated aggregate: Significance's
+        # guard reads cstats alone and must be known BEFORE the commit,
+        # and Surprise's frozen scalars (Σw_in, Σpairs) are literals in
+        # the superstep expressions themselves.
         cstats = cstats.persist()
         guard_aggs = _guard_exprs(spec, directed, W, p_global, opts) if monotone else []
-        fuse_guard = "w" not in needs
+        fuse_guard = "w" not in needs and not surprise
+        kl_scalars = None
         if fuse_guard:
             from pyspark.sql import Observation
 
@@ -1050,11 +1231,22 @@ def _move_phase(
             )
             guard_row, n_comm = None, n_comm_est
         else:
+            extra = []
+            if surprise:
+                extra = [
+                    F.coalesce(F.sum("wa"), F.lit(0.0)).alias("q_sw"),
+                    F.coalesce(
+                        F.sum(_pairs_col(F.col("na"), directed, spec.correct_self_loops)),
+                        F.lit(0.0),
+                    ).alias("q_sp"),
+                ]
             guard_row = cstats.agg(
-                F.count(F.lit(1)).alias("n_comm"), *guard_aggs
+                F.count(F.lit(1)).alias("n_comm"), *guard_aggs, *extra
             ).first().asDict()
             n_comm = n_comm_est = int(guard_row["n_comm"])
             cstats_o = cstats
+            if surprise:
+                kl_scalars = (float(guard_row["q_sw"]), float(guard_row["q_sp"]))
         if n_comm <= _BCAST_COMMS:
             aug = mstats.join(F.broadcast(cstats_o), "comm").persist()
         else:
@@ -1064,12 +1256,15 @@ def _move_phase(
             )
         if hub_salt > 1:
             from ..localcore.optimiser import ALL_NEIGH_COMMS as _DEFAULT_MODE
+            from ..localcore.optimiser import RAND_NEIGH_COMM as _RAND_NEIGH
 
-            if getattr(opts, "consider_comms", _DEFAULT_MODE) != _DEFAULT_MODE:
+            if getattr(opts, "consider_comms", _DEFAULT_MODE) not in (
+                _DEFAULT_MODE, _RAND_NEIGH,
+            ):
                 raise ValueError(
-                    "hub_salt > 1 supports consider_comms=ALL_NEIGH_COMMS only "
-                    "(the salted gather splits one vertex across tasks; run the "
-                    "other O8 modes unsalted)"
+                    "hub_salt > 1 supports consider_comms=ALL_NEIGH_COMMS or "
+                    "RAND_NEIGH_COMM only (the cross modes' candidate set does "
+                    "not ride the salted gather; run them unsalted)"
                 )
             winners = _superstep_moves_salted(
                 edges_sym, aug, spec, directed, W, p_global,
@@ -1082,6 +1277,7 @@ def _move_phase(
             winners = _superstep_moves(
                 edges_sym, aug, spec, directed, W, p_global,
                 n_tot, ckpt_idx + 1, seed, n_shuffle, opts, comm_stats=cstats,
+                n_comm=n_comm, kl_scalars=kl_scalars,
             )
         if fixed is not None:
             winners = winners.join(
@@ -1115,7 +1311,8 @@ def _move_phase(
         # membership, from values already in hand — no extra action
         if monotone:
             q_now = _quality_from_guard_row(
-                guard_row, float(srow["own"]), spec, directed, W, loop_tot, opts
+                guard_row, float(srow["own"]), spec, directed, W, loop_tot, opts,
+                pairs_tot=pairs_tot,
             )
             if q_prev is not None and q_now < q_prev - 1e-9:
                 # the previous batch degraded realised quality: revert to
@@ -1236,9 +1433,8 @@ def _move_phase(
         # whose summation grouping differs from the guard row's by float
         # rounding only — hence the looser epsilon.
         if monotone and q_prev is not None and int(n_moves) > 0:
-            me, ge = _method_eff(spec)
             q_last = df_quality(
-                edges, membership, me, ge, directed,
+                edges, membership, spec.method, spec.gamma, directed,
                 node_sizes=node_sizes, correct_self_loops=spec.correct_self_loops,
             )
             if constrained and opts.community_constraint_enforcement > 0:
@@ -1334,31 +1530,6 @@ def _descend(
         # coarse.n == cur.n) and the graph is too big for an exact finish —
         # this level is stable; keep its membership
         ckpt.log(name="leiden_level_stable", level=level, coarse_vertices=int(n_coarse_v))
-        if spec.method == "surprise":
-            # the distributed move phase optimises an RBER(γ=1) surrogate
-            # for Surprise; normally the exact local finish re-optimises the
-            # true objective, but a stalled level never reaches it — score
-            # the exact evaluator so the caller sees the true quality, and
-            # warn that raising local_finish_threshold buys exactness
-            import warnings
-
-            q_exact = df_quality(
-                edges, membership, "surprise", spec.gamma, directed,
-                node_sizes=node_sizes, correct_self_loops=spec.correct_self_loops,
-            )
-            ckpt.log(
-                name="leiden_surprise_stall", level=level,
-                coarse_edges=int(n_coarse_edges), q_surprise_exact=float(q_exact),
-            )
-            warnings.warn(
-                "surprise: refinement stalled above local_finish_threshold "
-                f"({n_coarse_edges} coarse edges > {local_finish_threshold}); "
-                "the exact Surprise objective was never locally re-optimised "
-                f"at this level (exact quality {q_exact:.6g} logged as "
-                "leiden_surprise_stall).  Raise local_finish_threshold to "
-                "let the exact finish run.",
-                stacklevel=2,
-            )
         refined.unpersist()
         coarse_nodes.unpersist()
         coarse_edges.unpersist()

@@ -131,7 +131,10 @@ def _decode_real(payload: bytes, media_type: str, decoders: dict) -> np.ndarray:
 
         img = PIL.Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
         px = np.asarray(img, dtype=np.float64).ravel() / 255.0
-        return np.concatenate([_moments(px), px.astype(np.float32)])
+        # uniform 8-dim output across every media type and the fake
+        # featureizer — a mixed corpus must never yield ragged feature
+        # arrays (distance/centroid consumers assume one fixed dimension)
+        return _moments(px)
     if media_type == "audio":
         if impl == "soundfile":
             import soundfile

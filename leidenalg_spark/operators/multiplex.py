@@ -733,23 +733,35 @@ def leiden_multiplex(
     nc_lit = F.array(*[F.lit(x) for x in nc_arr])
 
     def _comm_arrays(memb):
-        """Per-community λ-weighted stats arrays (comm, Ka[], na[])."""
+        """Per-community λ-weighted stats arrays (comm, Ka[], na[]) plus,
+        for RAND_COMM only, the member-vertex count ``cnt`` (its sampling
+        weight — reference Optimiser.py:104-106)."""
+        need_cnt = _mode == RAND_COMM
         ca = memb.join(vlong, "id").groupBy("comm", "layer").agg(F.sum("k").alias("Ka"))
         if node_sizes is not None:
             nlong = memb.join(node_sizes, "id")
             na = nlong.groupBy("comm", "layer").agg(F.sum("node_size").alias("na"))
             cl = ca.join(na, ["comm", "layer"], "outer").na.fill({"Ka": 0.0, "na": 0.0})
-            return cl.groupBy("comm").agg(
+            out = cl.groupBy("comm").agg(
                 _entries("layer", "Ka").alias("kam"), _entries("layer", "na").alias("nam")
             ).select(
                 "comm",
                 _to_layer_array(F.col("kam"), L, 0.0).alias("Ka"),
                 _to_layer_array(F.col("nam"), L, 0.0).alias("na"),
             )
+            if need_cnt:
+                ccnt = memb.groupBy("comm").agg(
+                    F.count(F.lit(1)).cast("double").alias("cnt")
+                )
+                out = out.join(ccnt, "comm")
+            return out
         csize = memb.groupBy("comm").agg(F.count(F.lit(1)).cast("double").alias("sz"))
-        return ca.groupBy("comm").agg(_entries("layer", "Ka").alias("kam")).select(
+        out = ca.groupBy("comm").agg(_entries("layer", "Ka").alias("kam")).select(
             "comm", _to_layer_array(F.col("kam"), L, 0.0).alias("Ka")
-        ).join(csize, "comm").withColumn("na", F.array_repeat(F.col("sz"), L)).drop("sz")
+        ).join(csize, "comm").withColumn("na", F.array_repeat(F.col("sz"), L))
+        if need_cnt:
+            out = out.withColumn("cnt", F.col("sz"))
+        return out.drop("sz")
 
     def _guard_q(memb, carr_df):
         """Realised λ-weighted quality of ``memb`` in the effective
@@ -858,10 +870,18 @@ def leiden_multiplex(
 
         if _cross:
             comms_b = carr.select(
-                F.col("comm").alias("cand"), F.col("Ka").alias("Kb"), F.col("na").alias("nb")
+                F.col("comm").alias("cand"), F.col("Ka").alias("Kb"),
+                F.col("na").alias("nb"),
+                *([F.col("cnt").alias("cntb")] if _mode == RAND_COMM else []),
             )
+            if n_comm <= _BCAST_COMMS:
+                # broadcast only while |C| is small — at level 0 of a
+                # singleton init |C| ≈ |V| and a forced vertex-scale
+                # broadcast OOMs; above the gate the cartesian tasks
+                # stream the stats side from shuffle blocks instead
+                comms_b = F.broadcast(comms_b)
             g = (
-                aug.crossJoin(F.broadcast(comms_b))
+                aug.crossJoin(comms_b)
                 .join(gather.select("id", "cand", "wadd"), ["id", "cand"], "left")
                 .na.fill({"wadd": 0.0})
             )
@@ -894,12 +914,10 @@ def leiden_multiplex(
             # Efraimidis–Spirakis one-sample weighted pick (see
             # leiden._superstep_moves): the RANDOM candidate is chosen
             # first, the ΔQ > 0 gate applies after — reference semantics
-            # RAND_COMM weight: the community's total node mass across
-            # layers (reference: number of nodes; nb is the per-layer array)
-            _w = (
-                F.aggregate(F.col("nb"), F.lit(0.0), lambda a, x: a + x)
-                if _mode == RAND_COMM else F.col("n_nb")
-            )
+            # RAND_COMM weight: the community's member-vertex COUNT
+            # (reference Optimiser.py:104-106, localcore count_c) — not
+            # node mass, which diverges whenever node_sizes != 1
+            _w = F.col("cntb") if _mode == RAND_COMM else F.col("n_nb")
             _mmod = 2147483647
             _u = (
                 F.pmod(

@@ -94,7 +94,8 @@ def run_incremental(
     ``foreachBatch`` is at-least-once: a crash between the data overwrite
     and the streaming-checkpoint commit replays the batch.  Two sinks:
 
-    - **parquet path** (``out_path`` contains ``/``): a per-batch commit
+    - **parquet path** (``out_path`` contains ``/``, or is a bare
+      dot-free relative name): a per-batch commit
       marker written AFTER the overwrite makes a replay a no-op.  The
       marker narrows the at-least-once window to the overwrite-vs-marker
       gap — a crash exactly between them double-counts on replay
@@ -113,7 +114,26 @@ def run_incremental(
     import os
 
     edge_events = streaming_edges(read_transcript_stream(spark, in_path))
-    from ..sources.tables import is_table_ref
+    from ..sources.tables import is_table_ref, iceberg_available
+
+    # sink dispatch, resolved ONCE up front (not per batch): the Iceberg
+    # path needs the ref's catalog to actually resolve — a slash-free
+    # string alone is ambiguous.  A dotted slash-free name with no
+    # configured catalog is almost certainly a typo'd table ref, so fail
+    # fast with the fix; a bare name without dots is a relative parquet
+    # directory (the historic contract).
+    if iceberg_available(spark, out_path):
+        sink = "iceberg"
+    elif is_table_ref(out_path) and "." in out_path:
+        catalog = out_path.split(".", 1)[0]
+        raise ValueError(
+            f"out_path={out_path!r} looks like an Iceberg table ref but "
+            f"spark.sql.catalog.{catalog} is not configured — configure the "
+            "catalog, or pass a filesystem path (containing a '/') for the "
+            "parquet sink"
+        )
+    else:
+        sink = "parquet"
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -124,7 +144,7 @@ def run_incremental(
                 "bucket", F.pmod(F.xxhash64("src_name", "dst_name"), F.lit(n_buckets))
             )
         )
-        if is_table_ref(out_path):
+        if sink == "iceberg":
             _merge_batch_iceberg(sess, inc, out_path, batch_id, n_buckets)
         else:
             _merge_batch_parquet(sess, inc, out_path, batch_id)

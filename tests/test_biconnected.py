@@ -221,6 +221,37 @@ def test_girth_sampled_probe_upper_bound(spark):
     assert list(sc) == [(3, 4)] and g == sc[(3, 4)] == 5
 
 
+def test_girth_truncation_strict_vs_lenient(spark):
+    """max_depth truncation contract (ADVICE r3): strict refuses when any
+    probe is still ambiguous; strict=False returns results with NULL
+    meaning 'bridge OR cycle > max_depth+1' — resolved probes still exact."""
+    from leidenalg_spark.operators.kernels import shortest_cycles
+
+    def df(edge_list):
+        return spark.createDataFrame(
+            [(a, b, 1.0) for a, b in edge_list], "src long, dst long, weight double"
+        )
+
+    # triangle + a 10-edge tail: the tail probes are true bridges whose
+    # component radius exceeds max_depth=3 — previously a hard failure
+    mixed = [(0, 1), (1, 2), (2, 0)] + [(2 + i, 3 + i) for i in range(10)]
+    with pytest.raises(ValueError, match="strict=False"):
+        shortest_cycles(spark, df(mixed), max_depth=3).collect()
+    sc = {(r["a"], r["b"]): r["cycle_len"]
+          for r in shortest_cycles(spark, df(mixed), max_depth=3, strict=False).collect()}
+    assert sc[(0, 1)] == 3 and sc[(1, 2)] == 3 and sc[(0, 2)] == 3
+    assert all(sc[k] is None for k in sc if k not in [(0, 1), (1, 2), (0, 2)])
+    # 12-ring at max_depth=3: every probe unresolved -> all NULL lenient
+    ring = [(i, (i + 1) % 12) for i in range(12)]
+    sc2 = {(r["a"], r["b"]): r["cycle_len"]
+           for r in shortest_cycles(spark, df(ring), max_depth=3, strict=False).collect()}
+    assert len(sc2) == 12 and all(v is None for v in sc2.values())
+    # ...and with enough depth the same call is exact again
+    sc3 = {(r["a"], r["b"]): r["cycle_len"]
+           for r in shortest_cycles(spark, df(ring), max_depth=12, strict=False).collect()}
+    assert all(v == 12 for v in sc3.values())
+
+
 def test_directed_assortativity_star_vs_chain(spark):
     from leidenalg_spark.operators.kernels import degree_assortativity_directed
 

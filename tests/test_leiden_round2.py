@@ -136,11 +136,11 @@ def test_monotone_commit_guard(spark, tmp_path, method, gamma):
         spark, e, method=method, gamma=gamma, n_iterations=1, seed=7,
         local_threshold=0, max_supersteps=14, ckpt=ckpt, finish=False,
     )
-    # effective objective of the distributed move phase (surprise → rber(1))
-    from leidenalg_spark.operators.leiden import _method_eff
-    from leidenalg_spark.localcore.quality import QualitySpec
-
-    me, ge = _method_eff(QualitySpec(method, gamma=gamma))
+    # the distributed move phase optimises every method EXACTLY (surprise
+    # included since round 4: its global-KL ΔQ is evaluated per row against
+    # the frozen per-superstep scalars), so the guard's objective is the
+    # method itself
+    me, ge = method, gamma
     steps = sorted(
         int(p.split("=")[1])
         for p in __import__("os").listdir(f"{path}/membership")

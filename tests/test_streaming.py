@@ -346,3 +346,37 @@ def test_merge_batch_iceberg_exactly_once(spark, tmp_path):
     assert iceberg_batch_committed(spark, ref, 0)
     _merge_batch_iceberg(spark, inc_df(), ref, batch_id=0, n_buckets=4)  # replay
     assert spark.read.table(ref).agg(F.sum("weight")).first()[0] == 1.0
+
+def test_run_incremental_sink_dispatch(spark, tmp_path, monkeypatch):
+    """ADVICE r3: a bare dot-free relative name is a PARQUET sink (the
+    historic contract), and a dotted slash-free name whose catalog is not
+    configured fails fast with the fix instead of a late
+    catalog-resolution error."""
+    import os
+
+    import pytest
+
+    t = synthetic_transcripts(spark, n_convs=5, max_turns=6, seed=3)
+    in_dir = str(tmp_path / "in")
+    t.write.parquet(in_dir)
+    # capture which sink the bare name routes to (a relative JVM-side
+    # write would land outside tmp_path, so don't actually write)
+    import leidenalg_spark.streaming.incremental as inc_mod
+
+    calls = []
+    # the stub must still consume the micro-batch: every state-store
+    # partition has to commit or the query fails validation
+    monkeypatch.setattr(
+        inc_mod, "_merge_batch_parquet",
+        lambda sess, inc, out, bid: (inc.count(), calls.append(("parquet", out))),
+    )
+    monkeypatch.setattr(
+        inc_mod, "_merge_batch_iceberg",
+        lambda sess, inc, out, bid, nb: (inc.count(), calls.append(("iceberg", out))),
+    )
+    run_incremental(spark, in_dir, str(tmp_path / "ckpt1"), "edges_rel")
+    assert calls and all(kind == "parquet" for kind, _ in calls)
+    with pytest.raises(ValueError, match="spark.sql.catalog.nosuchcat"):
+        run_incremental(
+            spark, in_dir, str(tmp_path / "ckpt2"), "nosuchcat.db.edges"
+        )

@@ -316,6 +316,24 @@ def test_real_image_decode_if_pillow_available(spark):
     assert np.allclose(f[:, 0], [0.0, 40 / 255, 80 / 255, 120 / 255], atol=1e-3)
 
 
+def test_feature_dims_uniform_across_decoders():
+    """ADVICE r3: every decoder path — real image/audio/video and the
+    deterministic fake — returns the SAME 8-dim moment vector, so a
+    mixed-type corpus can never yield ragged feature arrays."""
+    from leidenalg_spark.operators.multimodal import _decode_stub, available_decoders
+
+    for t in ("image", "audio", "video"):
+        assert len(_decode_stub(b"\x01\x02\x03", t, False)) == 8
+    if "image" in available_decoders():
+        import io
+
+        import PIL.Image
+
+        buf = io.BytesIO()
+        PIL.Image.new("L", (16, 16), color=7).save(buf, format="PNG")
+        assert len(_decode_stub(buf.getvalue(), "image", True, available_decoders())) == 8
+
+
 def test_frame_sample_plan(spark):
     media = M.synthetic_media(spark, 40)
     plan = M.frame_sample_plan(media, every_ms=500).toPandas()
