@@ -154,6 +154,20 @@ def _contrib(method, gamma, directed, W, p_global, csl, w, ko, ki, n):
     raise ValueError(method)
 
 
+def _obs_dict(obs):
+    """Observation row as a dict, or None when it cannot be used: AQE
+    empty-relation pruning can drop a CollectMetrics node whose subtree
+    became runtime-empty, in which case the observation completes with a
+    schemaless Row.empty (pyspark's toPyRow then raises).  Callers fall
+    back to a direct aggregate."""
+    try:
+        row = obs.get
+    except Exception:  # noqa: BLE001 — the Py4J assert above
+        return None
+    d = dict(row) if len(row) else None
+    return d
+
+
 def _kl_col(x, y):
     """Binary KL divergence D(x||y) as a Column — the Spark twin of
     localcore.quality.kl_div (reference VertexPartition.py:484,:572):
@@ -1286,68 +1300,35 @@ def _move_phase(
             )
         else:
             winners = winners.withColumn("is_fixed", F.lit(False))
-        winners = winners.persist()
         imp = (F.col("dq") > EPSQ) & ~F.coalesce(F.col("is_fixed"), F.lit(False))
 
-        # ---- ONE action materialises the whole gather pipeline and reads
-        # everything the driver needs off the n-row candidate table: the
-        # convergence counts, the guard's own-community weight (Σ_v w_va —
-        # fixed vertices included: it is a property of the CURRENT
-        # membership, not of the movable set), and, through the fused
-        # cstats Observation, the community count + the guard's
-        # cstats-side terms.  The checkpoint job below then reads only
-        # this tiny cached n-row table.
-        srow = winners.agg(
+        # ---- ONE action per superstep: the checkpoint write below
+        # materialises the whole gather pipeline, and everything the
+        # driver needs rides it as Observations — the convergence counts
+        # and the guard's own-community weight (Σ_v w_va — fixed vertices
+        # included: it is a property of the CURRENT membership, not of
+        # the movable set) off the n-row candidate table, plus, through
+        # the fused cstats Observation, the community count + the guard's
+        # cstats-side terms.  The monotone guard therefore evaluates
+        # AFTER the commit is saved: on a detected regression the
+        # just-written (bad-derived) checkpoint is abandoned along with
+        # the regressed one — one wasted write on the rare rollback path
+        # buys one fewer driver round-trip on every superstep.
+        from pyspark.sql import Observation as _Obs
+
+        obs_w = _Obs()
+        winners = winners.observe(
+            obs_w,
             F.coalesce(F.sum("w_va"), F.lit(0.0)).alias("own"),
             F.count(F.when(imp, 1)).alias("improving"),
             F.count(F.when(imp & F.col("gated"), 1)).alias("moves"),
-        ).first()
-        n_improving, n_moves = int(srow["improving"]), int(srow["moves"])
-        if fuse_guard:
-            guard_row = dict(obs_c.get)
-            n_comm_est = int(guard_row["n_comm"])
-
-        # ---- monotone-commit guard: realised quality of the CURRENT
-        # membership, from values already in hand — no extra action
-        if monotone:
-            q_now = _quality_from_guard_row(
-                guard_row, float(srow["own"]), spec, directed, W, loop_tot, opts,
-                pairs_tot=pairs_tot,
-            )
-            if q_prev is not None and q_now < q_prev - 1e-9:
-                # the previous batch degraded realised quality: revert to
-                # the last good membership and retry this superstep with a
-                # halved commit fraction (the retry recomputes winners from
-                # the good membership deterministically)
-                frac_bits += 1
-                frac_used = False
-                # log BEFORE the restore save: the rollback metric then
-                # chronologically tags the regressed commit (the previous
-                # superstep's membership save) as the reverted one
-                ckpt.log(
-                    name="leiden_rollback", level=level, step=step,
-                    frac=1.0 / (2 ** frac_bits), q_regressed=float(q_now - q_prev),
-                )
-                ckpt_idx += 1
-                membership = ckpt.save(good_membership, name, ckpt_idx)
-                if level == 0:
-                    ckpt.save_state({
-                        "iteration": iteration, "step": step, "ckpt_idx": ckpt_idx,
-                        "total_steps": total_steps0, "q_prev": q_prev,
-                        "frac_bits": frac_bits, "frac_used": False, "good_idx": ckpt_idx,
-                    })
-                good_membership = membership
-                winners.unpersist()
-                aug.unpersist()
-                mstats.unpersist()
-                cstats.unpersist()
-                continue
-            q_prev = q_now
-            good_membership = membership
-            good_idx = ckpt_idx
-            if frac_used:
-                # the fractional retry was validated — back to full batches
-                frac_bits, frac_used = 0, False
+        ).persist()
+        in_membership, in_idx = membership, ckpt_idx  # pre-commit snapshot
+        # was the INCOMING commit (the one this superstep's guard will
+        # validate) fractional?  Captured before this superstep's own
+        # commit-build overwrites frac_used — escalation must step from
+        # the level the VALIDATED commit was built at.
+        in_frac_used = frac_used
 
         commit = winners.where(imp & F.col("gated")).select("id", "comm", "new_comm", "dq")
         if frac_bits > 0:
@@ -1401,11 +1382,82 @@ def _move_phase(
             membership.join(commit.select("id", "new_comm"), "id", "left")
             .select("id", F.coalesce("new_comm", "comm").alias("comm"))
         )
-        # checkpoint job: membership (a cached parquet reload) left-joined
-        # with the tiny cached commit table — the heavy gather pipeline ran
-        # exactly once, in the stats aggregate above
+        # THE superstep action: the checkpoint write materialises the
+        # gather pipeline once and fires both Observations
         ckpt_idx += 1
         membership = ckpt.save(new_membership, name, ckpt_idx)
+        # Row.empty hazard: when the commit set is runtime-empty (the
+        # CONVERGED superstep), AQE empty-relation pruning removes the
+        # join's commit side — including the CollectMetrics nodes — so
+        # the observations complete with a schemaless empty row.  Fall
+        # back to direct aggregates over the (persisted) tables; this
+        # costs one extra job only on that final superstep, exactly the
+        # old two-action shape.
+        srow = _obs_dict(obs_w)
+        if srow is None:
+            srow = winners.agg(
+                F.coalesce(F.sum("w_va"), F.lit(0.0)).alias("own"),
+                F.count(F.when(imp, 1)).alias("improving"),
+                F.count(F.when(imp & F.col("gated"), 1)).alias("moves"),
+            ).first().asDict()
+        n_improving, n_moves = int(srow["improving"]), int(srow["moves"])
+        if fuse_guard:
+            guard_row = _obs_dict(obs_c)
+            if guard_row is None:
+                guard_row = cstats.agg(
+                    F.count(F.lit(1)).alias("n_comm"), *guard_aggs
+                ).first().asDict()
+            n_comm_est = int(guard_row["n_comm"])
+
+        # ---- monotone-commit guard: realised quality of the INCOMING
+        # membership (the previous superstep's commit), from the
+        # observation values — no extra action
+        if monotone:
+            q_now = _quality_from_guard_row(
+                guard_row, float(srow["own"]), spec, directed, W, loop_tot, opts,
+                pairs_tot=pairs_tot,
+            )
+            if q_prev is not None and q_now < q_prev - 1e-9:
+                # the previous batch degraded realised quality: abandon
+                # BOTH the regressed commit (in_idx) and the checkpoint
+                # just derived from it (ckpt_idx), revert to the last
+                # good membership, and retry with a halved commit
+                # fraction (the retry recomputes winners from the good
+                # membership deterministically).  bad_steps lets ledger
+                # consumers drop every non-surviving save.
+                frac_bits += 1
+                frac_used = False
+                ckpt.log(
+                    name="leiden_rollback", level=level, step=step,
+                    frac=1.0 / (2 ** frac_bits), q_regressed=float(q_now - q_prev),
+                    bad_steps=[in_idx, ckpt_idx],
+                )
+                ckpt_idx += 1
+                membership = ckpt.save(good_membership, name, ckpt_idx)
+                if level == 0:
+                    ckpt.save_state({
+                        "iteration": iteration, "step": step, "ckpt_idx": ckpt_idx,
+                        "total_steps": total_steps0, "q_prev": q_prev,
+                        "frac_bits": frac_bits, "frac_used": False, "good_idx": ckpt_idx,
+                    })
+                good_membership = membership
+                winners.unpersist()
+                aug.unpersist()
+                mstats.unpersist()
+                cstats.unpersist()
+                continue
+            q_prev = q_now
+            good_membership = in_membership  # validated incoming snapshot
+            good_idx = in_idx
+            if in_frac_used:
+                # the fractional retry was validated — back to full
+                # batches.  This superstep's own commit was already built
+                # at the old level (one extra conservative fractional
+                # batch after a rollback — smaller, never wrong);
+                # frac_used still describes it, so the next guard pass
+                # simply no-ops this reset again.
+                frac_bits = 0
+
         if level == 0:
             ckpt.save_state({
                 "iteration": iteration, "step": step, "ckpt_idx": ckpt_idx,

@@ -6,6 +6,11 @@ form, floats rounded to 6 significant decimals — the same normalisation
 the round driver applies).
 
 Usage: python scripts/check_oracles.py [sf_dir] [only_prefix ...]
+       python scripts/check_oracles.py [sf_dir] --names names.json --out results.json
+
+``--names``: JSON list of EXACT query names to run (the window-file
+workflow — prefix matching would over-match).  ``--out``: where to write
+the results JSON (default /tmp/oracle_check.json).
 """
 from __future__ import annotations
 
@@ -53,8 +58,19 @@ def frame_hash(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:]
+    args = sys.argv[1:]
+    out_path = "/tmp/oracle_check.json"
+    names = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i:i + 2]
+    if "--names" in args:
+        i = args.index("--names")
+        names = set(json.load(open(args[i + 1])))
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = args[1:]
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession
 
@@ -78,6 +94,8 @@ def main():
     results = {}
     failed = []
     for name, fn in qs.items():
+        if names is not None and name not in names:
+            continue
         if only and not any(name.startswith(p) for p in only):
             continue
         rec = {}
@@ -122,7 +140,7 @@ def main():
         print(("ok   " if ok else "FAIL ") + f"{name} rows={len(rows)}/{len(orows)} "
               f"schema={rec['schema_match']} hash={rec['hash_match']}")
     print(f"\n{len(results) - len(failed)}/{len(results)} green; failed: {failed}")
-    with open("/tmp/oracle_check.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     spark.stop()
     return 1 if failed else 0

@@ -155,8 +155,14 @@ def test_monotone_commit_guard(spark, tmp_path, method, gamma):
     for m in res.metrics:
         if m.get("name") == "membership":
             last_saved = m["step"]
-        elif m.get("name") == "leiden_rollback" and last_saved is not None:
-            bad.add(last_saved)
+        elif m.get("name") == "leiden_rollback":
+            if "bad_steps" in m:
+                # round-4 single-action flow: the rollback names every
+                # non-surviving save (the regressed commit AND the
+                # checkpoint derived from it before detection)
+                bad.update(m["bad_steps"])
+            elif last_saved is not None:
+                bad.add(last_saved)
     good = [k for k in steps if k not in bad]
     seq = [qs[k] for k in good]
     for a, b in zip(seq, seq[1:]):

@@ -211,8 +211,11 @@ def test_surprise_guard_monitors_exact_objective(spark):
         for m in res.metrics:
             if m.get("name") == "membership":
                 last_saved = m["step"]
-            elif m.get("name") == "leiden_rollback" and last_saved is not None:
-                bad.add(last_saved)
+            elif m.get("name") == "leiden_rollback":
+                if "bad_steps" in m:
+                    bad.update(m["bad_steps"])
+                elif last_saved is not None:
+                    bad.add(last_saved)
         seq = [qs[k] for k in steps if k not in bad]
         for a, b in zip(seq, seq[1:]):
             assert b >= a - 1e-9, (seq, bad)
