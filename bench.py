@@ -310,10 +310,12 @@ def run_scaling(sf: float, cores_a: int = 2, cores_b: int = 8, repeats: int = 1)
         f.write(f"sf={sf} synthetic transcript graph, {results[cores_a]['edges']} edges, fixed seed)\n")
         f.write(f"at two parallelism levels — N={cores_a} vs 4N={cores_b} cores — the sandbox\n")
         f.write("stand-in for N vs 4N executors (BASELINE.md):\n\n")
-        f.write("| config | edges/sec/superstep | supersteps | wall secs |\n|---|---|---|---|\n")
+        f.write("| config | edges/sec/superstep | supersteps | wall secs | shuffle GB/superstep (steady) |\n|---|---|---|---|---|\n")
         for c in (cores_a, cores_b):
             r = results[c]
-            f.write(f"| local[{c}] | {r['edges_per_sec']} | {r['supersteps']} | {r['wall_secs']} |\n")
+            sb = [x for x in r.get("per_superstep_shuffle_write_bytes", []) if x]
+            tail_gb = round(sum(sb[1:]) / max(len(sb) - 1, 1) / 1e9, 2) if len(sb) > 1 else "n/a"
+            f.write(f"| local[{c}] | {r['edges_per_sec']} | {r['supersteps']} | {r['wall_secs']} | {tail_gb} |\n")
         f.write(f"\n- speedup {cores_a}→{cores_b} cores: **{summary['speedup']}×**\n")
         f.write(f"- scaling efficiency ((thr_4N/thr_N)/{ratio:.0f}): **{summary['scaling_efficiency']}** (target ≥ 0.8)\n\n")
         f.write("Measurement notes: shuffle files on tmpfs (`spark.local.dir=/dev/shm`),\n")
