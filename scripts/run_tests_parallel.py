@@ -8,6 +8,10 @@ Usage: python scripts/run_tests_parallel.py [n_workers] [pytest args...]
 Files are greedy-bin-packed by a cost table (measured single-process
 runtimes, falling back to file size) so the longest shard, not the file
 count, bounds wall time.  Exit code is non-zero if any shard fails.
+
+Measured (round 4, local box, 32 cores): 4 workers → 991 s wall for the
+full ~1000-test suite (longest shard 880 s) vs ~2310 s single-process;
+use 5-6 workers to land under 15 minutes.
 """
 from __future__ import annotations
 
