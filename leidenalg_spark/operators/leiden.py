@@ -1178,6 +1178,11 @@ def _move_phase(
     if fixed is not None:
         fixed = fixed.select("id").persist()
 
+    # None ⇒ the loop never ran this invocation (a resume can enter with
+    # step already == max_supersteps); the post-loop guard then cannot
+    # know whether the final batch moved anything and must validate it
+    n_moves = None
+
     while step < max_supersteps:
         step += 1
         t0 = time.time()
@@ -1484,7 +1489,7 @@ def _move_phase(
         # covered: its last commit was empty.)  Computed via df_quality,
         # whose summation grouping differs from the guard row's by float
         # rounding only — hence the looser epsilon.
-        if monotone and q_prev is not None and int(n_moves) > 0:
+        if monotone and q_prev is not None and (n_moves is None or int(n_moves) > 0):
             q_last = df_quality(
                 edges, membership, spec.method, spec.gamma, directed,
                 node_sizes=node_sizes, correct_self_loops=spec.correct_self_loops,

@@ -133,7 +133,11 @@ def _decode_real(payload: bytes, media_type: str, decoders: dict) -> np.ndarray:
         px = np.asarray(img, dtype=np.float64).ravel() / 255.0
         # uniform 8-dim output across every media type and the fake
         # featureizer — a mixed corpus must never yield ragged feature
-        # arrays (distance/centroid consumers assume one fixed dimension)
+        # arrays (distance/centroid consumers assume one fixed dimension).
+        # Deliberate tradeoff: dropping the raw 8x8 thumbnail loses some
+        # pixel-layout discrimination (the stride-sum moments keep only
+        # partial permutation sensitivity); callers needing pixel-exact
+        # separation should hash the payload, not the feature vector.
         return _moments(px)
     if media_type == "audio":
         if impl == "soundfile":

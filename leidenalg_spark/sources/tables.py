@@ -45,12 +45,18 @@ def is_table_ref(ref: str) -> bool:
 
 
 def iceberg_available(spark: SparkSession, ref: str) -> bool:
-    """True when ``ref``'s catalog resolves to an Iceberg catalog impl."""
+    """True when ``ref`` resolves through a configured table catalog:
+    either its first component names an explicit catalog
+    (``spark.sql.catalog.<name>``), or the SESSION catalog itself is
+    replaced (``spark.sql.catalog.spark_catalog`` — the common Iceberg
+    deployment), in which case ``db.table`` and bare-table refs resolve
+    through it too."""
     if not is_table_ref(ref):
         return False
     catalog = ref.split(".", 1)[0]
-    impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
-    return impl is not None
+    if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is not None:
+        return True
+    return spark.conf.get("spark.sql.catalog.spark_catalog", None) is not None
 
 
 def read_table(spark: SparkSession, ref: str, schema: str | None = None) -> DataFrame:

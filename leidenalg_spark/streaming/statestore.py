@@ -29,7 +29,12 @@ def rocksdb_conf() -> dict:
     return {
         _CONF: ROCKSDB_PROVIDER,
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
-        # bound the block cache so state memory is explicit, not heap-competing
+        # bound the block cache so state memory is explicit, not
+        # heap-competing.  maxMemoryUsageMB is INERT unless
+        # boundedMemoryUsage=true (RocksDBMemoryManager gates the shared
+        # write-buffer-manager/cache on it, default false) — without the
+        # gate every state-store instance gets its own unbounded cache.
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
         "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": "512",
     }
 

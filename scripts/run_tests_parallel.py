@@ -19,6 +19,7 @@ import glob
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 # measured single-process seconds (r3 judge run); anything absent falls
@@ -67,16 +68,24 @@ def main() -> int:
         if not shard:
             continue
         env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "4"))
+        # each shard streams to its own temp file — a PIPE drained
+        # sequentially would let a verbose shard block on a full 64 KB
+        # pipe buffer while an earlier shard is still being waited on
+        log = tempfile.NamedTemporaryFile(
+            mode="w+", suffix=f"_shard{i}.log", delete=False
+        )
         p = subprocess.Popen(
             [sys.executable, "-m", "pytest", "-q", *args, *shard],
-            cwd=root, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=root, env=env, stdout=log, stderr=subprocess.STDOUT, text=True,
         )
-        procs.append((i, p))
+        procs.append((i, p, log))
     rc = 0
-    for i, p in procs:
-        out, _ = p.communicate()
-        tail = "\n".join(out.strip().splitlines()[-3:])
+    for i, p, log in procs:
+        p.wait()
+        log.seek(0)
+        tail = "\n".join(log.read().strip().splitlines()[-3:])
+        log.close()
+        os.unlink(log.name)
         print(f"--- shard {i} (rc={p.returncode}) ---\n{tail}", flush=True)
         if p.returncode not in (0, 5):  # 5 = no tests collected
             rc = 1
