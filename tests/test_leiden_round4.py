@@ -221,6 +221,26 @@ def test_surprise_guard_monitors_exact_objective(spark):
             assert b >= a - 1e-9, (seq, bad)
 
 
+@pytest.mark.parametrize("mode", [ALL_COMMS, RAND_NEIGH_COMM])
+def test_surprise_with_o8_modes_converges_monotone(spark, mode):
+    """Exact Surprise composes with the non-default O8 candidate modes:
+    the cross path (ALL_COMMS) computes w_va by window over the
+    crossJoined candidate table, the RAND path carries the full exact dq
+    through the ES pick — both must converge with non-decreasing guard
+    quality and find the planted split."""
+    from leidenalg_spark.functions.quality import quality as df_quality
+
+    e = _planted_two(spark)
+    res = leiden(
+        spark, e, method="surprise", n_iterations=4, seed=5,
+        local_threshold=0, max_supersteps=40,
+        opts=OptimiserOpts(seed=5, consider_comms=mode),
+    )
+    assert res.membership.select("comm").distinct().count() == 2
+    q = df_quality(e, res.membership, "surprise", 1.0, False)
+    assert q > 0 and abs(q - res.quality) < 1e-6
+
+
 def test_salted_superstep_rejects_surprise(spark):
     e = _planted_two(spark)
     with pytest.raises(ValueError, match="surprise"):
