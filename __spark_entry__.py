@@ -3569,14 +3569,15 @@ WITH pos AS (
 ),
 n1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
 mu AS (SELECT i, SUM(x) / (SELECT n FROM n1) AS mu FROM pos GROUP BY i),
+cen AS (
+  SELECT pos.vec_id, pos.i, pos.x - mu.mu AS cx FROM pos JOIN mu USING (i)
+),
 xx AS (
-  SELECT p1.i AS i, p2.i AS j, SUM(p1.x * p2.x) AS sxy
-  FROM pos p1 JOIN pos p2 ON p1.vec_id = p2.vec_id AND p1.i <= p2.i
+  SELECT p1.i AS i, p2.i AS j, SUM(p1.cx * p2.cx) AS sxy
+  FROM cen p1 JOIN cen p2 ON p1.vec_id = p2.vec_id AND p1.i <= p2.i
   GROUP BY 1, 2
 )
-SELECT xx.i, xx.j,
-       ROUND(sxy / (SELECT n FROM n1) - mi.mu * mj.mu, 6) AS cov
-FROM xx JOIN mu mi ON mi.i = xx.i JOIN mu mj ON mj.i = xx.j
+SELECT i, j, ROUND(sxy / (SELECT n FROM n1), 6) AS cov FROM xx
 """,
         "pmi_cooccurrence": f"""
 WITH pos0 AS (

@@ -356,6 +356,14 @@ def embedding_covariance(
     shuffle itself is d²/2 cells per partition, independent of n); the
     d-row mean table broadcasts.  d² cells is the inherent output of a
     covariance; nothing here is quadratic in n.
+
+    Numerics: two-pass CENTERED form ``Σ(x−μ_i)(y−μ_j)/n``, not
+    ``E[xy]−μ_i·μ_j``.  The uncentered form subtracts two large
+    near-equal numbers, so cross-engine summation-order drift lands at
+    the 6th decimal and flips the ROUND boundary (the round-4 driver
+    hash-fail); centering shrinks the summands by orders of magnitude
+    and makes 6dp rounding engine-stable.  The extra pass is one
+    broadcast join of the d-row mean table — free at any scale.
     """
     pos = embeddings.select(
         F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("i", "x")
@@ -366,22 +374,20 @@ def embedding_covariance(
         .crossJoin(F.broadcast(n1))
         .select("i", (F.col("sx") / F.col("n")).alias("mu"))
     )
-    p1 = pos.select("vid", F.col("i").alias("i"), F.col("x").alias("xi"))
-    p2 = pos.select("vid", F.col("i").alias("j"), F.col("x").alias("xj"))
+    cen = pos.join(F.broadcast(mu), "i").select(
+        "vid", "i", (F.col("x") - F.col("mu")).alias("cx")
+    )
+    p1 = cen.select("vid", F.col("i").alias("i"), F.col("cx").alias("cxi"))
+    p2 = cen.select("vid", F.col("i").alias("j"), F.col("cx").alias("cxj"))
     sxy = (
         p1.join(p2, "vid")
         .where(F.col("i") <= F.col("j"))
         .groupBy("i", "j")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("sxy"))
+        .agg(F.sum(F.col("cxi") * F.col("cxj")).alias("sxy"))
     )
     return (
-        sxy.join(F.broadcast(mu.select(F.col("i"), F.col("mu").alias("mi"))), "i")
-        .join(F.broadcast(mu.select(F.col("i").alias("j"), F.col("mu").alias("mj"))), "j")
-        .crossJoin(F.broadcast(n1))
-        .select(
-            "i", "j",
-            F.round(F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj"), 6).alias("cov"),
-        )
+        sxy.crossJoin(F.broadcast(n1))
+        .select("i", "j", F.round(F.col("sxy") / F.col("n"), 6).alias("cov"))
     )
 
 
