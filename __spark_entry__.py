@@ -1481,8 +1481,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.kmeans_elbow(spark, _embeddings(spark, sf), ks=(2, 4, 8)).orderBy("k")
 
     def q_product_quantize(spark, sf):
-        # PQ codes + reconstruction error (rows-only: m Lloyd fits)
-        return S.product_quantize(spark, _embeddings(spark, sf), m=2, k=16)
+        # PQ codes + reconstruction error; codes concat-joined to a
+        # string so the driver's pandas canonicalizer can sort/hash them
+        # (array<int> is unhashable there) — oracle: _pq_oracle
+        return S.product_quantize(spark, _embeddings(spark, sf), m=2, k=16).select(
+            "vec_id",
+            F.concat_ws("-", F.col("codes")).alias("codes"),
+            "recon_err",
+        )
 
     def q_heavy_user_share(spark, sf):
         # whale concentration: share of events from the top-p% actors
@@ -3843,6 +3849,7 @@ WHERE keep.is_kept AND NOT cont.contaminated
   AND lang.lang_pred IN ('en') AND qual.quality_score >= 0.5
 """
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
+    sqls["product_quantize"] = _pq_oracle(m=2, k=16, iters=2)
     # SemDeDup: composed on the SAME Lloyd CTE chain; cell-bounded pair
     # search, cos rounded to 6 BEFORE the threshold (the Spark contract)
     sqls["semantic_dedup"] = _kmeans_ctes(k=4, iters=2) + """,
@@ -7584,6 +7591,59 @@ SELECT CAST((SELECT id FROM st) AS BIGINT) AS start_id,
     )
 
 
+def _kmeans_cte_list(
+    k: int = 4,
+    iters: int = 2,
+    seed: int = 42,
+    prefix: str = "",
+    vexpr: str = "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+) -> list:
+    """CTE fragments of the deterministic Lloyd loop (see
+    :func:`_kmeans_ctes`).  ``prefix`` namespaces every CTE so several
+    independent fits (e.g. the per-subspace chains of the PQ oracle) can
+    share one WITH clause; ``vexpr`` is the vector expression fed to the
+    fit (defaults to the full cast embedding — the PQ oracle passes a
+    ``list_slice``)."""
+    p = prefix
+    pri = f"('0x' || substr(md5('{seed}:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
+    ctes = [
+        f"""{p}emb AS (
+  SELECT vec_id, {vexpr} AS v
+  FROM embeddings
+)""",
+        f"""{p}c0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY {pri}, vec_id) - 1 AS cell,
+         list_transform(v, x -> ROUND(x, 6)) AS cv
+  FROM {p}emb ORDER BY {pri}, vec_id LIMIT {k}
+)""",
+    ]
+    for t in range(1, iters + 2):
+        rn_keep = 2 if t == iters + 1 else 1
+        ctes.append(f"""{p}a{t} AS MATERIALIZED (
+  SELECT vec_id, cell, d2, rn FROM (
+    SELECT vec_id, cell, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM (
+      SELECT e.vec_id, c.cell,
+             list_sum(list_transform(range(1, length(e.v) + 1),
+                      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+      FROM {p}emb e CROSS JOIN {p}c{t - 1} c
+    )
+  ) WHERE rn <= {rn_keep}
+)""")
+        if t <= iters:
+            ctes.append(f"""{p}c{t} AS MATERIALIZED (
+  SELECT cell, list(m ORDER BY i) AS cv FROM (
+    SELECT a.cell, u.i, ROUND(AVG(u.x), 6) AS m
+    FROM {p}a{t} a JOIN {p}emb e USING (vec_id),
+         LATERAL (SELECT unnest(e.v) AS x,
+                         unnest(range(1, length(e.v) + 1)) AS i) u
+    GROUP BY a.cell, u.i
+  ) GROUP BY cell
+)""")
+    return ctes
+
+
 def _kmeans_ctes(k: int = 4, iters: int = 2, seed: int = 42) -> str:
     """Shared DuckDB twin of the deterministic Lloyd loop: same
     md5-priority init as the Spark op, rounds unrolled as CTEs,
@@ -7592,43 +7652,38 @@ def _kmeans_ctes(k: int = 4, iters: int = 2, seed: int = 42) -> str:
     purpose).  The final assignment CTE ``a{iters+1}`` keeps rn ≤ 2
     (nearest + second-nearest) so both the assignment and the
     silhouette oracles read from it."""
-    pri = f"('0x' || substr(md5('{seed}:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
-    ctes = [
-        """emb AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-)""",
-        f"""c0 AS MATERIALIZED (
-  SELECT ROW_NUMBER() OVER (ORDER BY {pri}, vec_id) - 1 AS cell,
-         list_transform(v, x -> ROUND(x, 6)) AS cv
-  FROM emb ORDER BY {pri}, vec_id LIMIT {k}
-)""",
-    ]
-    for t in range(1, iters + 2):
-        rn_keep = 2 if t == iters + 1 else 1
-        ctes.append(f"""a{t} AS MATERIALIZED (
-  SELECT vec_id, cell, d2, rn FROM (
-    SELECT vec_id, cell, d2,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-    FROM (
-      SELECT e.vec_id, c.cell,
-             list_sum(list_transform(range(1, length(e.v) + 1),
-                      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
-      FROM emb e CROSS JOIN c{t - 1} c
+    return "WITH " + ",\n".join(_kmeans_cte_list(k, iters, seed))
+
+
+def _pq_oracle(m: int = 2, k: int = 16, iters: int = 2, seed: int = 42) -> str:
+    """DuckDB twin of :func:`leidenalg_spark.operators.similarity.product_quantize`:
+    ``m`` independent deterministic-Lloyd chains over ``list_slice``d
+    subvectors (seed + 101·j per subspace — the Spark op's convention),
+    codes concat-joined into the driver-comparable string the catalog
+    entry emits, recon_err = √(Σ_j dist_j²) over the per-subspace
+    rounded-6 assignment distances."""
+    ctes, finals = [], []
+    for j in range(m):
+        sub = f"(length(embedding) // {m})"
+        vexpr = (
+            f"list_slice(list_transform(embedding, x -> CAST(x AS DOUBLE)), "
+            f"1 + {j} * {sub}, {j + 1} * {sub})"
+        )
+        ctes += _kmeans_cte_list(k, iters, seed + 101 * j, prefix=f"s{j}", vexpr=vexpr)
+        finals.append(f"""f{j} AS (
+  SELECT vec_id, CAST(cell AS BIGINT) AS cell, ROUND(sqrt(d2), 6) AS dist
+  FROM s{j}a{iters + 1} WHERE rn = 1
+)""")
+    joins = " ".join(f"JOIN f{j} USING (vec_id)" for j in range(1, m))
+    codes = " || '-' || ".join(f"CAST(f{j}.cell AS VARCHAR)" for j in range(m))
+    err = " + ".join(f"f{j}.dist * f{j}.dist" for j in range(m))
+    return (
+        "WITH " + ",\n".join(ctes + finals)
+        + f"""
+SELECT f0.vec_id, {codes} AS codes, ROUND(sqrt({err}), 6) AS recon_err
+FROM f0 {joins}
+"""
     )
-  ) WHERE rn <= {rn_keep}
-)""")
-        if t <= iters:
-            ctes.append(f"""c{t} AS MATERIALIZED (
-  SELECT cell, list(m ORDER BY i) AS cv FROM (
-    SELECT a.cell, u.i, ROUND(AVG(u.x), 6) AS m
-    FROM a{t} a JOIN emb e USING (vec_id),
-         LATERAL (SELECT unnest(e.v) AS x,
-                         unnest(range(1, length(e.v) + 1)) AS i) u
-    GROUP BY a.cell, u.i
-  ) GROUP BY cell
-)""")
-    return "WITH " + ",\n".join(ctes)
 
 
 def _kmeans_oracle(k: int = 4, iters: int = 2, seed: int = 42) -> str:
