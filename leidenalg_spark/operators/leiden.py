@@ -380,7 +380,16 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
             F.col("comm").alias("cand"),
             *[F.col(src).alias(dst_name) for dst_name, src in b_cols],
         )
-        if n_comm is None or n_comm <= _BCAST_COMMS:
+        if n_comm is None:
+            # refuse to guess: defaulting to broadcast here silently
+            # re-introduces the level-0 singleton-init OOM (|C| ≈ |V|)
+            # the gate exists to prevent — a cross-mode caller must pass
+            # the community count it already tracks
+            raise ValueError(
+                f"consider_comms={mode!r} needs n_comm (the community count) "
+                "to decide broadcast vs shuffled cartesian"
+            )
+        if n_comm <= _BCAST_COMMS:
             comms_b = F.broadcast(comms_b)
         g = (
             aug.crossJoin(comms_b)

@@ -285,6 +285,22 @@ def test_all_comms_stats_attach_gated_on_n_comm(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_all_comms_requires_n_comm(spark):
+    """VERDICT r4 hardening #4: a cross-mode call that omits n_comm must
+    raise instead of silently defaulting to broadcast (the default-path
+    OOM the |C| gate exists to prevent)."""
+    fix = fx.with_random_weights(fx.erdos_renyi(25, 0.15, seed=4), seed=5)
+    memb = {i: i % 5 for i in range(25)}
+    inp = _superstep_inputs(spark, fix, memb, "cpm", mode=ALL_COMMS, gamma=0.05)
+    opts = OptimiserOpts(consider_comms=ALL_COMMS)
+    with pytest.raises(ValueError, match="n_comm"):
+        _superstep_moves(
+            inp["edges_sym"], inp["aug"], inp["spec"], False, inp["W"],
+            inp["p_global"], inp["n_tot"], step=1, seed=0, n_shuffle=8,
+            opts=opts, comm_stats=inp["cstats"], n_comm=None,
+        )
+
+
 def test_all_comms_k5050_golden_with_tiny_gate(spark, monkeypatch):
     """The reference ALL_COMMS golden (tests/test_Optimiser.py:167-175)
     still lands with _BCAST_COMMS forced to 0 — i.e. the whole run takes
