@@ -265,8 +265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return K.harmonic_centrality(spark, _bipartite_ids_det(spark, sf), max_dist=2)
 
     def q_neighborhood_hll(spark, sf):
-        # HyperBall ball-size estimates (rows-only: sketch internals are
-        # not SQL-reproducible); exactness vs khop_counts is pytest-held
+        # HyperBall ball-size estimates; at driver scale the HLL stays in
+        # sparse exact mode, so the exact-closure SQL is a valid twin
         return K.neighborhood_hll(spark, _bipartite_ids_det(spark, sf), max_dist=2)
 
     def q_doc_quality(spark, sf):
@@ -495,9 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return K.shortest_path(spark, _bipartite_ids_det(spark, sf), 0, 2, max_depth=4)
 
     def q_spanning_forest(spark, sf):
-        # Borůvka minimum spanning forest (rows-only: iterative with a
-        # CC contraction per round — no SQL twin; pytest carries a
-        # Kruskal union-find equality oracle instead)
+        # Borůvka minimum spanning forest; the (w,a,b) total order makes
+        # the MSF unique, so the DuckDB twin (Kruskal via the
+        # cycle-property reachability fixpoint) matches edge-for-edge
         return K.spanning_forest(spark, _bipartite_ids_det(spark, sf))
 
     def q_katz(spark, sf):
@@ -1212,19 +1212,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ivf_topk(spark, sf):
-        # IVF ANN: trained coarse codebook, n_probe-cell candidate join +
-        # exact rescoring — iterative k-means training (rows-only check)
+        # IVF ANN: coarse codebook from the SHARED deterministic Lloyd
+        # fit (md5-priority init, 6dp-rounded syncs) instead of the
+        # xxhash64-sampled numpy trainer, so the DuckDB twin replays
+        # training, probe ranking and rescoring exactly
+        from leidenalg_spark.operators.similarity import _kmeans_fit
+
         emb = _embeddings(spark, sf)
+        base, _s, _a, cents = _kmeans_fit(spark, emb, 8, 2, 42, "vec_id", "embedding")
+        base.unpersist()
         return S.ivf_topk(
-            emb, emb.where(F.col("vec_id") < 8), k=5, n_cells=8, n_probe=2, seed=42
+            emb, emb.where(F.col("vec_id") < 8), k=5, n_cells=8, n_probe=2,
+            seed=42, centroids=cents,
         ).select(
             "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
         )
 
     def q_media_features(spark, sf):
-        from leidenalg_spark.operators.multimodal import extract_features, synthetic_media
+        # Arrow-batched mapInPandas feature extraction; document bytes
+        # stand in for opaque payloads so the DuckDB twin can recompute
+        # n_bytes/checksum from the same utf-8 blobs (the deterministic
+        # moment features stay pytest-held — SQL has no float32 numpy)
+        from leidenalg_spark.operators.multimodal import extract_features
 
-        return extract_features(synthetic_media(spark, 100)).select(
+        media = _documents(spark, sf).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("doc").alias("media_type"),
+            F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload"),
+        )
+        return extract_features(media).select(
             "media_id", "media_type", "n_bytes", "checksum"
         )
 
@@ -1241,10 +1257,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return media_neardup_pairs(media, threshold=0.5).orderBy("a", "b")
 
     def q_media_dedup(spark, sf):
-        # codec-free binary dedup on the opaque payload column
-        from leidenalg_spark.operators.multimodal import media_dedup, synthetic_media
+        # codec-free binary dedup on the opaque payload column; document
+        # bytes stand in for opaque payloads (the q_media_neardup
+        # convention) so the DuckDB twin can md5 the same utf-8 blobs
+        from leidenalg_spark.operators.multimodal import media_dedup
 
-        return media_dedup(synthetic_media(spark, 100))
+        media = _documents(spark, sf).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("doc").alias("media_type"),
+            F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload"),
+        )
+        return media_dedup(media)
 
     def q_embedding_neardup(spark, sf):
         # LSH-routed candidates + exact-cosine verify (the 100-TB path);
@@ -1435,8 +1458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return adoption_curve(_events(spark, sf), "purchase", min_weight=3)
 
     def q_markov_absorption(spark, sf):
-        # conversion probability from each state (rows-only: the
-        # fundamental-matrix solve runs on the catalog-sized chain)
+        # conversion probability from each state; the DuckDB twin
+        # replaces the driver-side numpy solve with a recursive-CTE
+        # fixpoint b <- R + Q*b on the same catalog-sized chain
         from leidenalg_spark.operators.events import markov_absorption
 
         return markov_absorption(_events(spark, sf), ["purchase"])
@@ -2125,8 +2149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_neardup_online(spark, sf):
         # greedy first-wins-by-id near-dup admission (batch twin of the
-        # streaming gate; iterative greedy -> rows-only, goldens +
-        # batch-equality tests carry correctness)
+        # streaming gate); the DuckDB twin replays the greedy-MIS rounds
+        # in a recursive CTE over the same md5 band keys
         from leidenalg_spark.operators.dedup import online_neardup_filter
 
         return online_neardup_filter(_documents(spark, sf)).orderBy("doc_id")
@@ -3545,6 +3569,28 @@ FROM documents
 SELECT doc_id, md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint
 FROM documents
 """,
+        "media_features": """
+WITH b AS (
+  SELECT doc_id AS media_id, 'doc' AS media_type,
+         octet_length(encode(coalesce(text, ''))) AS n_bytes,
+         hex(encode(coalesce(text, ''))) AS hx
+  FROM documents
+)
+SELECT media_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(COALESCE(list_sum(list_transform(range(0, CAST(n_bytes AS INT)),
+            i -> ('0x' || substr(hx, 2 * i + 1, 2))::INT)), 0) AS BIGINT) AS checksum
+FROM b
+""",
+        "media_dedup": """
+WITH fp AS (SELECT doc_id AS media_id, 'doc' AS media_type,
+                   md5(coalesce(text, '')) AS content_hash
+            FROM documents),
+grp AS (SELECT content_hash, MIN(media_id) AS keep_id, COUNT(*) AS group_size
+        FROM fp GROUP BY content_hash)
+SELECT fp.media_id, fp.media_type, fp.content_hash, grp.group_size,
+       fp.media_id = grp.keep_id AS is_kept
+FROM fp JOIN grp USING (content_hash)
+""",
         "dedup_exact": """
 WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fingerprint FROM documents),
 grp AS (SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS group_size FROM fp GROUP BY fingerprint)
@@ -3638,6 +3684,105 @@ comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical FROM reach GROUP BY a
 SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical_id,
        COALESCE(c.canonical, d.doc_id) = d.doc_id AS is_kept
 FROM documents d LEFT JOIN comp c USING (doc_id)
+""",
+        "markov_absorption": """
+WITH RECURSIVE nxt AS MATERIALIZED (
+  SELECT event_type AS s,
+         COALESCE(LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id), 'END') AS t
+  FROM events
+),
+cnt AS MATERIALIZED (SELECT s, t, CAST(COUNT(*) AS DOUBLE) AS n FROM nxt GROUP BY s, t),
+states AS MATERIALIZED (SELECT DISTINCT s FROM cnt WHERE s NOT IN ('purchase')),
+tot AS (SELECT s, SUM(n) AS tot FROM cnt GROUP BY s),
+trans AS MATERIALIZED (
+  SELECT c.s, c.t, c.n / tot.tot AS p
+  FROM cnt c JOIN tot USING (s) JOIN states st ON st.s = c.s
+),
+q AS (SELECT tr.s AS i, tr.t AS j, SUM(p) AS p
+      FROM trans tr JOIN states st2 ON st2.s = tr.t GROUP BY 1, 2),
+-- identity-zero rows keep every (state, target) cell alive through the
+-- aggregation even when a state has no transient out-transition
+qz AS MATERIALIZED (SELECT i, j, p FROM q UNION ALL SELECT s, s, 0.0 FROM states),
+r AS MATERIALIZED (
+  SELECT tr.s AS i,
+         CASE WHEN tr.t = 'purchase' THEN 'purchase' ELSE 'END' END AS tg,
+         SUM(p) AS p
+  FROM trans tr ANTI JOIN states st2 ON st2.s = tr.t
+  GROUP BY 1, 2
+),
+-- fundamental-matrix answer by fixpoint: b <- R + Q*b from b=0 converges
+-- geometrically to (I-Q)^-1 R; 400 rounds puts the iterate far below the
+-- 6-decimal contract for any substochastic Q this chain produces
+b AS (
+  SELECT 0 AS it, st.s AS i, tg.t AS tg, CAST(0 AS DOUBLE) AS p
+  FROM states st CROSS JOIN (SELECT 'END' AS t UNION ALL SELECT 'purchase') tg
+  UNION ALL
+  SELECT s.it, s.i, s.tg, s.qp + COALESCE(r.p, 0) AS p
+  FROM (
+    SELECT bb.it + 1 AS it, qz.i AS i, bb.tg AS tg, SUM(qz.p * bb.p) AS qp
+    FROM b bb JOIN qz ON qz.j = bb.i
+    WHERE bb.it < 400
+    GROUP BY 1, 2, 3
+  ) s LEFT JOIN r ON r.i = s.i AND r.tg = s.tg
+)
+SELECT i AS state, tg AS absorbing_state, ROUND(p, 6) AS probability
+FROM b WHERE it = 400
+""",
+        "neardup_online": f"""
+WITH RECURSIVE {shingle_cte},
+mh AS (
+  SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS m
+  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i)
+  GROUP BY doc_id, i
+),
+bk AS (
+  SELECT doc_id, i // 4 AS band, md5(string_agg(m, '|' ORDER BY i)) AS key
+  FROM mh GROUP BY doc_id, i // 4
+),
+-- greedy-MIS rounds (the Spark op's sequential-scan simulation): a doc
+-- is SAFE when it is the min remaining holder of every one of its band
+-- keys; safe docs admit, docs sharing a key with them drop, repeat.
+rem AS (
+  SELECT 0 AS round, doc_id, band, key FROM bk
+  UNION ALL
+  SELECT round + 1, doc_id, band, key FROM (
+    SELECT round, doc_id, band, key, safe,
+           BOOL_OR(key_taken) OVER (PARTITION BY doc_id) AS conflicted
+    FROM (
+      SELECT round, doc_id, band, key, safe,
+             BOOL_OR(safe) OVER (PARTITION BY band, key) AS key_taken
+      FROM (
+        SELECT round, doc_id, band, key,
+               BOOL_AND(wmin = doc_id) OVER (PARTITION BY doc_id) AS safe
+        FROM (
+          SELECT round, doc_id, band, key,
+                 MIN(doc_id) OVER (PARTITION BY band, key) AS wmin
+          FROM rem
+        )
+      )
+    )
+  ) WHERE NOT safe AND NOT conflicted
+),
+-- a doc was admitted iff it was safe in the LAST round it survived to
+-- (conflicted docs leave unsafe; rem accumulates every round's state)
+perdoc AS (
+  SELECT round, doc_id, BOOL_AND(wmin = doc_id) AS ok FROM (
+    SELECT round, doc_id,
+           MIN(doc_id) OVER (PARTITION BY round, band, key) AS wmin
+    FROM rem
+  ) GROUP BY round, doc_id
+),
+adm AS (
+  SELECT p.doc_id FROM perdoc p
+  JOIN (SELECT doc_id, MAX(round) AS r FROM perdoc GROUP BY doc_id) l
+    ON l.doc_id = p.doc_id AND l.r = p.round
+  WHERE p.ok
+)
+SELECT d.doc_id,
+       (a.doc_id IS NOT NULL OR s.doc_id IS NULL) AS admitted
+FROM documents d
+LEFT JOIN adm a ON a.doc_id = d.doc_id
+LEFT JOIN (SELECT DISTINCT doc_id FROM sh) s ON s.doc_id = d.doc_id
 """,
         "decontaminate": f"""
 WITH sh5 AS (
@@ -3850,6 +3995,44 @@ WHERE keep.is_kept AND NOT cont.contaminated
 """
     sqls["kmeans"] = _kmeans_oracle(k=4, iters=2)
     sqls["product_quantize"] = _pq_oracle(m=2, k=16, iters=2)
+    # IVF top-k on the shared deterministic Lloyd codebook (k=8, iters=2):
+    # base assignment IS the chain's final a3, probes rank c2 by (d2, cell),
+    # rescoring is the cosine_topk arithmetic on probe-cell candidates only
+    sqls["ivf_topk"] = _kmeans_ctes(k=8, iters=2) + """,
+ivfbase AS (SELECT vec_id AS neighbor_id, cell FROM a3 WHERE rn = 1),
+qd AS (
+  SELECT q.vec_id AS query_id, c.cell,
+         list_sum(list_transform(range(1, length(q.v) + 1),
+                  i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS d2
+  FROM emb q CROSS JOIN c2 c WHERE q.vec_id < 8
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cell) AS pr
+    FROM qd
+  ) WHERE pr <= 2
+),
+cand AS (
+  SELECT DISTINCT p.query_id, b.neighbor_id
+  FROM probes p JOIN ivfbase b ON b.cell = p.cell
+  WHERE b.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND(list_sum(list_transform(list_zip(q.v, n.v),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(n.v, x -> x * x)))), 6) AS cos_sim
+  FROM cand c JOIN emb q ON q.vec_id = c.query_id
+              JOIN emb n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
     # SemDeDup: composed on the SAME Lloyd CTE chain; cell-bounded pair
     # search, cos rounded to 6 BEFORE the threshold (the Spark contract)
     sqls["semantic_dedup"] = _kmeans_ctes(k=4, iters=2) + """,
@@ -9267,6 +9450,30 @@ reach AS (SELECT DISTINCT id, v FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r
 SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reachable FROM reach GROUP BY id
 """
     )
+    # ---- HyperBall ball sizes: at driver scale every ball is far below
+    # the datasketches HLL sparse-mode promotion point, so the estimates
+    # are EXACT and the twin is the exact 1/2-hop closure (the same
+    # exactness contract the khop_counts pytest pins); self excluded
+    hyperball_sql = (
+        "WITH " + _DET_PRELUDE + """,
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+s AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+r1d AS (SELECT DISTINCT a AS id, b AS v FROM s),
+b1 AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM r1d GROUP BY id),
+r2d AS (
+  SELECT DISTINCT id, v FROM (
+    SELECT id, v FROM r1d
+    UNION ALL
+    SELECT r1d.id, s.b AS v FROM r1d JOIN s ON s.a = r1d.v
+  ) WHERE v <> id
+),
+b2 AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM r2d GROUP BY id)
+SELECT id, CAST(1 AS INT) AS dist, n AS n_reachable_est FROM b1
+UNION ALL
+SELECT id, CAST(2 AS INT) AS dist, n AS n_reachable_est FROM b2
+"""
+    )
     # ---- bibliographic coupling on the DIRECTED bipartite graph:
     # pairs of users sharing cited event types
     coupling_sql = (
@@ -9550,7 +9757,33 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
 """
     )
 
+    # ---- minimum spanning forest: Kruskal by the cycle property — edge
+    # (rank r under the (w,a,b) total order) is REJECTED iff its endpoints
+    # are already connected using only strictly-smaller-ranked edges, so a
+    # per-edge reachability fixpoint replaces sequential union-find state.
+    # Under the total order the MSF is unique, so this matches the Spark
+    # Borůvka run edge-for-edge.
+    msf_sql = (
+        "WITH RECURSIVE " + _DET_PRELUDE + """,
+und AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, MIN(weight) AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+e AS (SELECT a, b, w, ROW_NUMBER() OVER (ORDER BY w, a, b) AS rnk FROM und),
+reach AS (
+  SELECT rnk, a AS node FROM e
+  UNION
+  SELECT r.rnk, CASE WHEN s.a = r.node THEN s.b ELSE s.a END AS node
+  FROM reach r JOIN e s ON s.rnk < r.rnk AND (s.a = r.node OR s.b = r.node)
+)
+SELECT e.a AS src, e.b AS dst, e.w AS weight
+FROM e LEFT JOIN reach rb ON rb.rnk = e.rnk AND rb.node = e.b
+WHERE rb.node IS NULL
+"""
+    )
+
     return {"pagerank": pagerank_sql, "personalized_pagerank": ppr_sql,
+            "spanning_forest": msf_sql,
             "ppr_sweep": sweep_sql, "katz_centrality": katz_sql,
             "shortest_path": shortest_sql,
             "strongly_connected_components": scc_sql,
@@ -9599,6 +9832,7 @@ FROM classes cl LEFT JOIN conn USING (triad) CROSS JOIN scal
             "connected_components": cc_sql, "two_edge_components": tec_sql,
             "assortativity": assort_sql,
             "k_core": kcore_sql, "khop_counts": khop_sql,
+            "neighborhood_hll": hyperball_sql,
             "topological_levels": topo_sql,
             "voronoi_cells": voronoi_sql,
             "core_periphery": cp_sql,

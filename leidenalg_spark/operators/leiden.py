@@ -609,7 +609,8 @@ def _superstep_moves(edges_sym, aug, spec, directed, W, p_global, n_tot, step, s
     return cand_tbl
 
 
-def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed, n_shuffle, k, opts):
+def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, step, seed,
+                            n_shuffle, k, opts, kl_scalars=None, aux_persists=None):
     """Skew-proof variant of :func:`_superstep_moves` (hub-vertex salting).
 
     A tool vertex can have degree ~|conversations| (10^9 at north-rule
@@ -642,20 +643,27 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
     function of cand so no candidate group is split across salts, and a
     two-level max over the SAME key equals the unsalted one-level max
     (same seed ⇒ bit-identical picks).  The cross modes
-    (ALL_COMMS/RAND_COMM) and Surprise are refused by the caller: the
-    cross candidate set does not ride the gather, and Surprise's arg-max
-    key needs the per-vertex w_va before the partial stage, which salting
-    splits.
+    (ALL_COMMS/RAND_COMM) are refused by the caller: the cross candidate
+    set does not ride the gather.
+
+    Surprise (exact, salted): its per-candidate ΔQ reads the per-vertex
+    own-community weight w_va, which no single salted task can see — so
+    the gathered (id, salt3, cand) table is persisted, the ``cand ==
+    comm`` rows (each lives in exactly ONE salt3 group) collapse to an
+    n-row w_va table, and w_va rides back onto every gathered row via a
+    k×-replicated merge join co-partitioned on (id, salt3) — the same
+    layout the comm(v) attach already uses, so the recovery adds one
+    n-row aggregate + one n·k-row exchange, never an edge-proportional
+    pass.  The vertex's own-community size ``na`` ships as one more
+    column on the existing m_src_k join.  ``aux_persists`` (a caller
+    list) collects the internal persist for post-superstep cleanup.
     """
     from ..localcore.optimiser import RAND_NEIGH_COMM
 
     method_eff, gamma_eff = spec.method, spec.gamma
-    if method_eff == "surprise":
-        raise ValueError(
-            "hub_salt > 1 does not support method='surprise': its arg-max "
-            "key reads the per-vertex own-community weight, which the "
-            "salted partial stage cannot see (run surprise unsalted)"
-        )
+    surprise = method_eff == "surprise"
+    if surprise and kl_scalars is None:
+        raise ValueError("method='surprise' needs the (Σw_in, Σpairs) kl_scalars")
     rand_mode = getattr(opts, "consider_comms", None) == RAND_NEIGH_COMM
     constrained = bool(opts.min_comm_size or opts.max_comm_size)
     needs = _stat_needs(method_eff, directed, constrained)
@@ -700,16 +708,41 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
             *[F.first(name).alias(name) for name, _ in b_cols],
         )
     )
-    # comm(v) via the k×-replicated membership (co-partitioned on salt3)
+    # comm(v) via the k×-replicated membership (co-partitioned on salt3);
+    # Surprise additionally ships the vertex's own-community size na —
+    # one more column on the existing join
     m_src_k = (
-        aug.select("id", "comm").withColumn("salt3", F.explode(salts))
+        aug.select("id", "comm", *(["na"] if surprise else []))
+        .withColumn("salt3", F.explode(salts))
         .repartition(n_shuffle, "id", "salt3")
         .sortWithinPartitions("id", "salt3")
         .hint("merge")
     )
     # single consumer (the two-level arg-max below, which also carries the
-    # own-community w_va row) — not persisted; see the unsalted path
+    # own-community w_va row) — not persisted; see the unsalted path.
+    # EXCEPT Surprise: its per-candidate ΔQ needs w_va at the partial
+    # stage, so g persists (candidate-proportional, ≤ edge rows) and is
+    # read twice — once to collapse the cand == comm rows to the n-row
+    # w_va table, once for the arg-max with w_va merged back on the
+    # (id, salt3) layout it already has
     g = gather.join(m_src_k, ["id", "salt3"])
+    if surprise:
+        g = g.persist()
+        if aux_persists is not None:
+            aux_persists.append(g)
+        w_va_tbl = (
+            g.where(F.col("cand") == F.col("comm"))
+            .groupBy("id").agg(F.sum("w_vc").alias("w_va_g"))
+        )
+        w_va_k = (
+            w_va_tbl.withColumn("salt3", F.explode(salts))
+            .repartition(n_shuffle, "id", "salt3")
+            .sortWithinPartitions("id", "salt3")
+            .hint("merge")
+        )
+        g = g.join(w_va_k, ["id", "salt3"], "left").withColumn(
+            "w_va_g", F.coalesce("w_va_g", zero)
+        )
 
     present = {"Kb_out": "K_out", "Kb_in": "K_in", "nb": "n", "wb": "w"}
 
@@ -723,13 +756,40 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
         kb_in = kb_out
     add = F.col("w_vc") + F.col("vloop")
     vk_in = F.col("vk_in") if directed else F.col("vk_out")
-    gb_old = _contrib(method_eff, gamma_eff, w=wb, ko=kb_out, ki=kb_in, n=nb, **args)
-    gb_new = _contrib(
-        method_eff, gamma_eff,
-        w=wb + add, ko=kb_out + F.col("vk_out"),
-        ki=kb_in + vk_in, n=nb + F.col("vnsize"), **args,
-    )
-    gb = gb_new - gb_old
+    if surprise:
+        # EXACT global-KL ΔQ (the unsalted path's formula verbatim, with
+        # the salted column sources: sv/na from the edge cache + m_src_k
+        # riders, w_va from the two-phase recovery above)
+        from ..localcore.quality import kl_div as _kl_np, possible_pairs
+
+        sw0, sp0 = float(kl_scalars[0]), float(kl_scalars[1])
+        pairs_tot = float(possible_pairs(n_tot, directed, csl))
+        svp = F.col("vnsize")
+        if W > 0 and pairs_tot > 0:
+            q_old = min(max(sw0 / W, 0.0), 1.0)
+            const_q = float(W) * float(_kl_np(q_old, sp0 / pairs_tot))
+            d_sw = F.col("w_vc") - F.col("w_va_g")
+            d_sp = (
+                _pairs_col(F.col("na") - svp, directed, csl)
+                - _pairs_col(F.col("na"), directed, csl)
+                + _pairs_col(nb + svp, directed, csl)
+                - _pairs_col(nb, directed, csl)
+            )
+            q_new = F.least(
+                F.greatest((F.lit(sw0) + d_sw) / F.lit(float(W)), zero), F.lit(1.0)
+            )
+            e_new = (F.lit(sp0) + d_sp) / F.lit(pairs_tot)
+            gb = F.lit(float(W)) * _kl_col(q_new, e_new) - F.lit(const_q)
+        else:
+            gb = zero
+    else:
+        gb_old = _contrib(method_eff, gamma_eff, w=wb, ko=kb_out, ki=kb_in, n=nb, **args)
+        gb_new = _contrib(
+            method_eff, gamma_eff,
+            w=wb + add, ko=kb_out + F.col("vk_out"),
+            ki=kb_in + vk_in, n=nb + F.col("vnsize"), **args,
+        )
+        gb = gb_new - gb_old
     # candidate-side size constraints must steer the partial arg-max too:
     # hard max gate, and the b-side half of the soft penalty (the a-side
     # half is constant per vertex → applied on the winners table below)
@@ -811,13 +871,19 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
     if not directed:
         ka_in = ka_out
     rm = F.col("w_va") + F.col("loop")
-    ga_old = _contrib(method_eff, gamma_eff, w=wa, ko=ka_out, ki=ka_in, n=na, **args)
-    ga_new = _contrib(
-        method_eff, gamma_eff,
-        w=wa - rm, ko=ka_out - F.col("k_out"),
-        ki=ka_in - F.col("k_in"), n=na - F.col("node_size"), **args,
-    )
-    a_term = ga_new - ga_old
+    if surprise:
+        # the per-row gb above is already the FULL ΔQ (own-community
+        # pairs change included in the KL) — the a-side carries only the
+        # constraint-penalty half, exactly like the unsalted path
+        a_term = zero
+    else:
+        ga_old = _contrib(method_eff, gamma_eff, w=wa, ko=ka_out, ki=ka_in, n=na, **args)
+        ga_new = _contrib(
+            method_eff, gamma_eff,
+            w=wa - rm, ko=ka_out - F.col("k_out"),
+            ki=ka_in - F.col("k_in"), n=na - F.col("node_size"), **args,
+        )
+        a_term = ga_new - ga_old
     if (mn or mx) and enf > 0:
         a_term = a_term - F.lit(float(enf)) * (
             _viol(na - F.col("node_size"), mn, mx) - _viol(na, mn, mx)
@@ -826,12 +892,31 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
     nc_x = F.col("best.cand")
     if opts.consider_empty_community:
         # O9 evaluated inline on the joined row (see the unsalted path)
-        gb_e_new = _contrib(
-            method_eff, gamma_eff,
-            w=F.col("loop"), ko=F.col("k_out"),
-            ki=F.col("k_in") if directed else F.col("k_out"),
-            n=F.col("node_size"), **args,
-        )
+        if surprise:
+            if W > 0 and pairs_tot > 0:
+                d_sw_e = -F.col("w_va")
+                d_sp_e = (
+                    _pairs_col(na - F.col("node_size"), directed, csl)
+                    - _pairs_col(na, directed, csl)
+                    + _pairs_col(F.col("node_size"), directed, csl)
+                )
+                q_new_e = F.least(
+                    F.greatest((F.lit(sw0) + d_sw_e) / F.lit(float(W)), zero),
+                    F.lit(1.0),
+                )
+                e_new_e = (F.lit(sp0) + d_sp_e) / F.lit(pairs_tot)
+                gb_e_new = (
+                    F.lit(float(W)) * _kl_col(q_new_e, e_new_e) - F.lit(const_q)
+                )
+            else:
+                gb_e_new = zero
+        else:
+            gb_e_new = _contrib(
+                method_eff, gamma_eff,
+                w=F.col("loop"), ko=F.col("k_out"),
+                ki=F.col("k_in") if directed else F.col("k_out"),
+                n=F.col("node_size"), **args,
+            )
         dq_e = a_term + gb_e_new
         if (mn or mx) and enf > 0:
             dq_e = dq_e - F.lit(float(enf)) * _viol(F.col("node_size"), mn, mx)
@@ -1282,6 +1367,7 @@ def _move_phase(
                 mstats.join(cstats_o.hint("merge"), "comm")
                 .repartition(n_shuffle, "id").sortWithinPartitions("id").persist()
             )
+        aux_persists = []
         if hub_salt > 1:
             from ..localcore.optimiser import ALL_NEIGH_COMMS as _DEFAULT_MODE
             from ..localcore.optimiser import RAND_NEIGH_COMM as _RAND_NEIGH
@@ -1297,6 +1383,7 @@ def _move_phase(
             winners = _superstep_moves_salted(
                 edges_sym, aug, spec, directed, W, p_global,
                 n_tot, ckpt_idx + 1, seed, n_shuffle, hub_salt, opts,
+                kl_scalars=kl_scalars, aux_persists=aux_persists,
             )
         else:
             # cross modes (ALL_COMMS / RAND_COMM) read the plain persisted
@@ -1456,6 +1543,8 @@ def _move_phase(
                     })
                 good_membership = membership
                 winners.unpersist()
+                for h in aux_persists:
+                    h.unpersist()
                 aug.unpersist()
                 mstats.unpersist()
                 cstats.unpersist()
@@ -1479,6 +1568,8 @@ def _move_phase(
                 "frac_bits": frac_bits, "frac_used": frac_used, "good_idx": good_idx,
             })
         winners.unpersist()
+        for h in aux_persists:
+            h.unpersist()
         aug.unpersist()
         mstats.unpersist()
         cstats.unpersist()

@@ -241,11 +241,30 @@ def test_surprise_with_o8_modes_converges_monotone(spark, mode):
     assert q > 0 and abs(q - res.quality) < 1e-6
 
 
-def test_salted_superstep_rejects_surprise(spark):
-    e = _planted_two(spark)
-    with pytest.raises(ValueError, match="surprise"):
-        leiden(spark, e, method="surprise", n_iterations=1, seed=1,
-               local_threshold=0, hub_salt=4, max_supersteps=2)
+def test_salted_surprise_matches_unsalted_on_hub_graph(spark):
+    """VERDICT r4 #6: salted Surprise via the two-phase w_va recovery
+    (persisted gather → n-row w_va collapse → k×-replicated merge join)
+    must equal the unsalted exact path on a hub-heavy graph — the r4
+    refusal is retired."""
+    random.seed(13)
+    rows = []
+    # hub 0 touches everyone; two planted groups
+    for v in range(1, 40):
+        rows.append((0, v, 0.5))
+    for c in range(2):
+        ids = list(range(1 + c * 19, 1 + c * 19 + 19))
+        for a, b in itertools.combinations(ids, 2):
+            if random.random() < 0.5:
+                rows.append((a, b, 1.0))
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    kw = dict(method="surprise", n_iterations=2, seed=11, local_threshold=0,
+              max_supersteps=25)
+    r0 = leiden(spark, e, **kw)
+    r4 = leiden(spark, e, hub_salt=4, **kw)
+    m0 = {r["id"]: r["comm"] for r in r0.membership.collect()}
+    m4 = {r["id"]: r["comm"] for r in r4.membership.collect()}
+    assert m0 == m4
+    assert abs(r0.quality - r4.quality) < 1e-9
 
 
 # ------------------------------------------- |C|-gated cross-mode stats attach
