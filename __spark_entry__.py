@@ -1998,7 +1998,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.embedding_covariance(_embeddings(spark, sf))
 
     def q_embedding_pca(spark, sf):
-        # rows-only: the eigendecomposition step is not SQL-expressible
+        # rows-only by necessity, not omission: the test embeddings'
+        # covariance spectrum is nearly flat (λ2/λ1 ≈ 0.987 at sf0.01),
+        # so the top eigenvectors are ill-conditioned — ANY two engines'
+        # eigensolvers return arbitrary rotations of the near-degenerate
+        # subspace, and a rounded-power-iteration determinism contract
+        # (the kmeans/PQ trick) would pin a deterministic but
+        # non-converged rotation, making the hash check vacuous.
+        # Correctness is pytest-held on well-gapped data instead
+        # (test_embedding_covariance_and_pca_match_numpy, atol 5e-6 vs
+        # np.linalg.eigh); the distributed stats pass underneath is the
+        # hash-green embedding_covariance row.
         return S.embedding_pca(spark, _embeddings(spark, sf), k=4)
 
     def q_doc_clusters(spark, sf):
