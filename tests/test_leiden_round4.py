@@ -241,6 +241,47 @@ def test_surprise_with_o8_modes_converges_monotone(spark, mode):
     assert q > 0 and abs(q - res.quality) < 1e-6
 
 
+def test_salted_surprise_rand_neigh_matches_unsalted(spark):
+    """Salted Surprise composed with RAND_NEIGH_COMM (O8): the ES pick key
+    is unchanged, the exact surprise gb rides the pick struct — must stay
+    bit-identical to the unsalted run."""
+    random.seed(13)
+    rows = [(0, v, 0.5) for v in range(1, 40)]
+    for c in range(2):
+        ids = list(range(1 + c * 19, 1 + c * 19 + 19))
+        for a, b in itertools.combinations(ids, 2):
+            if random.random() < 0.5:
+                rows.append((a, b, 1.0))
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    kw = dict(method="surprise", n_iterations=2, seed=11, local_threshold=0,
+              max_supersteps=25,
+              opts=OptimiserOpts(seed=11, consider_comms=RAND_NEIGH_COMM))
+    m0 = {r["id"]: r["comm"] for r in leiden(spark, e, **kw).membership.collect()}
+    m4 = {r["id"]: r["comm"]
+          for r in leiden(spark, e, hub_salt=4, **kw).membership.collect()}
+    assert m0 == m4
+
+
+def test_salted_surprise_max_comm_size_matches_unsalted(spark):
+    """Salted Surprise composed with O10 (max_comm_size): the candidate-
+    side constraint gate on the partial arg-max and the a-side penalty on
+    the winners table must both apply to the exact-surprise gb — value-
+    equal to the unsalted constrained run, and the cap must hold."""
+    e = _planted_two(spark)
+    kw = dict(method="surprise", n_iterations=2, seed=9, local_threshold=0,
+              max_supersteps=30,
+              opts=OptimiserOpts(seed=9, max_comm_size=15,
+                                 community_constraint_enforcement=0))
+    r0 = leiden(spark, e, **kw)
+    r4 = leiden(spark, e, hub_salt=3, **kw)
+    m0 = {r["id"]: r["comm"] for r in r0.membership.collect()}
+    m4 = {r["id"]: r["comm"] for r in r4.membership.collect()}
+    assert m0 == m4
+    from collections import Counter
+
+    assert max(Counter(m4.values()).values()) <= 15
+
+
 def test_salted_surprise_matches_unsalted_on_hub_graph(spark):
     """VERDICT r4 #6: salted Surprise via the two-phase w_va recovery
     (persisted gather → n-row w_va collapse → k×-replicated merge join)
