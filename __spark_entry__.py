@@ -38,6 +38,18 @@ def _embeddings(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _media_docs(spark, sf_dir):
+    """Document bytes standing in for opaque media payloads — the shared
+    input of the media_* catalog entries, so the payload convention
+    (utf-8 of coalesce(text, '')) lives in exactly one place on the
+    Spark side and its DuckDB twins md5/hex the same blobs."""
+    return _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("doc").alias("media_type"),
+        F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload"),
+    )
+
+
 def _bipartite_named(spark, sf_dir):
     from leidenalg_spark.operators.edges import events_to_bipartite_edges
 
@@ -1235,12 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # moment features stay pytest-held — SQL has no float32 numpy)
         from leidenalg_spark.operators.multimodal import extract_features
 
-        media = _documents(spark, sf).select(
-            F.col("doc_id").alias("media_id"),
-            F.lit("doc").alias("media_type"),
-            F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload"),
-        )
-        return extract_features(media).select(
+        return extract_features(_media_docs(spark, sf)).select(
             "media_id", "media_type", "n_bytes", "checksum"
         )
 
@@ -1250,11 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical hex windows, md5 minhash family and band keys
         from leidenalg_spark.operators.multimodal import media_neardup_pairs
 
-        media = _documents(spark, sf).select(
-            F.col("doc_id").alias("media_id"),
-            F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload"),
-        )
-        return media_neardup_pairs(media, threshold=0.5).orderBy("a", "b")
+        return media_neardup_pairs(_media_docs(spark, sf), threshold=0.5).orderBy("a", "b")
 
     def q_media_dedup(spark, sf):
         # codec-free binary dedup on the opaque payload column; document
@@ -1262,12 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # convention) so the DuckDB twin can md5 the same utf-8 blobs
         from leidenalg_spark.operators.multimodal import media_dedup
 
-        media = _documents(spark, sf).select(
-            F.col("doc_id").alias("media_id"),
-            F.lit("doc").alias("media_type"),
-            F.encode(F.coalesce("text", F.lit("")), "utf-8").alias("payload"),
-        )
-        return media_dedup(media)
+        return media_dedup(_media_docs(spark, sf))
 
     def q_embedding_neardup(spark, sf):
         # LSH-routed candidates + exact-cosine verify (the 100-TB path);

@@ -664,6 +664,14 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
     surprise = method_eff == "surprise"
     if surprise and kl_scalars is None:
         raise ValueError("method='surprise' needs the (Σw_in, Σpairs) kl_scalars")
+    if surprise and aux_persists is None:
+        # the surprise path persists its gather internally; refusing to
+        # run without a cleanup list makes a silent persist leak
+        # impossible for any future call site
+        raise ValueError(
+            "method='surprise' persists the salted gather — pass "
+            "aux_persists=[] and unpersist its entries after the superstep"
+        )
     rand_mode = getattr(opts, "consider_comms", None) == RAND_NEIGH_COMM
     constrained = bool(opts.min_comm_size or opts.max_comm_size)
     needs = _stat_needs(method_eff, directed, constrained)
@@ -728,8 +736,7 @@ def _superstep_moves_salted(edges_sym, aug, spec, directed, W, p_global, n_tot, 
     g = gather.join(m_src_k, ["id", "salt3"])
     if surprise:
         g = g.persist()
-        if aux_persists is not None:
-            aux_persists.append(g)
+        aux_persists.append(g)
         w_va_tbl = (
             g.where(F.col("cand") == F.col("comm"))
             .groupBy("id").agg(F.sum("w_vc").alias("w_va_g"))

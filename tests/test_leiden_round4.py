@@ -54,6 +54,20 @@ def _planted_two(spark, seed=7):
     return spark.createDataFrame(rows, "src long, dst long, weight double")
 
 
+def _hub_graph(spark, seed=13):
+    """Hub 0 touching every other vertex plus two planted random groups —
+    the shared fixture of the salted-vs-unsalted parity tests (one copy,
+    so the three tests provably run the same graph)."""
+    random.seed(seed)
+    rows = [(0, v, 0.5) for v in range(1, 40)]
+    for c in range(2):
+        ids = list(range(1 + c * 19, 1 + c * 19 + 19))
+        for a, b in itertools.combinations(ids, 2):
+            if random.random() < 0.5:
+                rows.append((a, b, 1.0))
+    return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
 def _edges_df(spark, fix):
     n, s, d, w = fix[:4]
     if w is None:
@@ -245,14 +259,7 @@ def test_salted_surprise_rand_neigh_matches_unsalted(spark):
     """Salted Surprise composed with RAND_NEIGH_COMM (O8): the ES pick key
     is unchanged, the exact surprise gb rides the pick struct — must stay
     bit-identical to the unsalted run."""
-    random.seed(13)
-    rows = [(0, v, 0.5) for v in range(1, 40)]
-    for c in range(2):
-        ids = list(range(1 + c * 19, 1 + c * 19 + 19))
-        for a, b in itertools.combinations(ids, 2):
-            if random.random() < 0.5:
-                rows.append((a, b, 1.0))
-    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    e = _hub_graph(spark)
     kw = dict(method="surprise", n_iterations=2, seed=11, local_threshold=0,
               max_supersteps=25,
               opts=OptimiserOpts(seed=11, consider_comms=RAND_NEIGH_COMM))
@@ -287,17 +294,7 @@ def test_salted_surprise_matches_unsalted_on_hub_graph(spark):
     (persisted gather → n-row w_va collapse → k×-replicated merge join)
     must equal the unsalted exact path on a hub-heavy graph — the r4
     refusal is retired."""
-    random.seed(13)
-    rows = []
-    # hub 0 touches everyone; two planted groups
-    for v in range(1, 40):
-        rows.append((0, v, 0.5))
-    for c in range(2):
-        ids = list(range(1 + c * 19, 1 + c * 19 + 19))
-        for a, b in itertools.combinations(ids, 2):
-            if random.random() < 0.5:
-                rows.append((a, b, 1.0))
-    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    e = _hub_graph(spark)
     kw = dict(method="surprise", n_iterations=2, seed=11, local_threshold=0,
               max_supersteps=25)
     r0 = leiden(spark, e, **kw)
@@ -446,17 +443,7 @@ def test_salted_rand_neigh_matches_unsalted(spark):
     """The salted RAND_NEIGH_COMM two-level Efraimidis–Spirakis arg-max is
     bit-identical to the unsalted path (same hash-keyed picks), even on a
     hub graph — VERDICT r3 item 6."""
-    random.seed(13)
-    rows = []
-    # hub 0 touches everyone; two planted groups
-    for v in range(1, 40):
-        rows.append((0, v, 0.5))
-    for c in range(2):
-        ids = list(range(1 + c * 19, 1 + c * 19 + 19))
-        for a, b in itertools.combinations(ids, 2):
-            if random.random() < 0.5:
-                rows.append((a, b, 1.0))
-    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    e = _hub_graph(spark)
     kw = dict(method="modularity", n_iterations=2, seed=11, local_threshold=0,
               max_supersteps=25,
               opts=OptimiserOpts(seed=11, consider_comms=RAND_NEIGH_COMM))
